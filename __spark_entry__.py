@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship metric query at sf0.001;
+``queries()`` maps every implemented SURVEY.md §2 operator to a
+builder ``(spark, sf_dir) -> DataFrame``; ``oracle_sql()`` holds the
+DuckDB-equivalent ANSI SQL for the correctness gate. Column names are
+aliased identically on both sides (the driver sorts columns by name
+before hashing).
 """
 
 from __future__ import annotations
@@ -12,27 +13,309 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_eamples_spark.catalog import load_table
+from dbt_eamples_spark.operators import relational as R
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: revenue by nation —
+    scan → time-range filter → star join → metric group-by agg →
+    ordered top-k (the full request shape of dbt_query.py:77-86)."""
+    sf_dir = "/root/testdata/sf0.001"
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("o_orderdate").between(F.lit("1995-01-01"), F.lit("1997-12-31")))
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {
+        # §2.1 scans / sources
+        "scan_table": R.scan_table,
+        "sql_execute_limit": R.sql_execute_limit,
+        # §2.2 filters / projections
+        "filter_type_and_notnull": R.filter_type_and_notnull,
+        "filter_where_expr": R.filter_where_expr,
+        "filter_time_range": R.filter_time_range,
+        "project_report_cols": R.project_report_cols,
+        # §2.3 joins
+        "join_fact_dim": R.join_fact_dim,
+        "join_star_3way": R.join_star_3way,
+        "join_left_outer": R.join_left_outer,
+        "join_anti_new_rows": R.join_anti_new_rows,
+        "join_time_range": R.join_time_range,
+        # §2.4 aggregations
+        "agg_max_watermark": R.agg_max_watermark,
+        "agg_count": R.agg_count,
+        "agg_count_distinct": R.agg_count_distinct,
+        "metric_groupby_agg": R.metric_groupby_agg,
+        "distinct_values": R.distinct_values,
+        "metric_grouping_sets": R.metric_grouping_sets,
+        "metric_rollup": R.metric_rollup,
+        # §2.5 windows
+        "window_topk_per_group": R.window_topk_per_group,
+        "window_running_sum": R.window_running_sum,
+        "window_lag_delta": R.window_lag_delta,
+        # §2.6 sorts / limits
+        "order_by": R.order_by,
+        "order_limit_topk": R.order_limit_topk,
+        "limit_offset_page": R.limit_offset_page,
+        # §2.7 set ops
+        "union_incremental_snapshots": R.union_incremental_snapshots,
+        "intersect_except": R.intersect_except,
+        # §2.8 scalar functions
+        "hex_decode_utf8": R.hex_decode_utf8,
+        "unixtime_to_iso": R.unixtime_to_iso,
+        "tz_normalize": R.tz_normalize,
+        "round_decimals": R.round_decimals,
+        "regexp_redact": R.regexp_redact,
+        "string_chunk": R.string_chunk,
+        "concat_report_rows": R.concat_report_rows,
+        "sanitize_name": R.sanitize_name,
+        "json_extract_props": R.json_extract_props,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL, one per queries() key."""
+    return {
+        "scan_table": "SELECT r_regionkey, r_name FROM region",
+        "sql_execute_limit": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders ORDER BY o_orderkey LIMIT 100
+        """,
+        "filter_type_and_notnull": """
+            SELECT event_id, user_id, event_type, value
+            FROM events
+            WHERE event_type = 'purchase' AND props IS NOT NULL
+        """,
+        "filter_where_expr": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+            FROM lineitem
+            WHERE l_quantity > 30 AND l_discount < 0.05
+        """,
+        "filter_time_range": """
+            SELECT o_orderkey, o_orderdate, o_totalprice
+            FROM orders
+            WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                                  AND TIMESTAMP '1996-12-31'
+        """,
+        "project_report_cols": """
+            SELECT event_id,
+                   value AS fee,
+                   event_type AS kind,
+                   CAST(CAST(ts AS DATE) AS VARCHAR) AS eventdate
+            FROM events
+        """,
+        "join_fact_dim": """
+            SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "join_star_3way": """
+            SELECT r_name, n_name,
+                   COUNT(*) AS n_customers,
+                   ROUND(SUM(c_acctbal), 2) AS total_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "join_left_outer": """
+            SELECT c_custkey, c_name,
+                   COUNT(o_orderkey) AS n_orders,
+                   ROUND(COALESCE(SUM(o_totalprice), 0.0), 2) AS total_spend
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey, c_name
+        """,
+        "join_anti_new_rows": """
+            SELECT event_id, user_id, event_type
+            FROM events e
+            WHERE NOT EXISTS (
+                SELECT 1 FROM events s
+                WHERE s.event_id < 500 AND s.event_id = e.event_id
+            )
+        """,
+        "join_time_range": """
+            SELECT o_orderkey, o_orderdate,
+                   COUNT(*) AS n_items_90d,
+                   ROUND(SUM(l_extendedprice), 2) AS rev_90d
+            FROM lineitem JOIN orders
+              ON l_orderkey = o_orderkey
+             AND l_shipdate >= o_orderdate
+             AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+            GROUP BY o_orderkey, o_orderdate
+        """,
+        "agg_max_watermark": """
+            SELECT CAST(COALESCE(MAX(event_id), 0) AS BIGINT) AS last_event_id
+            FROM events
+        """,
+        "agg_count": "SELECT COUNT(*) AS n_rows FROM lineitem",
+        "agg_count_distinct": """
+            SELECT COUNT(DISTINCT o_custkey) AS n_active_customers,
+                   COUNT(*) AS n_orders
+            FROM orders
+        """,
+        "metric_groupby_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 6) AS avg_qty,
+                   ROUND(AVG(l_discount), 6) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "distinct_values": "SELECT DISTINCT c_mktsegment FROM customer",
+        "metric_grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS total_price
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                    (o_orderstatus, o_orderpriority))
+        """,
+        "metric_rollup": """
+            SELECT r_name, n_name, COUNT(*) AS n_customers
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "window_topk_per_group": """
+            SELECT c_mktsegment, c_custkey, c_acctbal, rk FROM (
+                SELECT c_mktsegment, c_custkey, c_acctbal,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c_mktsegment
+                           ORDER BY c_acctbal DESC, c_custkey ASC
+                       ) AS rk
+                FROM customer
+            ) t WHERE rk <= 5
+        """,
+        "window_running_sum": """
+            SELECT user_id, event_id,
+                   ROUND(SUM(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 2) AS running_value
+            FROM events
+        """,
+        "window_lag_delta": """
+            SELECT user_id, event_id,
+                   ROUND(value - LAG(value, 1) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ), 2) AS value_delta
+            FROM events
+        """,
+        "order_by": """
+            SELECT o_orderkey, o_totalprice, o_orderpriority
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC
+        """,
+        "order_limit_topk": """
+            SELECT o_orderkey, o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "limit_offset_page": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders ORDER BY o_orderkey LIMIT 10 OFFSET 20
+        """,
+        "union_incremental_snapshots": """
+            SELECT event_id, user_id, event_type FROM events WHERE event_id < 500
+            UNION ALL
+            SELECT event_id, user_id, event_type FROM events WHERE event_id >= 500
+        """,
+        "intersect_except": """
+            SELECT o_custkey AS retained_custkey
+            FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+            INTERSECT
+            SELECT o_custkey
+            FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        """,
+        "hex_decode_utf8": """
+            SELECT doc_id,
+                   CASE WHEN regexp_matches(hexdata, '^([0-9a-fA-F]{2})+$')
+                        THEN decode(from_hex(hexdata))
+                        ELSE NULL END AS decoded_data
+            FROM (
+                SELECT doc_id, hex(encode(substring(text, 1, 24))) AS hexdata
+                FROM documents
+            ) t
+        """,
+        "unixtime_to_iso": """
+            SELECT event_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+                   strftime(date_trunc('second', ts), '%Y-%m-%dT%H:%M:%S') AS iso_ts
+            FROM events
+        """,
+        "tz_normalize": """
+            SELECT event_id,
+                   strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS utc_ts,
+                   CAST(CAST(ts AS DATE) AS VARCHAR) AS utc_date
+            FROM events
+        """,
+        "round_decimals": """
+            SELECT o_orderpriority,
+                   ROUND(AVG(o_totalprice), 2) AS avg_price_2dp,
+                   ROUND(SUM(o_totalprice), 0) AS total_price_0dp
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "regexp_redact": """
+            SELECT doc_id,
+                   regexp_replace(substring(text, 1, 60), '[0-9]+', '<NUM>', 'g')
+                       AS redacted
+            FROM documents
+        """,
+        "string_chunk": """
+            SELECT doc_id, chunk_idx,
+                   substring(text, chunk_idx * 100 + 1, 100) AS chunk
+            FROM (
+                SELECT doc_id, text,
+                       unnest(range(0, CAST(floor((length(text) - 1) / 100) AS BIGINT) + 1))
+                           AS chunk_idx
+                FROM documents
+            ) t
+        """,
+        "concat_report_rows": """
+            SELECT event_type,
+                   string_agg(line, chr(10) ORDER BY line) AS report
+            FROM (
+                SELECT event_type,
+                       concat_ws(' | ', CAST(event_id AS VARCHAR),
+                                 CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR),
+                                 event_type) AS line
+                FROM events
+            ) t
+            GROUP BY event_type
+        """,
+        "sanitize_name": """
+            SELECT DISTINCT p_partkey,
+                   replace(replace(replace(p_type, '.', '_'), ' ', '_'), '/', '_')
+                       AS sanitized_type
+            FROM part
+        """,
+        "json_extract_props": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+            FROM events
+        """,
+    }

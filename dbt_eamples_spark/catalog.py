@@ -1,0 +1,61 @@
+"""Catalog: register the fixture parquet tables as temp views.
+
+Mirrors the reference's implicit catalog (schema-qualified warehouse
+tables, e.g. ``omni.self_testnet_transactions`` at
+`/root/reference/helix-flow/dags/omni/transactions_dag.py:22-24`):
+here a table name resolves to a parquet path and is exposed to Spark
+SQL as a temp view. At cluster scale these would be external tables
+over partitioned parquet/iceberg; the API is identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# parquet TIMESTAMP(NANOS) columns (read as long via nanosAsLong,
+# converted back to timestamp here; fixture nanos are micro-aligned)
+_NANOS_TS_COLS = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar parquet scan — Catalyst prunes columns and pushes
+    predicates into it (verify with ``.explain``: ``PushedFilters``)."""
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if col in df.columns and dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    return df
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view named after itself."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = table_path(sf_dir, name)
+        if not os.path.exists(path):
+            continue
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,533 @@
+"""Relational operator suite (SURVEY.md §2.1–§2.8).
+
+Every public function here is a query builder with signature
+``(spark, sf_dir) -> DataFrame`` and a matching ANSI-SQL oracle in
+``__spark_entry__.py::oracle_sql()``. Each docstring cites the
+reference behavior it re-expresses (file:line under
+/root/reference/).
+
+Scale notes apply throughout:
+ - dimension joins use ``broadcast()`` hints (region/nation/customer
+   are tiny relative to the fact tables at any SF);
+ - aggregations are plain ``groupBy`` → Catalyst partial+final hash
+   aggregate with map-side combine;
+ - ordered limits compile to TakeOrderedAndProject (top-k per
+   partition + driver merge, no global sort);
+ - every filter is a Column expression so it pushes into the parquet
+   scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbt_eamples_spark.catalog import load_table
+
+
+# ---------------------------------------------------------------------------
+# §2.1 scans / sources
+# ---------------------------------------------------------------------------
+
+def scan_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain table scan → DataFrame.
+
+    Re-expresses ``sql_to_df`` (postgres_client.py:50-52): SELECT *
+    against a registered table. Column-pruned parquet scan.
+    """
+    return load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+
+def sql_execute_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cursor-style execute with a fetch limit (connections.py:361-374).
+
+    The reference fetches at most ``limit`` rows from the cursor; an
+    ordered limit keeps the result deterministic and compiles to
+    TakeOrderedAndProject (no full sort at scale).
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_orderkey
+        LIMIT 100
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / filters
+# ---------------------------------------------------------------------------
+
+def filter_type_and_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep rows of one type with a required payload present.
+
+    Mirrors the transaction filter ``type_int == 200 and "data" in tx``
+    (omni_rpc_client.py:123-125) on the events fixture: purchases with
+    a non-null props payload. Both predicates push into the scan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter((F.col("event_type") == "purchase") & F.col("props").isNotNull()).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+def filter_where_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-supplied WHERE string applied as a constraint
+    (dbt_query.py:59,84) — arbitrary boolean SQL over the table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.expr("l_quantity > 30 AND l_discount < 0.05")).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount"
+    )
+
+
+def filter_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-dimension range constraint (dbt_query.py:60-61,82-83):
+    start/end bounds on the order date. Parquet min/max stats prune
+    row groups; at cluster scale this is the partition-prune column."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderdate").between(F.lit("1995-01-01"), F.lit("1996-12-31"))
+    ).select("o_orderkey", "o_orderdate", "o_totalprice")
+
+
+def project_report_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Report projection (slack_utils.py:83-86 selects
+    txid/fee/decoded_data/blockdate): narrow column selection feeding
+    a formatted report. Pure column pruning."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id"),
+        F.col("value").alias("fee"),
+        F.col("event_type").alias("kind"),
+        F.to_date("ts").cast("string").alias("eventdate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+def join_fact_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join fact ⋈ dimension (the metric→semantic-model
+    resolution the reference delegates to MetricFlow,
+    dbt_query.py:92-104). Customer is broadcast — no shuffle of the
+    fact side; Catalyst would pick BHJ anyway under the threshold but
+    the hint pins it at any SF."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .select("o_orderkey", "c_name", "c_mktsegment", "o_totalprice")
+    )
+
+
+def join_star_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop star join customer→nation→region with an aggregate,
+    mirroring qualified dimension chains (dbt_query2.py:74). Both
+    dims broadcast; single shuffle for the final group-by."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: every dimension value, measures nullable
+    (semantic-layer group-by over all dim values, dbt_query.py:80)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    joined = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return joined.groupBy("c_custkey", "c_name").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+    )
+
+
+def join_anti_new_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join = "new rows only" incremental semantics
+    (transactions_dag.py:30-34 fetches only blocks > watermark; the
+    generalized idempotent form is an anti-join on the key): incoming
+    events not already present in the ingested snapshot."""
+    ev = load_table(spark, sf_dir, "events")
+    snapshot = ev.filter(F.col("event_id") < 500).select(
+        F.col("event_id").alias("snap_id")
+    )
+    return ev.join(
+        snapshot, ev.event_id == snapshot.snap_id, "left_anti"
+    ).select("event_id", "user_id", "event_type")
+
+
+def join_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + time-range join (time-constrained metric queries,
+    dbt_query.py:82-83): lineitems shipped within 90 days of their
+    order's date. The equi key carries the shuffle; the range
+    predicate evaluates post-join (no cross product)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate <= F.date_add(o.o_orderdate, 90))
+    )
+    return (
+        li.join(o, cond, "inner")
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.count("*").alias("n_items_90d"),
+            F.round(F.sum("l_extendedprice"), 2).alias("rev_90d"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+def agg_max_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark read: MAX over the sink table with null→0
+    (transactions_dag.py:22-25 ``int(...['last_block'][0]) or 0``).
+    Partial max per partition → single-row final: no data shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.coalesce(F.max("event_id"), F.lit(0)).cast("long").alias("last_event_id")
+    )
+
+
+def agg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row count (dbt_query.py:139 empty-set check; slack_utils.py:77
+    report count)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(F.count("*").alias("n_rows"))
+
+
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count (delegated in the reference — any COUNT
+    DISTINCT inside opaque SQL ran on the warehouse,
+    connections.py:368). Expand+two-phase agg in Spark."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_active_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def metric_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE core metric query shape (dbt_query.py:77-86: metric_names
+    + group_by_names): measures aggregated by dimensions. TPC-H-Q1
+    shape over lineitem. Hash aggregate, partial+final, one shuffle
+    on the grouping key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct dimension values (dbt_query2.py:52-58 dedups dimension
+    names with a set). groupBy-based distinct — partial dedup map-side."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_mktsegment").distinct()
+
+
+def metric_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity totals in ONE pass via GROUPING SETS —
+    replaces the reference's one-query-per-dimension fan-out
+    (dbt_query.py:166-177) with a single scan. At 100 TB this turns N
+    full scans into 1."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        """
+    )
+
+
+def metric_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region → nation → grand total)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 windows
+# ---------------------------------------------------------------------------
+
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number. Tie-broken on the key so the
+    result is deterministic (oracle contract). One shuffle on the
+    partition key; rank computed in-partition."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rk")
+    )
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative metric total per entity ordered by event time
+    (the standard cumulative-metric query class the reference's
+    semantic layer serves)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag/lead delta — block-over-block difference, mirroring the
+    watermark delta ``current_block - last_block``
+    (transactions_dag.py:27-30) as a per-entity window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.col("value") - F.lag("value", 1).over(w), 2
+        ).alias("value_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 sorts / limits
+# ---------------------------------------------------------------------------
+
+def order_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY with direction (dbt_query.py:62,85 ``--order`` names,
+    minus-prefix = desc). Range-partitioned total sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+
+
+def order_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT (dbt_query.py:63,81) — compiles to
+    TakeOrderedAndProject: per-partition top-k then driver merge,
+    never a full sort. The scale-safe top-k."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+def limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paged head-N (omni_rpc_client.py:59-62 ``count=10, skip=0``
+    wallet paging) → ordered OFFSET/LIMIT."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy("o_orderkey")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .offset(20)
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set operations
+# ---------------------------------------------------------------------------
+
+def union_incremental_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Old snapshot ∪ delta — the semantic outcome of the append
+    pipeline (transactions_dag.py:30-44). unionByName keeps schema
+    alignment explicit; narrow op, no shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    snapshot = ev.filter(F.col("event_id") < 500)
+    delta = ev.filter(F.col("event_id") >= 500)
+    return snapshot.unionByName(delta).select("event_id", "user_id", "event_type")
+
+
+def intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT surface: customers active in the time range
+    but not in the anti set. Built-ins; hash-based."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderdate") < F.lit("1996-01-01")).select("o_custkey")
+    b = o.filter(F.col("o_orderdate") >= F.lit("1996-01-01")).select("o_custkey")
+    return a.intersect(b).withColumnRenamed("o_custkey", "retained_custkey")
+
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar functions
+# ---------------------------------------------------------------------------
+
+def hex_decode_utf8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex → UTF-8 with null-on-failure parity
+    (omni_rpc_client.py:100-114: ``codecs.decode(data,'hex')`` with
+    UnicodeDecodeError/TypeError → None). Spark's decode never
+    throws, so validity is an explicit rlike guard — invalid hex or
+    odd length yields NULL exactly like the reference."""
+    docs = load_table(spark, sf_dir, "documents")
+    hexed = docs.select(
+        "doc_id", F.hex(F.encode(F.substring("text", 1, 24), "UTF-8")).alias("hexdata")
+    )
+    return hexed.select(
+        "doc_id",
+        F.when(
+            F.col("hexdata").rlike("^([0-9a-fA-F]{2})+$"),
+            F.decode(F.unhex(F.col("hexdata")), "UTF-8"),
+        )
+        .otherwise(F.lit(None))
+        .alias("decoded_data"),
+    )
+
+
+def unixtime_to_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unix epoch seconds → ISO-8601 string
+    (omni_rpc_client.py:107-110 ``utcfromtimestamp(...).isoformat()``)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.date_format(
+            F.timestamp_seconds(F.unix_timestamp("ts")), "yyyy-MM-dd'T'HH:mm:ss"
+        ).alias("iso_ts"),
+    )
+
+
+def tz_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone-offset normalization (connections.py:338-352 rebuilds
+    datetimes with FixedOffset). Session TZ is UTC; rendering to a
+    canonical UTC string is the observable equivalent."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss").alias("utc_ts"),
+        F.to_date("ts").cast("string").alias("utc_date"),
+    )
+
+
+def round_decimals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Display rounding at the presentation edge (dbt_query.py:29-34
+    ``--decimals``, default 2) — round applied to the metric output,
+    never inside the plan."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price_2dp"),
+        F.round(F.sum("o_totalprice"), 0).alias("total_price_0dp"),
+    )
+
+
+def regexp_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex redaction / comment stripping (connections.py:72-75
+    redacts error messages; :415-427 strips comments). Digit runs
+    redacted from document text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(F.substring("text", 1, 60), "[0-9]+", "<NUM>").alias(
+            "redacted"
+        ),
+    )
+
+
+def string_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size string chunking (slack_utils.py:16-19
+    ``chunk_string(s, 3000)`` generator) — explode a position
+    sequence, substring per chunk. Pure built-ins, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = 100
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.length("text") - 1) / n).cast("int"),
+                )
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.expr(f"substring(text, chunk_idx * {n} + 1, {n})").alias("chunk"),
+        )
+    )
+
+
+def concat_report_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row formatting + newline-joined report body
+    (slack_utils.py:83-86: ``f"{txid} | {fee} | ..."`` joined with
+    \\n). concat_ws per row, sorted collect_list per group so the
+    output is deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    lines = ev.select(
+        "event_type",
+        F.concat_ws(
+            " | ",
+            F.col("event_id").cast("string"),
+            F.col("value").cast("decimal(18,2)").cast("string"),
+            F.col("event_type"),
+        ).alias("line"),
+    )
+    return lines.groupBy("event_type").agg(
+        F.array_join(F.array_sort(F.collect_list("line")), "\n").alias("report")
+    )
+
+
+def sanitize_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filename sanitization (dbt_query2.py:74
+    ``dimension.replace('.','_').replace('/','_')``)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.translate(F.col("p_type"), ". /", "___").alias("sanitized_type"),
+    ).distinct()
+
+
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload parse (omni_rpc_client.py:36-51 builds/parses
+    JSON-RPC bodies): extract a typed field from the events.props
+    JSON string."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )
