@@ -1,0 +1,74 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to execute fully (count via a noop aggregation
+on the result — not collect, so driver memory stays flat) and timed
+wall-clock. First a warm-up pass primes the JVM/code-cache so the
+numbers reflect steady-state executor throughput, which is what
+matters at cluster scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dbt_eamples_spark.session import get_spark  # noqa: E402
+import __spark_entry__ as entrymod  # noqa: E402
+
+# headline set: the heaviest / most representative operators
+HEADLINE = [
+    "metric_groupby_agg",
+    "join_time_range",
+    "join_star_3way",
+    "join_left_outer",
+    "window_topk_per_group",
+    "window_running_sum",
+    "order_limit_topk",
+    "metric_grouping_sets",
+    "string_chunk",
+    "concat_report_rows",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # warm-up: JVM JIT + parquet footer caches
+    for n in names:
+        qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for n in names:
+        t0 = time.perf_counter()
+        qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[n] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
