@@ -16,7 +16,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbt_eamples_spark.catalog import load_table
+from dbt_eamples_spark.operators import dedup as D
+from dbt_eamples_spark.operators import multimodal as M
 from dbt_eamples_spark.operators import relational as R
+from dbt_eamples_spark.operators import similarity as V
+from dbt_eamples_spark.operators import text as T
+from dbt_eamples_spark.oracles_ext import EXT_ORACLES
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -92,6 +97,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concat_report_rows": R.concat_report_rows,
         "sanitize_name": R.sanitize_name,
         "json_extract_props": R.json_extract_props,
+        # §2.11 EXT — text analysis
+        "text_token_stats": T.text_token_stats,
+        "text_lang_id": T.text_lang_id,
+        "text_quality_score": T.text_quality_score,
+        "text_token_count_bpe": T.text_token_count_bpe,
+        "doc_fingerprint": T.doc_fingerprint,
+        # §2.11 EXT — dedup
+        "dedup_exact": D.dedup_exact,
+        "dedup_minhash": D.dedup_minhash,
+        "dedup_simhash": D.dedup_simhash,
+        "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
+        "dedup_embedding_cosine": D.dedup_embedding_cosine,
+        # §2.11 EXT — similarity search
+        "similarity_topk": V.similarity_topk,
+        "similarity_ivf_topk": V.similarity_ivf_topk,
+        # §2.11 EXT — multimodal plumbing
+        "multimodal_meta": M.multimodal_meta,
+        "multimodal_features_flat": M.multimodal_features_flat,
     }
 
 
@@ -318,4 +341,5 @@ def oracle_sql() -> dict[str, str]:
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
             FROM events
         """,
+        **EXT_ORACLES,
     }

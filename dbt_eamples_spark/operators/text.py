@@ -1,0 +1,138 @@
+"""Text-analysis operators over the ``documents`` table (SURVEY.md
+§2.11 / BASELINE.json north-star: language-ID, quality scoring, token
+counting, fingerprinting).
+
+All pure built-in expressions (whole-stage codegen, no UDFs) so they
+scale linearly with document count: every operator is a narrow
+per-row map over a column-pruned parquet scan — zero shuffles except
+where a groupBy is the semantics (fingerprint dup-count).
+
+Portability contract with the DuckDB oracle: tokenization is
+``split(lower(text), '\\s+')``, hashes are md5 hex (identical in
+every engine), ratios are rounded at 6 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_eamples_spark.catalog import load_table
+
+# tiny per-language stopword lists for the n-gram/stopword vote
+# (deterministic heuristic; the fixture's `lang` label is synthetic
+# so the predicted language is a function of the text, not a model)
+LANG_STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in"),
+    "es": ("el", "la", "que", "los", "una"),
+    "de": ("der", "und", "die", "das", "nicht"),
+    "fr": ("le", "les", "des", "une", "est"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def _tokens_col():
+    return F.split(F.lower(F.col("text")), r"\s+")
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counts + char stats per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens_col()
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(
+            F.length(F.regexp_replace("text", r"\s+", ""))
+            / F.size(toks),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def _lang_hits(lang: str):
+    pat = r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
+    return F.regexp_count(F.lower(F.col("text")), F.lit(pat))
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by stopword vote: count per-language stopword
+    hits, argmax with a fixed priority order (en>es>de>fr>zh) for
+    ties. Deterministic, model-free, vectorized."""
+    docs = load_table(spark, sf_dir, "documents")
+    hits = {lang: _lang_hits(lang) for lang in LANG_STOPWORDS}
+    df = docs.select("doc_id", "lang", *[h.alias(f"{k}_hits") for k, h in hits.items()])
+    order = list(LANG_STOPWORDS)
+    pred = F.lit(None)
+    # build argmax from lowest priority upward so earlier langs win ties
+    for lang in reversed(order):
+        cond = None
+        for other in order:
+            if other == lang:
+                continue
+            c = (
+                F.col(f"{lang}_hits") >= F.col(f"{other}_hits")
+                if order.index(other) > order.index(lang)
+                else F.col(f"{lang}_hits") > F.col(f"{other}_hits")
+            )
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return df.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("predicted_lang"),
+        F.col("en_hits").cast("long").alias("en_hits"),
+    )
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring from length / punctuation / stopword ratios —
+    the standard pre-training corpus filter signals."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens_col()
+    n_tokens = F.size(toks)
+    punct = F.regexp_count(F.col("text"), F.lit(r"[.,!?;:]"))
+    stop_hits = _lang_hits("en")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(punct / F.greatest(F.length("text"), F.lit(1)), 6).alias("punct_ratio"),
+        F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 6).alias("stopword_ratio"),
+        F.round(
+            0.4 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+            + 0.3 * (1.0 - F.least(punct / F.greatest(F.length("text"), F.lit(1)) * 10.0, F.lit(1.0)))
+            + 0.3 * F.least(stop_hits / F.greatest(n_tokens, F.lit(1)) * 5.0, F.lit(1.0)),
+            6,
+        ).alias("quality_score"),
+    )
+
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-style pre-tokenization regex —
+    the cheap deterministic proxy for LLM token budgeting."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(BPE_PATTERN)).alias("n_bpe_tokens"),
+        F.size(_tokens_col()).alias("n_ws_tokens"),
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 over whitespace-normalized lowercase
+    text. The groupBy dup-count is the only shuffle, keyed on the
+    fingerprint (uniformly distributed — no skew at any scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    fp = docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+    counts = fp.groupBy("fingerprint").agg(F.count("*").alias("n_dups"))
+    return (
+        fp.join(counts, "fingerprint")
+        .select("doc_id", "fingerprint", "n_dups")
+    )

@@ -1,0 +1,320 @@
+"""DuckDB oracle SQL for the EXT operators (dedup / similarity /
+text analysis / multimodal).
+
+These mirror the Spark implementations expression-for-expression:
+md5-string hashing, strict left-fold float reductions
+(``list_reduce`` ≡ ``F.aggregate`` with 0.0 seed, since 0.0+x == x),
+identical tokenization (``\\s+`` split of lowercased text) and
+identical rounding (ROUND at 6dp / floor-truncation) — which is what
+makes value-hash equality achievable across engines.
+"""
+
+from __future__ import annotations
+
+from dbt_eamples_spark.operators.dedup import (
+    COSINE_NEAR_DUP,
+    HAMMING_MAX,
+    JACCARD_THRESHOLD,
+    MINHASH_BANDS,
+    MINHASH_K,
+    MINHASH_ROWS,
+    SIMHASH_BANDS,
+    SIMHASH_BAND_LEN,
+    SIMHASH_BITS,
+)
+from dbt_eamples_spark.operators.similarity import (
+    NCENTROIDS,
+    NPROBE,
+    N_QUERIES,
+    TOP_K,
+)
+from dbt_eamples_spark.operators.text import BPE_PATTERN, LANG_STOPWORDS
+
+# --- shared SQL fragments ---------------------------------------------------
+
+SHINGLES = r"""
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingles
+    FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+          FROM documents)
+"""
+
+# strict left-fold dot product / norms (matches F.aggregate exactly)
+def _dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1), "
+        f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    )
+
+
+def _norm(a: str) -> str:
+    return f"sqrt(list_reduce(list_transform({a}, x -> x * x), (x, y) -> x + y))"
+
+
+def _cos(a: str, b: str) -> str:
+    return f"({_dot(a, b)} / ({_norm(a)} * {_norm(b)}))"
+
+
+def _lang_hits_sql(lang: str) -> str:
+    pat = r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
+    return f"len(regexp_extract_all(lower(text), '{pat}'))"
+
+
+def _lang_argmax_case() -> str:
+    order = list(LANG_STOPWORDS)
+    whens = []
+    for lang in order:
+        conds = []
+        for other in order:
+            if other == lang:
+                continue
+            op = ">=" if order.index(other) > order.index(lang) else ">"
+            conds.append(f"{lang}_hits {op} {other}_hits")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + " ELSE NULL END"
+
+
+def _feat_sql(d: int) -> str:
+    """Stride-d byte-moment of ASCII text, floor-truncated at 6dp —
+    mirrors multimodal._fake_decode."""
+    rng = f"range({d} + 1, length(text) + 1, 8)"
+    return (
+        f"floor(list_sum(list_transform({rng}, i -> ord(substr(text, i, 1))))::DOUBLE"
+        f" / greatest(len({rng}), 1) / 255.0 * 1e6) / 1e6"
+    )
+
+
+EXT_ORACLES: dict[str, str] = {
+    # ---- text analysis -----------------------------------------------------
+    "text_token_stats": r"""
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(t) AS n_tokens,
+               len(list_distinct(t)) AS n_distinct_tokens,
+               round(length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE / len(t), 6)
+                   AS avg_token_len
+        FROM (SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS t
+              FROM documents)
+    """,
+    "text_lang_id": f"""
+        SELECT doc_id,
+               labeled_lang,
+               {_lang_argmax_case()} AS predicted_lang,
+               CAST(en_hits AS BIGINT) AS en_hits
+        FROM (SELECT doc_id, lang AS labeled_lang,
+                     {', '.join(f'{_lang_hits_sql(k)} AS {k}_hits' for k in LANG_STOPWORDS)}
+              FROM documents)
+    """,
+    "text_quality_score": f"""
+        SELECT doc_id, n_tokens,
+               round(punct::DOUBLE / g_len, 6) AS punct_ratio,
+               round(stop::DOUBLE / g_tok, 6) AS stopword_ratio,
+               round(0.4 * least(n_tokens / 100.0, 1.0)
+                     + 0.3 * (1.0 - least(punct::DOUBLE / g_len * 10.0, 1.0))
+                     + 0.3 * least(stop::DOUBLE / g_tok * 5.0, 1.0), 6)
+                   AS quality_score
+        FROM (SELECT doc_id,
+                     len(string_split_regex(lower(text), '\\s+')) AS n_tokens,
+                     greatest(length(text), 1) AS g_len,
+                     greatest(len(string_split_regex(lower(text), '\\s+')), 1) AS g_tok,
+                     len(regexp_extract_all(text, '[.,!?;:]')) AS punct,
+                     {_lang_hits_sql('en')} AS stop
+              FROM documents)
+    """,
+    "text_token_count_bpe": f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens,
+               len(string_split_regex(lower(text), '\\s+')) AS n_ws_tokens
+        FROM documents
+    """,
+    "doc_fingerprint": r"""
+        SELECT doc_id, fingerprint,
+               COUNT(*) OVER (PARTITION BY fingerprint) AS n_dups
+        FROM (SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                         AS fingerprint
+              FROM documents)
+    """,
+    # ---- dedup -------------------------------------------------------------
+    "dedup_exact": r"""
+        SELECT min(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+        FROM (SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+              FROM documents)
+        GROUP BY fp
+    """,
+    "dedup_minhash": f"""
+        WITH sh AS ({SHINGLES}),
+        sig AS (
+            SELECT doc_id, shingles,
+                   list_transform(range(0, {MINHASH_K}), j ->
+                       list_min(list_transform(shingles,
+                           s -> md5(j::VARCHAR || ':' || s)))) AS sig
+            FROM sh
+        ),
+        bands AS (
+            SELECT doc_id, unnest(range(0, {MINHASH_BANDS})) AS band, sig FROM sig
+        ),
+        buckets AS (
+            SELECT doc_id, band,
+                   md5(array_to_string(list_slice(sig, band * {MINHASH_ROWS} + 1,
+                       band * {MINHASH_ROWS} + {MINHASH_ROWS}), '|')) AS bucket
+            FROM bands
+        ),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, jaccard FROM (
+            SELECT doc_a, doc_b,
+                   round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                         / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)
+                       AS jaccard
+            FROM cands
+            JOIN sh sa ON sa.doc_id = doc_a
+            JOIN sh sb ON sb.doc_id = doc_b
+        ) WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+    "dedup_simhash": f"""
+        WITH sigs AS (
+            SELECT doc_id,
+                   array_to_string(list_transform(range(1, {SIMHASH_BITS} + 1), p ->
+                       CASE WHEN list_sum(list_transform(t, tk ->
+                                CASE WHEN substr(md5(tk), p, 1) BETWEEN '8' AND 'f'
+                                     THEN 1 ELSE -1 END)) > 0
+                            THEN '1' ELSE '0' END), '') AS sig
+            FROM (SELECT doc_id,
+                         list_distinct(string_split_regex(lower(text), '\\s+')) AS t
+                  FROM documents)
+        ),
+        buckets AS (
+            SELECT doc_id, sig, band,
+                   substr(sig, band * {SIMHASH_BAND_LEN} + 1, {SIMHASH_BAND_LEN})
+                       AS bucket
+            FROM (SELECT doc_id, sig, unnest(range(0, {SIMHASH_BANDS})) AS band
+                  FROM sigs)
+        ),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                            a.sig AS sig_a, b.sig AS sig_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, hamming FROM (
+            SELECT doc_a, doc_b,
+                   CAST(list_sum(list_transform(range(1, {SIMHASH_BITS} + 1), p ->
+                       CASE WHEN substr(sig_a, p, 1) != substr(sig_b, p, 1)
+                            THEN 1 ELSE 0 END)) AS INT) AS hamming
+            FROM cands
+        ) WHERE hamming <= {HAMMING_MAX}
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingles,
+                   CAST(floor(len(t) / 8) AS BIGINT) AS blk_len
+            FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+                  FROM documents)
+        )
+        SELECT doc_a, doc_b, jaccard FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                         / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+                       AS jaccard
+            FROM sh a JOIN sh b
+              ON a.blk_len = b.blk_len
+             AND a.doc_id < b.doc_id
+        ) WHERE jaccard >= 0.3
+    """,
+    "dedup_embedding_cosine": f"""
+        WITH v AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> x::DOUBLE) AS vec
+            FROM embeddings
+        )
+        SELECT vec_a, vec_b, label, cosine FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+                   round({_cos('a.vec', 'b.vec')}, 6) AS cosine
+            FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        ) WHERE cosine >= {COSINE_NEAR_DUP}
+    """,
+    # ---- similarity search -------------------------------------------------
+    "similarity_topk": f"""
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS query_id, vec AS qvec FROM v
+              WHERE vec_id < {N_QUERIES}),
+        scored AS (
+            SELECT query_id, v.vec_id AS neighbor_id,
+                   round({_cos('qvec', 'v.vec')}, 6) AS cosine
+            FROM v JOIN q ON v.vec_id != q.query_id
+        )
+        SELECT query_id, neighbor_id, cosine, rk FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id ASC) AS rk
+            FROM scored
+        ) WHERE rk <= {TOP_K}
+    """,
+    "similarity_ivf_topk": f"""
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+            FROM embeddings
+        ),
+        cent AS (SELECT vec_id AS cent_id, vec AS cvec FROM v
+                 WHERE vec_id < {NCENTROIDS}),
+        assigned AS (
+            SELECT vec_id, vec, bucket FROM (
+                SELECT v.vec_id, v.vec, cent_id AS bucket,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                           ORDER BY {_cos('v.vec', 'cvec')} DESC, cent_id ASC) AS crk
+                FROM v CROSS JOIN cent
+            ) WHERE crk = 1
+        ),
+        q AS (SELECT vec_id AS query_id, vec AS qvec FROM v
+              WHERE vec_id < {N_QUERIES}),
+        probes AS (
+            SELECT query_id, qvec, bucket FROM (
+                SELECT query_id, qvec, cent_id AS bucket,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY {_cos('qvec', 'cvec')} DESC, cent_id ASC) AS prk
+                FROM q CROSS JOIN cent
+            ) WHERE prk <= {NPROBE}
+        ),
+        scored AS (
+            SELECT query_id, a.vec_id AS neighbor_id,
+                   round({_cos('qvec', 'a.vec')}, 6) AS cosine
+            FROM assigned a JOIN probes p ON a.bucket = p.bucket
+            WHERE a.vec_id != p.query_id
+        )
+        SELECT query_id, neighbor_id, cosine, rk FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id ASC) AS rk
+            FROM scored
+        ) WHERE rk <= {TOP_K}
+    """,
+    # ---- multimodal --------------------------------------------------------
+    "multimodal_meta": """
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS content_md5,
+               'text/plain' AS mime,
+               source AS origin
+        FROM documents
+    """,
+    "multimodal_features_flat": f"""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               {_feat_sql(0)} AS feat_0,
+               {_feat_sql(1)} AS feat_1
+        FROM documents
+    """,
+}
