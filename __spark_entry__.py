@@ -22,6 +22,15 @@ from dbt_eamples_spark.operators import relational as R
 from dbt_eamples_spark.operators import similarity as V
 from dbt_eamples_spark.operators import text as T
 from dbt_eamples_spark.oracles_ext import EXT_ORACLES
+from dbt_eamples_spark.plans.splitter import multi_statement_exec_query
+from dbt_eamples_spark.sources.readers import fanout_fetch_query, json_records_source
+from dbt_eamples_spark.sources.sinks import (
+    append_with_audit_col_query,
+    result_text_format_query,
+    sink_csv_roundtrip_query,
+)
+from dbt_eamples_spark.streaming.incremental import incremental_delta_filter_query
+from dbt_eamples_spark.streaming.streams import stream_tumbling_count
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -115,6 +124,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.11 EXT — multimodal plumbing
         "multimodal_meta": M.multimodal_meta,
         "multimodal_features_flat": M.multimodal_features_flat,
+        # §2.1 sources / sinks
+        "source_json_records": json_records_source,
+        "fanout_fetch": fanout_fetch_query,
+        "append_with_audit_col": append_with_audit_col_query,
+        "sink_csv": sink_csv_roundtrip_query,
+        "result_text_format": result_text_format_query,
+        # §2.8 F11 / §3.4 script execution
+        "multi_statement_exec": multi_statement_exec_query,
+        # §2.9 incremental / streaming
+        "incremental_delta_filter": incremental_delta_filter_query,
+        "stream_tumbling_count": stream_tumbling_count,
     }
 
 
@@ -340,6 +360,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
             FROM events
+        """,
+        "source_json_records": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        """,
+        "fanout_fetch": """
+            SELECT DISTINCT o_orderkey AS req_id,
+                   md5(CAST(o_orderkey AS VARCHAR)) AS txid,
+                   (o_orderkey % 997) / 100.0 AS fee,
+                   CAST(1 AS BIGINT) AS attempts
+            FROM orders WHERE o_orderkey <= 200
+        """,
+        "append_with_audit_col": """
+            SELECT event_id, user_id, value,
+                   TIMESTAMP '2026-01-01 00:00:00' AS insert_dt
+            FROM events WHERE event_type = 'error'
+        """,
+        "sink_csv": """
+            SELECT n_nationkey, n_name, n_regionkey FROM nation
+        """,
+        "result_text_format": """
+            SELECT o_orderpriority,
+                   concat_ws(' | ', o_orderpriority,
+                             CAST(CAST(avg_price AS DECIMAL(18,2)) AS VARCHAR))
+                       AS line
+            FROM (SELECT o_orderpriority, AVG(o_totalprice) AS avg_price
+                  FROM orders GROUP BY o_orderpriority) t
+        """,
+        "multi_statement_exec": """
+            SELECT o_orderstatus,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS total_price
+            FROM orders WHERE o_orderstatus = 'F'
+            GROUP BY o_orderstatus
+        """,
+        "incremental_delta_filter": """
+            SELECT event_id, user_id, event_type, value
+            FROM events
+            WHERE event_id > (SELECT COALESCE(MAX(event_id), 0)
+                              FROM events WHERE event_id < 500)
+        """,
+        "stream_tumbling_count": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS total_value
+            FROM events
+            GROUP BY 1, 2
         """,
         **EXT_ORACLES,
     }

@@ -1,0 +1,111 @@
+"""Sinks (SURVEY.md §2.1 S5/S6/S8).
+
+Re-expresses the reference's three result egress paths:
+ - append with audit column (`postgres_client.py:34-48`:
+   ``insert_dt`` UTC timestamp added before ``to_sql(append)``)
+ - CSV result file (`dbt_query.py:141-147`)
+ - text/pretty formatting with decimal rounding and an empty-set
+   message (`dbt_query.py:138-149`)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_eamples_spark.catalog import load_table
+
+AUDIT_COL = "insert_dt"
+
+
+def with_audit_col(df: DataFrame, ts: dt.datetime | None = None) -> DataFrame:
+    """Add the ``insert_dt`` audit column (UTC, second granularity —
+    `postgres_client.py:39` formats ``%Y-%m-%d %H:%M:%S``). Pass a
+    fixed ``ts`` for deterministic tests; default is now()."""
+    col = (
+        F.lit(ts.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp")
+        if ts is not None
+        else F.date_trunc("second", F.current_timestamp())
+    )
+    return df.withColumn(AUDIT_COL, col)
+
+
+def append_with_audit(
+    df: DataFrame, path: str, ts: dt.datetime | None = None
+) -> None:
+    """Append rows + audit column to a parquet sink path (the
+    ``append_data_to_table`` semantics). Parquet append is atomic
+    per-task; exactly-once on retry needs the anti-join guard in
+    streaming.incremental."""
+    with_audit_col(df, ts).write.mode("append").parquet(path)
+
+
+def append_with_audit_col_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: the appended frame with a FIXED audit
+    timestamp (current_timestamp() can't hash-match an oracle)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    fixed = dt.datetime(2026, 1, 1, 0, 0, 0)
+    return with_audit_col(
+        ev.select("event_id", "user_id", "value"), fixed
+    )
+
+
+def sink_csv(df: DataFrame, path: str) -> None:
+    """Header + rows CSV (`dbt_query.py:141-147` writes header then
+    row loop). Distributed write; for a single file the caller
+    coalesces — the reference's CSV was always driver-side small."""
+    df.write.option("header", True).mode("overwrite").csv(path)
+
+
+def sink_csv_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: write a small result to CSV and read
+    it back with an explicit schema — proves header/quoting/type
+    fidelity through the sink."""
+    out = "/root/repo/.tmp/sink_csv_query"
+    src = (
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+    src.coalesce(1).write.option("header", True).mode("overwrite").csv(out)
+    return spark.read.option("header", True).schema(
+        "n_nationkey int, n_name string, n_regionkey int"
+    ).csv(out)
+
+
+def result_text_format(
+    df: DataFrame, decimals: int = 2, max_rows: int = 100
+) -> str:
+    """Pretty text with rounding and empty-set message
+    (`dbt_query.py:138-149`: ``🕳 query returned no results`` when
+    row_count == 0, else ``text_format(decimals)``)."""
+    rows = df.limit(max_rows + 1).collect()
+    if not rows:
+        return "query returned no results"
+    cols = df.columns
+    def fmt(v):
+        if isinstance(v, float):
+            return f"{v:.{decimals}f}"
+        return "" if v is None else str(v)
+    header = " | ".join(cols)
+    body = "\n".join(" | ".join(fmt(v) for v in row) for row in rows[:max_rows])
+    return f"{header}\n{body}"
+
+
+def result_text_format_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: per-row formatted line with the
+    default 2-decimal display rounding."""
+    r = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.avg("o_totalprice").alias("avg_price"))
+    )
+    return r.select(
+        "o_orderpriority",
+        F.concat_ws(
+            " | ",
+            F.col("o_orderpriority"),
+            F.col("avg_price").cast("decimal(18,2)").cast("string"),
+        ).alias("line"),
+    )

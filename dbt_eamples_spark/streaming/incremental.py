@@ -1,0 +1,115 @@
+"""Incremental watermark → delta → idempotent-append dataflow
+(SURVEY.md §2.9 T1-T4, lifecycle §3.3).
+
+The reference's pipeline (`transactions_dag.py:14-46`): every 15 min
+read ``MAX(block)`` from the sink, fetch ``(last, head]`` from the
+source, transform, append with an audit column — at-least-once with
+retries, idempotence left to luck. Spark-first version:
+
+ - watermark = one-row aggregate on the sink (partial max, no
+   shuffle of data rows);
+ - delta = source filter ``key > watermark`` — pushed into the
+   parquet scan (at scale: partition pruning on the key column);
+ - idempotent append = left-anti join of the delta against sink keys
+   BEFORE the write, making re-runs exactly-once at row granularity
+   (the guarantee `transactions_dag.py` lacks);
+ - audit column stamped at append (postgres_client.py:38-39).
+
+``run_increment`` is one micro-batch; calling it in a loop is the
+cron semantics (``Trigger.AvailableNow`` equivalent — see
+streaming.streams for the Structured Streaming form).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_eamples_spark.catalog import load_table
+from dbt_eamples_spark.sources.sinks import with_audit_col
+
+
+def read_watermark(sink: DataFrame, key: str) -> int:
+    """MAX(key) over the sink, null→0 (`transactions_dag.py:22-25`
+    ``int(...) or 0``). NOTE: with the strict ``>`` delta filter this
+    assumes keys start at 1 (true for the reference's block heights);
+    a key of 0 is never ingested — reference-parity behavior."""
+    row = sink.agg(
+        F.coalesce(F.max(key), F.lit(0)).cast("long").alias("wm")
+    ).collect()[0]
+    return int(row.wm)
+
+
+def delta_filter(source: DataFrame, key: str, watermark: int) -> DataFrame:
+    """Rows strictly above the watermark (`transactions_dag.py:30-34`
+    fetches ``last_block + 1 .. head``). The predicate is a plain
+    column comparison so it pushes into the scan."""
+    return source.filter(F.col(key) > F.lit(watermark))
+
+
+def idempotent_append(
+    spark: SparkSession,
+    delta: DataFrame,
+    sink_path: str,
+    key: str,
+    audit_ts: dt.datetime | None = None,
+) -> int:
+    """Append only rows whose key is not already in the sink
+    (anti-join guard → exactly-once under re-runs), with audit
+    column. Returns rows written. Skips the write entirely when the
+    delta is empty (`transactions_dag.py:35`)."""
+    try:
+        sink_keys = spark.read.parquet(sink_path).select(key)
+        new_rows = delta.join(sink_keys, on=key, how="left_anti")
+    except Exception:  # first run: sink does not exist yet
+        new_rows = delta
+    n = new_rows.count()
+    if n == 0:
+        return 0
+    with_audit_col(new_rows, audit_ts).write.mode("append").parquet(sink_path)
+    return n
+
+
+@dataclass
+class IncrementResult:
+    watermark: int
+    delta_rows: int
+    written: int
+
+
+def run_increment(
+    spark: SparkSession,
+    source: DataFrame,
+    sink_path: str,
+    key: str,
+    audit_ts: dt.datetime | None = None,
+) -> IncrementResult:
+    """One watermark→delta→append micro-batch."""
+    try:
+        sink = spark.read.parquet(sink_path)
+        wm = read_watermark(sink, key)
+    except Exception:
+        wm = 0
+    delta = delta_filter(source, key, wm)
+    n_delta = delta.count()
+    written = idempotent_append(spark, delta, sink_path, key, audit_ts)
+    return IncrementResult(watermark=wm, delta_rows=n_delta, written=written)
+
+
+def incremental_delta_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: watermark over the ingested snapshot
+    (event_id < 500), delta = rows above it — the T1+T2 composition,
+    fully relational (no external sink needed)."""
+    ev = load_table(spark, sf_dir, "events")
+    snapshot = ev.filter(F.col("event_id") < 500)
+    wm = snapshot.agg(
+        F.coalesce(F.max("event_id"), F.lit(0)).alias("wm")
+    )
+    return (
+        ev.crossJoin(F.broadcast(wm))
+        .filter(F.col("event_id") > F.col("wm"))
+        .select("event_id", "user_id", "event_type", "value")
+    )

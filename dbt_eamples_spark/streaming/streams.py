@@ -1,0 +1,81 @@
+"""Structured Streaming operators (SURVEY.md §2.9).
+
+The reference's "streaming" is micro-batch-by-cron (15-min DAG,
+`transactions_dag.py:66`); its idiomatic Spark form is Structured
+Streaming with ``Trigger.AvailableNow`` (drain-what's-there, stop)
+plus event-time watermarks + tumbling windows for late data — absent
+from the reference but the natural expression of the events fixture.
+
+``stream_tumbling_count`` is the batch-equivalent query (windows are
+deterministic functions of event time, so batch and streaming give
+identical results — asserted in tests/test_streaming.py by running
+the same aggregation through an actual ``readStream`` →
+``writeStream`` pipeline with AvailableNow).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_eamples_spark.catalog import load_table, table_path
+
+TUMBLE = "1 hour"
+WATERMARK = "2 hours"
+
+
+def _windowed_counts(df: DataFrame) -> DataFrame:
+    """Tumbling 1-hour window counts per event_type; flattened to
+    (window_start, event_type, n_events, total_value)."""
+    return (
+        df.groupBy(F.window("ts", TUMBLE).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the tumbling-window count (oracle-checkable;
+    the streaming form below computes the identical frame)."""
+    return _windowed_counts(load_table(spark, sf_dir, "events"))
+
+
+def stream_tumbling_count_streaming(
+    spark: SparkSession, sf_dir: str, checkpoint: str, out_table: str
+) -> None:
+    """True Structured Streaming run: file source → watermark →
+    tumbling window → complete-mode memory sink, drained with
+    ``Trigger.AvailableNow`` (the cron-drain semantics of the
+    reference's 15-min DAG)."""
+    # schema from the RAW file (ts arrives as long under
+    # nanosAsLong; load_table's converted schema would mismatch)
+    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    # file-stream source requires a directory: stream the sf dir,
+    # glob-filtered to the events file
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    # nanos column arrives as long under nanosAsLong — same convert
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    windowed = _windowed_counts(stream.withWatermark("ts", WATERMARK))
+    q = (
+        windowed.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(out_table)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=120)

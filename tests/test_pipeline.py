@@ -1,0 +1,102 @@
+"""Lifecycle tests: statement splitter, incremental exactly-once
+replay (the `transactions_dag.py:14-46` scenario), and the
+batch ≡ streaming equivalence of the tumbling-window aggregate."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import uuid
+
+from pyspark.sql import functions as F
+
+from dbt_eamples_spark.catalog import load_table
+from dbt_eamples_spark.plans.splitter import run_script, split_statements
+from dbt_eamples_spark.streaming.incremental import run_increment
+from dbt_eamples_spark.streaming.streams import (
+    stream_tumbling_count,
+    stream_tumbling_count_streaming,
+)
+
+
+class TestSplitter:
+    def test_basic_split(self):
+        assert split_statements("SELECT 1; SELECT 2") == ["SELECT 1", "SELECT 2"]
+
+    def test_semicolon_in_string(self):
+        stmts = split_statements("SELECT 'a;b'; SELECT 2")
+        assert stmts == ["SELECT 'a;b'", "SELECT 2"]
+
+    def test_comments_stripped(self):
+        stmts = split_statements(
+            "-- lead comment; with semicolon\nSELECT 1; /* block; */ SELECT 2"
+        )
+        assert stmts == ["SELECT 1", "SELECT 2"]
+
+    def test_escaped_quote(self):
+        assert split_statements("SELECT 'it''s; fine'") == ["SELECT 'it''s; fine'"]
+
+    def test_empty_statements_dropped(self):
+        assert split_statements(";;  ;\n;") == []
+
+    def test_txn_noops(self, spark):
+        res = run_script(spark, "BEGIN; SELECT 1 AS x; COMMIT;")
+        assert [s.status for s in res.statuses] == ["noop", "ok", "noop"]
+        assert res.last_df.collect()[0].x == 1
+
+
+class TestIncremental:
+    def test_exactly_once_replay(self, spark, sf_dir, tmp_path):
+        sink = str(tmp_path / f"sink_{uuid.uuid4().hex}")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        ts = dt.datetime(2026, 1, 1)
+
+        # batch 1: first 400 ids
+        b1 = ev.filter(F.col("event_id") < 400)
+        r1 = run_increment(spark, b1, sink, "event_id", ts)
+        assert r1.watermark == 0 and r1.written == r1.delta_rows > 0
+
+        # replay batch 1 → nothing written (idempotent)
+        r1b = run_increment(spark, b1, sink, "event_id", ts)
+        assert r1b.written == 0
+
+        # batch 2: full table → only the new rows land
+        # (key 0 is never ingested: watermark null→0 + strict `>` is
+        # the reference's `or 0` semantics, keys assumed to start ≥1)
+        r2 = run_increment(spark, ev, sink, "event_id", ts)
+        total = spark.read.parquet(sink).count()
+        assert total == ev.filter(F.col("event_id") > 0).count()
+        assert r2.written == total - r1.written
+
+        # sink has no duplicate keys
+        dups = (
+            spark.read.parquet(sink)
+            .groupBy("event_id")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        assert dups == 0
+        shutil.rmtree(sink, ignore_errors=True)
+
+    def test_audit_col_present(self, spark, sf_dir, tmp_path):
+        sink = str(tmp_path / "sink_audit")
+        ev = load_table(spark, sf_dir, "events").limit(10).select("event_id")
+        run_increment(spark, ev, sink, "event_id", dt.datetime(2026, 1, 1))
+        out = spark.read.parquet(sink)
+        assert "insert_dt" in out.columns
+
+
+class TestStreaming:
+    def test_streaming_equals_batch(self, spark, sf_dir, tmp_path):
+        name = f"tumbling_{uuid.uuid4().hex[:8]}"
+        stream_tumbling_count_streaming(
+            spark, sf_dir, checkpoint=str(tmp_path / "ckpt"), out_table=name
+        )
+        streamed = spark.sql(f"SELECT * FROM {name}")
+        batch = stream_tumbling_count(spark, sf_dir)
+        diff = streamed.exceptAll(batch).count() + batch.exceptAll(streamed).count()
+        assert diff == 0
+        assert batch.count() > 0
