@@ -22,6 +22,11 @@ from dbt_eamples_spark.operators import relational as R
 from dbt_eamples_spark.operators import similarity as V
 from dbt_eamples_spark.operators import text as T
 from dbt_eamples_spark.oracles_ext import EXT_ORACLES
+from dbt_eamples_spark.plans.compiler import (
+    MetricQueryRequest,
+    compile_request,
+    execute as execute_metric,
+)
 from dbt_eamples_spark.plans.splitter import multi_statement_exec_query
 from dbt_eamples_spark.sources.readers import fanout_fetch_query, json_records_source
 from dbt_eamples_spark.sources.sinks import (
@@ -31,6 +36,36 @@ from dbt_eamples_spark.sources.sinks import (
 )
 from dbt_eamples_spark.streaming.incremental import incremental_delta_filter_query
 from dbt_eamples_spark.streaming.streams import stream_tumbling_count
+
+
+# compiled metric-layer requests: the rendered SQL runs verbatim on
+# both Spark and DuckDB, so each compiled query is its own oracle
+METRIC_REQUESTS = {
+    "metric_compiled_star": MetricQueryRequest(
+        metrics=("revenue", "quantity"),
+        group_by=("nation_name", "region_name"),
+        start_time="1995-01-01 00:00:00",
+        end_time="1997-12-31 00:00:00",
+    ),
+    "metric_compiled_filtered": MetricQueryRequest(
+        metrics=("order_count", "urgent_order_count", "order_total"),
+        group_by=("orderstatus",),
+    ),
+    "metric_compiled_topk": MetricQueryRequest(
+        metrics=("order_total",),
+        group_by=("mktsegment", "orderpriority"),
+        where="o_totalprice > 1000",
+        order_by=("-order_total", "mktsegment", "orderpriority"),
+        limit=10,
+    ),
+}
+
+
+def _metric_query(name: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return execute_metric(spark, sf_dir, METRIC_REQUESTS[name]).df
+
+    return run
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -135,6 +170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.9 incremental / streaming
         "incremental_delta_filter": incremental_delta_filter_query,
         "stream_tumbling_count": stream_tumbling_count,
+        # M2 metric layer (compiled requests)
+        **{name: _metric_query(name) for name in METRIC_REQUESTS},
     }
 
 
@@ -411,4 +448,5 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         **EXT_ORACLES,
+        **{name: compile_request(req).sql for name, req in METRIC_REQUESTS.items()},
     }

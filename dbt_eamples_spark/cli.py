@@ -1,0 +1,163 @@
+"""Metric CLI (reference surface: `dbt_query.py:55-183` ``query``,
+`dbt_query2.py:15-82` ``dump_queries``).
+
+    python -m dbt_eamples_spark.cli query \
+        --metrics revenue --group-by nation_name,region_name \
+        --start-time 1995-01-01 --order -revenue --limit 10
+
+    python -m dbt_eamples_spark.cli dump-queries \
+        --metric revenue --output-dir ./generated
+
+Options mirror the reference one-for-one: metrics, group-by, where,
+start/end time, order (``-name`` = desc), limit, csv, explain,
+decimals; dump-queries enumerates a metric's dimensions, adds each
+dimension's accompanying dimensions (same semantic model,
+`dbt_query2.py:52-60`), and writes one rendered SQL file per
+dimension with sanitized names (`dbt_query2.py:74`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from dbt_eamples_spark.plans.compiler import (
+    MetricQueryRequest,
+    compile_request,
+    execute,
+    explain_text,
+)
+from dbt_eamples_spark.plans.semantics import default_registry
+from dbt_eamples_spark.sources.sinks import result_text_format, sink_csv
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _split_csv(v: str | None) -> tuple[str, ...]:
+    return tuple(x.strip() for x in v.split(",") if x.strip()) if v else ()
+
+
+def cmd_query(args: argparse.Namespace) -> int:
+    request = MetricQueryRequest(
+        metrics=_split_csv(args.metrics),
+        group_by=_split_csv(args.group_by),
+        where=args.where,
+        start_time=args.start_time,
+        end_time=args.end_time,
+        order_by=_split_csv(args.order),
+        limit=args.limit,
+    )
+    start = time.time()
+    try:
+        return _run_query(args, request, start)
+    except (KeyError, ValueError) as exc:
+        # fail fast with a clean message (the reference prints and
+        # exits on unknown metric, dbt_query2.py:28-32)
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
+
+
+def _run_query(
+    args: argparse.Namespace, request: MetricQueryRequest, start: float
+) -> int:
+    if args.explain:
+        compiled = compile_request(request)
+        print("-- rendered SQL --")
+        print(compiled.sql)
+        print("\n-- dataflow plan --")
+        print(compiled.dataflow_text)
+        if args.physical:
+            from dbt_eamples_spark.session import get_spark
+
+            spark = get_spark("metric-cli")
+            from dbt_eamples_spark.catalog import register_tables
+
+            register_tables(spark, args.sf_dir)
+            print("\n-- physical plan --")
+            print(explain_text(spark, compiled))
+        return 0
+    from dbt_eamples_spark.session import get_spark
+
+    spark = get_spark("metric-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    compiled = execute(spark, args.sf_dir, request)
+    assert compiled.df is not None
+    if args.csv:
+        # plain decimal formatting in CSV (Spark's double writer emits
+        # scientific notation; the reference wrote display-rounded rows,
+        # dbt_query.py:141-147)
+        out = compiled.df
+        for name, dtype in out.dtypes:
+            if dtype == "double":
+                out = out.withColumn(
+                    name, F.col(name).cast(f"decimal(38,{args.decimals})")
+                )
+        sink_csv(out.coalesce(1), args.csv)
+        print(f"wrote CSV to {args.csv}")
+    else:
+        print(result_text_format(compiled.df, decimals=args.decimals))
+    print(f"done in {time.time() - start:.2f}s")
+    return 0
+
+
+def cmd_dump_queries(args: argparse.Namespace) -> int:
+    reg = default_registry()
+    if args.metric not in reg.list_metrics():
+        print(
+            f"metric {args.metric!r} not found; available: {reg.list_metrics()}",
+            file=sys.stderr,
+        )
+        return 1
+    os.makedirs(args.output_dir, exist_ok=True)
+    written = []
+    for qdim in reg.dimensions_for_metric(args.metric):
+        group_by = [qdim, *reg.accompanying_dimensions(qdim)]
+        compiled = compile_request(
+            MetricQueryRequest(metrics=(args.metric,), group_by=tuple(group_by))
+        )
+        fname = qdim.replace(".", "_").replace("/", "_") + ".sql"
+        path = os.path.join(args.output_dir, fname)
+        with open(path, "w") as f:
+            f.write(compiled.sql + "\n")
+        written.append(path)
+    print(f"wrote {len(written)} SQL files to {args.output_dir}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="dbt-eamples-spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    q = sub.add_parser("query", help="run a metric query")
+    q.add_argument("--metrics", required=True, help="comma-separated metric names")
+    q.add_argument("--group-by", help="comma-separated dimension names")
+    q.add_argument("--where", help="SQL constraint")
+    q.add_argument("--start-time", help="inclusive time lower bound")
+    q.add_argument("--end-time", help="inclusive time upper bound")
+    q.add_argument("--order", help="comma-separated; -name for desc")
+    q.add_argument("--limit", type=int)
+    q.add_argument("--csv", help="write result CSV to this path")
+    q.add_argument("--explain", action="store_true", help="show SQL + plan only")
+    q.add_argument("--physical", action="store_true", help="with --explain: physical plan")
+    q.add_argument("--decimals", type=int, default=2)
+    q.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    q.set_defaults(func=cmd_query)
+
+    d = sub.add_parser("dump-queries", help="render per-dimension SQL files")
+    d.add_argument("--metric", required=True)
+    d.add_argument("--output-dir", required=True)
+    d.set_defaults(func=cmd_dump_queries)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

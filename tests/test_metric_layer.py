@@ -1,0 +1,132 @@
+"""Metric layer: registry resolution, compiler golden SQL, CLI
+surface (the reference's `dbt_query.py` / `dbt_query2.py` behavior)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from dbt_eamples_spark.cli import main as cli_main
+from dbt_eamples_spark.plans.compiler import (
+    MetricQueryRequest,
+    compile_request,
+    execute,
+)
+from dbt_eamples_spark.plans.semantics import default_registry
+
+
+class TestRegistry:
+    def test_list_metrics(self):
+        reg = default_registry()
+        assert "revenue" in reg.list_metrics()
+        assert "urgent_order_count" in reg.list_metrics()
+
+    def test_unknown_metric_fails_fast(self):
+        reg = default_registry()
+        with pytest.raises(KeyError, match="not found"):
+            reg.metric("nope")
+
+    def test_dimensions_for_metric_walks_star(self):
+        reg = default_registry()
+        dims = reg.dimensions_for_metric("revenue")
+        # own dims + full customer→nation→region chain via orders
+        assert "lineitem.returnflag" in dims
+        assert "customer.mktsegment" in dims
+        assert "region.region_name" in dims
+
+    def test_accompanying_dimensions_same_model(self):
+        reg = default_registry()
+        acc = reg.accompanying_dimensions("orders.orderstatus")
+        assert "orders.orderpriority" in acc
+        assert "orders.orderstatus" not in acc
+
+    def test_bare_dimension_resolution(self):
+        reg = default_registry()
+        model, dim = reg.resolve_dimension("mktsegment")
+        assert model == "customer" and dim.column == "c_mktsegment"
+
+    def test_join_path(self):
+        reg = default_registry()
+        assert reg.join_path("lineitem", "region") == [
+            "order",
+            "customer",
+            "nation",
+            "region",
+        ]
+
+
+class TestCompiler:
+    def test_golden_sql_star(self):
+        compiled = compile_request(
+            MetricQueryRequest(
+                metrics=("revenue",),
+                group_by=("nation_name",),
+                start_time="1995-01-01 00:00:00",
+                order_by=("-revenue",),
+                limit=5,
+            )
+        )
+        sql = compiled.sql
+        assert "FROM lineitem" in sql
+        assert "JOIN orders ON l_orderkey = o_orderkey" in sql
+        assert "JOIN nation ON c_nationkey = n_nationkey" in sql
+        assert "BROADCAST(" in sql
+        assert "ORDER BY revenue DESC" in sql
+        assert sql.rstrip().endswith("LIMIT 5")
+        assert "<ScanNode table=lineitem>" in compiled.dataflow_text
+
+    def test_filtered_metric_compiles_to_case(self):
+        sql = compile_request(
+            MetricQueryRequest(metrics=("urgent_order_count",))
+        ).sql
+        assert "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END" in sql
+
+    def test_multi_model_metrics_rejected(self):
+        with pytest.raises(ValueError, match="multiple models"):
+            compile_request(MetricQueryRequest(metrics=("revenue", "order_total")))
+
+    def test_no_metrics_rejected(self):
+        with pytest.raises(ValueError):
+            compile_request(MetricQueryRequest(metrics=()))
+
+    def test_execute_returns_rows(self, spark, sf_dir):
+        compiled = execute(
+            spark,
+            sf_dir,
+            MetricQueryRequest(metrics=("order_count",), group_by=("orderstatus",)),
+        )
+        rows = compiled.df.collect()
+        assert sum(r.order_count for r in rows) == 1500
+
+
+class TestCLI:
+    def test_explain_no_spark(self, capsys):
+        rc = cli_main(
+            [
+                "query",
+                "--metrics",
+                "revenue",
+                "--group-by",
+                "nation_name",
+                "--explain",
+            ]
+        )
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "rendered SQL" in out and "dataflow plan" in out
+
+    def test_dump_queries_writes_files(self, tmp_path, capsys):
+        rc = cli_main(
+            ["dump-queries", "--metric", "order_total", "--output-dir", str(tmp_path)]
+        )
+        assert rc == 0
+        files = sorted(os.listdir(tmp_path))
+        assert "orders_orderstatus.sql" in files
+        assert "region_region_name.sql" in files
+        sql = (tmp_path / "orders_orderstatus.sql").read_text()
+        assert "GROUP BY orderstatus" in sql
+
+    def test_dump_queries_unknown_metric(self, capsys):
+        rc = cli_main(["dump-queries", "--metric", "nope", "--output-dir", "/tmp/x"])
+        assert rc == 1
