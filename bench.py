@@ -35,6 +35,13 @@ HEADLINE = [
     "metric_grouping_sets",
     "string_chunk",
     "concat_report_rows",
+    "metric_compiled_star",
+    "dedup_minhash",
+    "similarity_topk",
+    "text_token_stats",
+    "doc_fingerprint",
+    "multimodal_features_flat",
+    "stream_tumbling_count",
 ]
 
 

@@ -53,6 +53,46 @@ def _cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    """Two-phase top-k per query_id.
+
+    Phase 1 reduces each input partition to its local top-k per
+    query (groupBy on (query_id, partition-id) aggregates map-side —
+    no full-width shuffle), phase 2 ranks the surviving
+    |Q|·partitions·k rows with the exact window. Equivalent to a
+    single window (ties fully broken by neighbor_id) but avoids
+    funneling |Q|·N scored rows into |Q| window tasks at scale.
+    """
+    local = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .groupBy("query_id", "_pid")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("cosine"), F.col("neighbor_id"))),
+                    # descending cosine, ascending neighbor_id on ties
+                    lambda a, b: F.when(a.cosine > b.cosine, -1)
+                    .when(a.cosine < b.cosine, 1)
+                    .when(a.neighbor_id < b.neighbor_id, -1)
+                    .when(a.neighbor_id > b.neighbor_id, 1)
+                    .otherwise(0),
+                ),
+                1,
+                k,
+            ).alias("top")
+        )
+        .select("query_id", F.explode("top").alias("t"))
+        .select("query_id", F.col("t.neighbor_id").alias("neighbor_id"),
+                F.col("t.cosine").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: for each query vector (vec_id <
     N_QUERIES), the TOP_K nearest other vectors."""
@@ -70,12 +110,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(_cosine(F.col("qvec"), F.col("vec")), 6).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOP_K)
-        .select("query_id", "neighbor_id", "cosine", "rk")
-    )
+    return _topk(scored, TOP_K)
 
 
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -138,9 +173,4 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(_cosine(F.col("qvec"), F.col("vec")), 6).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOP_K)
-        .select("query_id", "neighbor_id", "cosine", "rk")
-    )
+    return _topk(scored, TOP_K)

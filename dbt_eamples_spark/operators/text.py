@@ -128,11 +128,14 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint: md5 over whitespace-normalized lowercase
     text. The groupBy dup-count is the only shuffle, keyed on the
     fingerprint (uniformly distributed — no skew at any scale)."""
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     fp = docs.select("doc_id", F.md5(norm).alias("fingerprint"))
-    counts = fp.groupBy("fingerprint").agg(F.count("*").alias("n_dups"))
-    return (
-        fp.join(counts, "fingerprint")
-        .select("doc_id", "fingerprint", "n_dups")
+    # window count over the fingerprint partition: ONE shuffle keyed
+    # by the (uniform) hash, vs groupBy+join which shuffles twice
+    w = Window.partitionBy("fingerprint")
+    return fp.select(
+        "doc_id", "fingerprint", F.count("*").over(w).alias("n_dups")
     )
