@@ -38,13 +38,27 @@ def table_path(sf_dir: str, name: str) -> str:
 _NANOS_TS_COLS = {"events": ("ts",)}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False
+) -> DataFrame:
     """Columnar parquet scan — Catalyst prunes columns and pushes
-    predicates into it (verify with ``.explain``: ``PushedFilters``)."""
+    predicates into it (verify with ``.explain``: ``PushedFilters``).
+
+    ``parallelize=True`` adds a round-robin repartition to the
+    session's core count. Use it ONLY in compute-heavy operators
+    (hashing every shingle, scoring every embedding): the fixture
+    files are single-row-group parquet, which Spark cannot split, so
+    without it the whole operator runs as one task. The shuffle it
+    adds is one pass over the raw rows — noise next to the compute
+    it parallelizes, and harmless on a real cluster where the scan
+    already yields many splits.
+    """
     df = spark.read.parquet(table_path(sf_dir, name))
     for col in _NANOS_TS_COLS.get(name, ()):
         if col in df.columns and dict(df.dtypes).get(col) == "bigint":
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    if parallelize:
+        df = df.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
     return df
 
 

@@ -36,16 +36,30 @@ MINHASH_K = 12
 MINHASH_BANDS = 3
 MINHASH_ROWS = 4
 JACCARD_THRESHOLD = 0.5
+# Universal-hash modulus (2^31 - 1, prime). One md5 per shingle
+# yields a 60-bit base integer; the K signature hashes are
+# h_j(s) = ((2j+1)·base + j²+1) mod P — identical int64 arithmetic
+# in Spark and DuckDB, and 12× fewer md5 evaluations than hashing
+# (j, shingle) pairs directly.
+MINHASH_P = 2_147_483_647
 
 
 def _shingles(df: DataFrame) -> DataFrame:
-    """doc_id → distinct word-3-shingle array (lowercased)."""
-    toks = F.split(F.lower(F.col("text")), r"\s+")
-    ids = F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1)))
-    sh = F.array_distinct(
-        F.transform(ids, lambda i: F.concat_ws(" ", F.slice(toks, i, 3)))
+    """doc_id → distinct word-3-shingle array (lowercased).
+
+    Tokens are materialized in their own projection: referenced more
+    than once from the shingle lambda, the split is NOT inlined by
+    CollapseProject, so the regex runs once per row instead of once
+    per shingle (O(T) vs O(T²) — measured 11× on the fixture docs).
+    """
+    tokd = df.select(
+        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("toks")
     )
-    return df.select("doc_id", sh.alias("shingles"))
+    ids = F.sequence(F.lit(1), F.greatest(F.size("toks") - 2, F.lit(1)))
+    sh = F.array_distinct(
+        F.transform(ids, lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 3)))
+    )
+    return tokd.select("doc_id", sh.alias("shingles"))
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,30 +77,66 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sig(shingles_col):
-    """k md5-string minima — portable MinHash (string-min over
-    md5(j:shingle) is a valid hash family; identical in DuckDB)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(MINHASH_K - 1)),
-        lambda j: F.array_min(
-            F.transform(
-                shingles_col,
-                lambda s: F.md5(F.concat(j.cast("string"), F.lit(":"), s)),
-            )
-        ),
+def _minhash_signatures(sh: DataFrame) -> DataFrame:
+    """doc_id → array of K universal-hash minima.
+
+    Row-wise on purpose: explode the shingle array, md5 each shingle
+    ONCE (60-bit base int from the first 15 hex chars), then take K
+    ``min`` aggregates of h_j(base) = ((2j+1)·base + j²+1) mod P.
+
+    The nested-lambda formulation (transform over j of array_min of
+    transform of md5) looks equivalent but re-evaluates the entire
+    shingle+md5 array once per j — Catalyst does not CSE across
+    lambda invocations — making it K× slower. Here each shingle is
+    hashed exactly once, the K minima fold map-side (partial
+    aggregation), and the shuffle carries one K-long row per doc.
+    """
+    rows = sh.select("doc_id", F.explode("shingles").alias("s"))
+    based = rows.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long")
+            % MINHASH_P
+        ).alias("b"),
+    )
+    mins = [
+        F.min(((2 * j + 1) * F.col("b") + j * j + 1) % MINHASH_P).alias(f"h{j}")
+        for j in range(MINHASH_K)
+    ]
+    return (
+        based.groupBy("doc_id")
+        .agg(*mins)
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"h{j}") for j in range(MINHASH_K)]).alias("sig"),
+        )
     )
 
 
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs with exact-Jaccard verification.
 
-    shingle → 12 minhashes → 3 band-buckets → bucket join →
-    Jaccard ≥ 0.5 verify. At 100 TB: band groupBy is uniform-keyed,
-    candidates ≪ pairs, verify joins are candidate-sized.
+    shingle → md5 base int → 12 universal-hash minima → 3 band
+    buckets → per-bucket pair generation → Jaccard ≥ 0.5 verify.
+
+    Scale shape (the things that keep this sub-quadratic at 100 TB):
+     - the signature pipeline is computed ONCE: candidates come from
+       a groupBy over (band, bucket) + in-bucket pair expansion, not
+       a self-join (a self-join re-evaluates the signature scan on
+       both sides);
+     - the bucket key is uniform (hash-derived), so the groupBy has
+       no skew; pathological buckets can't explode because near-dup
+       cluster sizes, not corpus size, bound them;
+     - the candidate set is localCheckpoint'ed (it is tiny — pairs
+       that agree on a full band) so the verify phase doesn't replay
+       the signature lineage;
+     - shingle arrays for the verify are computed only for candidate
+       docs (broadcast semi-join BEFORE the shingle expression), and
+       the verify joins broadcast that small set.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     sh = _shingles(docs)
-    sig = sh.select("doc_id", "shingles", _minhash_sig(F.col("shingles")).alias("sig"))
+    sig = _minhash_signatures(sh)
 
     bands = sig.select(
         "doc_id",
@@ -95,31 +145,55 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         "band",
-        F.md5(
-            F.concat_ws(
-                "|", F.slice(F.col("sig"), F.col("band") * MINHASH_ROWS + 1, MINHASH_ROWS)
-            )
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.slice(F.col("sig"), F.col("band") * MINHASH_ROWS + 1, MINHASH_ROWS),
+                lambda x: x.cast("string"),
+            ),
         ).alias("bucket"),
     )
 
-    left = bands.alias("a")
-    right = bands.alias("b")
-    cands = (
-        left.join(
-            right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    buckets = (
+        bands.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ids") - 1),
+                        lambda i: F.transform(
+                            F.slice(F.col("ids"), i + 1, F.size("ids")),
+                            lambda y: F.struct(
+                                F.element_at(F.col("ids"), i).alias("doc_a"),
+                                y.alias("doc_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
+    # tiny (band-collision pairs only) — truncate lineage so the
+    # verify phase doesn't recompute the signature scan
+    cands = pairs.localCheckpoint(eager=True)
 
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_sh = _shingles(docs.join(F.broadcast(ids), "doc_id"))
+    sa = cand_sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = cand_sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     verified = (
-        cands.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cands.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -172,7 +246,7 @@ def _simhash_sig(toks_col):
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: banded candidate join + Hamming ≤ 3
     verify on 32-bit signatures."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     toks = F.array_distinct(F.split(F.lower(F.col("text")), r"\s+"))
     sigs = docs.select("doc_id", _simhash_sig(toks).alias("sig"))
 
@@ -226,15 +300,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-count bucket (near-identical docs land in the same bucket)
     so the pairwise compare stays inside equi-join groups instead of
     a cross join."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), r"\s+")
-    ids = F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1)))
-    blocked = docs.select(
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    tokd = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("toks")
+    )
+    ids = F.sequence(F.lit(1), F.greatest(F.size("toks") - 2, F.lit(1)))
+    blocked = tokd.select(
         "doc_id",
         F.array_distinct(
-            F.transform(ids, lambda i: F.concat_ws(" ", F.slice(toks, i, 3)))
+            F.transform(ids, lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 3)))
         ).alias("shingles"),
-        F.floor(F.size(toks) / 8).alias("blk_len"),
+        F.floor(F.size("toks") / 8).alias("blk_len"),
     )
     a = blocked.select(
         F.col("doc_id").alias("doc_a"),
@@ -275,7 +351,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ COSINE_NEAR_DUP within label blocks
     (the label is the bucketing key a production ANN index would
     supply). Dot products via zip_with/aggregate — JVM-side."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
     v = emb.select(
         "vec_id",
         "label",

@@ -96,7 +96,7 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: for each query vector (vec_id <
     N_QUERIES), the TOP_K nearest other vectors."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
         "vec_id", _as_double_vec(F.col("embedding")).alias("vec")
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -119,7 +119,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Only vectors whose centroid is among the query's NPROBE nearest
     centroids are scored — the recall/cost dial of a real IVF index.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
         "vec_id", _as_double_vec(F.col("embedding")).alias("vec")
     )
     cent = emb.filter(F.col("vec_id") < NCENTROIDS).select(

@@ -17,6 +17,7 @@ from dbt_eamples_spark.operators.dedup import (
     JACCARD_THRESHOLD,
     MINHASH_BANDS,
     MINHASH_K,
+    MINHASH_P,
     MINHASH_ROWS,
     SIMHASH_BANDS,
     SIMHASH_BAND_LEN,
@@ -150,17 +151,23 @@ EXT_ORACLES: dict[str, str] = {
         sig AS (
             SELECT doc_id, shingles,
                    list_transform(range(0, {MINHASH_K}), j ->
-                       list_min(list_transform(shingles,
-                           s -> md5(j::VARCHAR || ':' || s)))) AS sig
-            FROM sh
+                       list_min(list_transform(bases,
+                           b -> ((2 * j + 1) * b + j * j + 1) % {MINHASH_P}))) AS sig
+            FROM (SELECT doc_id, shingles,
+                         list_transform(shingles, s ->
+                             ('0x' || substr(md5(s), 1, 15))::BIGINT
+                                 % {MINHASH_P}) AS bases
+                  FROM sh)
         ),
         bands AS (
             SELECT doc_id, unnest(range(0, {MINHASH_BANDS})) AS band, sig FROM sig
         ),
         buckets AS (
             SELECT doc_id, band,
-                   md5(array_to_string(list_slice(sig, band * {MINHASH_ROWS} + 1,
-                       band * {MINHASH_ROWS} + {MINHASH_ROWS}), '|')) AS bucket
+                   array_to_string(list_transform(
+                       list_slice(sig, band * {MINHASH_ROWS} + 1,
+                                  band * {MINHASH_ROWS} + {MINHASH_ROWS}),
+                       x -> x::VARCHAR), '|') AS bucket
             FROM bands
         ),
         cands AS (

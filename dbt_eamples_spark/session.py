@@ -41,6 +41,15 @@ def get_spark(app_name: str = "dbt-eamples-spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # fixture tables are single small parquet files → Spark would
+        # plan ONE input split and serialize the whole scan on one
+        # core; force the planner to cut at least one split per core
+        # (no-op on a real cluster where files >> cores)
+        .config("spark.sql.files.minPartitionNum", DEFAULT_CPUS)
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST", "4096"),
+        )
         # fixture events.parquet stores TIMESTAMP(NANOS) which the
         # vectorized reader rejects; read as long and convert in the
         # catalog (sub-microsecond parts are zero in the fixtures)
