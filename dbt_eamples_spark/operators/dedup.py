@@ -5,14 +5,14 @@ Scale design (the point of each algorithm):
 
  - **exact**: hash-groupBy on the full normalized text — one shuffle
    keyed by an md5 (uniform, skew-free).
- - **MinHash-LSH**: shingle → k minhashes → band buckets → bucket
-   equi-join. Candidate generation never compares all pairs: the
-   band groupBy is the only wide op and its key (band bucket hash)
-   is uniform. The Jaccard verify joins the (small) candidate set
-   back to the shingle arrays.
- - **SimHash**: 32-bit signature from per-token md5 nibble votes;
+ - **MinHash-LSH**: shingle → k universal-hash minima → band
+   buckets → per-bucket pair expansion. Candidate generation never
+   compares all pairs: the band groupBy is the only wide op and its
+   key (band bucket) is hash-uniform. The Jaccard verify touches
+   only candidate docs.
+ - **SimHash**: 64-bit signature from per-shingle md5 bit votes;
    near-dup = same band in any of 4 signature bands + Hamming ≤ 3
-   verify. Same LSH-style join-avoidance shape.
+   verify. Same groupBy-bucket join-avoidance shape.
  - **n-gram Jaccard**: exact pairwise verify restricted to an
    equi-join blocking key, never a cross join.
  - **embedding cosine**: near-dup pairs blocked by label (stand-in
@@ -208,47 +208,73 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified
 
 
-# SimHash: 32-bit signature from the top bit of each md5 nibble
-SIMHASH_BITS = 32
+# SimHash: 64-bit signature voted by word-3-shingles (unigram votes
+# over a shared vocabulary correlate — on a topically homogeneous
+# corpus nearly every doc collapses into the same few signatures and
+# candidate generation degenerates to all-pairs; shingles are
+# doc-specific, so votes decorrelate). Bits come from the first 16
+# md5-hex nibbles of each shingle, 4 bits per nibble.
+SIMHASH_BITS = 64
+SIMHASH_NIBBLES = SIMHASH_BITS // 4
 SIMHASH_BANDS = 4
-SIMHASH_BAND_LEN = SIMHASH_BITS // SIMHASH_BANDS  # 8 chars per band
-# Hamming <= 1 of 32: the fixture corpus is topically homogeneous
-# (shared vocabulary), so looser radii stop discriminating; banding
-# recall is still exact (<= SIMHASH_BANDS - 1 differing bits always
-# leaves one clean band)
-HAMMING_MAX = 1
+SIMHASH_BAND_LEN = SIMHASH_BITS // SIMHASH_BANDS  # 16 chars per band
+# banding recall is exact for Hamming <= SIMHASH_BANDS - 1 (some
+# band must then be untouched); verify keeps pairs within radius 3
+HAMMING_MAX = 3
 
 
-def _simhash_sig(toks_col):
-    """32-char '0'/'1' signature: position p votes +1 if the p-th
-    md5-hex nibble of the token is >= 8 (its top bit), else -1."""
-    return F.concat_ws(
-        "",
-        F.transform(
-            F.sequence(F.lit(1), F.lit(SIMHASH_BITS)),
-            lambda p: F.when(
-                F.aggregate(
-                    toks_col,
-                    F.lit(0),
-                    lambda acc, t: acc
-                    + F.when(
-                        F.md5(t).substr(p, F.lit(1)).between("8", "f"),
-                        F.lit(1),
-                    ).otherwise(F.lit(-1)),
-                )
-                > 0,
-                F.lit("1"),
-            ).otherwise(F.lit("0")),
-        ),
+def _simhash_signatures(sh: DataFrame) -> DataFrame:
+    """doc_id → 64-char '0'/'1' signature voted by the doc's
+    shingles: bit p is set if more shingles have it set than not in
+    md5(shingle) (bit (p-1)%4 of hex nibble (p+3)//4).
+
+    Row-wise like :func:`_minhash_signatures`: explode shingles,
+    md5 each ONCE, decode the 16 leading nibbles to ints in their
+    own projection (so the 64 per-bit vote aggregates reference
+    cheap columns instead of re-inlining the hash), then 64 ``sum``
+    votes folding map-side — the shuffle carries one 64-int row per
+    doc. A nested-lambda form would re-hash every shingle once per
+    bit position.
+    """
+    rows = sh.select("doc_id", F.explode("shingles").alias("s"))
+    hashed = rows.select("doc_id", F.md5("s").alias("h"))
+    nibs = hashed.select(
+        "doc_id",
+        *[
+            F.conv(F.substring("h", i, 1), 16, 10).cast("int").alias(f"nib{i}")
+            for i in range(1, SIMHASH_NIBBLES + 1)
+        ],
+    )
+    votes = []
+    for p in range(1, SIMHASH_BITS + 1):
+        ci = (p + 3) // 4
+        mask = 1 << ((p - 1) % 4)
+        votes.append(
+            F.sum(
+                F.when(F.col(f"nib{ci}").bitwiseAND(F.lit(mask)) > 0, F.lit(1))
+                .otherwise(F.lit(-1))
+            ).alias(f"v{p}")
+        )
+    bits = [
+        F.when(F.col(f"v{p}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in range(1, SIMHASH_BITS + 1)
+    ]
+    return nibs.groupBy("doc_id").agg(*votes).select(
+        "doc_id", F.concat(*bits).alias("sig")
     )
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: banded candidate join + Hamming ≤ 3
-    verify on 32-bit signatures."""
+    """SimHash near-dup pairs: banded candidates + Hamming ≤ 3
+    verify on 64-bit shingle-voted signatures.
+
+    Same scale shape as :func:`dedup_minhash`: candidates via
+    groupBy over (band, bucket) + in-bucket pair expansion (no
+    self-join, signature pipeline evaluated once); signatures ride
+    along in the collect_list so the verify needs no join back.
+    """
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
-    toks = F.array_distinct(F.split(F.lower(F.col("text")), r"\s+"))
-    sigs = docs.select("doc_id", _simhash_sig(toks).alias("sig"))
+    sigs = _simhash_signatures(_shingles(docs))
 
     bands = sigs.select(
         "doc_id",
@@ -263,30 +289,41 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket"),
     )
 
-    a, b = bands.alias("a"), bands.alias("b")
+    buckets = (
+        bands.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sig"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
     cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ds") - 1),
+                        lambda i: F.transform(
+                            F.slice(F.col("ds"), i + 1, F.size("ds")),
+                            lambda y: F.struct(
+                                F.element_at(F.col("ds"), i).doc_id.alias("doc_a"),
+                                y.doc_id.alias("doc_b"),
+                                F.element_at(F.col("ds"), i).sig.alias("sig_a"),
+                                y.sig.alias("sig_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select("p.doc_a", "p.doc_b", "p.sig_a", "p.sig_b")
         .distinct()
     )
-    hamming = F.aggregate(
-        F.sequence(F.lit(1), F.lit(SIMHASH_BITS)),
+    hamming = sum(
+        (
+            F.when(
+                F.substring("sig_a", p, 1) != F.substring("sig_b", p, 1), F.lit(1)
+            ).otherwise(F.lit(0))
+            for p in range(1, SIMHASH_BITS + 1)
+        ),
         F.lit(0),
-        lambda acc, p: acc
-        + F.when(
-            F.col("sig_a").substr(p, F.lit(1)) != F.col("sig_b").substr(p, F.lit(1)),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
     )
     return (
         cands.withColumn("hamming", hamming)

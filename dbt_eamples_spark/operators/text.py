@@ -36,17 +36,21 @@ def _tokens_col():
 
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token counts + char stats per document."""
+    """Whitespace token counts + char stats per document.
+
+    Tokens materialize in their own projection (referenced 3×
+    below; keeps CollapseProject from re-running the regex split
+    per reference)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens_col()
-    return docs.select(
+    tokd = docs.select("doc_id", "text", _tokens_col().alias("toks"))
+    return tokd.select(
         "doc_id",
         F.length("text").alias("n_chars"),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct_tokens"),
         F.round(
             F.length(F.regexp_replace("text", r"\s+", ""))
-            / F.size(toks),
+            / F.size("toks"),
             6,
         ).alias("avg_token_len"),
     )
@@ -91,8 +95,8 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring from length / punctuation / stopword ratios —
     the standard pre-training corpus filter signals."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens_col()
-    n_tokens = F.size(toks)
+    docs = docs.select("doc_id", "text", F.size(_tokens_col()).alias("_nt"))
+    n_tokens = F.col("_nt")
     punct = F.regexp_count(F.col("text"), F.lit(r"[.,!?;:]"))
     stop_hits = _lang_hits("en")
     return docs.select(

@@ -22,6 +22,7 @@ from dbt_eamples_spark.operators.dedup import (
     SIMHASH_BANDS,
     SIMHASH_BAND_LEN,
     SIMHASH_BITS,
+    SIMHASH_NIBBLES,
 )
 from dbt_eamples_spark.operators.similarity import (
     NCENTROIDS,
@@ -186,16 +187,32 @@ EXT_ORACLES: dict[str, str] = {
         ) WHERE jaccard >= {JACCARD_THRESHOLD}
     """,
     "dedup_simhash": f"""
-        WITH sigs AS (
+        WITH sh AS ({SHINGLES}),
+        hashed AS (
+            SELECT doc_id, md5(s) AS h
+            FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+        ),
+        nibs AS (
             SELECT doc_id,
-                   array_to_string(list_transform(range(1, {SIMHASH_BITS} + 1), p ->
-                       CASE WHEN list_sum(list_transform(t, tk ->
-                                CASE WHEN substr(md5(tk), p, 1) BETWEEN '8' AND 'f'
-                                     THEN 1 ELSE -1 END)) > 0
-                            THEN '1' ELSE '0' END), '') AS sig
-            FROM (SELECT doc_id,
-                         list_distinct(string_split_regex(lower(text), '\\s+')) AS t
-                  FROM documents)
+                   {', '.join(
+                       f"('0x' || substr(h, {i}, 1))::INT AS nib{i}"
+                       for i in range(1, SIMHASH_NIBBLES + 1))}
+            FROM hashed
+        ),
+        votes AS (
+            SELECT doc_id,
+                   {', '.join(
+                       f"sum(CASE WHEN (nib{(p + 3) // 4} & {1 << ((p - 1) % 4)}) > 0"
+                       f" THEN 1 ELSE -1 END) AS v{p}"
+                       for p in range(1, SIMHASH_BITS + 1))}
+            FROM nibs GROUP BY doc_id
+        ),
+        sigs AS (
+            SELECT doc_id,
+                   {" || ".join(
+                       f"CASE WHEN v{p} > 0 THEN '1' ELSE '0' END"
+                       for p in range(1, SIMHASH_BITS + 1))} AS sig
+            FROM votes
         ),
         buckets AS (
             SELECT doc_id, sig, band,
