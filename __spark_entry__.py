@@ -35,7 +35,10 @@ from dbt_eamples_spark.sources.sinks import (
     sink_csv_roundtrip_query,
 )
 from dbt_eamples_spark.streaming.incremental import incremental_delta_filter_query
-from dbt_eamples_spark.streaming.streams import stream_tumbling_count
+from dbt_eamples_spark.streaming.streams import (
+    stream_session_agg,
+    stream_tumbling_count,
+)
 
 
 # compiled metric-layer requests: the rendered SQL runs verbatim on
@@ -170,6 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.9 incremental / streaming
         "incremental_delta_filter": incremental_delta_filter_query,
         "stream_tumbling_count": stream_tumbling_count,
+        "stream_session_agg": stream_session_agg,
         # M2 metric layer (compiled requests)
         **{name: _metric_query(name) for name in METRIC_REQUESTS},
     }
@@ -446,6 +450,28 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 2) AS total_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "stream_session_agg": """
+            WITH flagged AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sess AS (
+                SELECT user_id, ts, value,
+                       SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged
+            )
+            SELECT user_id,
+                   MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS total_value
+            FROM sess GROUP BY user_id, sid
         """,
         **EXT_ORACLES,
         **{name: compile_request(req).sql for name, req in METRIC_REQUESTS.items()},

@@ -6,9 +6,10 @@ Streaming with ``Trigger.AvailableNow`` (drain-what's-there, stop)
 plus event-time watermarks + tumbling windows for late data — absent
 from the reference but the natural expression of the events fixture.
 
-``stream_tumbling_count`` is the batch-equivalent query (windows are
+``stream_tumbling_count`` / ``stream_session_agg`` are the
+batch-equivalent queries (tumbling and session windows are
 deterministic functions of event time, so batch and streaming give
-identical results — asserted in tests/test_streaming.py by running
+identical results — asserted in tests/test_pipeline.py by running
 the same aggregation through an actual ``readStream`` →
 ``writeStream`` pipeline with AvailableNow).
 """
@@ -22,6 +23,7 @@ from dbt_eamples_spark.catalog import load_table, table_path
 
 TUMBLE = "1 hour"
 WATERMARK = "2 hours"
+SESSION_GAP = "30 minutes"
 
 
 def _windowed_counts(df: DataFrame) -> DataFrame:
@@ -48,6 +50,36 @@ def stream_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _windowed_counts(load_table(spark, sf_dir, "events"))
 
 
+def _session_aggs(df: DataFrame) -> DataFrame:
+    """Gap-based sessionization: per user, events within
+    ``SESSION_GAP`` of the session's rolling end merge into one
+    session (``session_window`` — Spark's native stateful session
+    operator; in streaming mode state is per (user, open session)
+    and evicted by the watermark, so memory is bounded by ACTIVE
+    sessions, not history). session_end = last event + gap,
+    exclusive, matching the oracle's gaps-and-islands SQL."""
+    return (
+        df.groupBy("user_id", F.session_window("ts", SESSION_GAP).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the session-window aggregate over events
+    (oracle: classic gaps-and-islands lag/cumsum SQL)."""
+    return _session_aggs(load_table(spark, sf_dir, "events"))
+
+
 def stream_tumbling_count_streaming(
     spark: SparkSession, sf_dir: str, checkpoint: str, out_table: str
 ) -> None:
@@ -55,6 +87,21 @@ def stream_tumbling_count_streaming(
     tumbling window → complete-mode memory sink, drained with
     ``Trigger.AvailableNow`` (the cron-drain semantics of the
     reference's 15-min DAG)."""
+    windowed = _windowed_counts(_events_stream(spark, sf_dir))
+    _drain(windowed, "complete", checkpoint, out_table)
+
+
+def stream_session_agg_streaming(
+    spark: SparkSession, sf_dir: str, checkpoint: str, out_table: str
+) -> None:
+    """Structured Streaming sessionization: watermark-evicted
+    ``session_window`` state, drained with AvailableNow."""
+    sessions = _session_aggs(_events_stream(spark, sf_dir))
+    _drain(sessions, "complete", checkpoint, out_table)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events fixture as a watermarked file-stream source."""
     # schema from the RAW file (ts arrives as long under
     # nanosAsLong; load_table's converted schema would mismatch)
     raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
@@ -69,9 +116,12 @@ def stream_tumbling_count_streaming(
     # nanos column arrives as long under nanosAsLong — same convert
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    windowed = _windowed_counts(stream.withWatermark("ts", WATERMARK))
+    return stream.withWatermark("ts", WATERMARK)
+
+
+def _drain(df: DataFrame, mode: str, checkpoint: str, out_table: str) -> None:
     q = (
-        windowed.writeStream.outputMode("complete")
+        df.writeStream.outputMode(mode)
         .format("memory")
         .queryName(out_table)
         .option("checkpointLocation", checkpoint)

@@ -14,6 +14,8 @@ from dbt_eamples_spark.catalog import load_table
 from dbt_eamples_spark.plans.splitter import run_script, split_statements
 from dbt_eamples_spark.streaming.incremental import run_increment
 from dbt_eamples_spark.streaming.streams import (
+    stream_session_agg,
+    stream_session_agg_streaming,
     stream_tumbling_count,
     stream_tumbling_count_streaming,
 )
@@ -97,6 +99,17 @@ class TestStreaming:
         )
         streamed = spark.sql(f"SELECT * FROM {name}")
         batch = stream_tumbling_count(spark, sf_dir)
+        diff = streamed.exceptAll(batch).count() + batch.exceptAll(streamed).count()
+        assert diff == 0
+        assert batch.count() > 0
+
+    def test_session_streaming_equals_batch(self, spark, sf_dir, tmp_path):
+        name = f"sessions_{uuid.uuid4().hex[:8]}"
+        stream_session_agg_streaming(
+            spark, sf_dir, checkpoint=str(tmp_path / "ckpt_s"), out_table=name
+        )
+        streamed = spark.sql(f"SELECT * FROM {name}")
+        batch = stream_session_agg(spark, sf_dir)
         diff = streamed.exceptAll(batch).count() + batch.exceptAll(streamed).count()
         assert diff == 0
         assert batch.count() > 0
