@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": T.text_quality_score,
         "text_token_count_bpe": T.text_token_count_bpe,
         "doc_fingerprint": T.doc_fingerprint,
+        "doc_winnow_fingerprint": T.doc_winnow_fingerprint,
         # §2.11 EXT — dedup
         "dedup_exact": D.dedup_exact,
         "dedup_minhash": D.dedup_minhash,

@@ -128,6 +128,70 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Winnowing parameters: char-k-gram hashes, window of w consecutive
+# hashes, keep each window's minimum (Schleimer/Wilkerson/Aiken
+# "Winnowing: Local Algorithms for Document Fingerprinting", 2003)
+WINNOW_K = 8
+WINNOW_W = 16
+
+
+def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint: distinct minima of char-8-gram hashes
+    over sliding windows of 16 — the rolling-hash fingerprint family
+    (hashing each k-gram independently gives the same selected set
+    as a Rabin-Karp rolling hash; "rolling" only saves CPU).
+
+    Guarantees any shared substring of length >= k + w - 1 yields at
+    least one shared fingerprint, which is what makes it the
+    standard near-copy detector for code/text corpora.
+
+    Shape: the k-gram hash array materializes in its own projection
+    (the window-minima lambda references it w times — inlining would
+    re-hash per window); output explodes to (doc_id, fingerprint)
+    rows, so downstream dup-joins group on the (uniform) fingerprint
+    hash. Per-row work is O(chars · w) comparisons and O(chars)
+    hashes; no shuffle at all in this operator.
+    """
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    normd = docs.select("doc_id", norm.alias("norm"))
+    grams = normd.select(
+        "doc_id",
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.length("norm") - (WINNOW_K - 1), F.lit(1)),
+            ),
+            lambda i: F.conv(
+                F.substring(F.md5(F.substring(F.col("norm"), i, WINNOW_K)), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+        ).alias("g"),
+    )
+    winnowed = grams.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size("g") - (WINNOW_W - 1), F.lit(1)),
+                ),
+                lambda i: F.array_min(F.slice(F.col("g"), i, WINNOW_W)),
+            )
+        ).alias("fps"),
+    )
+    # explode_outer, NOT explode: plain explode makes Catalyst infer
+    # a size(fps) > 0 filter (InferFiltersFromGenerate) and push it
+    # below these projections, re-inlining the whole gram+window
+    # pipeline into one nested-lambda filter expression that
+    # re-hashes every k-gram once per window. fps is never empty
+    # (>= 1 window per doc), so the two are equivalent.
+    return winnowed.select(
+        "doc_id", F.explode_outer("fps").alias("fingerprint")
+    )
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint: md5 over whitespace-normalized lowercase
     text. The groupBy dup-count is the only shuffle, keyed on the

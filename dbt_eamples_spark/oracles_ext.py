@@ -30,7 +30,12 @@ from dbt_eamples_spark.operators.similarity import (
     N_QUERIES,
     TOP_K,
 )
-from dbt_eamples_spark.operators.text import BPE_PATTERN, LANG_STOPWORDS
+from dbt_eamples_spark.operators.text import (
+    BPE_PATTERN,
+    LANG_STOPWORDS,
+    WINNOW_K,
+    WINNOW_W,
+)
 
 # --- shared SQL fragments ---------------------------------------------------
 
@@ -138,6 +143,29 @@ EXT_ORACLES: dict[str, str] = {
                      md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
                          AS fingerprint
               FROM documents)
+    """,
+    "doc_winnow_fingerprint": f"""
+        WITH normd AS (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, greatest(length(norm) - {WINNOW_K - 1}, 1) + 1),
+                       i -> ('0x' || substr(md5(substr(norm, i::INT, {WINNOW_K})),
+                                            1, 15))::BIGINT) AS g
+            FROM normd
+        ),
+        winnowed AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(g) - {WINNOW_W - 1}, 1) + 1),
+                       i -> list_min(list_slice(g, i, i + {WINNOW_W - 1})))) AS fps
+            FROM grams
+        )
+        SELECT doc_id, unnest(fps) AS fingerprint FROM winnowed
     """,
     # ---- dedup -------------------------------------------------------------
     "dedup_exact": r"""
