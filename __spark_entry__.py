@@ -19,6 +19,7 @@ from dbt_eamples_spark.catalog import load_table
 from dbt_eamples_spark.operators import dedup as D
 from dbt_eamples_spark.operators import multimodal as M
 from dbt_eamples_spark.operators import relational as R
+from dbt_eamples_spark.operators.asof import join_asof
 from dbt_eamples_spark.operators import similarity as V
 from dbt_eamples_spark.operators import text as T
 from dbt_eamples_spark.oracles_ext import EXT_ORACLES
@@ -114,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_star_3way": R.join_star_3way,
         "join_left_outer": R.join_left_outer,
         "join_anti_new_rows": R.join_anti_new_rows,
+        "join_asof": join_asof,
         "join_time_range": R.join_time_range,
         # §2.4 aggregations
         "agg_max_watermark": R.agg_max_watermark,
@@ -238,6 +240,24 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM events s
                 WHERE s.event_id < 500 AND s.event_id = e.event_id
             )
+        """,
+        "join_asof": """
+            WITH p AS (
+                SELECT user_id, ts AS pts, event_id AS pid
+                FROM events WHERE event_type = 'purchase'
+            ),
+            ranked AS (
+                SELECT e.event_id, e.user_id, e.ts, e.event_type,
+                       p.pid, p.pts,
+                       row_number() OVER (
+                           PARTITION BY e.event_id
+                           ORDER BY p.pts DESC, p.pid DESC) AS rn
+                FROM events e
+                LEFT JOIN p ON e.user_id = p.user_id AND p.pts <= e.ts
+            )
+            SELECT event_id, user_id, ts, event_type,
+                   pid AS last_purchase_id, pts AS last_purchase_ts
+            FROM ranked WHERE rn = 1
         """,
         "join_time_range": """
             SELECT o_orderkey, o_orderdate,

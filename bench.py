@@ -35,6 +35,7 @@ HEADLINE = [
     "metric_grouping_sets",
     "string_chunk",
     "concat_report_rows",
+    "join_asof",
     "metric_compiled_star",
     "dedup_minhash",
     "similarity_topk",
