@@ -119,6 +119,83 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream.withWatermark("ts", WATERMARK)
 
 
+def stateful_user_totals_streaming(
+    spark: SparkSession, sf_dir: str, checkpoint: str, out_table: str
+) -> None:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    per-user running (event count, value total) with first/last seen
+    timestamps, emitted once per micro-batch per active user.
+
+    This is the escape hatch for state machines built-in windows
+    can't express (running totals across a user's whole lifetime,
+    conditional state transitions). State is one tiny tuple per
+    user, partitioned by the groupBy key across executors and
+    checkpointed — memory scales with |users|, not |events|. The
+    handler receives Arrow batches (pandas), so per-batch work is
+    vectorized; nothing touches the driver.
+
+    Batch equivalence (asserted in tests): after an AvailableNow
+    drain, each user's LAST emitted row equals the batch groupBy
+    aggregate over the same fixture.
+    """
+    import pandas as pd  # local import: only this op needs it
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, batches, state: GroupState):
+        n, total, first_ts, last_ts = (
+            state.get if state.exists else (0, 0.0, None, None)
+        )
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            lo = pdf["ts"].min()
+            hi = pdf["ts"].max()
+            first_ts = lo if first_ts is None else min(first_ts, lo)
+            last_ts = hi if last_ts is None else max(last_ts, hi)
+        state.update((n, total, first_ts, last_ts))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+                "first_ts": [first_ts],
+                "last_ts": [last_ts],
+            }
+        )
+
+    out_schema = (
+        "user_id long, n_events long, total_value double, "
+        "first_ts timestamp, last_ts timestamp"
+    )
+    state_schema = "n long, total double, first_ts timestamp, last_ts timestamp"
+    updated = (
+        _events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    _drain(updated, "update", checkpoint, out_table)
+
+
+def user_totals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch aggregate the stateful stream must converge to."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+
+
 def _drain(df: DataFrame, mode: str, checkpoint: str, out_table: str) -> None:
     q = (
         df.writeStream.outputMode(mode)

@@ -14,10 +14,12 @@ from dbt_eamples_spark.catalog import load_table
 from dbt_eamples_spark.plans.splitter import run_script, split_statements
 from dbt_eamples_spark.streaming.incremental import run_increment
 from dbt_eamples_spark.streaming.streams import (
+    stateful_user_totals_streaming,
     stream_session_agg,
     stream_session_agg_streaming,
     stream_tumbling_count,
     stream_tumbling_count_streaming,
+    user_totals_batch,
 )
 
 
@@ -100,6 +102,28 @@ class TestStreaming:
         streamed = spark.sql(f"SELECT * FROM {name}")
         batch = stream_tumbling_count(spark, sf_dir)
         diff = streamed.exceptAll(batch).count() + batch.exceptAll(streamed).count()
+        assert diff == 0
+        assert batch.count() > 0
+
+    def test_stateful_totals_converge_to_batch(self, spark, sf_dir, tmp_path):
+        """applyInPandasWithState running totals: the last update per
+        user after an AvailableNow drain equals the batch aggregate."""
+        name = f"totals_{uuid.uuid4().hex[:8]}"
+        stateful_user_totals_streaming(
+            spark, sf_dir, checkpoint=str(tmp_path / "ckpt_t"), out_table=name
+        )
+        # memory sink appends one row per user per micro-batch; the
+        # final state is the row with the max n_events per user
+        final = spark.sql(
+            f"""
+            SELECT user_id, n_events, total_value, first_ts, last_ts
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id ORDER BY n_events DESC) rn
+                  FROM {name}) WHERE rn = 1
+            """
+        )
+        batch = user_totals_batch(spark, sf_dir)
+        diff = final.exceptAll(batch).count() + batch.exceptAll(final).count()
         assert diff == 0
         assert batch.count() > 0
 
