@@ -20,6 +20,7 @@ from dbt_eamples_spark.operators import dedup as D
 from dbt_eamples_spark.operators import multimodal as M
 from dbt_eamples_spark.operators import relational as R
 from dbt_eamples_spark.operators.asof import join_asof
+from dbt_eamples_spark.operators.skew import join_salted_skew
 from dbt_eamples_spark.operators import similarity as V
 from dbt_eamples_spark.operators import text as T
 from dbt_eamples_spark.oracles_ext import EXT_ORACLES
@@ -116,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_left_outer": R.join_left_outer,
         "join_anti_new_rows": R.join_anti_new_rows,
         "join_asof": join_asof,
+        "join_salted_skew": join_salted_skew,
         "join_time_range": R.join_time_range,
         # §2.4 aggregations
         "agg_max_watermark": R.agg_max_watermark,
@@ -240,6 +242,13 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM events s
                 WHERE s.event_id < 500 AND s.event_id = e.event_id
             )
+        """,
+        "join_salted_skew": """
+            SELECT e.event_id, e.user_id, e.event_type, n.n_orders
+            FROM events e
+            JOIN (SELECT o_custkey AS user_id, COUNT(*) AS n_orders
+                  FROM orders GROUP BY 1) n
+              ON e.user_id = n.user_id
         """,
         "join_asof": """
             WITH p AS (

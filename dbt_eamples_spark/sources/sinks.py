@@ -109,3 +109,24 @@ def result_text_format_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("avg_price").cast("decimal(18,2)").cast("string"),
         ).alias("line"),
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_key: str,
+    n_buckets: int = 32,
+    sort_key: str | None = None,
+) -> None:
+    """Persist a table bucketed (hash-partitioned files + metastore
+    bucket spec) on its join key. Two tables bucketed on the same
+    key with the same bucket count join with ZERO exchange — the
+    co-location is decided at write time, which at 100 TB is the
+    difference between a metadata-only join and re-shuffling both
+    sides on every query (asserted shuffle-free in
+    tests/test_pipeline.py::test_bucketed_join_is_shuffle_free).
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_key)
+    if sort_key is not None:
+        w = w.sortBy(sort_key)
+    w.format("parquet").saveAsTable(table)

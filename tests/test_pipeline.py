@@ -93,6 +93,63 @@ class TestIncremental:
         assert "insert_dt" in out.columns
 
 
+class TestBucketing:
+    def test_bucketed_join_is_shuffle_free(self, spark, sf_dir):
+        """Two tables bucketed on the join key join with zero
+        Exchange in the plan — write-time co-location."""
+        from dbt_eamples_spark.sources.sinks import write_bucketed
+
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        suffix = uuid.uuid4().hex[:8]
+        t_o, t_li = f"b_orders_{suffix}", f"b_lineitem_{suffix}"
+        for t in (t_o, t_li):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"/root/repo/spark-warehouse/{t}", ignore_errors=True)
+        # disable broadcast: at real scale both sides are fact-sized
+        # (a broadcastable side wouldn't need bucketing) — the claim
+        # under test is that bucketed SMJ needs NO shuffle exchange
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            write_bucketed(o, t_o, "o_orderkey", 8)
+            write_bucketed(li, t_li, "l_orderkey", 8)
+            joined = spark.table(t_li).join(
+                spark.table(t_o),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert "SortMergeJoin" in plan
+            assert joined.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            for t in (t_o, t_li):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def test_salted_join_equals_plain_join(self, spark, sf_dir):
+        from dbt_eamples_spark.operators.skew import salted_join
+
+        ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+        dim = (
+            load_table(spark, sf_dir, "orders")
+            .groupBy(F.col("o_custkey").alias("user_id"))
+            .agg(F.count("*").alias("n"))
+        )
+        plain = ev.join(dim, "user_id")
+        salted = salted_join(
+            ev.withColumnRenamed("user_id", "u"),
+            dim.withColumnRenamed("user_id", "u"),
+            key="u",
+        ).withColumnRenamed("u", "user_id").select(*plain.columns)
+        diff = plain.exceptAll(salted).count() + salted.exceptAll(plain).count()
+        assert diff == 0
+
+
 class TestStreaming:
     def test_streaming_equals_batch(self, spark, sf_dir, tmp_path):
         name = f"tumbling_{uuid.uuid4().hex[:8]}"
