@@ -91,7 +91,11 @@ def _minhash_signatures(sh: DataFrame) -> DataFrame:
     hashed exactly once, the K minima fold map-side (partial
     aggregation), and the shuffle carries one K-long row per doc.
     """
-    rows = sh.select("doc_id", F.explode("shingles").alias("s"))
+    # explode_outer: explode would make Catalyst infer a
+    # size(shingles) > 0 filter and push it below the repartition,
+    # re-evaluating the whole shingle pipeline single-task (see
+    # doc_winnow_fingerprint); arrays are never empty, so same rows
+    rows = sh.select("doc_id", F.explode_outer("shingles").alias("s"))
     based = rows.select(
         "doc_id",
         (
@@ -161,7 +165,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = (
         buckets.select(
-            F.explode(
+            # explode_outer: avoids the inferred size>0 filter
+            # re-evaluating the pair-expansion lambda twice
+            F.explode_outer(
                 F.flatten(
                     F.transform(
                         F.sequence(F.lit(1), F.size("ids") - 1),
@@ -236,7 +242,8 @@ def _simhash_signatures(sh: DataFrame) -> DataFrame:
     doc. A nested-lambda form would re-hash every shingle once per
     bit position.
     """
-    rows = sh.select("doc_id", F.explode("shingles").alias("s"))
+    # explode_outer: same inferred-filter avoidance as minhash
+    rows = sh.select("doc_id", F.explode_outer("shingles").alias("s"))
     hashed = rows.select("doc_id", F.md5("s").alias("h"))
     nibs = hashed.select(
         "doc_id",
@@ -296,7 +303,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cands = (
         buckets.select(
-            F.explode(
+            # explode_outer: avoids the inferred size>0 filter
+            # re-evaluating the pair-expansion lambda twice
+            F.explode_outer(
                 F.flatten(
                     F.transform(
                         F.sequence(F.lit(1), F.size("ds") - 1),

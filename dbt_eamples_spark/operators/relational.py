@@ -491,7 +491,9 @@ def string_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             "doc_id",
             "text",
-            F.explode(
+            # explode_outer: skip the inferred size>0 filter
+            # (the sequence is never empty)
+            F.explode_outer(
                 F.sequence(
                     F.lit(0),
                     F.floor((F.length("text") - 1) / n).cast("int"),

@@ -81,7 +81,7 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
                 k,
             ).alias("top")
         )
-        .select("query_id", F.explode("top").alias("t"))
+        .select("query_id", F.explode_outer("top").alias("t"))
         .select("query_id", F.col("t.neighbor_id").alias("neighbor_id"),
                 F.col("t.cosine").alias("cosine"))
     )
