@@ -123,6 +123,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_max_watermark": R.agg_max_watermark,
         "agg_count": R.agg_count,
         "agg_count_distinct": R.agg_count_distinct,
+        "agg_percentiles": R.agg_percentiles,
+        # sketch op — intentionally NO oracle_sql entry (DuckDB's
+        # HLL differs); the driver records the rows-only check
+        "agg_approx_distinct": R.agg_approx_distinct,
         "metric_groupby_agg": R.metric_groupby_agg,
         "distinct_values": R.distinct_values,
         "metric_grouping_sets": R.metric_grouping_sets,
@@ -287,6 +291,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(DISTINCT o_custkey) AS n_active_customers,
                    COUNT(*) AS n_orders
             FROM orders
+        """,
+        "agg_percentiles": """
+            SELECT o_orderstatus,
+                   ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                   ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+                   ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+            FROM orders GROUP BY o_orderstatus
         """,
         "metric_groupby_agg": """
             SELECT l_returnflag, l_linestatus,

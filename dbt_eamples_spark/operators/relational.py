@@ -235,6 +235,38 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles of order totals per order status —
+    ``percentile`` (exact, linear interpolation) so the DuckDB
+    ``quantile_cont`` oracle matches bit-for-bit. At 100 TB the
+    exact form needs a per-group sort; swap to
+    ``percentile_approx`` (KLL-sketch, mergeable map-side) when the
+    group cardinality makes that sort the bottleneck — see
+    ``agg_approx_distinct`` for the sketch-op pattern."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct count — the sketch form of
+    ``agg_count_distinct``. Mergeable state: partials combine
+    map-side, the shuffle carries one sketch per group instead of
+    the value set, which is the only way COUNT DISTINCT scales past
+    a shuffle-able key domain. No DuckDB oracle on purpose: DuckDB's
+    approx_count_distinct uses a different sketch, so values differ
+    by design (driver records the weaker rows-only check; the exact
+    twin `agg_count_distinct` carries the value correctness)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
 def metric_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE core metric query shape (dbt_query.py:77-86: metric_names
     + group_by_names): measures aggregated by dimensions. TPC-H-Q1
