@@ -140,9 +140,18 @@ def compile_request(
     if request.where:
         where_parts.append(f"({request.where})")
 
+    # hint only models declared broadcast-safe at ANY scale (fixed-
+    # cardinality dims like nation/region); fact-sized hops are left
+    # to Catalyst/AQE size statistics, which broadcast them at small
+    # SF and shuffle-join them when they outgrow the threshold
+    bcast = [
+        s.table
+        for s in join_steps
+        if reg.models[reg.entity_targets[s.entity]].broadcastable
+    ]
     hint = ""
-    if join_steps:
-        hint = " /*+ BROADCAST(" + ", ".join(s.table for s in join_steps) + ") */"
+    if bcast:
+        hint = " /*+ BROADCAST(" + ", ".join(bcast) + ") */"
     lines = [f"SELECT{hint}"]
     lines.append("    " + ",\n    ".join(select_parts))
     lines.append(f"FROM {fact.table}")

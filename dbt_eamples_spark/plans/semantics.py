@@ -48,6 +48,12 @@ class SemanticModel:
     measures: tuple[Measure, ...] = ()
     # time dimension used for start/end constraints
     time_dimension: str | None = None
+    # size class: True for genuinely small dimension tables (safe to
+    # hint BROADCAST at any data scale); False for fact-sized models
+    # (orders, lineitem) where the compiler must leave join strategy
+    # to Catalyst/AQE size statistics — a hard-coded broadcast hint
+    # that is right at sf0.1 forces an OOM plan at 100 TB
+    broadcastable: bool = True
 
     def dimension(self, name: str) -> Dimension | None:
         for d in self.dimensions:
@@ -198,6 +204,7 @@ def default_registry() -> Registry:
                 Measure("items", "1", "count"),
             ),
             time_dimension="l_shipdate",
+            broadcastable=False,
         )
     )
     reg.add_model(
@@ -216,6 +223,7 @@ def default_registry() -> Registry:
                 Measure("avg_order_value", "o_totalprice", "avg"),
             ),
             time_dimension="o_orderdate",
+            broadcastable=False,
         )
     )
     reg.add_model(
@@ -228,6 +236,9 @@ def default_registry() -> Registry:
                 Dimension("name", "c_name"),
             ),
             measures=(Measure("acctbal_total", "c_acctbal", "sum"),),
+            # scales linearly with the corpus (TPC-H customer ~SF ×
+            # 150k rows) — too big to broadcast at cluster scale
+            broadcastable=False,
         )
     )
     reg.add_model(
