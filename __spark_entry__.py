@@ -168,6 +168,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.11 EXT — similarity search
         "similarity_topk": V.similarity_topk,
         "similarity_ivf_topk": V.similarity_ivf_topk,
+        # Arrow/numpy path — intentionally NO oracle_sql entry
+        # (pairwise vs left-fold float summation differs at 6 dp);
+        # the exact twin similarity_topk carries value correctness
+        "similarity_topk_pandas": V.similarity_topk_pandas,
         # §2.11 EXT — multimodal plumbing
         "multimodal_meta": M.multimodal_meta,
         "multimodal_features_flat": M.multimodal_features_flat,

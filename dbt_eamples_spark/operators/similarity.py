@@ -174,3 +174,78 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _topk(scored, TOP_K)
+
+
+def similarity_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched brute-force cosine top-k via ``mapInPandas`` —
+    the Python-vectorized scale path, for when scoring must call
+    into numpy/torch (a learned reranker, a quantized index).
+
+    The query matrix (|Q|×d, tiny) ships to every task as a Spark
+    broadcast; each Arrow batch of corpus vectors becomes one numpy
+    (batch×d) @ (d×|Q|) matmul, and each task emits only its local
+    top-k per query — |tasks|·|Q|·k rows reach the exact final
+    window, never the full |Q|·N scored set. Same two-phase shape as
+    :func:`similarity_topk`.
+
+    Driver check is rows-only (no SQL oracle): numpy's pairwise
+    summation orders float adds differently from the strict left
+    fold the JVM/DuckDB versions share, so low-order bits — and thus
+    the 6 dp rounding — can differ by design. Value correctness is
+    carried by the exact twin ``similarity_topk``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id", "embedding"
+    )
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .orderBy("vec_id")
+        .collect()
+    )  # |Q|×d floats — the one legitimate driver-side collect
+    qids = np.array([r["vec_id"] for r in qrows])
+    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((qids, qmat))
+
+    def score(batches):
+        bqids, bqmat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vids = pdf["vec_id"].to_numpy()
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            cos = mat @ bqmat.T  # (batch × |Q|)
+            out = []
+            for qi, qid in enumerate(bqids):
+                col = cos[:, qi]
+                mask = vids != qid  # exclude self
+                order = np.argsort(-col[mask])[:TOP_K]
+                nb = vids[mask][order]
+                sc = col[mask][order]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": nb,
+                            "cosine": np.round(sc, 6),
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out)
+
+    scored = emb.mapInPandas(
+        score, schema="query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )

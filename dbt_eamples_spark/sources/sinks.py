@@ -130,3 +130,15 @@ def write_bucketed(
     if sort_key is not None:
         w = w.sortBy(sort_key)
     w.format("parquet").saveAsTable(table)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_col: str
+) -> None:
+    """Persist partitioned by a (derived) column — the layout that
+    makes time-ranged queries at 100 TB metadata-prunable: a filter
+    on the partition column becomes a PartitionFilters entry in the
+    scan (directories never listed, files never opened) instead of
+    a data filter over every row
+    (tests/test_pipeline.py::test_partitioned_write_prunes)."""
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)

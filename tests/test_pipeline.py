@@ -131,6 +131,29 @@ class TestBucketing:
             for t in (t_o, t_li):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
 
+    def test_partitioned_write_prunes(self, spark, sf_dir, tmp_path):
+        """A filter on the partition column prunes at the metadata
+        level: PartitionFilters is populated and the scan reads only
+        the matching partition directories."""
+        from dbt_eamples_spark.sources.sinks import write_partitioned
+
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "event_date", F.to_date("ts")
+        )
+        path = str(tmp_path / "events_by_date")
+        write_partitioned(ev, path, "event_date")
+        back = spark.read.parquet(path).filter(
+            F.col("event_date") == "2024-01-05"
+        )
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan
+        # the partition predicate must be IN PartitionFilters (not a
+        # row-level data filter)
+        pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+        assert "event_date" in pf, plan
+        expected = ev.filter(F.col("event_date") == "2024-01-05").count()
+        assert back.count() == expected > 0
+
     def test_salted_join_equals_plain_join(self, spark, sf_dir):
         from dbt_eamples_spark.operators.skew import salted_join
 
