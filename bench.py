@@ -37,12 +37,18 @@ HEADLINE = [
     "concat_report_rows",
     "join_asof",
     "metric_compiled_star",
+    "join_salted_skew",
+    "agg_percentiles",
     "dedup_minhash",
+    "dedup_simhash",
     "similarity_topk",
+    "similarity_ivf_topk",
     "text_token_stats",
     "doc_fingerprint",
+    "doc_winnow_fingerprint",
     "multimodal_features_flat",
     "stream_tumbling_count",
+    "stream_session_agg",
 ]
 
 

@@ -14,7 +14,7 @@ every engine), ratios are rounded at 6 decimals.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbt_eamples_spark.catalog import load_table
@@ -196,8 +196,6 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint: md5 over whitespace-normalized lowercase
     text. The groupBy dup-count is the only shuffle, keyed on the
     fingerprint (uniformly distributed — no skew at any scale)."""
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     fp = docs.select("doc_id", F.md5(norm).alias("fingerprint"))
