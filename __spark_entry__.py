@@ -56,6 +56,14 @@ METRIC_REQUESTS = {
         metrics=("order_count", "urgent_order_count", "order_total"),
         group_by=("orderstatus",),
     ),
+    "metric_compiled_monthly": MetricQueryRequest(
+        metrics=("revenue", "revenue_per_item"),
+        group_by=("returnflag", "shipdate__month"),
+    ),
+    "metric_compiled_cumulative": MetricQueryRequest(
+        metrics=("revenue", "cum_revenue"),
+        group_by=("shipdate__month",),
+    ),
     "metric_compiled_topk": MetricQueryRequest(
         metrics=("order_total",),
         group_by=("mktsegment", "orderpriority"),

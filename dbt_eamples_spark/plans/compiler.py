@@ -30,11 +30,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 from dbt_eamples_spark.plans.semantics import (
     ENTITY_JOIN_KEYS,
+    TIME_GRAINS,
     Registry,
     default_registry,
 )
 
 ROUND_DECIMALS = 6  # metric rounding inside compiled SQL (oracle parity)
+# cumulative metrics accumulate float addition-order divergence —
+# at ~1e9 magnitudes a running sum differs across engines at ~1e-6,
+# past 6 dp; 2 dp (the reference CLI's display default,
+# `dbt_query.py:29-34`) absorbs it
+CUM_ROUND_DECIMALS = 2
 
 
 @dataclass(frozen=True)
@@ -64,18 +70,58 @@ def _ts_literal(v: dt.datetime | str) -> str:
     return f"TIMESTAMP '{v}'"
 
 
-def _metric_select(reg: Registry, name: str) -> str:
-    metric = reg.metric(name)
+def _agged_measure(reg: Registry, metric, measure_name: str) -> str:
     model = reg.models[metric.model]
-    measure = next(m for m in model.measures if m.name == metric.measure)
+    measure = next(m for m in model.measures if m.name == measure_name)
     expr = measure.expr
     if metric.filter_sql:
         expr = f"CASE WHEN {metric.filter_sql} THEN {expr} END"
     agg = measure.agg.upper()
     if agg == "COUNT_DISTINCT":
-        agged = f"COUNT(DISTINCT {expr})"
-    else:
-        agged = f"{agg}({expr})"
+        return f"COUNT(DISTINCT {expr})"
+    return f"{agg}({expr})"
+
+
+def _metric_select(
+    reg: Registry,
+    name: str,
+    time_aliases: tuple[str, ...] = (),
+    other_aliases: tuple[str, ...] = (),
+) -> str:
+    """One SELECT item per metric.
+
+    simple:      ROUND(AGG(expr), 6)
+    ratio:       ROUND(AGG(num) / AGG(den), 6) — both aggregate in
+                 the same grouped pass, no extra scan
+    cumulative:  ROUND(SUM(AGG(expr)) OVER (PARTITION BY non-time
+                 dims ORDER BY time dims), 6) — a window over the
+                 grouped rows, so the running total costs one extra
+                 sort of the (small) aggregate output, never a
+                 second pass over the fact table
+    """
+    metric = reg.metric(name)
+    agged = _agged_measure(reg, metric, metric.measure)
+    if metric.metric_type == "ratio":
+        if metric.denominator is None:
+            raise ValueError(f"ratio metric {name} needs a denominator")
+        den = _agged_measure(reg, metric, metric.denominator)
+        return f"ROUND({agged} / {den}, {ROUND_DECIMALS}) AS {name}"
+    if metric.metric_type == "cumulative":
+        if not time_aliases:
+            raise ValueError(
+                f"cumulative metric {name} requires a time-grained "
+                "group-by dimension (e.g. shipdate__month)"
+            )
+        partition = (
+            "PARTITION BY " + ", ".join(other_aliases) + " "
+            if other_aliases
+            else ""
+        )
+        window = f"OVER ({partition}ORDER BY {', '.join(time_aliases)})"
+        return f"ROUND(SUM({agged}) {window}, {CUM_ROUND_DECIMALS}) AS {name}"
+    agg = next(
+        m for m in reg.models[metric.model].measures if m.name == metric.measure
+    ).agg.upper()
     if agg in ("SUM", "AVG"):
         agged = f"ROUND({agged}, {ROUND_DECIMALS})"
     return f"{agged} AS {name}"
@@ -107,12 +153,21 @@ def compile_request(
         )
     fact = reg.models[fact_models.pop()]
 
-    # resolve group-by dimensions → (model, dim) and join steps
+    # resolve group-by dimensions → (model, dim) and join steps;
+    # a `dim__grain` suffix compiles to a date_trunc bucket (the
+    # MetricFlow granularity surface, `dbt_query2.py:39-40`
+    # granularity_free_qualified_name inverted)
     dims: list[tuple[str, str, str]] = []  # (alias, column_ref, model)
+    time_aliases: list[str] = []
     join_steps: list[_JoinStep] = []
     joined: set[str] = set()
     for gname in request.group_by:
-        model_name, dim = reg.resolve_dimension(gname)
+        base, _, grain = gname.partition("__")
+        if grain and grain not in TIME_GRAINS:
+            raise ValueError(
+                f"unknown time grain {grain!r}; one of {TIME_GRAINS}"
+            )
+        model_name, dim = reg.resolve_dimension(base)
         if model_name != fact.name:
             for entity in reg.join_path(fact.name, model_name):
                 target = reg.entity_targets[entity]
@@ -123,10 +178,31 @@ def compile_request(
                 join_steps.append(
                     _JoinStep(entity, reg.models[target].table, lcol, rcol)
                 )
-        dims.append((dim.name, dim.column, model_name))
+        if grain:
+            if dim.dim_type != "time":
+                raise ValueError(
+                    f"grain {grain!r} on non-time dimension {base!r}"
+                )
+            # date_trunc yields TIMESTAMP for the fixture's
+            # timestamp-typed time dimensions in both engines
+            col = f"date_trunc('{grain}', {dim.column})"
+            alias = f"{dim.name}__{grain}"
+            time_aliases.append(alias)
+        else:
+            col, alias = dim.column, dim.name
+            if dim.dim_type == "time":
+                time_aliases.append(alias)
+        dims.append((alias, col, model_name))
 
+    # the cumulative window must reference grouping EXPRESSIONS —
+    # select-list aliases don't resolve inside a window in Spark
+    time_exprs = tuple(c for a, c, _ in dims if a in time_aliases)
+    other_exprs = tuple(c for a, c, _ in dims if a not in time_aliases)
     select_parts = [f"{col} AS {alias}" for alias, col, _ in dims]
-    select_parts += [_metric_select(reg, m) for m in request.metrics]
+    select_parts += [
+        _metric_select(reg, m, time_exprs, other_exprs)
+        for m in request.metrics
+    ]
 
     where_parts: list[str] = []
     if request.start_time is not None or request.end_time is not None:

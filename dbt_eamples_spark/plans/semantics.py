@@ -65,12 +65,23 @@ class SemanticModel:
 @dataclass(frozen=True)
 class Metric:
     """A named aggregation over one model's measure, optionally
-    filtered (the MetricFlow metric the CLI queries by name)."""
+    filtered (the MetricFlow metric the CLI queries by name).
+
+    ``metric_type``: "simple" (one aggregated measure), "ratio"
+    (aggregated ``measure`` / aggregated ``denominator``), or
+    "cumulative" (running total of the aggregated measure over the
+    request's time dimension — the MetricFlow cumulative class)."""
     name: str
     model: str
     measure: str
     description: str = ""
     filter_sql: str | None = None
+    metric_type: str = "simple"  # simple | ratio | cumulative
+    denominator: str | None = None  # measure name, ratio only
+
+
+# time-dimension granularities accepted as `dim__grain` group-bys
+TIME_GRAINS = ("year", "quarter", "month", "week", "day")
 
 
 @dataclass
@@ -278,6 +289,25 @@ def default_registry() -> Registry:
             "order_count",
             "orders with 1-URGENT priority",
             filter_sql="o_orderpriority = '1-URGENT'",
+        )
+    )
+    reg.add_metric(
+        Metric(
+            "revenue_per_item",
+            "lineitem",
+            "revenue",
+            "discounted revenue per lineitem",
+            metric_type="ratio",
+            denominator="items",
+        )
+    )
+    reg.add_metric(
+        Metric(
+            "cum_revenue",
+            "lineitem",
+            "revenue",
+            "running revenue over the request time grain",
+            metric_type="cumulative",
         )
     )
     return reg

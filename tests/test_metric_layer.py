@@ -82,6 +82,55 @@ class TestCompiler:
         ).sql
         assert "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END" in sql
 
+    def test_time_grain_compiles_to_date_trunc(self):
+        sql = compile_request(
+            MetricQueryRequest(
+                metrics=("revenue",), group_by=("shipdate__month",)
+            )
+        ).sql
+        assert "date_trunc('month', l_shipdate) AS shipdate__month" in sql
+        assert "GROUP BY shipdate__month" in sql
+
+    def test_unknown_grain_rejected(self):
+        with pytest.raises(ValueError, match="unknown time grain"):
+            compile_request(
+                MetricQueryRequest(
+                    metrics=("revenue",), group_by=("shipdate__decade",)
+                )
+            )
+
+    def test_grain_on_categorical_rejected(self):
+        with pytest.raises(ValueError, match="non-time dimension"):
+            compile_request(
+                MetricQueryRequest(
+                    metrics=("revenue",), group_by=("returnflag__month",)
+                )
+            )
+
+    def test_ratio_metric_compiles_to_division(self):
+        sql = compile_request(
+            MetricQueryRequest(
+                metrics=("revenue_per_item",), group_by=("returnflag",)
+            )
+        ).sql
+        assert "/ COUNT(1)" in sql
+
+    def test_cumulative_compiles_to_window(self):
+        sql = compile_request(
+            MetricQueryRequest(
+                metrics=("cum_revenue",), group_by=("returnflag", "shipdate__month")
+            )
+        ).sql
+        assert "OVER (PARTITION BY l_returnflag ORDER BY" in sql
+
+    def test_cumulative_without_time_dim_rejected(self):
+        with pytest.raises(ValueError, match="time-grained"):
+            compile_request(
+                MetricQueryRequest(
+                    metrics=("cum_revenue",), group_by=("returnflag",)
+                )
+            )
+
     def test_multi_model_metrics_rejected(self):
         with pytest.raises(ValueError, match="multiple models"):
             compile_request(MetricQueryRequest(metrics=("revenue", "order_total")))
