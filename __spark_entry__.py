@@ -26,6 +26,7 @@ from dbt_eamples_spark.operators import text as T
 from dbt_eamples_spark.oracles_ext import EXT_ORACLES
 from dbt_eamples_spark.plans.compiler import (
     MetricQueryRequest,
+    compile_dimension_sweep,
     compile_request,
     execute as execute_metric,
 )
@@ -79,6 +80,16 @@ def _metric_query(name: str):
         return execute_metric(spark, sf_dir, METRIC_REQUESTS[name]).df
 
     return run
+
+
+def _dim_sweep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass GROUPING SETS sweep of `revenue` over every lineitem
+    dimension (vs the reference's one-query-per-dimension loop,
+    dbt_query.py:166-177)."""
+    from dbt_eamples_spark.catalog import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(compile_dimension_sweep("revenue").sql)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -197,6 +208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session_agg": stream_session_agg,
         # M2 metric layer (compiled requests)
         **{name: _metric_query(name) for name in METRIC_REQUESTS},
+        "metric_compiled_dim_sweep": _dim_sweep_query,
     }
 
 
@@ -528,4 +540,5 @@ def oracle_sql() -> dict[str, str]:
         """,
         **EXT_ORACLES,
         **{name: compile_request(req).sql for name, req in METRIC_REQUESTS.items()},
+        "metric_compiled_dim_sweep": compile_dimension_sweep("revenue").sql,
     }

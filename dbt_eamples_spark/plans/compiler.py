@@ -275,6 +275,66 @@ def compile_request(
     return CompiledQuery(request, sql, dataflow, tables=tables)
 
 
+def compile_dimension_sweep(
+    metric_name: str,
+    registry: Registry | None = None,
+) -> CompiledQuery:
+    """One-pass per-dimension sweep: the metric grouped by EACH of
+    its model's own dimensions, as a single GROUPING SETS query.
+
+    The reference's per-dimension loop (`dbt_query.py:166-177`;
+    `dbt_query2.py:42-80`) issues one warehouse query per dimension
+    — N scans of the fact table. GROUPING SETS computes all N
+    groupings in one scan with shared partial aggregation; at 100 TB
+    that is N-1 fewer passes over the data. Time dimensions sweep at
+    month grain. Each output row carries a ``grouping_dim`` label
+    (which sweep the row belongs to), the dimension value as a
+    string (types unify across sets), and the metric.
+    """
+    reg = registry or default_registry()
+    metric = reg.metric(metric_name)
+    model = reg.models[metric.model]
+    sweeps: list[tuple[str, str]] = []  # (alias, column expr)
+    for d in model.dimensions:
+        if d.dim_type == "time":
+            # DATE cast before the string cast: DuckDB's month-grain
+            # date_trunc yields DATE where Spark yields TIMESTAMP —
+            # stringified they'd render differently
+            sweeps.append(
+                (
+                    f"{d.name}__month",
+                    f"CAST(date_trunc('month', {d.column}) AS DATE)",
+                )
+            )
+        else:
+            sweeps.append((d.name, d.column))
+    if not sweeps:
+        raise ValueError(f"model {model.name} has no dimensions to sweep")
+    select_dims = [f"CAST({col} AS STRING) AS {alias}" for alias, col in sweeps]
+    label = "CASE " + " ".join(
+        f"WHEN GROUPING({col}) = 0 THEN '{alias}'"
+        for alias, col in sweeps
+    ) + " END"
+    sql = "\n".join(
+        [
+            "SELECT",
+            f"    {label} AS grouping_dim,",
+            "    " + ",\n    ".join(select_dims) + ",",
+            f"    {_metric_select(reg, metric_name)}",
+            f"FROM {model.table}",
+            "GROUP BY GROUPING SETS ("
+            + ", ".join(f"({col})" for _, col in sweeps)
+            + ")",
+        ]
+    )
+    dataflow = (
+        f"<SweepNode metric={metric_name} dims="
+        f"{[a for a, _ in sweeps]}>\n  <ScanNode table={model.table}>"
+    )
+    req = MetricQueryRequest(metrics=(metric_name,))
+    return CompiledQuery(req, sql, dataflow, tables=(model.table,))
+
+
 def execute(
     spark: SparkSession,
     sf_dir: str,

@@ -131,6 +131,14 @@ class TestCompiler:
                 )
             )
 
+    def test_dimension_sweep_single_scan(self):
+        from dbt_eamples_spark.plans.compiler import compile_dimension_sweep
+
+        sql = compile_dimension_sweep("revenue").sql
+        assert sql.count("FROM lineitem") == 1
+        assert "GROUPING SETS" in sql
+        assert "grouping_dim" in sql
+
     def test_multi_model_metrics_rejected(self):
         with pytest.raises(ValueError, match="multiple models"):
             compile_request(MetricQueryRequest(metrics=("revenue", "order_total")))
