@@ -63,7 +63,19 @@ def load_table(
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Register every fixture table as a temp view named after itself."""
+    """Register every fixture table as a temp view named after itself.
+
+    Idempotent per (session, sf_dir): repeated calls for the same
+    dir are a no-op (compiled metric queries call this on every
+    execution; re-planning 10 parquet reads each time is pure
+    overhead)."""
+    # single-slot: views are session-global, so only the most recent
+    # (session, dir) registration is valid — a different dir MUST
+    # re-register or views would point at the wrong scale factor
+    key = (id(spark), sf_dir)
+    slot = getattr(register_tables, "_slot", None)
+    if slot is not None and slot[0] == key:
+        return slot[1]
     out: dict[str, DataFrame] = {}
     for name in TABLES:
         path = table_path(sf_dir, name)
@@ -72,4 +84,5 @@ def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
+    register_tables._slot = (key, out)
     return out

@@ -20,8 +20,9 @@ Scale design (the point of each algorithm):
    functions, JVM-side.
 
 Everything is built-in expressions — md5/split/transform/aggregate —
-so signatures compute inside whole-stage codegen; determinism is
-exact (md5 strings), which is what makes the DuckDB oracle possible.
+so signatures compute inside whole-stage codegen; hashes reduce to
+deterministic int64 arithmetic over md5 prefixes, which is what makes
+the DuckDB oracle exact.
 """
 
 from __future__ import annotations
@@ -223,24 +224,28 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_BITS = 64
 SIMHASH_NIBBLES = SIMHASH_BITS // 4
 SIMHASH_BANDS = 4
-SIMHASH_BAND_LEN = SIMHASH_BITS // SIMHASH_BANDS  # 16 chars per band
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 16 bits per band
 # banding recall is exact for Hamming <= SIMHASH_BANDS - 1 (some
 # band must then be untouched); verify keeps pairs within radius 3
 HAMMING_MAX = 3
 
 
 def _simhash_signatures(sh: DataFrame) -> DataFrame:
-    """doc_id → 64-char '0'/'1' signature voted by the doc's
-    shingles: bit p is set if more shingles have it set than not in
-    md5(shingle) (bit (p-1)%4 of hex nibble (p+3)//4).
+    """doc_id → 64-bit signature packed as two 32-bit halves
+    (``sig_hi`` bits 32..63, ``sig_lo`` bits 0..31), voted by the
+    doc's shingles: bit p is set if more shingles have it set than
+    not in md5(shingle) (bit p%4 of hex nibble p//4 + 1).
 
     Row-wise like :func:`_minhash_signatures`: explode shingles,
     md5 each ONCE, decode the 16 leading nibbles to ints in their
     own projection (so the 64 per-bit vote aggregates reference
     cheap columns instead of re-inlining the hash), then 64 ``sum``
-    votes folding map-side — the shuffle carries one 64-int row per
-    doc. A nested-lambda form would re-hash every shingle once per
-    bit position.
+    votes folding map-side — the shuffle carries one row of ints
+    per doc. Packed ints rather than a 64-char bit string keep the
+    downstream band/verify shuffles ~30× narrower and turn Hamming
+    distance into two ``bit_count(xor)`` ops instead of 64
+    substring compares. Two halves, not one int64: bit 63 as a
+    packed addend overflows the signed long in both engines.
     """
     # explode_outer: same inferred-filter avoidance as minhash
     rows = sh.select("doc_id", F.explode_outer("shingles").alias("s"))
@@ -253,21 +258,29 @@ def _simhash_signatures(sh: DataFrame) -> DataFrame:
         ],
     )
     votes = []
-    for p in range(1, SIMHASH_BITS + 1):
-        ci = (p + 3) // 4
-        mask = 1 << ((p - 1) % 4)
+    for p in range(SIMHASH_BITS):
+        ci = p // 4 + 1
+        mask = 1 << (p % 4)
         votes.append(
             F.sum(
                 F.when(F.col(f"nib{ci}").bitwiseAND(F.lit(mask)) > 0, F.lit(1))
                 .otherwise(F.lit(-1))
             ).alias(f"v{p}")
         )
-    bits = [
-        F.when(F.col(f"v{p}") > 0, F.lit("1")).otherwise(F.lit("0"))
-        for p in range(1, SIMHASH_BITS + 1)
-    ]
+
+    def _packed(bit_range, base):
+        out = F.lit(0).cast("long")
+        for p in bit_range:
+            out = out + F.when(
+                F.col(f"v{p}") > 0, F.lit(1 << (p - base)).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return out
+
+    half = SIMHASH_BITS // 2
     return nibs.groupBy("doc_id").agg(*votes).select(
-        "doc_id", F.concat(*bits).alias("sig")
+        "doc_id",
+        _packed(range(half, SIMHASH_BITS), half).alias("sig_hi"),
+        _packed(range(half), 0).alias("sig_lo"),
     )
 
 
@@ -283,22 +296,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     sigs = _simhash_signatures(_shingles(docs))
 
+    # band b covers 16 consecutive bits: 0/1 from sig_lo, 2/3 from
+    # sig_hi — an int bucket key, no string slicing
+    bucket = F.expr(
+        "shiftright(IF(band < 2, sig_lo, sig_hi), (band % 2) * 16) & 65535"
+    )
     bands = sigs.select(
         "doc_id",
-        "sig",
+        "sig_hi",
+        "sig_lo",
         F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("band"),
-    ).select(
-        "doc_id",
-        "sig",
-        "band",
-        F.expr(
-            f"substring(sig, band * {SIMHASH_BAND_LEN} + 1, {SIMHASH_BAND_LEN})"
-        ).alias("bucket"),
-    )
+    ).select("doc_id", "sig_hi", "sig_lo", "band", bucket.alias("bucket"))
 
     buckets = (
         bands.groupBy("band", "bucket")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sig"))).alias("ds"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "sig_hi", "sig_lo"))
+            ).alias("ds")
+        )
         .filter(F.size("ds") > 1)
     )
     cands = (
@@ -314,26 +330,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                             lambda y: F.struct(
                                 F.element_at(F.col("ds"), i).doc_id.alias("doc_a"),
                                 y.doc_id.alias("doc_b"),
-                                F.element_at(F.col("ds"), i).sig.alias("sig_a"),
-                                y.sig.alias("sig_b"),
+                                F.element_at(F.col("ds"), i).sig_hi.alias("hi_a"),
+                                F.element_at(F.col("ds"), i).sig_lo.alias("lo_a"),
+                                y.sig_hi.alias("hi_b"),
+                                y.sig_lo.alias("lo_b"),
                             ),
                         ),
                     )
                 )
             ).alias("p")
         )
-        .select("p.doc_a", "p.doc_b", "p.sig_a", "p.sig_b")
+        .select("p.doc_a", "p.doc_b", "p.hi_a", "p.lo_a", "p.hi_b", "p.lo_b")
         .distinct()
     )
-    hamming = sum(
-        (
-            F.when(
-                F.substring("sig_a", p, 1) != F.substring("sig_b", p, 1), F.lit(1)
-            ).otherwise(F.lit(0))
-            for p in range(1, SIMHASH_BITS + 1)
-        ),
-        F.lit(0),
-    )
+    hamming = F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    ) + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
     return (
         cands.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= HAMMING_MAX)

@@ -20,7 +20,6 @@ from dbt_eamples_spark.operators.dedup import (
     MINHASH_P,
     MINHASH_ROWS,
     SIMHASH_BANDS,
-    SIMHASH_BAND_LEN,
     SIMHASH_BITS,
     SIMHASH_NIBBLES,
 )
@@ -230,36 +229,42 @@ EXT_ORACLES: dict[str, str] = {
         votes AS (
             SELECT doc_id,
                    {', '.join(
-                       f"sum(CASE WHEN (nib{(p + 3) // 4} & {1 << ((p - 1) % 4)}) > 0"
+                       f"sum(CASE WHEN (nib{p // 4 + 1} & {1 << (p % 4)}) > 0"
                        f" THEN 1 ELSE -1 END) AS v{p}"
-                       for p in range(1, SIMHASH_BITS + 1))}
+                       for p in range(SIMHASH_BITS))}
             FROM nibs GROUP BY doc_id
         ),
         sigs AS (
             SELECT doc_id,
-                   {" || ".join(
-                       f"CASE WHEN v{p} > 0 THEN '1' ELSE '0' END"
-                       for p in range(1, SIMHASH_BITS + 1))} AS sig
+                   ({' + '.join(
+                       f"CASE WHEN v{p} > 0 THEN {1 << (p - 32)}::BIGINT"
+                       " ELSE 0::BIGINT END"
+                       for p in range(32, SIMHASH_BITS))}) AS sig_hi,
+                   ({' + '.join(
+                       f"CASE WHEN v{p} > 0 THEN {1 << p}::BIGINT"
+                       " ELSE 0::BIGINT END"
+                       for p in range(32))}) AS sig_lo
             FROM votes
         ),
         buckets AS (
-            SELECT doc_id, sig, band,
-                   substr(sig, band * {SIMHASH_BAND_LEN} + 1, {SIMHASH_BAND_LEN})
-                       AS bucket
-            FROM (SELECT doc_id, sig, unnest(range(0, {SIMHASH_BANDS})) AS band
+            SELECT doc_id, sig_hi, sig_lo, band,
+                   ((CASE WHEN band < 2 THEN sig_lo ELSE sig_hi END
+                     >> ((band % 2) * 16)) & 65535) AS bucket
+            FROM (SELECT doc_id, sig_hi, sig_lo,
+                         unnest(range(0, {SIMHASH_BANDS})) AS band
                   FROM sigs)
         ),
         cands AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                            a.sig AS sig_a, b.sig AS sig_b
+                            a.sig_hi AS hi_a, a.sig_lo AS lo_a,
+                            b.sig_hi AS hi_b, b.sig_lo AS lo_b
             FROM buckets a JOIN buckets b
               ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
         )
         SELECT doc_a, doc_b, hamming FROM (
             SELECT doc_a, doc_b,
-                   CAST(list_sum(list_transform(range(1, {SIMHASH_BITS} + 1), p ->
-                       CASE WHEN substr(sig_a, p, 1) != substr(sig_b, p, 1)
-                            THEN 1 ELSE 0 END)) AS INT) AS hamming
+                   CAST(bit_count(xor(hi_a, hi_b))
+                        + bit_count(xor(lo_a, lo_b)) AS INT) AS hamming
             FROM cands
         ) WHERE hamming <= {HAMMING_MAX}
     """,
