@@ -1,0 +1,64 @@
+"""Property-based check of the as-of join (hypothesis): on random
+small key/time datasets, the union-and-scan implementation must
+match a brute-force per-row reference (greatest right ts <= left ts
+per key, ties broken by greatest tiebreak id, NULL when no match).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dbt_eamples_spark.operators.asof import as_of_join
+
+ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # key
+        st.integers(min_value=0, max_value=12),  # ts
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+def brute_force(left_rows, right_rows):
+    out = {}
+    for lid, (lk, lt) in enumerate(left_rows):
+        best = None
+        for rid, (rk, rt) in enumerate(right_rows):
+            if rk == lk and rt <= lt:
+                cand = (rt, rid)
+                if best is None or cand > best:
+                    best = cand
+        out[lid] = None if best is None else best[1]
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left_rows=ROWS, right_rows=ROWS)
+def test_asof_matches_brute_force(spark, left_rows, right_rows):
+    left = spark.createDataFrame(
+        [(lid, k, t) for lid, (k, t) in enumerate(left_rows)],
+        "lid long, k long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(rid, k, t) for rid, (k, t) in enumerate(right_rows)],
+        "rid long, k long, ts long",
+    )
+    got = {
+        r["lid"]: r["matched_rid"]
+        for r in as_of_join(
+            left,
+            right,
+            on="k",
+            left_ts="ts",
+            right_ts="ts",
+            payload={"rid": "matched_rid"},
+            tiebreak="rid",
+        ).collect()
+    }
+    assert got == brute_force(left_rows, right_rows)
