@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_values": R.distinct_values,
         "metric_grouping_sets": R.metric_grouping_sets,
         "metric_rollup": R.metric_rollup,
+        "metric_cube": R.metric_cube,
         # §2.5 windows
         "window_topk_per_group": R.window_topk_per_group,
         "window_running_sum": R.window_running_sum,
@@ -350,6 +351,13 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "metric_cube": """
+            SELECT o_orderstatus, o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS total_price
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
         "window_topk_per_group": """
             SELECT c_mktsegment, c_custkey, c_acctbal, rk FROM (

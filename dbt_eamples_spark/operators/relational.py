@@ -328,6 +328,20 @@ def metric_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def metric_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two independent dimensions — every combination of
+    (orderstatus, orderpriority) subtotals in one pass (the
+    multi-granularity totals surface §2.4 lists as delegated)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.5 windows
 # ---------------------------------------------------------------------------
