@@ -173,6 +173,29 @@ class TestBucketing:
         assert diff == 0
 
 
+class TestMultimodal:
+    def test_fake_decode_feature_shape(self, spark, sf_dir):
+        from dbt_eamples_spark.operators.multimodal import (
+            FEATURE_DIM,
+            multimodal_decode_features,
+        )
+
+        row = multimodal_decode_features(spark, sf_dir).limit(1).collect()[0]
+        assert len(row["features"]) == FEATURE_DIM
+        assert row["n_bytes"] > 0
+
+    def test_strict_stub_raises_where_decoder_plugs_in(self, spark, sf_dir):
+        import pytest as _pytest
+
+        from dbt_eamples_spark.operators.multimodal import (
+            multimodal_decode_features,
+        )
+
+        df = multimodal_decode_features(spark, sf_dir, decode_stub="strict")
+        with _pytest.raises(Exception, match="NotImplementedError|media decode"):
+            df.limit(1).collect()
+
+
 class TestStreaming:
     def test_streaming_equals_batch(self, spark, sf_dir, tmp_path):
         name = f"tumbling_{uuid.uuid4().hex[:8]}"
