@@ -184,6 +184,30 @@ class TestCLI:
         sql = (tmp_path / "orders_orderstatus.sql").read_text()
         assert "GROUP BY orderstatus" in sql
 
+    def test_query_csv_output(self, spark, sf_dir, tmp_path, capsys):
+        import glob
+
+        out = str(tmp_path / "rev_csv")
+        rc = cli_main(
+            [
+                "query",
+                "--metrics",
+                "order_count",
+                "--group-by",
+                "orderstatus",
+                "--csv",
+                out,
+                "--sf-dir",
+                sf_dir,
+            ]
+        )
+        assert rc == 0
+        parts = glob.glob(f"{out}/part-*.csv")
+        assert parts, "expected a CSV part file"
+        text = open(parts[0]).read()
+        assert text.splitlines()[0] == "orderstatus,order_count"
+        assert len(text.splitlines()) == 4  # header + 3 statuses
+
     def test_dump_queries_unknown_metric(self, capsys):
         rc = cli_main(["dump-queries", "--metric", "nope", "--output-dir", "/tmp/x"])
         assert rc == 1
