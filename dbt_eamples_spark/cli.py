@@ -128,6 +128,32 @@ def cmd_dump_queries(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_sweep(args: argparse.Namespace) -> int:
+    """One-pass per-dimension sweep (the single-scan form of
+    dump-queries' N per-dimension queries)."""
+    from dbt_eamples_spark.plans.compiler import compile_dimension_sweep
+
+    try:
+        compiled = compile_dimension_sweep(args.metric)
+    except (KeyError, ValueError) as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
+    if args.explain:
+        print("-- rendered SQL --")
+        print(compiled.sql)
+        print("\n-- dataflow plan --")
+        print(compiled.dataflow_text)
+        return 0
+    from dbt_eamples_spark.catalog import register_tables
+    from dbt_eamples_spark.session import get_spark
+
+    spark = get_spark("metric-sweep")
+    register_tables(spark, args.sf_dir)
+    df = spark.sql(compiled.sql)
+    print(result_text_format(df, decimals=args.decimals))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="dbt-eamples-spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -151,6 +177,15 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--metric", required=True)
     d.add_argument("--output-dir", required=True)
     d.set_defaults(func=cmd_dump_queries)
+
+    s = sub.add_parser(
+        "sweep", help="metric by every dimension in one GROUPING SETS pass"
+    )
+    s.add_argument("--metric", required=True)
+    s.add_argument("--explain", action="store_true", help="show SQL only")
+    s.add_argument("--decimals", type=int, default=2)
+    s.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    s.set_defaults(func=cmd_sweep)
     return p
 
 

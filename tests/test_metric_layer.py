@@ -208,6 +208,16 @@ class TestCLI:
         assert text.splitlines()[0] == "orderstatus,order_count"
         assert len(text.splitlines()) == 4  # header + 3 statuses
 
+    def test_sweep_explain(self, capsys):
+        rc = cli_main(["sweep", "--metric", "revenue", "--explain"])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "GROUPING SETS" in out
+
+    def test_sweep_unknown_metric(self, capsys):
+        rc = cli_main(["sweep", "--metric", "nope", "--explain"])
+        assert rc == 1
+
     def test_dump_queries_unknown_metric(self, capsys):
         rc = cli_main(["dump-queries", "--metric", "nope", "--output-dir", "/tmp/x"])
         assert rc == 1

@@ -173,6 +173,50 @@ class TestBucketing:
         assert diff == 0
 
 
+class TestRowsOnlyOps:
+    """Value-level checks for the two queries whose driver check is
+    rows-only (no SQL oracle by design)."""
+
+    def test_approx_distinct_within_rsd(self, spark, sf_dir):
+        from dbt_eamples_spark.operators.relational import (
+            agg_approx_distinct,
+            agg_count_distinct,
+        )
+
+        exact = agg_count_distinct(spark, sf_dir).collect()[0]
+        rows = agg_approx_distinct(spark, sf_dir).collect()
+        total_exact = exact["n_active_customers"]
+        # per-status approximations must each be within 5×rsd of the
+        # per-status exact count (loose but catches gross breakage)
+        o = load_table(spark, sf_dir, "orders")
+        for r in rows:
+            ex = (
+                o.filter(F.col("o_orderstatus") == r["o_orderstatus"])
+                .select("o_custkey")
+                .distinct()
+                .count()
+            )
+            assert abs(r["approx_customers"] - ex) <= max(0.1 * ex, 5), (
+                r,
+                ex,
+            )
+        assert total_exact > 0
+
+    def test_pandas_similarity_matches_exact(self, spark, sf_dir):
+        from dbt_eamples_spark.operators.similarity import (
+            similarity_topk,
+            similarity_topk_pandas,
+        )
+
+        a = similarity_topk(spark, sf_dir)
+        b = similarity_topk_pandas(spark, sf_dir)
+        # identical neighbor sets and ranks; cosines may differ in
+        # the last rounded digit (different float summation order)
+        ka = sorted((r["query_id"], r["rk"], r["neighbor_id"]) for r in a.collect())
+        kb = sorted((r["query_id"], r["rk"], r["neighbor_id"]) for r in b.collect())
+        assert ka == kb
+
+
 class TestMultimodal:
     def test_fake_decode_feature_shape(self, spark, sf_dir):
         from dbt_eamples_spark.operators.multimodal import (
