@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.11 EXT — similarity search
         "similarity_topk": V.similarity_topk,
         "similarity_ivf_topk": V.similarity_ivf_topk,
+        "similarity_lsh_topk": V.similarity_lsh_topk,
         # Arrow/numpy path — intentionally NO oracle_sql entry
         # (pairwise vs left-fold float summation differs at 6 dp);
         # the exact twin similarity_topk carries value correctness

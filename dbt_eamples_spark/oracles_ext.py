@@ -24,6 +24,9 @@ from dbt_eamples_spark.operators.dedup import (
     SIMHASH_NIBBLES,
 )
 from dbt_eamples_spark.operators.similarity import (
+    LSH_PLANE_WEIGHTS,
+    LSH_PLANES,
+    LSH_TABLES,
     NCENTROIDS,
     NPROBE,
     N_QUERIES,
@@ -61,6 +64,20 @@ def _norm(a: str) -> str:
 
 def _cos(a: str, b: str) -> str:
     return f"({_dot(a, b)} / ({_norm(a)} * {_norm(b)}))"
+
+
+
+def _lsh_bucket_sql(t: int) -> str:
+    """Bucket id for table t over a double-list column ``vec`` —
+    literal plane weights, strict left-fold dots (mirrors
+    similarity._lsh_bucket exactly)."""
+    bits = []
+    for p in range(LSH_PLANES):
+        w = "[" + ", ".join(repr(x) for x in LSH_PLANE_WEIGHTS[t][p]) + "]"
+        bits.append(
+            f"(CASE WHEN {_dot('vec', w)} >= 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return "(" + " + ".join(bits) + ")"
 
 
 def _lang_hits_sql(lang: str) -> str:
@@ -312,6 +329,39 @@ EXT_ORACLES: dict[str, str] = {
             SELECT query_id, v.vec_id AS neighbor_id,
                    round({_cos('qvec', 'v.vec')}, 6) AS cosine
             FROM v JOIN q ON v.vec_id != q.query_id
+        )
+        SELECT query_id, neighbor_id, cosine, rk FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id ASC) AS rk
+            FROM scored
+        ) WHERE rk <= {TOP_K}
+    """,
+    "similarity_lsh_topk": f"""
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+            FROM embeddings
+        ),
+        wb AS (
+            SELECT vec_id, vec,
+                   {', '.join(f"{_lsh_bucket_sql(t)} AS b{t}"
+                              for t in range(LSH_TABLES))}
+            FROM v
+        ),
+        q AS (SELECT vec_id AS query_id, vec AS qvec,
+                     {', '.join(f"b{t} AS qb{t}" for t in range(LSH_TABLES))}
+              FROM wb WHERE vec_id < {N_QUERIES}),
+        cands AS (
+            {' UNION ALL '.join(
+                f"SELECT query_id, qvec, wb.vec_id AS neighbor_id, wb.vec "
+                f"FROM wb JOIN q ON wb.b{t} = q.qb{t} "
+                f"AND wb.vec_id != q.query_id"
+                for t in range(LSH_TABLES))}
+        ),
+        scored AS (
+            SELECT DISTINCT query_id, neighbor_id,
+                   round({_cos('qvec', 'vec')}, 6) AS cosine
+            FROM cands
         )
         SELECT query_id, neighbor_id, cosine, rk FROM (
             SELECT query_id, neighbor_id, cosine,
