@@ -43,6 +43,7 @@ HEADLINE = [
     "dedup_simhash",
     "similarity_topk",
     "similarity_ivf_topk",
+    "similarity_lsh_topk",
     "text_token_stats",
     "doc_fingerprint",
     "doc_winnow_fingerprint",

@@ -35,6 +35,36 @@ def brute_force(left_rows, right_rows):
 
 
 @settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(fact_rows=ROWS, n_salts=st.integers(min_value=1, max_value=5))
+def test_salted_join_property(spark, fact_rows, n_salts):
+    """salted_join(fact, dim) ≡ fact.join(dim) for any salt count."""
+    from pyspark.sql import functions as F
+
+    from dbt_eamples_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(fact_rows)],
+        "fid long, k long, v long",
+    )
+    dim = spark.createDataFrame(
+        [(k, k * 10) for k in {k for k, _ in fact_rows}],
+        "k long, payload long",
+    )
+    plain = sorted(
+        (r["fid"], r["payload"]) for r in fact.join(dim, "k").collect()
+    )
+    salted = sorted(
+        (r["fid"], r["payload"])
+        for r in salted_join(fact, dim, key="k", n_salts=n_salts).collect()
+    )
+    assert plain == salted
+
+
+@settings(
     max_examples=12,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
