@@ -313,22 +313,40 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec",
         *[_lsh_bucket(F.col("vec"), t).alias(f"b{t}") for t in range(LSH_TABLES)],
     )
-    queries = with_buckets.filter(F.col("vec_id") < N_QUERIES).select(
+    # ONE corpus pass: explode each row to (table, bucket) keys and
+    # broadcast-join the (tiny, likewise-exploded) query side on
+    # them — vs one join per hash table, which rescans the corpus L
+    # times. The explode multiplies rows ×L but stays narrow; the
+    # probe is a single broadcast hash join.
+    tb = F.explode_outer(
+        F.array(
+            *[
+                F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bucket"))
+                for t in range(LSH_TABLES)
+            ]
+        )
+    )
+    corpus_keys = with_buckets.select("vec_id", "vec", tb.alias("tb")).select(
+        "vec_id", "vec", "tb.t", "tb.bucket"
+    )
+    query_keys = corpus_keys.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qvec"),
-        *[F.col(f"b{t}").alias(f"qb{t}") for t in range(LSH_TABLES)],
+        "t",
+        "bucket",
     )
-    cand_parts = [
-        with_buckets.join(
-            F.broadcast(queries),
-            (F.col(f"b{t}") == F.col(f"qb{t}"))
-            & (F.col("vec_id") != F.col("query_id")),
-        ).select("query_id", "qvec", F.col("vec_id").alias("neighbor_id"), "vec")
-        for t in range(LSH_TABLES)
-    ]
-    cands = cand_parts[0]
-    for part in cand_parts[1:]:
-        cands = cands.unionByName(part)
+    ck, qk = corpus_keys.alias("c"), query_keys.alias("q")
+    cands = ck.join(
+        F.broadcast(qk),
+        (F.col("c.t") == F.col("q.t"))
+        & (F.col("c.bucket") == F.col("q.bucket"))
+        & (F.col("c.vec_id") != F.col("q.query_id")),
+    ).select(
+        "q.query_id",
+        F.col("q.qvec").alias("qvec"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        F.col("c.vec").alias("vec"),
+    )
     scored = cands.dropDuplicates(["query_id", "neighbor_id"]).select(
         "query_id",
         "neighbor_id",
