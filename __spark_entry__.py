@@ -120,71 +120,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordering is deliberate (round-2 fix): CORRECTNESS_r01.json held
+    rows for only the first 50 entries, so the entries that never
+    got a driver correctness row run FIRST, followed by the 13 that
+    failed round 1 (events nanos read), then the already-green rest.
+    """
     return {
-        # §2.1 scans / sources
-        "scan_table": R.scan_table,
-        "sql_execute_limit": R.sql_execute_limit,
-        # §2.2 filters / projections
-        "filter_type_and_notnull": R.filter_type_and_notnull,
-        "filter_where_expr": R.filter_where_expr,
-        "filter_time_range": R.filter_time_range,
-        "project_report_cols": R.project_report_cols,
-        # §2.3 joins
-        "join_fact_dim": R.join_fact_dim,
-        "join_star_3way": R.join_star_3way,
-        "join_left_outer": R.join_left_outer,
-        "join_anti_new_rows": R.join_anti_new_rows,
-        "join_asof": join_asof,
-        "join_salted_skew": join_salted_skew,
-        "join_time_range": R.join_time_range,
-        # §2.4 aggregations
-        "agg_max_watermark": R.agg_max_watermark,
-        "agg_count": R.agg_count,
-        "agg_count_distinct": R.agg_count_distinct,
-        "agg_percentiles": R.agg_percentiles,
-        # sketch op — intentionally NO oracle_sql entry (DuckDB's
-        # HLL differs); the driver records the rows-only check
-        "agg_approx_distinct": R.agg_approx_distinct,
-        "metric_groupby_agg": R.metric_groupby_agg,
-        "distinct_values": R.distinct_values,
-        "metric_grouping_sets": R.metric_grouping_sets,
-        "metric_rollup": R.metric_rollup,
-        "metric_cube": R.metric_cube,
-        # §2.5 windows
-        "window_topk_per_group": R.window_topk_per_group,
-        "window_running_sum": R.window_running_sum,
-        "window_lag_delta": R.window_lag_delta,
-        # §2.6 sorts / limits
-        "order_by": R.order_by,
-        "order_limit_topk": R.order_limit_topk,
-        "limit_offset_page": R.limit_offset_page,
-        # §2.7 set ops
-        "union_incremental_snapshots": R.union_incremental_snapshots,
-        "intersect_except": R.intersect_except,
-        # §2.8 scalar functions
-        "hex_decode_utf8": R.hex_decode_utf8,
-        "unixtime_to_iso": R.unixtime_to_iso,
-        "tz_normalize": R.tz_normalize,
-        "round_decimals": R.round_decimals,
-        "regexp_redact": R.regexp_redact,
-        "string_chunk": R.string_chunk,
-        "concat_report_rows": R.concat_report_rows,
-        "sanitize_name": R.sanitize_name,
-        "json_extract_props": R.json_extract_props,
-        # §2.11 EXT — text analysis
-        "text_token_stats": T.text_token_stats,
-        "text_lang_id": T.text_lang_id,
-        "text_quality_score": T.text_quality_score,
-        "text_token_count_bpe": T.text_token_count_bpe,
-        "doc_fingerprint": T.doc_fingerprint,
-        "doc_winnow_fingerprint": T.doc_winnow_fingerprint,
-        # §2.11 EXT — dedup
-        "dedup_exact": D.dedup_exact,
-        "dedup_minhash": D.dedup_minhash,
-        "dedup_simhash": D.dedup_simhash,
-        "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
-        "dedup_embedding_cosine": D.dedup_embedding_cosine,
+        # --- never driver-checked in round 1: run these first ---
+        # M2 metric layer (compiled requests)
+        **{name: _metric_query(name) for name in METRIC_REQUESTS},
+        "metric_compiled_dim_sweep": _dim_sweep_query,
         # §2.11 EXT — similarity search
         "similarity_topk": V.similarity_topk,
         "similarity_ivf_topk": V.similarity_ivf_topk,
@@ -193,6 +140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (pairwise vs left-fold float summation differs at 6 dp);
         # the exact twin similarity_topk carries value correctness
         "similarity_topk_pandas": V.similarity_topk_pandas,
+        "dedup_embedding_cosine": D.dedup_embedding_cosine,
         # §2.11 EXT — multimodal plumbing
         "multimodal_meta": M.multimodal_meta,
         "multimodal_features_flat": M.multimodal_features_flat,
@@ -208,9 +156,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_delta_filter": incremental_delta_filter_query,
         "stream_tumbling_count": stream_tumbling_count,
         "stream_session_agg": stream_session_agg,
-        # M2 metric layer (compiled requests)
-        **{name: _metric_query(name) for name in METRIC_REQUESTS},
-        "metric_compiled_dim_sweep": _dim_sweep_query,
+        # --- failed round 1 on the events nanos read (now fixed) ---
+        "filter_type_and_notnull": R.filter_type_and_notnull,
+        "project_report_cols": R.project_report_cols,
+        "join_anti_new_rows": R.join_anti_new_rows,
+        "join_asof": join_asof,
+        "join_salted_skew": join_salted_skew,
+        "agg_max_watermark": R.agg_max_watermark,
+        "window_running_sum": R.window_running_sum,
+        "window_lag_delta": R.window_lag_delta,
+        "union_incremental_snapshots": R.union_incremental_snapshots,
+        "unixtime_to_iso": R.unixtime_to_iso,
+        "tz_normalize": R.tz_normalize,
+        "concat_report_rows": R.concat_report_rows,
+        "json_extract_props": R.json_extract_props,
+        # --- new in round 2 ---
+        # sketch twin of agg_percentiles — rows-only by design
+        "agg_approx_percentiles": R.agg_approx_percentiles,
+        # --- green in round 1 ---
+        # §2.1 scans / sources
+        "scan_table": R.scan_table,
+        "sql_execute_limit": R.sql_execute_limit,
+        # §2.2 filters / projections
+        "filter_where_expr": R.filter_where_expr,
+        "filter_time_range": R.filter_time_range,
+        # §2.3 joins
+        "join_fact_dim": R.join_fact_dim,
+        "join_star_3way": R.join_star_3way,
+        "join_left_outer": R.join_left_outer,
+        "join_time_range": R.join_time_range,
+        # §2.4 aggregations
+        "agg_count": R.agg_count,
+        "agg_count_distinct": R.agg_count_distinct,
+        "agg_percentiles": R.agg_percentiles,
+        # sketch op — intentionally NO oracle_sql entry (DuckDB's
+        # HLL differs); the driver records the rows-only check
+        "agg_approx_distinct": R.agg_approx_distinct,
+        "metric_groupby_agg": R.metric_groupby_agg,
+        "distinct_values": R.distinct_values,
+        "metric_grouping_sets": R.metric_grouping_sets,
+        "metric_rollup": R.metric_rollup,
+        "metric_cube": R.metric_cube,
+        # §2.5 windows
+        "window_topk_per_group": R.window_topk_per_group,
+        # §2.6 sorts / limits
+        "order_by": R.order_by,
+        "order_limit_topk": R.order_limit_topk,
+        "limit_offset_page": R.limit_offset_page,
+        # §2.7 set ops
+        "intersect_except": R.intersect_except,
+        # §2.8 scalar functions
+        "hex_decode_utf8": R.hex_decode_utf8,
+        "round_decimals": R.round_decimals,
+        "regexp_redact": R.regexp_redact,
+        "string_chunk": R.string_chunk,
+        "sanitize_name": R.sanitize_name,
+        # §2.11 EXT — text analysis
+        "text_token_stats": T.text_token_stats,
+        "text_lang_id": T.text_lang_id,
+        "text_quality_score": T.text_quality_score,
+        "text_token_count_bpe": T.text_token_count_bpe,
+        "doc_fingerprint": T.doc_fingerprint,
+        "doc_winnow_fingerprint": T.doc_winnow_fingerprint,
+        # §2.11 EXT — dedup
+        "dedup_exact": D.dedup_exact,
+        "dedup_minhash": D.dedup_minhash,
+        "dedup_simhash": D.dedup_simhash,
+        "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
     }
 
 

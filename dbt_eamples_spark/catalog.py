@@ -53,6 +53,11 @@ def load_table(
     it parallelizes, and harmless on a real cluster where the scan
     already yields many splits.
     """
+    # runtime-settable; required under ANY session (not just our own
+    # factory) so the driver's vanilla SparkSession can read the
+    # TIMESTAMP(NANOS) `ts` column in events.parquet without
+    # PARQUET_TYPE_ILLEGAL. Harmless for the other tables.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     for col in _NANOS_TS_COLS.get(name, ()):
         if col in df.columns and dict(df.dtypes).get(col) == "bigint":

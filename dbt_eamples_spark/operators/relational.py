@@ -251,6 +251,33 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch twin of ``agg_percentiles`` — the 100 TB scale path.
+
+    ``percentile_approx`` keeps a bounded mergeable sketch per group
+    (partials combine map-side; the shuffle carries one sketch per
+    group), where exact ``percentile`` buffers EVERY group value in
+    the aggregation buffer — with only 3 o_orderstatus groups that is
+    an executor OOM at scale. accuracy=10000 → ~1e-4 rank error.
+
+    No DuckDB oracle on purpose (sketch values differ by algorithm);
+    the driver records the rows-only check and the exact twin
+    ``agg_percentiles`` carries value correctness — same dual-track
+    pattern as ``agg_approx_distinct``."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(
+            F.expr("percentile_approx(o_totalprice, 0.5, 10000)"), 4
+        ).alias("p50"),
+        F.round(
+            F.expr("percentile_approx(o_totalprice, 0.9, 10000)"), 4
+        ).alias("p90"),
+        F.round(
+            F.expr("percentile_approx(o_totalprice, 0.99, 10000)"), 4
+        ).alias("p99"),
+    )
+
+
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct count — the sketch form of
     ``agg_count_distinct``. Mergeable state: partials combine

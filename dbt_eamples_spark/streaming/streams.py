@@ -103,7 +103,10 @@ def stream_session_agg_streaming(
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events fixture as a watermarked file-stream source."""
     # schema from the RAW file (ts arrives as long under
-    # nanosAsLong; load_table's converted schema would mismatch)
+    # nanosAsLong; load_table's converted schema would mismatch).
+    # Set the conf here too so this works under ANY session, not
+    # only our own factory (driver sessions don't pre-set it).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     # file-stream source requires a directory: stream the sf dir,
     # glob-filtered to the events file
