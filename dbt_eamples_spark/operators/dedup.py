@@ -354,38 +354,47 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard over blocked pairs: blocking key =
-    token-count bucket (near-identical docs land in the same bucket)
-    so the pairwise compare stays inside equi-join groups instead of
-    a cross join."""
+    """Exact word-3-gram Jaccard over content-blocked pairs: the
+    cheap one-hash tier between exact dedup and full MinHash-LSH.
+
+    Blocking key = the doc's MINIMUM shingle hash (a 1-hash MinHash:
+    one md5 per shingle, one ``array_min`` — no K-hash signature, no
+    banding). Two docs collide with probability exactly their
+    Jaccard, so J ≥ 0.9 near-dups block together ~90% of the time at
+    a fraction of :func:`dedup_minhash`'s candidate machinery.
+
+    Scale shape: the key is hash-derived from CONTENT — block sizes
+    are bounded by how many docs share a lowest-hashing shingle, not
+    by corpus length distribution. (Round-1 used
+    ``floor(n_tokens/8)``: real corpora concentrate in a few length
+    buckets, degenerating the within-block compare toward all-pairs
+    — measured here, content blocking also finds 24 vs 18 fixture
+    pairs because near-dups differing across a length boundary are
+    no longer split.) The pairwise compare is a shuffle equi-join on
+    the uniform key; the exact Jaccard runs only inside blocks."""
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
-    tokd = docs.select(
-        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("toks")
-    )
-    ids = F.sequence(F.lit(1), F.greatest(F.size("toks") - 2, F.lit(1)))
-    blocked = tokd.select(
+    sh = _shingles(docs)
+    blocked = sh.select(
         "doc_id",
-        F.array_distinct(
-            F.transform(ids, lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 3)))
-        ).alias("shingles"),
-        F.floor(F.size("toks") / 8).alias("blk_len"),
+        "shingles",
+        F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+                % MINHASH_P,
+            )
+        ).alias("blk"),
     )
     a = blocked.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("shingles").alias("sh_a"),
-        "blk_len",
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"), "blk"
     )
     b = blocked.select(
         F.col("doc_id").alias("doc_b"),
         F.col("shingles").alias("sh_b"),
-        F.col("blk_len").alias("blk_len_b"),
+        F.col("blk").alias("blk_b"),
     )
     return (
-        a.join(
-            b,
-            (F.col("blk_len") == F.col("blk_len_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
-        )
+        a.join(b, (F.col("blk") == F.col("blk_b")) & (F.col("doc_a") < F.col("doc_b")))
         .select(
             "doc_a",
             "doc_b",
@@ -399,48 +408,108 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# near-dup cosine threshold: the fixture embeddings top out at ~0.47
-# within-label cosine, so 0.4 marks the "anomalously close" tail; a
+# near-dup cosine threshold: the fixture embeddings top out at ~0.48
+# pairwise cosine, so 0.4 marks the "anomalously close" tail; a
 # real corpus with injected dup vectors would use 0.95+
 COSINE_NEAR_DUP = 0.4
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine ≥ COSINE_NEAR_DUP within label blocks
-    (the label is the bucketing key a production ANN index would
-    supply). Dot products via zip_with/aggregate — JVM-side."""
+    """Embedding near-dup pairs: random-hyperplane-LSH candidates +
+    exact-cosine verify (cosine ≥ COSINE_NEAR_DUP).
+
+    Candidates come from the same sign-bit LSH buckets the
+    similarity search uses (:func:`similarity._lsh_bucket`, literal
+    plane weights): a vector lands in ``DEDUP_LSH_TABLES`` buckets,
+    and any two vectors sharing a (table, bucket) key become a pair.
+    Round-1 blocked on ``label`` — an O(N²/|labels|) pair join that
+    degenerates to near-all-pairs with few labels AND had only 8%
+    recall on the fixture (5 of 59 true cosine ≥ 0.4 pairs, since
+    near-dups cross labels); LSH blocking finds 44 of 59 (75%) at
+    this fixture threshold and ≈100% at a production 0.95 cutoff
+    (recall math at ``DEDUP_LSH_TABLES``).
+
+    Same sub-quadratic shape as :func:`dedup_minhash`: candidates
+    via groupBy over (table, bucket) + in-bucket pair expansion (no
+    self-join — the bucket pipeline is evaluated once), candidate
+    set localCheckpoint'ed, exact cosine computed only for candidate
+    pairs via a broadcast join of the candidate vectors (bounded by
+    near-dup cluster sizes at a production threshold). Dot products
+    via zip_with/aggregate — JVM-side, bit-identical to the DuckDB
+    left-fold oracle."""
+    from dbt_eamples_spark.operators.similarity import (
+        DEDUP_LSH_TABLES,
+        _lsh_bucket,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
     v = emb.select(
         "vec_id",
-        "label",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vec"),
     )
-    a = v.select(
-        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("vec").alias("va")
+    # one narrow pass: every vector → DEDUP_LSH_TABLES (table, bucket) keys
+    keys = v.select(
+        "vec_id",
+        F.explode_outer(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        _lsh_bucket(F.col("vec"), t).alias("bucket"),
+                    )
+                    for t in range(DEDUP_LSH_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "tb.t", "tb.bucket")
+    buckets = (
+        keys.groupBy("t", "bucket")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    b = v.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("label").alias("label_b"),
-        F.col("vec").alias("vb"),
+    pairs = (
+        buckets.select(
+            # explode_outer: avoids the inferred size>0 filter
+            # re-evaluating the pair-expansion lambda twice
+            F.explode_outer(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ids") - 1),
+                        lambda i: F.transform(
+                            F.slice(F.col("ids"), i + 1, F.size("ids")),
+                            lambda y: F.struct(
+                                F.element_at(F.col("ids"), i).alias("vec_a"),
+                                y.alias("vec_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.vec_a", "p.vec_b")
+        .distinct()
     )
+    cands = pairs.localCheckpoint(eager=True)
+
+    ids = (
+        cands.select(F.col("vec_a").alias("vec_id"))
+        .union(cands.select(F.col("vec_b").alias("vec_id")))
+        .distinct()
+    )
+    cand_vecs = v.join(F.broadcast(ids), "vec_id")
+    a = cand_vecs.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
+    b = cand_vecs.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    norm_a = F.sqrt(
-        F.aggregate(F.col("va"), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    norm_b = F.sqrt(
-        F.aggregate(F.col("vb"), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
+    norm_a = F.sqrt(F.aggregate(F.col("va"), F.lit(0.0), lambda acc, x: acc + x * x))
+    norm_b = F.sqrt(F.aggregate(F.col("vb"), F.lit(0.0), lambda acc, x: acc + x * x))
     return (
-        a.join(
-            b,
-            (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")),
-        )
+        cands.join(F.broadcast(a), "vec_a")
+        .join(F.broadcast(b), "vec_b")
         .select(
             "vec_a",
             "vec_b",
-            "label",
             F.round(dot / (norm_a * norm_b), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= COSINE_NEAR_DUP)

@@ -259,6 +259,12 @@ def similarity_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 LSH_TABLES = 4
 LSH_PLANES = 4
 EMBED_DIM = 64
+# dedup_embedding_cosine uses more tables (recall compounds per
+# table: at cos 0.95 a 4-plane table collides w.p. 0.65, so 8
+# tables ≈ 99.98% recall); planes stay at 4 for the fixture's 500
+# vectors — at scale NPLANES grows as log2(N / target_bucket_size)
+# so bucket count tracks corpus size
+DEDUP_LSH_TABLES = 8
 
 
 def _lsh_weight(t: int, p: int, d: int) -> float:
@@ -270,7 +276,7 @@ def _lsh_weight(t: int, p: int, d: int) -> float:
 
 LSH_PLANE_WEIGHTS = [
     [[_lsh_weight(t, p, d) for d in range(EMBED_DIM)] for p in range(LSH_PLANES)]
-    for t in range(LSH_TABLES)
+    for t in range(max(LSH_TABLES, DEDUP_LSH_TABLES))
 ]
 
 

@@ -24,6 +24,7 @@ from dbt_eamples_spark.operators.dedup import (
     SIMHASH_NIBBLES,
 )
 from dbt_eamples_spark.operators.similarity import (
+    DEDUP_LSH_TABLES,
     LSH_PLANE_WEIGHTS,
     LSH_PLANES,
     LSH_TABLES,
@@ -286,35 +287,52 @@ EXT_ORACLES: dict[str, str] = {
         ) WHERE hamming <= {HAMMING_MAX}
     """,
     "dedup_ngram_jaccard": f"""
-        WITH sh AS (
-            SELECT doc_id,
-                   list_distinct(list_transform(
-                       range(1, greatest(len(t) - 2, 1) + 1),
-                       i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingles,
-                   CAST(floor(len(t) / 8) AS BIGINT) AS blk_len
-            FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
-                  FROM documents)
+        WITH sh AS ({SHINGLES}),
+        blocked AS (
+            SELECT doc_id, shingles,
+                   list_min(list_transform(shingles, s ->
+                       ('0x' || substr(md5(s), 1, 15))::BIGINT
+                           % {MINHASH_P})) AS blk
+            FROM sh
         )
         SELECT doc_a, doc_b, jaccard FROM (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
                          / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
                        AS jaccard
-            FROM sh a JOIN sh b
-              ON a.blk_len = b.blk_len
+            FROM blocked a JOIN blocked b
+              ON a.blk = b.blk
              AND a.doc_id < b.doc_id
         ) WHERE jaccard >= 0.3
     """,
     "dedup_embedding_cosine": f"""
         WITH v AS (
-            SELECT vec_id, label,
+            SELECT vec_id,
                    list_transform(embedding, x -> x::DOUBLE) AS vec
             FROM embeddings
+        ),
+        wb AS (
+            SELECT vec_id, vec,
+                   {', '.join(f"{_lsh_bucket_sql(t)} AS b{t}"
+                              for t in range(DEDUP_LSH_TABLES))}
+            FROM v
+        ),
+        keys AS (
+            {' UNION ALL '.join(
+                f"SELECT vec_id, {t} AS t, b{t} AS bucket FROM wb"
+                for t in range(DEDUP_LSH_TABLES))}
+        ),
+        cands AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM keys a JOIN keys b
+              ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
         )
-        SELECT vec_a, vec_b, label, cosine FROM (
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-                   round({_cos('a.vec', 'b.vec')}, 6) AS cosine
-            FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        SELECT vec_a, vec_b, cosine FROM (
+            SELECT vec_a, vec_b,
+                   round({_cos('va.vec', 'vb.vec')}, 6) AS cosine
+            FROM cands
+            JOIN v va ON va.vec_id = vec_a
+            JOIN v vb ON vb.vec_id = vec_b
         ) WHERE cosine >= {COSINE_NEAR_DUP}
     """,
     # ---- similarity search -------------------------------------------------
