@@ -25,7 +25,6 @@ from dbt_eamples_spark.operators import similarity as V
 from dbt_eamples_spark.operators import text as T
 from dbt_eamples_spark.oracles_ext import EXT_ORACLES
 from dbt_eamples_spark.plans.compiler import (
-    MetricQueryRequest,
     compile_dimension_sweep,
     compile_request,
     execute as execute_metric,
@@ -45,34 +44,10 @@ from dbt_eamples_spark.streaming.streams import (
 
 
 # compiled metric-layer requests: the rendered SQL runs verbatim on
-# both Spark and DuckDB, so each compiled query is its own oracle
-METRIC_REQUESTS = {
-    "metric_compiled_star": MetricQueryRequest(
-        metrics=("revenue", "quantity"),
-        group_by=("nation_name", "region_name"),
-        start_time="1995-01-01 00:00:00",
-        end_time="1997-12-31 00:00:00",
-    ),
-    "metric_compiled_filtered": MetricQueryRequest(
-        metrics=("order_count", "urgent_order_count", "order_total"),
-        group_by=("orderstatus",),
-    ),
-    "metric_compiled_monthly": MetricQueryRequest(
-        metrics=("revenue", "revenue_per_item"),
-        group_by=("returnflag", "shipdate__month"),
-    ),
-    "metric_compiled_cumulative": MetricQueryRequest(
-        metrics=("revenue", "cum_revenue"),
-        group_by=("shipdate__month",),
-    ),
-    "metric_compiled_topk": MetricQueryRequest(
-        metrics=("order_total",),
-        group_by=("mktsegment", "orderpriority"),
-        where="o_totalprice > 1000",
-        order_by=("-order_total", "mktsegment", "orderpriority"),
-        limit=10,
-    ),
-}
+# both Spark and DuckDB, so each compiled query is its own oracle.
+# Registry lives in plans.saved so `cli query --saved-query NAME`
+# resolves the exact same presets.
+from dbt_eamples_spark.plans.saved import SAVED_QUERIES as METRIC_REQUESTS
 
 
 def _metric_query(name: str):

@@ -42,15 +42,38 @@ def _split_csv(v: str | None) -> tuple[str, ...]:
 
 
 def cmd_query(args: argparse.Namespace) -> int:
-    request = MetricQueryRequest(
-        metrics=_split_csv(args.metrics),
-        group_by=_split_csv(args.group_by),
-        where=args.where,
-        start_time=args.start_time,
-        end_time=args.end_time,
-        order_by=_split_csv(args.order),
-        limit=args.limit,
-    )
+    if args.saved_query:
+        # named preset (`dbt_query.py:64-66`) — mutually exclusive
+        # with spelling the query out
+        if args.metrics or args.group_by or args.where:
+            print(
+                "error: --saved-query replaces --metrics/--group-by/--where",
+                file=sys.stderr,
+            )
+            return 1
+        from dbt_eamples_spark.plans.saved import SAVED_QUERIES
+
+        if args.saved_query not in SAVED_QUERIES:
+            print(
+                f"error: unknown saved query {args.saved_query!r}; "
+                f"available: {sorted(SAVED_QUERIES)}",
+                file=sys.stderr,
+            )
+            return 1
+        request = SAVED_QUERIES[args.saved_query]
+    elif not args.metrics:
+        print("error: one of --metrics / --saved-query is required", file=sys.stderr)
+        return 1
+    else:
+        request = MetricQueryRequest(
+            metrics=_split_csv(args.metrics),
+            group_by=_split_csv(args.group_by),
+            where=args.where,
+            start_time=args.start_time,
+            end_time=args.end_time,
+            order_by=_split_csv(args.order),
+            limit=args.limit,
+        )
     start = time.time()
     try:
         return _run_query(args, request, start)
@@ -159,7 +182,11 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="command", required=True)
 
     q = sub.add_parser("query", help="run a metric query")
-    q.add_argument("--metrics", required=True, help="comma-separated metric names")
+    q.add_argument("--metrics", help="comma-separated metric names")
+    q.add_argument(
+        "--saved-query",
+        help="run a named preset from plans.saved (replaces --metrics et al.)",
+    )
     q.add_argument("--group-by", help="comma-separated dimension names")
     q.add_argument("--where", help="SQL constraint")
     q.add_argument("--start-time", help="inclusive time lower bound")

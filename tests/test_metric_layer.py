@@ -221,3 +221,26 @@ class TestCLI:
     def test_dump_queries_unknown_metric(self, capsys):
         rc = cli_main(["dump-queries", "--metric", "nope", "--output-dir", "/tmp/x"])
         assert rc == 1
+
+    def test_saved_query_matches_driver_entry(self, capsys):
+        """--saved-query resolves to the exact request the driver
+        contract executes (dbt_query.py:64-66 preset semantics)."""
+        from dbt_eamples_spark.plans.saved import SAVED_QUERIES
+
+        import __spark_entry__ as entry
+
+        assert entry.METRIC_REQUESTS is SAVED_QUERIES
+        rc = cli_main(["query", "--saved-query", "metric_compiled_topk", "--explain"])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert compile_request(SAVED_QUERIES["metric_compiled_topk"]).sql in out
+
+    def test_saved_query_errors(self, capsys):
+        assert cli_main(["query", "--saved-query", "nope", "--explain"]) == 1
+        assert (
+            cli_main(
+                ["query", "--saved-query", "metric_compiled_topk", "--metrics", "x"]
+            )
+            == 1
+        )
+        assert cli_main(["query", "--explain"]) == 1
