@@ -19,6 +19,7 @@ from dbt_eamples_spark.catalog import load_table
 from dbt_eamples_spark.operators import dedup as D
 from dbt_eamples_spark.operators import multimodal as M
 from dbt_eamples_spark.operators import relational as R
+from dbt_eamples_spark.operators import sampling as S
 from dbt_eamples_spark.operators.asof import join_asof
 from dbt_eamples_spark.operators.skew import join_salted_skew
 from dbt_eamples_spark.operators import similarity as V
@@ -148,6 +149,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 2 ---
         # sketch twin of agg_percentiles — rows-only by design
         "agg_approx_percentiles": R.agg_approx_percentiles,
+        # connected components over MinHash pairs (iterative
+        # label propagation; recursive-CTE oracle)
+        "dedup_clusters": D.dedup_clusters,
+        # deterministic per-stratum eval-set sampling
+        "sample_stratified": S.sample_stratified,
+        # fixed-width distribution histogram
+        "agg_histogram": S.agg_histogram,
         # --- green in round 1 ---
         # §2.1 scans / sources
         "scan_table": R.scan_table,

@@ -41,6 +41,8 @@ HEADLINE = [
     "agg_percentiles",
     "dedup_minhash",
     "dedup_simhash",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
     "similarity_topk",
     "similarity_ivf_topk",
     "similarity_lsh_topk",

@@ -27,7 +27,7 @@ the DuckDB oracle exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbt_eamples_spark.catalog import load_table
@@ -405,6 +405,77 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.3)
+    )
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup pairs:
+    transitive closure of ~-relations, so a dup CLUSTER {A~B, B~C}
+    keeps ONE canonical doc even when A~C was never directly found.
+    This is the step that turns pairwise dedup into an actual
+    keep/drop decision for a training corpus.
+
+    Algorithm: iterative min-label propagation (each node adopts the
+    smallest component id among itself and its neighbors) to a
+    fixpoint. Iterations = graph diameter, which for near-dup
+    clusters is tiny (dups of a common source are near-cliques);
+    capped at 20 with a convergence check. Per iteration: ONE
+    shuffle (groupBy on node) + a broadcast-size count check; the
+    edge set is localCheckpoint'ed once so no iteration replays the
+    MinHash pipeline, and each new labeling is checkpointed so
+    lineage stays flat (the classic iterative-algorithm trap:
+    without it, iteration k re-executes all k-1 predecessors).
+
+    Output: (doc_id, cluster_id, cluster_size, keep) for every doc
+    that appears in at least one near-dup pair — keep = doc is its
+    cluster's canonical (minimum) id. Singleton docs never enter the
+    pair graph and are implicitly kept.
+    """
+    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    # symmetric edge list, reused every iteration without replaying
+    # the signature pipeline
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=True)
+
+    comp = (
+        edges.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(20):
+        nbr_min = (
+            edges.join(comp, edges.doc_b == comp.node)
+            .groupBy("doc_a")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_comp = (
+            comp.join(nbr_min, comp.node == nbr_min.doc_a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_comp.alias("n")
+            .join(comp.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        comp = new_comp
+        if changed == 0:
+            break
+
+    w = Window.partitionBy("comp")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("node") == F.col("comp")).alias("keep"),
     )
 
 

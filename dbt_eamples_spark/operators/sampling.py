@@ -1,0 +1,82 @@
+"""Sampling & distribution operators for training-data curation
+(SURVEY.md §2.11 EXT): build eval/dev splits and inspect value
+distributions at corpus scale.
+
+Both are deterministic — sampling keyed on a content hash, binning
+on fixed arithmetic — so results are reproducible run-to-run and
+bit-identical to the DuckDB oracle (a `rand()`-based sample would be
+neither).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbt_eamples_spark.catalog import load_table
+
+STRATUM_N = 20  # docs kept per language stratum
+
+HIST_LO = 0.0
+HIST_WIDTH = 50_000.0
+HIST_BINS = 12
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-N-per-stratum sample of documents, stratified by
+    language: rank docs inside each stratum by a deterministic
+    content hash (md5 of doc_id) and keep the first STRATUM_N.
+
+    This is the eval-set construction shape: per-language quotas
+    regardless of the corpus' language skew. A plain ``rate %``
+    sample would keep the skew; a ``rand()`` sample would not be
+    reproducible. Scale: one hash per row (narrow map) + one
+    shuffle for the per-stratum window — and because the rank key
+    is hash-uniform, the window partitions are balanced even when
+    strata aren't. (At extreme per-stratum cardinality swap the
+    window for the two-phase local-top-k used in similarity._topk.)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hkey = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = Window.partitionBy("lang").orderBy(F.asc("hkey"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "lang", hkey.alias("hkey"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= STRATUM_N)
+        .select("doc_id", "lang", "sample_rank")
+    )
+
+
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals: 12 bins of 50k with an
+    overflow bin — the distribution-inspection pass run before
+    choosing filter thresholds on a new corpus.
+
+    Binning is pure arithmetic (``least(floor((x-lo)/width), last)``)
+    so it map-side combines into at most HIST_BINS rows per task —
+    the shuffle carries bins, not values, which is what makes
+    distribution scans free at 100 TB (contrast exact percentiles,
+    which buffer every value; see ``agg_approx_percentiles``)."""
+    o = load_table(spark, sf_dir, "orders")
+    bin_id = F.least(
+        F.floor((F.col("o_totalprice") - F.lit(HIST_LO)) / F.lit(HIST_WIDTH)),
+        F.lit(HIST_BINS - 1),
+    ).cast("bigint")
+    return (
+        o.select(bin_id.alias("bin_id"), "o_totalprice")
+        .groupBy("bin_id")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bin_max"),
+        )
+        .select(
+            "bin_id",
+            (F.lit(HIST_LO) + F.col("bin_id") * F.lit(HIST_WIDTH)).alias("bin_lo"),
+            "n_orders",
+            "bin_min",
+            "bin_max",
+        )
+    )

@@ -110,6 +110,49 @@ def _feat_sql(d: int) -> str:
     )
 
 
+# full MinHash near-dup pair statement — the dedup_minhash oracle,
+# also nested (DuckDB allows WITH inside a CTE body) as the edge
+# source of the dedup_clusters recursive-CTE oracle
+MINHASH_PAIRS_SQL = f"""
+        WITH sh AS ({SHINGLES}),
+        sig AS (
+            SELECT doc_id, shingles,
+                   list_transform(range(0, {MINHASH_K}), j ->
+                       list_min(list_transform(bases,
+                           b -> ((2 * j + 1) * b + j * j + 1) % {MINHASH_P}))) AS sig
+            FROM (SELECT doc_id, shingles,
+                         list_transform(shingles, s ->
+                             ('0x' || substr(md5(s), 1, 15))::BIGINT
+                                 % {MINHASH_P}) AS bases
+                  FROM sh)
+        ),
+        bands AS (
+            SELECT doc_id, unnest(range(0, {MINHASH_BANDS})) AS band, sig FROM sig
+        ),
+        buckets AS (
+            SELECT doc_id, band,
+                   array_to_string(list_transform(
+                       list_slice(sig, band * {MINHASH_ROWS} + 1,
+                                  band * {MINHASH_ROWS} + {MINHASH_ROWS}),
+                       x -> x::VARCHAR), '|') AS bucket
+            FROM bands
+        ),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, jaccard FROM (
+            SELECT doc_a, doc_b,
+                   round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                         / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)
+                       AS jaccard
+            FROM cands
+            JOIN sh sa ON sa.doc_id = doc_a
+            JOIN sh sb ON sb.doc_id = doc_b
+        ) WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
 EXT_ORACLES: dict[str, str] = {
     # ---- text analysis -----------------------------------------------------
     "text_token_stats": r"""
@@ -192,44 +235,27 @@ EXT_ORACLES: dict[str, str] = {
               FROM documents)
         GROUP BY fp
     """,
-    "dedup_minhash": f"""
-        WITH sh AS ({SHINGLES}),
-        sig AS (
-            SELECT doc_id, shingles,
-                   list_transform(range(0, {MINHASH_K}), j ->
-                       list_min(list_transform(bases,
-                           b -> ((2 * j + 1) * b + j * j + 1) % {MINHASH_P}))) AS sig
-            FROM (SELECT doc_id, shingles,
-                         list_transform(shingles, s ->
-                             ('0x' || substr(md5(s), 1, 15))::BIGINT
-                                 % {MINHASH_P}) AS bases
-                  FROM sh)
+    "dedup_minhash": MINHASH_PAIRS_SQL,
+    "dedup_clusters": f"""
+        WITH RECURSIVE pairs AS ({MINHASH_PAIRS_SQL}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
         ),
-        bands AS (
-            SELECT doc_id, unnest(range(0, {MINHASH_BANDS})) AS band, sig FROM sig
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        walk(node, comp) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.dst AS node, w.comp AS comp
+            FROM walk w JOIN edges e ON e.src = w.node
         ),
-        buckets AS (
-            SELECT doc_id, band,
-                   array_to_string(list_transform(
-                       list_slice(sig, band * {MINHASH_ROWS} + 1,
-                                  band * {MINHASH_ROWS} + {MINHASH_ROWS}),
-                       x -> x::VARCHAR), '|') AS bucket
-            FROM bands
-        ),
-        cands AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM buckets a JOIN buckets b
-              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-        )
-        SELECT doc_a, doc_b, jaccard FROM (
-            SELECT doc_a, doc_b,
-                   round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-                         / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)
-                       AS jaccard
-            FROM cands
-            JOIN sh sa ON sa.doc_id = doc_a
-            JOIN sh sb ON sb.doc_id = doc_b
-        ) WHERE jaccard >= {JACCARD_THRESHOLD}
+        comp AS (SELECT node, MIN(comp) AS comp FROM walk GROUP BY node)
+        SELECT node AS doc_id,
+               comp AS cluster_id,
+               COUNT(*) OVER (PARTITION BY comp) AS cluster_size,
+               node = comp AS keep
+        FROM comp
     """,
     "dedup_simhash": f"""
         WITH sh AS ({SHINGLES}),
@@ -334,6 +360,29 @@ EXT_ORACLES: dict[str, str] = {
             JOIN v va ON va.vec_id = vec_a
             JOIN v vb ON vb.vec_id = vec_b
         ) WHERE cosine >= {COSINE_NEAR_DUP}
+    """,
+    # ---- sampling / distributions ------------------------------------------
+    "sample_stratified": """
+        SELECT doc_id, lang, sample_rank FROM (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT ASC,
+                                doc_id ASC) AS sample_rank
+            FROM documents
+        ) WHERE sample_rank <= 20
+    """,
+    "agg_histogram": """
+        SELECT bin_id,
+               0.0 + bin_id * 50000.0 AS bin_lo,
+               COUNT(*) AS n_orders,
+               ROUND(MIN(o_totalprice), 2) AS bin_min,
+               ROUND(MAX(o_totalprice), 2) AS bin_max
+        FROM (SELECT CAST(least(floor((o_totalprice - 0.0) / 50000.0), 11)
+                          AS BIGINT) AS bin_id,
+                     o_totalprice
+              FROM orders)
+        GROUP BY bin_id
     """,
     # ---- similarity search -------------------------------------------------
     "similarity_topk": f"""
