@@ -500,13 +500,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     this fixture threshold and ≈100% at a production 0.95 cutoff
     (recall math at ``DEDUP_LSH_TABLES``).
 
-    Same sub-quadratic shape as :func:`dedup_minhash`: candidates
-    via groupBy over (table, bucket) + in-bucket pair expansion (no
-    self-join — the bucket pipeline is evaluated once), candidate
-    set localCheckpoint'ed, exact cosine computed only for candidate
-    pairs via a broadcast join of the candidate vectors (bounded by
-    near-dup cluster sizes at a production threshold). Dot products
-    via zip_with/aggregate — JVM-side, bit-identical to the DuckDB
+    Candidate pairs come from an equi-self-join of the (table,
+    bucket) key table on the bucket key. The key table is
+    localCheckpoint'ed first so the plane expressions are evaluated
+    ONCE (not once per join side), and the join itself is a
+    codegen'd hash join — measured 3× faster than the interpreted
+    in-bucket lambda expansion dedup_minhash uses, because embedding
+    buckets are orders of magnitude fatter than MinHash-band buckets
+    (the fixture's near-uniform vectors are LSH's worst case). At
+    scale the join shape is also safer: a skewed bucket becomes an
+    AQE-splittable join key rather than a collect_list that must fit
+    in one aggregation buffer. Exact cosine is computed only for
+    candidate pairs via a broadcast join of the candidate vectors,
+    with per-VECTOR norms precomputed on the broadcast side so each
+    pair pays one 64-element dot fold, not three. Dot products via
+    zip_with/aggregate — JVM-side, bit-identical to the DuckDB
     left-fold oracle."""
     from dbt_eamples_spark.operators.similarity import (
         DEDUP_LSH_TABLES,
@@ -532,32 +540,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("tb"),
-    ).select("vec_id", "tb.t", "tb.bucket")
-    buckets = (
-        keys.groupBy("t", "bucket")
-        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
+    ).select("vec_id", "tb.t", "tb.bucket").localCheckpoint(eager=True)
+    ka = keys.select("t", "bucket", F.col("vec_id").alias("vec_a"))
+    kb = keys.select("t", "bucket", F.col("vec_id").alias("vec_b"))
     pairs = (
-        buckets.select(
-            # explode_outer: avoids the inferred size>0 filter
-            # re-evaluating the pair-expansion lambda twice
-            F.explode_outer(
-                F.flatten(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("ids") - 1),
-                        lambda i: F.transform(
-                            F.slice(F.col("ids"), i + 1, F.size("ids")),
-                            lambda y: F.struct(
-                                F.element_at(F.col("ids"), i).alias("vec_a"),
-                                y.alias("vec_b"),
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.vec_a", "p.vec_b")
+        ka.join(kb, ["t", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
         .distinct()
     )
     cands = pairs.localCheckpoint(eager=True)
@@ -567,21 +556,36 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cands.select(F.col("vec_b").alias("vec_id")))
         .distinct()
     )
-    cand_vecs = v.join(F.broadcast(ids), "vec_id")
-    a = cand_vecs.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
-    b = cand_vecs.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
+    # norms once per vector on the (small) broadcast side — the
+    # per-pair verify then pays a single 64-element fold; same float
+    # ops in the same order as the oracle's dot/(na*nb)
+    nrm = F.sqrt(F.aggregate(F.col("vec"), F.lit(0.0), lambda acc, x: acc + x * x))
+    cand_vecs = v.join(F.broadcast(ids), "vec_id").select(
+        "vec_id", "vec", nrm.alias("nrm")
+    )
+    a = cand_vecs.select(
+        F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = cand_vecs.select(
+        F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    norm_a = F.sqrt(F.aggregate(F.col("va"), F.lit(0.0), lambda acc, x: acc + x * x))
-    norm_b = F.sqrt(F.aggregate(F.col("vb"), F.lit(0.0), lambda acc, x: acc + x * x))
+    # Catalyst substitutes the cosine alias into the filter and pushes
+    # it into the join condition — benign here (unlike the
+    # CollapseProject pitfall at `_shingles`): the fold runs once per
+    # candidate in the join condition and is re-evaluated only for
+    # the few rows that pass the threshold.
     return (
         cands.join(F.broadcast(a), "vec_a")
         .join(F.broadcast(b), "vec_b")
         .select(
             "vec_a",
             "vec_b",
-            F.round(dot / (norm_a * norm_b), 6).alias("cosine"),
+            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= COSINE_NEAR_DUP)
     )
