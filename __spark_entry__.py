@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbt_eamples_spark.catalog import load_table
+from dbt_eamples_spark.operators import curation as C
 from dbt_eamples_spark.operators import dedup as D
 from dbt_eamples_spark.operators import multimodal as M
 from dbt_eamples_spark.operators import relational as R
@@ -156,6 +157,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": S.sample_stratified,
         # fixed-width distribution histogram
         "agg_histogram": S.agg_histogram,
+        # eval-set n-gram leakage flagging
+        "text_decontaminate": C.text_decontaminate,
+        # Gopher-style repetition quality signals
+        "text_repetition_stats": T.text_repetition_stats,
+        # concat-and-chunk training-sequence packing
+        "pack_concat_chunks": C.pack_concat_chunks,
         # --- green in round 1 ---
         # §2.1 scans / sources
         "scan_table": R.scan_table,

@@ -47,6 +47,8 @@ HEADLINE = [
     "similarity_ivf_topk",
     "similarity_lsh_topk",
     "text_token_stats",
+    "text_decontaminate",
+    "pack_concat_chunks",
     "doc_fingerprint",
     "doc_winnow_fingerprint",
     "multimodal_features_flat",

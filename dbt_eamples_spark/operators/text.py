@@ -114,6 +114,55 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-word
+    fraction (1 - distinct/total) and the fraction of word-bigram
+    slots taken by the single most frequent bigram. High values mark
+    boilerplate/spam ("click here click here ...") that per-doc
+    length/stopword scores (text_quality_score) miss.
+
+    Shape: one narrow gram-explode, a (doc, bigram) count with
+    map-side combine, then a per-doc max — two shuffles, both
+    keyed on doc_id(+bigram), skew-free. The bigram mode can't be a
+    higher-order-function fold (no CSE across lambda elements —
+    catalyst pitfall #1), so it goes row-wise like the MinHash
+    signature pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokd = docs.select("doc_id", _tokens_col().alias("toks"))
+    base = tokd.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        "toks",
+    )
+    big_ids = F.sequence(F.lit(1), F.greatest(F.size("toks") - 1, F.lit(1)))
+    bigrams = base.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.explode_outer(
+            F.transform(
+                big_ids, lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 2))
+            )
+        ).alias("bg"),
+    )
+    top = (
+        bigrams.groupBy("doc_id", "n_tokens", "n_distinct", "bg")
+        .count()
+        .groupBy("doc_id", "n_tokens", "n_distinct")
+        .agg(F.max("count").alias("top_bg"))
+    )
+    return top.select(
+        "doc_id",
+        F.round(F.lit(1) - F.col("n_distinct") / F.col("n_tokens"), 6).alias(
+            "dup_word_frac"
+        ),
+        F.round(
+            F.col("top_bg") / F.greatest(F.col("n_tokens") - 1, F.lit(1)), 6
+        ).alias("top_bigram_frac"),
+    )
+
+
 BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 

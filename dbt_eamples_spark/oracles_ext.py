@@ -361,6 +361,75 @@ EXT_ORACLES: dict[str, str] = {
             JOIN v vb ON vb.vec_id = vec_b
         ) WHERE cosine >= {COSINE_NEAR_DUP}
     """,
+    # ---- curation: decontamination / repetition / packing ------------------
+    "text_decontaminate": r"""
+        WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+                      FROM documents),
+        ng AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 7, 1) + 1),
+                       i -> array_to_string(list_slice(t, i, i + 7), ' ')))) AS g
+            FROM toks
+        ),
+        ev AS (
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT ASC,
+                                    doc_id ASC) AS r
+                FROM documents
+            ) WHERE r <= 20
+        ),
+        evg AS (SELECT DISTINCT g FROM ng WHERE doc_id IN (SELECT doc_id FROM ev))
+        SELECT doc_id, COUNT(*) AS n_hits
+        FROM ng
+        WHERE doc_id NOT IN (SELECT doc_id FROM ev)
+          AND g IN (SELECT g FROM evg)
+        GROUP BY doc_id
+    """,
+    "text_repetition_stats": r"""
+        WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+                      FROM documents),
+        base AS (SELECT doc_id, len(t) AS n_tokens,
+                        len(list_distinct(t)) AS n_distinct, t
+                 FROM toks),
+        bg AS (
+            SELECT doc_id, n_tokens, n_distinct,
+                   unnest(list_transform(
+                       range(1, greatest(len(t) - 1, 1) + 1),
+                       i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS bg
+            FROM base
+        ),
+        cnt AS (SELECT doc_id, n_tokens, n_distinct, bg, COUNT(*) AS c
+                FROM bg GROUP BY doc_id, n_tokens, n_distinct, bg),
+        top AS (SELECT doc_id, n_tokens, n_distinct, MAX(c) AS top_bg
+                FROM cnt GROUP BY doc_id, n_tokens, n_distinct)
+        SELECT doc_id,
+               round(1 - n_distinct::DOUBLE / n_tokens, 6) AS dup_word_frac,
+               round(top_bg::DOUBLE / greatest(n_tokens - 1, 1), 6)
+                   AS top_bigram_frac
+        FROM top
+    """,
+    "pack_concat_chunks": r"""
+        WITH t AS (SELECT doc_id,
+                          len(string_split_regex(lower(text), '\s+')) AS n_tokens
+                   FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+                     CAST(SUM(n_tokens) OVER (
+                         ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens AS BIGINT) AS tok_offset
+              FROM t)
+        SELECT doc_id, n_tokens, tok_offset,
+               CAST(floor(tok_offset / 512.0) AS BIGINT) AS chunk_first,
+               CAST(floor((tok_offset + n_tokens - 1) / 512.0) AS BIGINT)
+                   AS chunk_last,
+               CAST(floor((tok_offset + n_tokens - 1) / 512.0) AS BIGINT)
+                 - CAST(floor(tok_offset / 512.0) AS BIGINT) + 1 AS n_chunks
+        FROM c
+    """,
     # ---- sampling / distributions ------------------------------------------
     "sample_stratified": """
         SELECT doc_id, lang, sample_rank FROM (
