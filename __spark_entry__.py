@@ -38,8 +38,12 @@ from dbt_eamples_spark.sources.sinks import (
     result_text_format_query,
     sink_csv_roundtrip_query,
 )
-from dbt_eamples_spark.streaming.incremental import incremental_delta_filter_query
+from dbt_eamples_spark.streaming.incremental import (
+    incremental_delta_filter_query,
+    scd2_snapshot,
+)
 from dbt_eamples_spark.streaming.streams import (
+    stream_dedup,
     stream_session_agg,
     stream_tumbling_count,
 )
@@ -133,6 +137,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_delta_filter": incremental_delta_filter_query,
         "stream_tumbling_count": stream_tumbling_count,
         "stream_session_agg": stream_session_agg,
+        # dbt snapshot (check strategy) — type-2 history build
+        "scd2_snapshot": scd2_snapshot,
+        # idempotency-key dedup (batch form of dropDuplicatesWithinWatermark)
+        "stream_dedup": stream_dedup,
         # --- failed round 1 on the events nanos read (now fixed) ---
         "filter_type_and_notnull": R.filter_type_and_notnull,
         "project_report_cols": R.project_report_cols,
@@ -526,6 +534,34 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 2) AS total_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "scd2_snapshot": """
+            WITH ordered AS (
+                SELECT user_id, event_id, ts, value,
+                       LAG(value) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+                FROM events
+            ),
+            changes AS (
+                SELECT user_id, event_id, ts, value FROM ordered
+                WHERE prev IS NULL OR value <> prev
+            ),
+            versions AS (
+                SELECT user_id, value, ts AS valid_from,
+                       LEAD(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS valid_to
+                FROM changes
+            )
+            SELECT user_id, value, valid_from, valid_to,
+                   valid_to IS NULL AS is_current
+            FROM versions
+        """,
+        "stream_dedup": """
+            SELECT user_id, event_type, value,
+                   MIN(ts) AS first_ts,
+                   COUNT(*) AS n_dups
+            FROM events
+            GROUP BY user_id, event_type, value
         """,
         "stream_session_agg": """
             WITH flagged AS (

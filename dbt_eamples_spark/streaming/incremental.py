@@ -113,3 +113,39 @@ def incremental_delta_filter_query(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("event_id") > F.col("wm"))
         .select("event_id", "user_id", "event_type", "value")
     )
+
+
+def scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from the events
+    stream — the Spark form of dbt's ``snapshot`` materialization
+    with the ``check`` strategy (the one reference-side feature of
+    dbt's incremental family not yet covered by T1-T4): per user,
+    each change of the tracked ``value`` opens a new version row
+    with a validity interval, the previous version closes at the
+    change timestamp, and the latest version is flagged current.
+
+    Two windows over the SAME partition key (user_id): the
+    change-detection lag and the interval-closing lead — the filter
+    between them preserves the hash distribution, so the whole
+    operator is ONE shuffle; at scale that is the minimum for any
+    per-entity history build. Ties on ts are broken by event_id in
+    both windows (and in the oracle) so versions are deterministic.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w_lag = Window.partitionBy("user_id").orderBy(*order)
+    changes = (
+        ev.select("user_id", "event_id", "ts", "value")
+        .withColumn("prev", F.lag("value").over(w_lag))
+        .filter(F.col("prev").isNull() | (F.col("value") != F.col("prev")))
+    )
+    versions = changes.withColumn("valid_to", F.lead("ts").over(w_lag))
+    return versions.select(
+        "user_id",
+        "value",
+        F.col("ts").alias("valid_from"),
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    )

@@ -209,3 +209,36 @@ def _drain(df: DataFrame, mode: str, checkpoint: str, out_table: str) -> None:
         .start()
     )
     q.awaitTermination(timeout=120)
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of streaming idempotency-key dedup: one row per
+    (user_id, event_type, value) key with its first-seen timestamp
+    and duplicate count. The streaming twin
+    (:func:`stream_dedup_streaming`) is Spark's
+    ``dropDuplicatesWithinWatermark`` — state holds one entry per
+    key seen inside the watermark horizon, so memory is bounded by
+    the key arrival rate, not history. One shuffle (the keyed
+    aggregate), map-side combined."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type", "value").agg(
+        F.min("ts").alias("first_ts"),
+        F.count("*").alias("n_dups"),
+    )
+
+
+def stream_dedup_streaming(
+    spark: SparkSession, sf_dir: str, checkpoint: str, out_table: str
+) -> None:
+    """Structured Streaming dedup: watermark + state-store key
+    tracking via ``dropDuplicatesWithinWatermark``. Keeps the FIRST
+    arriving row per key (arrival order, not event time) — the
+    batch-equivalence test therefore compares key SETS, which are
+    deterministic, rather than kept-row identity, which is not."""
+    deduped = (
+        # _events_stream already carries the module watermark
+        _events_stream(spark, sf_dir)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "value"])
+        .select("user_id", "event_type", "value", "ts")
+    )
+    _drain(deduped, "append", checkpoint, out_table)

@@ -1,0 +1,84 @@
+"""SCD2 snapshot invariants + streaming-dedup batch equivalence."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from dbt_eamples_spark.streaming.incremental import scd2_snapshot
+from dbt_eamples_spark.streaming.streams import (
+    stream_dedup,
+    stream_dedup_streaming,
+)
+
+
+class TestScd2Snapshot:
+    def test_intervals_tile_without_gaps_or_overlap(self, spark, sf_dir):
+        rows = scd2_snapshot(spark, sf_dir).collect()
+        by_user: dict[int, list] = {}
+        for r in rows:
+            by_user.setdefault(r.user_id, []).append(r)
+        for user, versions in by_user.items():
+            versions.sort(key=lambda r: r.valid_from)
+            currents = [v for v in versions if v.is_current]
+            assert len(currents) == 1
+            assert versions[-1].is_current and versions[-1].valid_to is None
+            for prev, nxt in zip(versions, versions[1:]):
+                # each version closes exactly where the next opens
+                assert prev.valid_to == nxt.valid_from
+                # check strategy: consecutive versions differ
+                assert prev.value != nxt.value
+
+    def test_versions_match_python_replay(self, spark, sf_dir):
+        # replay through load_table for the nanos-safe read
+        from dbt_eamples_spark.catalog import load_table
+
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .select("user_id", "event_id", "ts", "value")
+            .collect()
+        )
+        expected: dict[int, list] = {}
+        for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
+            hist = expected.setdefault(r.user_id, [])
+            if not hist or hist[-1] != r.value:
+                hist.append(r.value)
+        got: dict[int, list] = {}
+        for r in sorted(
+            scd2_snapshot(spark, sf_dir).collect(),
+            key=lambda r: (r.user_id, r.valid_from),
+        ):
+            got.setdefault(r.user_id, []).append(r.value)
+        assert got == expected
+
+
+class TestStreamDedup:
+    def test_streaming_key_set_equals_batch(self, spark, sf_dir, tmp_path):
+        name = f"dedup_{uuid.uuid4().hex[:8]}"
+        stream_dedup_streaming(
+            spark, sf_dir, checkpoint=str(tmp_path / "ckpt_d"), out_table=name
+        )
+        streamed_keys = spark.sql(
+            f"SELECT DISTINCT user_id, event_type, value FROM {name}"
+        )
+        batch_keys = stream_dedup(spark, sf_dir).select(
+            "user_id", "event_type", "value"
+        )
+        diff = (
+            streamed_keys.exceptAll(batch_keys).count()
+            + batch_keys.exceptAll(streamed_keys).count()
+        )
+        assert diff == 0
+        # streaming emits exactly one row per key (dedup actually dropped)
+        assert (
+            spark.sql(f"SELECT COUNT(*) AS n FROM {name}").collect()[0].n
+            == batch_keys.count()
+        )
+
+    def test_batch_counts_cover_all_events(self, spark, sf_dir):
+        out = stream_dedup(spark, sf_dir)
+        from dbt_eamples_spark.catalog import load_table
+
+        total = load_table(spark, sf_dir, "events").count()
+        assert out.agg(F.sum("n_dups")).collect()[0][0] == total
