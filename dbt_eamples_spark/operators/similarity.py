@@ -13,9 +13,11 @@ Two tiers, mirroring how a production pipeline scales:
    vectors to their nearest centroid (broadcast centroids), probe
    only the ``NPROBE`` nearest centroid buckets per query. At 100 TB
    this turns O(|Q|·N) into O(|Q|·N/k·nprobe) and the bucket
-   assignment is a narrow map. Centroids here are a deterministic
-   seed subset (vec_id < NCENTROIDS) standing in for k-means output;
-   swapping in trained centroids changes numbers, not the plan.
+   assignment is a narrow map. Centroids are TRAINED with
+   ``KMEANS_ITERS`` Lloyd iterations (``_kmeans_centroids``), seeded
+   from vec_id < NCENTROIDS; fixed-point accumulation makes the
+   distributed means order-independent and bit-identical to the
+   DuckDB oracle's sequential ones.
 
 All arithmetic is higher-order array functions (zip_with/aggregate)
 — strict left folds, JVM-side, which both stays in codegen and makes
@@ -33,6 +35,7 @@ N_QUERIES = 10  # query set: vec_id < 10
 TOP_K = 5
 NCENTROIDS = 8
 NPROBE = 2
+KMEANS_ITERS = 2  # Lloyd rounds for IVF centroid training
 
 
 def _as_double_vec(col):
@@ -113,18 +116,80 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(scored, TOP_K)
 
 
+def _kmeans_centroids(emb: DataFrame) -> DataFrame:
+    """KMEANS_ITERS rounds of Lloyd's algorithm over the corpus:
+    assign every vector to its max-cosine centroid (broadcast
+    centroids, one narrow pass), then recompute each centroid as the
+    per-dimension mean of its members.
+
+    The mean uses FIXED-POINT accumulation: each coordinate is
+    rounded to 1e-6 and summed as a BIGINT. Integer addition is
+    associative and commutative, so the distributed sum is
+    order-independent — the same mean regardless of partitioning,
+    run-to-run, and engine-to-engine (a plain double `avg` depends
+    on summation order, which Spark does not fix and DuckDB would
+    not reproduce; that non-determinism is why round 1 shipped a
+    seed-subset stand-in instead of trained centroids). Per
+    iteration: one broadcast assign pass + one (cent, dim) groupBy
+    whose output is NCENTROIDS×EMBED_DIM rows — trivially
+    broadcastable model state, checkpointed so iteration k doesn't
+    replay k-1. Centroids that lose all members drop out, in both
+    engines identically."""
+    cent = emb.filter(F.col("vec_id") < NCENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("vec").alias("cvec")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
+    for _ in range(KMEANS_ITERS):
+        assigned = (
+            emb.join(F.broadcast(cent), how="cross")
+            .select(
+                "vec_id",
+                "vec",
+                "cent_id",
+                _cosine(F.col("vec"), F.col("cvec")).alias("cos"),
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("cent_id", "vec")
+        )
+        dims = assigned.select(
+            "cent_id", F.posexplode("vec").alias("pos", "x")
+        )
+        mean = (F.col("sx").cast("double") / F.col("n")) / F.lit(1_000_000.0)
+        cent = (
+            dims.groupBy("cent_id", "pos")
+            .agg(
+                F.sum(
+                    F.round(F.col("x") * F.lit(1_000_000.0)).cast("long")
+                ).alias("sx"),
+                F.count("*").alias("n"),
+            )
+            .select("cent_id", "pos", mean.alias("m"))
+            .groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.m,
+                ).alias("cvec")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cent
+
+
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed top-k: assign → probe NPROBE buckets → rank.
+    """IVF-bucketed top-k: train centroids (k-means) → assign →
+    probe NPROBE buckets → rank.
 
     Only vectors whose centroid is among the query's NPROBE nearest
     centroids are scored — the recall/cost dial of a real IVF index.
+    Centroids are trained with :func:`_kmeans_centroids` (fixed-point
+    Lloyd iterations, bit-identical in the DuckDB oracle).
     """
     emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
         "vec_id", _as_double_vec(F.col("embedding")).alias("vec")
     )
-    cent = emb.filter(F.col("vec_id") < NCENTROIDS).select(
-        F.col("vec_id").alias("cent_id"), F.col("vec").alias("cvec")
-    )
+    cent = _kmeans_centroids(emb)
 
     # nearest-centroid assignment for every vector (broadcast cents)
     w_assign = Window.partitionBy("vec_id").orderBy(

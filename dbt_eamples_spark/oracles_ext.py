@@ -25,6 +25,7 @@ from dbt_eamples_spark.operators.dedup import (
 )
 from dbt_eamples_spark.operators.similarity import (
     DEDUP_LSH_TABLES,
+    KMEANS_ITERS,
     LSH_PLANE_WEIGHTS,
     LSH_PLANES,
     LSH_TABLES,
@@ -66,6 +67,48 @@ def _norm(a: str) -> str:
 def _cos(a: str, b: str) -> str:
     return f"({_dot(a, b)} / ({_norm(a)} * {_norm(b)}))"
 
+
+
+def _kmeans_cte_sql(iters: int) -> str:
+    """CTE chain c0..c{iters} replicating
+    similarity._kmeans_centroids exactly: max-cosine assignment +
+    FIXED-POINT per-dimension means (coordinates rounded to 1e-6 and
+    summed as BIGINT — integer addition is order-independent, so the
+    distributed Spark mean and this sequential SQL mean agree
+    bit-for-bit; a double avg would diverge with summation order)."""
+    parts = [
+        f"""c0 AS (SELECT vec_id AS cent_id, vec AS cvec FROM v
+                   WHERE vec_id < {NCENTROIDS})"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+        a{i} AS (
+            SELECT cent_id, vec FROM (
+                SELECT v.vec_id, v.vec, c.cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                           ORDER BY {_cos('v.vec', 'c.cvec')} DESC,
+                                    c.cent_id ASC) AS rk
+                FROM v CROSS JOIN c{i - 1} c
+            ) WHERE rk = 1
+        )""")
+        parts.append(f"""
+        e{i} AS (
+            SELECT cent_id,
+                   unnest(range(1, len(vec) + 1)) AS pos,
+                   unnest(vec) AS x
+            FROM a{i}
+        )""")
+        parts.append(f"""
+        c{i} AS (
+            SELECT cent_id, list(m ORDER BY pos) AS cvec FROM (
+                SELECT cent_id, pos,
+                       (SUM(CAST(round(x * 1000000.0) AS BIGINT))::DOUBLE
+                            / COUNT(*)) / 1000000.0 AS m
+                FROM e{i} GROUP BY cent_id, pos
+            ) GROUP BY cent_id
+        )""")
+    parts.append(f"cent AS (SELECT cent_id, cvec FROM c{iters})")
+    return ",\n".join(parts)
 
 
 def _lsh_bucket_sql(t: int) -> str:
@@ -511,8 +554,7 @@ EXT_ORACLES: dict[str, str] = {
             SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
             FROM embeddings
         ),
-        cent AS (SELECT vec_id AS cent_id, vec AS cvec FROM v
-                 WHERE vec_id < {NCENTROIDS}),
+        {_kmeans_cte_sql(KMEANS_ITERS)},
         assigned AS (
             SELECT vec_id, vec, bucket FROM (
                 SELECT v.vec_id, v.vec, cent_id AS bucket,

@@ -216,6 +216,35 @@ class TestRowsOnlyOps:
         kb = sorted((r["query_id"], r["rk"], r["neighbor_id"]) for r in b.collect())
         assert ka == kb
 
+    def test_kmeans_centroids_train_and_are_deterministic(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from dbt_eamples_spark.catalog import load_table
+        from dbt_eamples_spark.operators.similarity import (
+            NCENTROIDS,
+            _as_double_vec,
+            _kmeans_centroids,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double_vec(F.col("embedding")).alias("vec")
+        )
+        c1 = {r.cent_id: tuple(r.cvec) for r in _kmeans_centroids(emb).collect()}
+        assert 0 < len(c1) <= NCENTROIDS
+        # training moved centroids off their seed vectors
+        seeds = {
+            r.vec_id: tuple(r.vec)
+            for r in emb.filter(F.col("vec_id") < NCENTROIDS).collect()
+        }
+        assert any(c1[k] != seeds[k] for k in c1)
+        # order-independent accumulation: a different partitioning
+        # yields bit-identical centroids
+        c2 = {
+            r.cent_id: tuple(r.cvec)
+            for r in _kmeans_centroids(emb.repartition(7)).collect()
+        }
+        assert c1 == c2
+
 
 class TestMultimodal:
     def test_fake_decode_feature_shape(self, spark, sf_dir):
