@@ -171,6 +171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition_stats": T.text_repetition_stats,
         # concat-and-chunk training-sequence packing
         "pack_concat_chunks": C.pack_concat_chunks,
+        # JVM-side binary frame chunk + stride sample + fingerprint
+        "multimodal_frame_sample": M.multimodal_frame_sample,
         # --- green in round 1 ---
         # §2.1 scans / sources
         "scan_table": R.scan_table,

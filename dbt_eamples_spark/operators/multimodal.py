@@ -130,3 +130,55 @@ def multimodal_features_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("features", 1).alias("feat_0"),
         F.element_at("features", 2).alias("feat_1"),
     )
+
+
+FRAME_BYTES = 16   # bytes per "frame" of the payload
+FRAME_STRIDE = 4   # keep every 4th frame
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads — the video-ingest shape:
+    chunk the payload into fixed FRAME_BYTES frames, keep every
+    FRAME_STRIDE-th frame, fingerprint each kept frame. Entirely
+    JVM-side (hex → substring → md5): frame selection and hashing
+    need no Python, so a real pipeline only pays the Arrow hop for
+    frames that SURVIVE sampling (this stage feeds
+    multimodal_decode_features, it doesn't replace it).
+
+    Portability: frames are cut from the hex encoding (2 chars per
+    byte) because DuckDB has no byte-substring on BLOB — hex is 1-1
+    with bytes, so hashing the hex slice fingerprints the frame
+    exactly. The hex string materializes in its own projection below
+    the explode so it's computed once per doc, not once per frame.
+    Tail bytes short of a full frame are dropped (n_frames = floor),
+    matching fixed-size video frame buffers."""
+    bt = binary_table(spark, sf_dir).select("doc_id", "content")
+    base = bt.select(
+        "doc_id",
+        F.hex("content").alias("h"),
+        F.floor(F.octet_length("content") / F.lit(FRAME_BYTES))
+        .cast("long")
+        .alias("n_frames"),
+    )
+    ids = F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)))
+    return (
+        base.select(
+            "doc_id", "h", "n_frames", F.explode_outer(ids).alias("frame_idx")
+        )
+        .filter(
+            (F.col("frame_idx") < F.col("n_frames"))
+            & (F.col("frame_idx") % FRAME_STRIDE == 0)
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            "n_frames",
+            F.md5(
+                F.substring(
+                    F.col("h"),
+                    (F.col("frame_idx") * (2 * FRAME_BYTES) + 1).cast("int"),
+                    2 * FRAME_BYTES,
+                )
+            ).alias("frame_md5"),
+        )
+    )

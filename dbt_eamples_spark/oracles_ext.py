@@ -404,6 +404,25 @@ EXT_ORACLES: dict[str, str] = {
             JOIN v vb ON vb.vec_id = vec_b
         ) WHERE cosine >= {COSINE_NEAR_DUP}
     """,
+    # ---- multimodal frame sampling -----------------------------------------
+    "multimodal_frame_sample": """
+        WITH b AS (
+            SELECT doc_id, hex(encode(text)) AS h,
+                   CAST(floor(octet_length(encode(text)) / 16.0) AS BIGINT)
+                       AS n_frames
+            FROM documents
+        ),
+        f AS (
+            SELECT doc_id, h, n_frames,
+                   unnest(range(0, greatest(n_frames, 1))) AS frame_idx
+            FROM b
+        )
+        SELECT doc_id, frame_idx, n_frames,
+               md5(substring(h, CAST(frame_idx * 32 + 1 AS BIGINT), 32))
+                   AS frame_md5
+        FROM f
+        WHERE frame_idx < n_frames AND frame_idx % 4 = 0
+    """,
     # ---- curation: decontamination / repetition / packing ------------------
     "text_decontaminate": r"""
         WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t

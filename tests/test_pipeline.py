@@ -247,6 +247,33 @@ class TestRowsOnlyOps:
 
 
 class TestMultimodal:
+    def test_frame_sample_fingerprints_actual_bytes(self, spark, sf_dir):
+        import hashlib
+
+        from dbt_eamples_spark.operators.multimodal import (
+            FRAME_BYTES,
+            FRAME_STRIDE,
+            multimodal_frame_sample,
+        )
+
+        rows = multimodal_frame_sample(spark, sf_dir).collect()
+        assert rows
+        docs = {
+            r.doc_id: r.text.encode("utf-8")
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+        }
+        for r in rows[:100]:
+            payload = docs[r.doc_id]
+            assert r.n_frames == len(payload) // FRAME_BYTES
+            assert r.frame_idx % FRAME_STRIDE == 0
+            frame = payload[
+                r.frame_idx * FRAME_BYTES : (r.frame_idx + 1) * FRAME_BYTES
+            ]
+            expected = hashlib.md5(
+                frame.hex().upper().encode("ascii")
+            ).hexdigest()
+            assert r.frame_md5 == expected
+
     def test_fake_decode_feature_shape(self, spark, sf_dir):
         from dbt_eamples_spark.operators.multimodal import (
             FEATURE_DIM,
