@@ -173,6 +173,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_concat_chunks": C.pack_concat_chunks,
         # JVM-side binary frame chunk + stride sample + fingerprint
         "multimodal_frame_sample": M.multimodal_frame_sample,
+        # long->wide with pinned pivot domain (no discovery job)
+        "metric_pivot": R.metric_pivot,
+        # wide->long melt, zero-shuffle
+        "metric_unpivot": R.metric_unpivot,
         # --- green in round 1 ---
         # §2.1 scans / sources
         "scan_table": R.scan_table,
@@ -371,6 +375,25 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(o_totalprice), 2) AS total_price
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "metric_pivot": """
+            SELECT o_orderpriority,
+                   ROUND(SUM(CASE WHEN o_orderstatus = 'F'
+                                  THEN o_totalprice END), 2) AS status_F,
+                   ROUND(SUM(CASE WHEN o_orderstatus = 'O'
+                                  THEN o_totalprice END), 2) AS status_O,
+                   ROUND(SUM(CASE WHEN o_orderstatus = 'P'
+                                  THEN o_totalprice END), 2) AS status_P
+            FROM orders
+            GROUP BY o_orderpriority
+        """,
+        "metric_unpivot": """
+            SELECT p_partkey, 'retail_price' AS metric,
+                   p_retailprice::DOUBLE AS value
+            FROM part
+            UNION ALL
+            SELECT p_partkey, 'size' AS metric, p_size::DOUBLE AS value
+            FROM part
         """,
         "window_topk_per_group": """
             SELECT c_mktsegment, c_custkey, c_acctbal, rk FROM (

@@ -369,6 +369,48 @@ def metric_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PIVOT_STATUSES = ["F", "O", "P"]  # o_orderstatus domain, pinned for plan + oracle
+
+
+def metric_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide reshape: revenue per priority with one column per
+    order status — the report shape every BI export of the metric
+    layer wants. The pivot values are PINNED (``PIVOT_STATUSES``):
+    an unpinned ``pivot(col)`` runs an extra distinct-collect job to
+    discover the domain and makes the output schema data-dependent —
+    both wrong at 100 TB. Pinned, this compiles to one groupBy with
+    conditional aggregates (one shuffle, map-side combined), which
+    is exactly the oracle's SUM(CASE WHEN ...) form."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", PIVOT_STATUSES)
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .select(
+            "o_orderpriority",
+            *[F.col(s).alias(f"status_{s}") for s in PIVOT_STATUSES],
+        )
+    )
+
+
+def metric_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (melt): per-part unit metrics stacked into
+    (metric, value) rows — the inverse of metric_pivot, used to feed
+    generic metric sinks. ``unpivot`` is a zero-shuffle narrow map
+    (each row expands to one row per measure in place)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("retail_price"),
+        F.col("p_size").cast("double").alias("size"),
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["retail_price", "size"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.5 windows
 # ---------------------------------------------------------------------------
