@@ -173,6 +173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_concat_chunks": C.pack_concat_chunks,
         # JVM-side binary frame chunk + stride sample + fingerprint
         "multimodal_frame_sample": M.multimodal_frame_sample,
+        # end-to-end per-doc keep/drop verdict (exact + cluster tiers)
+        "corpus_keep_list": D.corpus_keep_list,
         # long->wide with pinned pivot domain (no discovery job)
         "metric_pivot": R.metric_pivot,
         # wide->long melt, zero-shuffle

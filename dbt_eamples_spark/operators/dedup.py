@@ -589,3 +589,47 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= COSINE_NEAR_DUP)
     )
+
+
+def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation verdict: ONE row per document with the
+    final keep/drop decision and its reason — the artifact a
+    training-data pipeline actually consumes (the pairwise/cluster
+    operators above are its evidence). Tiers, in precedence order:
+
+    1. ``exact_dup``  — not the minimum doc_id of its normalized-text
+       fingerprint group (dedup_exact semantics);
+    2. ``near_dup``   — a MinHash cluster member that is not its
+       cluster's canonical doc (dedup_clusters semantics);
+    3. ``kept``       — everything else.
+
+    Scale shape: the exact tier is one window over the fingerprint
+    hash (uniform key); the near-dup tier joins the (tiny) cluster
+    assignment — bounded by docs that appear in any near-dup pair —
+    as a broadcast. Nothing here re-shuffles the corpus beyond the
+    one fingerprint exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    w = Window.partitionBy("fp")
+    exact = docs.select("doc_id", F.md5(norm).alias("fp")).select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("exact_keep"),
+    )
+    clusters = dedup_clusters(spark, sf_dir).select(
+        F.col("doc_id").alias("cl_doc_id"), F.col("keep").alias("cl_keep")
+    )
+    joined = exact.join(
+        F.broadcast(clusters), exact.doc_id == clusters.cl_doc_id, "left"
+    )
+    reason = (
+        F.when(~F.col("exact_keep"), F.lit("exact_dup"))
+        .when(
+            F.col("cl_keep").isNotNull() & ~F.col("cl_keep"), F.lit("near_dup")
+        )
+        .otherwise(F.lit("kept"))
+    )
+    return joined.select(
+        "doc_id",
+        reason.alias("reason"),
+        (reason == "kept").alias("keep"),
+    )

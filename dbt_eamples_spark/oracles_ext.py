@@ -300,6 +300,39 @@ EXT_ORACLES: dict[str, str] = {
                node = comp AS keep
         FROM comp
     """,
+    "corpus_keep_list": f"""
+        WITH RECURSIVE pairs AS ({MINHASH_PAIRS_SQL}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        walk(node, comp) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.dst AS node, w.comp AS comp
+            FROM walk w JOIN edges e ON e.src = w.node
+        ),
+        comp AS (SELECT node, MIN(comp) AS comp FROM walk GROUP BY node),
+        ek AS (
+            SELECT doc_id,
+                   doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS exact_keep
+            FROM (SELECT doc_id,
+                         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                             AS fp
+                  FROM documents)
+        ),
+        verdict AS (
+            SELECT e.doc_id,
+                   CASE WHEN NOT e.exact_keep THEN 'exact_dup'
+                        WHEN c.node IS NOT NULL AND c.node <> c.comp
+                             THEN 'near_dup'
+                        ELSE 'kept' END AS reason
+            FROM ek e LEFT JOIN comp c ON c.node = e.doc_id
+        )
+        SELECT doc_id, reason, reason = 'kept' AS keep FROM verdict
+    """,
     "dedup_simhash": f"""
         WITH sh AS ({SHINGLES}),
         hashed AS (

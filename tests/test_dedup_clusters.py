@@ -93,3 +93,29 @@ class TestSampling:
             # overflow bin (last) may exceed its nominal width
             if r.bin_id < 11:
                 assert r.bin_max < r.bin_lo + 50_000
+
+
+class TestCorpusKeepList:
+    def test_verdict_consistent_with_tiers(self, spark, sf_dir):
+        from dbt_eamples_spark.operators.dedup import (
+            corpus_keep_list,
+            dedup_exact,
+        )
+
+        rows = {r.doc_id: r for r in corpus_keep_list(spark, sf_dir).collect()}
+        total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        assert len(rows) == total  # exactly one verdict per doc
+        exact_keepers = {
+            r.keep_doc_id for r in dedup_exact(spark, sf_dir).collect()
+        }
+        clusters = {
+            r.doc_id: r.keep for r in dedup_clusters(spark, sf_dir).collect()
+        }
+        for doc_id, r in rows.items():
+            assert r.keep == (r.reason == "kept")
+            if doc_id not in exact_keepers:
+                assert r.reason == "exact_dup"
+            elif doc_id in clusters and not clusters[doc_id]:
+                assert r.reason == "near_dup"
+            else:
+                assert r.reason == "kept"
