@@ -242,3 +242,45 @@ def stream_dedup_streaming(
         .select("user_id", "event_type", "value", "ts")
     )
     _drain(deduped, "append", checkpoint, out_table)
+
+
+def stream_incremental_append(
+    spark: SparkSession, sf_dir: str, checkpoint: str, sink_path: str
+) -> None:
+    """The reference's cron pipeline (`transactions_dag.py:14-46`:
+    read watermark → fetch delta → append with audit column) as a
+    true Structured Streaming job: file source → ``foreachBatch``
+    that anti-joins each micro-batch against the sink's existing
+    keys BEFORE appending (row-granular idempotence the reference
+    lacks) and stamps the audit column, drained with AvailableNow.
+
+    foreachBatch is the right sink shape here because the
+    idempotence check needs a batch-side read of the sink — a plain
+    ``writeStream.format("parquet")`` cannot express it. Re-running
+    the whole job against the same sink appends zero rows (asserted
+    in tests), which is the property that makes cron retries safe.
+    """
+    from dbt_eamples_spark.sources.sinks import with_audit_col
+
+    src = _events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        out = batch
+        try:
+            existing = batch.sparkSession.read.parquet(sink_path).select(
+                "event_id"
+            )
+            out = batch.join(existing, "event_id", "left_anti")
+        except Exception:
+            pass  # first batch: sink doesn't exist yet
+        with_audit_col(out).write.mode("append").parquet(sink_path)
+
+    q = (
+        src.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=120)

@@ -82,3 +82,28 @@ class TestStreamDedup:
 
         total = load_table(spark, sf_dir, "events").count()
         assert out.agg(F.sum("n_dups")).collect()[0][0] == total
+
+
+class TestStreamIncrementalAppend:
+    def test_append_is_idempotent_across_reruns(self, spark, sf_dir, tmp_path):
+        from dbt_eamples_spark.catalog import load_table
+        from dbt_eamples_spark.streaming.streams import (
+            stream_incremental_append,
+        )
+
+        sink = str(tmp_path / "sink")
+        stream_incremental_append(
+            spark, sf_dir, checkpoint=str(tmp_path / "c1"), sink_path=sink
+        )
+        total = load_table(spark, sf_dir, "events").count()
+        first = spark.read.parquet(sink)
+        assert first.count() == total
+        assert "insert_dt" in first.columns
+        # rerun with a FRESH checkpoint (simulating a cron retry that
+        # lost its offsets): the anti-join must append nothing
+        stream_incremental_append(
+            spark, sf_dir, checkpoint=str(tmp_path / "c2"), sink_path=sink
+        )
+        again = spark.read.parquet(sink)
+        assert again.count() == total
+        assert again.select("event_id").distinct().count() == total
