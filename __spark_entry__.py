@@ -150,6 +150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_max_watermark": R.agg_max_watermark,
         "window_running_sum": R.window_running_sum,
         "window_lag_delta": R.window_lag_delta,
+        # rolling 4-event mean, integer-cents accumulation
+        "window_sliding_avg": R.window_sliding_avg,
         "union_incremental_snapshots": R.union_incremental_snapshots,
         "unixtime_to_iso": R.unixtime_to_iso,
         "tz_normalize": R.tz_normalize,
@@ -421,6 +423,15 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id ORDER BY ts, event_id
                    ), 2) AS value_delta
             FROM events
+        """,
+        "window_sliding_avg": """
+            SELECT user_id, event_id,
+                   ROUND((SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w
+                              ::DOUBLE
+                          / COUNT(*) OVER w) / 100.0, 4) AS sliding_avg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         """,
         "order_by": """
             SELECT o_orderkey, o_totalprice, o_orderpriority

@@ -462,6 +462,32 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 4-event average of value per user (ROWS 3 PRECEDING)
+    — the smoothing window a monitoring surface puts over an event
+    stream. Accumulated in integer CENTS: Spark sums a sliding frame
+    sequentially while DuckDB uses a segment tree, so a double sum
+    diverges in the last ulp and flips rounded digits; bigint sums
+    are order-independent, making the result engine-exact. One
+    shuffle (the user_id window partition)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 0)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(
+            (F.sum(cents).over(w).cast("double") / F.count("*").over(w))
+            / F.lit(100.0),
+            4,
+        ).alias("sliding_avg"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.6 sorts / limits
 # ---------------------------------------------------------------------------

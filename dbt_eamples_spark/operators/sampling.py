@@ -30,20 +30,39 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the eval-set construction shape: per-language quotas
     regardless of the corpus' language skew. A plain ``rate %``
     sample would keep the skew; a ``rand()`` sample would not be
-    reproducible. Scale: one hash per row (narrow map) + one
-    shuffle for the per-stratum window — and because the rank key
-    is hash-uniform, the window partitions are balanced even when
-    strata aren't. (At extreme per-stratum cardinality swap the
-    window for the two-phase local-top-k used in similarity._topk.)
-    """
+    reproducible.
+
+    Scale: a bare ``Window.partitionBy(lang)`` funnels each stratum
+    through ONE task — with a handful of languages over 100 TB that
+    is a straggler by construction. Two-phase instead (the
+    similarity ``_topk`` shape): phase 1 reduces every input
+    partition to its local STRATUM_N smallest hash keys per lang
+    (map-side ``min_by``-style aggregate over (lang, partition-id) —
+    hash-uniform key, no skew), phase 2 ranks only the surviving
+    ≤ STRATUM_N·P rows with the exact per-lang window. Identical
+    output to the single window (total order on (hkey, doc_id)),
+    asserted in tests."""
     docs = load_table(spark, sf_dir, "documents")
     hkey = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
     ).cast("long")
+    keyed = docs.select("doc_id", "lang", hkey.alias("hkey"))
+    local = (
+        keyed.withColumn("pid", F.spark_partition_id())
+        .groupBy("lang", "pid")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("hkey", "doc_id"))),
+                1,
+                STRATUM_N,
+            ).alias("cands")
+        )
+        .select("lang", F.explode("cands").alias("c"))
+        .select("lang", F.col("c.hkey").alias("hkey"), F.col("c.doc_id").alias("doc_id"))
+    )
     w = Window.partitionBy("lang").orderBy(F.asc("hkey"), F.asc("doc_id"))
     return (
-        docs.select("doc_id", "lang", hkey.alias("hkey"))
-        .withColumn("sample_rank", F.row_number().over(w))
+        local.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= STRATUM_N)
         .select("doc_id", "lang", "sample_rank")
     )
