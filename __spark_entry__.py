@@ -171,6 +171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": C.text_decontaminate,
         # Gopher-style repetition quality signals
         "text_repetition_stats": T.text_repetition_stats,
+        # domain-level corpus health (kill spam sources wholesale)
+        "source_quality_rollup": T.source_quality_rollup,
         # concat-and-chunk training-sequence packing
         "pack_concat_chunks": C.pack_concat_chunks,
         # JVM-side binary frame chunk + stride sample + fingerprint

@@ -91,16 +91,19 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring from length / punctuation / stopword ratios —
-    the standard pre-training corpus filter signals."""
-    docs = load_table(spark, sf_dir, "documents")
-    docs = docs.select("doc_id", "text", F.size(_tokens_col()).alias("_nt"))
+def _quality_frame(docs: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Per-doc quality signals, optionally carrying extra columns
+    (used by the per-source rollup so no corpus self-join is
+    needed)."""
+    docs = docs.select(
+        "doc_id", "text", F.size(_tokens_col()).alias("_nt"), *extra_cols
+    )
     n_tokens = F.col("_nt")
     punct = F.regexp_count(F.col("text"), F.lit(r"[.,!?;:]"))
     stop_hits = _lang_hits("en")
     return docs.select(
         "doc_id",
+        *extra_cols,
         n_tokens.alias("n_tokens"),
         F.round(punct / F.greatest(F.length("text"), F.lit(1)), 6).alias("punct_ratio"),
         F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 6).alias("stopword_ratio"),
@@ -110,6 +113,41 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.3 * F.least(stop_hits / F.greatest(n_tokens, F.lit(1)) * 5.0, F.lit(1.0)),
             6,
         ).alias("quality_score"),
+    )
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring from length / punctuation / stopword ratios —
+    the standard pre-training corpus filter signals."""
+    return _quality_frame(load_table(spark, sf_dir, "documents"))
+
+
+def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health: the domain-level view a curation
+    pipeline uses to drop or down-weight WHOLE sources (a spam
+    domain is cheaper to kill once than doc-by-doc). One groupBy on
+    `source`; the mean quality accumulates in fixed-point (the
+    per-doc score is already rounded at 6 decimals, so ×1e6 is
+    integral and the bigint sum is order-independent — the same
+    cross-engine determinism trick as the k-means means; a double
+    sum would be partitioning-dependent)."""
+    q = _quality_frame(
+        load_table(spark, sf_dir, "documents"), extra_cols=("source", "lang")
+    )
+    qfix = F.round(F.col("quality_score") * 1_000_000).cast("long")
+    return (
+        q.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.count("*"), 4
+            ).alias("avg_tokens"),
+            F.round(
+                (F.sum(qfix).cast("double") / F.count("*")) / F.lit(1_000_000.0),
+                6,
+            ).alias("avg_quality"),
+        )
     )
 
 

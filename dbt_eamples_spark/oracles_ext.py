@@ -233,6 +233,30 @@ EXT_ORACLES: dict[str, str] = {
                      {_lang_hits_sql('en')} AS stop
               FROM documents)
     """,
+    "source_quality_rollup": f"""
+        WITH q AS (
+            SELECT doc_id, source, lang, n_tokens,
+                   round(0.4 * least(n_tokens / 100.0, 1.0)
+                         + 0.3 * (1.0 - least(punct::DOUBLE / g_len * 10.0, 1.0))
+                         + 0.3 * least(stop::DOUBLE / g_tok * 5.0, 1.0), 6)
+                       AS quality_score
+            FROM (SELECT doc_id, source, lang,
+                         len(string_split_regex(lower(text), '\\s+')) AS n_tokens,
+                         greatest(length(text), 1) AS g_len,
+                         greatest(len(string_split_regex(lower(text), '\\s+')), 1)
+                             AS g_tok,
+                         len(regexp_extract_all(text, '[.,!?;:]')) AS punct,
+                         {_lang_hits_sql('en')} AS stop
+                  FROM documents)
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT lang) AS n_langs,
+               round(SUM(n_tokens)::DOUBLE / COUNT(*), 4) AS avg_tokens,
+               round((SUM(CAST(round(quality_score * 1000000) AS BIGINT))::DOUBLE
+                          / COUNT(*)) / 1000000.0, 6) AS avg_quality
+        FROM q GROUP BY source
+    """,
     "text_token_count_bpe": f"""
         SELECT doc_id,
                len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens,
