@@ -177,6 +177,44 @@ def cmd_sweep(args: argparse.Namespace) -> int:
     return 0
 
 
+# curation operators exposed on the CLI: name -> (module, function).
+# Lazy-imported so `query --explain` never pays Spark startup.
+CURATE_OPS = {
+    "keep-list": ("dbt_eamples_spark.operators.dedup", "corpus_keep_list"),
+    "decontaminate": (
+        "dbt_eamples_spark.operators.curation",
+        "text_decontaminate",
+    ),
+    "pack": ("dbt_eamples_spark.operators.curation", "pack_concat_chunks"),
+    "source-rollup": (
+        "dbt_eamples_spark.operators.text",
+        "source_quality_rollup",
+    ),
+    "sample": ("dbt_eamples_spark.operators.sampling", "sample_stratified"),
+}
+
+
+def cmd_curate(args: argparse.Namespace) -> int:
+    """Run a corpus-curation operator and print/CSV the result —
+    the dataset-side counterpart of the metric `query` command."""
+    import importlib
+
+    mod_name, fn_name = CURATE_OPS[args.op]
+    fn = getattr(importlib.import_module(mod_name), fn_name)
+    from dbt_eamples_spark.session import get_spark
+
+    spark = get_spark("curate")
+    df = fn(spark, args.sf_dir)
+    if args.csv:
+        from dbt_eamples_spark.sources.sinks import sink_csv
+
+        sink_csv(df, args.csv)
+        print(f"wrote {args.csv}")
+        return 0
+    print(result_text_format(df.limit(args.limit), decimals=args.decimals))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="dbt-eamples-spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -213,6 +251,16 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--decimals", type=int, default=2)
     s.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     s.set_defaults(func=cmd_sweep)
+
+    c = sub.add_parser(
+        "curate", help="run a corpus-curation operator (dedup/decontaminate/...)"
+    )
+    c.add_argument("--op", required=True, choices=sorted(CURATE_OPS))
+    c.add_argument("--csv", help="write full result CSV to this path")
+    c.add_argument("--limit", type=int, default=20, help="rows to print")
+    c.add_argument("--decimals", type=int, default=2)
+    c.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    c.set_defaults(func=cmd_curate)
     return p
 
 

@@ -78,6 +78,41 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _prefix_offsets(toks: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens) → + tok_offset, the exclusive global prefix
+    sum in doc_id order, computed with the two-phase distributed
+    scan (see pack_concat_chunks docstring). Extracted so the
+    equivalence with a naive single-task window is property-testable
+    on arbitrary frames."""
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = (
+        toks.repartitionByRange(PACK_PARTS, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .localCheckpoint(eager=True)
+    )
+    totals = {
+        r.pid: r.tot
+        for r in local.groupBy("pid").agg(F.sum("n_tokens").alias("tot")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    base = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    )[F.col("pid")]
+    return local.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("cum") - F.col("n_tokens") + base).alias("tok_offset"),
+    )
+
+
 def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk sequence packing: documents are
     concatenated in doc_id order and cut into ``PACK_CTX``-token
@@ -105,33 +140,7 @@ def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens"
         ),
     )
-    w = (
-        Window.partitionBy("pid")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    local = (
-        toks.repartitionByRange(PACK_PARTS, "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .withColumn("cum", F.sum("n_tokens").over(w))
-        .localCheckpoint(eager=True)
-    )
-    totals = {
-        r.pid: r.tot
-        for r in local.groupBy("pid").agg(F.sum("n_tokens").alias("tot")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid]
-    base = F.create_map(
-        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
-    )[F.col("pid")]
-    chunked = local.select(
-        "doc_id",
-        "n_tokens",
-        (F.col("cum") - F.col("n_tokens") + base).alias("tok_offset"),
-    ).select(
+    chunked = _prefix_offsets(toks).select(
         "doc_id",
         "n_tokens",
         "tok_offset",

@@ -109,3 +109,33 @@ class TestPackConcatChunks:
             for r in pack_concat_chunks(spark, sf_dir).collect()
         }
         assert got == expected
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(
+        st.integers(min_value=0, max_value=1000), min_size=1, max_size=40
+    )
+)
+def test_prefix_offsets_property(spark, sizes):
+    """Two-phase distributed prefix sum ≡ Python cumsum for arbitrary
+    (doc_id, n_tokens) frames, including zero-size docs."""
+    from dbt_eamples_spark.operators.curation import _prefix_offsets
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(sizes)], "doc_id long, n_tokens long"
+    )
+    got = {r.doc_id: r.tok_offset for r in _prefix_offsets(df).collect()}
+    acc, expected = 0, {}
+    for i, n in enumerate(sizes):
+        expected[i] = acc
+        acc += n
+    assert got == expected

@@ -244,3 +244,21 @@ class TestCLI:
             == 1
         )
         assert cli_main(["query", "--explain"]) == 1
+
+
+class TestCurateCLI:
+    def test_curate_prints_and_writes_csv(self, sf_dir, tmp_path, capsys):
+        rc = cli_main(
+            ["curate", "--op", "source-rollup", "--sf-dir", sf_dir, "--limit", "3"]
+        )
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "src" in out
+        csv_path = str(tmp_path / "keep_csv")
+        rc = cli_main(
+            ["curate", "--op", "keep-list", "--sf-dir", sf_dir, "--csv", csv_path]
+        )
+        assert rc == 0
+        import glob
+
+        assert glob.glob(f"{csv_path}/*.csv")
