@@ -173,6 +173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition_stats": T.text_repetition_stats,
         # domain-level corpus health (kill spam sources wholesale)
         "source_quality_rollup": T.source_quality_rollup,
+        # feature-hashing vectorizer (hashing trick), long format
+        "text_hash_embed": T.text_hash_embed,
         # concat-and-chunk training-sequence packing
         "pack_concat_chunks": C.pack_concat_chunks,
         # JVM-side binary frame chunk + stride sample + fingerprint

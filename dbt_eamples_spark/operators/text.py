@@ -292,3 +292,44 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.select(
         "doc_id", "fingerprint", F.count("*").over(w).alias("n_dups")
     )
+
+
+HASH_EMBED_DIM = 64  # matches the embeddings fixture dimension
+
+
+def text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing vectorizer (the "hashing trick"): every token
+    hashes to a dimension (low 6 md5 bits) with a ±1 sign (bit 6),
+    signed counts accumulate per (doc, dim), and the vector is L2
+    normalized. This is how a corpus with no model-generated
+    embeddings still gets a vector column for the similarity/dedup
+    family — the classic sparse text baseline.
+
+    Output is LONG format (doc_id, dim, value) rather than an array
+    column so the driver's value-hash compare never hashes float
+    arrays (the multimodal_features_flat convention). Determinism:
+    dim/sign come from integer bit ops on the md5 prefix (no double
+    division of 60-bit ints — that loses low bits past 2^53), signed
+    counts sum exactly as BIGINTs, and the final value divides two
+    identical numbers in both engines. One shuffle (the (doc, dim)
+    aggregate, map-side combined) + a per-doc window for the norm.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode_outer(_tokens_col()).alias("tok"))
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    hashed = toks.select(
+        "doc_id",
+        h.bitwiseAND(F.lit(HASH_EMBED_DIM - 1)).alias("dim"),
+        F.when(
+            F.shiftright(h, 6).bitwiseAND(F.lit(1)) == 0, F.lit(1)
+        ).otherwise(F.lit(-1)).alias("sgn"),
+    )
+    sums = hashed.groupBy("doc_id", "dim").agg(F.sum("sgn").alias("s"))
+    w = Window.partitionBy("doc_id")
+    return sums.select(
+        "doc_id",
+        "dim",
+        F.round(
+            F.col("s") / F.sqrt(F.sum(F.col("s") * F.col("s")).over(w)), 6
+        ).alias("value"),
+    )

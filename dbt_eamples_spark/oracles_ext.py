@@ -233,6 +233,21 @@ EXT_ORACLES: dict[str, str] = {
                      {_lang_hits_sql('en')} AS stop
               FROM documents)
     """,
+    "text_hash_embed": r"""
+        WITH t AS (SELECT doc_id,
+                          unnest(string_split_regex(lower(text), '\s+')) AS tok
+                   FROM documents),
+        h AS (SELECT doc_id,
+                     ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+              FROM t),
+        s AS (SELECT doc_id, hv & 63 AS dim,
+                     SUM(CASE WHEN (hv >> 6) & 1 = 0 THEN 1 ELSE -1 END) AS s
+              FROM h GROUP BY doc_id, hv & 63)
+        SELECT doc_id, dim,
+               round(s / sqrt(SUM(s * s) OVER (PARTITION BY doc_id)), 6)
+                   AS value
+        FROM s
+    """,
     "source_quality_rollup": f"""
         WITH q AS (
             SELECT doc_id, source, lang, n_tokens,
