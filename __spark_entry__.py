@@ -145,6 +145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_type_and_notnull": R.filter_type_and_notnull,
         "project_report_cols": R.project_report_cols,
         "join_anti_new_rows": R.join_anti_new_rows,
+        # EXISTS filter as left-semi join
+        "join_semi_exists": R.join_semi_exists,
         "join_asof": join_asof,
         "join_salted_skew": join_salted_skew,
         "agg_max_watermark": R.agg_max_watermark,
@@ -295,6 +297,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (
                 SELECT 1 FROM events s
                 WHERE s.event_id < 500 AND s.event_id = e.event_id
+            )
+        """,
+        "join_semi_exists": """
+            SELECT c_custkey, c_name, c_acctbal
+            FROM customer c
+            WHERE EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
             )
         """,
         "join_salted_skew": """

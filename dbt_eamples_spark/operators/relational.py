@@ -181,6 +181,20 @@ def join_anti_new_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "event_type")
 
 
+def join_semi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS filter as a left-semi join: customers with at least one
+    open order. Semi join is the right plan (vs inner join +
+    distinct): the probe side emits each row at most once, so no
+    post-join dedup shuffle, and the build side carries only the
+    join key — the filter pushes into the orders scan."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    open_orders = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return c.join(
+        open_orders, c.c_custkey == open_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
 def join_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi + time-range join (time-constrained metric queries,
     dbt_query.py:82-83): lineitems shipped within 90 days of their
