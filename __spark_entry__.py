@@ -187,6 +187,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_pivot": R.metric_pivot,
         # wide->long melt, zero-shuffle
         "metric_unpivot": R.metric_unpivot,
+        # gaps-and-islands sessionization (batch twin of session_window)
+        "sessionize_events": R.sessionize_events,
+        # NTILE banding over a bounded top-k slice
+        "window_ntile_deciles": R.window_ntile_deciles,
+        # pure interval join via month-bin equi-join (no BNLJ)
+        "join_range_binned": R.join_range_binned,
+        # int8 scalar quantization audit of the embedding store
+        "embedding_quantize_int8": V.embedding_quantize_int8,
         # --- green in round 1 ---
         # §2.1 scans / sources
         "scan_table": R.scan_table,
@@ -412,6 +420,80 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT p_partkey, 'size' AS metric, p_size::DOUBLE AS value
             FROM part
+        """,
+        "sessionize_events": f"""
+            WITH flagged AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER w)
+                               > {R.SESSION_GAP_S}
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT *, CAST(SUM(new_sess) OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                        ) AS BIGINT) AS session_idx
+              FROM flagged
+            )
+            SELECT user_id, session_idx,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   COUNT(*) AS n_events,
+                   ROUND(CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)
+                         / 100.0, 2) AS session_value
+            FROM sess GROUP BY user_id, session_idx
+        """,
+        "window_ntile_deciles": f"""
+            WITH top AS (
+              SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT {R.NTILE_TOPN}
+            ), banded AS (
+              SELECT *, NTILE(10) OVER (
+                  ORDER BY o_totalprice DESC, o_orderkey) AS decile
+              FROM top
+            )
+            SELECT CAST(decile AS INTEGER) AS decile, COUNT(*) AS n_orders,
+                   MIN(o_totalprice) AS price_min,
+                   MAX(o_totalprice) AS price_max,
+                   ROUND(CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+                              AS DOUBLE) / 100.0, 2) AS price_sum
+            FROM banded GROUP BY decile
+        """,
+        "join_range_binned": f"""
+            WITH promos(promo, start_d, end_d) AS (VALUES {", ".join(
+                f"('{n}', DATE '{s}', DATE '{e}')"
+                for n, s, e in R.PROMO_WINDOWS)})
+            SELECT promo, COUNT(*) AS n_orders,
+                   ROUND(CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+                              AS DOUBLE) / 100.0, 2) AS revenue
+            FROM orders JOIN promos
+              ON CAST(o_orderdate AS DATE) BETWEEN start_d AND end_d
+            GROUP BY promo
+        """,
+        "embedding_quantize_int8": """
+            WITH vecd AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ), scaled AS (
+              SELECT vec_id, v,
+                     GREATEST(list_max(list_transform(v, x -> ABS(x))),
+                              1e-30) / 127.0 AS scale
+              FROM vecd
+            )
+            SELECT vec_id,
+                   CAST(len(v) AS INTEGER) AS n_dims,
+                   ROUND(scale, 9) AS scale_r9,
+                   CAST(list_sum(list_transform(v,
+                        x -> CAST(ROUND(x/scale) AS BIGINT))) AS BIGINT)
+                     AS q_sum,
+                   CAST(list_sum(list_transform(v,
+                        x -> CAST(ROUND((x - ROUND(x/scale)*scale)
+                                      * (x - ROUND(x/scale)*scale)
+                                      * 1e12) AS BIGINT))) AS BIGINT)
+                     AS err_fp
+            FROM scaled
         """,
         "window_topk_per_group": """
             SELECT c_mktsegment, c_custkey, c_acctbal, rk FROM (

@@ -217,6 +217,71 @@ def join_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# overlapping promo windows over the orders date range (1995-2001);
+# ALWAYS_ON spans everything — the deliberate fat-interval skew case
+PROMO_WINDOWS = [
+    ("LAUNCH95", "1995-01-01", "1995-03-31"),
+    ("SUMMER96", "1996-06-01", "1996-08-31"),
+    ("HOLIDAY97", "1997-11-15", "1998-01-15"),
+    ("WINTER97", "1997-12-01", "1998-02-28"),
+    ("MILLENNIUM", "1999-11-01", "2000-02-29"),
+    ("ALWAYS_ON", "1995-01-01", "2001-08-01"),
+]
+
+
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure interval join (NO equi key): orders matched to every
+    promo window containing their date, via month-bin decomposition.
+
+    A naive ``ON o_orderdate BETWEEN start_d AND end_d`` has no
+    equi-conjunct, so Spark plans BroadcastNestedLoopJoin — every
+    probe row tests every interval, O(N·M), a dead end once the
+    interval side outgrows a broadcast. The scale form used here:
+    explode each interval into the months it covers, bin each order
+    to its month, hash-equi-join on the bin, re-check the exact
+    BETWEEN as a residual filter. The shuffle key is the bin, so
+    both sides can be arbitrarily large; a fat interval (ALWAYS_ON)
+    costs rows proportional to its width, not a cross product, and
+    a hot month splits under AQE skew handling like any hot join
+    key."""
+    o = load_table(spark, sf_dir, "orders")
+    promos = spark.createDataFrame(
+        PROMO_WINDOWS, "promo string, start_s string, end_s string"
+    ).select(
+        "promo",
+        F.to_date("start_s").alias("start_d"),
+        F.to_date("end_s").alias("end_d"),
+    )
+    bins = promos.select(
+        "promo",
+        "start_d",
+        "end_d",
+        F.explode(
+            F.sequence(
+                F.trunc("start_d", "month"),
+                F.trunc("end_d", "month"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("mon"),
+    )
+    od = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("od"),
+    ).withColumn("mon", F.trunc("od", "month"))
+    j = od.join(F.broadcast(bins), "mon").filter(
+        (F.col("od") >= F.col("start_d")) & (F.col("od") <= F.col("end_d"))
+    )
+    return j.groupBy("promo").agg(
+        F.count("*").alias("n_orders"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            / F.lit(100.0),
+            2,
+        ).alias("revenue"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.4 aggregations
 # ---------------------------------------------------------------------------
@@ -499,6 +564,84 @@ def window_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0),
             4,
         ).alias("sliding_avg"),
+    )
+
+
+SESSION_GAP_S = 1800  # 30-min inactivity closes a session
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): split each user's
+    event stream into sessions at >30-min inactivity gaps, then
+    aggregate per session. The batch twin of ``stream_session_agg``
+    (F.session_window) — training pipelines run exactly this shape
+    to build behavioral sequences from logs.
+
+    One shuffle total: the lag, the running break count, and the
+    final per-session aggregate all share the user_id hash
+    partitioning, so Catalyst plans a single Exchange and the two
+    window passes + partial agg run in-partition. Session value is
+    accumulated in integer cents (order-independent, engine-exact —
+    same rationale as window_sliding_avg)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(gap_s.isNull() | (gap_s > SESSION_GAP_S), 1)
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.withColumn("session_idx", F.sum("new_sess").over(run))
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0),
+            2,
+        ).alias("session_value"),
+    )
+
+
+NTILE_TOPN = 1000  # bounded input for the global-order window
+
+
+def window_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile summary of the top-1000 orders by price: NTILE(10)
+    over a global order, then per-decile stats.
+
+    A global-order window collapses to ONE task, so it is only ever
+    safe on a BOUNDED input — here the top-k (itself distributed:
+    per-partition TakeOrdered then a k-row merge on the driver side
+    of the exchange). For full-corpus distributions use
+    agg_histogram / agg_approx_percentiles instead; this operator is
+    the report-page shape (rank the top slice, band it). Ties broken
+    on o_orderkey so the banding is engine-deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    top = (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(NTILE_TOPN)
+    )
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        top.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("price_min"),
+            F.max("o_totalprice").alias("price_max"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / F.lit(100.0),
+                2,
+            ).alias("price_sum"),
+        )
     )
 
 

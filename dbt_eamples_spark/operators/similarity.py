@@ -437,3 +437,55 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(_cosine(F.col("qvec"), F.col("vec")), 6).alias("cosine"),
     )
     return _topk(scored, TOP_K)
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column —
+    the standard 4× shrink applied to an embedding store before ANN
+    serving (per-vector scale = max|x|/127, q_i = round(x_i/scale)).
+
+    Emits per-vector audit stats instead of the raw int8 array so
+    the result is oracle-comparable: dim count, the scale, the
+    quantized checksum, and the reconstruction error. Error and
+    checksum fold in INTEGER space (bigint), making the sums
+    order-independent and bit-identical across engines; the
+    per-element doubles use the identical expression tree on both
+    sides. ``scale`` materializes in its own projection and is
+    referenced by several expressions in the next one, so
+    CollapseProject does not inline the array_max into the
+    per-element lambdas (the O(d²) trap). Narrow map, zero
+    shuffles — at 100 TB this runs at scan speed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecd = emb.select("vec_id", _as_double_vec("embedding").alias("v"))
+    scaled = vecd.select(
+        "vec_id",
+        "v",
+        (
+            F.greatest(
+                F.array_max(F.transform("v", lambda x: F.abs(x))),
+                F.lit(1e-30),
+            )
+            / F.lit(127.0)
+        ).alias("scale"),
+    )
+    s = F.col("scale")
+    err_elem = lambda x: (  # noqa: E731 — reconstruction residual per dim
+        F.round(
+            (x - F.round(x / s) * s) * (x - F.round(x / s) * s) * F.lit(1e12)
+        ).cast("long")
+    )
+    return scaled.select(
+        "vec_id",
+        F.size("v").alias("n_dims"),
+        F.round(s, 9).alias("scale_r9"),
+        F.aggregate(
+            F.transform("v", lambda x: F.round(x / s).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("q_sum"),
+        F.aggregate(
+            F.transform("v", err_elem),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("err_fp"),
+    )
