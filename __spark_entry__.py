@@ -44,6 +44,7 @@ from dbt_eamples_spark.streaming.incremental import (
 )
 from dbt_eamples_spark.streaming.streams import (
     stream_dedup,
+    stream_interval_join,
     stream_session_agg,
     stream_tumbling_count,
 )
@@ -195,6 +196,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_range_binned": R.join_range_binned,
         # int8 scalar quantization audit of the embedding store
         "embedding_quantize_int8": V.embedding_quantize_int8,
+        # attribution-window pair join (batch form of the
+        # watermarked stream-stream join; streaming twin in tests)
+        "stream_interval_join": stream_interval_join,
         # --- green in round 1 ---
         # §2.1 scans / sources
         "scan_table": R.scan_table,
@@ -470,6 +474,15 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN promos
               ON CAST(o_orderdate AS DATE) BETWEEN start_d AND end_d
             GROUP BY promo
+        """,
+        "stream_interval_join": """
+            SELECT a.user_id, a.event_id AS click_id,
+                   b.event_id AS purchase_id,
+                   (epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS lag_s
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND a.event_type = 'click' AND b.event_type = 'purchase'
+             AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
         """,
         "embedding_quantize_int8": """
             WITH vecd AS (

@@ -100,8 +100,14 @@ def stream_session_agg_streaming(
     _drain(sessions, "complete", checkpoint, out_table)
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events fixture as a watermarked file-stream source."""
+def _events_stream(
+    spark: SparkSession, sf_dir: str, watermark: bool = True
+) -> DataFrame:
+    """events fixture as a watermarked file-stream source.
+
+    ``watermark=False`` returns the bare stream for callers that set
+    their own watermark on a renamed event-time column (the
+    stream-stream join) — Spark disallows redefining one."""
     # schema from the RAW file (ts arrives as long under
     # nanosAsLong; load_table's converted schema would mismatch).
     # Set the conf here too so this works under ANY session, not
@@ -119,7 +125,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nanos column arrives as long under nanosAsLong — same convert
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return stream.withWatermark("ts", WATERMARK)
+    return stream.withWatermark("ts", WATERMARK) if watermark else stream
 
 
 def stateful_user_totals_streaming(
@@ -284,3 +290,86 @@ def stream_incremental_append(
         .start()
     )
     q.awaitTermination(timeout=120)
+
+
+PAIR_WINDOW = "1 hour"
+
+
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the watermarked stream-stream join: each click
+    paired with every purchase by the same user within the next
+    hour (attribution-window joins — the canonical stream-stream
+    shape). Equi key (user_id) carries the shuffle; the time bound
+    evaluates as a residual, so there is no cross product. lag_s is
+    an integer epoch difference — engine-exact, no float."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    j = clicks.join(
+        purchases,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {PAIR_WINDOW}")),
+    )
+    return j.select(
+        F.col("cu").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.expr(
+            "(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000"
+        ).alias("lag_s"),
+    )
+
+
+def stream_interval_join_streaming(
+    spark: SparkSession, sf_dir: str, checkpoint: str, out_table: str
+) -> None:
+    """True stream-stream inner join: two watermarked event streams,
+    equi key + event-time range condition. Spark buffers each side's
+    rows in the state store only as long as the time bound plus the
+    watermark allows — state is bounded by rows-per-horizon, not
+    history, which is what makes this viable on an unbounded stream.
+    Drained with AvailableNow; append mode (inner joins emit exactly
+    the batch-equivalent pairs — asserted in tests)."""
+    clicks = (
+        _events_stream(spark, sf_dir, watermark=False)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("cu"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", WATERMARK)
+    )
+    purchases = (
+        _events_stream(spark, sf_dir, watermark=False)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("pu"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", WATERMARK)
+    )
+    j = clicks.join(
+        purchases,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {PAIR_WINDOW}")),
+    ).select(
+        F.col("cu").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.expr(
+            "(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000"
+        ).alias("lag_s"),
+    )
+    _drain(j, "append", checkpoint, out_table)

@@ -107,3 +107,26 @@ class TestStreamIncrementalAppend:
         again = spark.read.parquet(sink)
         assert again.count() == total
         assert again.select("event_id").distinct().count() == total
+
+
+class TestStreamIntervalJoin:
+    def test_streaming_pairs_equal_batch(self, spark, sf_dir, tmp_path):
+        from dbt_eamples_spark.streaming.streams import (
+            stream_interval_join,
+            stream_interval_join_streaming,
+        )
+
+        name = f"pairs_{uuid.uuid4().hex[:8]}"
+        stream_interval_join_streaming(
+            spark, sf_dir, checkpoint=str(tmp_path / "ckpt_j"), out_table=name
+        )
+        streamed = spark.sql(
+            f"SELECT user_id, click_id, purchase_id, lag_s FROM {name}"
+        )
+        batch = stream_interval_join(spark, sf_dir)
+        diff = (
+            streamed.exceptAll(batch).count()
+            + batch.exceptAll(streamed).count()
+        )
+        assert diff == 0
+        assert batch.count() > 0  # the fixture does produce pairs
