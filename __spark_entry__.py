@@ -40,6 +40,7 @@ from dbt_eamples_spark.sources.sinks import (
 )
 from dbt_eamples_spark.streaming.incremental import (
     incremental_delta_filter_query,
+    incremental_merge_upsert,
     scd2_snapshot,
 )
 from dbt_eamples_spark.streaming.streams import (
@@ -199,6 +200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # attribution-window pair join (batch form of the
         # watermarked stream-stream join; streaming twin in tests)
         "stream_interval_join": stream_interval_join,
+        # dbt merge / delete+insert incremental strategy (unique_key)
+        "incremental_merge_upsert": incremental_merge_upsert,
         # --- green in round 1 ---
         # §2.1 scans / sources
         "scan_table": R.scan_table,
@@ -474,6 +477,21 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN promos
               ON CAST(o_orderdate AS DATE) BETWEEN start_d AND end_d
             GROUP BY promo
+        """,
+        "incremental_merge_upsert": """
+            WITH target AS (
+              SELECT event_id, user_id, event_type, value
+              FROM events WHERE event_id < 800
+            ), batch AS (
+              SELECT event_id, user_id, event_type,
+                     ROUND(value + 1, 2) AS value
+              FROM events WHERE event_id >= 700
+            )
+            SELECT * FROM target
+            WHERE NOT EXISTS (SELECT 1 FROM batch
+                              WHERE batch.event_id = target.event_id)
+            UNION ALL
+            SELECT * FROM batch
         """,
         "stream_interval_join": """
             SELECT a.user_id, a.event_id AS click_id,

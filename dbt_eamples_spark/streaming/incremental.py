@@ -149,3 +149,31 @@ def scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         F.col("valid_to").isNull().alias("is_current"),
     )
+
+
+def incremental_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt incremental materialization, ``merge`` /
+    ``delete+insert`` strategy with a ``unique_key``: batch rows
+    REPLACE target rows that share the key; unmatched target rows
+    carry over; unmatched batch rows insert. Completes the dbt
+    incremental-strategy family (T2/T3 cover ``append``,
+    scd2_snapshot covers ``snapshot``).
+
+    Fixture shape: target = the ingested snapshot (event_id < 800);
+    batch = a restatement of event_id >= 700 with refreshed values —
+    the 100-key overlap exercises the replace path. Spark-first plan:
+    one hash LEFT ANTI join on the unique key (build side carries
+    key-only columns) + a narrow unionByName — at scale this is the
+    standard lakehouse merge shape (Delta/Iceberg MERGE compiles to
+    the same anti-join-plus-union when the target is rewritten)."""
+    ev = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type", "value"]
+    target = ev.filter(F.col("event_id") < 800).select(*cols)
+    batch = ev.filter(F.col("event_id") >= 700).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") + 1, 2).alias("value"),
+    )
+    kept = target.join(batch.select("event_id"), "event_id", "left_anti")
+    return kept.unionByName(batch)
