@@ -19,6 +19,7 @@ from dbt_eamples_spark.catalog import load_table
 from dbt_eamples_spark.operators import curation as C
 from dbt_eamples_spark.operators import dedup as D
 from dbt_eamples_spark.operators import multimodal as M
+from dbt_eamples_spark.operators import quality as Q
 from dbt_eamples_spark.operators import relational as R
 from dbt_eamples_spark.operators import sampling as S
 from dbt_eamples_spark.operators.asof import join_asof
@@ -202,6 +203,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_interval_join": stream_interval_join,
         # dbt merge / delete+insert incremental strategy (unique_key)
         "incremental_merge_upsert": incremental_merge_upsert,
+        # dbt-utils date_spine: gapless daily calendar + stats
+        "date_spine": R.date_spine,
+        # dbt test surface: unique/not_null/accepted_values/relationships
+        "dq_schema_tests": Q.dq_schema_tests,
         # --- green in round 1 ---
         # §2.1 scans / sources
         "scan_table": R.scan_table,
@@ -477,6 +482,55 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN promos
               ON CAST(o_orderdate AS DATE) BETWEEN start_d AND end_d
             GROUP BY promo
+        """,
+        "date_spine": """
+            WITH od AS (
+              SELECT CAST(o_orderdate AS DATE) AS day, o_totalprice
+              FROM orders
+            ), bounds AS (
+              SELECT MIN(day) AS lo, MAX(day) AS hi FROM od
+            ), spine AS (
+              SELECT CAST(unnest(generate_series(lo, hi,
+                          INTERVAL 1 DAY)) AS DATE) AS day
+              FROM bounds
+            ), daily AS (
+              SELECT day, COUNT(*) AS n,
+                     ROUND(CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+                                AS DOUBLE) / 100.0, 2) AS rev
+              FROM od GROUP BY day
+            )
+            SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+                   COALESCE(n, 0) AS n_orders,
+                   COALESCE(rev, 0.0) AS revenue
+            FROM spine LEFT JOIN daily USING (day)
+        """,
+        "dq_schema_tests": """
+            WITH uniq AS (
+              SELECT 'unique_o_orderkey' AS test_name,
+                     COUNT(*) AS n_violations
+              FROM (SELECT o_orderkey FROM orders
+                    GROUP BY o_orderkey HAVING COUNT(*) > 1)
+            ), nn AS (
+              SELECT 'not_null_o_custkey',
+                     COUNT(*) FILTER (WHERE o_custkey IS NULL)
+              FROM orders
+            ), accepted AS (
+              SELECT 'accepted_values_o_orderstatus',
+                     COUNT(*) FILTER (
+                       WHERE o_orderstatus NOT IN ('F','O','P'))
+              FROM orders
+            ), rel AS (
+              SELECT 'relationships_o_custkey', COUNT(*)
+              FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey)
+            ), report AS (
+              SELECT * FROM uniq UNION ALL SELECT * FROM nn
+              UNION ALL SELECT * FROM accepted UNION ALL SELECT * FROM rel
+            )
+            SELECT test_name, n_violations,
+                   n_violations = 0 AS passed
+            FROM report
         """,
         "incremental_merge_upsert": """
             WITH target AS (

@@ -282,6 +282,49 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-utils ``date_spine``: a continuous daily calendar spanning
+    the orders fixture, left-joined to daily order stats so gap days
+    survive with zeros — the scaffold every gapless time series /
+    cumulative metric needs.
+
+    The spine derives distributively: a single-row min/max aggregate,
+    cross-joined (broadcast — it is one row) into an exploded
+    ``sequence(lo, hi, 1 day)``. No driver-side ``collect`` and no
+    Python date loop; the daily aggregate shuffles on the day key and
+    the spine join broadcasts the day counts only if small — here the
+    spine side is the small one, so Catalyst broadcasts it."""
+    o = load_table(spark, sf_dir, "orders")
+    od = o.select(
+        F.col("o_orderdate").cast("date").alias("day"), "o_totalprice"
+    )
+    bounds = od.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    daily = od.groupBy("day").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            / F.lit(100.0),
+            2,
+        ).alias("rev"),
+    )
+    # day emitted as ISO text: pandas renders a Spark DATE as a
+    # datetime.date but an oracle DATE as a midnight Timestamp, so a
+    # string column is the only representation both engines hash
+    # identically
+    return spine.join(daily, "day", "left").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("rev"), F.lit(0.0)).alias("revenue"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.4 aggregations
 # ---------------------------------------------------------------------------
