@@ -54,6 +54,12 @@ HEADLINE = [
     "multimodal_features_flat",
     "stream_tumbling_count",
     "stream_session_agg",
+    "sessionize_events",
+    "join_range_binned",
+    "stream_interval_join",
+    "embedding_quantize_int8",
+    "date_spine",
+    "incremental_merge_upsert",
 ]
 
 
