@@ -84,11 +84,30 @@ def cmd_query(args: argparse.Namespace) -> int:
         return 1
 
 
+def _write_plan_artifacts(args: argparse.Namespace, compiled) -> None:
+    """Plan-DAG artifacts (the reference renders its dataflow to SVG
+    and displays it, dbt_query.py:127-132,150-153; we write DOT
+    and/or a dependency-free SVG)."""
+    if getattr(args, "plan_dot", None):
+        from dbt_eamples_spark.plans.compiler import dataflow_dot
+
+        with open(args.plan_dot, "w") as f:
+            f.write(dataflow_dot(compiled) + "\n")
+        print(f"wrote plan DOT to {args.plan_dot}")
+    if getattr(args, "plan_svg", None):
+        from dbt_eamples_spark.plans.compiler import dataflow_svg
+
+        with open(args.plan_svg, "w") as f:
+            f.write(dataflow_svg(compiled) + "\n")
+        print(f"wrote plan SVG to {args.plan_svg}")
+
+
 def _run_query(
     args: argparse.Namespace, request: MetricQueryRequest, start: float
 ) -> int:
     if args.explain:
         compiled = compile_request(request)
+        _write_plan_artifacts(args, compiled)
         print("-- rendered SQL --")
         print(compiled.sql)
         print("\n-- dataflow plan --")
@@ -109,6 +128,7 @@ def _run_query(
     spark.sparkContext.setLogLevel("ERROR")
     compiled = execute(spark, args.sf_dir, request)
     assert compiled.df is not None
+    _write_plan_artifacts(args, compiled)
     if args.csv:
         # plain decimal formatting in CSV (Spark's double writer emits
         # scientific notation; the reference wrote display-rounded rows,
@@ -234,6 +254,8 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--csv", help="write result CSV to this path")
     q.add_argument("--explain", action="store_true", help="show SQL + plan only")
     q.add_argument("--physical", action="store_true", help="with --explain: physical plan")
+    q.add_argument("--plan-dot", help="write the dataflow plan as Graphviz DOT")
+    q.add_argument("--plan-svg", help="write the dataflow plan as SVG")
     q.add_argument("--decimals", type=int, default=2)
     q.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     q.set_defaults(func=cmd_query)

@@ -358,3 +358,69 @@ def explain_text(spark: SparkSession, compiled: CompiledQuery) -> str:
     `dbt_query.py:100-126`: rendered SQL + plan)."""
     rows = spark.sql("EXPLAIN FORMATTED " + compiled.sql).collect()
     return "\n".join(r[0] for r in rows)
+
+
+def _dataflow_nodes(compiled: CompiledQuery) -> list[str]:
+    """The dataflow chain as labels, scan-first (execution order)."""
+    labels = [
+        line.strip().removeprefix("<").removesuffix(">")
+        for line in compiled.dataflow_text.splitlines()
+        if line.strip()
+    ]
+    return list(reversed(labels))  # text prints sink-first
+
+
+def dataflow_dot(compiled: CompiledQuery) -> str:
+    """Graphviz DOT of the compiled dataflow plan — the portable
+    form of the reference's plan-DAG artifact (dbt_query.py:127-132
+    renders the MetricFlow dataflow to SVG and displays it)."""
+    nodes = _dataflow_nodes(compiled)
+    out = ["digraph dataflow {", "  rankdir=TB;", "  node [shape=box];"]
+    for i, label in enumerate(nodes):
+        safe = label.replace('"', "'")
+        out.append(f'  n{i} [label="{safe}"];')
+    for i in range(len(nodes) - 1):
+        out.append(f"  n{i} -> n{i + 1};")
+    out.append("}")
+    return "\n".join(out)
+
+
+def dataflow_svg(compiled: CompiledQuery) -> str:
+    """Dependency-free SVG of the dataflow chain (stacked boxes +
+    arrows, scan at the top). The compiled plan is a linear chain,
+    so no graph layout engine is needed — parity with the
+    reference's `*_plan.svg` artifact (dbt_query.py:150-153)
+    without a graphviz binary in the image."""
+    nodes = _dataflow_nodes(compiled)
+    bw, bh, gap, pad = 640, 34, 26, 10
+    width = bw + 2 * pad
+    height = pad * 2 + len(nodes) * bh + (len(nodes) - 1) * gap
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+        f'height="{height}" font-family="monospace" font-size="12">'
+    ]
+    for i, label in enumerate(nodes):
+        y = pad + i * (bh + gap)
+        safe = (
+            label.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        )
+        parts.append(
+            f'<rect x="{pad}" y="{y}" width="{bw}" height="{bh}" '
+            'fill="none" stroke="black"/>'
+        )
+        parts.append(
+            f'<text x="{pad + 8}" y="{y + 22}">{safe}</text>'
+        )
+        if i < len(nodes) - 1:
+            x = pad + bw // 2
+            y1, y2 = y + bh, y + bh + gap
+            parts.append(
+                f'<line x1="{x}" y1="{y1}" x2="{x}" y2="{y2}" '
+                'stroke="black"/>'
+            )
+            parts.append(
+                f'<polygon points="{x - 4},{y2 - 6} {x + 4},{y2 - 6} '
+                f'{x},{y2}"/>'
+            )
+    parts.append("</svg>")
+    return "\n".join(parts)

@@ -262,3 +262,53 @@ class TestCurateCLI:
         import glob
 
         assert glob.glob(f"{csv_path}/*.csv")
+
+
+class TestPlanArtifacts:
+    def test_dot_and_svg_render_the_chain(self):
+        import xml.etree.ElementTree as ET
+
+        from dbt_eamples_spark.plans.compiler import (
+            compile_request,
+            dataflow_dot,
+            dataflow_svg,
+        )
+        from dbt_eamples_spark.plans.saved import SAVED_QUERIES
+
+        compiled = compile_request(SAVED_QUERIES["metric_compiled_star"])
+        dot = dataflow_dot(compiled)
+        assert dot.startswith("digraph dataflow")
+        assert "ScanNode table=lineitem" in dot
+        assert "AggregateNode" in dot
+        # scan is the root (execution order): n0, with edges n0->n1->...
+        assert 'n0 [label="ScanNode' in dot and "n0 -> n1;" in dot
+        svg = dataflow_svg(compiled)
+        root = ET.fromstring(svg)  # well-formed XML
+        texts = [t.text for t in root.iter() if t.tag.endswith("text")]
+        assert any("ScanNode" in t for t in texts)
+        assert len(texts) == len(
+            [line for line in compiled.dataflow_text.splitlines() if line.strip()]
+        )
+
+    def test_cli_writes_artifacts(self, tmp_path, capsys):
+        import xml.etree.ElementTree as ET
+
+        from dbt_eamples_spark.cli import main
+
+        svg = tmp_path / "plan.svg"
+        dot = tmp_path / "plan.dot"
+        rc = main(
+            [
+                "query",
+                "--saved-query",
+                "metric_compiled_star",
+                "--explain",
+                "--plan-svg",
+                str(svg),
+                "--plan-dot",
+                str(dot),
+            ]
+        )
+        assert rc == 0
+        ET.parse(svg)
+        assert dot.read_text().startswith("digraph dataflow")
