@@ -207,6 +207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_spine": R.date_spine,
         # dbt test surface: unique/not_null/accepted_values/relationships
         "dq_schema_tests": Q.dq_schema_tests,
+        # BM25 term scoring over the corpus (retrieval primitive)
+        "text_bm25_search": T.text_bm25_search,
         # --- green in round 1 ---
         # §2.1 scans / sources
         "scan_table": R.scan_table,

@@ -333,3 +333,68 @@ def text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s") / F.sqrt(F.sum(F.col("s") * F.col("s")).over(w)), 6
         ).alias("value"),
     )
+
+
+BM25_TERMS = ("query", "join", "vector")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-text scoring of a fixed query-term set over the
+    corpus — the retrieval primitive behind corpus search and
+    hard-negative mining. All JVM built-ins:
+
+    - one tokenize pass (tokens materialized in their own projection,
+      the standard CollapseProject guard);
+    - tf per (doc, term): explode filtered to the query terms BEFORE
+      the shuffle, so the exchange carries only matching tokens;
+    - df per term and the (N, Σdl) corpus stats are one-row/tiny
+      aggregates, broadcast back — no driver collect;
+    - the per-(doc,term) BM25 weight is a pure double expression
+      (identical tree in the oracle), and the per-doc sum folds in
+      fixed-point (bigint ×1e9) so the 1-3-term addition is
+      order-independent across engines.
+
+    At 100 TB the explode+filter is the dominant scan; the shuffle
+    carries O(matches), and every join is broadcast. Returns every
+    matching doc (no top-k: a rank cut on a float score is the one
+    place engines could disagree at the boundary)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokd = docs.select("doc_id", _tokens_col().alias("toks"))
+    lens = tokd.select("doc_id", F.size("toks").alias("dl"))
+    stats = lens.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        tokd.select("doc_id", F.explode("toks").alias("tok"))
+        .filter(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dft = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    w = (
+        idf
+        * (F.col("tf") * F.lit(BM25_K1 + 1))
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1)
+            * (F.lit(1 - BM25_B) + F.lit(BM25_B) * F.col("dl") / avgdl)
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dft), "tok")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(w * F.lit(1e9)).cast("long").alias("w_fp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_terms"),
+        F.round(F.sum("w_fp") / F.lit(1e9), 6).alias("bm25"),
+    )

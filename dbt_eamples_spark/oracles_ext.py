@@ -198,6 +198,40 @@ MINHASH_PAIRS_SQL = f"""
 
 EXT_ORACLES: dict[str, str] = {
     # ---- text analysis -----------------------------------------------------
+    # BM25 term scoring — identical double expression tree to the
+    # Spark side (ln/idf/weight), per-doc sum folded in fixed-point
+    "text_bm25_search": r"""
+        WITH tokd AS (
+          SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+          FROM documents
+        ), lens AS (
+          SELECT doc_id, len(toks) AS dl FROM tokd
+        ), stats AS (
+          SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM lens
+        ), tf AS (
+          SELECT doc_id, tok, COUNT(*) AS tf
+          FROM (SELECT doc_id, unnest(toks) AS tok FROM tokd)
+          WHERE tok IN ('query', 'join', 'vector')
+          GROUP BY doc_id, tok
+        ), dft AS (
+          SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+        ), scored AS (
+          SELECT tf.doc_id,
+                 CAST(ROUND(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (0.25 + 0.75 * dl
+                        / (CAST(sum_dl AS DOUBLE) / n_docs)))
+                   * 1e9) AS BIGINT) AS w_fp
+          FROM tf
+          JOIN dft USING (tok)
+          JOIN lens ON lens.doc_id = tf.doc_id
+          CROSS JOIN stats
+        )
+        SELECT doc_id, COUNT(*) AS n_terms,
+               ROUND(CAST(SUM(w_fp) AS DOUBLE) / 1e9, 6) AS bm25
+        FROM scored GROUP BY doc_id
+    """,
     "text_token_stats": r"""
         SELECT doc_id,
                length(text) AS n_chars,
