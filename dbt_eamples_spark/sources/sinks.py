@@ -142,3 +142,50 @@ def write_partitioned(
     a data filter over every row
     (tests/test_pipeline.py::test_partitioned_write_prunes)."""
     df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction (the OPTIMIZE housekeeping every
+    long-running ingest needs): rewrite a parquet directory into
+    ⌈total_bytes / target⌉ files of ~target size.
+
+    The streaming/cron append paths legitimately produce one file
+    per micro-batch; at 100 TB that degrades scans (task-per-file
+    scheduling overhead, lost row-group locality) and listing. File
+    count derives from the directory's actual byte size — a cheap
+    driver-side metadata listing, NOT a data pass; the single data
+    pass is the coalesce-rewrite. ``coalesce`` (not ``repartition``)
+    avoids a shuffle: it unions input splits per output task, which
+    is exactly right for compaction since row order within a file is
+    irrelevant. Returns the resulting file count. The rewrite stages
+    to a sibling temp dir and swaps via rename, so a mid-rewrite
+    failure never corrupts the live path."""
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    tmp = path.rstrip("/") + "._compact_tmp"
+    spark.read.parquet(path).coalesce(n_files).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    old = path.rstrip("/") + "._compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return sum(
+        1
+        for _, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )

@@ -340,3 +340,32 @@ class TestStreaming:
         diff = streamed.exceptAll(batch).count() + batch.exceptAll(streamed).count()
         assert diff == 0
         assert batch.count() > 0
+
+
+class TestCompaction:
+    def test_compacts_many_small_files_losslessly(self, spark, sf_dir, tmp_path):
+        from dbt_eamples_spark.catalog import load_table
+        from dbt_eamples_spark.sources.sinks import compact_small_files
+
+        ev = load_table(spark, sf_dir, "events")
+        path = str(tmp_path / "frag")
+        # simulate micro-batch fragmentation: 24 files
+        ev.repartition(24).write.parquet(path)
+        import os
+
+        before = sum(
+            1 for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        assert before >= 24
+        total = ev.count()
+        n_after = compact_small_files(spark, path)
+        assert n_after < before
+        after = spark.read.parquet(path)
+        assert after.count() == total
+        # lossless: same multiset of event ids
+        assert (
+            after.select("event_id")
+            .exceptAll(ev.select("event_id"))
+            .count()
+            == 0
+        )
