@@ -60,6 +60,8 @@ HEADLINE = [
     "embedding_quantize_int8",
     "date_spine",
     "incremental_merge_upsert",
+    "text_bm25_search",
+    "dq_schema_tests",
 ]
 
 
