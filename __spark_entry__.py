@@ -209,6 +209,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_schema_tests": Q.dq_schema_tests,
         # BM25 term scoring over the corpus (retrieval primitive)
         "text_bm25_search": T.text_bm25_search,
+        # top-k TF-IDF keywords per document
+        "text_keyword_extract": T.text_keyword_extract,
+        # RFM banding per customer (fixed thresholds, integer scores)
+        "rfm_segmentation": R.rfm_segmentation,
         # --- green in round 1 ---
         # §2.1 scans / sources
         "scan_table": R.scan_table,
@@ -484,6 +488,45 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN promos
               ON CAST(o_orderdate AS DATE) BETWEEN start_d AND end_d
             GROUP BY promo
+        """,
+        "rfm_segmentation": """
+            WITH od AS (
+              SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+                     CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents
+              FROM orders
+            ), anchor AS (SELECT MAX(od) AS anchor FROM od),
+            per_cust AS (
+              SELECT o_custkey, MAX(od) AS last_od, COUNT(*) AS frequency,
+                     CAST(SUM(cents) AS BIGINT) AS monetary_cents
+              FROM od GROUP BY o_custkey
+            ), scored AS (
+              SELECT o_custkey,
+                     CAST(date_diff('day', last_od, anchor) AS INTEGER)
+                       AS recency_days,
+                     frequency, monetary_cents
+              FROM per_cust CROSS JOIN anchor
+            )
+            SELECT o_custkey, recency_days, frequency,
+                   ROUND(CAST(monetary_cents AS DOUBLE) / 100.0, 2)
+                     AS monetary,
+                   CASE WHEN recency_days <= 180 THEN 3
+                        WHEN recency_days <= 540 THEN 2 ELSE 1 END
+                     AS r_score,
+                   CASE WHEN frequency >= 12 THEN 3
+                        WHEN frequency >= 6 THEN 2 ELSE 1 END AS f_score,
+                   CASE WHEN monetary_cents >= 150000000 THEN 3
+                        WHEN monetary_cents >= 50000000 THEN 2 ELSE 1 END
+                     AS m_score,
+                   CAST(CASE WHEN recency_days <= 180 THEN 3
+                             WHEN recency_days <= 540 THEN 2 ELSE 1 END
+                        AS VARCHAR)
+                   || CAST(CASE WHEN frequency >= 12 THEN 3
+                                WHEN frequency >= 6 THEN 2 ELSE 1 END
+                           AS VARCHAR)
+                   || CAST(CASE WHEN monetary_cents >= 150000000 THEN 3
+                                WHEN monetary_cents >= 50000000 THEN 2
+                                ELSE 1 END AS VARCHAR) AS segment
+            FROM scored
         """,
         "date_spine": """
             WITH od AS (

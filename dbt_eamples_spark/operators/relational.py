@@ -282,6 +282,73 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# RFM thresholds (days / orders / cents) — fixed so segmentation is
+# data-independent and the oracle trivially replicable
+RFM_RECENCY_DAYS = (180, 540)
+RFM_FREQ_ORDERS = (12, 6)
+RFM_MONEY_CENTS = (150_000_000, 50_000_000)
+
+
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic BI scoring the metric
+    layer's consumers build on top of it: per customer, recency
+    (days since last order, anchored at the corpus max date so the
+    result is reproducible), frequency (order count) and monetary
+    (lifetime cents), each banded 1-3 by fixed thresholds.
+
+    One shuffle (the per-customer aggregate); the global anchor date
+    is a one-row aggregate broadcast back (no driver collect). All
+    three scores are integer arithmetic — engine-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    od = o.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    anchor = od.agg(F.max("od").alias("anchor"))
+    per_cust = od.groupBy("o_custkey").agg(
+        F.max("od").alias("last_od"),
+        F.count("*").alias("frequency"),
+        F.sum("cents").alias("monetary_cents"),
+    )
+    scored = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff("anchor", "last_od").alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    r_hi, r_mid = RFM_RECENCY_DAYS
+    f_hi, f_mid = RFM_FREQ_ORDERS
+    m_hi, m_mid = RFM_MONEY_CENTS
+    r = (
+        F.when(F.col("recency_days") <= r_hi, 3)
+        .when(F.col("recency_days") <= r_mid, 2)
+        .otherwise(1)
+    )
+    f = (
+        F.when(F.col("frequency") >= f_hi, 3)
+        .when(F.col("frequency") >= f_mid, 2)
+        .otherwise(1)
+    )
+    m = (
+        F.when(F.col("monetary_cents") >= m_hi, 3)
+        .when(F.col("monetary_cents") >= m_mid, 2)
+        .otherwise(1)
+    )
+    return scored.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        F.round(F.col("monetary_cents") / F.lit(100.0), 2).alias("monetary"),
+        r.alias("r_score"),
+        f.alias("f_score"),
+        m.alias("m_score"),
+        F.concat(
+            r.cast("string"), f.cast("string"), m.cast("string")
+        ).alias("segment"),
+    )
+
+
 def date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dbt-utils ``date_spine``: a continuous daily calendar spanning
     the orders fixture, left-joined to daily order stats so gap days

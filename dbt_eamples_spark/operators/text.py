@@ -374,10 +374,17 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dft = tf.groupBy("tok").agg(F.count("*").alias("df"))
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
-    idf = F.log(
-        (F.col("n_docs") - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-        + F.lit(1.0)
+    # idf pre-rounded at 6dp: JVM Math.log and libm ln differ in the
+    # last ulp for some inputs, and an unrounded idf can push the
+    # final 6dp round across a boundary (seen at sf0.001); with only
+    # |terms| distinct df values the pre-round removes the risk
+    idf = F.round(
+        F.log(
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+        6,
     )
     w = (
         idf
@@ -397,4 +404,54 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_terms"),
         F.round(F.sum("w_fp") / F.lit(1e9), 6).alias("bm25"),
+    )
+
+
+KEYWORDS_PER_DOC = 3
+
+
+def text_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k TF-IDF keywords per document — the per-doc salience
+    signal corpus exploration and tagging pipelines run first.
+
+    tf shuffles on (doc_id, token) with map-side combine; df is a
+    tiny per-token aggregate broadcast back; tfidf = tf · ln(N/df)
+    is a single product of one log (no summation), so the double is
+    bit-identical across engines and the per-doc row_number cut —
+    ordered (tfidf DESC, token ASC) — picks the same rows on both
+    sides. One window shuffle on doc_id. Tokens present in every doc
+    get idf 0 and fall to the tie-break, which is exactly the
+    stopword-suppression TF-IDF promises."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokd = docs.select("doc_id", _tokens_col().alias("toks"))
+    tf = (
+        tokd.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            # idf pre-rounded at 6dp — same JVM-vs-libm log ulp
+            # guard as text_bm25_search; makes the rank order and
+            # the 6dp-rounded score engine-exact
+            "tfidf",
+            F.col("tf")
+            * F.round(
+                F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("kw_rank", F.row_number().over(w))
+        .filter(F.col("kw_rank") <= KEYWORDS_PER_DOC)
+        .select(
+            "doc_id", "kw_rank", "term", F.round("tfidf", 6).alias("tfidf")
+        )
     )

@@ -218,7 +218,7 @@ EXT_ORACLES: dict[str, str] = {
         ), scored AS (
           SELECT tf.doc_id,
                  CAST(ROUND(
-                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
                    * (tf * 2.2)
                    / (tf + 1.2 * (0.25 + 0.75 * dl
                         / (CAST(sum_dl AS DOUBLE) / n_docs)))
@@ -231,6 +231,31 @@ EXT_ORACLES: dict[str, str] = {
         SELECT doc_id, COUNT(*) AS n_terms,
                ROUND(CAST(SUM(w_fp) AS DOUBLE) / 1e9, 6) AS bm25
         FROM scored GROUP BY doc_id
+    """,
+    "text_keyword_extract": r"""
+        WITH tokd AS (
+          SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf
+          FROM (SELECT doc_id, unnest(toks) AS term FROM tokd)
+          GROUP BY doc_id, term
+        ), dft AS (
+          SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ), nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT doc_id, term,
+                 tf * ROUND(ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+          FROM tf JOIN dft USING (term) CROSS JOIN nd
+        ), ranked AS (
+          SELECT doc_id, term, tfidf,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY tfidf DESC, term ASC) AS kw_rank
+          FROM scored
+        )
+        SELECT doc_id, CAST(kw_rank AS INTEGER) AS kw_rank, term,
+               ROUND(tfidf, 6) AS tfidf
+        FROM ranked WHERE kw_rank <= 3
     """,
     "text_token_stats": r"""
         SELECT doc_id,
