@@ -48,6 +48,7 @@ from dbt_eamples_spark.streaming.streams import (
     stream_dedup,
     stream_interval_join,
     stream_session_agg,
+    stream_sliding_count,
     stream_tumbling_count,
 )
 
@@ -213,6 +214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_keyword_extract": T.text_keyword_extract,
         # RFM banding per customer (fixed thresholds, integer scores)
         "rfm_segmentation": R.rfm_segmentation,
+        # sliding 1h/15min windowed aggregate (streaming twin in tests)
+        "stream_sliding_count": stream_sliding_count,
         # --- green in round 1 ---
         # §2.1 scans / sources
         "scan_table": R.scan_table,
@@ -591,6 +594,29 @@ def oracle_sql() -> dict[str, str]:
                               WHERE batch.event_id = target.event_id)
             UNION ALL
             SELECT * FROM batch
+        """,
+        "stream_sliding_count": """
+            WITH e AS (
+              SELECT event_type,
+                     epoch_us(ts) // 1000000 AS t,
+                     CAST(ROUND(value*100) AS BIGINT) AS cents
+              FROM events
+            ), exploded AS (
+              SELECT event_type, cents,
+                     (t // 900) * 900 - unnest(range(0, 4)) * 900
+                       AS start_s
+              FROM e
+              -- every event belongs to exactly the 4 slide-aligned
+              -- windows starting within the hour before it
+            )
+            SELECT make_timestamp(start_s * 1000000) AS window_start,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   ROUND(CAST(SUM(cents) AS DOUBLE) / 100.0, 2)
+                     AS total_value
+            FROM exploded
+            WHERE start_s >= 0
+            GROUP BY start_s, event_type
         """,
         "stream_interval_join": """
             SELECT a.user_id, a.event_id AS click_id,

@@ -373,3 +373,65 @@ def stream_interval_join_streaming(
         ).alias("lag_s"),
     )
     _drain(j, "append", checkpoint, out_table)
+
+
+SLIDE = "15 minutes"
+
+
+def stream_sliding_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the sliding-window aggregate: 1-hour windows
+    every 15 minutes per event_type (each event lands in 4
+    overlapping windows — the smoothing dashboards want where a
+    tumbling window jitters). ``F.window`` with a slide compiles to
+    a 4-row explode + hash aggregate: the shuffle carries (window,
+    type) partial aggregates, NOT 4× the events, because the partial
+    agg folds map-side. Value totals in integer cents (engine-exact
+    across the overlap replication)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", TUMBLE, SLIDE).alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                / F.lit(100.0),
+                2,
+            ).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_sliding_count_streaming(
+    spark: SparkSession, sf_dir: str, checkpoint: str, out_table: str
+) -> None:
+    """Structured Streaming twin: watermarked sliding windows,
+    complete-mode memory sink, AvailableNow drain. State is one
+    aggregate row per open (window, type) — bounded by the horizon
+    (4 overlapping windows per slide), evicted by the watermark."""
+    ev = _events_stream(spark, sf_dir)
+    windowed = (
+        ev.groupBy(F.window("ts", TUMBLE, SLIDE).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                / F.lit(100.0),
+                2,
+            ).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    _drain(windowed, "complete", checkpoint, out_table)

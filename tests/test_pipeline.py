@@ -297,6 +297,26 @@ class TestMultimodal:
 
 
 class TestStreaming:
+    def test_sliding_streaming_equals_batch(self, spark, sf_dir, tmp_path):
+        from dbt_eamples_spark.streaming.streams import (
+            stream_sliding_count,
+            stream_sliding_count_streaming,
+        )
+
+        name = f"sliding_{uuid.uuid4().hex[:8]}"
+        stream_sliding_count_streaming(
+            spark, sf_dir, checkpoint=str(tmp_path / "ckpt_s"), out_table=name
+        )
+        streamed = spark.sql(f"SELECT * FROM {name}")
+        batch = stream_sliding_count(spark, sf_dir)
+        diff = (
+            streamed.exceptAll(batch).count()
+            + batch.exceptAll(streamed).count()
+        )
+        assert diff == 0
+        # every event lands in exactly 4 overlapping windows
+        assert batch.count() > stream_tumbling_count(spark, sf_dir).count()
+
     def test_streaming_equals_batch(self, spark, sf_dir, tmp_path):
         name = f"tumbling_{uuid.uuid4().hex[:8]}"
         stream_tumbling_count_streaming(
