@@ -216,6 +216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segmentation": R.rfm_segmentation,
         # sliding 1h/15min windowed aggregate (streaming twin in tests)
         "stream_sliding_count": stream_sliding_count,
+        # equi-depth (ANALYZE-style) histogram from exact quantiles
+        "agg_equi_depth_histogram": S.agg_equi_depth_histogram,
         # --- green in round 1 ---
         # §2.1 scans / sources
         "scan_table": R.scan_table,
@@ -594,6 +596,20 @@ def oracle_sql() -> dict[str, str]:
                               WHERE batch.event_id = target.event_id)
             UNION ALL
             SELECT * FROM batch
+        """,
+        "agg_equi_depth_histogram": """
+            WITH bounds AS (
+              SELECT quantile_cont(o_totalprice,
+                  [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bs
+              FROM orders
+            )
+            SELECT CAST(len(list_filter(bs, b -> o_totalprice > b))
+                        AS INTEGER) AS bucket,
+                   COUNT(*) AS n_orders,
+                   ROUND(MIN(o_totalprice), 2) AS lo,
+                   ROUND(MAX(o_totalprice), 2) AS hi
+            FROM orders CROSS JOIN bounds
+            GROUP BY 1
         """,
         "stream_sliding_count": """
             WITH e AS (

@@ -99,3 +99,48 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bin_max",
         )
     )
+
+
+EQUI_DEPTH_BUCKETS = 8
+
+
+def agg_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-height) histogram of order totals — the
+    optimizer statistic real engines keep (ANALYZE histograms):
+    bucket boundaries at the exact k/8 quantiles, then one bucketing
+    pass counting rows per bucket.
+
+    Two-pass shape: the exact percentile aggregate produces ONE row
+    of boundaries (broadcast back — no driver collect), then the
+    bucketing pass is pure arithmetic that map-side combines into at
+    most 8 rows per task. The boundary doubles are identical across
+    engines (agg_percentiles proves exact-percentile parity), so the
+    `<=` bucket comparisons are engine-exact. The exact-percentile
+    first pass buffers values per group at scale — for 100 TB swap
+    in percentile_approx (the agg_approx_percentiles pattern); the
+    bucketing pass is scale-free either way."""
+    o = load_table(spark, sf_dir, "orders")
+    qs = [i / EQUI_DEPTH_BUCKETS for i in range(1, EQUI_DEPTH_BUCKETS)]
+    bounds = o.agg(
+        F.percentile("o_totalprice", F.array(*[F.lit(q) for q in qs])).alias(
+            "bounds"
+        )
+    )
+    # bucket = #boundaries strictly below the value (0..7)
+    bucket = F.aggregate(
+        F.col("bounds"),
+        F.lit(0),
+        lambda acc, b: acc
+        + F.when(F.col("o_totalprice") > b, 1).otherwise(0),
+    )
+    return (
+        o.select("o_totalprice")
+        .crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
