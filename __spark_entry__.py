@@ -218,6 +218,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sliding_count": stream_sliding_count,
         # equi-depth (ANALYZE-style) histogram from exact quantiles
         "agg_equi_depth_histogram": S.agg_equi_depth_histogram,
+        # per-user OLS drift statistic (exact integer sums)
+        "agg_trend_slope": R.agg_trend_slope,
+        # applyInPandas grouped twin — rows-only by policy; asserted
+        # bit-identical to the JVM twin in tests
+        "agg_trend_slope_pandas": R.agg_trend_slope_pandas,
         # --- green in round 1 ---
         # §2.1 scans / sources
         "scan_table": R.scan_table,
@@ -596,6 +601,34 @@ def oracle_sql() -> dict[str, str]:
                               WHERE batch.event_id = target.event_id)
             UNION ALL
             SELECT * FROM batch
+        """,
+        "agg_trend_slope": """
+            WITH base AS (
+              SELECT user_id,
+                     epoch_us(ts) // 1000000
+                       - MIN(epoch_us(ts) // 1000000)
+                           OVER (PARTITION BY user_id) AS x,
+                     CAST(ROUND(value*100) AS BIGINT) AS y
+              FROM events
+            ), agg AS (
+              SELECT user_id, COUNT(*) AS n,
+                     CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(y) AS BIGINT) AS sy,
+                     CAST(SUM(x*y) AS BIGINT) AS sxy,
+                     CAST(SUM(x*x) AS BIGINT) AS sxx
+              FROM base GROUP BY user_id
+            )
+            SELECT user_id, n AS n_events,
+                   CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                        THEN ROUND(
+                          (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * 86400.0 / 100.0, 4)
+                   END AS slope_per_day
+            FROM agg
         """,
         "agg_equi_depth_histogram": """
             WITH bounds AS (

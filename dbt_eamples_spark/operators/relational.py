@@ -955,3 +955,98 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
     )
+
+
+
+def agg_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend of event value over time (cents/day) — the
+    drift statistic monitoring puts on every entity. slope =
+    (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with x = seconds since the
+    user's first event (int) and y = integer cents, so every Σ is an
+    EXACT integer sum (order-independent across partitions/engines);
+    the closed form then evaluates on doubles with the identical
+    expression tree in the oracle. Two shuffles (min-ts window and
+    the final aggregate share the user_id key, so Catalyst plans one
+    Exchange + reuse). Single-event users get slope NULL (zero
+    variance)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    # floor-div to whole seconds BEFORE the min/subtract (the
+    # oracle does the same) — dividing first in doubles then
+    # truncating would disagree on sub-second timestamps
+    sec = F.expr("unix_micros(ts) div 1000000")
+    base = ev.select(
+        "user_id",
+        (sec - F.min(sec).over(w)).alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    agg = base.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (
+        F.col("n").cast("double"),
+        F.col("sx").cast("double"),
+        F.col("sy").cast("double"),
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+    )
+    denom = n * sxx - sx * sx
+    slope_day = (n * sxy - sx * sy) / denom * F.lit(86400.0) / F.lit(100.0)
+    return agg.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.when(denom > 0, F.round(slope_day, 4)).alias("slope_per_day"),
+    )
+
+
+def agg_trend_slope_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas twin of agg_trend_slope — the grouped-custom-
+    logic escape hatch (SURVEY §2.10): each user's rows arrive as one
+    Arrow-backed pandas frame; the handler computes the same integer
+    sums with numpy and the same closed form. Python-sums in int64
+    (exact, like the JVM), then double division — bit-identical to
+    the JVM twin, asserted in tests. Rows-only driver check by
+    policy for Python-path ops; the JVM twin carries value
+    correctness. At scale this shape is for logic built-ins cannot
+    express (per-entity model fits, robust statistics); state is one
+    group per task at a time, memory bounded by the largest group."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = (pdf["ts_us"] // 1_000_000) - (pdf["ts_us"] // 1_000_000).min()
+        y = pdf["y"]
+        n = len(pdf)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy, sxx = int((x * y).sum()), int((x * x).sum())
+        denom = float(n) * float(sxx) - float(sx) * float(sx)
+        slope = (
+            round(
+                (float(n) * float(sxy) - float(sx) * float(sy))
+                / denom * 86400.0 / 100.0,
+                4,
+            )
+            if denom > 0
+            else None
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [n],
+                "slope_per_day": [slope],
+            }
+        )
+
+    return base.groupBy("user_id").applyInPandas(
+        fit, schema="user_id long, n_events long, slope_per_day double"
+    )

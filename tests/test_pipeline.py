@@ -389,3 +389,18 @@ class TestCompaction:
             .count()
             == 0
         )
+
+
+class TestTrendSlope:
+    def test_pandas_twin_matches_jvm_exactly(self, spark, sf_dir):
+        from dbt_eamples_spark.operators.relational import (
+            agg_trend_slope,
+            agg_trend_slope_pandas,
+        )
+
+        jvm = agg_trend_slope(spark, sf_dir)
+        pnd = agg_trend_slope_pandas(spark, sf_dir)
+        diff = jvm.exceptAll(pnd).count() + pnd.exceptAll(jvm).count()
+        # integer sums + identical double closed form => bit-identical
+        assert diff == 0
+        assert jvm.count() > 0
