@@ -62,6 +62,11 @@ HEADLINE = [
     "incremental_merge_upsert",
     "text_bm25_search",
     "dq_schema_tests",
+    "text_keyword_extract",
+    "rfm_segmentation",
+    "stream_sliding_count",
+    "agg_equi_depth_histogram",
+    "agg_trend_slope",
 ]
 
 
