@@ -220,6 +220,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_equi_depth_histogram": S.agg_equi_depth_histogram,
         # per-user OLS drift statistic (exact integer sums)
         "agg_trend_slope": R.agg_trend_slope,
+        # delta-vs-index near-dup probe (no corpus self-join)
+        "dedup_incremental_minhash": D.dedup_incremental_minhash,
+        # reproducible quality-weighted downsampling (hash coin)
+        "sample_quality_weighted": S.sample_quality_weighted,
         # applyInPandas grouped twin — rows-only by policy; asserted
         # bit-identical to the JVM twin in tests
         "agg_trend_slope_pandas": R.agg_trend_slope_pandas,

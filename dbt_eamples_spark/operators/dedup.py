@@ -633,3 +633,80 @@ def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         reason.alias("reason"),
         (reason == "kept").alias("keep"),
     )
+
+
+INCR_MOD = 10  # doc_id % 10 == 0 marks the incoming "new batch"
+
+
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup check: dedup the NEW batch against the
+    existing corpus without comparing the corpus to itself — the
+    shape a production ingest actually runs (the 100 TB corpus is
+    indexed once; each delta probes the index).
+
+    Here the corpus-side (band, bucket) keys are recomputed from the
+    fixture for hermeticity; at scale they are the persisted LSH
+    index (a bucketed table on the bucket key), and only the delta
+    pays signature computation. Candidates come from an asymmetric
+    equi-join of batch keys against corpus keys — no corpus
+    self-join, so incremental cost is O(|delta| + collisions), never
+    O(|corpus|²). Verify is exact Jaccard on candidates only, same
+    as dedup_minhash."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    sig = _minhash_signatures(_shingles(docs))
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(MINHASH_BANDS - 1))).alias("band"),
+        F.col("sig"),
+    ).select(
+        "doc_id",
+        "band",
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.slice(
+                    F.col("sig"), F.col("band") * MINHASH_ROWS + 1, MINHASH_ROWS
+                ),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("bucket"),
+    )
+    is_new = F.col("doc_id") % INCR_MOD == 0
+    new_keys = bands.filter(is_new).select(
+        F.col("doc_id").alias("new_doc"), "band", "bucket"
+    )
+    corpus_keys = bands.filter(~is_new).select(
+        F.col("doc_id").alias("corpus_doc"), "band", "bucket"
+    )
+    cands = (
+        new_keys.join(corpus_keys, ["band", "bucket"])
+        .select("new_doc", "corpus_doc")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ids = (
+        cands.select(F.col("new_doc").alias("doc_id"))
+        .union(cands.select(F.col("corpus_doc").alias("doc_id")))
+        .distinct()
+    )
+    cand_sh = _shingles(docs.join(F.broadcast(ids), "doc_id"))
+    sa = cand_sh.select(
+        F.col("doc_id").alias("new_doc"), F.col("shingles").alias("sh_a")
+    )
+    sb = cand_sh.select(
+        F.col("doc_id").alias("corpus_doc"), F.col("shingles").alias("sh_b")
+    )
+    return (
+        cands.join(F.broadcast(sa), "new_doc")
+        .join(F.broadcast(sb), "corpus_doc")
+        .select(
+            "new_doc",
+            "corpus_doc",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )

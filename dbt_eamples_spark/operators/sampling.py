@@ -144,3 +144,37 @@ def agg_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic downsampling: keep each doc
+    with probability equal to its quality score, decided by a
+    content-independent hash coin — the importance-sampling pass
+    that biases a training mix toward higher-quality text while
+    staying fully reproducible (same corpus → same sample, any
+    partitioning, any engine; a `rand()` Bernoulli is neither
+    reproducible nor oracle-checkable).
+
+    The coin is u = md5(doc_id)[:15 hex] / 2^60 ∈ [0,1): u derives
+    from an exact 60-bit integer, so its double value is
+    bit-identical across engines and the keep decision u < quality
+    is engine-exact. Narrow map + filter, zero shuffles."""
+    from dbt_eamples_spark.operators.text import _quality_frame
+
+    q = _quality_frame(load_table(spark, sf_dir, "documents"))
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        / F.lit(float(1 << 60))
+    )
+    return (
+        q.select(
+            "doc_id",
+            "quality_score",
+            F.round(u, 6).alias("coin"),
+            (u < F.col("quality_score")).alias("keep"),
+        )
+        .filter(F.col("keep"))
+        .select("doc_id", "quality_score", "coin")
+    )

@@ -196,7 +196,50 @@ MINHASH_PAIRS_SQL = f"""
         ) WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
+INCR_MINHASH_SQL = (
+    "SELECT doc_b AS new_doc, doc_a AS corpus_doc, jaccard FROM (\n"
+    + MINHASH_PAIRS_SQL.replace(
+        "a.doc_id < b.doc_id",
+        "b.doc_id % 10 = 0 AND a.doc_id % 10 <> 0",
+    )
+    + "\n)"
+)
+
+# per-doc quality statement, shared by text_quality_score and the
+# quality-weighted sampler
+QUALITY_SQL = f"""
+        SELECT doc_id, n_tokens,
+               round(punct::DOUBLE / g_len, 6) AS punct_ratio,
+               round(stop::DOUBLE / g_tok, 6) AS stopword_ratio,
+               round(0.4 * least(n_tokens / 100.0, 1.0)
+                     + 0.3 * (1.0 - least(punct::DOUBLE / g_len * 10.0, 1.0))
+                     + 0.3 * least(stop::DOUBLE / g_tok * 5.0, 1.0), 6)
+                   AS quality_score
+        FROM (SELECT doc_id,
+                     len(string_split_regex(lower(text), '\\s+')) AS n_tokens,
+                     greatest(length(text), 1) AS g_len,
+                     greatest(len(string_split_regex(lower(text), '\\s+')), 1) AS g_tok,
+                     len(regexp_extract_all(text, '[.,!?;:]')) AS punct,
+                     {_lang_hits_sql('en')} AS stop
+              FROM documents)
+"""
+
 EXT_ORACLES: dict[str, str] = {
+    "dedup_incremental_minhash": INCR_MINHASH_SQL,
+    # quality-weighted hash-coin sampling — coin and score derive
+    # from exact integers / pre-rounded doubles, so the keep
+    # decision is engine-exact
+    "sample_quality_weighted": f"""
+        WITH q AS ({QUALITY_SQL})
+        SELECT doc_id, quality_score,
+               ROUND(coin, 6) AS coin
+        FROM (
+          SELECT doc_id, quality_score,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   / 1152921504606846976.0 AS coin
+          FROM q
+        ) WHERE coin < quality_score
+    """,
     # ---- text analysis -----------------------------------------------------
     # BM25 term scoring — identical double expression tree to the
     # Spark side (ln/idf/weight), per-doc sum folded in fixed-point
@@ -276,22 +319,7 @@ EXT_ORACLES: dict[str, str] = {
                      {', '.join(f'{_lang_hits_sql(k)} AS {k}_hits' for k in LANG_STOPWORDS)}
               FROM documents)
     """,
-    "text_quality_score": f"""
-        SELECT doc_id, n_tokens,
-               round(punct::DOUBLE / g_len, 6) AS punct_ratio,
-               round(stop::DOUBLE / g_tok, 6) AS stopword_ratio,
-               round(0.4 * least(n_tokens / 100.0, 1.0)
-                     + 0.3 * (1.0 - least(punct::DOUBLE / g_len * 10.0, 1.0))
-                     + 0.3 * least(stop::DOUBLE / g_tok * 5.0, 1.0), 6)
-                   AS quality_score
-        FROM (SELECT doc_id,
-                     len(string_split_regex(lower(text), '\\s+')) AS n_tokens,
-                     greatest(length(text), 1) AS g_len,
-                     greatest(len(string_split_regex(lower(text), '\\s+')), 1) AS g_tok,
-                     len(regexp_extract_all(text, '[.,!?;:]')) AS punct,
-                     {_lang_hits_sql('en')} AS stop
-              FROM documents)
-    """,
+    "text_quality_score": QUALITY_SQL,
     "text_hash_embed": r"""
         WITH t AS (SELECT doc_id,
                           unnest(string_split_regex(lower(text), '\s+')) AS tok
