@@ -67,6 +67,8 @@ HEADLINE = [
     "stream_sliding_count",
     "agg_equi_depth_histogram",
     "agg_trend_slope",
+    "dedup_incremental_minhash",
+    "sample_quality_weighted",
 ]
 
 
