@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbt_eamples_spark.catalog import load_table
+from dbt_eamples_spark.operators import behavior as B
 from dbt_eamples_spark.operators import curation as C
 from dbt_eamples_spark.operators import dedup as D
 from dbt_eamples_spark.operators import multimodal as M
@@ -224,6 +225,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_minhash": D.dedup_incremental_minhash,
         # reproducible quality-weighted downsampling (hash coin)
         "sample_quality_weighted": S.sample_quality_weighted,
+        # strictly-ordered conversion funnel (one event-log shuffle)
+        "events_funnel": B.events_funnel,
+        # daily-cohort retention matrix (collect_set day sets)
+        "retention_cohort": B.retention_cohort,
+        # deterministic per-user MODE() with share of total
+        "agg_mode_per_group": B.agg_mode_per_group,
         # applyInPandas grouped twin — rows-only by policy; asserted
         # bit-identical to the JVM twin in tests
         "agg_trend_slope_pandas": R.agg_trend_slope_pandas,
@@ -633,6 +640,83 @@ def oracle_sql() -> dict[str, str]:
                           * 86400.0 / 100.0, 4)
                    END AS slope_per_day
             FROM agg
+        """,
+        "events_funnel": """
+            WITH s1 AS (
+              SELECT user_id, MIN(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ), s2 AS (
+              SELECT e.user_id, MIN(e.ts) AS t
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'click' AND e.ts > s1.t
+              GROUP BY e.user_id
+            ), s3 AS (
+              SELECT e.user_id, MIN(e.ts) AS t
+              FROM events e JOIN s2 ON e.user_id = s2.user_id
+              WHERE e.event_type = 'signup' AND e.ts > s2.t
+              GROUP BY e.user_id
+            ), s4 AS (
+              SELECT e.user_id, MIN(e.ts) AS t
+              FROM events e JOIN s3 ON e.user_id = s3.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s3.t
+              GROUP BY e.user_id
+            ), c AS (
+              SELECT (SELECT COUNT(*) FROM s1) AS c1,
+                     (SELECT COUNT(*) FROM s2) AS c2,
+                     (SELECT COUNT(*) FROM s3) AS c3,
+                     (SELECT COUNT(*) FROM s4) AS c4
+            )
+            SELECT 1 AS step_idx, 'view' AS step, c1 AS n_users,
+                   ROUND(CAST(c1 AS DOUBLE) / c1, 4) AS pct_of_first FROM c
+            UNION ALL
+            SELECT 2, 'click', c2,
+                   ROUND(CAST(c2 AS DOUBLE) / c1, 4) FROM c
+            UNION ALL
+            SELECT 3, 'signup', c3,
+                   ROUND(CAST(c3 AS DOUBLE) / c1, 4) FROM c
+            UNION ALL
+            SELECT 4, 'purchase', c4,
+                   ROUND(CAST(c4 AS DOUBLE) / c1, 4) FROM c
+        """,
+        "retention_cohort": """
+            WITH days AS (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+            ), firsts AS (
+              SELECT user_id, MIN(d) AS cohort_day FROM days GROUP BY user_id
+            ), grid AS (
+              SELECT cohort_day,
+                     CAST(date_diff('day', cohort_day, d) AS INTEGER)
+                       AS day_offset,
+                     COUNT(*) AS n_users
+              FROM days JOIN firsts USING (user_id)
+              GROUP BY 1, 2
+            ), sizes AS (
+              SELECT cohort_day, n_users AS cohort_size
+              FROM grid WHERE day_offset = 0
+            )
+            SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+                   day_offset, n_users,
+                   ROUND(CAST(n_users AS DOUBLE) / cohort_size, 4)
+                     AS retention_pct
+            FROM grid JOIN sizes USING (cohort_day)
+        """,
+        "agg_mode_per_group": """
+            WITH counts AS (
+              SELECT user_id, event_type, COUNT(*) AS n_events
+              FROM events GROUP BY 1, 2
+            ), ranked AS (
+              SELECT *,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                         ORDER BY n_events DESC, event_type) AS rn,
+                     SUM(n_events) OVER (PARTITION BY user_id)
+                       AS total_events
+              FROM counts
+            )
+            SELECT user_id, event_type AS mode_event, n_events,
+                   CAST(total_events AS BIGINT) AS total_events,
+                   ROUND(CAST(n_events AS DOUBLE) / total_events, 4)
+                     AS mode_share
+            FROM ranked WHERE rn = 1
         """,
         "agg_equi_depth_histogram": """
             WITH bounds AS (

@@ -69,6 +69,9 @@ HEADLINE = [
     "agg_trend_slope",
     "dedup_incremental_minhash",
     "sample_quality_weighted",
+    "events_funnel",
+    "retention_cohort",
+    "agg_mode_per_group",
 ]
 
 

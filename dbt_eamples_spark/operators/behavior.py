@@ -1,0 +1,197 @@
+"""Behavioral / product-analytics operators over the event log.
+
+The reference's event pipeline ships raw transaction rows to a
+warehouse and leaves sequence analytics to downstream SQL
+(`/root/reference/helix-flow/dags/omni/transactions_dag.py:22-44`
+builds the log; `slack_utils.py:77-90` only counts and lists rows).
+These operators supply the three canonical log-analytics shapes a
+user of that pipeline runs next — funnel conversion, cohort
+retention, and modal behavior per entity — as native Spark plans.
+
+Scale posture (all three):
+ - exactly the algorithmic-minimum shuffles, each keyed on
+   ``user_id`` (or its strict superset), so the event log's natural
+   ingest partitioning is reused;
+ - per-user state is bounded (a funnel holds 4 timestamps; the
+   cohort pass holds the user's distinct active-day set, bounded by
+   the retention horizon), so no executor buffers a corpus-sized
+   structure;
+ - no self-joins of the event log and no driver-side collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbt_eamples_spark.catalog import load_table
+
+# strictly-ordered conversion path; each step must happen strictly
+# after the matched timestamp of the previous step
+FUNNEL_STEPS = ("view", "click", "signup", "purchase")
+
+
+def _funnel_state(sorted_events: Column) -> Column:
+    """Fold a user's time-sorted events through the funnel state
+    machine: state = (t1..t4), ``t_k`` is the first step-k event
+    strictly after ``t_{k-1}``. One interpreted fold per user —
+    the per-element lambda touches only scalar struct fields, so
+    the higher-order-function re-evaluation trap (no CSE across
+    lambdas) does not bite here."""
+    names = [f"t{i}" for i in range(1, len(FUNNEL_STEPS) + 1)]
+    init = F.struct(
+        *[F.lit(None).cast("timestamp").alias(n) for n in names]
+    )
+
+    def step(acc: Column, ev: Column) -> Column:
+        fields = []
+        for i, (name, etype) in enumerate(zip(names, FUNNEL_STEPS)):
+            cond = acc[name].isNull() & (ev["event_type"] == etype)
+            if i == 0:
+                pass  # first step: any matching event starts the funnel
+            else:
+                prev = acc[names[i - 1]]
+                cond = cond & prev.isNotNull() & (ev["ts"] > prev)
+            fields.append(F.when(cond, ev["ts"]).otherwise(acc[name]).alias(name))
+        return F.struct(*fields)
+
+    return F.aggregate(sorted_events, init, step)
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel (view → click → signup → purchase):
+    per step, how many users reached it and the conversion rate
+    vs step 1.
+
+    Plan: ONE shuffle — ``groupBy(user_id)`` collecting the user's
+    funnel-relevant events into a time-sorted array (map-side
+    partial aggregation applies; the filter to funnel event types
+    pushes into the parquet scan), then a per-user state-machine
+    fold (bounded state: 4 timestamps), then a single-row global
+    conditional count and a 4-row explode. No event-log self-join —
+    the classic SQL formulation joins the log per step, shuffling
+    the corpus ``k`` times; this shuffles it once, which is the
+    difference between 1 and ``k`` passes at 100 TB.
+
+    Semantics match the sequential-join oracle exactly: ``t_k`` =
+    MIN ts of a step-k event strictly after ``t_{k-1}`` (ties at
+    equal ts excluded by both engines; array order among equal
+    timestamps cannot change the outcome)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type").isin(*FUNNEL_STEPS))
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+    )
+    state = per_user.select(_funnel_state(F.col("evs")).alias("s"))
+    names = [f"t{i}" for i in range(1, len(FUNNEL_STEPS) + 1)]
+    counts = state.agg(
+        *[F.count(F.col(f"s.{n}")).alias(f"c{i+1}") for i, n in enumerate(names)]
+    )
+    step_rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step_idx"),
+                F.lit(step).alias("step"),
+                F.col(f"c{i+1}").alias("n_users"),
+            )
+            for i, step in enumerate(FUNNEL_STEPS)
+        ]
+    )
+    return (
+        counts.select(F.col("c1"), F.explode(step_rows).alias("x"))
+        .select(
+            "x.step_idx",
+            "x.step",
+            "x.n_users",
+            F.round(F.col("x.n_users") / F.col("c1"), 4).alias("pct_of_first"),
+        )
+    )
+
+
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-cohort retention matrix: users grouped by first active
+    day; for each (cohort day, day offset), how many came back and
+    what fraction of the cohort that is.
+
+    Plan: TWO shuffles. (1) ``groupBy(user_id)`` collecting the
+    user's distinct active-day set (``collect_set`` combines
+    map-side; the set is bounded by the retention horizon, here ≤31
+    days — at 100 TB you'd bound it with a date filter the same
+    way); the cohort day is ``array_min`` of that set, so no second
+    pass and no join against a first-seen table. (2) ``groupBy``
+    (cohort_day, day_offset) counting users. The per-cohort size
+    used for the rate comes from a window over the GRID (bounded by
+    days × offsets, tiny at any corpus size) — a join against an
+    offset-0 slice would instead duplicate the whole per-user
+    subtree into the build side (verified in the executed plan).
+    ``explode_outer`` because ``collect_set`` output is provably
+    non-empty — plain ``explode`` makes Catalyst infer a
+    ``size(days) > 0`` filter that re-evaluates ``array_min`` per
+    row."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.select("user_id", F.to_date("ts").alias("d"))
+        .groupBy("user_id")
+        .agg(F.collect_set("d").alias("days"))
+    )
+    activity = per_user.select(
+        "user_id",
+        F.array_min("days").alias("cohort_day"),
+        F.explode_outer("days").alias("d"),
+    )
+    grid = activity.groupBy(
+        "cohort_day", F.datediff("d", "cohort_day").alias("day_offset")
+    ).agg(F.count("*").alias("n_users"))
+    w = Window.partitionBy("cohort_day")
+    cohort_size = F.max(
+        F.when(F.col("day_offset") == 0, F.col("n_users"))
+    ).over(w)
+    # dates ship as ISO strings (repo convention: pandas-side date
+    # comparison is lossy across engines — see date_spine)
+    return grid.select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "day_offset",
+        "n_users",
+        F.round(F.col("n_users") / cohort_size, 4).alias("retention_pct"),
+    )
+
+
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event type (most frequent; ties break to the
+    lexicographically first type) with its count and the user's
+    total — the deterministic MODE() aggregate Spark lacks.
+
+    Plan: ``groupBy(user_id, event_type)`` count (map-side combine
+    shrinks the shuffle to ≤ |users|·|types| rows), then a
+    ``row_number`` window partitioned by ``user_id`` — a strict
+    subset of the first grouping key, so state per window is ≤
+    |types| rows. Total per user via a window ``sum`` sharing the
+    same user_id Exchange (single extra in-partition pass, no third
+    shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n_events")
+    )
+    w_rank = Window.partitionBy("user_id").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    w_all = Window.partitionBy("user_id")
+    return (
+        counts.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("total_events", F.sum("n_events").over(w_all))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_event"),
+            "n_events",
+            "total_events",
+            F.round(F.col("n_events") / F.col("total_events"), 4).alias(
+                "mode_share"
+            ),
+        )
+    )
