@@ -231,6 +231,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohort": B.retention_cohort,
         # deterministic per-user MODE() with share of total
         "agg_mode_per_group": B.agg_mode_per_group,
+        # first-order Markov transition matrix of event types
+        "events_transition_matrix": B.events_transition_matrix,
+        # per-type z-score anomaly filter (fixed-point moments)
+        "agg_zscore_outliers": Q.agg_zscore_outliers,
+        # unigram Shannon entropy quality proxy (fixed-point fold)
+        "text_word_entropy": T.text_word_entropy,
         # applyInPandas grouped twin — rows-only by policy; asserted
         # bit-identical to the JVM twin in tests
         "agg_trend_slope_pandas": R.agg_trend_slope_pandas,
@@ -699,6 +705,69 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(n_users AS DOUBLE) / cohort_size, 4)
                      AS retention_pct
             FROM grid JOIN sizes USING (cohort_day)
+        """,
+        "events_transition_matrix": """
+            WITH ordered AS (
+              SELECT user_id, event_type,
+                     LAG(event_type) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev_type
+              FROM events
+            ), pairs AS (
+              SELECT prev_type, event_type AS next_type
+              FROM ordered WHERE prev_type IS NOT NULL
+            ), grid AS (
+              SELECT prev_type, next_type, COUNT(*) AS n_transitions
+              FROM pairs GROUP BY 1, 2
+            ), tot AS (
+              SELECT CAST(SUM(n_transitions) AS BIGINT) AS total FROM grid
+            )
+            SELECT prev_type, next_type, n_transitions,
+                   ROUND(CAST(n_transitions AS DOUBLE) / total, 6) AS share
+            FROM grid CROSS JOIN tot
+        """,
+        "agg_zscore_outliers": """
+            WITH c AS (
+              SELECT event_id, event_type, value,
+                     CAST(ROUND(value * 100) AS BIGINT) AS cents
+              FROM events
+            ), m AS (
+              SELECT event_type, COUNT(*) AS n,
+                     CAST(SUM(cents) AS BIGINT) AS s1,
+                     CAST(SUM(cents * cents) AS BIGINT) AS s2
+              FROM c GROUP BY event_type
+            ), z AS (
+              SELECT event_id, c.event_type, value,
+                     ROUND(
+                       (CAST(cents AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+                       / sqrt((CAST(s2 AS DOUBLE)
+                               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                              / (n - 1)), 4) AS z_score
+              FROM c JOIN m ON c.event_type = m.event_type
+            )
+            SELECT event_id, event_type, ROUND(value, 2) AS value, z_score
+            FROM z WHERE ABS(z_score) > 3.0
+        """,
+        "text_word_entropy": r"""
+            WITH tokd AS (
+              SELECT doc_id,
+                     string_split_regex(lower(text), '\s+') AS toks
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, MAX(n) AS n, term, COUNT(*) AS tf
+              FROM (SELECT doc_id, len(toks) AS n, unnest(toks) AS term
+                    FROM tokd)
+              GROUP BY doc_id, term
+            ), w AS (
+              SELECT doc_id, n,
+                     CAST(ROUND(-(CAST(tf AS DOUBLE) / n)
+                           * ROUND(ln(CAST(tf AS DOUBLE) / n), 6)
+                           * 1e9) AS BIGINT) AS w_fp
+              FROM tf
+            )
+            SELECT doc_id, MAX(n) AS n_tokens,
+                   COUNT(*) AS n_distinct_tokens,
+                   ROUND(CAST(SUM(w_fp) AS DOUBLE) / 1e9, 6) AS entropy
+            FROM w GROUP BY doc_id
         """,
         "agg_mode_per_group": """
             WITH counts AS (

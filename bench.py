@@ -72,6 +72,9 @@ HEADLINE = [
     "events_funnel",
     "retention_cohort",
     "agg_mode_per_group",
+    "events_transition_matrix",
+    "agg_zscore_outliers",
+    "text_word_entropy",
 ]
 
 

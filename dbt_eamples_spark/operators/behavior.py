@@ -195,3 +195,40 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for
+    every consecutive event pair within a user's stream, count
+    (previous type → next type) and its share of all transitions —
+    the "what actually happens" complement to the prescriptive
+    funnel.
+
+    Plan: one ``lag`` window keyed on ``user_id`` (one fact
+    shuffle), then ``groupBy(prev, next)`` whose output is bounded
+    by |types|² rows regardless of corpus size (map-side combine
+    collapses almost everything before the second exchange). The
+    grand total for the share comes from an unpartitioned window
+    over the GRID — safe because the grid is bounded (same argument
+    as window_ntile_deciles), and unlike an ``agg`` + join-back it
+    does not duplicate the lag-window subtree into a second
+    execution (verified in the executed plan)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+    )
+    grid = pairs.groupBy("prev_type", "next_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    total = F.sum("n_transitions").over(Window.partitionBy())
+    return grid.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(F.col("n_transitions") / total, 6).alias("share"),
+    )

@@ -73,3 +73,51 @@ def dq_schema_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report.select(
         "test_name", "n_violations", (F.col("n_violations") == 0).alias("passed")
     )
+
+
+Z_THRESHOLD = 3.0
+
+
+def agg_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type statistical outliers in the event stream: rows whose
+    value sits more than ``Z_THRESHOLD`` sample standard deviations
+    from their event type's mean — the anomaly filter a training
+    pipeline runs before trusting a numeric field (the reference's
+    pipeline appends raw values unchecked,
+    /root/reference/helix-flow/utils/postgres_client.py:34-48).
+
+    Plan: one ``groupBy(event_type)`` computes per-type moments from
+    fixed-point integer-cents sums (n, Σx, Σx²) — order-independent
+    and engine-exact, unlike a float ``stddev`` fold; the moment
+    table (≤ |event types| rows) broadcasts back onto a second scan
+    and the z filter runs map-side. No window over the fact table —
+    a ``partitionBy(event_type)`` window would shuffle the full
+    corpus into ≤ |types| partitions (a skew collapse at scale);
+    the broadcast join costs one tiny build instead. Mean/std/z are
+    derived from the bigint sums with the same double expression
+    tree on both engines (+,-,*,/ and sqrt are IEEE-exact), so the
+    4dp-rounded z matches the oracle bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    moments = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(cents).alias("s1"),
+        F.sum(cents * cents).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    # sample variance in cents²: (Σx² − (Σx)²/n) / (n−1)
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    z = (cents.cast("double") - mean) / F.sqrt(var)
+    return (
+        ev.join(F.broadcast(moments), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value"), 2).alias("value"),
+            F.round(z, 4).alias("z_score"),
+        )
+        .filter(F.abs(F.col("z_score")) > Z_THRESHOLD)
+    )

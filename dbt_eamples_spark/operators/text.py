@@ -455,3 +455,39 @@ def text_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "kw_rank", "term", F.round("tfidf", 6).alias("tfidf")
         )
     )
+
+
+def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram Shannon entropy per document (nats) — the
+    information-density quality proxy: boilerplate / keyword-stuffed
+    spam scores low, natural prose high. Complements
+    ``text_repetition_stats`` (which counts dup fractions) with a
+    distribution-level signal.
+
+    Plan: tokenize once (doc length recorded pre-explode), explode
+    to (doc, term) — ONE shuffle with map-side combine for tf, then
+    a second tiny per-doc shuffle folding term contributions. Each
+    contribution ``-(tf/n)·ln(tf/n)`` is computed once per (doc,
+    term), its ``ln`` pre-rounded at 6dp (JVM Math.log vs libm ulp
+    guard, same as BM25/TF-IDF) and the per-doc sum folds in
+    fixed-point 1e9 bigints so the result is order-independent and
+    engine-exact."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    tokd = docs.select("doc_id", _tokens_col().alias("toks"))
+    tokd = tokd.select("doc_id", "toks", F.size("toks").alias("n"))
+    tf = (
+        tokd.select("doc_id", "n", F.explode_outer("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.max("n").alias("n"))
+    )
+    p = F.col("tf").cast("double") / F.col("n")
+    w_fp = F.round(-p * F.round(F.log(p), 6) * 1e9).cast("long")
+    return (
+        tf.select("doc_id", "n", w_fp.alias("w_fp"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_tokens"),
+            F.count("*").alias("n_distinct_tokens"),
+            F.round(F.sum("w_fp").cast("double") / 1e9, 6).alias("entropy"),
+        )
+    )

@@ -107,3 +107,92 @@ class TestMode:
             best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
             assert (r.mode_event, r.n_events) == best
             assert r.total_events == sum(c.values())
+
+
+class TestTransitions:
+    def test_matrix_matches_python(self, spark, sf_dir):
+        from dbt_eamples_spark.operators.behavior import (
+            events_transition_matrix,
+        )
+
+        rows = (
+            load_table(spark, sf_dir, "events")
+            .select("user_id", "ts", "event_id", "event_type")
+            .collect()
+        )
+        per_user: dict = {}
+        for r in rows:
+            per_user.setdefault(r.user_id, []).append(
+                (r.ts, r.event_id, r.event_type)
+            )
+        expected = Counter()
+        for evs in per_user.values():
+            seq = [t for _, _, t in sorted(evs)]
+            for a, b in zip(seq, seq[1:]):
+                expected[(a, b)] += 1
+        out = events_transition_matrix(spark, sf_dir).collect()
+        got = {(r.prev_type, r.next_type): r.n_transitions for r in out}
+        assert got == dict(expected)
+        assert abs(sum(r.share for r in out) - 1.0) < 1e-4
+
+
+class TestZscore:
+    def test_outliers_match_python(self, spark, sf_dir):
+        import statistics
+
+        from dbt_eamples_spark.operators.quality import (
+            Z_THRESHOLD,
+            agg_zscore_outliers,
+        )
+
+        rows = (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "event_type", "value")
+            .collect()
+        )
+        by_type: dict = {}
+        for r in rows:
+            by_type.setdefault(r.event_type, []).append(
+                (r.event_id, round(r.value * 100))
+            )
+        expected = set()
+        for _etype, vals in by_type.items():
+            cents = [c for _, c in vals]
+            mu = statistics.mean(cents)
+            sd = statistics.stdev(cents)
+            for eid, c in vals:
+                if abs(round((c - mu) / sd, 4)) > Z_THRESHOLD:
+                    expected.add(eid)
+        got = {r.event_id for r in agg_zscore_outliers(spark, sf_dir).collect()}
+        assert got == expected
+
+
+class TestEntropy:
+    def test_entropy_matches_python(self, spark, sf_dir):
+        import math
+
+        from dbt_eamples_spark.operators.text import text_word_entropy
+
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .collect()
+        )
+        out = {r.doc_id: r for r in text_word_entropy(spark, sf_dir).collect()}
+        assert len(out) == len(docs)
+        import re
+
+        for d in docs[:50]:
+            toks = re.split(r"\s+", d.text.lower())
+            n = len(toks)
+            c = Counter(toks)
+            ent = sum(
+                round(-(tf / n) * round(math.log(tf / n), 6) * 1e9)
+                for tf in c.values()
+            ) / 1e9
+            r = out[d.doc_id]
+            assert r.n_tokens == n
+            assert r.n_distinct_tokens == len(c)
+            assert abs(r.entropy - round(ent, 6)) < 1e-9
+            # entropy bounded by ln(distinct)
+            assert r.entropy <= math.log(len(c)) + 1e-6
