@@ -108,86 +108,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordering is deliberate (round-2 fix): CORRECTNESS_r01.json held
-    rows for only the first 50 entries, so the entries that never
-    got a driver correctness row run FIRST, followed by the 13 that
-    failed round 1 (events nanos read), then the already-green rest.
+    Ordering is deliberate (round-3 fix): the driver samples the
+    FIRST 50 entries per round, so the 25 queries with zero driver
+    correctness rows across rounds 1-2 (VERDICT.md "What's missing"
+    #1) run first, followed by anything new this round, then the
+    driver-green rest.
     """
     return {
-        # --- never driver-checked in round 1: run these first ---
-        # M2 metric layer (compiled requests)
-        **{name: _metric_query(name) for name in METRIC_REQUESTS},
-        "metric_compiled_dim_sweep": _dim_sweep_query,
-        # §2.11 EXT — similarity search
-        "similarity_topk": V.similarity_topk,
-        "similarity_ivf_topk": V.similarity_ivf_topk,
-        "similarity_lsh_topk": V.similarity_lsh_topk,
-        # Arrow/numpy path — intentionally NO oracle_sql entry
-        # (pairwise vs left-fold float summation differs at 6 dp);
-        # the exact twin similarity_topk carries value correctness
-        "similarity_topk_pandas": V.similarity_topk_pandas,
-        "dedup_embedding_cosine": D.dedup_embedding_cosine,
-        # §2.11 EXT — multimodal plumbing
-        "multimodal_meta": M.multimodal_meta,
-        "multimodal_features_flat": M.multimodal_features_flat,
-        # §2.1 sources / sinks
-        "source_json_records": json_records_source,
-        "fanout_fetch": fanout_fetch_query,
-        "append_with_audit_col": append_with_audit_col_query,
-        "sink_csv": sink_csv_roundtrip_query,
-        "result_text_format": result_text_format_query,
-        # §2.8 F11 / §3.4 script execution
-        "multi_statement_exec": multi_statement_exec_query,
-        # §2.9 incremental / streaming
-        "incremental_delta_filter": incremental_delta_filter_query,
-        "stream_tumbling_count": stream_tumbling_count,
-        "stream_session_agg": stream_session_agg,
-        # dbt snapshot (check strategy) — type-2 history build
-        "scd2_snapshot": scd2_snapshot,
-        # idempotency-key dedup (batch form of dropDuplicatesWithinWatermark)
-        "stream_dedup": stream_dedup,
-        # --- failed round 1 on the events nanos read (now fixed) ---
-        "filter_type_and_notnull": R.filter_type_and_notnull,
-        "project_report_cols": R.project_report_cols,
-        "join_anti_new_rows": R.join_anti_new_rows,
-        # EXISTS filter as left-semi join
-        "join_semi_exists": R.join_semi_exists,
-        "join_asof": join_asof,
-        "join_salted_skew": join_salted_skew,
-        "agg_max_watermark": R.agg_max_watermark,
-        "window_running_sum": R.window_running_sum,
-        "window_lag_delta": R.window_lag_delta,
-        # rolling 4-event mean, integer-cents accumulation
-        "window_sliding_avg": R.window_sliding_avg,
-        "union_incremental_snapshots": R.union_incremental_snapshots,
-        "unixtime_to_iso": R.unixtime_to_iso,
-        "tz_normalize": R.tz_normalize,
-        "concat_report_rows": R.concat_report_rows,
-        "json_extract_props": R.json_extract_props,
-        # --- new in round 2 ---
-        # sketch twin of agg_percentiles — rows-only by design
-        "agg_approx_percentiles": R.agg_approx_percentiles,
-        # connected components over MinHash pairs (iterative
-        # label propagation; recursive-CTE oracle)
-        "dedup_clusters": D.dedup_clusters,
-        # deterministic per-stratum eval-set sampling
-        "sample_stratified": S.sample_stratified,
-        # fixed-width distribution histogram
-        "agg_histogram": S.agg_histogram,
-        # eval-set n-gram leakage flagging
-        "text_decontaminate": C.text_decontaminate,
-        # Gopher-style repetition quality signals
-        "text_repetition_stats": T.text_repetition_stats,
-        # domain-level corpus health (kill spam sources wholesale)
-        "source_quality_rollup": T.source_quality_rollup,
-        # feature-hashing vectorizer (hashing trick), long format
-        "text_hash_embed": T.text_hash_embed,
-        # concat-and-chunk training-sequence packing
-        "pack_concat_chunks": C.pack_concat_chunks,
-        # JVM-side binary frame chunk + stride sample + fingerprint
-        "multimodal_frame_sample": M.multimodal_frame_sample,
-        # end-to-end per-doc keep/drop verdict (exact + cluster tiers)
-        "corpus_keep_list": D.corpus_keep_list,
+        # --- never driver-checked in rounds 1-2: run these first ---
         # long->wide with pinned pivot domain (no discovery job)
         "metric_pivot": R.metric_pivot,
         # wide->long melt, zero-shuffle
@@ -240,6 +168,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # applyInPandas grouped twin — rows-only by policy; asserted
         # bit-identical to the JVM twin in tests
         "agg_trend_slope_pandas": R.agg_trend_slope_pandas,
+        # --- round-3 additions / r2-weak reworks: keep in sample ---
+        "similarity_lsh_topk": V.similarity_lsh_topk,
+        "dedup_embedding_cosine": D.dedup_embedding_cosine,
+        "dedup_minhash": D.dedup_minhash,
+        "dedup_simhash": D.dedup_simhash,
+        # --- driver-green in rounds 1-2 ---
+        # M2 metric layer (compiled requests)
+        **{name: _metric_query(name) for name in METRIC_REQUESTS},
+        "metric_compiled_dim_sweep": _dim_sweep_query,
+        # §2.11 EXT — similarity search
+        "similarity_topk": V.similarity_topk,
+        "similarity_ivf_topk": V.similarity_ivf_topk,
+        # Arrow/numpy path — intentionally NO oracle_sql entry
+        # (pairwise vs left-fold float summation differs at 6 dp);
+        # the exact twin similarity_topk carries value correctness
+        "similarity_topk_pandas": V.similarity_topk_pandas,
+        # §2.11 EXT — multimodal plumbing
+        "multimodal_meta": M.multimodal_meta,
+        "multimodal_features_flat": M.multimodal_features_flat,
+        # §2.1 sources / sinks
+        "source_json_records": json_records_source,
+        "fanout_fetch": fanout_fetch_query,
+        "append_with_audit_col": append_with_audit_col_query,
+        "sink_csv": sink_csv_roundtrip_query,
+        "result_text_format": result_text_format_query,
+        # §2.8 F11 / §3.4 script execution
+        "multi_statement_exec": multi_statement_exec_query,
+        # §2.9 incremental / streaming
+        "incremental_delta_filter": incremental_delta_filter_query,
+        "stream_tumbling_count": stream_tumbling_count,
+        "stream_session_agg": stream_session_agg,
+        # dbt snapshot (check strategy) — type-2 history build
+        "scd2_snapshot": scd2_snapshot,
+        # idempotency-key dedup (batch form of dropDuplicatesWithinWatermark)
+        "stream_dedup": stream_dedup,
+        "filter_type_and_notnull": R.filter_type_and_notnull,
+        "project_report_cols": R.project_report_cols,
+        "join_anti_new_rows": R.join_anti_new_rows,
+        # EXISTS filter as left-semi join
+        "join_semi_exists": R.join_semi_exists,
+        "join_asof": join_asof,
+        "join_salted_skew": join_salted_skew,
+        "agg_max_watermark": R.agg_max_watermark,
+        "window_running_sum": R.window_running_sum,
+        "window_lag_delta": R.window_lag_delta,
+        # rolling 4-event mean, integer-cents accumulation
+        "window_sliding_avg": R.window_sliding_avg,
+        "union_incremental_snapshots": R.union_incremental_snapshots,
+        "unixtime_to_iso": R.unixtime_to_iso,
+        "tz_normalize": R.tz_normalize,
+        "concat_report_rows": R.concat_report_rows,
+        "json_extract_props": R.json_extract_props,
+        # sketch twin of agg_percentiles — rows-only by design
+        "agg_approx_percentiles": R.agg_approx_percentiles,
+        # connected components over MinHash pairs (iterative
+        # label propagation; recursive-CTE oracle)
+        "dedup_clusters": D.dedup_clusters,
+        # deterministic per-stratum eval-set sampling
+        "sample_stratified": S.sample_stratified,
+        # fixed-width distribution histogram
+        "agg_histogram": S.agg_histogram,
+        # eval-set n-gram leakage flagging
+        "text_decontaminate": C.text_decontaminate,
+        # Gopher-style repetition quality signals
+        "text_repetition_stats": T.text_repetition_stats,
+        # domain-level corpus health (kill spam sources wholesale)
+        "source_quality_rollup": T.source_quality_rollup,
+        # feature-hashing vectorizer (hashing trick), long format
+        "text_hash_embed": T.text_hash_embed,
+        # concat-and-chunk training-sequence packing
+        "pack_concat_chunks": C.pack_concat_chunks,
+        # JVM-side binary frame chunk + stride sample + fingerprint
+        "multimodal_frame_sample": M.multimodal_frame_sample,
+        # end-to-end per-doc keep/drop verdict (exact + cluster tiers)
+        "corpus_keep_list": D.corpus_keep_list,
         # --- green in round 1 ---
         # §2.1 scans / sources
         "scan_table": R.scan_table,
@@ -285,10 +288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count_bpe": T.text_token_count_bpe,
         "doc_fingerprint": T.doc_fingerprint,
         "doc_winnow_fingerprint": T.doc_winnow_fingerprint,
-        # §2.11 EXT — dedup
+        # §2.11 EXT — dedup (minhash/simhash moved to the r3 block above)
         "dedup_exact": D.dedup_exact,
-        "dedup_minhash": D.dedup_minhash,
-        "dedup_simhash": D.dedup_simhash,
         "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
     }
 
