@@ -6,13 +6,15 @@ Scale design (the point of each algorithm):
  - **exact**: hash-groupBy on the full normalized text — one shuffle
    keyed by an md5 (uniform, skew-free).
  - **MinHash-LSH**: shingle → k universal-hash minima → band
-   buckets → per-bucket pair expansion. Candidate generation never
-   compares all pairs: the band groupBy is the only wide op and its
-   key (band bucket) is hash-uniform. The Jaccard verify touches
-   only candidate docs.
+   buckets → hash self-join of the checkpointed (band, bucket) key
+   table. Candidate generation never compares all pairs: docs meet
+   only inside a shared band bucket, the key is hash-uniform, and a
+   degenerate bucket splits across tasks (AQE skew join) instead of
+   filling one aggregation buffer. The Jaccard verify touches only
+   candidate docs.
  - **SimHash**: 64-bit signature from per-shingle md5 bit votes;
    near-dup = same band in any of 4 signature bands + Hamming ≤ 3
-   verify. Same groupBy-bucket join-avoidance shape.
+   verify. Same checkpointed-key-table self-join shape.
  - **n-gram Jaccard**: exact pairwise verify restricted to an
    equi-join blocking key, never a cross join.
  - **embedding cosine**: near-dup pairs blocked by label (stand-in
@@ -125,16 +127,19 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets → per-bucket pair generation → Jaccard ≥ 0.5 verify.
 
     Scale shape (the things that keep this sub-quadratic at 100 TB):
-     - the signature pipeline is computed ONCE: candidates come from
-       a groupBy over (band, bucket) + in-bucket pair expansion, not
-       a self-join (a self-join re-evaluates the signature scan on
-       both sides);
-     - the bucket key is uniform (hash-derived), so the groupBy has
-       no skew; pathological buckets can't explode because near-dup
-       cluster sizes, not corpus size, bound them;
+     - the signature pipeline is computed ONCE: the (doc, band,
+       bucket) key table is localCheckpoint'ed, and candidate pairs
+       come from a codegen'd hash SELF-JOIN of that checkpoint on
+       (band, bucket) — both join sides scan the materialized keys,
+       not the signature lineage;
+     - no aggregation buffer ever holds a whole bucket (round-2 used
+       an in-bucket ``collect_list`` pair expansion — a degenerate
+       band key from boilerplate/empty docs then had to fit one
+       buffer; as a join key the same fat bucket is AQE-splittable
+       across tasks);
      - the candidate set is localCheckpoint'ed (it is tiny — pairs
        that agree on a full band) so the verify phase doesn't replay
-       the signature lineage;
+       the key-table join;
      - shingle arrays for the verify are computed only for candidate
        docs (broadcast semi-join BEFORE the shingle expression), and
        the verify joins broadcast that small set.
@@ -159,35 +164,18 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket"),
     )
 
-    buckets = (
-        bands.groupBy("band", "bucket")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
+    # materialize the key table once; both self-join sides read it
+    keys = bands.localCheckpoint(eager=True)
+    ka = keys.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+    kb = keys.select("band", "bucket", F.col("doc_id").alias("doc_b"))
     pairs = (
-        buckets.select(
-            # explode_outer: avoids the inferred size>0 filter
-            # re-evaluating the pair-expansion lambda twice
-            F.explode_outer(
-                F.flatten(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("ids") - 1),
-                        lambda i: F.transform(
-                            F.slice(F.col("ids"), i + 1, F.size("ids")),
-                            lambda y: F.struct(
-                                F.element_at(F.col("ids"), i).alias("doc_a"),
-                                y.alias("doc_b"),
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b")
+        ka.join(kb, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
         .distinct()
     )
     # tiny (band-collision pairs only) — truncate lineage so the
-    # verify phase doesn't recompute the signature scan
+    # verify phase doesn't recompute the candidate join
     cands = pairs.localCheckpoint(eager=True)
 
     ids = (
@@ -288,10 +276,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: banded candidates + Hamming ≤ 3
     verify on 64-bit shingle-voted signatures.
 
-    Same scale shape as :func:`dedup_minhash`: candidates via
-    groupBy over (band, bucket) + in-bucket pair expansion (no
-    self-join, signature pipeline evaluated once); signatures ride
-    along in the collect_list so the verify needs no join back.
+    Same scale shape as :func:`dedup_minhash`: the (doc, band,
+    bucket, sig) key table is localCheckpoint'ed once and candidate
+    pairs come from a hash self-join on (band, bucket) — signatures
+    ride along on both join sides so the Hamming verify needs no
+    join back, and a degenerate bucket is an AQE-splittable join key
+    instead of one ``collect_list`` aggregation buffer (the round-2
+    shape, which had to hold the whole bucket in a single task).
     """
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     sigs = _simhash_signatures(_shingles(docs))
@@ -308,39 +299,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("band"),
     ).select("doc_id", "sig_hi", "sig_lo", "band", bucket.alias("bucket"))
 
-    buckets = (
-        bands.groupBy("band", "bucket")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("doc_id", "sig_hi", "sig_lo"))
-            ).alias("ds")
-        )
-        .filter(F.size("ds") > 1)
+    keys = bands.localCheckpoint(eager=True)
+    ka = keys.select(
+        "band",
+        "bucket",
+        F.col("doc_id").alias("doc_a"),
+        F.col("sig_hi").alias("hi_a"),
+        F.col("sig_lo").alias("lo_a"),
+    )
+    kb = keys.select(
+        "band",
+        "bucket",
+        F.col("doc_id").alias("doc_b"),
+        F.col("sig_hi").alias("hi_b"),
+        F.col("sig_lo").alias("lo_b"),
     )
     cands = (
-        buckets.select(
-            # explode_outer: avoids the inferred size>0 filter
-            # re-evaluating the pair-expansion lambda twice
-            F.explode_outer(
-                F.flatten(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("ds") - 1),
-                        lambda i: F.transform(
-                            F.slice(F.col("ds"), i + 1, F.size("ds")),
-                            lambda y: F.struct(
-                                F.element_at(F.col("ds"), i).doc_id.alias("doc_a"),
-                                y.doc_id.alias("doc_b"),
-                                F.element_at(F.col("ds"), i).sig_hi.alias("hi_a"),
-                                F.element_at(F.col("ds"), i).sig_lo.alias("lo_a"),
-                                y.sig_hi.alias("hi_b"),
-                                y.sig_lo.alias("lo_b"),
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b", "p.hi_a", "p.lo_a", "p.hi_b", "p.lo_b")
+        ka.join(kb, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b")
         .distinct()
     )
     hamming = F.bit_count(
