@@ -343,6 +343,14 @@ EMBED_DIM = 64
 # vectors — at scale NPLANES grows as log2(N / target_bucket_size)
 # so bucket count tracks corpus size
 DEDUP_LSH_TABLES = 8
+# multi-probe (Lv et al., VLDB'07): besides its base bucket, a probe
+# also visits the buckets reached by flipping the k sign bits whose
+# hyperplane margin |dot| is smallest — the bits most likely to
+# differ for a true near neighbor. Probing is one-sided (query side
+# for top-k, one join side for dedup), so the corpus index stays at
+# L keys/vector while recall rises as if L were ~(flips+1)× larger.
+LSH_PROBE_FLIPS = 2
+DEDUP_PROBE_FLIPS = 2
 
 
 def _lsh_weight(t: int, p: int, d: int) -> float:
@@ -369,6 +377,60 @@ def _lsh_bucket(vec_col, t: int):
         bit = F.when(_dot(vec_col, w) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bucket + bit
     return bucket
+
+
+def _plane_lit(t: int, p: int):
+    return F.array(*[F.lit(x) for x in LSH_PLANE_WEIGHTS[t][p]])
+
+
+def with_lsh_probes(df: DataFrame, vec_col: str, tables: int, flips: int,
+                    prefix: str = "p") -> DataFrame:
+    """Adds one array column ``{prefix}{t}`` per hash table holding
+    the multi-probe bucket ids: ``[base, base^bit(m1), base^bit(m2),
+    ...]`` where m1..m_flips are the planes with the smallest
+    absolute margin |dot(vec, plane)|.
+
+    The per-plane dots materialize ONCE in their own projection (the
+    sign and the margin both reference them), so probing costs the
+    same NPLANES·tables folds the base bucket already pays — the
+    margin sort is over a tables×NPLANES literal-size array. Narrow
+    map, no shuffle; at 100 TB this is scan-speed like the base
+    bucketing."""
+    dots = df.select(
+        "*",
+        *[
+            _dot(F.col(vec_col), _plane_lit(t, p)).alias(f"_d{t}_{p}")
+            for t in range(tables)
+            for p in range(LSH_PLANES)
+        ],
+    )
+    pow2 = F.array(*[F.lit(1 << p) for p in range(LSH_PLANES)])
+    probe_cols = []
+    for t in range(tables):
+        base = F.lit(0)
+        for p in range(LSH_PLANES):
+            base = base + F.when(
+                F.col(f"_d{t}_{p}") >= 0, F.lit(1 << p)
+            ).otherwise(F.lit(0))
+        margins = F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        F.abs(F.col(f"_d{t}_{p}")).alias("m"),
+                        F.lit(p).alias("p"),
+                    )
+                    for p in range(LSH_PLANES)
+                ]
+            )
+        )
+        flip_buckets = F.transform(
+            F.slice(margins, 1, flips),
+            lambda s, _b=base: _b.bitwiseXOR(F.element_at(pow2, s["p"] + 1)),
+        )
+        probe_cols.append(
+            F.concat(F.array(base), flip_buckets).alias(f"{prefix}{t}")
+        )
+    return dots.select(*df.columns, *probe_cols)
 
 
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
