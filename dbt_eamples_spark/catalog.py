@@ -62,6 +62,15 @@ def load_table(
     for col in _NANOS_TS_COLS.get(name, ()):
         if col in df.columns and dict(df.dtypes).get(col) == "bigint":
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    # parquet timestamps written without the UTC flag arrive as
+    # TIMESTAMP_NTZ, which several time functions (unix_micros,
+    # watermarks) reject. Session tz is UTC, so casting to TIMESTAMP
+    # is value-preserving vs the oracle's naive-as-UTC read and
+    # restores one engine-wide timestamp type regardless of how the
+    # fixture generator annotated the file.
+    for col, dt in df.dtypes:
+        if dt == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     if parallelize:
         df = df.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
     return df

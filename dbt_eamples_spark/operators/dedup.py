@@ -421,6 +421,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("node").alias("comp"))
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(20):
         nbr_min = (
             edges.join(comp, edges.doc_b == comp.node)
@@ -446,6 +447,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp = new_comp
         if changed == 0:
             break
+    if changed != 0:
+        # a component with diameter > 20 would otherwise silently
+        # emit split clusters (multiple keep=true canonicals) that
+        # propagate into corpus_keep_list — fail loudly instead;
+        # min-label propagation converges in O(diameter) rounds, so
+        # 20 covers any realistic near-dup graph (chains longer than
+        # that mean the blocking threshold is wrong, not the loop)
+        raise RuntimeError(
+            "dedup_clusters: label propagation did not converge in 20 "
+            f"iterations ({changed} labels still moving) — graph has a "
+            "component with diameter > 20; raise the iteration cap or "
+            "tighten the pair threshold"
+        )
 
     w = Window.partitionBy("comp")
     return comp.select(
@@ -473,9 +487,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Round-1 blocked on ``label`` — an O(N²/|labels|) pair join that
     degenerates to near-all-pairs with few labels AND had only 8%
     recall on the fixture (5 of 59 true cosine ≥ 0.4 pairs, since
-    near-dups cross labels); LSH blocking finds 44 of 59 (75%) at
-    this fixture threshold and ≈100% at a production 0.95 cutoff
-    (recall math at ``DEDUP_LSH_TABLES``).
+    near-dups cross labels); base-bucket LSH blocking finds 44 of 59
+    (75%) at this fixture threshold; one-sided multi-probe
+    (DEDUP_PROBE_FLIPS lowest-margin flips, either orientation via
+    least/greatest canonicalization) lifts that to 57 of 59 (97%),
+    ≈100% at a production 0.95 cutoff (recall math at
+    ``DEDUP_LSH_TABLES``).
 
     Candidate pairs come from an equi-self-join of the (table,
     bucket) key table on the bucket key. The key table is
@@ -495,7 +512,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-fold oracle."""
     from dbt_eamples_spark.operators.similarity import (
         DEDUP_LSH_TABLES,
-        _lsh_bucket,
+        DEDUP_PROBE_FLIPS,
+        probe_key_pairs,
+        with_lsh_probes,
     )
 
     emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
@@ -503,27 +522,52 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vec"),
     )
-    # one narrow pass: every vector → DEDUP_LSH_TABLES (table, bucket) keys
-    keys = v.select(
-        "vec_id",
-        F.explode_outer(
+    # ONE dot pass: the probe columns carry the base bucket at
+    # position 1 and the flip buckets after it, so both join sides
+    # project from the same checkpointed table (the plane dots — the
+    # only compute-heavy part — are evaluated once per vector total)
+    pk = with_lsh_probes(v, "vec", DEDUP_LSH_TABLES, DEDUP_PROBE_FLIPS)
+    pkc = pk.select(
+        "vec_id", *[f"p{t}" for t in range(DEDUP_LSH_TABLES)]
+    ).localCheckpoint(eager=True)
+    # multi-probe is ONE-SIDED: side a indexes base buckets only
+    # (element 1 of each probe array); side b probes base + the
+    # DEDUP_PROBE_FLIPS lowest-margin flips. A pair (x, y) is caught
+    # when base(x) ∈ probes(y) in EITHER orientation — both
+    # orientations flow through the self-join and least/greatest
+    # canonicalizes. The index side stays at DEDUP_LSH_TABLES
+    # keys/vector; the probe side grows ×(1+flips), still linear,
+    # and bucket fan-out (join output) — not key count — is the
+    # scale cost, which is why flips stay on one side only.
+    ka = pkc.select(
+        F.col("vec_id").alias("vec_a"),
+        F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(t).alias("t"),
-                        _lsh_bucket(F.col("vec"), t).alias("bucket"),
+                        F.element_at(f"p{t}", 1).alias("bucket"),
                     )
                     for t in range(DEDUP_LSH_TABLES)
                 ]
             )
         ).alias("tb"),
-    ).select("vec_id", "tb.t", "tb.bucket").localCheckpoint(eager=True)
-    ka = keys.select("t", "bucket", F.col("vec_id").alias("vec_a"))
-    kb = keys.select("t", "bucket", F.col("vec_id").alias("vec_b"))
+    ).select("vec_a", "tb.t", "tb.bucket")
+    kb = pkc.select(
+        F.col("vec_id").alias("vec_b"),
+        F.explode(probe_key_pairs(DEDUP_LSH_TABLES)).alias("tb"),
+    ).select("vec_b", "tb.t", "tb.bucket")
+    # canonicalize with least/greatest instead of filtering a<b: a
+    # pair is kept when base(x) ∈ probes(y) in EITHER orientation,
+    # so one-sided probing still buys symmetric recall
     pairs = (
         ka.join(kb, ["t", "bucket"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
+        .filter(F.col("vec_a") != F.col("vec_b"))
+        .select(
+            F.least("vec_a", "vec_b").alias("pa"),
+            F.greatest("vec_a", "vec_b").alias("pb"),
+        )
+        .select(F.col("pa").alias("vec_a"), F.col("pb").alias("vec_b"))
         .distinct()
     )
     cands = pairs.localCheckpoint(eager=True)

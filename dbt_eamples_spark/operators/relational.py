@@ -974,7 +974,10 @@ def agg_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     # floor-div to whole seconds BEFORE the min/subtract (the
     # oracle does the same) — dividing first in doubles then
     # truncating would disagree on sub-second timestamps
-    sec = F.expr("unix_micros(ts) div 1000000")
+    # cast first: parquet timestamp[us] without UTC flag arrives as
+    # TIMESTAMP_NTZ, which unix_micros rejects; session tz is UTC so
+    # the cast is value-preserving vs the oracle's naive-as-UTC read
+    sec = F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
     base = ev.select(
         "user_id",
         (sec - F.min(sec).over(w)).alias("x"),
@@ -1019,7 +1022,7 @@ def agg_trend_slope_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     base = ev.select(
         "user_id",
-        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
         F.round(F.col("value") * 100).cast("long").alias("y"),
     )
 

@@ -350,7 +350,11 @@ DEDUP_LSH_TABLES = 8
 # for top-k, one join side for dedup), so the corpus index stays at
 # L keys/vector while recall rises as if L were ~(flips+1)× larger.
 LSH_PROBE_FLIPS = 2
-DEDUP_PROBE_FLIPS = 2
+# dedup probes one flip only: its flips multiply SELF-join fan-out
+# (quadratic in bucket occupancy), unlike the query-side topk probes
+# (linear in |Q|); 1 flip already lifts fixture pair recall 0.746 →
+# 0.966 while keeping candidate volume ~2/3 of the 2-flip cost
+DEDUP_PROBE_FLIPS = 1
 
 
 def _lsh_weight(t: int, p: int, d: int) -> float:
@@ -405,8 +409,12 @@ def with_lsh_probes(df: DataFrame, vec_col: str, tables: int, flips: int,
         ],
     )
     pow2 = F.array(*[F.lit(1 << p) for p in range(LSH_PLANES)])
-    probe_cols = []
-    for t in range(tables):
+
+    # NB: the hof lambdas MUST be single-parameter — a second
+    # Python parameter (even a defaulted capture like `_b=base`)
+    # makes F.transform pass the ELEMENT INDEX as that argument,
+    # silently clobbering the default. Capture via closure instead.
+    def _probe_col(t: int):
         base = F.lit(0)
         for p in range(LSH_PLANES):
             base = base + F.when(
@@ -425,12 +433,27 @@ def with_lsh_probes(df: DataFrame, vec_col: str, tables: int, flips: int,
         )
         flip_buckets = F.transform(
             F.slice(margins, 1, flips),
-            lambda s, _b=base: _b.bitwiseXOR(F.element_at(pow2, s["p"] + 1)),
+            lambda s: base.bitwiseXOR(F.element_at(pow2, s["p"] + 1)),
         )
-        probe_cols.append(
-            F.concat(F.array(base), flip_buckets).alias(f"{prefix}{t}")
+        return F.concat(F.array(base), flip_buckets).alias(f"{prefix}{t}")
+
+    return dots.select(*df.columns, *[_probe_col(t) for t in range(tables)])
+
+
+def probe_key_pairs(tables: int, prefix: str = "p"):
+    """Flattened array of (t, bucket) structs over the probe columns
+    ``{prefix}0..{prefix}{tables-1}`` — feed to ``F.explode`` to get
+    one join key per probe. Uses a factory per table so the hof
+    lambda stays single-parameter (see _probe_col note) and the
+    table id binds eagerly."""
+
+    def _tagged(t: int):
+        return F.transform(
+            F.col(f"{prefix}{t}"),
+            lambda b: F.struct(F.lit(t).alias("t"), b.alias("bucket")),
         )
-    return dots.select(*df.columns, *probe_cols)
+
+    return F.flatten(F.array(*[_tagged(t) for t in range(tables)]))
 
 
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -446,10 +469,13 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a planes table).
 
     Measured top-5 recall vs the exact baseline on the fixture:
-    0.40 at L=2 tables, 0.58 at L=4 (the fixtures are near-uniform
-    random vectors — the hardest case for LSH; clustered real
-    corpora bucket far better at the same L). The L knob is the
-    recall/cost dial.
+    0.40 at L=2 tables, 0.58 at L=4 base buckets only, 0.94 with
+    query-side multi-probe (LSH_PROBE_FLIPS lowest-margin bit flips
+    per table, Lv et al. VLDB'07) — and the fixtures are
+    near-uniform random vectors, LSH's hardest case; clustered real
+    corpora bucket far better at the same L. The (L, flips) pair is
+    the recall/cost dial; flips are free on the corpus side (still
+    L keys/vector).
     """
     emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
         "vec_id", _as_double_vec(F.col("embedding")).alias("vec")
@@ -475,12 +501,21 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_keys = with_buckets.select("vec_id", "vec", tb.alias("tb")).select(
         "vec_id", "vec", "tb.t", "tb.bucket"
     )
-    query_keys = corpus_keys.filter(F.col("vec_id") < N_QUERIES).select(
+    # query side multi-probes: base bucket + LSH_PROBE_FLIPS
+    # lowest-margin flips per table, flattened to (t, bucket) keys.
+    # Only the (tiny, broadcast) query side grows — ×(1+flips) keys.
+    qprobe = with_lsh_probes(
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        "vec",
+        LSH_TABLES,
+        LSH_PROBE_FLIPS,
+    )
+    qtb = F.explode(probe_key_pairs(LSH_TABLES))
+    query_keys = qprobe.select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qvec"),
-        "t",
-        "bucket",
-    )
+        qtb.alias("tb"),
+    ).select("query_id", "qvec", "tb.t", "tb.bucket")
     ck, qk = corpus_keys.alias("c"), query_keys.alias("q")
     cands = ck.join(
         F.broadcast(qk),

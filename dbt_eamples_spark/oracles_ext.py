@@ -25,9 +25,11 @@ from dbt_eamples_spark.operators.dedup import (
 )
 from dbt_eamples_spark.operators.similarity import (
     DEDUP_LSH_TABLES,
+    DEDUP_PROBE_FLIPS,
     KMEANS_ITERS,
     LSH_PLANE_WEIGHTS,
     LSH_PLANES,
+    LSH_PROBE_FLIPS,
     LSH_TABLES,
     NCENTROIDS,
     NPROBE,
@@ -122,6 +124,24 @@ def _lsh_bucket_sql(t: int) -> str:
             f"(CASE WHEN {_dot('vec', w)} >= 0 THEN {1 << p} ELSE 0 END)"
         )
     return "(" + " + ".join(bits) + ")"
+
+
+def _lsh_probe_sql(t: int, flips: int) -> str:
+    """Multi-probe bucket LIST for table t over ``vec`` — mirrors
+    similarity.with_lsh_probes exactly: [base, base^bit(m1), ...,
+    base^bit(m_flips)] with m1..m_flips the planes of smallest
+    |dot| margin (struct-lexicographic sort ties on plane index in
+    both engines; dots are the identical strict left-fold)."""
+    base = _lsh_bucket_sql(t)
+    structs = []
+    for p in range(LSH_PLANES):
+        w = "[" + ", ".join(repr(x) for x in LSH_PLANE_WEIGHTS[t][p]) + "]"
+        structs.append(f"{{'m': abs({_dot('vec', w)}), 'p': {p}}}")
+    return (
+        f"list_prepend({base}, list_transform("
+        f"list_sort([{', '.join(structs)}])[1:{flips}], "
+        f"s -> xor({base}, (1 << struct_extract(s, 'p')))))"
+    )
 
 
 def _lang_hits_sql(lang: str) -> str:
@@ -550,10 +570,18 @@ EXT_ORACLES: dict[str, str] = {
                 f"SELECT vec_id, {t} AS t, b{t} AS bucket FROM wb"
                 for t in range(DEDUP_LSH_TABLES))}
         ),
+        pkeys AS (
+            {' UNION ALL '.join(
+                f"SELECT vec_id, {t} AS t, "
+                f"unnest({_lsh_probe_sql(t, DEDUP_PROBE_FLIPS)}) AS bucket "
+                f"FROM v"
+                for t in range(DEDUP_LSH_TABLES))}
+        ),
         cands AS (
-            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-            FROM keys a JOIN keys b
-              ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+            SELECT DISTINCT least(a.vec_id, b.vec_id) AS vec_a,
+                            greatest(a.vec_id, b.vec_id) AS vec_b
+            FROM keys a JOIN pkeys b
+              ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id != b.vec_id
         )
         SELECT vec_a, vec_b, cosine FROM (
             SELECT vec_a, vec_b,
@@ -706,12 +734,14 @@ EXT_ORACLES: dict[str, str] = {
             FROM v
         ),
         q AS (SELECT vec_id AS query_id, vec AS qvec,
-                     {', '.join(f"b{t} AS qb{t}" for t in range(LSH_TABLES))}
+                     {', '.join(
+                         f"{_lsh_probe_sql(t, LSH_PROBE_FLIPS)} AS qp{t}"
+                         for t in range(LSH_TABLES))}
               FROM wb WHERE vec_id < {N_QUERIES}),
         cands AS (
             {' UNION ALL '.join(
                 f"SELECT query_id, qvec, wb.vec_id AS neighbor_id, wb.vec "
-                f"FROM wb JOIN q ON wb.b{t} = q.qb{t} "
+                f"FROM wb JOIN q ON list_contains(q.qp{t}, wb.b{t}) "
                 f"AND wb.vec_id != q.query_id"
                 for t in range(LSH_TABLES))}
         ),

@@ -161,9 +161,17 @@ def compact_small_files(
     pass is the coalesce-rewrite. ``coalesce`` (not ``repartition``)
     avoids a shuffle: it unions input splits per output task, which
     is exactly right for compaction since row order within a file is
-    irrelevant. Returns the resulting file count. The rewrite stages
-    to a sibling temp dir and swaps via rename, so a mid-rewrite
-    failure never corrupts the live path."""
+    irrelevant. Returns the resulting file count.
+
+    Durability: the rewrite stages to a sibling temp dir; the swap
+    is two renames with a recovery handler — if the second rename
+    fails, the first is rolled back so the live path is restored
+    rather than stranded at ``._compact_old``. A failure during the
+    rewrite itself only leaves a temp dir behind. The driver-side
+    os.walk/os.rename swap makes this a LOCAL-FILESYSTEM utility (a
+    single-mount sink dir); object-store deployments compact via
+    their table format (rewrite to a new prefix, flip a manifest),
+    where rename is not atomic anyway."""
     import math
     import os
     import shutil
@@ -181,7 +189,11 @@ def compact_small_files(
     ).parquet(tmp)
     old = path.rstrip("/") + "._compact_old"
     os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except BaseException:
+        os.rename(old, path)  # restore the live dir, then re-raise
+        raise
     shutil.rmtree(old)
     return sum(
         1

@@ -25,6 +25,7 @@ from __future__ import annotations
 import datetime as dt
 from dataclasses import dataclass
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -61,10 +62,12 @@ def idempotent_append(
     (anti-join guard → exactly-once under re-runs), with audit
     column. Returns rows written. Skips the write entirely when the
     delta is empty (`transactions_dag.py:35`)."""
+    # only the missing-sink first run may skip the guard — other
+    # read errors must propagate or re-runs would append duplicates
     try:
         sink_keys = spark.read.parquet(sink_path).select(key)
         new_rows = delta.join(sink_keys, on=key, how="left_anti")
-    except Exception:  # first run: sink does not exist yet
+    except AnalysisException:  # first run: sink does not exist yet
         new_rows = delta
     n = new_rows.count()
     if n == 0:
@@ -91,7 +94,7 @@ def run_increment(
     try:
         sink = spark.read.parquet(sink_path)
         wm = read_watermark(sink, key)
-    except Exception:
+    except AnalysisException:  # first run: sink does not exist yet
         wm = 0
     delta = delta_filter(source, key, wm)
     n_delta = delta.count()

@@ -125,6 +125,11 @@ def _events_stream(
     # nanos column arrives as long under nanosAsLong — same convert
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # un-flagged parquet timestamps arrive as NTZ — normalize to
+    # TIMESTAMP (session tz UTC, value-preserving) so watermarks and
+    # stream-stream joins see the one engine-wide event-time type
+    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream.withWatermark("ts", WATERMARK) if watermark else stream
 
 
@@ -273,13 +278,20 @@ def stream_incremental_append(
     )
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         out = batch
+        # ONLY the missing-sink (first batch) case may skip the
+        # anti-join; any other read failure (corrupt file,
+        # permissions, transient FS error) must fail the micro-batch
+        # — silently appending without the guard is exactly the
+        # duplication this operator exists to prevent.
         try:
             existing = batch.sparkSession.read.parquet(sink_path).select(
                 "event_id"
             )
             out = batch.join(existing, "event_id", "left_anti")
-        except Exception:
+        except AnalysisException:
             pass  # first batch: sink doesn't exist yet
         with_audit_col(out).write.mode("append").parquet(sink_path)
 
@@ -324,7 +336,8 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         "purchase_id",
         F.expr(
-            "(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000"
+            "(unix_micros(cast(purchase_ts as timestamp))"
+            " - unix_micros(cast(click_ts as timestamp))) div 1000000"
         ).alias("lag_s"),
     )
 
@@ -369,7 +382,8 @@ def stream_interval_join_streaming(
         "click_id",
         "purchase_id",
         F.expr(
-            "(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000"
+            "(unix_micros(cast(purchase_ts as timestamp))"
+            " - unix_micros(cast(click_ts as timestamp))) div 1000000"
         ).alias("lag_s"),
     )
     _drain(j, "append", checkpoint, out_table)

@@ -130,3 +130,28 @@ class TestStreamIntervalJoin:
         )
         assert diff == 0
         assert batch.count() > 0  # the fixture does produce pairs
+
+
+class TestAppendGuardStrictness:
+    def test_non_missing_path_read_error_propagates(self, spark, sf_dir):
+        """Only the missing-sink AnalysisException may skip the
+        anti-join guard; any other sink-read failure must fail the
+        increment (silently appending without the guard is the exact
+        duplication idempotent_append exists to prevent)."""
+        import pytest
+
+        from dbt_eamples_spark.catalog import load_table
+        from dbt_eamples_spark.streaming.incremental import idempotent_append
+
+        class _BrokenRead:
+            def parquet(self, _path):
+                raise RuntimeError("transient FS failure")
+
+        class _BrokenSpark:
+            read = _BrokenRead()
+
+        delta = load_table(spark, sf_dir, "events").limit(5)
+        with pytest.raises(RuntimeError, match="transient FS failure"):
+            idempotent_append(
+                _BrokenSpark(), delta, "/nonexistent/sink", key="event_id"
+            )
