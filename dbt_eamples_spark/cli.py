@@ -235,6 +235,21 @@ def cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_health(args: argparse.Namespace) -> int:
+    """Uptime probe (S9): print the probe row, exit non-zero on any
+    failure so cron/scheduler alerting fires — no SparkSession
+    needed for a single HTTP check."""
+    from dbt_eamples_spark.sources.health import HealthProbeFailed, probe_url
+
+    try:
+        row = probe_url(args.url, timeout=args.timeout)
+    except HealthProbeFailed as e:
+        print(f"FAIL {args.url}: {e}")
+        return 1
+    print(f"OK {row['url']} status={row['status']} {row['elapsed_ms']}ms")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="dbt-eamples-spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -283,6 +298,13 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--decimals", type=int, default=2)
     c.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     c.set_defaults(func=cmd_curate)
+
+    h = sub.add_parser(
+        "health", help="HTTP health probe (exit 0 iff the URL answers 200)"
+    )
+    h.add_argument("--url", required=True)
+    h.add_argument("--timeout", type=float, default=5.0)
+    h.set_defaults(func=cmd_health)
     return p
 
 

@@ -256,7 +256,11 @@ def stream_dedup_streaming(
 
 
 def stream_incremental_append(
-    spark: SparkSession, sf_dir: str, checkpoint: str, sink_path: str
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint: str,
+    sink_path: str,
+    report_sink=None,
 ) -> None:
     """The reference's cron pipeline (`transactions_dag.py:14-46`:
     read watermark → fetch delta → append with audit column) as a
@@ -270,6 +274,14 @@ def stream_incremental_append(
     ``writeStream.format("parquet")`` cannot express it. Re-running
     the whole job against the same sink appends zero rows (asserted
     in tests), which is the property that makes cron retries safe.
+
+    ``report_sink`` (a ``reports.LocalReportSink``) opts into the
+    per-batch run report the reference posts after each cron pull
+    (slack_utils.py:66-113): appended-row count + a bounded sample
+    table, skipped when the batch appends nothing. Reporting caches
+    the batch delta for its count+sample pass, so leave it off for
+    count-only monitoring — RunReportListener gives that for free
+    from the progress bus.
     """
     from dbt_eamples_spark.sources.sinks import with_audit_col
 
@@ -293,7 +305,29 @@ def stream_incremental_append(
             out = batch.join(existing, "event_id", "left_anti")
         except AnalysisException:
             pass  # first batch: sink doesn't exist yet
-        with_audit_col(out).write.mode("append").parquet(sink_path)
+        if report_sink is None:
+            with_audit_col(out).write.mode("append").parquet(sink_path)
+            return
+        from dbt_eamples_spark.streaming.reports import (
+            REPORT_MAX_ROWS,
+            build_run_report,
+        )
+
+        out = out.persist()
+        try:
+            n = out.count()
+            with_audit_col(out).write.mode("append").parquet(sink_path)
+            report = build_run_report(
+                [tuple(r) for r in out.limit(REPORT_MAX_ROWS).collect()],
+                out.columns,
+                source=sink_path,
+                run_id=f"batch-{batch_id}",
+                total=n,
+            )
+            if report is not None:
+                report_sink.emit(report)
+        finally:
+            out.unpersist()
 
     q = (
         src.writeStream.foreachBatch(upsert)

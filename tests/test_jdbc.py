@@ -115,3 +115,40 @@ def test_jdbc_arg_validation(spark, derby):
             num_partitions=1,
             predicates=["1=1"],
         )
+
+
+def test_read_jdbc_with_retry_recovers_from_cold_start(spark, derby):
+    """First connect attempts fail (warehouse still booting); the
+    retry wrapper backs off attempt² and succeeds once the engine
+    answers — driver-side connect retry mirroring the reference's
+    open() (connections.py:255-281)."""
+    from dbt_eamples_spark.sources import connections as C
+
+    sleeps: list[float] = []
+
+    # monkey-wrap read_jdbc via a flaky shim: 2 failures, then real
+    import dbt_eamples_spark.sources.jdbc as jdbc_mod
+
+    real = jdbc_mod.read_jdbc
+    state = {"fails": 2}
+
+    def flaky(spark_, url, table, **kw):
+        if state["fails"] > 0:
+            state["fails"] -= 1
+            raise ConnectionError("warehouse booting")
+        return real(spark_, url, table, **kw)
+
+    jdbc_mod.read_jdbc = flaky
+    try:
+        df = C.read_jdbc_with_retry(
+            spark,
+            derby,
+            "nation_sink",
+            driver=DERBY_DRIVER,
+            retries=3,
+            sleep=sleeps.append,
+        )
+        assert df.count() > 0
+    finally:
+        jdbc_mod.read_jdbc = real
+    assert sleeps == [1.0, 4.0]
