@@ -169,6 +169,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bit-identical to the JVM twin in tests
         "agg_trend_slope_pandas": R.agg_trend_slope_pandas,
         # --- round-3 additions / r2-weak reworks: keep in sample ---
+        # co-occurrence mining: top-k part pairs by basket support
+        "market_basket_pairs": B.market_basket_pairs,
+        # Pareto/ABC revenue-contribution banding (integer-exact cut)
+        "abc_pareto_class": B.abc_pareto_class,
+        # JL random projection 64→16 dims, fixed literal sign matrix
+        "embedding_random_projection": V.embedding_random_projection,
         "similarity_lsh_topk": V.similarity_lsh_topk,
         "dedup_embedding_cosine": D.dedup_embedding_cosine,
         "dedup_minhash": D.dedup_minhash,

@@ -75,6 +75,10 @@ HEADLINE = [
     "events_transition_matrix",
     "agg_zscore_outliers",
     "text_word_entropy",
+    # round-3 additions
+    "market_basket_pairs",
+    "abc_pareto_class",
+    "embedding_random_projection",
 ]
 
 

@@ -232,3 +232,101 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_transitions",
         F.round(F.col("n_transitions") / total, 6).alias("share"),
     )
+
+
+MARKET_BASKET_TOP_K = 100
+
+
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence (market-basket) mining over order lines: the
+    top-``MARKET_BASKET_TOP_K`` part pairs by the number of orders
+    containing both — the support counts driving "bought together"
+    recommendations and substitution analysis.
+
+    Scale shape: the pair expansion is a self-equi-join keyed on
+    ``l_orderkey``, so its output is Σ(basket_size²) — bounded by
+    the basket-size cap (TPC-H ≤ 7 lines, retail ~30), NOT corpus²;
+    a distinct pass first removes same-part repeat lines so a part
+    never pairs with itself across quantities. The support count is
+    a map-side-combined groupBy on the (part_a, part_b) key, and the
+    final ranking compiles to TakeOrderedAndProject (top-k per
+    partition then a k-row driver merge — no global sort). Ties
+    break on (part_a, part_b) so the cut is deterministic across
+    engines."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part_b")
+    )
+    support = (
+        a.join(b, "okey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+    )
+    return support.orderBy(
+        F.desc("support"), "part_a", "part_b"
+    ).limit(MARKET_BASKET_TOP_K)
+
+
+# Pareto cut points as integer percents — the class boundary test
+# stays in EXACT integer arithmetic (cum*100 <= total*cut), so no
+# float rounding can flip a boundary row between engines
+ABC_CUT_A = 80
+ABC_CUT_B = 95
+
+
+def abc_pareto_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue contribution:
+    rank parts by revenue, accumulate the running share, and band
+    A (first 80 % of revenue), B (to 95 %), C (tail) — the standard
+    inventory-stratification cut.
+
+    Revenue folds in integer cents (round half-up at the line level,
+    then bigint sums), so both the per-part totals and the running
+    cumulative are order-independent and bit-identical across
+    engines; the class boundary compares ``cum*100 ≤ total*cut`` in
+    integers. The ranking window is GLOBAL but runs over the PART
+    dimension (catalog-bounded: one row per part after the first
+    aggregate), not the fact table — the same bounded-slice argument
+    as window_ntile_deciles; at true catalog scale the same banding
+    falls out of a two-phase percentile split. One shuffle for the
+    part aggregate, one single-partition pass over the part rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.select(
+        "l_partkey",
+        F.round(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+        )
+        .cast("long")
+        .alias("cents"),
+    ).groupBy("l_partkey").agg(F.sum("cents").alias("rev_cents"))
+    w = Window.orderBy(F.desc("rev_cents"), "l_partkey")
+    wall = Window.partitionBy()
+    ranked = rev.select(
+        "l_partkey",
+        "rev_cents",
+        F.sum("rev_cents").over(w).alias("cum_cents"),
+        F.sum("rev_cents").over(wall).alias("total_cents"),
+    )
+    return ranked.select(
+        "l_partkey",
+        "rev_cents",
+        F.round(F.col("cum_cents") / F.col("total_cents"), 6).alias(
+            "cum_share"
+        ),
+        F.when(
+            F.col("cum_cents") * 100 <= F.col("total_cents") * ABC_CUT_A, "A"
+        )
+        .when(
+            F.col("cum_cents") * 100 <= F.col("total_cents") * ABC_CUT_B, "B"
+        )
+        .otherwise("C")
+        .alias("abc_class"),
+    )

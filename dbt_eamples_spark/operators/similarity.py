@@ -586,3 +586,66 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("err_fp"),
     )
+
+
+# Johnson–Lindenstrauss random projection: 64 → 16 dims with a fixed
+# md5-derived ±1/√k sign matrix (Achlioptas 2003 database-friendly
+# variant: entries ±1 scaled by 1/√TARGET, seeded like the LSH
+# planes so every engine derives the identical literal matrix)
+RP_TARGET_DIM = 16
+
+
+def _rp_weight(j: int, d: int) -> float:
+    import hashlib
+
+    h = int(hashlib.md5(f"rp:{j}:{d}".encode()).hexdigest()[:15], 16)
+    sign = 1.0 if h % 2 == 0 else -1.0
+    return sign / (RP_TARGET_DIM ** 0.5)
+
+
+RP_WEIGHTS = [
+    [_rp_weight(j, d) for d in range(EMBED_DIM)] for j in range(RP_TARGET_DIM)
+]
+
+
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection dimensionality reduction of the embedding
+    store (64 → RP_TARGET_DIM dims): the standard shrink applied
+    before brute-force or IVF search when the index must fit memory
+    — JL guarantees pairwise distances survive within ε for
+    k = O(log N / ε²) output dims.
+
+    Emits per-vector audit stats rather than the raw projected
+    array, mirroring embedding_quantize_int8's oracle strategy:
+    a fixed-point checksum of the projected components (exact bigint
+    fold in literal component order) and the projected/original norm
+    ratio (identical strict-left-fold expression tree in DuckDB).
+    The projection itself is RP_TARGET_DIM dot folds against LITERAL
+    weight rows — a narrow map, zero shuffles, scan-speed at 100 TB,
+    and nothing about it depends on corpus statistics (no fit pass,
+    unlike PCA — which is the point at this scale)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", _as_double_vec(F.col("embedding")).alias("vec"))
+    proj_cols = [
+        _dot(
+            F.col("vec"), F.array(*[F.lit(x) for x in RP_WEIGHTS[j]])
+        ).alias(f"c{j}")
+        for j in range(RP_TARGET_DIM)
+    ]
+    p = v.select("vec_id", "vec", *proj_cols)
+    checksum = None
+    sq = None
+    for j in range(RP_TARGET_DIM):
+        term = F.round(F.col(f"c{j}") * 1e6).cast("long")
+        checksum = term if checksum is None else checksum + term
+        s = F.col(f"c{j}") * F.col(f"c{j}")
+        sq = s if sq is None else sq + s
+    in_norm = F.sqrt(
+        F.aggregate(F.col("vec"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return p.select(
+        "vec_id",
+        F.lit(RP_TARGET_DIM).alias("n_dims_out"),
+        checksum.alias("checksum_fp"),
+        F.round(F.sqrt(sq) / in_norm, 6).alias("norm_ratio"),
+    )

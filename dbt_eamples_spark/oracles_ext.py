@@ -811,3 +811,80 @@ EXT_ORACLES: dict[str, str] = {
         FROM documents
     """,
 }
+
+
+# ---- round-3 additions: basket mining / pareto / random projection ---------
+
+def _rp_oracle_sql() -> str:
+    """Mirror of similarity.embedding_random_projection: literal
+    ±1/√k weight rows, strict left-fold dots, fixed-point checksum
+    in literal component order, identical norm-ratio expression."""
+    from dbt_eamples_spark.operators.similarity import (
+        RP_TARGET_DIM,
+        RP_WEIGHTS,
+    )
+
+    proj = ", ".join(
+        f"{_dot('vec', '[' + ', '.join(repr(x) for x in RP_WEIGHTS[j]) + ']')}"
+        f" AS c{j}"
+        for j in range(RP_TARGET_DIM)
+    )
+    checksum = " + ".join(
+        f"CAST(round(c{j} * 1000000.0) AS BIGINT)"
+        for j in range(RP_TARGET_DIM)
+    )
+    sq = " + ".join(f"c{j} * c{j}" for j in range(RP_TARGET_DIM))
+    return f"""
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+            FROM embeddings
+        ),
+        p AS (SELECT vec_id, vec, {proj} FROM v)
+        SELECT vec_id,
+               {RP_TARGET_DIM} AS n_dims_out,
+               {checksum} AS checksum_fp,
+               round(sqrt({sq}) / {_norm('vec')}, 6) AS norm_ratio
+        FROM p
+    """
+
+
+EXT_ORACLES.update(
+    {
+        "market_basket_pairs": """
+            WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            support AS (
+                SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                       COUNT(*) AS support
+                FROM li a JOIN li b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+            )
+            SELECT part_a, part_b, support FROM support
+            ORDER BY support DESC, part_a, part_b LIMIT 100
+        """,
+        "abc_pareto_class": """
+            WITH rev AS (
+                SELECT l_partkey,
+                       SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS rev_cents
+                FROM lineitem GROUP BY 1
+            ),
+            ranked AS (
+                SELECT l_partkey, rev_cents,
+                       SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey)
+                           AS cum_cents,
+                       SUM(rev_cents) OVER () AS total_cents
+                FROM rev
+            )
+            SELECT l_partkey, rev_cents,
+                   round(CAST(cum_cents AS DOUBLE) / total_cents, 6)
+                       AS cum_share,
+                   CASE WHEN cum_cents * 100 <= total_cents * 80 THEN 'A'
+                        WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM ranked
+        """,
+        "embedding_random_projection": _rp_oracle_sql(),
+    }
+)
