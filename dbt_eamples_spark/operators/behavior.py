@@ -243,30 +243,42 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     containing both — the support counts driving "bought together"
     recommendations and substitution analysis.
 
-    Scale shape: the pair expansion is a self-equi-join keyed on
-    ``l_orderkey``, so its output is Σ(basket_size²) — bounded by
-    the basket-size cap (TPC-H ≤ 7 lines, retail ~30), NOT corpus²;
-    a distinct pass first removes same-part repeat lines so a part
-    never pairs with itself across quantities. The support count is
-    a map-side-combined groupBy on the (part_a, part_b) key, and the
-    final ranking compiles to TakeOrderedAndProject (top-k per
-    partition then a k-row driver merge — no global sort). Ties
-    break on (part_a, part_b) so the cut is deterministic across
-    engines."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    Scale shape: ONE shuffle keyed on ``l_orderkey`` collects each
+    basket's distinct part set (collect_set — bounded by the
+    basket-size cap: TPC-H ≤ 7 lines, retail ~30, so the buffer is
+    tens of ints, unlike the unbounded doc-bucket case dedup had to
+    join-shape away), then pairs expand INSIDE the row via a sorted
+    array self-product — Σ(basket²) output rows, never corpus². The
+    support count map-side-combines on the (part_a, part_b) key
+    before its exchange, and the final ranking compiles to
+    TakeOrderedAndProject (top-k per partition, k-row driver merge —
+    no global sort). Ties break on (part_a, part_b) so the cut is
+    deterministic across engines. A self-equi-join of the line table
+    would compute the same pairs with two extra shuffles of the fact
+    table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
     )
-    a = li.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part_a")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part_b")
+    pair = F.explode(
+        F.filter(
+            F.flatten(
+                F.transform(
+                    "parts",
+                    lambda a: F.transform(
+                        "parts",
+                        lambda b: F.struct(
+                            a.alias("part_a"), b.alias("part_b")
+                        ),
+                    ),
+                )
+            ),
+            lambda s: s["part_a"] < s["part_b"],
+        )
     )
     support = (
-        a.join(b, "okey")
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets.select(pair.alias("p"))
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("support"))
     )
