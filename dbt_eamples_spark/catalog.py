@@ -58,6 +58,11 @@ def load_table(
     # TIMESTAMP(NANOS) `ts` column in events.parquet without
     # PARQUET_TYPE_ILLEGAL. Harmless for the other tables.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the NTZ→TIMESTAMP normalization below interprets naive values
+    # in the SESSION time zone — pin it to UTC here (runtime-settable)
+    # so the oracle's naive-as-UTC read matches under ANY session,
+    # not only our own factory's (the driver uses a vanilla session)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     for col in _NANOS_TS_COLS.get(name, ()):
         if col in df.columns and dict(df.dtypes).get(col) == "bigint":

@@ -113,6 +113,9 @@ def _events_stream(
     # Set the conf here too so this works under ANY session, not
     # only our own factory (driver sessions don't pre-set it).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # NTZ→TIMESTAMP below reads naive values in the session tz —
+    # pin UTC so any session (driver's vanilla one included) agrees
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     # file-stream source requires a directory: stream the sf dir,
     # glob-filtered to the events file
