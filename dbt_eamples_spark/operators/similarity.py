@@ -517,6 +517,13 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         qtb.alias("tb"),
     ).select("query_id", "qvec", "tb.t", "tb.bucket")
     ck, qk = corpus_keys.alias("c"), query_keys.alias("q")
+    # score IN the join projection, dedupe after: a pair found via
+    # several tables/probes scores identically each time, so the
+    # distinct sees three scalars per row instead of two 64-double
+    # vectors — the dedup exchange shrinks ~40×, at the price of
+    # re-folding the cosine for multi-table duplicates (cheap: the
+    # fold is map-side; the shuffle is the scale cost). Mirrors the
+    # oracle's score-then-DISTINCT exactly.
     cands = ck.join(
         F.broadcast(qk),
         (F.col("c.t") == F.col("q.t"))
@@ -524,15 +531,10 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c.vec_id") != F.col("q.query_id")),
     ).select(
         "q.query_id",
-        F.col("q.qvec").alias("qvec"),
         F.col("c.vec_id").alias("neighbor_id"),
-        F.col("c.vec").alias("vec"),
+        F.round(_cosine(F.col("q.qvec"), F.col("c.vec")), 6).alias("cosine"),
     )
-    scored = cands.dropDuplicates(["query_id", "neighbor_id"]).select(
-        "query_id",
-        "neighbor_id",
-        F.round(_cosine(F.col("qvec"), F.col("vec")), 6).alias("cosine"),
-    )
+    scored = cands.dropDuplicates(["query_id", "neighbor_id"])
     return _topk(scored, TOP_K)
 
 
