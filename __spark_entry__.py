@@ -175,6 +175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "abc_pareto_class": B.abc_pareto_class,
         # JL random projection 64→16 dims, fixed literal sign matrix
         "embedding_random_projection": V.embedding_random_projection,
+        # subset-dup pairs via rare-shingle prefix filtering
+        "dedup_containment": D.dedup_containment,
         "similarity_lsh_topk": V.similarity_lsh_topk,
         "dedup_embedding_cosine": D.dedup_embedding_cosine,
         "dedup_minhash": D.dedup_minhash,

@@ -79,6 +79,7 @@ HEADLINE = [
     "market_basket_pairs",
     "abc_pareto_class",
     "embedding_random_projection",
+    "dedup_containment",
 ]
 
 

@@ -731,3 +731,75 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+# containment dedup: catches SUBSET duplicates (doc quoted inside a
+# longer doc, boilerplate wrappers) that Jaccard-based near-dup
+# misses — a small doc inside a big one has low Jaccard but high
+# containment. Blocking is PREFIX FILTERING on each doc's rarest
+# shingles: a subset dup necessarily shares its rare shingles with
+# its superset, and rare (low-df) shingles have small posting lists,
+# so the inverted-index join output is bounded by Σ df_rare² — the
+# opposite of joining on boilerplate shingles.
+CONTAINMENT_THRESHOLD = 0.6
+CONTAINMENT_RARE_K = 3
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset/near-containment pairs: containment =
+    |A∩B| / min(|A|,|B|) over word-3-shingle sets, candidates from a
+    rare-shingle inverted index (prefix filtering).
+
+    Scale shape: shingle df is one map-side-combined groupBy; each
+    doc keeps its CONTAINMENT_RARE_K rarest shingles (window over
+    the doc's own shingles — per-doc state only); candidates come
+    from an equi-self-join on those rare-shingle keys, so a shingle
+    contributes df² pairs only if it survived as SOMEONE'S rarest —
+    high-df boilerplate never becomes a join key. Exact containment
+    verifies only candidate pairs via array_intersect on the two
+    (distinct) shingle arrays. Ties in the rarity ranking break on
+    the shingle string so both engines pick identical keys."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    sh = _shingles(docs).localCheckpoint(eager=True)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    df_counts = ex.groupBy("s").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    keys = (
+        ex.join(df_counts, "s")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= CONTAINMENT_RARE_K)
+        .select("doc_id", "s")
+    )
+    ka = keys.select("s", F.col("doc_id").alias("doc_a"))
+    kb = keys.select("s", F.col("doc_id").alias("doc_b"))
+    cands = (
+        ka.join(kb, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_sh = sh.join(F.broadcast(ids), "doc_id")
+    a = cand_sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sha")
+    )
+    b = cand_sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("shb")
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    smaller = F.least(F.size("sha"), F.size("shb"))
+    return (
+        cands.join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / smaller, 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )

@@ -888,3 +888,44 @@ EXT_ORACLES.update(
         "embedding_random_projection": _rp_oracle_sql(),
     }
 )
+
+
+def _containment_oracle_sql() -> str:
+    """Mirror of dedup.dedup_containment: same shingle definition as
+    the MinHash oracle, rarity ranking tie-broken on the shingle
+    string, prefix-filter candidates, exact containment verify."""
+    from dbt_eamples_spark.operators.dedup import (
+        CONTAINMENT_RARE_K,
+        CONTAINMENT_THRESHOLD,
+    )
+
+    return f"""
+        WITH sh AS ({SHINGLES}),
+        ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        dfc AS (SELECT s, COUNT(*) AS df FROM ex GROUP BY s),
+        ranked AS (
+            SELECT ex.doc_id, ex.s,
+                   ROW_NUMBER() OVER (PARTITION BY ex.doc_id
+                                      ORDER BY dfc.df, ex.s) AS rk
+            FROM ex JOIN dfc ON ex.s = dfc.s
+        ),
+        keys AS (SELECT doc_id, s FROM ranked
+                 WHERE rk <= {CONTAINMENT_RARE_K}),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM keys a JOIN keys b
+              ON a.s = b.s AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, containment FROM (
+            SELECT doc_a, doc_b,
+                   round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                         / least(len(sa.shingles), len(sb.shingles)), 6)
+                       AS containment
+            FROM cands
+            JOIN sh sa ON sa.doc_id = doc_a
+            JOIN sh sb ON sb.doc_id = doc_b
+        ) WHERE containment >= {CONTAINMENT_THRESHOLD}
+    """
+
+
+EXT_ORACLES["dedup_containment"] = _containment_oracle_sql()
