@@ -177,6 +177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_random_projection": V.embedding_random_projection,
         # subset-dup pairs via rare-shingle prefix filtering
         "dedup_containment": D.dedup_containment,
+        # engine-exact grouped Pearson corr (integer moment folds)
+        "agg_correlation": R.agg_correlation,
         "similarity_lsh_topk": V.similarity_lsh_topk,
         "dedup_embedding_cosine": D.dedup_embedding_cosine,
         "dedup_minhash": D.dedup_minhash,

@@ -80,6 +80,7 @@ HEADLINE = [
     "abc_pareto_class",
     "embedding_random_projection",
     "dedup_containment",
+    "agg_correlation",
 ]
 
 

@@ -1053,3 +1053,47 @@ def agg_trend_slope_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.groupBy("user_id").applyInPandas(
         fit, schema="user_id long, n_events long, slope_per_day double"
     )
+
+
+def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation between line quantity and
+    extended price — the numeric-profiling statistic every
+    column-pair screen computes, done ENGINE-EXACTLY.
+
+    Spark's ``F.corr`` accumulates double moments whose value
+    depends on partition/summation order, so it can never value-hash
+    against another engine. Instead the five moments fold as exact
+    BIGINTs (quantity is integral; price scales to cents with one
+    half-up round per row — the same trick agg_trend_slope and
+    rfm_segmentation use), and the closed form
+    (nΣxy − ΣxΣy) / √((nΣx²−(Σx)²)(nΣy²−(Σy)²)) evaluates on
+    doubles with the identical expression tree in the oracle. One
+    map-side-combined shuffle to ≤|groups| rows; Σxy/Σx² stay well
+    inside int64 at any realistic group size (cents×quantity ≈ 1e8
+    per row → 9e18 overflow needs ~1e10 rows per group; a 100 TB
+    deployment groups by a higher-cardinality key first)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    agg = base.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (
+        F.col(c).cast("double") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
+    )
+    denom = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return agg.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        F.when(denom > 0, F.round((n * sxy - sx * sy) / denom, 6)).alias(
+            "corr_qty_price"
+        ),
+    )

@@ -929,3 +929,27 @@ def _containment_oracle_sql() -> str:
 
 
 EXT_ORACLES["dedup_containment"] = _containment_oracle_sql()
+
+
+EXT_ORACLES["agg_correlation"] = """
+    WITH base AS (
+        SELECT l_returnflag,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    agg AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM base GROUP BY 1
+    )
+    SELECT l_returnflag, n AS n_rows,
+           CASE WHEN sqrt((n::DOUBLE * sxx - sx::DOUBLE * sx)
+                          * (n::DOUBLE * syy - sy::DOUBLE * sy)) > 0
+                THEN round((n::DOUBLE * sxy - sx::DOUBLE * sy)
+                           / sqrt((n::DOUBLE * sxx - sx::DOUBLE * sx)
+                                  * (n::DOUBLE * syy - sy::DOUBLE * sy)), 6)
+                END AS corr_qty_price
+    FROM agg
+"""
