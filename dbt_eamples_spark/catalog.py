@@ -37,6 +37,51 @@ def table_path(sf_dir: str, name: str) -> str:
 # converted back to timestamp here; fixture nanos are micro-aligned)
 _NANOS_TS_COLS = {"events": ("ts",)}
 
+# Spellings whose wall-clock IS UTC (offset 0, no DST) — normalizing
+# any of these to the canonical "UTC" changes no timestamp value.
+_UTC_ALIASES = frozenset(
+    {
+        "UTC",
+        "GMT",
+        "GMT0",
+        "Z",
+        "+00:00",
+        "Zulu",
+        "Universal",
+        "Greenwich",
+        "Etc/UTC",
+        "Etc/GMT",
+        "Etc/GMT0",
+        "Etc/GMT+0",
+        "Etc/GMT-0",
+        "Etc/Zulu",
+        "Etc/Universal",
+        "Etc/Greenwich",
+        "UCT",
+        "Etc/UCT",
+    }
+)
+
+
+def _require_utc_session(spark: SparkSession) -> None:
+    """Pin the session tz to canonical ``UTC`` when it is already a
+    UTC alias; raise on anything else. NTZ fixture timestamps are
+    interpreted in the session zone at EXECUTION time, so a non-UTC
+    session would silently shift every timestamp — and mutating the
+    caller's zone under them is worse (it changes the semantics of
+    their unrelated queries). Loud failure is the only honest
+    option."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz not in _UTC_ALIASES:
+        raise ValueError(
+            f"dbt_eamples_spark requires spark.sql.session.timeZone=UTC "
+            f"(naive fixture timestamps are defined as UTC wall-clock); "
+            f"got {tz!r}. Set spark.conf.set('spark.sql.session.timeZone', "
+            f"'UTC') before loading tables."
+        )
+    if tz != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
 
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False
@@ -59,10 +104,13 @@ def load_table(
     # PARQUET_TYPE_ILLEGAL. Harmless for the other tables.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the NTZ→TIMESTAMP normalization below interprets naive values
-    # in the SESSION time zone — pin it to UTC here (runtime-settable)
-    # so the oracle's naive-as-UTC read matches under ANY session,
-    # not only our own factory's (the driver uses a vanilla session)
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # in the SESSION time zone, so this engine REQUIRES session tz
+    # UTC. A session already on a UTC spelling is normalized to the
+    # canonical "UTC" (semantically a no-op); a genuinely non-UTC
+    # session fails loudly rather than being silently flipped —
+    # save/restore is not an option because the cast evaluates
+    # lazily, long after this function returns.
+    _require_utc_session(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     for col in _NANOS_TS_COLS.get(name, ()):
         if col in df.columns and dict(df.dtypes).get(col) == "bigint":

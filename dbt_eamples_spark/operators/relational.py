@@ -1068,23 +1068,29 @@ def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rfm_segmentation use), and the closed form
     (nΣxy − ΣxΣy) / √((nΣx²−(Σx)²)(nΣy²−(Σy)²)) evaluates on
     doubles with the identical expression tree in the oracle. One
-    map-side-combined shuffle to ≤|groups| rows; Σxy/Σx² stay well
-    inside int64 at any realistic group size (cents×quantity ≈ 1e8
-    per row → 9e18 overflow needs ~1e10 rows per group; a 100 TB
-    deployment groups by a higher-cardinality key first)."""
+    map-side-combined shuffle to ≤|groups| rows. The moment folds
+    accumulate as decimal(38,0), not bigint: y is price cents up to
+    ~1e7, so Σy² grows ~1e14 per row and an int64 fold would wrap
+    silently (non-ANSI) past ~1e5 rows per group — low-cardinality
+    keys like l_returnflag hit that by SF1. decimal(38,0) holds
+    ~1e24 rows per group of headroom, and the DuckDB oracle's
+    SUM(BIGINT)→HUGEINT is exact the same way; both sides convert
+    the exact integer moment to double once, correctly rounded."""
     li = load_table(spark, sf_dir, "lineitem")
     base = li.select(
         "l_returnflag",
         F.col("l_quantity").cast("long").alias("x"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
     )
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
     agg = base.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
     )
     n, sx, sy, sxy, sxx, syy = (
         F.col(c).cast("double") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")

@@ -866,8 +866,8 @@ EXT_ORACLES.update(
         "abc_pareto_class": """
             WITH rev AS (
                 SELECT l_partkey,
-                       SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
-                           AS BIGINT)) AS rev_cents
+                       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS rev_cents
                 FROM lineitem GROUP BY 1
             ),
             ranked AS (

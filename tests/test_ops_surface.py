@@ -232,20 +232,32 @@ class TestRetryConnection:
 
 
 class TestCancelGroup:
-    def test_cancel_aborts_inflight_job(self, spark):
+    def test_cancel_aborts_inflight_job(self, spark, tmp_path):
+        import os
         import time
 
         from pyspark.sql import functions as F
 
         errors: list[BaseException] = []
+        sentinel_dir = str(tmp_path / "task-started")
+        os.makedirs(sentinel_dir, exist_ok=True)
+
+        def slow_task(x):
+            # signal task start BEFORE sleeping so the driver cancels
+            # only once work is verifiably in flight (local mode —
+            # executor threads share the test filesystem)
+            with open(os.path.join(sentinel_dir, f"task-{x}"), "w"):
+                pass
+            time.sleep(120)
+            return x
 
         def slow_job():
             try:
                 with cancellable(spark, "cancel-test", "slow scan"):
-                    # ~32 tasks × 30 s sleep each — far beyond the
-                    # assertion window unless the cancel lands
-                    df = spark.range(32).select(
-                        F.udf(lambda x: time.sleep(30) or x, "long")("id")
+                    # 4 tasks × 120 s sleep each — unfinishable inside
+                    # the join window unless the cancel lands
+                    df = spark.range(4, numPartitions=4).select(
+                        F.udf(slow_task, "long")("id")
                     )
                     df.collect()
             except BaseException as e:  # noqa: BLE001 — assert on it below
@@ -253,7 +265,10 @@ class TestCancelGroup:
 
         t = threading.Thread(target=slow_job)
         t.start()
-        time.sleep(5)  # let tasks start
+        deadline = time.time() + 60
+        while time.time() < deadline and not os.listdir(sentinel_dir):
+            time.sleep(0.1)
+        assert os.listdir(sentinel_dir), "no task started within 60 s"
         cancel_group(spark, "cancel-test")
         t.join(timeout=60)
         assert not t.is_alive(), "job was not cancelled in time"

@@ -2,9 +2,13 @@
 
 Runs every ``queries()`` entry in Spark and its ``oracle_sql()`` in
 DuckDB at a given sf dir, then compares: row count, sorted column
-names, and order-insensitive values (strict canonical-string hash
-plus a tolerant float comparison so we can distinguish "hard
-mismatch" from "float-eps risk").
+names, and an order-insensitive value hash that is AT LEAST as
+strict as the driver's: raw-value repr with NO integral-float
+coercion and NO rounding (a float64 ``171395455.0`` vs an int64
+``171395455`` is a FAIL here, exactly as the driver scores it —
+the round-3 abc_pareto_class miss), plus an explicit per-column
+pandas-dtype cross-check so int64-vs-float64 drift is named even
+when the values agree.
 
 Usage: python tools/oracle_check.py [sf_dir] [query ...]
 """
@@ -30,12 +34,25 @@ def canon_cell(v) -> str:
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "<NULL>"
     if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(round(v, 9))
+        # Strict: full-precision repr, no coercion. Bit-identical
+        # doubles match; a float where the twin has an int does not.
+        return repr(v)
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
+
+
+def dtype_mismatches(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    """int-kind vs float-kind drift on a shared column — the class of
+    mismatch the driver's value hash punishes (``5`` vs ``5.0``) even
+    when magnitudes agree. Width-only drift (int32 vs int64) is
+    invisible to the driver's repr and is not flagged."""
+    out = []
+    for c in sorted(set(sdf.columns) & set(odf.columns)):
+        sk, ok = sdf[c].dtype.kind, odf[c].dtype.kind
+        if {sk, ok} <= {"i", "u", "f"} and ("f" in (sk, ok)) and sk != ok:
+            out.append(f"{c}: spark={sdf[c].dtype} duckdb={odf[c].dtype}")
+    return out
 
 
 def frame_sig(pdf: pd.DataFrame) -> tuple[int, list[str], str, list[str]]:
@@ -92,6 +109,13 @@ def run(sf_dir: str, only: list[str]) -> int:
             for a, b in diffs:
                 print(f"   spark : {a[:200]}")
                 print(f"   duckdb: {b[:200]}")
+            for m in dtype_mismatches(sdf, odf):
+                print(f"   dtype : {m}")
+            failures += 1
+        elif dtype_mismatches(sdf, odf):
+            print(f"FAIL {name}: dtype mismatch (values agree):")
+            for m in dtype_mismatches(sdf, odf):
+                print(f"   dtype : {m}")
             failures += 1
         else:
             print(f"OK   {name} ({sn} rows)")
