@@ -476,7 +476,58 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 COSINE_NEAR_DUP = 0.4
 
 
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_candidate_pairs(
+    v: DataFrame, *, tables: int, flips: int, nplanes: int
+) -> DataFrame:
+    """Distinct candidate (vec_a < vec_b) pairs from one-sided
+    multi-probe random-hyperplane LSH over ``v(vec_id, vec)`` — the
+    blocking stage of :func:`dedup_embedding_cosine`, factored out
+    so the (tables, flips, nplanes) operating point is testable at
+    any corpus size (the production path sizes ``nplanes`` with
+    :func:`similarity.lsh_planes`; the fixture default keeps the
+    static oracle)."""
+    from dbt_eamples_spark.operators.similarity import (
+        probe_key_pairs,
+        with_lsh_probes,
+    )
+
+    pk = with_lsh_probes(v, "vec", tables, flips, nplanes=nplanes)
+    pkc = pk.select(
+        "vec_id", *[f"p{t}" for t in range(tables)]
+    ).localCheckpoint(eager=True)
+    ka = pkc.select(
+        F.col("vec_id").alias("vec_a"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        F.element_at(f"p{t}", 1).alias("bucket"),
+                    )
+                    for t in range(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_a", "tb.t", "tb.bucket")
+    kb = pkc.select(
+        F.col("vec_id").alias("vec_b"),
+        F.explode(probe_key_pairs(tables)).alias("tb"),
+    ).select("vec_b", "tb.t", "tb.bucket")
+    return (
+        ka.join(kb, ["t", "bucket"])
+        .filter(F.col("vec_a") != F.col("vec_b"))
+        .select(
+            F.least("vec_a", "vec_b").alias("pa"),
+            F.greatest("vec_a", "vec_b").alias("pb"),
+        )
+        .select(F.col("pa").alias("vec_a"), F.col("pb").alias("vec_b"))
+        .distinct()
+    )
+
+
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, *, nplanes: int | None = None
+) -> DataFrame:
     """Embedding near-dup pairs: random-hyperplane-LSH candidates +
     exact-cosine verify (cosine ≥ COSINE_NEAR_DUP).
 
@@ -513,8 +564,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_eamples_spark.operators.similarity import (
         DEDUP_LSH_TABLES,
         DEDUP_PROBE_FLIPS,
-        probe_key_pairs,
-        with_lsh_probes,
+        LSH_PLANES,
     )
 
     emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
@@ -522,53 +572,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vec"),
     )
-    # ONE dot pass: the probe columns carry the base bucket at
-    # position 1 and the flip buckets after it, so both join sides
-    # project from the same checkpointed table (the plane dots — the
-    # only compute-heavy part — are evaluated once per vector total)
-    pk = with_lsh_probes(v, "vec", DEDUP_LSH_TABLES, DEDUP_PROBE_FLIPS)
-    pkc = pk.select(
-        "vec_id", *[f"p{t}" for t in range(DEDUP_LSH_TABLES)]
-    ).localCheckpoint(eager=True)
-    # multi-probe is ONE-SIDED: side a indexes base buckets only
-    # (element 1 of each probe array); side b probes base + the
-    # DEDUP_PROBE_FLIPS lowest-margin flips. A pair (x, y) is caught
-    # when base(x) ∈ probes(y) in EITHER orientation — both
-    # orientations flow through the self-join and least/greatest
-    # canonicalizes. The index side stays at DEDUP_LSH_TABLES
-    # keys/vector; the probe side grows ×(1+flips), still linear,
-    # and bucket fan-out (join output) — not key count — is the
-    # scale cost, which is why flips stay on one side only.
-    ka = pkc.select(
-        F.col("vec_id").alias("vec_a"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("t"),
-                        F.element_at(f"p{t}", 1).alias("bucket"),
-                    )
-                    for t in range(DEDUP_LSH_TABLES)
-                ]
-            )
-        ).alias("tb"),
-    ).select("vec_a", "tb.t", "tb.bucket")
-    kb = pkc.select(
-        F.col("vec_id").alias("vec_b"),
-        F.explode(probe_key_pairs(DEDUP_LSH_TABLES)).alias("tb"),
-    ).select("vec_b", "tb.t", "tb.bucket")
-    # canonicalize with least/greatest instead of filtering a<b: a
-    # pair is kept when base(x) ∈ probes(y) in EITHER orientation,
-    # so one-sided probing still buys symmetric recall
-    pairs = (
-        ka.join(kb, ["t", "bucket"])
-        .filter(F.col("vec_a") != F.col("vec_b"))
-        .select(
-            F.least("vec_a", "vec_b").alias("pa"),
-            F.greatest("vec_a", "vec_b").alias("pb"),
-        )
-        .select(F.col("pa").alias("vec_a"), F.col("pb").alias("vec_b"))
-        .distinct()
+    # Blocking stage (lsh_candidate_pairs): one dot pass — the probe
+    # columns carry base bucket + flips and both join sides project
+    # from the same checkpointed key table, so the plane dots (the
+    # only compute-heavy part) evaluate once per vector. Multi-probe
+    # is ONE-SIDED (index side stays at DEDUP_LSH_TABLES keys/vector;
+    # probe side grows ×(1+flips)); least/greatest canonicalization
+    # keeps symmetric recall. nplanes defaults to the pinned fixture
+    # constant so the static oracle holds; production sizes it via
+    # similarity.lsh_planes(n_rows) so bucket count tracks the corpus.
+    pairs = lsh_candidate_pairs(
+        v,
+        tables=DEDUP_LSH_TABLES,
+        flips=DEDUP_PROBE_FLIPS,
+        nplanes=nplanes or LSH_PLANES,
     )
     cands = pairs.localCheckpoint(eager=True)
 

@@ -119,7 +119,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(scored, TOP_K)
 
 
-def _kmeans_centroids(emb: DataFrame) -> DataFrame:
+def _kmeans_centroids(emb: DataFrame, ncells: int = NCENTROIDS) -> DataFrame:
     """KMEANS_ITERS rounds of Lloyd's algorithm over the corpus:
     assign every vector to its max-cosine centroid (broadcast
     centroids, one narrow pass), then recompute each centroid as the
@@ -138,7 +138,7 @@ def _kmeans_centroids(emb: DataFrame) -> DataFrame:
     broadcastable model state, checkpointed so iteration k doesn't
     replay k-1. Centroids that lose all members drop out, in both
     engines identically."""
-    cent = emb.filter(F.col("vec_id") < NCENTROIDS).select(
+    cent = emb.filter(F.col("vec_id") < ncells).select(
         F.col("vec_id").alias("cent_id"), F.col("vec").alias("cvec")
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
@@ -185,10 +185,12 @@ def _kmeans_centroids(emb: DataFrame) -> DataFrame:
 # pay the training cost per call. The cached value is the tiny
 # checkpointed centroid frame (≤ NCENTROIDS rows), valid for the
 # lifetime of the SparkContext that checkpointed it.
-_IVF_CENTROIDS: dict[tuple[str, str], DataFrame] = {}
+_IVF_CENTROIDS: dict[tuple[str, str, int], DataFrame] = {}
 
 
-def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_ivf_topk(
+    spark: SparkSession, sf_dir: str, *, ncells: int | None = None
+) -> DataFrame:
     """IVF-bucketed top-k: train centroids (k-means, cached per
     session+corpus) → assign → probe NPROBE buckets → rank.
 
@@ -197,14 +199,17 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Centroids are trained with :func:`_kmeans_centroids` (fixed-point
     Lloyd iterations, bit-identical in the DuckDB oracle); the build
     runs once per (session, corpus) like any real vector index.
+    ``ncells`` defaults to the pinned fixture constant (static
+    oracle); production sizes it with :func:`ivf_cells` (√n rule).
     """
     emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
         "vec_id", _as_double_vec(F.col("embedding")).alias("vec")
     )
-    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    nc = ncells or NCENTROIDS
+    cache_key = (spark.sparkContext.applicationId, sf_dir, nc)
     cent = _IVF_CENTROIDS.get(cache_key)
     if cent is None:
-        cent = _kmeans_centroids(emb)
+        cent = _kmeans_centroids(emb, nc)
         _IVF_CENTROIDS[cache_key] = cent
 
     # nearest-centroid assignment for every vector (broadcast cents)
@@ -360,6 +365,35 @@ LSH_PROBE_FLIPS = 2
 DEDUP_PROBE_FLIPS = 1
 
 
+def lsh_planes(n_rows: int, target_bucket: int = 64) -> int:
+    """Production operating point for the sign-bit count: enough
+    planes that expected bucket occupancy ≈ ``target_bucket``
+    (buckets = 2^planes ≈ n/target), so candidate volume per table
+    stays ~n·target/2 instead of saturating toward all-pairs the way
+    a pinned plane count does when the corpus outgrows it (the
+    round-3 fixture pathology: 4 planes over 2 k vectors ⇒ 77% of
+    all pairs were candidates). Floor = the fixture constant so the
+    static oracles keep describing the default; cap 24 bits keeps
+    the bucket id a small int and recall per table meaningful."""
+    import math
+
+    return max(
+        LSH_PLANES,
+        min(24, math.ceil(math.log2(max(2.0, n_rows / max(1, target_bucket))))),
+    )
+
+
+def ivf_cells(n_rows: int) -> int:
+    """Production IVF cell count: the standard √n rule (FAISS
+    guidance) — cells ≈ √n balances assign cost (n·cells dots) against
+    probe cost (n/cells per cell). Floor = fixture NCENTROIDS so the
+    static oracle stays the default; cap keeps the centroid table
+    broadcastable (65536 × 64 doubles ≈ 33 MB ceiling)."""
+    import math
+
+    return max(NCENTROIDS, min(65536, int(math.isqrt(max(1, n_rows)))))
+
+
 def _lsh_weight(t: int, p: int, d: int) -> float:
     import hashlib
 
@@ -367,31 +401,45 @@ def _lsh_weight(t: int, p: int, d: int) -> float:
     return (h % 2001 - 1000) / 1000.0
 
 
+from functools import lru_cache  # noqa: E402
+
+
+@lru_cache(maxsize=None)
+def _plane(t: int, p: int) -> tuple[float, ...]:
+    """Deterministic pseudo-random hyperplane (t, p) — cached so any
+    (tables, nplanes) operating point shares one weight source; the
+    fixture default planes are bit-identical to the pre-round-4
+    LSH_PLANE_WEIGHTS table, keeping every oracle static."""
+    return tuple(_lsh_weight(t, p, d) for d in range(EMBED_DIM))
+
+
+# fixture-operating-point view of the plane source (oracle SQL
+# generation renders these exact literals into DuckDB expressions)
 LSH_PLANE_WEIGHTS = [
-    [[_lsh_weight(t, p, d) for d in range(EMBED_DIM)] for p in range(LSH_PLANES)]
+    [list(_plane(t, p)) for p in range(LSH_PLANES)]
     for t in range(max(LSH_TABLES, DEDUP_LSH_TABLES))
 ]
 
 
-def _lsh_bucket(vec_col, t: int):
-    """Bucket id for hash table t: integer of NPLANES sign bits of
-    the vector's dot products with the table's planes. The plane
+def _lsh_bucket(vec_col, t: int, nplanes: int = LSH_PLANES):
+    """Bucket id for hash table t: integer of ``nplanes`` sign bits
+    of the vector's dot products with the table's planes. The plane
     arrays are literals, so each dot is one zip_with/aggregate over
     a constant — no joins, no per-row hashing."""
     bucket = F.lit(0)
-    for p in range(LSH_PLANES):
-        w = F.array(*[F.lit(x) for x in LSH_PLANE_WEIGHTS[t][p]])
+    for p in range(nplanes):
+        w = F.array(*[F.lit(x) for x in _plane(t, p)])
         bit = F.when(_dot(vec_col, w) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bucket + bit
     return bucket
 
 
 def _plane_lit(t: int, p: int):
-    return F.array(*[F.lit(x) for x in LSH_PLANE_WEIGHTS[t][p]])
+    return F.array(*[F.lit(x) for x in _plane(t, p)])
 
 
 def with_lsh_probes(df: DataFrame, vec_col: str, tables: int, flips: int,
-                    prefix: str = "p") -> DataFrame:
+                    prefix: str = "p", nplanes: int = LSH_PLANES) -> DataFrame:
     """Adds one array column ``{prefix}{t}`` per hash table holding
     the multi-probe bucket ids: ``[base, base^bit(m1), base^bit(m2),
     ...]`` where m1..m_flips are the planes with the smallest
@@ -408,10 +456,10 @@ def with_lsh_probes(df: DataFrame, vec_col: str, tables: int, flips: int,
         *[
             _dot(F.col(vec_col), _plane_lit(t, p)).alias(f"_d{t}_{p}")
             for t in range(tables)
-            for p in range(LSH_PLANES)
+            for p in range(nplanes)
         ],
     )
-    pow2 = F.array(*[F.lit(1 << p) for p in range(LSH_PLANES)])
+    pow2 = F.array(*[F.lit(1 << p) for p in range(nplanes)])
 
     # NB: the hof lambdas MUST be single-parameter — a second
     # Python parameter (even a defaulted capture like `_b=base`)
@@ -419,7 +467,7 @@ def with_lsh_probes(df: DataFrame, vec_col: str, tables: int, flips: int,
     # silently clobbering the default. Capture via closure instead.
     def _probe_col(t: int):
         base = F.lit(0)
-        for p in range(LSH_PLANES):
+        for p in range(nplanes):
             base = base + F.when(
                 F.col(f"_d{t}_{p}") >= 0, F.lit(1 << p)
             ).otherwise(F.lit(0))
@@ -430,7 +478,7 @@ def with_lsh_probes(df: DataFrame, vec_col: str, tables: int, flips: int,
                         F.abs(F.col(f"_d{t}_{p}")).alias("m"),
                         F.lit(p).alias("p"),
                     )
-                    for p in range(LSH_PLANES)
+                    for p in range(nplanes)
                 ]
             )
         )
@@ -459,10 +507,16 @@ def probe_key_pairs(tables: int, prefix: str = "p"):
     return F.flatten(F.array(*[_tagged(t) for t in range(tables)]))
 
 
-def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_lsh_topk(
+    spark: SparkSession, sf_dir: str, *, nplanes: int | None = None
+) -> DataFrame:
     """Random-hyperplane LSH top-k: candidates = corpus vectors
     sharing ANY of the query's LSH_TABLES bucket ids, verified with
     exact cosine and ranked.
+
+    ``nplanes`` defaults to the pinned fixture constant (so the
+    static DuckDB oracle stays valid); a production caller sizes it
+    with :func:`lsh_planes` so bucket count tracks corpus size.
 
     Scale shape vs brute force: each hash table's candidate join is
     an equi-join on a small int key — O(|Q|·bucket) pairs instead of
@@ -480,13 +534,17 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the recall/cost dial; flips are free on the corpus side (still
     L keys/vector).
     """
+    np_ = nplanes or LSH_PLANES
     emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
         "vec_id", _as_double_vec(F.col("embedding")).alias("vec")
     )
     with_buckets = emb.select(
         "vec_id",
         "vec",
-        *[_lsh_bucket(F.col("vec"), t).alias(f"b{t}") for t in range(LSH_TABLES)],
+        *[
+            _lsh_bucket(F.col("vec"), t, np_).alias(f"b{t}")
+            for t in range(LSH_TABLES)
+        ],
     )
     # ONE corpus pass: explode each row to (table, bucket) keys and
     # broadcast-join the (tiny, likewise-exploded) query side on
@@ -512,6 +570,7 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec",
         LSH_TABLES,
         LSH_PROBE_FLIPS,
+        nplanes=np_,
     )
     qtb = F.explode(probe_key_pairs(LSH_TABLES))
     query_keys = qprobe.select(

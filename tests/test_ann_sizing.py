@@ -1,0 +1,136 @@
+"""Dynamic ANN operating-point sizing (VERDICT r3 "what's missing" #2).
+
+The pinned fixture constants (LSH_PLANES=4, NCENTROIDS=8) exist so the
+static DuckDB oracles stay valid; production sizes the dials from the
+corpus. These tests prove the sizing formulas restore LSH selectivity
+at a 10× corpus, where the pinned plane count is known to saturate
+toward all-pairs (the round-3 pathology: 77% of all pairs became
+candidates at the fixture operating point).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dbt_eamples_spark.operators.dedup import lsh_candidate_pairs
+from dbt_eamples_spark.operators.similarity import (
+    DEDUP_LSH_TABLES,
+    DEDUP_PROBE_FLIPS,
+    EMBED_DIM,
+    LSH_PLANES,
+    NCENTROIDS,
+    ivf_cells,
+    lsh_planes,
+)
+
+N_BIG = 3000  # ~10× the sf0.001 embeddings fixture (500 vectors)
+
+
+def _synthetic_vectors(spark, n: int):
+    """Deterministic near-uniform unit vectors — LSH's hardest case
+    (real corpora cluster and bucket better at the same dials)."""
+    rng = np.random.RandomState(7)
+    mat = rng.standard_normal((n, EMBED_DIM))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "vec": list(map(list, mat))}
+    )
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("vec", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    return spark.createDataFrame(pdf, schema=schema).repartition(8)
+
+
+class TestSizingFormulas:
+    def test_lsh_planes_fixture_floor(self):
+        # at fixture size the formula returns the pinned constant, so
+        # the default operating point (and its oracle) is unchanged
+        assert lsh_planes(500) == LSH_PLANES
+
+    def test_lsh_planes_grows_with_corpus(self):
+        seq = [lsh_planes(n) for n in (500, 5_000, 500_000, 5_000_000, 10**12)]
+        assert seq == sorted(seq), "plane count must be monotone in n"
+        assert lsh_planes(10**12) == 24  # capped
+        # bucket count ~ n/target: 1M rows @ target 64 → 2^14 buckets
+        assert lsh_planes(1_000_000, target_bucket=64) == 14
+
+    def test_ivf_cells_sqrt_rule(self):
+        assert ivf_cells(64) == NCENTROIDS  # floor at tiny corpora
+        assert ivf_cells(500) == 22  # √n
+        assert ivf_cells(1_000_000) == 1000  # √n
+        assert ivf_cells(10**12) == 65536  # broadcastable cap
+
+
+class TestSelectivityAt10x:
+    @pytest.fixture(scope="class")
+    def vectors(self, spark):
+        return _synthetic_vectors(spark, N_BIG).localCheckpoint(eager=True)
+
+    def test_sized_planes_restore_selectivity(self, vectors):
+        """At 10× the fixture, lsh_planes() keeps the candidate set a
+        small fraction of all pairs while the pinned fixture constant
+        saturates — the dial the 100 TB deployment turns."""
+        all_pairs = N_BIG * (N_BIG - 1) // 2
+        sized_np = lsh_planes(N_BIG, target_bucket=8)
+        assert sized_np > LSH_PLANES
+
+        sized = lsh_candidate_pairs(
+            vectors,
+            tables=DEDUP_LSH_TABLES,
+            flips=DEDUP_PROBE_FLIPS,
+            nplanes=sized_np,
+        ).count()
+        pinned = lsh_candidate_pairs(
+            vectors,
+            tables=DEDUP_LSH_TABLES,
+            flips=DEDUP_PROBE_FLIPS,
+            nplanes=LSH_PLANES,
+        ).count()
+
+        sized_frac = sized / all_pairs
+        pinned_frac = pinned / all_pairs
+        assert sized_frac < 0.10, (
+            f"sized planes ({sized_np}) should keep candidates <10% "
+            f"of all pairs, got {sized_frac:.1%}"
+        )
+        assert pinned_frac > 3 * sized_frac, (
+            f"pinned planes should saturate vs sized: "
+            f"pinned {pinned_frac:.1%} vs sized {sized_frac:.1%}"
+        )
+
+    def test_sized_planes_keep_near_dup_recall(self, vectors, spark):
+        """Selectivity must not cost the actual near-dups: plant 20
+        true near-duplicate pairs (cosine ≥ 0.95) and require the
+        sized operating point to recover ≥90% of them."""
+        n_dups = 20
+        rng = np.random.RandomState(11)
+        base = vectors.filter(F.col("vec_id") < n_dups).toPandas()
+        rows = []
+        for i, vec in enumerate(base.sort_values("vec_id")["vec"]):
+            v = np.asarray(vec)
+            # small perturbation → cosine ≈ 0.995
+            w = v + 0.10 * rng.standard_normal(EMBED_DIM) / np.sqrt(EMBED_DIM)
+            w /= np.linalg.norm(w)
+            rows.append((N_BIG + i, [float(x) for x in w]))
+        dup_df = spark.createDataFrame(rows, schema=vectors.schema)
+        corpus = vectors.union(dup_df).localCheckpoint(eager=True)
+
+        sized_np = lsh_planes(N_BIG, target_bucket=8)
+        cands = lsh_candidate_pairs(
+            corpus,
+            tables=DEDUP_LSH_TABLES,
+            flips=DEDUP_PROBE_FLIPS,
+            nplanes=sized_np,
+        )
+        hits = cands.filter(
+            (F.col("vec_b") - F.col("vec_a") == N_BIG)
+            & (F.col("vec_a") < n_dups)
+        ).count()
+        assert hits >= 0.9 * n_dups, f"recall {hits}/{n_dups} below 90%"
