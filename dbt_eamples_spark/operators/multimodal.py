@@ -2,12 +2,15 @@
 
 Images/audio/video are opaque ``binary`` columns plus a typed
 metadata struct. The decode/feature-extraction step is a Pandas-UDF
-stage over ``mapInPandas`` — the Spark-side plumbing (schema,
-batching, partitioning) is real and tested; the actual media decode
-is STUBBED (the image/audio libraries are not in this container):
+stage over ``mapInPandas``. Two decode modes:
 ``decode_stub='fake'`` produces a deterministic fake feature vector
-from the bytes, ``decode_stub='strict'`` raises NotImplementedError
-exactly where a real decoder (PIL/librosa/av) would plug in.
+from the bytes (the oracle-checkable path — no codec involved);
+``decode_stub='strict'`` REALLY decodes: PNG payloads go through the
+pure-stdlib baseline codec (``png.decode_png`` — zlib/struct from
+the public spec, since no image library ships in this container) and
+yield geometry + per-channel statistics; non-PNG media (jpeg, audio,
+video) still raises NotImplementedError at the exact line a
+production deployment plugs PIL/librosa/av into.
 
 Scale notes: mapInPandas streams Arrow batches — constant memory per
 task regardless of corpus size; binary payloads never pass through
@@ -93,28 +96,65 @@ def _fake_decode(batch: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out, columns=["doc_id", "n_bytes", "features"])
 
 
+def _png_decode(batch: pd.DataFrame) -> pd.DataFrame:
+    """REAL decode of PNG payloads (pure-stdlib baseline codec).
+    Feature layout (FEATURE_DIM=8): width, height, channels, overall
+    mean/255, channel-0..2 means/255 (0.0 when absent), bright-pixel
+    fraction (>127). Non-PNG bytes raise NotImplementedError — the
+    PIL/librosa/av integration point for other media types."""
+    from dbt_eamples_spark.operators.png import decode_png, is_png
+
+    out = []
+    for doc_id, content in zip(batch["doc_id"], batch["content"]):
+        b = bytes(content)
+        if not is_png(b):
+            raise NotImplementedError(
+                "strict decode handles baseline PNG natively; other "
+                "media (jpeg/audio/video) requires PIL/librosa/av — "
+                "integrate here, or use decode_stub='fake'"
+            )
+        w, h, ch, px = decode_png(b)
+        arr = px.astype("float64")
+        chan_means = [float(arr[:, :, c].mean()) / 255.0 for c in range(ch)]
+        chan_means += [0.0] * (3 - len(chan_means[:3]))
+        feats = [
+            float(w),
+            float(h),
+            float(ch),
+            float(arr.mean()) / 255.0,
+            *chan_means[:3],
+            float((arr > 127).mean()),
+        ]
+        out.append({"doc_id": doc_id, "n_bytes": len(b), "features": feats})
+    return pd.DataFrame(out, columns=["doc_id", "n_bytes", "features"])
+
+
 def multimodal_decode_features(
     spark: SparkSession, sf_dir: str, decode_stub: str = "fake"
 ) -> DataFrame:
     """Arrow-batched decode/feature-extract stage over mapInPandas.
 
-    ``decode_stub='strict'`` raises NotImplementedError at the point
-    a real decoder integrates (PIL.Image.open / librosa.load /
-    av.open) — the surrounding plumbing is production-shaped.
+    ``decode_stub='strict'`` decodes for real — PNG via the stdlib
+    baseline codec; other media raise NotImplementedError at the
+    integration point (PIL.Image.open / librosa.load / av.open).
+    The fake path stays the oracle-checkable default (its features
+    are byte arithmetic DuckDB can replicate; a zlib inflate isn't).
     """
-    bt = binary_table(spark, sf_dir).select("doc_id", "content")
+    return decode_features_frame(
+        binary_table(spark, sf_dir).select("doc_id", "content"), decode_stub
+    )
 
-    if decode_stub == "strict":
-        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            raise NotImplementedError(
-                "real media decode requires PIL/librosa/av; "
-                "use decode_stub='fake' for the deterministic stand-in"
-            )
-    else:
-        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for batch in batches:
-                if len(batch):
-                    yield _fake_decode(batch)
+
+def decode_features_frame(bt: DataFrame, decode_stub: str = "fake") -> DataFrame:
+    """mapInPandas decode stage over any (doc_id, content) frame —
+    factored out so tests can feed REAL image payloads through the
+    identical plumbing the fixture path uses."""
+    decoder = _png_decode if decode_stub == "strict" else _fake_decode
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if len(batch):
+                yield decoder(batch)
 
     return bt.mapInPandas(decode, schema=_FEATURE_SCHEMA)
 
