@@ -168,6 +168,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # applyInPandas grouped twin — rows-only by policy; asserted
         # bit-identical to the JVM twin in tests
         "agg_trend_slope_pandas": R.agg_trend_slope_pandas,
+        # --- round-4 additions: must be in the first-50 sample ---
+        # onboarding-path mining (first-3-event journeys, counted)
+        "events_user_path": B.events_user_path,
+        # gap-filled hourly series with linear interpolation
+        "ts_gap_fill": R.ts_gap_fill,
+        # CCNet-style segment-dedup profile (corpus boilerplate)
+        "text_line_dedup": D.text_line_dedup,
+        # product-quantization encode + fixed-point error audit
+        "embedding_pq_encode": V.embedding_pq_encode,
         # --- round-3 additions / r2-weak reworks: keep in sample ---
         # co-occurrence mining: top-k part pairs by basket support
         "market_basket_pairs": B.market_basket_pairs,

@@ -153,3 +153,79 @@ def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         out[name] = df
     register_tables._slot = (key, out)
     return out
+
+
+STATS_DB = "dbt_stats"
+
+
+def register_stats_tables(
+    spark: SparkSession, sf_dir: str, database: str = STATS_DB
+) -> list[str]:
+    """Catalog-backed registration + ANALYZE — the 100×-scale
+    insurance for broadcast decisions (VERDICT r3 #7).
+
+    Temp views carry no catalog statistics, so Catalyst sizes their
+    join sides from raw file bytes alone — fine while a dimension's
+    parquet happens to sit under ``autoBroadcastJoinThreshold``,
+    silently fragile when compression ratios or dim growth push the
+    file size past it even though row counts still merit a
+    broadcast. This registers each fixture table as an EXTERNAL
+    parquet table (metadata only — no data copy; exactly the shape a
+    lakehouse deployment uses) and runs
+    ``ANALYZE TABLE ... COMPUTE STATISTICS`` so the catalog records
+    rowCount + sizeInBytes. With ``spark.sql.cbo.enabled`` the
+    planner then reasons from analyzed statistics — the dimension
+    stays broadcast because the OPTIMIZER knows it is small, not
+    because a size heuristic guessed right.
+
+    Returns the fully-qualified table names. Idempotent: re-running
+    re-points the tables at ``sf_dir`` and refreshes stats.
+    """
+    # ANALYZE row-counts scan the files; events.parquet needs the
+    # nanos fallback exactly as load_table does
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    names: list[str] = []
+    for name in TABLES:
+        path = table_path(sf_dir, name)
+        if not os.path.exists(path):
+            continue
+        fq = f"{database}.{name}"
+        # external: DROP removes metadata only, the parquet is untouched
+        spark.sql(f"DROP TABLE IF EXISTS {fq}")
+        spark.sql(f"CREATE TABLE {fq} USING parquet LOCATION '{path}'")
+        spark.sql(f"ANALYZE TABLE {fq} COMPUTE STATISTICS")
+        # column stats (ndv/min/max/null-count) feed CBO's
+        # join-cardinality estimation — table-level stats alone size
+        # the scan but not the join output. ANALYZE FOR COLUMNS
+        # rejects nested types (array embeddings), so enumerate the
+        # atomic columns explicitly.
+        atomic = [
+            f"`{c}`"
+            for c, t in spark.table(fq).dtypes
+            if not t.startswith(("array", "map", "struct", "binary"))
+        ]
+        if atomic:
+            spark.sql(
+                f"ANALYZE TABLE {fq} COMPUTE STATISTICS "
+                f"FOR COLUMNS {', '.join(atomic)}"
+            )
+        names.append(fq)
+    return names
+
+
+def table_stats(spark: SparkSession, fq_table: str) -> dict[str, int]:
+    """rowCount / sizeInBytes the catalog recorded for an analyzed
+    table (empty dict when never analyzed)."""
+    rows = spark.sql(f"DESCRIBE EXTENDED {fq_table}").collect()
+    out: dict[str, int] = {}
+    for r in rows:
+        if r["col_name"] == "Statistics":
+            # e.g. "123456 bytes, 6000 rows"
+            for part in r["data_type"].split(","):
+                part = part.strip()
+                if part.endswith("bytes"):
+                    out["size_bytes"] = int(part.split()[0])
+                elif part.endswith("rows"):
+                    out["row_count"] = int(part.split()[0])
+    return out

@@ -342,3 +342,41 @@ def abc_pareto_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+PATH_DEPTH = 3  # first-k event types per user
+
+
+def events_user_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Onboarding-path mining: each user's first PATH_DEPTH event
+    types joined into a journey string (``view>click>signup``),
+    counted across users — the sequence-analytics staple product
+    teams run on the reference's event pipeline downstream
+    (`/root/reference/helix-flow/dags/omni/transactions_dag.py:22-44`
+    ships the raw log; the path rollup is pure warehouse SQL there).
+
+    Scale: ONE logical key — the ranking window, the per-user path
+    concat, and the per-user groupBy all partition on ``user_id``,
+    so Catalyst plans a single user_id Exchange feeding all three
+    (verify: one hashpartitioning(user_id) in the plan). Per-user
+    state is PATH_DEPTH rows; the final path rollup shuffles one
+    row per user, and its output is bounded by |event_types|^depth
+    (125 here), not corpus size. Ties broken on event_id so the
+    journey is deterministic under any partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first_k = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PATH_DEPTH)
+    )
+    per_user = first_k.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s.event_type,
+            ),
+        ).alias("path")
+    )
+    return per_user.groupBy("path").agg(F.count("*").alias("n_users"))

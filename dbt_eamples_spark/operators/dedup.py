@@ -820,3 +820,75 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
     )
+
+
+SEGMENT_WORDS = 10  # words per dedup segment ("line" stand-in)
+
+
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level duplication profile — the CCNet/RefinedWeb
+    line-dedup shape: segment every document into consecutive
+    SEGMENT_WORDS-word chunks, fingerprint each, count global
+    fingerprint frequency, and report per document how much of it is
+    corpus-repeated boilerplate (the signal that strips headers,
+    cookie banners and license blocks before near-dup passes run).
+    The fixture corpus has no newlines, so the "line" is a fixed
+    word window; the mechanics — explode → global frequency →
+    per-doc rollup — are identical with any segmenter.
+
+    Scale: the explode is narrow (segments stream out of the scan);
+    frequency is one map-side-combined groupBy on the 128-bit md5
+    key; the segment→frequency join reuses that same key
+    partitioning (no extra exchange under AQE); the per-doc rollup
+    shuffles one row per segment, combining map-side to one row per
+    doc. No self-joins, no driver state; a skewed viral segment is
+    one fat md5 key that AQE splits. Tail words short of a full
+    segment are dropped on both engines (floor)."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    words = docs.select(
+        "doc_id", F.split(F.col("text"), r"\s+").alias("ws")
+    )
+    n_segs = F.floor(F.size("ws") / SEGMENT_WORDS).cast("int")
+    segs = (
+        words.select("doc_id", "ws", n_segs.alias("n_segs"))
+        .filter(F.col("n_segs") > 0)
+        .select(
+            "doc_id",
+            "ws",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_segs") - 1)
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        "ws",
+                        F.col("i") * SEGMENT_WORDS + 1,
+                        SEGMENT_WORDS,
+                    ),
+                )
+            ).alias("seg"),
+        )
+    )
+    freq = segs.groupBy("seg").agg(F.count("*").alias("n_occurrences"))
+    return (
+        segs.join(freq, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(
+                F.when(F.col("n_occurrences") > 1, 1).otherwise(0)
+            ).alias("n_dup_segments"),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_dup_segments",
+            F.round(
+                F.col("n_dup_segments") / F.col("n_segments"), 6
+            ).alias("dup_fraction"),
+        )
+    )

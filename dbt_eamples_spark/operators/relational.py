@@ -1103,3 +1103,86 @@ def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corr_qty_price"
         ),
     )
+
+
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly time series with linear interpolation — the
+    dashboard-feed shape downstream of the reference's cron ingest
+    (`/root/reference/helix-flow/dags/omni/transactions_dag.py:66`
+    lands data every 15 min; an outage leaves holes a reporting
+    layer must bridge). Per event_type: hourly value totals in exact
+    integer cents on a gapless hour spine (date_spine semantics);
+    missing hours interpolate linearly between the nearest present
+    neighbors (edge gaps take the nearest present value), flagged
+    ``is_gap`` so consumers can tell measured from imputed.
+
+    Scale: the raw-event pass is ONE map-side-combined groupBy to
+    ≤ |types|·|hours| rows; the spine bounds come from a broadcast
+    one-row aggregate (no driver collect). The fill windows sort
+    within event_type only AFTER aggregation, so the single-task-
+    per-type window runs over O(horizon) hourly rows, never raw
+    events — same bounded-slice argument as window_ntile_deciles.
+    Interpolation arithmetic: exact bigint cents and epoch-hour
+    deltas feed one double division with the identical expression
+    tree in the oracle, so values hash bit-identically."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    bounds = ev.select(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    j = spine.join(hourly, ["event_type", "hour"], "left")
+    w = Window.partitionBy("event_type").orderBy("hour")
+    wp = w.rowsBetween(Window.unboundedPreceding, 0)
+    wn = w.rowsBetween(0, Window.unboundedFollowing)
+    eh = (F.unix_timestamp("hour") / 3600).cast("long")
+    marked = j.select(
+        "event_type",
+        "hour",
+        "cents",
+        eh.alias("eh"),
+        F.last("cents", ignorenulls=True).over(wp).alias("pc"),
+        F.last(F.when(F.col("cents").isNotNull(), eh), ignorenulls=True)
+        .over(wp)
+        .alias("ph"),
+        F.first("cents", ignorenulls=True).over(wn).alias("nc"),
+        F.first(F.when(F.col("cents").isNotNull(), eh), ignorenulls=True)
+        .over(wn)
+        .alias("nh"),
+    )
+    interp = F.col("pc") + (F.col("nc") - F.col("pc")) * (
+        (F.col("eh") - F.col("ph")).cast("double")
+        / (F.col("nh") - F.col("ph")).cast("double")
+    )
+    filled = (
+        F.when(F.col("cents").isNotNull(), F.col("cents").cast("double"))
+        .when(
+            F.col("pc").isNotNull() & F.col("nc").isNotNull(), interp
+        )
+        .otherwise(F.coalesce("pc", "nc").cast("double"))
+    )
+    return marked.select(
+        "event_type",
+        "hour",
+        F.round(filled, 4).alias("filled_cents"),
+        F.col("cents").isNull().alias("is_gap"),
+    )

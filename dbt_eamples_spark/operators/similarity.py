@@ -713,3 +713,80 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         checksum.alias("checksum_fp"),
         F.round(F.sqrt(sq) / in_norm, 6).alias("norm_ratio"),
     )
+
+
+# --- product quantization (the memory-side ANN compression) ----------------
+# 64 dims → PQ_SUBVECTORS codes of log2(PQ_CODES) bits each: 64 floats
+# (256 B) become 4 code ids (3 bits each) + one shared codebook — the
+# compression IVF-PQ indexes use so 100 TB of vectors fit in RAM.
+# Codebook entries are md5-seeded literals (like the LSH planes) so
+# Spark and the DuckDB oracle hold bit-identical constants; a trained
+# codebook (k-means per subspace) swaps numbers, not the plan.
+PQ_SUBVECTORS = 4
+PQ_SUBDIM = EMBED_DIM // PQ_SUBVECTORS  # 16
+PQ_CODES = 8
+
+
+def _pq_weight(s: int, k: int, d: int) -> float:
+    import hashlib
+
+    h = int(hashlib.md5(f"pq:{s}:{k}:{d}".encode()).hexdigest()[:15], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
+PQ_CODEBOOK = [
+    [[_pq_weight(s, k, d) for d in range(PQ_SUBDIM)] for k in range(PQ_CODES)]
+    for s in range(PQ_SUBVECTORS)
+]
+
+
+def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode + reconstruction-error audit.
+
+    Per vector: split into PQ_SUBVECTORS contiguous subvectors,
+    assign each the codebook entry minimizing squared L2 distance
+    (ties → lowest code id), and audit the total quantization error
+    as a fixed-point bigint (floor(d²·1e6) summed over subvectors —
+    order-independent integer arithmetic, so the audit value hashes
+    identically across engines).
+
+    Scale: a ZERO-SHUFFLE narrow map — every distance fold runs
+    against literal codebook arrays inside codegen (no join against
+    a codebook table, no per-row Python), the same shape as
+    embedding_quantize_int8. Encoding 100 TB of vectors is
+    scan-bound; the argmin is over PQ_CODES literal folds per
+    subvector. The double comparisons in the argmin use one
+    expression tree in both engines, so code assignments match
+    bit-exactly."""
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id", _as_double_vec(F.col("embedding")).alias("vec")
+    )
+
+    def _best(s: int):
+        sub = F.slice(F.col("vec"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+        cands = []
+        for k in range(PQ_CODES):
+            code = F.array(*[F.lit(x) for x in PQ_CODEBOOK[s][k]])
+            d2 = F.aggregate(
+                F.zip_with(sub, code, lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            cands.append(F.struct(d2.alias("d"), F.lit(k).alias("k")))
+        return F.array_sort(F.array(*cands))[0]
+
+    staged = emb.select(
+        "vec_id", *[_best(s).alias(f"b{s}") for s in range(PQ_SUBVECTORS)]
+    )
+    err = sum(
+        F.floor(F.col(f"b{s}.d") * 1_000_000.0).cast("long")
+        for s in range(PQ_SUBVECTORS)
+    )
+    return staged.select(
+        "vec_id",
+        *[
+            F.col(f"b{s}.k").cast("int").alias(f"code_{s}")
+            for s in range(PQ_SUBVECTORS)
+        ],
+        err.alias("err_fp"),
+    )

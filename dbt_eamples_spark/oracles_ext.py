@@ -953,3 +953,153 @@ EXT_ORACLES["agg_correlation"] = """
                 END AS corr_qty_price
     FROM agg
 """
+
+
+# ---- round-4 additions: path mining / gap fill / line dedup / PQ ----------
+
+EXT_ORACLES["events_user_path"] = """
+    WITH r AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    p AS (
+        SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM r WHERE rn <= 3 GROUP BY user_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users FROM p GROUP BY path
+"""
+
+EXT_ORACLES["ts_gap_fill"] = """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    b AS (
+        SELECT date_trunc('hour', min(ts)) AS h0,
+               date_trunc('hour', max(ts)) AS h1
+        FROM events
+    ),
+    spine AS (
+        SELECT t.event_type, g.hour
+        FROM (SELECT DISTINCT event_type FROM hourly) t
+        CROSS JOIN (
+            SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+            FROM b
+        ) g
+    ),
+    j AS (
+        SELECT s.event_type, s.hour, h.cents
+        FROM spine s LEFT JOIN hourly h USING (event_type, hour)
+    ),
+    m0 AS (
+        SELECT event_type, hour, cents,
+               CAST(epoch(hour) AS BIGINT) // 3600 AS eh
+        FROM j
+    ),
+    m AS (
+        SELECT event_type, hour, cents, eh,
+               last_value(cents IGNORE NULLS) OVER wp AS pc,
+               last_value(CASE WHEN cents IS NOT NULL THEN eh END
+                          IGNORE NULLS) OVER wp AS ph,
+               first_value(cents IGNORE NULLS) OVER wn AS nc,
+               first_value(CASE WHEN cents IS NOT NULL THEN eh END
+                           IGNORE NULLS) OVER wn AS nh
+        FROM m0
+        WINDOW wp AS (PARTITION BY event_type ORDER BY hour
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY event_type ORDER BY hour
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, hour,
+           round(CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+                      WHEN pc IS NOT NULL AND nc IS NOT NULL
+                      THEN pc + (nc - pc) * (CAST(eh - ph AS DOUBLE)
+                                             / CAST(nh - ph AS DOUBLE))
+                      ELSE CAST(COALESCE(pc, nc) AS DOUBLE) END,
+                 4) AS filled_cents,
+           cents IS NULL AS is_gap
+    FROM m
+"""
+
+EXT_ORACLES["text_line_dedup"] = r"""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents
+    ),
+    n AS (
+        SELECT doc_id, ws, CAST(floor(len(ws) / 10) AS INT) AS n_segs FROM w
+    ),
+    s AS (
+        SELECT doc_id,
+               md5(array_to_string(ws[i * 10 + 1 : i * 10 + 10], ' ')) AS seg
+        FROM n, UNNEST(generate_series(0, n_segs - 1)) AS t(i)
+        WHERE n_segs > 0
+    ),
+    f AS (SELECT seg, COUNT(*) AS n_occurrences FROM s GROUP BY 1)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN n_occurrences > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_segments,
+           round(CAST(SUM(CASE WHEN n_occurrences > 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS dup_fraction
+    FROM s JOIN f USING (seg) GROUP BY doc_id
+"""
+
+
+def _pq_oracle_sql() -> str:
+    """Mirror of similarity.embedding_pq_encode: the literal codebook
+    as a VALUES relation, the identical squared-distance left fold
+    per (subvector, code), argmin via ROW_NUMBER with the same
+    (distance, code) tie-break, fixed-point error audit cast back to
+    BIGINT (DuckDB SUM would otherwise promote to HUGEINT and break
+    the driver hash — the round-3 abc_pareto lesson)."""
+    from dbt_eamples_spark.operators.similarity import (
+        PQ_CODEBOOK,
+        PQ_CODES,
+        PQ_SUBDIM,
+        PQ_SUBVECTORS,
+    )
+
+    rows = ",\n            ".join(
+        f"({s}, {k}, [{', '.join(repr(x) for x in PQ_CODEBOOK[s][k])}])"
+        for s in range(PQ_SUBVECTORS)
+        for k in range(PQ_CODES)
+    )
+    dist = (
+        f"list_reduce(list_transform(range(1, {PQ_SUBDIM} + 1), "
+        f"i -> (vec[s * {PQ_SUBDIM} + i] - code[i])"
+        f" * (vec[s * {PQ_SUBDIM} + i] - code[i])), (x, y) -> x + y)"
+    )
+    code_cols = ", ".join(
+        f"CAST(MAX(CASE WHEN s = {s} THEN k END) AS INTEGER) AS code_{s}"
+        for s in range(PQ_SUBVECTORS)
+    )
+    return f"""
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+            FROM embeddings
+        ),
+        cb(s, k, code) AS (VALUES
+            {rows}
+        ),
+        d AS (
+            SELECT vec_id, s, k, {dist} AS d2
+            FROM v CROSS JOIN cb
+        ),
+        best AS (
+            SELECT vec_id, s, k, d2,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                      ORDER BY d2 ASC, k ASC) AS rn
+            FROM d
+        )
+        SELECT vec_id, {code_cols},
+               CAST(SUM(CAST(floor(d2 * 1000000.0) AS BIGINT)) AS BIGINT)
+                   AS err_fp
+        FROM best WHERE rn = 1 GROUP BY vec_id
+    """
+
+
+EXT_ORACLES["embedding_pq_encode"] = _pq_oracle_sql()

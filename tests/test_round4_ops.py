@@ -1,0 +1,181 @@
+"""Round-4 operators: literal-data semantics tests (the driver's
+DuckDB oracle covers fixture-scale equivalence; these pin the exact
+behaviors — interpolation arithmetic, path ordering, segment
+windows, code ranges — on hand-built rows)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dbt_eamples_spark.operators.behavior import events_user_path
+from dbt_eamples_spark.operators.dedup import text_line_dedup
+from dbt_eamples_spark.operators.relational import ts_gap_fill
+from dbt_eamples_spark.operators.similarity import (
+    PQ_CODES,
+    PQ_SUBVECTORS,
+    embedding_pq_encode,
+)
+
+_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _h(hour: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, hour, 30, 0)
+
+
+def _write_events(spark, tmp_path, rows) -> str:
+    df = spark.createDataFrame(rows, schema=_EVENTS_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+class TestTsGapFill:
+    def test_interior_gap_interpolates_linearly(self, spark, tmp_path):
+        rows = [
+            (1, _h(0), 1, "click", 1.00, None),
+            (2, _h(1), 1, "click", 2.00, None),
+            # hours 2 and 3 missing
+            (3, _h(4), 1, "click", 5.00, None),
+        ]
+        out = {
+            r["hour"].hour: r
+            for r in ts_gap_fill(spark, _write_events(spark, tmp_path, rows))
+            .collect()
+        }
+        assert len(out) == 5
+        assert not out[0]["is_gap"] and out[0]["filled_cents"] == 100.0
+        assert out[2]["is_gap"] and out[2]["filled_cents"] == 300.0
+        assert out[3]["is_gap"] and out[3]["filled_cents"] == 400.0
+        assert not out[4]["is_gap"] and out[4]["filled_cents"] == 500.0
+
+    def test_edge_gaps_take_nearest_value(self, spark, tmp_path):
+        # type "b" spans a shorter range than type "a": its leading /
+        # trailing spine hours are edge gaps with one-sided neighbors
+        rows = [
+            (1, _h(0), 1, "a", 1.00, None),
+            (2, _h(4), 1, "a", 5.00, None),
+            (3, _h(2), 1, "b", 7.00, None),
+        ]
+        res = ts_gap_fill(spark, _write_events(spark, tmp_path, rows))
+        b = {
+            r["hour"].hour: r
+            for r in res.filter(F.col("event_type") == "b").collect()
+        }
+        assert len(b) == 5  # full global spine
+        assert b[0]["is_gap"] and b[0]["filled_cents"] == 700.0  # leading
+        assert not b[2]["is_gap"]
+        assert b[4]["is_gap"] and b[4]["filled_cents"] == 700.0  # trailing
+
+    def test_multiple_events_per_hour_sum_exactly(self, spark, tmp_path):
+        rows = [
+            (1, _h(0), 1, "a", 0.01, None),
+            (2, dt.datetime(2024, 1, 1, 0, 45), 2, "a", 0.02, None),
+        ]
+        r = ts_gap_fill(spark, _write_events(spark, tmp_path, rows)).collect()
+        assert len(r) == 1 and r[0]["filled_cents"] == 3.0
+
+
+class TestEventsUserPath:
+    def test_first_three_events_in_time_order(self, spark, tmp_path):
+        rows = [
+            (1, _h(0), 1, "view", 0.0, None),
+            (2, _h(1), 1, "click", 0.0, None),
+            (3, _h(2), 1, "signup", 0.0, None),
+            (4, _h(3), 1, "purchase", 0.0, None),  # beyond depth 3
+            (5, _h(0), 2, "view", 0.0, None),
+            (6, _h(1), 2, "click", 0.0, None),
+            (7, _h(2), 2, "signup", 0.0, None),
+            (8, _h(5), 3, "error", 0.0, None),  # short journey
+        ]
+        out = {
+            r["path"]: r["n_users"]
+            for r in events_user_path(
+                spark, _write_events(spark, tmp_path, rows)
+            ).collect()
+        }
+        assert out == {"view>click>signup": 2, "error": 1}
+
+    def test_same_ts_ties_break_on_event_id(self, spark, tmp_path):
+        rows = [
+            (10, _h(0), 1, "click", 0.0, None),
+            (9, _h(0), 1, "view", 0.0, None),
+        ]
+        out = events_user_path(
+            spark, _write_events(spark, tmp_path, rows)
+        ).collect()
+        assert out[0]["path"] == "view>click"
+
+
+class TestTextLineDedup:
+    _DOCS_SCHEMA = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+
+    def _write_docs(self, spark, tmp_path, texts) -> str:
+        rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+        spark.createDataFrame(rows, schema=self._DOCS_SCHEMA).coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        return str(tmp_path)
+
+    def test_shared_segment_counts_as_dup(self, spark, tmp_path):
+        boiler = " ".join(f"b{i}" for i in range(10))
+        uniq_a = " ".join(f"a{i}" for i in range(10))
+        uniq_b = " ".join(f"c{i}" for i in range(10))
+        sf = self._write_docs(
+            spark, tmp_path, [f"{boiler} {uniq_a}", f"{boiler} {uniq_b}"]
+        )
+        out = {r["doc_id"]: r for r in text_line_dedup(spark, sf).collect()}
+        for d in (0, 1):
+            assert out[d]["n_segments"] == 2
+            assert out[d]["n_dup_segments"] == 1
+            assert out[d]["dup_fraction"] == 0.5
+
+    def test_short_docs_drop_partial_tail(self, spark, tmp_path):
+        # 9 words → zero full segments → doc absent from the profile
+        sf = self._write_docs(
+            spark,
+            tmp_path,
+            [" ".join(f"w{i}" for i in range(9)),
+             " ".join(f"x{i}" for i in range(25))],
+        )
+        out = {r["doc_id"]: r for r in text_line_dedup(spark, sf).collect()}
+        assert 0 not in out
+        assert out[1]["n_segments"] == 2  # 25 words → 2 segments
+
+
+class TestEmbeddingPQ:
+    def test_codes_in_range_and_error_nonnegative(self, spark, sf_dir):
+        out = embedding_pq_encode(spark, sf_dir)
+        rows = out.collect()
+        assert len(rows) == 500
+        for r in rows[:50]:
+            for s in range(PQ_SUBVECTORS):
+                assert 0 <= r[f"code_{s}"] < PQ_CODES
+            assert r["err_fp"] >= 0
+
+    def test_encoding_is_deterministic(self, spark, sf_dir):
+        a = sorted(map(tuple, embedding_pq_encode(spark, sf_dir).collect()))
+        b = sorted(map(tuple, embedding_pq_encode(spark, sf_dir).collect()))
+        assert a == b
