@@ -105,15 +105,115 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# Round-4 driver-sample rotation (VERDICT r3 #4): the driver checks
+# the FIRST 50 registry entries per round, so order = (1) this
+# round's new queries, (2) queries whose code or oracle changed this
+# round and must re-green, (3) every query whose LATEST driver row is
+# round 1 (the longest-unchecked cohort), (4) the oldest round-2
+# rows, filling to 50. Everything after position 50 is ordered
+# oldest-first too, so round 5's rotation falls out naturally.
+_R4_PRIORITY = [
+    # (1) new this round
+    "events_user_path",
+    "ts_gap_fill",
+    "text_line_dedup",
+    "embedding_pq_encode",
+    # (2) fixed (oracle typing / overflow) or refactored (nplanes /
+    # ncells threading, decode-stage factor-out) — must re-green
+    "abc_pareto_class",
+    "agg_correlation",
+    "similarity_lsh_topk",
+    "dedup_embedding_cosine",
+    "similarity_ivf_topk",
+    "similarity_topk",
+    "multimodal_features_flat",
+    # (3) latest driver row is r1 — 35 queries
+    "scan_table",
+    "sql_execute_limit",
+    "filter_where_expr",
+    "filter_time_range",
+    "join_fact_dim",
+    "join_star_3way",
+    "join_left_outer",
+    "join_time_range",
+    "agg_count",
+    "agg_count_distinct",
+    "agg_percentiles",
+    "agg_approx_distinct",
+    "metric_groupby_agg",
+    "distinct_values",
+    "metric_grouping_sets",
+    "metric_rollup",
+    "metric_cube",
+    "window_topk_per_group",
+    "order_by",
+    "order_limit_topk",
+    "limit_offset_page",
+    "intersect_except",
+    "hex_decode_utf8",
+    "round_decimals",
+    "regexp_redact",
+    "string_chunk",
+    "sanitize_name",
+    "text_token_stats",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_count_bpe",
+    "doc_fingerprint",
+    "doc_winnow_fingerprint",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    # (4) oldest r2 rows, filling the 50-sample
+    "multi_statement_exec",
+    "incremental_delta_filter",
+    "stream_tumbling_count",
+    "stream_session_agg",
+    # ---- position 51+: remaining r2 (next rotation's front) ----
+    "scd2_snapshot",
+    "stream_dedup",
+    "filter_type_and_notnull",
+    "project_report_cols",
+    "join_anti_new_rows",
+    "join_semi_exists",
+    "join_asof",
+    "join_salted_skew",
+    "agg_max_watermark",
+    "window_running_sum",
+    "window_lag_delta",
+    "window_sliding_avg",
+    "union_incremental_snapshots",
+    "unixtime_to_iso",
+    "tz_normalize",
+    "concat_report_rows",
+    "json_extract_props",
+    "agg_approx_percentiles",
+    "dedup_clusters",
+    "sample_stratified",
+    "agg_histogram",
+    "text_decontaminate",
+    "text_repetition_stats",
+    "source_quality_rollup",
+    "text_hash_embed",
+    "pack_concat_chunks",
+    "multimodal_frame_sample",
+    "corpus_keep_list",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordering is deliberate (round-3 fix): the driver samples the
-    FIRST 50 entries per round, so the 25 queries with zero driver
-    correctness rows across rounds 1-2 (VERDICT.md "What's missing"
-    #1) run first, followed by anything new this round, then the
-    driver-green rest.
+    The driver samples the FIRST 50 entries per round; the dict below
+    is re-ordered through ``_R4_PRIORITY`` (new → re-green → longest
+    unchecked → rest), so insertion order here is grouping only.
     """
+    d = _query_registry()
+    ordered = {k: d[k] for k in _R4_PRIORITY if k in d}
+    ordered.update({k: v for k, v in d.items() if k not in ordered})
+    return ordered
+
+
+def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never driver-checked in rounds 1-2: run these first ---
         # long->wide with pinned pivot domain (no discovery job)

@@ -81,6 +81,11 @@ HEADLINE = [
     "embedding_random_projection",
     "dedup_containment",
     "agg_correlation",
+    # round-4 additions
+    "events_user_path",
+    "ts_gap_fill",
+    "text_line_dedup",
+    "embedding_pq_encode",
 ]
 
 
@@ -96,15 +101,24 @@ def main() -> None:
     for n in names:
         qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # best-of-2: wall-clock on a shared box is noisy; the minimum is
-    # the stable estimator of the query's actual cost
+    # best-of-3 (VERDICT r3 #6): this VM's throughput drifts ±70%
+    # run-to-run, which makes single-shot deltas meaningless; the
+    # per-query MINIMUM over three timed passes is the noise-floor
+    # estimator of the query's actual cost. Raw per-pass totals ship
+    # alongside so a reader can see the ambient drift the minima
+    # filtered out.
     timings: dict[str, float] = {}
-    for _ in range(2):
+    run_totals: list[float] = []
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    for _ in range(n_runs):
+        run_total = 0.0
         for n in names:
             t0 = time.perf_counter()
             qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 4)
+            run_total += dt
             timings[n] = min(timings.get(n, dt), dt)
+        run_totals.append(round(run_total, 4))
 
     total = round(sum(timings.values()), 4)
     print(
@@ -115,6 +129,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "protocol": f"per-query min over {n_runs} runs",
+                "raw_run_totals_sec": run_totals,
             }
         )
     )
