@@ -118,6 +118,8 @@ _R4_PRIORITY = [
     "ts_gap_fill",
     "text_line_dedup",
     "embedding_pq_encode",
+    "text_perplexity_unigram",
+    "dedup_semantic_clusters",
     # (2) fixed (oracle typing / overflow) or refactored (nplanes /
     # ncells threading, decode-stage factor-out) — must re-green
     "abc_pareto_class",
@@ -277,6 +279,10 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_line_dedup": D.text_line_dedup,
         # product-quantization encode + fixed-point error audit
         "embedding_pq_encode": V.embedding_pq_encode,
+        # unigram-LM log-perplexity quality scoring (CCNet shape)
+        "text_perplexity_unigram": T.text_perplexity_unigram,
+        # SemDeDup: components over the embedding near-dup graph
+        "dedup_semantic_clusters": D.dedup_semantic_clusters,
         # --- round-3 additions / r2-weak reworks: keep in sample ---
         # co-occurrence mining: top-k part pairs by basket support
         "market_basket_pairs": B.market_basket_pairs,

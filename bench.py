@@ -86,6 +86,8 @@ HEADLINE = [
     "ts_gap_fill",
     "text_line_dedup",
     "embedding_pq_encode",
+    "text_perplexity_unigram",
+    "dedup_semantic_clusters",
 ]
 
 

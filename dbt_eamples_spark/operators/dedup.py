@@ -409,10 +409,33 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair graph and are implicitly kept.
     """
     pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
-    # symmetric edge list, reused every iteration without replaying
-    # the signature pipeline
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    comp = _min_label_propagation(pairs, "doc_a", "doc_b")
+    w = Window.partitionBy("comp")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("node") == F.col("comp")).alias("keep"),
+    )
+
+
+def _min_label_propagation(pairs: DataFrame, a: str, b: str) -> DataFrame:
+    """Connected components over an undirected pair list via
+    iterative min-label propagation -> (node, comp). One shuffle per
+    iteration (groupBy on node) + a broadcast-size convergence
+    count; the symmetric edge list is localCheckpoint'ed once so no
+    iteration replays the upstream candidate pipeline, and each new
+    labeling is checkpointed so lineage stays flat (the classic
+    iterative-algorithm trap: without it, iteration k re-executes
+    all k-1 predecessors). Raises after 20 rounds: a component with
+    diameter > 20 would otherwise silently emit split clusters
+    (multiple keep=true canonicals); min-label propagation converges
+    in O(diameter) rounds, so 20 covers any realistic near-dup graph
+    (longer chains mean the blocking threshold is wrong, not the
+    loop)."""
+    base = pairs.select(F.col(a).alias("doc_a"), F.col(b).alias("doc_b"))
+    edges = base.union(
+        base.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint(eager=True)
 
     comp = (
@@ -448,26 +471,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     if changed != 0:
-        # a component with diameter > 20 would otherwise silently
-        # emit split clusters (multiple keep=true canonicals) that
-        # propagate into corpus_keep_list — fail loudly instead;
-        # min-label propagation converges in O(diameter) rounds, so
-        # 20 covers any realistic near-dup graph (chains longer than
-        # that mean the blocking threshold is wrong, not the loop)
         raise RuntimeError(
-            "dedup_clusters: label propagation did not converge in 20 "
-            f"iterations ({changed} labels still moving) — graph has a "
-            "component with diameter > 20; raise the iteration cap or "
-            "tighten the pair threshold"
+            "label propagation did not converge in 20 iterations "
+            f"({changed} labels still moving) -- graph has a component "
+            "with diameter > 20; raise the iteration cap or tighten "
+            "the pair threshold"
         )
-
-    w = Window.partitionBy("comp")
-    return comp.select(
-        F.col("node").alias("doc_id"),
-        F.col("comp").alias("cluster_id"),
-        F.count("*").over(w).alias("cluster_size"),
-        (F.col("node") == F.col("comp")).alias("keep"),
-    )
+    return comp
 
 
 # near-dup cosine threshold: the fixture embeddings top out at ~0.48
@@ -891,4 +901,30 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_dup_segments") / F.col("n_segments"), 6
             ).alias("dup_fraction"),
         )
+    )
+
+
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dup clusters (Abbas et al. 2023,
+    arXiv:2303.09540): connected components over the EMBEDDING
+    near-dup pair graph, so a cluster of paraphrases keeps ONE
+    canonical vector even when only a chain of pairwise matches was
+    found. The textual twin is :func:`dedup_clusters` (MinHash
+    pairs); this one closes the loop for semantic duplicates that
+    share no surface n-grams.
+
+    Scale: pairs come from :func:`dedup_embedding_cosine` (LSH
+    blocking — never all-pairs), and the closure is the shared
+    :func:`_min_label_propagation` (one shuffle/iteration, bounded
+    by graph diameter, checkpointed lineage). Output mirrors
+    dedup_clusters: one row per vector that appears in ≥1 near-dup
+    pair, keep = cluster canonical (minimum id)."""
+    pairs = dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    comp = _min_label_propagation(pairs, "vec_a", "vec_b")
+    w = Window.partitionBy("comp")
+    return comp.select(
+        F.col("node").alias("vec_id"),
+        F.col("comp").alias("cluster_id"),
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("node") == F.col("comp")).alias("keep"),
     )

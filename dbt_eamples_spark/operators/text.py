@@ -491,3 +491,52 @@ def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("w_fp").cast("double") / 1e9, 6).alias("entropy"),
         )
     )
+
+
+def text_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring — the CCNet-style quality
+    filter: train an add-one-smoothed unigram LM on the corpus
+    itself, then score every document by its average negative
+    log-likelihood (log-perplexity). Outlier docs (keyword stuffing,
+    lorem-ipsum, wrong-language) sit far from the corpus
+    distribution and score high; the score is the standard
+    percentile cut for LM-based filtering (CCNet, Wenzek et al.
+    2020 uses a KenLM; the unigram form is the engine-native
+    degenerate case with the same plumbing).
+
+    Plan: ONE token explode feeds both the LM (groupBy term — map-
+    side combined, vocabulary-sized output) and the scoring join;
+    corpus totals (N, V) are a broadcast one-row aggregate. The
+    scoring join keys on term — the LM side is vocabulary-sized
+    (Catalyst broadcasts it under threshold; at 100 TB it becomes a
+    shuffle join on the same key the tf aggregate already used).
+    Determinism: each term's -ln p is pre-rounded at 6dp (JVM
+    Math.log vs libm ulp guard, the text_word_entropy pattern) and
+    per-doc sums fold fixed-point 1e9 bigints — order-independent,
+    engine-exact."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    occ = (
+        docs.select("doc_id", _tokens_col().alias("toks"))
+        .select("doc_id", F.explode_outer("toks").alias("term"))
+        .localCheckpoint(eager=True)  # one tokenize pass feeds LM + scoring
+    )
+    cnt = occ.groupBy("term").agg(F.count("*").alias("c"))
+    tot = cnt.agg(
+        F.sum("c").alias("n_corpus"), F.count("*").alias("v_vocab")
+    )
+    nll = F.round(
+        -F.log((F.col("c") + 1) / (F.col("n_corpus") + F.col("v_vocab"))), 6
+    )
+    lm = cnt.crossJoin(F.broadcast(tot)).select("term", nll.alias("nll"))
+    fp = F.round(F.col("nll") * 1e9).cast("long")
+    return (
+        occ.join(lm, "term")
+        .select("doc_id", fp.alias("fp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum("fp").cast("double") / 1e9 / F.count("*"), 6
+            ).alias("avg_nll"),
+        )
+    )

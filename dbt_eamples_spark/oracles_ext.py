@@ -1103,3 +1103,51 @@ def _pq_oracle_sql() -> str:
 
 
 EXT_ORACLES["embedding_pq_encode"] = _pq_oracle_sql()
+
+
+EXT_ORACLES["dedup_semantic_clusters"] = f"""
+    WITH RECURSIVE pairs AS ({EXT_ORACLES["dedup_embedding_cosine"]}),
+    edges AS (
+        SELECT vec_a AS src, vec_b AS dst FROM pairs
+        UNION ALL
+        SELECT vec_b AS src, vec_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    walk(node, comp) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.dst AS node, w.comp AS comp
+        FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    comp AS (SELECT node, MIN(comp) AS comp FROM walk GROUP BY node)
+    SELECT node AS vec_id,
+           comp AS cluster_id,
+           COUNT(*) OVER (PARTITION BY comp) AS cluster_size,
+           node = comp AS keep
+    FROM comp
+"""
+
+
+EXT_ORACLES["text_perplexity_unigram"] = r"""
+    WITH occ AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        FROM documents
+    ),
+    cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM occ GROUP BY 1),
+    tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n_corpus,
+               CAST(COUNT(*) AS BIGINT) AS v_vocab
+        FROM cnt
+    ),
+    lm AS (
+        SELECT term,
+               round(-ln((c + 1) / (n_corpus + v_vocab)), 6) AS nll
+        FROM cnt CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(CAST(round(nll * 1000000000.0) AS BIGINT))
+                      AS BIGINT) / 1000000000.0 / COUNT(*), 6) AS avg_nll
+    FROM occ JOIN lm USING (term)
+    GROUP BY doc_id
+"""

@@ -179,3 +179,36 @@ class TestEmbeddingPQ:
         a = sorted(map(tuple, embedding_pq_encode(spark, sf_dir).collect()))
         b = sorted(map(tuple, embedding_pq_encode(spark, sf_dir).collect()))
         assert a == b
+
+
+class TestPerplexityUnigram:
+    def test_rare_token_doc_scores_higher(self, spark, tmp_path):
+        common = " ".join(["the quick brown fox"] * 5)  # 20 tokens
+        rare = " ".join(f"zq{i}x" for i in range(20))  # all singletons
+        sf = TestTextLineDedup()._write_docs(
+            spark, tmp_path, [common, common, rare]
+        )
+        from dbt_eamples_spark.operators.text import text_perplexity_unigram
+
+        out = {
+            r["doc_id"]: r for r in text_perplexity_unigram(spark, sf).collect()
+        }
+        assert out[0]["n_tokens"] == 20
+        assert out[0]["avg_nll"] == out[1]["avg_nll"]  # identical docs
+        assert out[2]["avg_nll"] > out[0]["avg_nll"] + 1.0  # rare >> common
+
+
+class TestSemanticClusters:
+    def test_one_canonical_per_cluster(self, spark, sf_dir):
+        from dbt_eamples_spark.operators.dedup import dedup_semantic_clusters
+
+        rows = dedup_semantic_clusters(spark, sf_dir).collect()
+        assert rows, "fixture should contain near-dup embedding pairs"
+        by_cluster: dict[int, list] = {}
+        for r in rows:
+            by_cluster.setdefault(r["cluster_id"], []).append(r)
+        for cid, members in by_cluster.items():
+            keeps = [m for m in members if m["keep"]]
+            assert len(keeps) == 1 and keeps[0]["vec_id"] == cid
+            assert all(m["cluster_size"] == len(members) for m in members)
+            assert min(m["vec_id"] for m in members) == cid
