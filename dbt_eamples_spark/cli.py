@@ -250,6 +250,35 @@ def cmd_health(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_tune(args: argparse.Namespace) -> int:
+    """Print the production ANN operating point for a corpus size —
+    the dial a deployment turns before running the LSH/IVF operators
+    at a scale the pinned fixture constants no longer fit (no
+    SparkSession needed; pure arithmetic)."""
+    from dbt_eamples_spark.operators.similarity import (
+        LSH_PLANES,
+        NCENTROIDS,
+        ivf_cells,
+        lsh_planes,
+    )
+
+    n = args.n_rows
+    planes = lsh_planes(n, target_bucket=args.target_bucket)
+    cells = ivf_cells(n)
+    print(f"n_rows={n}")
+    print(
+        f"lsh_planes={planes} (2^{planes}={2**planes} buckets/table; "
+        f"fixture default {LSH_PLANES})"
+    )
+    print(f"ivf_cells={cells} (sqrt-n rule; fixture default {NCENTROIDS})")
+    print(
+        "usage: similarity_lsh_topk(spark, sf, nplanes=%d) / "
+        "dedup_embedding_cosine(spark, sf, nplanes=%d) / "
+        "similarity_ivf_topk(spark, sf, ncells=%d)" % (planes, planes, cells)
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="dbt-eamples-spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -305,6 +334,13 @@ def build_parser() -> argparse.ArgumentParser:
     h.add_argument("--url", required=True)
     h.add_argument("--timeout", type=float, default=5.0)
     h.set_defaults(func=cmd_health)
+
+    t = sub.add_parser(
+        "tune", help="ANN operating point (LSH planes / IVF cells) for n rows"
+    )
+    t.add_argument("--n-rows", type=int, required=True)
+    t.add_argument("--target-bucket", type=int, default=64)
+    t.set_defaults(func=cmd_tune)
     return p
 
 

@@ -144,6 +144,49 @@ def write_partitioned(
     df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
 
 
+def overwrite_partitions_dynamic(
+    df: DataFrame, path: str, partition_col: str
+) -> None:
+    """Idempotent partition backfill: overwrite ONLY the partitions
+    present in ``df``, leaving every other partition untouched —
+    Spark's dynamic partitionOverwriteMode, the mechanism that makes
+    "re-run yesterday's load" safe at 100 TB (static overwrite mode
+    would truncate the whole table first; appending would duplicate
+    the re-run rows — exactly the reference cron job's failure mode,
+    `transactions_dag.py:35-44`, which relies on never re-running).
+    The mode is set per-write via the session conf, saved/restored so
+    the caller's other writes keep their semantics."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set(key, prev)
+
+
+def write_clustered(
+    df: DataFrame, path: str, cluster_col: str, n_files: int = 8
+) -> None:
+    """Range-clustered write: repartitionByRange + in-partition sort
+    on ``cluster_col`` so each output file covers a DISJOINT value
+    range. Parquet records per-file/per-row-group min/max; a range
+    predicate then skips whole files at plan time instead of reading
+    and filtering — the single-column form of what table formats
+    call clustering/Z-ordering, and the layout decision that turns a
+    100 TB full scan into a handful of file reads for selective
+    queries (asserted via per-file footer ranges in
+    tests/test_pipeline.py). Range partitioning samples the column
+    (one extra pass) — the write-time cost buying every later read."""
+    (
+        df.repartitionByRange(n_files, F.col(cluster_col))
+        .sortWithinPartitions(cluster_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def compact_small_files(
     spark: SparkSession,
     path: str,

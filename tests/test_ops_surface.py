@@ -273,3 +273,13 @@ class TestCancelGroup:
         t.join(timeout=60)
         assert not t.is_alive(), "job was not cancelled in time"
         assert errors, "cancelled action should raise in its caller"
+
+
+class TestTuneCli:
+    def test_tune_prints_operating_point(self, capsys):
+        from dbt_eamples_spark.cli import main
+
+        assert main(["tune", "--n-rows", "1000000000"]) == 0
+        out = capsys.readouterr().out
+        assert "lsh_planes=24" in out
+        assert "ivf_cells=31622" in out

@@ -404,3 +404,76 @@ class TestTrendSlope:
         # integer sums + identical double closed form => bit-identical
         assert diff == 0
         assert jvm.count() > 0
+
+
+class TestLakehouseWrites:
+    def test_dynamic_overwrite_touches_only_present_partitions(
+        self, spark, sf_dir, tmp_path
+    ):
+        from dbt_eamples_spark.sources.sinks import (
+            overwrite_partitions_dynamic,
+            write_partitioned,
+        )
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        )
+        path = str(tmp_path / "part")
+        write_partitioned(ev, path, "day")
+        days = sorted(
+            r["day"] for r in spark.read.parquet(path).select("day").distinct().collect()
+        )
+        assert len(days) >= 3
+        target = days[1]
+        before_other = (
+            spark.read.parquet(path).filter(F.col("day") != target).count()
+        )
+        # backfill ONE day with a single sentinel row
+        one = spark.createDataFrame(
+            [(999_999, 1, 0.5, target)], schema="event_id long, user_id long, value double, day string"
+        )
+        overwrite_partitions_dynamic(one, path, "day")
+        after = spark.read.parquet(path)
+        assert after.filter(F.col("day") != target).count() == before_other
+        tgt = after.filter(F.col("day") == target).collect()
+        assert len(tgt) == 1 and tgt[0]["event_id"] == 999_999
+        # conf restored
+        assert (
+            spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+            != "dynamic"
+        )
+
+    def test_clustered_write_yields_disjoint_file_ranges(
+        self, spark, sf_dir, tmp_path
+    ):
+        import os
+
+        from dbt_eamples_spark.sources.sinks import write_clustered
+
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        path = str(tmp_path / "clustered")
+        write_clustered(o, path, "o_totalprice", n_files=6)
+        files = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+        assert len(files) >= 4
+        ranges = []
+        for f in files:
+            r = (
+                spark.read.parquet(f)
+                .agg(
+                    F.min("o_totalprice").alias("lo"),
+                    F.max("o_totalprice").alias("hi"),
+                )
+                .collect()[0]
+            )
+            if r["lo"] is not None:
+                ranges.append((r["lo"], r["hi"]))
+        ranges.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2, f"file ranges overlap: {(lo1, hi1)} vs {(lo2, hi2)}"
