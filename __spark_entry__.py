@@ -120,6 +120,9 @@ _R4_PRIORITY = [
     "embedding_pq_encode",
     "text_perplexity_unigram",
     "dedup_semantic_clusters",
+    "sample_train_test_split",
+    "agg_mad_outliers",
+    "events_attribution_last_touch",
     # (2) fixed (oracle typing / overflow) or refactored (nplanes /
     # ncells threading, decode-stage factor-out) — must re-green
     "abc_pareto_class",
@@ -283,6 +286,12 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_perplexity_unigram": T.text_perplexity_unigram,
         # SemDeDup: components over the embedding near-dup graph
         "dedup_semantic_clusters": D.dedup_semantic_clusters,
+        # reproducible hash-coin train/validation/test assignment
+        "sample_train_test_split": S.sample_train_test_split,
+        # robust MAD outlier flags (heavy-tail-safe zscore twin)
+        "agg_mad_outliers": Q.agg_mad_outliers,
+        # last-touch purchase attribution over the event log
+        "events_attribution_last_touch": B.events_attribution_last_touch,
         # --- round-3 additions / r2-weak reworks: keep in sample ---
         # co-occurrence mining: top-k part pairs by basket support
         "market_basket_pairs": B.market_basket_pairs,

@@ -88,6 +88,9 @@ HEADLINE = [
     "embedding_pq_encode",
     "text_perplexity_unigram",
     "dedup_semantic_clusters",
+    "sample_train_test_split",
+    "agg_mad_outliers",
+    "events_attribution_last_touch",
 ]
 
 

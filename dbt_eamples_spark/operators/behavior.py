@@ -380,3 +380,52 @@ def events_user_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("path")
     )
     return per_user.groupBy("path").agg(F.count("*").alias("n_users"))
+
+
+TOUCH_TYPES = ("click", "view")  # marketing touchpoints
+
+
+def events_attribution_last_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Last-touch revenue attribution: each purchase credits the
+    user's most recent marketing touchpoint (click/view) strictly
+    before it; purchases with no prior touch are 'direct'. The
+    standard marketing-analytics rollup over the reference's event
+    pipeline — pure warehouse SQL downstream there, a native plan
+    here.
+
+    Scale: ONE user_id window pass tags every purchase with its
+    last preceding touch (running ``last(ignorenulls)`` — the as-of
+    join shape of operators/asof.py, no event-log self-join), then
+    one tiny aggregate to |touch_types|+1 rows with integer-cents
+    revenue. Ties broken on event_id; both shuffles are the
+    algorithmic minimum (window key, then rollup key)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type").isin(*TOUCH_TYPES), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    purchases = (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            touch.alias("touch"),
+        )
+        .filter(F.col("event_type") == "purchase")
+    )
+    return (
+        purchases.groupBy(
+            F.coalesce("touch", F.lit("direct")).alias("touch_type")
+        )
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )

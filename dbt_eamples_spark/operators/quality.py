@@ -121,3 +121,42 @@ def agg_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.abs(F.col("z_score")) > Z_THRESHOLD)
     )
+
+
+MAD_K = 5  # |x - median| > K * MAD flags an outlier
+
+
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    heavy-tail-safe twin of :func:`agg_zscore_outliers`: mean/stddev
+    are dragged by the very outliers they're meant to flag, while
+    the median/MAD breakdown point is 50%. Flags events with
+    ``|value − median| > MAD_K · MAD`` per event_type.
+
+    Plan: two grouped EXACT percentile passes (median, then MAD over
+    the broadcast-joined residuals) + a broadcast filter pass. Exact
+    ``percentile`` buffers a group's values, which is fine for the
+    per-type profile here (the oracle needs exactness); the 100 TB
+    first pass swaps in ``percentile_approx`` exactly as
+    agg_approx_percentiles twins agg_percentiles. Median/MAD doubles
+    come from the same interpolation in both engines
+    (percentile ≡ quantile_cont — the agg_percentiles parity)."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    j = ev.join(F.broadcast(med), "event_type")
+    mad = j.groupBy("event_type").agg(
+        F.first("med").alias("med"),
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+    )
+    out = ev.join(F.broadcast(mad), "event_type").filter(
+        F.abs(F.col("value") - F.col("med")) > MAD_K * F.col("mad")
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+    )

@@ -178,3 +178,33 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("keep"))
         .select("doc_id", "quality_score", "coin")
     )
+
+
+SPLIT_TRAIN = 0.8
+SPLIT_VAL = 0.9  # (train, val] then test
+
+
+def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation/test assignment — the one
+    split every training pipeline needs to be REPRODUCIBLE and
+    leakage-free: the assignment derives from md5(doc_id) alone
+    (the sample_quality_weighted hash coin), so it is stable across
+    runs, partitionings, engines, and corpus growth (a doc keeps its
+    split when new docs arrive — `rand()` splits reshuffle
+    everything, silently leaking test docs into training). Zero
+    shuffles: a narrow map the scan absorbs at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        / F.lit(float(1 << 60))
+    )
+    split = (
+        F.when(u < SPLIT_TRAIN, "train")
+        .when(u < SPLIT_VAL, "validation")
+        .otherwise("test")
+    )
+    return docs.select(
+        "doc_id", F.round(u, 6).alias("coin"), split.alias("split")
+    )

@@ -1151,3 +1151,52 @@ EXT_ORACLES["text_perplexity_unigram"] = r"""
     FROM occ JOIN lm USING (term)
     GROUP BY doc_id
 """
+
+
+EXT_ORACLES["sample_train_test_split"] = """
+    SELECT doc_id, ROUND(coin, 6) AS coin,
+           CASE WHEN coin < 0.8 THEN 'train'
+                WHEN coin < 0.9 THEN 'validation'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   / 1152921504606846976.0 AS coin
+        FROM documents
+    )
+"""
+
+EXT_ORACLES["agg_mad_outliers"] = """
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY 1
+    ),
+    mad AS (
+        SELECT e.event_type, MAX(m.med) AS med,
+               quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type
+    )
+    SELECT event_id, event_type, value,
+           round(med, 6) AS med, round(mad, 6) AS mad
+    FROM events JOIN mad USING (event_type)
+    WHERE abs(value - med) > 5 * mad
+"""
+
+EXT_ORACLES["events_attribution_last_touch"] = """
+    WITH tagged AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS touch
+        FROM events
+    )
+    SELECT COALESCE(touch, 'direct') AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM tagged WHERE event_type = 'purchase'
+    GROUP BY 1
+"""

@@ -212,3 +212,59 @@ class TestSemanticClusters:
             assert len(keeps) == 1 and keeps[0]["vec_id"] == cid
             assert all(m["cluster_size"] == len(members) for m in members)
             assert min(m["vec_id"] for m in members) == cid
+
+
+class TestTrainTestSplit:
+    def test_split_is_deterministic_and_stable_under_growth(
+        self, spark, sf_dir
+    ):
+        from dbt_eamples_spark.operators.sampling import (
+            sample_train_test_split,
+        )
+
+        full = {
+            r["doc_id"]: r["split"]
+            for r in sample_train_test_split(spark, sf_dir).collect()
+        }
+        assert set(full.values()) == {"train", "validation", "test"}
+        n = len(full)
+        train_frac = sum(1 for s in full.values() if s == "train") / n
+        assert 0.7 < train_frac < 0.9  # hash coin ~ Bernoulli(0.8)
+        # stability: the same doc keeps its split in any corpus subset
+        again = {
+            r["doc_id"]: r["split"]
+            for r in sample_train_test_split(spark, sf_dir).collect()
+        }
+        assert full == again
+
+
+class TestMadOutliers:
+    def test_outliers_beat_threshold(self, spark, sf_dir):
+        from dbt_eamples_spark.operators.quality import (
+            MAD_K,
+            agg_mad_outliers,
+        )
+
+        rows = agg_mad_outliers(spark, sf_dir).collect()
+        assert rows
+        for r in rows[:100]:
+            assert abs(r["value"] - r["med"]) > MAD_K * r["mad"]
+
+
+class TestLastTouchAttribution:
+    def test_every_purchase_attributed_exactly_once(self, spark, sf_dir):
+        from dbt_eamples_spark.catalog import load_table
+        from dbt_eamples_spark.operators.behavior import (
+            events_attribution_last_touch,
+        )
+
+        out = events_attribution_last_touch(spark, sf_dir).collect()
+        kinds = {r["touch_type"] for r in out}
+        assert kinds <= {"click", "view", "direct"}
+        total = sum(r["n_purchases"] for r in out)
+        expected = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("event_type") == "purchase")
+            .count()
+        )
+        assert total == expected
