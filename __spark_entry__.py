@@ -130,7 +130,6 @@ _R4_PRIORITY = [
     "similarity_lsh_topk",
     "dedup_embedding_cosine",
     "similarity_ivf_topk",
-    "similarity_topk",
     "multimodal_features_flat",
     # (3) latest driver row is r1 — 35 queries
     "scan_table",

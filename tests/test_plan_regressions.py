@@ -1,0 +1,63 @@
+"""Physical-plan regression locks: the scale contracts EXPLAINS.md
+documents, asserted so a refactor that silently flips a broadcast to
+a sort-merge join, drops a parquet pushdown, or adds an extra
+exchange fails CI instead of surfacing as a 100×-scale incident."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tools.explain_audit import audit
+
+
+def _plan(spark, name: str, sf_dir: str) -> str:
+    df = entrymod.queries()[name](spark, sf_dir)
+    df.collect()  # finalize AQE so the audited plan is the real one
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+
+
+class TestStarJoinContracts:
+    @pytest.mark.parametrize(
+        "name",
+        ["join_fact_dim", "join_star_3way", "metric_compiled_star"],
+    )
+    def test_dimension_joins_broadcast(self, spark, sf_dir, name):
+        a = audit(_plan(spark, name, sf_dir))
+        assert a["sort_merge_join"] == 0, f"{name} regressed to SMJ"
+        assert a["broadcast_hash_join"] >= 1
+
+    def test_time_filter_pushes_into_scan(self, spark, sf_dir):
+        a = audit(_plan(spark, "filter_time_range", sf_dir))
+        assert a["pushed_filters"] >= 1, "range filter left the scan"
+
+
+class TestShuffleBudgets:
+    """Each operator's exchange count is its algorithmic minimum —
+    an extra exchange is a full network pass over the fact table at
+    cluster scale."""
+
+    BUDGETS = {
+        "metric_groupby_agg": 1,  # one hash-agg exchange
+        "events_user_path": 2,  # user_id window + path rollup
+        "agg_correlation": 1,  # one moment-fold exchange
+        "embedding_quantize_int8": 1,  # parallelize repartition only
+        "embedding_pq_encode": 1,  # parallelize repartition only
+        "sample_train_test_split": 0,  # pure narrow map
+        "dedup_exact": 1,  # md5-keyed groupBy
+    }
+
+    @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))
+    def test_shuffle_count_at_minimum(self, spark, sf_dir, name, budget):
+        a = audit(_plan(spark, name, sf_dir))
+        assert a["shuffles"] <= budget, (
+            f"{name}: {a['shuffles']} exchanges (budget {budget}) — "
+            f"a new shuffle crept into the plan"
+        )
+
+    def test_no_cartesian_anywhere_in_headline_star(self, spark, sf_dir):
+        for name in ("join_star_3way", "metric_compiled_star"):
+            plan = _plan(spark, name, sf_dir)
+            assert "CartesianProduct" not in plan
