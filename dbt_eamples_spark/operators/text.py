@@ -511,9 +511,14 @@ def text_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Catalyst broadcasts it under threshold; at 100 TB it becomes a
     shuffle join on the same key the tf aggregate already used).
     Determinism: each term's -ln p is pre-rounded at 6dp (JVM
-    Math.log vs libm ulp guard, the text_word_entropy pattern) and
-    per-doc sums fold fixed-point 1e9 bigints — order-independent,
-    engine-exact."""
+    Math.log vs libm ulp guard, the text_word_entropy pattern), the
+    per-doc sums fold fixed-point 1e9 bigints, and the per-token
+    mean is FLOOR-truncated at 1e-6 via integer-exact arithmetic
+    (floor(sum_fp / (1000·n)) / 1e6) instead of a final
+    ``round(x, 6)`` — Spark rounds doubles through shortest-repr
+    BigDecimal HALF_UP while DuckDB rounds the binary value, and at
+    sf0.1 one doc landed exactly on a .5 boundary and flipped;
+    IEEE-correctly-rounded division + floor cannot disagree."""
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     occ = (
         docs.select("doc_id", _tokens_col().alias("toks"))
@@ -535,8 +540,9 @@ def text_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(
-                F.sum("fp").cast("double") / 1e9 / F.count("*"), 6
+            (
+                F.floor(F.sum("fp") / (F.count("*") * F.lit(1000)))
+                / F.lit(1e6)
             ).alias("avg_nll"),
         )
     )

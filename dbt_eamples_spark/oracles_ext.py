@@ -1146,8 +1146,8 @@ EXT_ORACLES["text_perplexity_unigram"] = r"""
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           round(CAST(SUM(CAST(round(nll * 1000000000.0) AS BIGINT))
-                      AS BIGINT) / 1000000000.0 / COUNT(*), 6) AS avg_nll
+           floor(CAST(SUM(CAST(round(nll * 1000000000.0) AS BIGINT))
+                      AS BIGINT) / (COUNT(*) * 1000)) / 1000000.0 AS avg_nll
     FROM occ JOIN lm USING (term)
     GROUP BY doc_id
 """
