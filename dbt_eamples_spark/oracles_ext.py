@@ -1106,7 +1106,7 @@ EXT_ORACLES["embedding_pq_encode"] = _pq_oracle_sql()
 
 
 EXT_ORACLES["dedup_semantic_clusters"] = f"""
-    WITH RECURSIVE pairs AS ({EXT_ORACLES["dedup_embedding_cosine"]}),
+    WITH RECURSIVE pairs AS MATERIALIZED ({EXT_ORACLES["dedup_embedding_cosine"]}),
     edges AS (
         SELECT vec_a AS src, vec_b AS dst FROM pairs
         UNION ALL
