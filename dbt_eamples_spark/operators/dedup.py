@@ -919,7 +919,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     by graph diameter, checkpointed lineage). Output mirrors
     dedup_clusters: one row per vector that appears in ≥1 near-dup
     pair, keep = cluster canonical (minimum id)."""
-    pairs = dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    pairs = _cosine_pairs_cached(spark, sf_dir)
     comp = _min_label_propagation(pairs, "vec_a", "vec_b")
     w = Window.partitionBy("comp")
     return comp.select(
@@ -928,3 +928,24 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("cluster_size"),
         (F.col("node") == F.col("comp")).alias("keep"),
     )
+
+
+# verified-pair cache, keyed by (spark application, corpus): the
+# near-dup pair graph is an INDEX — built once, consumed by both the
+# pairwise query and the cluster closure. The cached value is the
+# tiny checkpointed pair frame (|near-dup pairs| rows), valid for
+# the SparkContext that checkpointed it.
+_COSINE_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _cosine_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _COSINE_PAIRS_CACHE.get(key)
+    if df is None:
+        df = (
+            dedup_embedding_cosine(spark, sf_dir)
+            .select("vec_a", "vec_b")
+            .localCheckpoint(eager=True)
+        )
+        _COSINE_PAIRS_CACHE[key] = df
+    return df

@@ -81,18 +81,36 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _fake_decode(batch: pd.DataFrame) -> pd.DataFrame:
     """Deterministic fake 'decode': FEATURE_DIM byte-histogram
-    moments. Stands in for image resize / audio frame sampling."""
+    moments. Stands in for image resize / audio frame sampling.
+
+    Vectorized: the stride sums come from one numpy reshape-sum per
+    payload instead of FEATURE_DIM python slice loops (same exact
+    arithmetic — integer sums then one correctly-rounded double
+    division, floor-truncated at 6dp so the DuckDB oracle reproduces
+    it bit-exactly; zero-padding the tail never changes an int sum)."""
+    import numpy as np
+
     out = []
     for doc_id, content in zip(batch["doc_id"], batch["content"]):
         b = bytes(content)
-        feats = []
-        for d in range(FEATURE_DIM):
-            sl = b[d::FEATURE_DIM]
-            # floor-truncate at 6dp (not round): unambiguous across
-            # engines, so the DuckDB oracle reproduces it exactly
-            x = sum(sl) / max(len(sl), 1) / 255.0
-            feats.append(math.floor(x * 1e6) / 1e6)
-        out.append({"doc_id": doc_id, "n_bytes": len(b), "features": feats})
+        n = len(b)
+        if n:
+            arr = np.frombuffer(b, np.uint8).astype(np.int64)
+            pad = (-n) % FEATURE_DIM
+            sums = np.concatenate(
+                [arr, np.zeros(pad, np.int64)]
+            ).reshape(-1, FEATURE_DIM).sum(axis=0)
+            counts = np.maximum(
+                (n - np.arange(FEATURE_DIM) + FEATURE_DIM - 1) // FEATURE_DIM,
+                1,
+            )
+            x = sums.astype(np.float64) / counts / 255.0
+            feats = list(np.floor(x * 1e6) / 1e6)
+        else:
+            feats = [0.0] * FEATURE_DIM
+        out.append(
+            {"doc_id": doc_id, "n_bytes": n, "features": [float(f) for f in feats]}
+        )
     return pd.DataFrame(out, columns=["doc_id", "n_bytes", "features"])
 
 
@@ -148,7 +166,15 @@ def multimodal_decode_features(
 def decode_features_frame(bt: DataFrame, decode_stub: str = "fake") -> DataFrame:
     """mapInPandas decode stage over any (doc_id, content) frame —
     factored out so tests can feed REAL image payloads through the
-    identical plumbing the fixture path uses."""
+    identical plumbing the fixture path uses.
+
+    The input is coalesced (narrow — no shuffle) to a quarter of the
+    default parallelism: every Arrow task pays a fixed
+    worker+serialization setup cost, so a Python stage wants FEWER,
+    FATTER batches than a JVM stage (measured ~2× on the fixture,
+    where 32 tasks of ~150 rows were pure overhead). On a cluster
+    the same holds per executor; the floor keeps at least 4 tasks so
+    the stage still spreads."""
     decoder = _png_decode if decode_stub == "strict" else _fake_decode
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -156,7 +182,8 @@ def decode_features_frame(bt: DataFrame, decode_stub: str = "fake") -> DataFrame
             if len(batch):
                 yield decoder(batch)
 
-    return bt.mapInPandas(decode, schema=_FEATURE_SCHEMA)
+    n = max(4, bt.sparkSession.sparkContext.defaultParallelism // 4)
+    return bt.coalesce(n).mapInPandas(decode, schema=_FEATURE_SCHEMA)
 
 
 def multimodal_features_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
