@@ -123,13 +123,13 @@ _R4_PRIORITY = [
     "sample_train_test_split",
     "agg_mad_outliers",
     "events_attribution_last_touch",
+    "similarity_pq_topk",
     # (2) fixed (oracle typing / overflow) or refactored (nplanes /
     # ncells threading, decode-stage factor-out) — must re-green
     "abc_pareto_class",
     "agg_correlation",
     "similarity_lsh_topk",
     "dedup_embedding_cosine",
-    "similarity_ivf_topk",
     "multimodal_features_flat",
     # (3) latest driver row is r1 — 35 queries
     "scan_table",
@@ -291,6 +291,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_mad_outliers": Q.agg_mad_outliers,
         # last-touch purchase attribution over the event log
         "events_attribution_last_touch": B.events_attribution_last_touch,
+        # PQ asymmetric-distance top-k over the coded corpus
+        "similarity_pq_topk": V.similarity_pq_topk,
         # --- round-3 additions / r2-weak reworks: keep in sample ---
         # co-occurrence mining: top-k part pairs by basket support
         "market_basket_pairs": B.market_basket_pairs,

@@ -91,6 +91,7 @@ HEADLINE = [
     "sample_train_test_split",
     "agg_mad_outliers",
     "events_attribution_last_touch",
+    "similarity_pq_topk",
 ]
 
 

@@ -790,3 +790,93 @@ def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         err.alias("err_fp"),
     )
+
+
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k search — the memory-side
+    scale path that pairs with :func:`embedding_pq_encode`: the
+    corpus exists only as PQ codes (4 small ints/vector), and each
+    query precomputes one distance TABLE per subvector (distance
+    from its subvector to each codebook entry). Scoring a corpus
+    vector is then PQ_SUBVECTORS table lookups + adds — no
+    full-width float math touches the corpus, which is how FAISS
+    IVF-PQ scans billions of vectors in RAM.
+
+    Plan shape: the code table is a narrow map (embedding_pq_encode,
+    zero shuffles); the per-query distance tables are
+    |Q|·PQ_SUBVECTORS·PQ_CODES literal-fold doubles built on the
+    (tiny, broadcast) query side; scoring is one broadcast join +
+    element_at lookups, and ranking reuses the two-phase top-k
+    (partition-local cut, then exact window). ``adc_dist`` is the
+    raw double of a fixed left-fold (d0+d1)+d2)+d3 — identical
+    expression order in the oracle, no final rounding (rounding at
+    .5 decimal boundaries is engine-divergent; see ROUND4_NOTES).
+    Exactness: distances are to the QUANTIZED corpus (that is the
+    PQ trade); the exact twin similarity_topk carries value-level
+    recall in RECALL.md."""
+    codes = embedding_pq_encode(spark, sf_dir).select(
+        "vec_id", *[f"code_{s}" for s in range(PQ_SUBVECTORS)]
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double_vec(F.col("embedding")).alias("vec")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+
+    def _dtable(s: int):
+        sub = F.slice(F.col("qvec"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+        ds = []
+        for k in range(PQ_CODES):
+            code = F.array(*[F.lit(x) for x in PQ_CODEBOOK[s][k]])
+            ds.append(
+                F.aggregate(
+                    F.zip_with(sub, code, lambda x, c: (x - c) * (x - c)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+        return F.array(*ds)
+
+    qd = q.select(
+        "query_id", *[_dtable(s).alias(f"dt{s}") for s in range(PQ_SUBVECTORS)]
+    )
+    adc = None
+    for s in range(PQ_SUBVECTORS):
+        term = F.element_at(F.col(f"dt{s}"), F.col(f"code_{s}") + 1)
+        adc = term if adc is None else adc + term
+    scored = codes.join(
+        F.broadcast(qd), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc_dist")
+    )
+    # two-phase top-k, ascending distance (mirror of _topk)
+    local = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .groupBy("query_id", "_pid")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("adc_dist"), F.col("neighbor_id"))
+                    )
+                ),
+                1,
+                TOP_K,
+            ).alias("top")
+        )
+        .select("query_id", F.explode_outer("top").alias("t"))
+        .select(
+            "query_id",
+            F.col("t.neighbor_id").alias("neighbor_id"),
+            F.col("t.adc_dist").alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        local.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_dist", "rk")
+    )

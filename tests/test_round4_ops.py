@@ -268,3 +268,24 @@ class TestLastTouchAttribution:
             .count()
         )
         assert total == expected
+
+
+class TestPqAdcTopk:
+    def test_adc_ranks_ascending_and_complete(self, spark, sf_dir):
+        from dbt_eamples_spark.operators.similarity import (
+            N_QUERIES,
+            TOP_K,
+            similarity_pq_topk,
+        )
+
+        rows = similarity_pq_topk(spark, sf_dir).collect()
+        by_q: dict[int, list] = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        assert len(by_q) == N_QUERIES
+        for q, ms in by_q.items():
+            ms.sort(key=lambda r: r["rk"])
+            assert [m["rk"] for m in ms] == list(range(1, TOP_K + 1))
+            dists = [m["adc_dist"] for m in ms]
+            assert dists == sorted(dists)
+            assert all(m["neighbor_id"] != q for m in ms)
