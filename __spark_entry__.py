@@ -124,11 +124,11 @@ _R4_PRIORITY = [
     "agg_mad_outliers",
     "events_attribution_last_touch",
     "similarity_pq_topk",
+    "metric_compiled_growth",
     # (2) fixed (oracle typing / overflow) or refactored (nplanes /
     # ncells threading, decode-stage factor-out) — must re-green
     "abc_pareto_class",
     "agg_correlation",
-    "similarity_lsh_topk",
     "dedup_embedding_cosine",
     "multimodal_features_flat",
     # (3) latest driver row is r1 — 35 queries

@@ -43,6 +43,8 @@ from dbt_eamples_spark.plans.semantics import (
 # makes equality scale-dependent.
 ROUND_DECIMALS = 2
 CUM_ROUND_DECIMALS = 2
+# growth is a FRACTION (pp change); 2dp would quantize a 0.4% move to 0
+GROWTH_ROUND_DECIMALS = 6
 
 
 @dataclass(frozen=True)
@@ -108,11 +110,11 @@ def _metric_select(
             raise ValueError(f"ratio metric {name} needs a denominator")
         den = _agged_measure(reg, metric, metric.denominator)
         return f"ROUND({agged} / {den}, {ROUND_DECIMALS}) AS {name}"
-    if metric.metric_type == "cumulative":
+    if metric.metric_type in ("cumulative", "growth"):
         if not time_aliases:
             raise ValueError(
-                f"cumulative metric {name} requires a time-grained "
-                "group-by dimension (e.g. shipdate__month)"
+                f"{metric.metric_type} metric {name} requires a "
+                "time-grained group-by dimension (e.g. shipdate__month)"
             )
         partition = (
             "PARTITION BY " + ", ".join(other_aliases) + " "
@@ -120,6 +122,25 @@ def _metric_select(
             else ""
         )
         window = f"OVER ({partition}ORDER BY {', '.join(time_aliases)})"
+        if metric.metric_type == "growth":
+            # period-over-period fractional change; first period (no
+            # prior row) is NULL in both engines. Same windowed-over-
+            # the-aggregate shape as cumulative: one extra sort of the
+            # grouped rows, never a second fact scan. The CASE shell
+            # normalizes IEEE negative zero: a tiny negative change
+            # rounds to -0.0, which Spark's BigDecimal ROUND
+            # canonicalizes to 0.0 but DuckDB keeps; -0.0 = 0 is TRUE
+            # in SQL so both engines emit +0.0, while a NULL first
+            # period falls to the ELSE branch and stays NULL.
+            lagged = f"LAG({agged}) {window}"
+            rounded = (
+                f"ROUND(({agged} - {lagged}) / {lagged}, "
+                f"{GROWTH_ROUND_DECIMALS})"
+            )
+            return (
+                f"CASE WHEN {rounded} = 0 THEN 0.0 "
+                f"ELSE {rounded} END AS {name}"
+            )
         return f"ROUND(SUM({agged}) {window}, {CUM_ROUND_DECIMALS}) AS {name}"
     agg = next(
         m for m in reg.models[metric.model].measures if m.name == metric.measure

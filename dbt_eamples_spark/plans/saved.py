@@ -32,6 +32,10 @@ SAVED_QUERIES: dict[str, MetricQueryRequest] = {
         metrics=("revenue", "cum_revenue"),
         group_by=("shipdate__month",),
     ),
+    "metric_compiled_growth": MetricQueryRequest(
+        metrics=("revenue", "revenue_growth"),
+        group_by=("returnflag", "shipdate__month"),
+    ),
     "metric_compiled_topk": MetricQueryRequest(
         metrics=("order_total",),
         group_by=("mktsegment", "orderpriority"),

@@ -68,15 +68,18 @@ class Metric:
     filtered (the MetricFlow metric the CLI queries by name).
 
     ``metric_type``: "simple" (one aggregated measure), "ratio"
-    (aggregated ``measure`` / aggregated ``denominator``), or
+    (aggregated ``measure`` / aggregated ``denominator``),
     "cumulative" (running total of the aggregated measure over the
-    request's time dimension — the MetricFlow cumulative class)."""
+    request's time dimension — the MetricFlow cumulative class), or
+    "growth" (period-over-period fractional change via LAG over the
+    request's time grain — the MetricFlow derived/offset class,
+    `metric_time` offset window of 1 grain)."""
     name: str
     model: str
     measure: str
     description: str = ""
     filter_sql: str | None = None
-    metric_type: str = "simple"  # simple | ratio | cumulative
+    metric_type: str = "simple"  # simple | ratio | cumulative | growth
     denominator: str | None = None  # measure name, ratio only
 
 
@@ -308,6 +311,15 @@ def default_registry() -> Registry:
             "revenue",
             "running revenue over the request time grain",
             metric_type="cumulative",
+        )
+    )
+    reg.add_metric(
+        Metric(
+            "revenue_growth",
+            "lineitem",
+            "revenue",
+            "period-over-period fractional revenue change",
+            metric_type="growth",
         )
     )
     return reg

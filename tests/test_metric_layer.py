@@ -312,3 +312,50 @@ class TestPlanArtifacts:
         assert rc == 0
         ET.parse(svg)
         assert dot.read_text().startswith("digraph dataflow")
+
+
+class TestGrowthMetric:
+    def test_growth_matches_hand_lag(self, spark, sf_dir):
+        from dbt_eamples_spark.plans.compiler import execute
+        from dbt_eamples_spark.plans.saved import SAVED_QUERIES
+
+        df = execute(
+            spark, sf_dir, SAVED_QUERIES["metric_compiled_growth"]
+        ).df
+        rows = sorted(
+            df.collect(), key=lambda r: (r["returnflag"], r["shipdate__month"])
+        )
+        by_flag: dict[str, list] = {}
+        for r in rows:
+            by_flag.setdefault(r["returnflag"], []).append(r)
+        import math
+
+        checked = 0
+        for series in by_flag.values():
+            assert series[0]["revenue_growth"] is None  # no prior period
+            for prev, cur in zip(series, series[1:]):
+                if cur["revenue_growth"] is None:
+                    continue
+                expected = round(
+                    (cur["revenue"] - prev["revenue"]) / prev["revenue"], 6
+                )
+                assert math.isclose(
+                    cur["revenue_growth"], expected, rel_tol=0, abs_tol=2e-6
+                )
+                checked += 1
+        assert checked > 50
+
+    def test_growth_requires_time_grain(self, spark, sf_dir):
+        import pytest as _pytest
+
+        from dbt_eamples_spark.plans.compiler import (
+            MetricQueryRequest,
+            compile_request,
+        )
+
+        with _pytest.raises(ValueError, match="growth metric"):
+            compile_request(
+                MetricQueryRequest(
+                    metrics=("revenue_growth",), group_by=("returnflag",)
+                )
+            )
