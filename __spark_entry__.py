@@ -125,11 +125,11 @@ _R4_PRIORITY = [
     "events_attribution_last_touch",
     "similarity_pq_topk",
     "metric_compiled_growth",
+    "embedding_pq_encode_trained",
     # (2) fixed (oracle typing / overflow) or refactored (nplanes /
     # ncells threading, decode-stage factor-out) — must re-green
     "abc_pareto_class",
     "agg_correlation",
-    "dedup_embedding_cosine",
     "multimodal_features_flat",
     # (3) latest driver row is r1 — 35 queries
     "scan_table",
@@ -293,6 +293,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution_last_touch": B.events_attribution_last_touch,
         # PQ asymmetric-distance top-k over the coded corpus
         "similarity_pq_topk": V.similarity_pq_topk,
+        # PQ encode against per-subspace TRAINED (Lloyd) codebooks
+        "embedding_pq_encode_trained": V.embedding_pq_encode_trained,
         # --- round-3 additions / r2-weak reworks: keep in sample ---
         # co-occurrence mining: top-k part pairs by basket support
         "market_basket_pairs": B.market_basket_pairs,

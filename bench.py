@@ -92,6 +92,8 @@ HEADLINE = [
     "agg_mad_outliers",
     "events_attribution_last_touch",
     "similarity_pq_topk",
+    "embedding_pq_encode_trained",
+    "metric_compiled_growth",
 ]
 
 

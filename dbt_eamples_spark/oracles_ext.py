@@ -1279,3 +1279,118 @@ def _pq_adc_oracle_sql() -> str:
 
 
 EXT_ORACLES["similarity_pq_topk"] = _pq_adc_oracle_sql()
+
+
+def _pq_trained_oracle_sql() -> str:
+    """Mirror of similarity.embedding_pq_encode_trained: per-subspace
+    Lloyd chains (L2 assignment with (d2, k) tie-break + FIXED-POINT
+    1e-6 means — integer sums are order-independent, so the
+    sequential SQL means equal Spark's distributed ones bit-for-bit),
+    then the encode argmin against the TRAINED codebook CTE. Code ids
+    are the surviving seed vec_ids in both engines."""
+    from dbt_eamples_spark.operators.similarity import (
+        PQ_CODES,
+        PQ_SUBDIM,
+        PQ_SUBVECTORS,
+        PQ_TRAIN_ITERS,
+    )
+
+    def sub_dist(vec: str, cvec: str, s: int) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {PQ_SUBDIM} + 1), "
+            f"i -> ({vec}[{s} * {PQ_SUBDIM} + i] - {cvec}[i])"
+            f" * ({vec}[{s} * {PQ_SUBDIM} + i] - {cvec}[i])), "
+            f"(x, y) -> x + y)"
+        )
+
+    parts = [
+        """v AS (
+            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+            FROM embeddings
+        )"""
+    ]
+    for s in range(PQ_SUBVECTORS):
+        lo = s * PQ_SUBDIM + 1
+        hi = (s + 1) * PQ_SUBDIM
+        parts.append(
+            f"""s{s} AS (
+            SELECT vec_id, vec[{lo}:{hi}] AS sv FROM v
+        )"""
+        )
+        parts.append(
+            f"""c{s}_0 AS (
+            SELECT CAST(vec_id AS INTEGER) AS k, sv AS cvec FROM s{s}
+            WHERE vec_id < {PQ_CODES}
+        )"""
+        )
+        dist = (
+            f"list_reduce(list_transform(range(1, {PQ_SUBDIM} + 1), "
+            f"i -> (t.sv[i] - c.cvec[i]) * (t.sv[i] - c.cvec[i])), "
+            f"(x, y) -> x + y)"
+        )
+        for i in range(1, PQ_TRAIN_ITERS + 1):
+            parts.append(
+                f"""a{s}_{i} AS (
+            SELECT k, sv FROM (
+                SELECT t.vec_id, t.sv, c.k,
+                       ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                           ORDER BY {dist} ASC, c.k ASC) AS rk
+                FROM s{s} t CROSS JOIN c{s}_{i - 1} c
+            ) WHERE rk = 1
+        )"""
+            )
+            parts.append(
+                f"""e{s}_{i} AS (
+            SELECT k, unnest(range(1, len(sv) + 1)) AS pos,
+                   unnest(sv) AS x
+            FROM a{s}_{i}
+        )"""
+            )
+            parts.append(
+                f"""c{s}_{i} AS (
+            SELECT k, list(m ORDER BY pos) AS cvec FROM (
+                SELECT k, pos,
+                       (SUM(CAST(round(x * 1000000.0) AS BIGINT))::DOUBLE
+                            / COUNT(*)) / 1000000.0 AS m
+                FROM e{s}_{i} GROUP BY k, pos
+            ) GROUP BY k
+        )"""
+            )
+    cb_union = " UNION ALL ".join(
+        f"SELECT {s} AS s, k, cvec FROM c{s}_{PQ_TRAIN_ITERS}"
+        for s in range(PQ_SUBVECTORS)
+    )
+    parts.append(f"cb AS ({cb_union})")
+    enc_dist = (
+        f"list_reduce(list_transform(range(1, {PQ_SUBDIM} + 1), "
+        f"i -> (vec[s * {PQ_SUBDIM} + i] - cvec[i])"
+        f" * (vec[s * {PQ_SUBDIM} + i] - cvec[i])), (x, y) -> x + y)"
+    )
+    parts.append(
+        f"""d AS (
+            SELECT vec_id, s, k, {enc_dist} AS d2
+            FROM v CROSS JOIN cb
+        )"""
+    )
+    parts.append(
+        """best AS (
+            SELECT vec_id, s, k, d2,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                      ORDER BY d2 ASC, k ASC) AS rn
+            FROM d
+        )"""
+    )
+    code_cols = ", ".join(
+        f"CAST(MAX(CASE WHEN s = {s} THEN k END) AS INTEGER) AS code_{s}"
+        for s in range(PQ_SUBVECTORS)
+    )
+    return f"""
+        WITH {','.join(parts)}
+        SELECT vec_id, {code_cols},
+               CAST(SUM(CAST(floor(d2 * 1000000.0) AS BIGINT)) AS BIGINT)
+                   AS err_fp
+        FROM best WHERE rn = 1 GROUP BY vec_id
+    """
+
+
+EXT_ORACLES["embedding_pq_encode_trained"] = _pq_trained_oracle_sql()

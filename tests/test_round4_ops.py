@@ -289,3 +289,69 @@ class TestPqAdcTopk:
             dists = [m["adc_dist"] for m in ms]
             assert dists == sorted(dists)
             assert all(m["neighbor_id"] != q for m in ms)
+
+
+class TestTrainedPQ:
+    def test_training_cuts_quantization_error(self, spark, sf_dir):
+        from pyspark.sql import functions as FF
+
+        from dbt_eamples_spark.operators.similarity import (
+            embedding_pq_encode,
+            embedding_pq_encode_trained,
+        )
+
+        untrained = embedding_pq_encode(spark, sf_dir).agg(
+            FF.avg("err_fp")
+        ).collect()[0][0]
+        trained = embedding_pq_encode_trained(spark, sf_dir).agg(
+            FF.avg("err_fp")
+        ).collect()[0][0]
+        assert trained < 0.8 * untrained, (
+            f"Lloyd training should cut mean quantization error: "
+            f"{untrained:.0f} -> {trained:.0f}"
+        )
+
+    def test_trained_recall_beats_untrained(self, spark, sf_dir):
+        """ADC top-5 recall vs exact, reconstructing from the trained
+        codes — must clear the untrained floor (0.06) decisively."""
+        import numpy as np
+
+        from dbt_eamples_spark.operators.similarity import (
+            PQ_SUBDIM,
+            PQ_SUBVECTORS,
+            _pq_train_codebooks,
+            embedding_pq_encode_trained,
+            similarity_topk,
+        )
+
+        exact: dict[int, set] = {}
+        for r in similarity_topk(spark, sf_dir).collect():
+            exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        books = _pq_train_codebooks(spark, sf_dir)
+        codes = {
+            r["vec_id"]: [r[f"code_{s}"] for s in range(PQ_SUBVECTORS)]
+            for r in embedding_pq_encode_trained(spark, sf_dir).collect()
+        }
+        from dbt_eamples_spark.catalog import load_table
+
+        emb = {
+            r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in load_table(spark, sf_dir, "embeddings").collect()
+        }
+        lut = [dict(book) for book in books]
+        recon = {
+            vid: np.concatenate([np.array(lut[s][c[s]]) for s in range(PQ_SUBVECTORS)])
+            for vid, c in codes.items()
+        }
+        hits = total = 0
+        for q, true_set in exact.items():
+            dists = {
+                vid: float(((emb[q] - rv) ** 2).sum())
+                for vid, rv in recon.items()
+                if vid != q
+            }
+            top = set(sorted(dists, key=lambda v: (dists[v], v))[:5])
+            hits += len(top & true_set)
+            total += len(true_set)
+        recall = hits / total
+        assert recall >= 0.15, f"trained ADC recall {recall:.2f} below floor"
