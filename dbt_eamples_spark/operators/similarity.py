@@ -792,7 +792,13 @@ def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    trained: bool = False,
+    rerank: int = 0,
+) -> DataFrame:
     """PQ asymmetric-distance (ADC) top-k search — the memory-side
     scale path that pairs with :func:`embedding_pq_encode`: the
     corpus exists only as PQ codes (4 small ints/vector), and each
@@ -813,8 +819,27 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     .5 decimal boundaries is engine-divergent; see ROUND4_NOTES).
     Exactness: distances are to the QUANTIZED corpus (that is the
     PQ trade); the exact twin similarity_topk carries value-level
-    recall in RECALL.md."""
-    codes = embedding_pq_encode(spark, sf_dir).select(
+    recall in RECALL.md.
+
+    Production dials (default off so the static oracle holds):
+    ``trained=True`` scores against the per-subspace Lloyd codebooks
+    (:func:`_pq_train_codebooks`); ``rerank=N`` keeps an ADC
+    shortlist of N per query and re-ranks it with EXACT cosine — the
+    FAISS ``refine`` stage: the expensive full-width math touches
+    only |Q|·N shortlisted vectors, never the corpus. With rerank
+    the output schema swaps adc_dist for the exact ``cosine``."""
+    if trained:
+        books = [
+            dict(book) for book in _pq_train_codebooks(spark, sf_dir)
+        ]
+        encoder = embedding_pq_encode_trained
+    else:
+        books = [
+            {k: PQ_CODEBOOK[s][k] for k in range(PQ_CODES)}
+            for s in range(PQ_SUBVECTORS)
+        ]
+        encoder = embedding_pq_encode
+    codes = encoder(spark, sf_dir).select(
         "vec_id", *[f"code_{s}" for s in range(PQ_SUBVECTORS)]
     )
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -827,15 +852,22 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _dtable(s: int):
         sub = F.slice(F.col("qvec"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
         ds = []
+        # dense lookup table: position k+1 holds code k's distance
+        # (a died trained cluster leaves an inf hole no code id hits)
         for k in range(PQ_CODES):
-            code = F.array(*[F.lit(x) for x in PQ_CODEBOOK[s][k]])
-            ds.append(
-                F.aggregate(
-                    F.zip_with(sub, code, lambda x, c: (x - c) * (x - c)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
+            if k in books[s]:
+                code = F.array(*[F.lit(x) for x in books[s][k]])
+                ds.append(
+                    F.aggregate(
+                        F.zip_with(
+                            sub, code, lambda x, c: (x - c) * (x - c)
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
                 )
-            )
+            else:
+                ds.append(F.lit(float("inf")))
         return F.array(*ds)
 
     qd = q.select(
@@ -850,6 +882,7 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc_dist")
     )
+    shortlist = max(TOP_K, rerank)
     # two-phase top-k, ascending distance (mirror of _topk)
     local = (
         scored.withColumn("_pid", F.spark_partition_id())
@@ -862,7 +895,7 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ),
                 1,
-                TOP_K,
+                shortlist,
             ).alias("top")
         )
         .select("query_id", F.explode_outer("top").alias("t"))
@@ -875,10 +908,34 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("neighbor_id")
     )
+    ranked = local.withColumn("rk", F.row_number().over(w))
+    if not rerank:
+        return ranked.filter(F.col("rk") <= TOP_K).select(
+            "query_id", "neighbor_id", "adc_dist", "rk"
+        )
+    # refine: exact cosine over the |Q|*rerank shortlist only
+    short = ranked.filter(F.col("rk") <= shortlist).select(
+        "query_id", "neighbor_id"
+    )
+    nb = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nvec")
+    )
+    rescored = (
+        short.join(F.broadcast(q), "query_id")
+        .join(nb, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine(F.col("qvec"), F.col("nvec")), 6).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
     return (
-        local.withColumn("rk", F.row_number().over(w))
+        rescored.withColumn("rk", F.row_number().over(w2))
         .filter(F.col("rk") <= TOP_K)
-        .select("query_id", "neighbor_id", "adc_dist", "rk")
+        .select("query_id", "neighbor_id", "cosine", "rk")
     )
 
 
