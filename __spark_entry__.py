@@ -126,11 +126,11 @@ _R4_PRIORITY = [
     "similarity_pq_topk",
     "metric_compiled_growth",
     "embedding_pq_encode_trained",
+    "table_profile",
     # (2) fixed (oracle typing / overflow) or refactored (nplanes /
     # ncells threading, decode-stage factor-out) — must re-green
     "abc_pareto_class",
     "agg_correlation",
-    "multimodal_features_flat",
     # (3) latest driver row is r1 — 35 queries
     "scan_table",
     "sql_execute_limit",
@@ -289,6 +289,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_train_test_split": S.sample_train_test_split,
         # robust MAD outlier flags (heavy-tail-safe zscore twin)
         "agg_mad_outliers": Q.agg_mad_outliers,
+        # per-column data profile (rows/nulls/exact distincts)
+        "table_profile": Q.table_profile,
         # last-touch purchase attribution over the event log
         "events_attribution_last_touch": B.events_attribution_last_touch,
         # PQ asymmetric-distance top-k over the coded corpus

@@ -94,6 +94,7 @@ HEADLINE = [
     "similarity_pq_topk",
     "embedding_pq_encode_trained",
     "metric_compiled_growth",
+    "table_profile",
 ]
 
 

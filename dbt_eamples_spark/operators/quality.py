@@ -160,3 +160,50 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("med", 6).alias("med"),
         F.round("mad", 6).alias("mad"),
     )
+
+
+PROFILE_TABLE = "events"
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profile — one row per column with row,
+    null and exact distinct counts: the discovery pass every
+    warehouse/catalog runs before trusting a new feed (the dbt
+    `source freshness`/profiling surface; pairs with
+    dq_schema_tests, which asserts EXPECTED properties while this
+    MEASURES them).
+
+    Plan: ONE aggregation over the table computing count/nulls/
+    distinct for every column together; multiple exact COUNT
+    DISTINCTs compile to Catalyst's Expand (one duplicated stream
+    per distinct column) — the documented cost of exactness, paid
+    once per profile run; the 100 TB first pass swaps
+    approx_count_distinct exactly as the approx-percentile twins do.
+    The single wide row is then unpivoted driver-side into
+    |columns| rows (bounded by schema width, not data)."""
+    df = load_table(spark, sf_dir, PROFILE_TABLE)
+    cols = df.columns
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"_nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"_nd_{c}"))
+    wide = df.agg(*aggs)
+    pairs = []
+    for c in cols:
+        pairs.append(F.lit(c))
+        pairs.append(
+            F.struct(
+                F.col("_n").alias("n_rows"),
+                (F.col("_n") - F.col(f"_nn_{c}")).alias("n_nulls"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+            )
+        )
+    stacked = wide.select(
+        F.explode(F.create_map(*pairs)).alias("column_name", "st")
+    )
+    return stacked.select(
+        "column_name",
+        F.col("st.n_rows").alias("n_rows"),
+        F.col("st.n_nulls").alias("n_nulls"),
+        F.col("st.n_distinct").alias("n_distinct"),
+    )

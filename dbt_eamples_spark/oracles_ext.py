@@ -1394,3 +1394,23 @@ def _pq_trained_oracle_sql() -> str:
 
 
 EXT_ORACLES["embedding_pq_encode_trained"] = _pq_trained_oracle_sql()
+
+
+def _profile_oracle_sql() -> str:
+    from dbt_eamples_spark.operators.quality import PROFILE_TABLE
+
+    cols = {
+        "events": ("event_id", "ts", "user_id", "event_type", "value", "props")
+    }[PROFILE_TABLE]
+    parts = [
+        f"""SELECT '{c}' AS column_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+        FROM {PROFILE_TABLE}"""
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)
+
+
+EXT_ORACLES["table_profile"] = _profile_oracle_sql()

@@ -378,3 +378,19 @@ class TestPqRefineDials:
             got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
         hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
         assert hits / 50 >= 0.5, f"refine recall {hits}/50 below 0.5"
+
+
+class TestTableProfile:
+    def test_profile_counts_match_direct_queries(self, spark, sf_dir):
+        from dbt_eamples_spark.catalog import load_table
+        from dbt_eamples_spark.operators.quality import table_profile
+
+        prof = {r["column_name"]: r for r in table_profile(spark, sf_dir).collect()}
+        ev = load_table(spark, sf_dir, "events")
+        n = ev.count()
+        assert set(prof) == set(ev.columns)
+        for c in ("event_id", "props"):
+            assert prof[c]["n_rows"] == n
+            assert prof[c]["n_nulls"] == ev.filter(F.col(c).isNull()).count()
+            assert prof[c]["n_distinct"] == ev.select(c).na.drop().distinct().count()
+        assert prof["event_id"]["n_distinct"] == n  # unique key
