@@ -45,8 +45,11 @@ class TestShuffleBudgets:
         "agg_correlation": 1,  # one moment-fold exchange
         "embedding_quantize_int8": 1,  # parallelize repartition only
         "embedding_pq_encode": 1,  # parallelize repartition only
+        "embedding_pq_encode_trained": 1,  # encode plan: repartition only
         "sample_train_test_split": 0,  # pure narrow map
         "dedup_exact": 1,  # md5-keyed groupBy
+        "table_profile": 1,  # one Expand aggregation exchange
+        "metric_compiled_growth": 2,  # hash agg + window over aggregate
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))
