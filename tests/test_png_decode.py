@@ -118,3 +118,29 @@ class TestStrictDecodeThroughSpark:
         )
         with pytest.raises(Exception, match="NotImplementedError|PIL"):
             decode_features_frame(bt, "strict").collect()
+
+
+class TestCodecProperties:
+    """Property-based roundtrip: ANY uint8 image survives encode →
+    decode bit-exactly, for every filter type and channel count."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        ch=st.integers(1, 4),
+        filter_type=st.integers(0, 4),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_roundtrip_any_image(self, h, w, ch, filter_type, seed):
+        px = np.random.RandomState(seed).randint(
+            0, 256, size=(h, w, ch), dtype=np.uint8
+        )
+        got_w, got_h, got_ch, out = decode_png(
+            encode_png(px, filter_type=filter_type)
+        )
+        assert (got_w, got_h, got_ch) == (w, h, ch)
+        np.testing.assert_array_equal(out, px)
