@@ -114,6 +114,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # oldest-first too, so round 5's rotation falls out naturally.
 _R4_PRIORITY = [
     # (1) new this round
+    "similarity_pq_rerank_topk",
     "events_user_path",
     "ts_gap_fill",
     "text_line_dedup",
@@ -295,6 +296,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution_last_touch": B.events_attribution_last_touch,
         # PQ asymmetric-distance top-k over the coded corpus
         "similarity_pq_topk": V.similarity_pq_topk,
+        # full production PQ path: trained books + ADC + exact rerank
+        "similarity_pq_rerank_topk": V.similarity_pq_rerank_topk,
         # PQ encode against per-subspace TRAINED (Lloyd) codebooks
         "embedding_pq_encode_trained": V.embedding_pq_encode_trained,
         # --- round-3 additions / r2-weak reworks: keep in sample ---

@@ -95,6 +95,7 @@ HEADLINE = [
     "embedding_pq_encode_trained",
     "metric_compiled_growth",
     "table_profile",
+    "similarity_pq_rerank_topk",
 ]
 
 

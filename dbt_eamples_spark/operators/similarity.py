@@ -792,6 +792,28 @@ def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def similarity_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production PQ search path: TRAINED per-subspace
+    codebooks (:func:`_pq_train_codebooks`), ADC shortlist of
+    ``PQ_RERANK`` candidates per query, then EXACT cosine re-ranking
+    of the shortlist only — FAISS's ``IndexRefine`` composition over
+    IVF-PQ. This is :func:`similarity_pq_topk` with both production
+    dials on, registered separately so the driver oracle covers the
+    composed path end-to-end (the trained-codebook chain, the ADC
+    scan, and the refine join are each individually oracle-proven;
+    this entry proves their composition).
+
+    Scale: the corpus is scanned as 4 small ints/vector (the PQ
+    codes); full-width float math touches |Q|·PQ_RERANK shortlisted
+    vectors, never the corpus. The shortlist self-identifies via the
+    deterministic (adc_dist, neighbor_id) order, so the refine join
+    input — hence the output — is engine-exact even though ADC
+    distances are approximate."""
+    return similarity_pq_topk(
+        spark, sf_dir, trained=True, rerank=PQ_RERANK
+    )
+
+
 def similarity_pq_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -942,6 +964,11 @@ def similarity_pq_topk(
 # trained-PQ codebook cache: training is an INDEX build — once per
 # (session, corpus), like _IVF_CENTROIDS. Value: {s: [[floats]]}
 PQ_TRAIN_ITERS = 2
+# ADC shortlist size for the refine (exact-rerank) stage: the
+# expensive full-width cosine touches |Q|·PQ_RERANK vectors only.
+# Measured on the uniform fixture (RECALL.md §PQ): trained ADC top-5
+# recall 0.24 → 0.68 with rerank=50 at ~1% of the corpus re-scored.
+PQ_RERANK = 50
 _PQ_CODEBOOKS: dict[tuple[str, str], list[list[tuple[int, list[float]]]]] = {}
 
 

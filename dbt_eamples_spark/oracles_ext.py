@@ -1281,27 +1281,19 @@ def _pq_adc_oracle_sql() -> str:
 EXT_ORACLES["similarity_pq_topk"] = _pq_adc_oracle_sql()
 
 
-def _pq_trained_oracle_sql() -> str:
-    """Mirror of similarity.embedding_pq_encode_trained: per-subspace
-    Lloyd chains (L2 assignment with (d2, k) tie-break + FIXED-POINT
-    1e-6 means — integer sums are order-independent, so the
-    sequential SQL means equal Spark's distributed ones bit-for-bit),
-    then the encode argmin against the TRAINED codebook CTE. Code ids
-    are the surviving seed vec_ids in both engines."""
+def _pq_trained_parts() -> list[str]:
+    """Shared CTE chain for the trained-PQ oracles, through the
+    trained codebook relation ``cb(s, k, cvec)``: per-subspace Lloyd
+    chains (L2 assignment with (d2, k) tie-break + FIXED-POINT 1e-6
+    means — integer sums are order-independent, so the sequential SQL
+    means equal Spark's distributed ones bit-for-bit). Code ids are
+    the surviving seed vec_ids in both engines."""
     from dbt_eamples_spark.operators.similarity import (
         PQ_CODES,
         PQ_SUBDIM,
         PQ_SUBVECTORS,
         PQ_TRAIN_ITERS,
     )
-
-    def sub_dist(vec: str, cvec: str, s: int) -> str:
-        return (
-            f"list_reduce(list_transform(range(1, {PQ_SUBDIM} + 1), "
-            f"i -> ({vec}[{s} * {PQ_SUBDIM} + i] - {cvec}[i])"
-            f" * ({vec}[{s} * {PQ_SUBDIM} + i] - {cvec}[i])), "
-            f"(x, y) -> x + y)"
-        )
 
     parts = [
         """v AS (
@@ -1360,7 +1352,24 @@ def _pq_trained_oracle_sql() -> str:
         f"SELECT {s} AS s, k, cvec FROM c{s}_{PQ_TRAIN_ITERS}"
         for s in range(PQ_SUBVECTORS)
     )
-    parts.append(f"cb AS ({cb_union})")
+    # MATERIALIZED: the rerank oracle references cb from two
+    # consumers (encode distances + query distance tables); DuckDB
+    # would otherwise inline — and re-run — the whole training chain
+    # per consumer (the ROUND4_NOTES re-evaluation finding).
+    parts.append(f"cb AS MATERIALIZED ({cb_union})")
+    return parts
+
+
+def _pq_trained_oracle_sql() -> str:
+    """Mirror of similarity.embedding_pq_encode_trained: the shared
+    trained-codebook chain (:func:`_pq_trained_parts`), then the
+    encode argmin against the TRAINED codebook CTE."""
+    from dbt_eamples_spark.operators.similarity import (
+        PQ_SUBDIM,
+        PQ_SUBVECTORS,
+    )
+
+    parts = _pq_trained_parts()
     enc_dist = (
         f"list_reduce(list_transform(range(1, {PQ_SUBDIM} + 1), "
         f"i -> (vec[s * {PQ_SUBDIM} + i] - cvec[i])"
@@ -1394,6 +1403,106 @@ def _pq_trained_oracle_sql() -> str:
 
 
 EXT_ORACLES["embedding_pq_encode_trained"] = _pq_trained_oracle_sql()
+
+
+def _pq_trained_rerank_oracle_sql() -> str:
+    """Mirror of similarity.similarity_pq_rerank_topk: the shared
+    trained-codebook chain, long-form codes, per-query ADC distance
+    tables against the TRAINED codebook, a PQ_RERANK shortlist in the
+    deterministic (adc_dist, neighbor_id) order, then EXACT cosine
+    re-ranking of the shortlist only. The ADC sum is the ORDERED
+    list_reduce over s (((d0+d1)+d2)+d3 — Spark's left-assoc
+    addition order); cosine rounds to 6 dp on identical expression
+    trees, the similarity_topk convention."""
+    from dbt_eamples_spark.operators.similarity import (
+        N_QUERIES,
+        PQ_RERANK,
+        PQ_SUBDIM,
+        PQ_SUBVECTORS,
+        TOP_K,
+    )
+
+    parts = _pq_trained_parts()
+    enc_dist = (
+        f"list_reduce(list_transform(range(1, {PQ_SUBDIM} + 1), "
+        f"i -> (vec[s * {PQ_SUBDIM} + i] - cvec[i])"
+        f" * (vec[s * {PQ_SUBDIM} + i] - cvec[i])), (x, y) -> x + y)"
+    )
+    q_dist = (
+        f"list_reduce(list_transform(range(1, {PQ_SUBDIM} + 1), "
+        f"i -> (qvec[s * {PQ_SUBDIM} + i] - cvec[i])"
+        f" * (qvec[s * {PQ_SUBDIM} + i] - cvec[i])), (x, y) -> x + y)"
+    )
+    parts.append(
+        f"""d AS (
+            SELECT vec_id, s, k, {enc_dist} AS d2
+            FROM v CROSS JOIN cb
+        )"""
+    )
+    parts.append(
+        """best AS (
+            SELECT vec_id, s, k,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                      ORDER BY d2 ASC, k ASC) AS rn
+            FROM d
+        )"""
+    )
+    parts.append("codes AS (SELECT vec_id, s, k FROM best WHERE rn = 1)")
+    parts.append(
+        f"""q AS (
+            SELECT vec_id AS query_id, vec AS qvec FROM v
+            WHERE vec_id < {N_QUERIES}
+        )"""
+    )
+    parts.append(
+        f"""dt AS (
+            SELECT query_id, s, k, {q_dist} AS dq
+            FROM q CROSS JOIN cb
+        )"""
+    )
+    parts.append(
+        """scored AS (
+            SELECT dt.query_id, c.vec_id AS neighbor_id,
+                   list_reduce(list(dt.dq ORDER BY dt.s),
+                               (x, y) -> x + y) AS adc_dist
+            FROM codes c JOIN dt ON c.s = dt.s AND c.k = dt.k
+            WHERE c.vec_id != dt.query_id
+            GROUP BY dt.query_id, c.vec_id
+        )"""
+    )
+    parts.append(
+        f"""shortlist AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY adc_dist ASC,
+                                                   neighbor_id ASC) AS srk
+                FROM scored
+            ) WHERE srk <= {PQ_RERANK}
+        )"""
+    )
+    parts.append(
+        f"""rescored AS (
+            SELECT sl.query_id, sl.neighbor_id,
+                   round({_cos('q.qvec', 'nv.vec')}, 6) AS cosine
+            FROM shortlist sl
+            JOIN q ON q.query_id = sl.query_id
+            JOIN v nv ON nv.vec_id = sl.neighbor_id
+        )"""
+    )
+    return f"""
+        WITH {','.join(parts)}
+        SELECT query_id, neighbor_id, cosine, rk FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC,
+                                               neighbor_id ASC) AS rk
+            FROM rescored
+        ) WHERE rk <= {TOP_K}
+    """
+
+
+EXT_ORACLES["similarity_pq_rerank_topk"] = _pq_trained_rerank_oracle_sql()
 
 
 def _profile_oracle_sql() -> str:

@@ -50,6 +50,9 @@ class TestShuffleBudgets:
         "dedup_exact": 1,  # md5-keyed groupBy
         "table_profile": 1,  # one Expand aggregation exchange
         "metric_compiled_growth": 2,  # hash agg + window over aggregate
+        # parallelize repartition + local-topk groupBy + rank window;
+        # the refine joins broadcast (shortlist and query sides tiny)
+        "similarity_pq_rerank_topk": 3,
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))
