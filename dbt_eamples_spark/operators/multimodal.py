@@ -5,12 +5,16 @@ metadata struct. The decode/feature-extraction step is a Pandas-UDF
 stage over ``mapInPandas``. Two decode modes:
 ``decode_stub='fake'`` produces a deterministic fake feature vector
 from the bytes (the oracle-checkable path — no codec involved);
-``decode_stub='strict'`` REALLY decodes: PNG payloads go through the
-pure-stdlib baseline codec (``png.decode_png`` — zlib/struct from
-the public spec, since no image library ships in this container) and
-yield geometry + per-channel statistics; non-PNG media (jpeg, audio,
-video) still raises NotImplementedError at the exact line a
-production deployment plugs PIL/librosa/av into.
+``decode_stub='strict'`` REALLY decodes, dispatching on magic bytes:
+PNG payloads go through the pure-stdlib baseline codec
+(``png.decode_png`` — zlib/struct from the public spec, since no
+image library ships in this container) and yield geometry +
+per-channel statistics; RIFF/WAVE PCM audio goes through the
+pure-stdlib WAV codec (``wav.decode_wav``) and yields rate/duration
++ amplitude statistics (RMS, peak, zero-crossing rate, DC offset —
+the silence/clipping curation signals); other media (jpeg,
+compressed audio, video) still raises NotImplementedError at the
+exact line a production deployment plugs PIL/librosa/av into.
 
 Scale notes: mapInPandas streams Arrow batches — constant memory per
 task regardless of corpus size; binary payloads never pass through
@@ -114,35 +118,77 @@ def _fake_decode(batch: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out, columns=["doc_id", "n_bytes", "features"])
 
 
-def _png_decode(batch: pd.DataFrame) -> pd.DataFrame:
-    """REAL decode of PNG payloads (pure-stdlib baseline codec).
-    Feature layout (FEATURE_DIM=8): width, height, channels, overall
-    mean/255, channel-0..2 means/255 (0.0 when absent), bright-pixel
-    fraction (>127). Non-PNG bytes raise NotImplementedError — the
-    PIL/librosa/av integration point for other media types."""
-    from dbt_eamples_spark.operators.png import decode_png, is_png
+def _png_features(b: bytes) -> list[float]:
+    """Feature layout (FEATURE_DIM=8): width, height, channels,
+    overall mean/255, channel-0..2 means/255 (0.0 when absent),
+    bright-pixel fraction (>127)."""
+    from dbt_eamples_spark.operators.png import decode_png
+
+    w, h, ch, px = decode_png(b)
+    arr = px.astype("float64")
+    chan_means = [float(arr[:, :, c].mean()) / 255.0 for c in range(ch)]
+    chan_means += [0.0] * (3 - len(chan_means[:3]))
+    return [
+        float(w),
+        float(h),
+        float(ch),
+        float(arr.mean()) / 255.0,
+        *chan_means[:3],
+        float((arr > 127).mean()),
+    ]
+
+
+def _wav_features(b: bytes) -> list[float]:
+    """Feature layout (FEATURE_DIM=8): sample_rate, n_frames,
+    channels, duration_sec, RMS, peak, zero-crossing rate, DC
+    offset — all amplitude stats over the channel-mean (mono-mixed)
+    signal in [-1, 1], the standard audio-curation quality signals
+    (silence/clipping/DC-bias filters)."""
+    import numpy as np
+
+    from dbt_eamples_spark.operators.wav import decode_wav
+
+    rate, channels, samples = decode_wav(b)
+    n_frames = samples.shape[0]
+    if n_frames == 0:
+        return [float(rate), 0.0, float(channels), 0.0, 0.0, 0.0, 0.0, 0.0]
+    mono = samples.mean(axis=1)
+    zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if n_frames > 1 else 0.0
+    return [
+        float(rate),
+        float(n_frames),
+        float(channels),
+        n_frames / rate,
+        float(np.sqrt(np.mean(mono**2))),
+        float(np.abs(mono).max()),
+        zcr,
+        float(mono.mean()),
+    ]
+
+
+def _strict_decode(batch: pd.DataFrame) -> pd.DataFrame:
+    """REAL decode, dispatched on magic bytes: PNG payloads via the
+    pure-stdlib baseline codec, RIFF/WAVE PCM audio via the
+    pure-stdlib WAV codec. Anything else raises NotImplementedError
+    — the PIL/librosa/av integration point for jpeg/compressed
+    audio/video."""
+    from dbt_eamples_spark.operators.png import is_png
+    from dbt_eamples_spark.operators.wav import is_wav
 
     out = []
     for doc_id, content in zip(batch["doc_id"], batch["content"]):
         b = bytes(content)
-        if not is_png(b):
+        if is_png(b):
+            feats = _png_features(b)
+        elif is_wav(b):
+            feats = _wav_features(b)
+        else:
             raise NotImplementedError(
-                "strict decode handles baseline PNG natively; other "
-                "media (jpeg/audio/video) requires PIL/librosa/av — "
-                "integrate here, or use decode_stub='fake'"
+                "strict decode handles baseline PNG and PCM WAV "
+                "natively; other media (jpeg/compressed audio/video) "
+                "requires PIL/librosa/av — integrate here, or use "
+                "decode_stub='fake'"
             )
-        w, h, ch, px = decode_png(b)
-        arr = px.astype("float64")
-        chan_means = [float(arr[:, :, c].mean()) / 255.0 for c in range(ch)]
-        chan_means += [0.0] * (3 - len(chan_means[:3]))
-        feats = [
-            float(w),
-            float(h),
-            float(ch),
-            float(arr.mean()) / 255.0,
-            *chan_means[:3],
-            float((arr > 127).mean()),
-        ]
         out.append({"doc_id": doc_id, "n_bytes": len(b), "features": feats})
     return pd.DataFrame(out, columns=["doc_id", "n_bytes", "features"])
 
@@ -175,7 +221,7 @@ def decode_features_frame(bt: DataFrame, decode_stub: str = "fake") -> DataFrame
     where 32 tasks of ~150 rows were pure overhead). On a cluster
     the same holds per executor; the floor keeps at least 4 tasks so
     the stage still spreads."""
-    decoder = _png_decode if decode_stub == "strict" else _fake_decode
+    decoder = _strict_decode if decode_stub == "strict" else _fake_decode
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:

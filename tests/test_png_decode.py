@@ -113,8 +113,10 @@ class TestStrictDecodeThroughSpark:
                 T.StructField("content", T.BinaryType()),
             ]
         )
+        # JPEG magic: PCM WAV decodes for real now, so the gate test
+        # uses a media type that genuinely needs an external library
         bt = spark.createDataFrame(
-            [(1, bytearray(b"RIFF....WAVEfmt "))], schema=schema
+            [(1, bytearray(b"\xff\xd8\xff\xe0\x00\x10JFIF"))], schema=schema
         )
         with pytest.raises(Exception, match="NotImplementedError|PIL"):
             decode_features_frame(bt, "strict").collect()
