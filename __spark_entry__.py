@@ -115,6 +115,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _R4_PRIORITY = [
     # (1) new this round
     "similarity_pq_rerank_topk",
+    "text_pii_scan",
     "events_user_path",
     "ts_gap_fill",
     "text_line_dedup",
@@ -298,6 +299,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_pq_topk": V.similarity_pq_topk,
         # full production PQ path: trained books + ADC + exact rerank
         "similarity_pq_rerank_topk": V.similarity_pq_rerank_topk,
+        # PII detect + redact fingerprint (zero-shuffle narrow map)
+        "text_pii_scan": T.text_pii_scan,
         # PQ encode against per-subspace TRAINED (Lloyd) codebooks
         "embedding_pq_encode_trained": V.embedding_pq_encode_trained,
         # --- round-3 additions / r2-weak reworks: keep in sample ---

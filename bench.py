@@ -96,6 +96,7 @@ HEADLINE = [
     "metric_compiled_growth",
     "table_profile",
     "similarity_pq_rerank_topk",
+    "text_pii_scan",
 ]
 
 

@@ -546,3 +546,93 @@ def text_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_nll"),
         )
     )
+
+
+# ---- PII scan / redaction (X28) --------------------------------------------
+# Conservative patterns restricted to the regex subset where Java
+# (Spark) and RE2 (DuckDB oracle) agree exactly: character classes,
+# \d, bounded repetition, literal dots. Both engines scan
+# non-overlapping leftmost matches, so counts and replacements are
+# engine-identical.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\d{3}-\d{3}-\d{4}"
+PII_IPV4 = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+PII_DIGIT_RUN = r"\d{9,}"
+
+
+def pii_augmented_text():
+    """Deterministic fixture enrichment: the synthetic corpus
+    contains no PII by construction (digit-free word salad), so the
+    scan query plants doc_id-keyed PII spans — email every 5th doc,
+    phones every 7th, an IPv4 every 11th, an account-number digit
+    run every 13th. Both engines build the identical string, which
+    makes detection, counting, AND redaction real cross-engine
+    checks instead of an all-zeros no-op."""
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" reach user"), did, F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit(" call 555-867-5309 or 555-123-4567"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0, F.lit(" from host 192.168.10.42")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0, F.lit(" acct 123456789012345")
+        ).otherwise(F.lit("")),
+    )
+
+
+def pii_scan_frame(df: DataFrame) -> DataFrame:
+    """PII detection + redaction over any (doc_id, t) frame —
+    factored out so tests can feed real PII-bearing text through the
+    identical expressions the fixture query uses.
+
+    Per doc: non-overlapping match counts per PII class (on the raw
+    text, classes independent) and the md5 fingerprint of the fully
+    redacted text (email → ipv4 → phone → digit-run replacement
+    order; the classes cannot overlap by construction — phones and
+    IPv4s are dash/dot-separated triples a 9+ digit run never
+    matches, and match counts are taken pre-redaction anyway).
+
+    Scale: a ZERO-SHUFFLE narrow map — every count and replacement
+    is a JVM regex inside codegen; the corpus streams once. This is
+    the shape of a C4-style PII pass over 100 TB: scan-bound, no
+    aggregation, output 1:1 with input."""
+    counts = {
+        "n_emails": PII_EMAIL,
+        "n_phones": PII_PHONE,
+        "n_ipv4": PII_IPV4,
+        "n_digit_runs": PII_DIGIT_RUN,
+    }
+    red = F.col("t")
+    for pat, token in [
+        (PII_EMAIL, "[EMAIL]"),
+        (PII_IPV4, "[IP]"),
+        (PII_PHONE, "[PHONE]"),
+        (PII_DIGIT_RUN, "[NUM]"),
+    ]:
+        red = F.regexp_replace(red, pat, token)
+    cnt_cols = [
+        F.regexp_count(F.col("t"), F.lit(p)).cast("long").alias(name)
+        for name, p in counts.items()
+    ]
+    total = sum(F.col(n) for n in counts)
+    return df.select("doc_id", *cnt_cols, F.md5(red).alias("redacted_md5")) \
+        .select(
+            "doc_id", *counts.keys(), total.alias("pii_total"), "redacted_md5"
+        )
+
+
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: PII scan + redaction fingerprint over
+    the (deterministically PII-enriched) documents corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pii_scan_frame(
+        docs.select("doc_id", pii_augmented_text().alias("t"))
+    )

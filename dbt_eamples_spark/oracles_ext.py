@@ -1523,3 +1523,61 @@ def _profile_oracle_sql() -> str:
 
 
 EXT_ORACLES["table_profile"] = _profile_oracle_sql()
+
+
+def _pii_oracle_sql() -> str:
+    """Mirror of text.text_pii_scan: identical doc_id-keyed fixture
+    enrichment, per-class non-overlapping match counts via
+    regexp_extract_all, and the same email → ipv4 → phone →
+    digit-run global-replacement order for the redaction md5. The
+    patterns live in one place (text.py) and are restricted to the
+    Java/RE2-common regex subset."""
+    from dbt_eamples_spark.operators.text import (
+        PII_DIGIT_RUN,
+        PII_EMAIL,
+        PII_IPV4,
+        PII_PHONE,
+    )
+
+    def n(pat: str) -> str:
+        return f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT)"
+
+    red = "t"
+    for pat, token in [
+        (PII_EMAIL, "[EMAIL]"),
+        (PII_IPV4, "[IP]"),
+        (PII_PHONE, "[PHONE]"),
+        (PII_DIGIT_RUN, "[NUM]"),
+    ]:
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+
+    return f"""
+        WITH aug AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN ' reach user' || doc_id::VARCHAR
+                                || '@example.com'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN ' call 555-867-5309 or 555-123-4567'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0
+                           THEN ' from host 192.168.10.42' ELSE '' END
+                   || CASE WHEN doc_id % 13 = 0
+                           THEN ' acct 123456789012345' ELSE '' END AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               {n(PII_EMAIL)} AS n_emails,
+               {n(PII_PHONE)} AS n_phones,
+               {n(PII_IPV4)} AS n_ipv4,
+               {n(PII_DIGIT_RUN)} AS n_digit_runs,
+               {n(PII_EMAIL)} + {n(PII_PHONE)} + {n(PII_IPV4)}
+                 + {n(PII_DIGIT_RUN)} AS pii_total,
+               md5({red}) AS redacted_md5
+        FROM aug
+    """
+
+
+EXT_ORACLES["text_pii_scan"] = _pii_oracle_sql()

@@ -53,6 +53,7 @@ class TestShuffleBudgets:
         # parallelize repartition + local-topk groupBy + rank window;
         # the refine joins broadcast (shortlist and query sides tiny)
         "similarity_pq_rerank_topk": 3,
+        "text_pii_scan": 0,  # pure narrow map: regex scan + redact
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))

@@ -394,3 +394,47 @@ class TestTableProfile:
             assert prof[c]["n_nulls"] == ev.filter(F.col(c).isNull()).count()
             assert prof[c]["n_distinct"] == ev.select(c).na.drop().distinct().count()
         assert prof["event_id"]["n_distinct"] == n  # unique key
+
+
+class TestPiiScan:
+    def test_detects_and_redacts_planted_pii(self, spark):
+        from pyspark.sql import types as T
+
+        from dbt_eamples_spark.operators.text import pii_scan_frame
+
+        rows = [
+            (1, "write to jane.doe+spam@corp.example.org today"),
+            (2, "call 555-867-5309 or visit 10.0.0.1 acct 987654321"),
+            (3, "clean text with a short number 1234"),
+        ]
+        schema = T.StructType(
+            [T.StructField("doc_id", T.LongType()), T.StructField("t", T.StringType())]
+        )
+        out = {
+            r["doc_id"]: r
+            for r in pii_scan_frame(spark.createDataFrame(rows, schema)).collect()
+        }
+        assert out[1]["n_emails"] == 1 and out[1]["pii_total"] == 1
+        assert (out[2]["n_phones"], out[2]["n_ipv4"], out[2]["n_digit_runs"]) == (1, 1, 1)
+        assert out[3]["pii_total"] == 0
+        # redaction changes the fingerprint only where PII was found
+        import hashlib
+
+        assert out[3]["redacted_md5"] == hashlib.md5(rows[2][1].encode()).hexdigest()
+        assert out[2]["redacted_md5"] == hashlib.md5(
+            b"call [PHONE] or visit [IP] acct [NUM]"
+        ).hexdigest()
+
+    def test_fixture_enrichment_plants_expected_density(self, spark, sf_dir):
+        from pyspark.sql import functions as FF
+
+        import __spark_entry__ as entrymod
+
+        df = entrymod.queries()["text_pii_scan"](spark, sf_dir)
+        agg = df.agg(
+            FF.sum("n_emails").alias("e"),
+            FF.sum((FF.col("pii_total") > 0).cast("long")).alias("docs_hit"),
+            FF.count("*").alias("n"),
+        ).collect()[0]
+        assert agg["e"] == (agg["n"] + 4) // 5  # every 5th doc, ids from 0
+        assert 0 < agg["docs_hit"] < agg["n"]
