@@ -116,6 +116,7 @@ _R4_PRIORITY = [
     # (1) new this round
     "similarity_pq_rerank_topk",
     "text_pii_scan",
+    "corpus_quality_filter",
     "events_user_path",
     "ts_gap_fill",
     "text_line_dedup",
@@ -301,6 +302,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_pq_rerank_topk": V.similarity_pq_rerank_topk,
         # PII detect + redact fingerprint (zero-shuffle narrow map)
         "text_pii_scan": T.text_pii_scan,
+        # Gopher-rules composite keep/drop verdict (integer-exact)
+        "corpus_quality_filter": C.corpus_quality_filter,
         # PQ encode against per-subspace TRAINED (Lloyd) codebooks
         "embedding_pq_encode_trained": V.embedding_pq_encode_trained,
         # --- round-3 additions / r2-weak reworks: keep in sample ---

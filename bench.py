@@ -97,6 +97,7 @@ HEADLINE = [
     "table_profile",
     "similarity_pq_rerank_topk",
     "text_pii_scan",
+    "corpus_quality_filter",
 ]
 
 

@@ -1581,3 +1581,60 @@ def _pii_oracle_sql() -> str:
 
 
 EXT_ORACLES["text_pii_scan"] = _pii_oracle_sql()
+
+
+def _quality_filter_oracle_sql() -> str:
+    """Mirror of curation.corpus_quality_filter: same tokenization
+    contract (split(lower(text), '\\s+')), same integer-only rule
+    comparisons, same CASE order for the first-failing-rule
+    reason."""
+    from dbt_eamples_spark.operators.curation import (
+        QF_DUP_DEN,
+        QF_DUP_NUM,
+        QF_LEN_HI_DEN,
+        QF_LEN_HI_NUM,
+        QF_LEN_LO_DEN,
+        QF_LEN_LO_NUM,
+        QF_MAX_WORDS,
+        QF_MIN_STOP_HITS,
+        QF_MIN_WORDS,
+        QF_STOP_PAT,
+    )
+
+    return rf"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(string_split_regex(lower(text), '\s+'))
+                        AS BIGINT) AS n_words,
+                   CAST(len(list_distinct(
+                            string_split_regex(lower(text), '\s+')))
+                        AS BIGINT) AS n_distinct,
+                   CAST(length(regexp_replace(text, '\s+', '', 'g'))
+                        AS BIGINT) AS n_letters,
+                   CAST(len(regexp_extract_all(lower(text),
+                            '{QF_STOP_PAT}')) AS BIGINT) AS stop_hits
+            FROM documents
+        ),
+        v AS (
+            SELECT *,
+                   CASE
+                     WHEN n_words < {QF_MIN_WORDS} THEN 'too_short'
+                     WHEN n_words > {QF_MAX_WORDS} THEN 'too_long'
+                     WHEN n_letters * {QF_LEN_LO_DEN}
+                          < n_words * {QF_LEN_LO_NUM} THEN 'words_too_short'
+                     WHEN n_letters * {QF_LEN_HI_DEN}
+                          > n_words * {QF_LEN_HI_NUM} THEN 'words_too_long'
+                     WHEN (n_words - n_distinct) * {QF_DUP_DEN}
+                          > n_words * {QF_DUP_NUM} THEN 'repetitive'
+                     WHEN stop_hits < {QF_MIN_STOP_HITS} THEN 'no_stopwords'
+                     ELSE 'ok'
+                   END AS reason
+            FROM t
+        )
+        SELECT doc_id, n_words, n_distinct, n_letters, stop_hits,
+               reason, reason = 'ok' AS keep
+        FROM v
+    """
+
+
+EXT_ORACLES["corpus_quality_filter"] = _quality_filter_oracle_sql()

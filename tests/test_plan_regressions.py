@@ -54,6 +54,7 @@ class TestShuffleBudgets:
         # the refine joins broadcast (shortlist and query sides tiny)
         "similarity_pq_rerank_topk": 3,
         "text_pii_scan": 0,  # pure narrow map: regex scan + redact
+        "corpus_quality_filter": 0,  # pure narrow map: rule verdict
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))

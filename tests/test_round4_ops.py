@@ -438,3 +438,52 @@ class TestPiiScan:
         ).collect()[0]
         assert agg["e"] == (agg["n"] + 4) // 5  # every 5th doc, ids from 0
         assert 0 < agg["docs_hit"] < agg["n"]
+
+
+class TestCorpusQualityFilter:
+    def test_each_rule_fires_in_order(self, spark):
+        from pyspark.sql import types as T
+
+        from dbt_eamples_spark.operators.curation import corpus_quality_filter
+        from dbt_eamples_spark.operators.text import _tokens_col  # noqa: F401
+        import dbt_eamples_spark.operators.curation as CU
+
+        rows = [
+            (1, " ".join(f"word{i}" for i in range(30))
+                + " the of to in is it a and more text"),     # ok (40 words)
+            (2, "too short"),                                 # too_short
+            (3, "the word " * 60),                            # too_long (120)
+            (4, "aa bb cc dd " + "the of to in is it a word more text "
+                + "all tiny st un " * 6),                     # words_too_short
+            (5, ("extraordinarily incomprehensible " * 15
+                 + "the of and in it is a to more words here now then")),
+            (6, " ".join(["horse"] * 40)),                    # repetitive
+            (7, " ".join(f"w{i}xx" for i in range(40))),      # no_stopwords
+        ]
+        schema = T.StructType(
+            [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+        )
+        import tempfile, os
+        d = tempfile.mkdtemp()
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = {r["doc_id"]: r["reason"] for r in corpus_quality_filter(spark, d).collect()}
+        assert out[1] == "ok"
+        assert out[2] == "too_short"
+        assert out[3] == "too_long"
+        assert out[6] == "repetitive"
+        assert out[7] == "no_stopwords"
+        assert out[4] == "words_too_short"
+        assert out[5] == "words_too_long"
+
+    def test_fixture_split_is_nontrivial(self, spark, sf_dir):
+        import __spark_entry__ as entrymod
+        from pyspark.sql import functions as FF
+
+        df = entrymod.queries()["corpus_quality_filter"](spark, sf_dir)
+        agg = df.agg(
+            FF.sum(FF.col("keep").cast("long")).alias("kept"),
+            FF.count("*").alias("n"),
+        ).collect()[0]
+        assert 0 < agg["kept"] < agg["n"], "verdict must split the corpus"
