@@ -117,6 +117,7 @@ _R4_PRIORITY = [
     "similarity_pq_rerank_topk",
     "text_pii_scan",
     "corpus_quality_filter",
+    "events_anomaly_rolling",
     "events_user_path",
     "ts_gap_fill",
     "text_line_dedup",
@@ -304,6 +305,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scan": T.text_pii_scan,
         # Gopher-rules composite keep/drop verdict (integer-exact)
         "corpus_quality_filter": C.corpus_quality_filter,
+        # trailing-24h rolling z-score anomaly flags (integer-exact)
+        "events_anomaly_rolling": B.events_anomaly_rolling,
         # PQ encode against per-subspace TRAINED (Lloyd) codebooks
         "embedding_pq_encode_trained": V.embedding_pq_encode_trained,
         # --- round-3 additions / r2-weak reworks: keep in sample ---

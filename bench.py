@@ -98,6 +98,7 @@ HEADLINE = [
     "similarity_pq_rerank_topk",
     "text_pii_scan",
     "corpus_quality_filter",
+    "events_anomaly_rolling",
 ]
 
 

@@ -429,3 +429,76 @@ def events_attribution_last_touch(
             F.sum("cents").alias("revenue_cents"),
         )
     )
+
+
+# ---- rolling z-score anomaly detection (X30) -------------------------------
+ANOM_WINDOW_H = 24   # trailing baseline: the prior 24 clock hours
+ANOM_K = 3           # flag beyond 3 sigma
+ANOM_MIN_PRIOR = 12  # require half a day of baseline before flagging
+
+
+def events_anomaly_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-count anomaly flags per type: a trailing-24h
+    rolling z-score, evaluated in EXACT integer arithmetic.
+
+    |x - mu| > K*sigma over the prior window (m hours present,
+    sum s1, sum-of-squares s2; population variance) cross-multiplies
+    to (x*m - s1)^2 > K^2 * (m*s2 - s1^2) — integers only, so the
+    flag can never diverge across engines the way a float
+    mean/stddev comparison can. The factors are accumulated as
+    decimal(38,0) BEFORE multiplying (the agg_correlation lesson:
+    int64 wraps at ~1e9 events/hour once squared; 38 digits hold
+    hourly counts to ~1e17). The DuckDB oracle's HUGEINT arithmetic
+    is exact at the same widths; its HUGEINT outputs are cast back
+    to BIGINT (the abc_pareto typing lesson).
+
+    The window is a RANGE frame over the integer hour index, not a
+    ROWS frame — an hour with zero events produces no row, and a
+    ROWS frame would silently stretch the baseline across the gap.
+
+    Scale: one shuffle (the hourly pre-aggregation, map-side
+    combined); the window runs over the AGGREGATE — O(hours x types)
+    rows, never raw events. At 100 TB the hourly rollup is the only
+    full-data pass."""
+    ev = load_table(spark, sf_dir, "events", parallelize=True)
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .withColumn(
+            "hnum", (F.unix_timestamp("hour") / 3600).cast("long")
+        )
+    )
+    rw = (
+        Window.partitionBy("event_type")
+        .orderBy("hnum")
+        .rangeBetween(-ANOM_WINDOW_H, -1)
+    )
+    st = hourly.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.count("*").over(rw).alias("m"),
+        F.sum("n_events").over(rw).alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(rw).alias("s2"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    x, m, s1, s2 = (
+        dec(F.col("n_events")),
+        dec(F.col("m")),
+        dec(F.col("s1")),
+        dec(F.col("s2")),
+    )
+    dev = x * m - s1
+    flag = (F.col("m") >= ANOM_MIN_PRIOR) & (
+        dev * dev > F.lit(ANOM_K * ANOM_K) * (m * s2 - s1 * s1)
+    )
+    return st.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.col("m").alias("n_prior_hours"),
+        F.coalesce("s1", F.lit(0)).cast("long").alias("sum_prior"),
+        flag.alias("is_anomaly"),
+    )

@@ -1638,3 +1638,49 @@ def _quality_filter_oracle_sql() -> str:
 
 
 EXT_ORACLES["corpus_quality_filter"] = _quality_filter_oracle_sql()
+
+
+def _anomaly_oracle_sql() -> str:
+    """Mirror of behavior.events_anomaly_rolling: same hourly rollup,
+    same integer-hour RANGE frame, same cross-multiplied integer
+    z-score inequality (DuckDB's HUGEINT sums are exact at the same
+    widths Spark's decimal(38,0) covers); HUGEINT outputs cast back
+    to BIGINT."""
+    from dbt_eamples_spark.operators.behavior import (
+        ANOM_K,
+        ANOM_MIN_PRIOR,
+        ANOM_WINDOW_H,
+    )
+
+    return f"""
+        WITH hourly AS (
+            SELECT event_type,
+                   date_trunc('hour', ts) AS hour,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600
+                       AS hnum
+            FROM events
+            GROUP BY 1, 2
+        ),
+        w AS (
+            SELECT event_type, hour, n_events,
+                   COUNT(*) OVER rw AS m,
+                   SUM(n_events) OVER rw AS s1,
+                   SUM(n_events * n_events) OVER rw AS s2
+            FROM hourly
+            WINDOW rw AS (PARTITION BY event_type ORDER BY hnum
+                          RANGE BETWEEN {ANOM_WINDOW_H} PRECEDING
+                                    AND 1 PRECEDING)
+        )
+        SELECT event_type, hour, n_events,
+               CAST(m AS BIGINT) AS n_prior_hours,
+               CAST(COALESCE(s1, 0) AS BIGINT) AS sum_prior,
+               (m >= {ANOM_MIN_PRIOR}
+                AND (n_events * m - s1) * (n_events * m - s1)
+                    > {ANOM_K * ANOM_K} * (m * s2 - s1 * s1))
+                   AS is_anomaly
+        FROM w
+    """
+
+
+EXT_ORACLES["events_anomaly_rolling"] = _anomaly_oracle_sql()

@@ -55,6 +55,9 @@ class TestShuffleBudgets:
         "similarity_pq_rerank_topk": 3,
         "text_pii_scan": 0,  # pure narrow map: regex scan + redact
         "corpus_quality_filter": 0,  # pure narrow map: rule verdict
+        # parallelize repartition + hourly hash-agg + type window
+        # (the window runs over the AGGREGATE, never raw events)
+        "events_anomaly_rolling": 3,
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))

@@ -487,3 +487,45 @@ class TestCorpusQualityFilter:
             FF.count("*").alias("n"),
         ).collect()[0]
         assert 0 < agg["kept"] < agg["n"], "verdict must split the corpus"
+
+
+class TestAnomalyRolling:
+    def test_planted_spike_is_the_only_flag(self, spark):
+        import datetime as dt
+        import os
+        import tempfile
+
+        from pyspark.sql import types as T
+
+        from dbt_eamples_spark.operators.behavior import (
+            ANOM_MIN_PRIOR,
+            events_anomaly_rolling,
+        )
+
+        base = dt.datetime(2024, 3, 1)
+        rows = []
+        for h in range(48):
+            # alternating 4/6 baseline (nonzero variance), 50 at h=30
+            n = 50 if h == 30 else (4 if h % 2 == 0 else 6)
+            for i in range(n):
+                rows.append(
+                    (base + dt.timedelta(hours=h, seconds=i), "click")
+                )
+        schema = T.StructType(
+            [
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("event_type", T.StringType()),
+            ]
+        )
+        d = tempfile.mkdtemp()
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+            os.path.join(d, "events.parquet")
+        )
+        out = events_anomaly_rolling(spark, d).collect()
+        flagged = {r["hour"].hour + 24 * (r["hour"].day - 1): r for r in out
+                   if r["is_anomaly"]}
+        eligible = [r for r in out if r["n_prior_hours"] >= ANOM_MIN_PRIOR]
+        assert len(eligible) > 30
+        assert set(flagged) == {30}, f"only the spike should flag: {sorted(flagged)}"
+        spike = flagged[30]
+        assert spike["n_events"] == 50 and spike["n_prior_hours"] == 24
