@@ -118,6 +118,7 @@ _R4_PRIORITY = [
     "text_pii_scan",
     "corpus_quality_filter",
     "events_anomaly_rolling",
+    "events_dau_wau_mau",
     "events_user_path",
     "ts_gap_fill",
     "text_line_dedup",
@@ -307,6 +308,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_quality_filter": C.corpus_quality_filter,
         # trailing-24h rolling z-score anomaly flags (integer-exact)
         "events_anomaly_rolling": B.events_anomaly_rolling,
+        # exact DAU/WAU/MAU rolling distinct actives (no set buffers)
+        "events_dau_wau_mau": B.events_dau_wau_mau,
         # PQ encode against per-subspace TRAINED (Lloyd) codebooks
         "embedding_pq_encode_trained": V.embedding_pq_encode_trained,
         # --- round-3 additions / r2-weak reworks: keep in sample ---

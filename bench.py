@@ -99,6 +99,7 @@ HEADLINE = [
     "text_pii_scan",
     "corpus_quality_filter",
     "events_anomaly_rolling",
+    "events_dau_wau_mau",
 ]
 
 

@@ -502,3 +502,64 @@ def events_anomaly_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("s1", F.lit(0)).cast("long").alias("sum_prior"),
         flag.alias("is_anomaly"),
     )
+
+
+# ---- rolling active users (X31) --------------------------------------------
+WAU_DAYS = 7
+MAU_DAYS = 30
+
+
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DAU / WAU / MAU per observed day — trailing 7- and
+    30-day distinct active users.
+
+    Shape: one distinct pass produces the (user, day) activity
+    pairs; each pair then CONTRIBUTES ITSELF to the WAU_DAYS (resp.
+    MAU_DAYS) trailing windows it falls inside via an in-row
+    sequence explode, and a count-distinct per target day finishes
+    the job. No per-day user SETS are ever materialized — a
+    collect_set-per-day rollup is an aggregation-buffer bomb at 1e9
+    users/day, while this plan is |pairs|·(7+30) exploded rows
+    through ordinary shuffles. The explode output is restricted to
+    OBSERVED days by an equi-join against the DAU frame (bounded:
+    one row per day), so no phantom tail days appear after the last
+    event. For a 100 TB first pass the documented swap is
+    approx_count_distinct (HLL) per window — same plan, sketch
+    accuracy; this exact form is the oracle-checkable ground truth.
+    All outputs are integers on DATE keys — nothing to diverge."""
+    ev = load_table(spark, sf_dir, "events")
+    # checkpoint the distinct pass: all three branches consume it, and
+    # without materialization each re-scans the raw event log (3 full
+    # passes at 100 TB instead of one)
+    pairs = (
+        ev.select(
+            "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dau = pairs.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+
+    def rolling(n_days: int, out: str) -> DataFrame:
+        targets = F.explode(
+            F.expr(f"sequence(day, date_add(day, {n_days - 1}))")
+        ).alias("target_day")
+        return (
+            pairs.select("user_id", targets)
+            .join(
+                F.broadcast(dau.select(F.col("day").alias("target_day"))),
+                "target_day",
+            )
+            .groupBy("target_day")
+            .agg(F.countDistinct("user_id").cast("long").alias(out))
+        )
+
+    wau = rolling(WAU_DAYS, "wau")
+    mau = rolling(MAU_DAYS, "mau")
+    return (
+        dau.join(
+            F.broadcast(wau), dau["day"] == wau["target_day"]
+        )
+        .join(F.broadcast(mau), dau["day"] == mau["target_day"])
+        .select("day", "dau", "wau", "mau")
+    )

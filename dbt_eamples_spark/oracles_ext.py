@@ -1684,3 +1684,41 @@ def _anomaly_oracle_sql() -> str:
 
 
 EXT_ORACLES["events_anomaly_rolling"] = _anomaly_oracle_sql()
+
+
+def _dau_oracle_sql() -> str:
+    """Mirror of behavior.events_dau_wau_mau, expressed as trailing
+    range joins (equivalent to Spark's explode-and-count form: a
+    pair contributes to target day t iff p.day <= t <= p.day+n-1
+    iff t-n+1 <= p.day <= t)."""
+    from dbt_eamples_spark.operators.behavior import MAU_DAYS, WAU_DAYS
+
+    def win(n: int, out: str) -> str:
+        return f"""{out} AS (
+            SELECT d.day, COUNT(DISTINCT p.user_id) AS {out}
+            FROM dau d JOIN pairs p
+              ON p.day BETWEEN d.day - INTERVAL {n - 1} DAY AND d.day
+            GROUP BY d.day
+        )"""
+
+    return f"""
+        WITH pairs AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('day', ts) AS DATE) AS day
+            FROM events
+        ),
+        dau AS (
+            SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+            FROM pairs GROUP BY day
+        ),
+        {win(WAU_DAYS, 'wau')},
+        {win(MAU_DAYS, 'mau')}
+        SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau,
+               CAST(wau.wau AS BIGINT) AS wau,
+               CAST(mau.mau AS BIGINT) AS mau
+        FROM dau JOIN wau ON dau.day = wau.day
+                 JOIN mau ON dau.day = mau.day
+    """
+
+
+EXT_ORACLES["events_dau_wau_mau"] = _dau_oracle_sql()

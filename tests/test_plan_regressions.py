@@ -58,6 +58,10 @@ class TestShuffleBudgets:
         # parallelize repartition + hourly hash-agg + type window
         # (the window runs over the AGGREGATE, never raw events)
         "events_anomaly_rolling": 3,
+        # checkpointed distinct pass feeds dau + two rolling branches
+        # (one raw-event scan total); each branch: explode hash-agg +
+        # count-distinct, day joins all broadcast
+        "events_dau_wau_mau": 6,
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))

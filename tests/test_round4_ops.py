@@ -529,3 +529,26 @@ class TestAnomalyRolling:
         assert set(flagged) == {30}, f"only the spike should flag: {sorted(flagged)}"
         spike = flagged[30]
         assert spike["n_events"] == 50 and spike["n_prior_hours"] == 24
+
+
+class TestDauWauMau:
+    def test_rolling_windows_exact(self, spark, tmp_path):
+        rows = [
+            (1, _h(0), 1, "click", 0.0, None),
+            (2, _h(1), 1, "view", 0.0, None),  # same user+day: one pair
+            (3, _h(0), 2, "click", 0.0, None),
+            (4, _h(0) + dt.timedelta(days=8), 2, "click", 0.0, None),
+        ]
+        from dbt_eamples_spark.operators.behavior import events_dau_wau_mau
+
+        out = {
+            str(r["day"]): r
+            for r in events_dau_wau_mau(
+                spark, _write_events(spark, tmp_path, rows)
+            ).collect()
+        }
+        assert set(out) == {"2024-01-01", "2024-01-09"}  # observed days only
+        d0, d8 = out["2024-01-01"], out["2024-01-09"]
+        assert (d0["dau"], d0["wau"], d0["mau"]) == (2, 2, 2)
+        # day 8: only user 2 active in the trailing 7 days; both in 30
+        assert (d8["dau"], d8["wau"], d8["mau"]) == (1, 1, 2)
