@@ -119,6 +119,7 @@ _R4_PRIORITY = [
     "corpus_quality_filter",
     "events_anomaly_rolling",
     "events_dau_wau_mau",
+    "text_ngram_topk",
     "events_user_path",
     "ts_gap_fill",
     "text_line_dedup",
@@ -310,6 +311,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly_rolling": B.events_anomaly_rolling,
         # exact DAU/WAU/MAU rolling distinct actives (no set buffers)
         "events_dau_wau_mau": B.events_dau_wau_mau,
+        # corpus top-K bigram frequencies (TakeOrdered heap cut)
+        "text_ngram_topk": T.text_ngram_topk,
         # PQ encode against per-subspace TRAINED (Lloyd) codebooks
         "embedding_pq_encode_trained": V.embedding_pq_encode_trained,
         # --- round-3 additions / r2-weak reworks: keep in sample ---

@@ -100,6 +100,7 @@ HEADLINE = [
     "corpus_quality_filter",
     "events_anomaly_rolling",
     "events_dau_wau_mau",
+    "text_ngram_topk",
 ]
 
 

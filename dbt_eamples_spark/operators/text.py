@@ -636,3 +636,36 @@ def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scan_frame(
         docs.select("doc_id", pii_augmented_text().alias("t"))
     )
+
+
+# ---- corpus n-gram frequency top-k (X32) -----------------------------------
+NGRAM_TOPK = 100
+
+
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-K word bigrams by occurrence count — the
+    "what is actually in my corpus" audit pass (and the common-crawl
+    boilerplate detector's first stage).
+
+    Scale: bigrams materialize IN-ROW (transform over an index
+    sequence — no self-join), the frequency groupBy combines
+    map-side, and the final cut is a total order (count DESC, gram
+    ASC) under limit, which Spark executes as TakeOrderedAndProject
+    — per-partition heaps of K, never a global sort of the gram
+    vocabulary. One shuffle on the gram key."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    t = _tokens_col()
+    grams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("gram"))
+        .limit(NGRAM_TOPK)
+    )

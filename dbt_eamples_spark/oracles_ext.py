@@ -1722,3 +1722,30 @@ def _dau_oracle_sql() -> str:
 
 
 EXT_ORACLES["events_dau_wau_mau"] = _dau_oracle_sql()
+
+
+def _ngram_topk_oracle_sql() -> str:
+    """Mirror of text.text_ngram_topk: in-row bigram expansion via
+    list_transform over a 1-based index range, same (count DESC,
+    gram ASC) total order under the same K."""
+    from dbt_eamples_spark.operators.text import NGRAM_TOPK
+
+    return rf"""
+        WITH toks AS (
+            SELECT string_split_regex(lower(text), '\s+') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT unnest(list_transform(range(1, len(t)),
+                          i -> t[i] || ' ' || t[i + 1])) AS gram
+            FROM toks
+        )
+        SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
+        FROM grams
+        GROUP BY gram
+        ORDER BY n DESC, gram ASC
+        LIMIT {NGRAM_TOPK}
+    """
+
+
+EXT_ORACLES["text_ngram_topk"] = _ngram_topk_oracle_sql()

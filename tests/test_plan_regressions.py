@@ -62,6 +62,9 @@ class TestShuffleBudgets:
         # (one raw-event scan total); each branch: explode hash-agg +
         # count-distinct, day joins all broadcast
         "events_dau_wau_mau": 6,
+        # parallelize repartition + gram hash-agg; the top-k cut is
+        # TakeOrderedAndProject (no global-sort exchange)
+        "text_ngram_topk": 2,
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))

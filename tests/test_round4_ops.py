@@ -552,3 +552,25 @@ class TestDauWauMau:
         assert (d0["dau"], d0["wau"], d0["mau"]) == (2, 2, 2)
         # day 8: only user 2 active in the trailing 7 days; both in 30
         assert (d8["dau"], d8["wau"], d8["mau"]) == (1, 1, 2)
+
+
+class TestNgramTopk:
+    def test_counts_and_cut_order(self, spark, tmp_path):
+        from dbt_eamples_spark.operators.text import text_ngram_topk
+
+        sf = TestTextLineDedup()._write_docs(
+            spark,
+            tmp_path,
+            ["alpha beta alpha beta gamma", "alpha beta delta", "solo"],
+        )
+        rows = text_ngram_topk(spark, sf).collect()
+        counts = {r["gram"]: r["n"] for r in rows}
+        # "alpha beta": 2 in doc0 + 1 in doc1; overlapping bigrams count
+        assert counts["alpha beta"] == 3
+        assert counts["beta alpha"] == 1
+        assert counts["beta gamma"] == 1
+        assert counts["beta delta"] == 1
+        assert "solo" not in counts  # 1-token doc contributes nothing
+        # output is the (n DESC, gram ASC) prefix
+        pairs = [(r["n"], r["gram"]) for r in rows]
+        assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
