@@ -120,6 +120,7 @@ _R4_PRIORITY = [
     "events_anomaly_rolling",
     "events_dau_wau_mau",
     "text_ngram_topk",
+    "sample_source_temperature",
     "events_user_path",
     "ts_gap_fill",
     "text_line_dedup",
@@ -313,6 +314,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dau_wau_mau": B.events_dau_wau_mau,
         # corpus top-K bigram frequencies (TakeOrdered heap cut)
         "text_ngram_topk": T.text_ngram_topk,
+        # mT5-style temperature source rebalancing (sqrt-exact rates)
+        "sample_source_temperature": S.sample_source_temperature,
         # PQ encode against per-subspace TRAINED (Lloyd) codebooks
         "embedding_pq_encode_trained": V.embedding_pq_encode_trained,
         # --- round-3 additions / r2-weak reworks: keep in sample ---

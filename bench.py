@@ -101,6 +101,7 @@ HEADLINE = [
     "events_anomaly_rolling",
     "events_dau_wau_mau",
     "text_ngram_topk",
+    "sample_source_temperature",
 ]
 
 

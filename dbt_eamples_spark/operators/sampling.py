@@ -208,3 +208,72 @@ def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.round(u, 6).alias("coin"), split.alias("split")
     )
+
+
+def sample_source_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source rebalancing (the mT5/Pile mixing
+    pass): downsample each source so kept volume is proportional to
+    n_s^alpha, flattening the source distribution toward uniform
+    without discarding small sources. With alpha = 0.5 the keep rate
+    is sqrt(n_min/n_s) (=1 for the smallest source), decided per doc
+    by the module's md5 hash coin — deterministic across runs,
+    partitionings, and engines.
+
+    alpha is pinned at 0.5 deliberately: IEEE-754 requires sqrt (and
+    division) to be CORRECTLY ROUNDED, so sqrt(n_min/n_s) is
+    bit-identical in the JVM and DuckDB, making the coin < rate
+    decision engine-exact. A general-alpha pow(n_min/n_s, 1-alpha)
+    is NOT guaranteed correctly rounded by either libm or Math.pow —
+    a production deployment choosing alpha = 0.7 accepts a ~1-ulp
+    rate wobble (odds ~2^-52 per doc of flipping a decision), which
+    is fine operationally but not for a bit-exact oracle.
+
+    Scale: the per-source count table is |sources| rows (broadcast
+    back); the corpus streams once through a broadcast join +
+    filter. One shuffle (the source count), the same shape at
+    100 TB.
+
+    Fixture enrichment: the synthetic corpus is EXACTLY uniform
+    across its 20 sources (25 docs each at sf0.01), which makes
+    every keep rate 1.0 and the pass a no-op — so the driver query
+    rebalances a deterministic SKEWED regrouping instead:
+    source_bin = floor(sqrt(doc_id)) yields group sizes 1, 3, 5, ...
+    (exact in both engines — integer-to-double conversion and sqrt
+    are correctly rounded, floor at a perfect square is exact), so
+    rates genuinely vary and the keep decision is exercised for
+    real."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("s"),
+            F.floor(F.sqrt(F.col("doc_id").cast("double"))).cast("long"),
+        ).alias("source_bin"),
+    )
+    counts = docs.groupBy("source_bin").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    nmin = counts.agg(F.min("n_docs").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        "source_bin",
+        "n_docs",
+        F.sqrt(F.col("n_min") / F.col("n_docs")).alias("keep_rate"),
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        / F.lit(float(1 << 60))
+    )
+    return (
+        docs.join(F.broadcast(rates), "source_bin")
+        .select(
+            "doc_id",
+            "source_bin",
+            "n_docs",
+            "keep_rate",
+            F.round(u, 6).alias("coin"),
+            (u < F.col("keep_rate")).alias("keep"),
+        )
+        .filter(F.col("keep"))
+        .select("doc_id", "source_bin", "n_docs", "keep_rate", "coin")
+    )

@@ -1749,3 +1749,29 @@ def _ngram_topk_oracle_sql() -> str:
 
 
 EXT_ORACLES["text_ngram_topk"] = _ngram_topk_oracle_sql()
+
+
+EXT_ORACLES["sample_source_temperature"] = """
+    WITH d AS (
+        SELECT doc_id,
+               's' || CAST(CAST(floor(sqrt(CAST(doc_id AS DOUBLE)))
+                                AS BIGINT) AS VARCHAR) AS source_bin
+        FROM documents
+    ),
+    c AS (
+        SELECT source_bin, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM d GROUP BY source_bin
+    ),
+    m AS (SELECT MIN(n_docs) AS n_min FROM c),
+    r AS (
+        SELECT source_bin, n_docs, sqrt(n_min / n_docs) AS keep_rate
+        FROM c CROSS JOIN m
+    )
+    SELECT doc_id, source_bin, n_docs, keep_rate, ROUND(coin, 6) AS coin
+    FROM (
+        SELECT d.doc_id, r.source_bin, r.n_docs, r.keep_rate,
+               ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 / 1152921504606846976.0 AS coin
+        FROM d JOIN r ON d.source_bin = r.source_bin
+    ) WHERE coin < keep_rate
+"""

@@ -65,6 +65,9 @@ class TestShuffleBudgets:
         # parallelize repartition + gram hash-agg; the top-k cut is
         # TakeOrderedAndProject (no global-sort exchange)
         "text_ngram_topk": 2,
+        # one source-count hash-agg; rates broadcast back, corpus
+        # streams once through a broadcast join + filter
+        "sample_source_temperature": 2,
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))

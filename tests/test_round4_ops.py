@@ -574,3 +574,30 @@ class TestNgramTopk:
         # output is the (n DESC, gram ASC) prefix
         pairs = [(r["n"], r["gram"]) for r in rows]
         assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+
+
+class TestSourceTemperature:
+    def test_rebalances_toward_sqrt_volume(self, spark, sf_dir):
+        import math
+
+        from dbt_eamples_spark.operators.sampling import (
+            sample_source_temperature,
+        )
+
+        rows = sample_source_temperature(spark, sf_dir).collect()
+        assert rows, "some docs must survive"
+        by_bin = {}
+        for r in rows:
+            by_bin.setdefault(r["source_bin"], []).append(r)
+        rates = {b: rs[0]["keep_rate"] for b, rs in by_bin.items()}
+        sizes = {b: rs[0]["n_docs"] for b, rs in by_bin.items()}
+        n_min = min(sizes.values())
+        for b, rate in rates.items():
+            assert rate == pytest.approx(math.sqrt(n_min / sizes[b]))
+        # larger bins get strictly smaller keep rates
+        ordered = sorted(sizes, key=sizes.get)
+        assert rates[ordered[0]] > rates[ordered[-1]]
+        # kept volume per bin concentrates around sqrt(n_min * n_s):
+        # the whole point of temperature flattening
+        big = ordered[-1]
+        assert len(by_bin[big]) < sizes[big]
