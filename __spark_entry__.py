@@ -44,6 +44,7 @@ from dbt_eamples_spark.streaming.incremental import (
     incremental_delta_filter_query,
     incremental_merge_upsert,
     scd2_snapshot,
+    table_diff,
 )
 from dbt_eamples_spark.streaming.streams import (
     stream_dedup,
@@ -114,6 +115,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # oldest-first too, so round 5's rotation falls out naturally.
 _R4_PRIORITY = [
     # (1) new this round
+    "table_diff",
+    "agg_weighted_percentile",
+    "events_inter_arrival",
     "similarity_pq_rerank_topk",
     "text_pii_scan",
     "corpus_quality_filter",
@@ -318,6 +322,12 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_source_temperature": S.sample_source_temperature,
         # PQ encode against per-subspace TRAINED (Lloyd) codebooks
         "embedding_pq_encode_trained": V.embedding_pq_encode_trained,
+        # snapshot diff (added/removed/changed) — delta-sized output
+        "table_diff": table_diff,
+        # integer-exact weighted percentiles (cum-weight threshold)
+        "agg_weighted_percentile": R.agg_weighted_percentile,
+        # per-user inter-arrival cadence profile (exact microseconds)
+        "events_inter_arrival": B.events_inter_arrival,
         # --- round-3 additions / r2-weak reworks: keep in sample ---
         # co-occurrence mining: top-k part pairs by basket support
         "market_basket_pairs": B.market_basket_pairs,

@@ -102,6 +102,9 @@ HEADLINE = [
     "events_dau_wau_mau",
     "text_ngram_topk",
     "sample_source_temperature",
+    "table_diff",
+    "agg_weighted_percentile",
+    "events_inter_arrival",
 ]
 
 

@@ -563,3 +563,46 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(mau), dau["day"] == mau["target_day"])
         .select("day", "dau", "wau", "mau")
     )
+
+
+def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival profile: count / min / median / max of
+    the gaps between a user's consecutive events — the activity-
+    cadence statistic behind engagement scoring and bot detection
+    (a human's median gap is minutes; a scraper's is milliseconds).
+    The reference's event log (`transactions_dag.py:22-44`) lands the
+    raw sequence; this is the first-derivative view of it.
+
+    ONE shuffle keyed on ``user_id`` shared by the lag window and
+    the final per-user aggregate (same-key window → groupBy reuses
+    the Exchange), per-user state bounded by the exact-percentile
+    buffer of that user's gaps — swap ``percentile`` for the
+    mergeable ``percentile_approx`` sketch when single users own
+    corpus-scale histories (see agg_approx_percentiles).
+
+    ENGINE-EXACT: gaps are integer MICROSECONDS (``unix_micros`` /
+    DuckDB ``epoch_us`` — the fixture's timestamps carry sub-second
+    parts, so whole-second truncation would diverge between
+    engines); the only float is the median's midpoint interpolation
+    on two integers, exact in IEEE. Ties on ts break by event_id in
+    both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gaps = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("prev_us", F.lag(F.unix_micros("ts")).over(w))
+        .filter(F.col("prev_us").isNotNull())
+        .select(
+            "user_id",
+            (F.unix_micros("ts") - F.col("prev_us")).alias("gap_us"),
+        )
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.expr("percentile(gap_us, 0.5)").alias("p50_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.sum("gap_us").alias("total_gap_us"),
+    )

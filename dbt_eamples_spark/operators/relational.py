@@ -1186,3 +1186,60 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(filled, 4).alias("filled_cents"),
         F.col("cents").isNull().alias("is_gap"),
     )
+
+
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted percentiles (p25/p50/p75) of extended price with
+    line quantity as the weight, per return flag — the
+    volume-weighted price-distribution profile the reference's
+    warehouse SQL reaches for with ``PERCENTILE_CONT`` but cannot
+    express with weights at all. Definition (exact, engine-neutral):
+    ``p_q`` = the smallest price whose cumulative weight reaches
+    ``q`` percent of the group's total weight.
+
+    ENGINE-EXACT: prices scale to integer cents, weights are
+    integral, and the threshold test is the all-integer cross-
+    multiplication ``100·cumw >= q·totw`` — no float percentile
+    interpolation to diverge between engines.
+
+    Scale posture: pass 1 collapses the corpus to DISTINCT
+    (group, price) rows with a map-side-combined weight sum — the
+    only corpus-sized shuffle. The cumulative window then sorts
+    ≤ |distinct prices| rows per group (bounded by the value domain,
+    not the row count), and the final conditional-min aggregate is
+    ≤ |groups| rows. Tie-safety: after pass 1 each (group, price)
+    is unique, so the cumulative sum is order-deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = (
+        li.select(
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+            F.col("l_quantity").cast("long").alias("w"),
+        )
+        .groupBy("l_returnflag", "cents")
+        .agg(F.sum("w").alias("w"))
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    c = g.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w").over(w_cum).alias("cumw"),
+        F.sum("w").over(w_tot).alias("totw"),
+    )
+
+    def pick(q: int, name: str):
+        return F.min(
+            F.when(F.col("cumw") * 100 >= F.lit(q) * F.col("totw"), F.col("cents"))
+        ).alias(name)
+
+    return c.groupBy("l_returnflag").agg(
+        F.max("totw").alias("total_weight"),
+        pick(25, "p25_cents"),
+        pick(50, "p50_cents"),
+        pick(75, "p75_cents"),
+    )

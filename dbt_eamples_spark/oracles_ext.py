@@ -1775,3 +1775,81 @@ EXT_ORACLES["sample_source_temperature"] = """
         FROM d JOIN r ON d.source_bin = r.source_bin
     ) WHERE coin < keep_rate
 """
+
+
+EXT_ORACLES["table_diff"] = """
+    WITH base AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    old AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0),
+    new AS (
+        SELECT o_orderkey,
+               cents + CASE WHEN o_orderkey % 3 = 0 THEN 100 ELSE 0 END
+                 AS cents
+        FROM base WHERE o_orderkey % 10 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.cents <> n.cents THEN 'changed'
+           END AS status,
+           o.cents AS old_cents,
+           n.cents AS new_cents
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE CASE WHEN o.o_orderkey IS NULL THEN 'added'
+               WHEN n.o_orderkey IS NULL THEN 'removed'
+               WHEN o.cents <> n.cents THEN 'changed'
+          END IS NOT NULL
+"""
+
+
+EXT_ORACLES["agg_weighted_percentile"] = """
+    WITH base AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem
+    ),
+    g AS (
+        SELECT l_returnflag, cents, CAST(SUM(w) AS BIGINT) AS w
+        FROM base GROUP BY l_returnflag, cents
+    ),
+    c AS (
+        SELECT l_returnflag, cents,
+               CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cumw,
+               CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT)
+                 AS totw
+        FROM g
+    )
+    SELECT l_returnflag,
+           CAST(MAX(totw) AS BIGINT) AS total_weight,
+           MIN(CASE WHEN cumw * 100 >= 25 * totw THEN cents END) AS p25_cents,
+           MIN(CASE WHEN cumw * 100 >= 50 * totw THEN cents END) AS p50_cents,
+           MIN(CASE WHEN cumw * 100 >= 75 * totw THEN cents END) AS p75_cents
+    FROM c
+    GROUP BY l_returnflag
+"""
+
+
+EXT_ORACLES["events_inter_arrival"] = """
+    WITH seq AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS gap_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           quantile_cont(gap_us, 0.5) AS p50_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(SUM(gap_us) AS BIGINT) AS total_gap_us
+    FROM seq
+    WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+"""

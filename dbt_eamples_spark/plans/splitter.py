@@ -67,6 +67,10 @@ def split_statements(sql_text: str) -> list[str]:
             continue
         if ch == "/" and nxt == "*":
             in_block = True
+            # a comment is whitespace: emit one space in its place so
+            # the text on either side cannot fuse into a new token
+            # (e.g. "*/" + "*/" re-parsing as an unterminated "/*")
+            buf.append(" ")
             i += 2
             continue
         if ch == "'":

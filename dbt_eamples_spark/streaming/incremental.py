@@ -180,3 +180,60 @@ def incremental_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = target.join(batch.select("event_id"), "event_id", "left_anti")
     return kept.unionByName(batch)
+
+
+def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff of two snapshots of the same table — the audit
+    companion to the reference's incremental reloads
+    (`/root/reference/helix-flow/dags/omni/transactions_dag.py:26-44`
+    re-fetches ranges with no way to SEE what a re-run changed; dbt
+    users reach for the ``audit_helper`` package's ``compare_rows``
+    for exactly this). Output: one row per key whose state differs —
+    ``added`` (new only), ``removed`` (old only), ``changed`` (both,
+    tracked value differs) — unchanged keys are excluded, so the
+    result is delta-sized, not table-sized.
+
+    Fixture shape: old = orders with ``o_orderkey % 7 != 0`` (so
+    every 7th key shows as added), new = orders with
+    ``o_orderkey % 10 != 0`` (every 10th shows as removed) and
+    totalprice restated +1.00 where ``o_orderkey % 3 == 0``.
+
+    Scale posture: ONE full-outer hash join keyed on the primary
+    key — both sides shuffle-partition on the same key, which a
+    bucketed/clustered lakehouse table provides for free (see
+    ``sources.sinks.write_bucketed``), making the diff of a 100 TB
+    snapshot pair a co-located zipper merge, not a data motion. The
+    change-detection compare runs on integer cents (no float
+    equality), and the post-join filter drops the unchanged majority
+    BEFORE any further stage sees it."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    old = orders.filter(F.col("o_orderkey") % 7 != 0)
+    new = orders.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey",
+        (
+            F.col("cents")
+            + F.when(F.col("o_orderkey") % 3 == 0, F.lit(100)).otherwise(F.lit(0))
+        ).alias("cents"),
+    )
+    joined = old.alias("o").join(
+        new.alias("n"), on="o_orderkey", how="full_outer"
+    )
+    o_cents = F.col("o.cents")
+    n_cents = F.col("n.cents")
+    status = (
+        F.when(o_cents.isNull(), F.lit("added"))
+        .when(n_cents.isNull(), F.lit("removed"))
+        .when(o_cents != n_cents, F.lit("changed"))
+    )
+    return (
+        joined.select(
+            "o_orderkey",
+            status.alias("status"),
+            o_cents.alias("old_cents"),
+            n_cents.alias("new_cents"),
+        )
+        .filter(F.col("status").isNotNull())
+    )

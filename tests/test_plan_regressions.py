@@ -68,6 +68,15 @@ class TestShuffleBudgets:
         # one source-count hash-agg; rates broadcast back, corpus
         # streams once through a broadcast join + filter
         "sample_source_temperature": 2,
+        # full-outer snapshot zipper: one exchange per side (SMJ is
+        # the CORRECT plan — full outer cannot broadcast large-large)
+        "table_diff": 2,
+        # distinct-(group,price) hash-agg + group window; the final
+        # per-group agg reuses the window's partitioning
+        "agg_weighted_percentile": 2,
+        # one user_id exchange shared by the lag window and the
+        # per-user aggregate
+        "events_inter_arrival": 1,
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))

@@ -74,8 +74,10 @@ def test_semicolon_inside_line_comment_is_not_a_boundary():
 
 
 def test_semicolon_inside_block_comment_is_not_a_boundary():
+    # the stripped comment leaves ONE space so surrounding text
+    # cannot fuse into a new token across the seam
     out = split_statements("SELECT /* ; */ 1; SELECT 2;")
-    assert out == ["SELECT  1", "SELECT 2"]
+    assert out == ["SELECT   1", "SELECT 2"]
 
 
 def test_escaped_quote_keeps_string_open():
