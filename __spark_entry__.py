@@ -24,6 +24,7 @@ from dbt_eamples_spark.operators import quality as Q
 from dbt_eamples_spark.operators import relational as R
 from dbt_eamples_spark.operators import sampling as S
 from dbt_eamples_spark.operators.asof import join_asof
+from dbt_eamples_spark.operators.bloom import join_bloom_prefilter
 from dbt_eamples_spark.operators.skew import join_salted_skew
 from dbt_eamples_spark.operators import similarity as V
 from dbt_eamples_spark.operators import text as T
@@ -49,6 +50,7 @@ from dbt_eamples_spark.streaming.incremental import (
 from dbt_eamples_spark.streaming.streams import (
     stream_dedup,
     stream_interval_join,
+    stream_late_data_metrics,
     stream_session_agg,
     stream_sliding_count,
     stream_tumbling_count,
@@ -118,6 +120,9 @@ _R4_PRIORITY = [
     "table_diff",
     "agg_weighted_percentile",
     "events_inter_arrival",
+    "join_bloom_prefilter",
+    "agg_skewness_kurtosis",
+    "stream_late_data_metrics",
     "similarity_pq_rerank_topk",
     "text_pii_scan",
     "corpus_quality_filter",
@@ -328,6 +333,12 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_weighted_percentile": R.agg_weighted_percentile,
         # per-user inter-arrival cadence profile (exact microseconds)
         "events_inter_arrival": B.events_inter_arrival,
+        # bloom-prefiltered exact semi join (runtime-filter pattern)
+        "join_bloom_prefilter": join_bloom_prefilter,
+        # 3rd/4th-moment shape profile (exact folds, shared trees)
+        "agg_skewness_kurtosis": R.agg_skewness_kurtosis,
+        # watermark accounting: on-time vs late-dropped per hour
+        "stream_late_data_metrics": stream_late_data_metrics,
         # --- round-3 additions / r2-weak reworks: keep in sample ---
         # co-occurrence mining: top-k part pairs by basket support
         "market_basket_pairs": B.market_basket_pairs,

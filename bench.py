@@ -105,6 +105,9 @@ HEADLINE = [
     "table_diff",
     "agg_weighted_percentile",
     "events_inter_arrival",
+    "join_bloom_prefilter",
+    "agg_skewness_kurtosis",
+    "stream_late_data_metrics",
 ]
 
 

@@ -1243,3 +1243,64 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(50, "p50_cents"),
         pick(75, "p75_cents"),
     )
+
+
+# shared final-formula text for agg_skewness_kurtosis: evaluated
+# verbatim by BOTH engines (identical expression tree over identical
+# doubles ⇒ identical results — every op is IEEE correctly-rounded)
+SKEW_KURT_EXPRS = {
+    "mean_qty": "ROUND(s1 / n, 6)",
+    "skewness": (
+        "ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n)"
+        " * (s1 / n)) / ((s2 / n - (s1 / n) * (s1 / n))"
+        " * sqrt(s2 / n - (s1 / n) * (s1 / n))), 6)"
+    ),
+    "kurtosis_excess": (
+        "ROUND((s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n)"
+        " * (s2 / n) - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))"
+        " / ((s2 / n - (s1 / n) * (s1 / n))"
+        " * (s2 / n - (s1 / n) * (s1 / n))) - 3, 6)"
+    ),
+}
+
+
+def agg_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group distribution-shape profile — population skewness
+    and excess kurtosis of line quantity per return flag, the
+    third/fourth-moment companions to agg_correlation's second-
+    moment screen (numeric profiling for skew-aware partitioning
+    and outlier policy).
+
+    Spark's ``skewness``/``kurtosis`` built-ins fold double moments
+    whose value depends on partition order — they can never
+    value-hash across engines. Instead the four power sums fold
+    EXACTLY (quantity is integral; decimal(38,0) accumulators —
+    x⁴ ≤ 6.25e6 for quantity ≤ 50, so ~1e31 rows/group of headroom)
+    and the central-moment formulas evaluate on doubles with the
+    VERBATIM-SHARED expression text ``SKEW_KURT_EXPRS`` (the DuckDB
+    oracle renders the same strings), so both engines execute the
+    same IEEE tree. The power sums here stay < 2^53, making the
+    decimal→double conversions themselves exact.
+
+    Scale: ONE map-side-combined shuffle to ≤ |groups| rows — the
+    sketch-free profile a 100 TB column screen wants."""
+    li = load_table(spark, sf_dir, "lineitem")
+    xd = F.col("l_quantity").cast("long").cast("decimal(19,0)")
+    agg = (
+        li.select("l_returnflag", xd.alias("x"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum("x").cast("double").alias("s1"),
+            F.sum(F.col("x") * F.col("x")).cast("double").alias("s2"),
+            F.sum(F.col("x") * F.col("x") * F.col("x")).cast("double").alias("s3"),
+            F.sum(F.col("x") * F.col("x") * F.col("x") * F.col("x"))
+            .cast("double")
+            .alias("s4"),
+        )
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        *[F.expr(sql).alias(name) for name, sql in SKEW_KURT_EXPRS.items()],
+    )

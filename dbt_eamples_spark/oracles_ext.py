@@ -1853,3 +1853,96 @@ EXT_ORACLES["events_inter_arrival"] = """
     WHERE gap_us IS NOT NULL
     GROUP BY user_id
 """
+
+
+EXT_ORACLES["join_bloom_prefilter"] = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    WHERE o_custkey IN (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    GROUP BY o_orderpriority
+"""
+
+
+def _skew_kurt_oracle_sql() -> str:
+    """Mirror of relational.agg_skewness_kurtosis: the exact power
+    sums (DuckDB SUM(BIGINT)→HUGEINT) convert to double (< 2^53 ⇒
+    exact) and the final formulas are the VERBATIM-SHARED strings
+    from SKEW_KURT_EXPRS — same IEEE tree, same doubles."""
+    from dbt_eamples_spark.operators.relational import SKEW_KURT_EXPRS
+
+    outs = ",\n           ".join(
+        f"{sql} AS {name}" for name, sql in SKEW_KURT_EXPRS.items()
+    )
+    return f"""
+        WITH sums AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(x) AS DOUBLE) AS s1,
+                   CAST(SUM(x * x) AS DOUBLE) AS s2,
+                   CAST(SUM(x * x * x) AS DOUBLE) AS s3,
+                   CAST(SUM(x * x * x * x) AS DOUBLE) AS s4
+            FROM (
+                SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x
+                FROM lineitem
+            )
+            GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               CAST(n AS BIGINT) AS n_rows,
+           {outs}
+        FROM sums
+    """
+
+
+EXT_ORACLES["agg_skewness_kurtosis"] = _skew_kurt_oracle_sql()
+
+
+def _late_data_oracle_sql() -> str:
+    """Mirror of streams.stream_late_data_metrics: per-batch max
+    event time, running max over PRIOR batches minus the delay,
+    integer-microsecond late test, hourly rollup."""
+    from dbt_eamples_spark.streaming.streams import (
+        LATE_DELAY_US,
+        LATE_JITTER_US,
+        LATE_TRIGGER_US,
+    )
+
+    return f"""
+        WITH ev AS (
+            SELECT ts, epoch_us(ts) AS us,
+                   CAST(floor((epoch_us(ts)
+                        + ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                          1, 15))::BIGINT
+                          % {LATE_JITTER_US})
+                        / {LATE_TRIGGER_US}) AS BIGINT) AS batch_id
+            FROM events
+        ),
+        bm AS (
+            SELECT batch_id, MAX(us) AS max_us FROM ev GROUP BY batch_id
+        ),
+        wm AS (
+            SELECT batch_id,
+                   MAX(max_us) OVER (ORDER BY batch_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     - {LATE_DELAY_US} AS wm_us
+            FROM bm
+        )
+        SELECT date_trunc('hour', ev.ts) AS window_start,
+               CAST(SUM(CASE WHEN wm.wm_us IS NOT NULL
+                              AND ev.us < wm.wm_us
+                             THEN 0 ELSE 1 END) AS BIGINT) AS n_on_time,
+               CAST(SUM(CASE WHEN wm.wm_us IS NOT NULL
+                              AND ev.us < wm.wm_us
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_late_dropped
+        FROM ev JOIN wm ON ev.batch_id = wm.batch_id
+        GROUP BY date_trunc('hour', ev.ts)
+    """
+
+
+EXT_ORACLES["stream_late_data_metrics"] = _late_data_oracle_sql()

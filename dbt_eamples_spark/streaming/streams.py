@@ -16,7 +16,7 @@ the same aggregation through an actual ``readStream`` →
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbt_eamples_spark.catalog import load_table, table_path
@@ -486,3 +486,73 @@ def stream_sliding_count_streaming(
         )
     )
     _drain(windowed, "complete", checkpoint, out_table)
+
+
+# late-data accounting: hourly arrival trigger batches, watermark
+# delay 2 h (same policy as WATERMARK above), deterministic network
+# jitter up to 4 h so the fixture actually EXERCISES the late path
+# (its raw event_id order tracks event time — nothing would be late)
+LATE_TRIGGER_US = 3600 * 1_000_000
+LATE_DELAY_US = 2 * 3600 * 1_000_000
+LATE_JITTER_US = 4 * 3600 * 1_000_000
+
+
+def stream_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark accounting — per event-time hour, how many rows a
+    watermarked streaming aggregate ACCEPTS vs DROPS as too late.
+    Structured Streaming drops late rows silently (observable only
+    via StreamingQueryProgress counters); this is the auditable
+    batch twin, replaying the fixture's ingest order with Spark's
+    exact watermark rule: the watermark during micro-batch ``b`` is
+    ``max(event time over all batches < b) − delay`` (the watermark
+    advances at batch BOUNDARIES), and a row is dropped iff its
+    event time is below that.
+
+    Arrival model: each event arrives ``jitter`` after its event
+    time — a deterministic 60-bit md5 hash of event_id folded into
+    [0, 4 h) (the fixture's raw ingest order tracks event time, so
+    without jitter nothing is ever late and the drop path is dead
+    code). Micro-batches are 1-hour ARRIVAL-time windows — exactly
+    a processing-time trigger. Scale posture: the corpus passes
+    exactly twice — one map-side-combined groupBy to ≤ |batches|
+    max-timestamp rows, one final hour aggregate; the prior-max
+    window sorts only the |batches|-row aggregate, and the
+    per-batch watermark returns to the corpus by broadcast join.
+    All comparisons are integer microseconds."""
+    jitter = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(LATE_JITTER_US),
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts",
+        F.unix_micros("ts").alias("us"),
+        F.floor(
+            (F.unix_micros("ts") + jitter) / F.lit(LATE_TRIGGER_US)
+        ).alias("batch_id"),
+    )
+    batch_max = ev.groupBy("batch_id").agg(F.max("us").alias("max_us"))
+    # watermark visible to batch b = running max over batches < b
+    w_prior = Window.orderBy("batch_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wm = batch_max.select(
+        "batch_id",
+        (F.max("max_us").over(w_prior) - F.lit(LATE_DELAY_US)).alias("wm_us"),
+    )
+    tagged = ev.join(F.broadcast(wm), "batch_id").withColumn(
+        "is_late",
+        F.col("wm_us").isNotNull() & (F.col("us") < F.col("wm_us")),
+    )
+    return (
+        tagged.groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"))
+        .agg(
+            F.sum(F.when(~F.col("is_late"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_on_time"),
+            F.sum(F.when(F.col("is_late"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_late_dropped"),
+        )
+    )

@@ -77,6 +77,15 @@ class TestShuffleBudgets:
         # one user_id exchange shared by the lag window and the
         # per-user aggregate
         "events_inter_arrival": 1,
+        # bloom probe inlines in the scan; verify join broadcasts;
+        # the only exchange is the final priority hash-agg
+        "join_bloom_prefilter": 1,
+        # one map-side-combined moment-fold exchange
+        "agg_skewness_kurtosis": 1,
+        # batch-max hash-agg + final hour hash-agg; the prior-max
+        # window sorts the |batches|-row aggregate, watermark
+        # broadcasts back
+        "stream_late_data_metrics": 3,
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))

@@ -149,3 +149,50 @@ class TestInterArrival:
         assert r["n_gaps"] == 2
         assert r["min_gap_us"] == 0
         assert r["max_gap_us"] == 2_000_000
+
+
+class TestSkewnessKurtosis:
+    def test_known_moments(self, spark, tmp_path):
+        # group A: [1,2,3] — symmetric: skew 0, excess kurt −1.5
+        # group B: [1,1,1,5] — μ=2, m2=3, m3=6, m4=21:
+        #   skew = 6/(3·√3) = 2/√3 ≈ 1.154701, kurt = 21/9 − 3
+        rows = [("A", 0.0, 1.0), ("A", 0.0, 2.0), ("A", 0.0, 3.0)] + [
+            ("B", 0.0, q) for q in (1.0, 1.0, 1.0, 5.0)
+        ]
+        sf = _write(
+            spark,
+            tmp_path,
+            "lineitem",
+            rows,
+            T.StructType(
+                [
+                    T.StructField("l_returnflag", T.StringType()),
+                    T.StructField("l_extendedprice", T.DoubleType()),
+                    T.StructField("l_quantity", T.DoubleType()),
+                ]
+            ),
+        )
+        from dbt_eamples_spark.operators.relational import agg_skewness_kurtosis
+
+        out = {r["l_returnflag"]: r for r in agg_skewness_kurtosis(spark, sf).collect()}
+        assert out["A"]["skewness"] == 0.0
+        assert out["A"]["kurtosis_excess"] == -1.5
+        assert abs(out["B"]["skewness"] - 1.154701) < 1e-6
+        assert abs(out["B"]["kurtosis_excess"] - (-0.666667)) < 1e-6
+        assert out["B"]["mean_qty"] == 2.0
+
+
+class TestLateDataMetrics:
+    def test_partition_of_corpus_and_late_path_exercised(self, spark):
+        from dbt_eamples_spark.streaming.streams import stream_late_data_metrics
+
+        sf = "/root/testdata/sf0.001"
+        rows = stream_late_data_metrics(spark, sf).collect()
+        total = sum(r["n_on_time"] + r["n_late_dropped"] for r in rows)
+        from dbt_eamples_spark.catalog import load_table
+
+        assert total == load_table(spark, sf, "events").count()
+        # the jittered arrival model must actually exercise BOTH
+        # branches (without jitter the fixture has zero late rows)
+        assert sum(r["n_late_dropped"] for r in rows) > 0
+        assert sum(r["n_on_time"] for r in rows) > 0
