@@ -123,6 +123,8 @@ _R4_PRIORITY = [
     "join_bloom_prefilter",
     "agg_skewness_kurtosis",
     "stream_late_data_metrics",
+    "metric_compiled_derived",
+    "similarity_knn_graph",
     "similarity_pq_rerank_topk",
     "text_pii_scan",
     "corpus_quality_filter",
@@ -339,6 +341,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_skewness_kurtosis": R.agg_skewness_kurtosis,
         # watermark accounting: on-time vs late-dropped per hour
         "stream_late_data_metrics": stream_late_data_metrics,
+        # mutual-kNN graph edges (exact scorer; ANN lists at scale)
+        "similarity_knn_graph": V.similarity_knn_graph,
         # --- round-3 additions / r2-weak reworks: keep in sample ---
         # co-occurrence mining: top-k part pairs by basket support
         "market_basket_pairs": B.market_basket_pairs,

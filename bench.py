@@ -108,6 +108,8 @@ HEADLINE = [
     "join_bloom_prefilter",
     "agg_skewness_kurtosis",
     "stream_late_data_metrics",
+    "metric_compiled_derived",
+    "similarity_knn_graph",
 ]
 
 

@@ -1090,3 +1090,71 @@ def embedding_pq_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         err.alias("err_fp"),
     )
+
+
+# mutual-kNN graph over a pinned corpus slice: constant work per SF
+# so the oracle stays static; production sizing notes in the docstring
+KNN_GRAPH_N = 500
+KNN_GRAPH_K = 5
+
+
+def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-nearest-neighbor graph over the embedding corpus:
+    an undirected edge (a, b) exists iff b is in a's top-K cosine
+    neighbors AND a is in b's — the graph SemDeDup-style clustering,
+    label propagation (``_min_label_propagation``) and
+    graph-connectivity curation passes consume. Mutuality prunes
+    asymmetric hub edges (a point on a cluster edge may claim a hub
+    as neighbor, but the hub doesn't claim it back).
+
+    Fixture shape: brute-force exact over the first KNN_GRAPH_N
+    vectors — 250k scored pairs regardless of SF, so the oracle is
+    static. At 100 TB the SAME mutual join runs over ANN-candidate
+    top-K lists instead (similarity_ivf_topk / similarity_lsh_topk
+    produce exactly the directed (src, dst, cosine, rk) shape this
+    consumes), making the exact scorer here the drop-in verifier.
+
+    Plan: the scored self-join broadcasts the K×-smaller query side,
+    directed top-K via the shared two-phase ``_topk`` (map-side
+    local heaps, then the exact window), and the mutual check is a
+    self-join of the directed edge list on the swapped key — edge
+    lists are N·K rows, so that join is candidate-sized, never
+    corpus-sized."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings", parallelize=True)
+        .filter(F.col("vec_id") < KNN_GRAPH_N)
+        .select("vec_id", _as_double_vec(F.col("embedding")).alias("vec"))
+    )
+    left = emb.select(F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"))
+    scored = emb.join(
+        F.broadcast(left), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(_cosine(F.col("qvec"), F.col("vec")), 6).alias("cosine"),
+    )
+    directed = (
+        _topk(scored, KNN_GRAPH_K)
+        .select(
+            F.col("query_id").alias("src"),
+            F.col("neighbor_id").alias("dst"),
+            "cosine",
+        )
+        # materialize the N·K edge list so the mutual self-join reads
+        # it twice instead of re-running the full scoring pipeline
+        # for the reversed side
+        .localCheckpoint(eager=True)
+    )
+    rev = directed.select(
+        F.col("src").alias("r_dst"), F.col("dst").alias("r_src")
+    )
+    return (
+        directed.join(
+            # N·K rows — broadcastable by construction at any corpus
+            # size that fits a per-node top-K edge list
+            F.broadcast(rev),
+            (F.col("src") == F.col("r_src")) & (F.col("dst") == F.col("r_dst")),
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"), "cosine")
+    )

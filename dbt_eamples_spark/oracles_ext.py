@@ -1946,3 +1946,40 @@ def _late_data_oracle_sql() -> str:
 
 
 EXT_ORACLES["stream_late_data_metrics"] = _late_data_oracle_sql()
+
+
+def _knn_graph_oracle_sql() -> str:
+    """Mirror of similarity.similarity_knn_graph: directed exact
+    top-K per vector (same tie order: cosine DESC, neighbor ASC),
+    then the mutual self-join with a < b."""
+    from dbt_eamples_spark.operators.similarity import (
+        KNN_GRAPH_K,
+        KNN_GRAPH_N,
+    )
+
+    return f"""
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+            FROM embeddings WHERE vec_id < {KNN_GRAPH_N}
+        ),
+        scored AS (
+            SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                   round({_cos('q.vec', 'v.vec')}, 6) AS cosine
+            FROM v JOIN v q ON v.vec_id != q.vec_id
+        ),
+        directed AS (
+            SELECT query_id AS src, neighbor_id AS dst, cosine FROM (
+                SELECT query_id, neighbor_id, cosine,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC) AS rk
+                FROM scored
+            ) WHERE rk <= {KNN_GRAPH_K}
+        )
+        SELECT d.src AS a, d.dst AS b, d.cosine
+        FROM directed d JOIN directed r
+          ON d.src = r.dst AND d.dst = r.src
+        WHERE d.src < d.dst
+    """
+
+
+EXT_ORACLES["similarity_knn_graph"] = _knn_graph_oracle_sql()

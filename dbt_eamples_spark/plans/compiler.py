@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 import datetime as dt
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -104,6 +105,8 @@ def _metric_select(
                  second pass over the fact table
     """
     metric = reg.metric(name)
+    if metric.metric_type == "derived":
+        return _derived_select(reg, metric, time_aliases, other_aliases)
     agged = _agged_measure(reg, metric, metric.measure)
     if metric.metric_type == "ratio":
         if metric.denominator is None:
@@ -148,6 +151,43 @@ def _metric_select(
     if agg in ("SUM", "AVG"):
         agged = f"ROUND({agged}, {ROUND_DECIMALS})"
     return f"{agged} AS {name}"
+
+
+def _derived_select(
+    reg: Registry,
+    metric,
+    time_aliases: tuple[str, ...],
+    other_aliases: tuple[str, ...],
+) -> str:
+    """derived: ROUND(expr with each input metric name replaced by
+    that metric's rendered expression, ROUND_DECIMALS). The inputs
+    inline into the SAME grouped SELECT (word-boundary substitution,
+    longest name first so ``revenue`` can't clobber
+    ``gross_revenue``), so a derived metric is one more projection
+    over the single fact pass — never a second scan or a self-join
+    of the aggregate. Window-typed inputs (cumulative/growth) are
+    rejected: nesting a window inside arithmetic that itself renders
+    per-engine is where cross-engine float determinism dies."""
+    if not metric.expr or not metric.inputs:
+        raise ValueError(f"derived metric {metric.name} needs expr + inputs")
+    rendered: dict[str, str] = {}
+    for in_name in metric.inputs:
+        m = reg.metric(in_name)
+        if m.metric_type not in ("simple", "ratio"):
+            raise ValueError(
+                f"derived metric {metric.name}: input {in_name} has "
+                f"window type {m.metric_type!r}; only simple/ratio "
+                "metrics can inline"
+            )
+        item = _metric_select(reg, in_name, time_aliases, other_aliases)
+        rendered[in_name] = "(" + item.rsplit(" AS ", 1)[0] + ")"
+    pattern = re.compile(
+        r"\b("
+        + "|".join(re.escape(n) for n in sorted(rendered, key=len, reverse=True))
+        + r")\b"
+    )
+    body = pattern.sub(lambda mt: rendered[mt.group(1)], metric.expr)
+    return f"ROUND({body}, {ROUND_DECIMALS}) AS {metric.name}"
 
 
 @dataclass

@@ -36,6 +36,10 @@ SAVED_QUERIES: dict[str, MetricQueryRequest] = {
         metrics=("revenue", "revenue_growth"),
         group_by=("returnflag", "shipdate__month"),
     ),
+    "metric_compiled_derived": MetricQueryRequest(
+        metrics=("gross_revenue", "revenue", "discount_amount"),
+        group_by=("returnflag", "linestatus"),
+    ),
     "metric_compiled_topk": MetricQueryRequest(
         metrics=("order_total",),
         group_by=("mktsegment", "orderpriority"),

@@ -70,17 +70,23 @@ class Metric:
     ``metric_type``: "simple" (one aggregated measure), "ratio"
     (aggregated ``measure`` / aggregated ``denominator``),
     "cumulative" (running total of the aggregated measure over the
-    request's time dimension — the MetricFlow cumulative class), or
+    request's time dimension — the MetricFlow cumulative class),
     "growth" (period-over-period fractional change via LAG over the
-    request's time grain — the MetricFlow derived/offset class,
-    `metric_time` offset window of 1 grain)."""
+    request's time grain — the MetricFlow offset class, `metric_time`
+    offset window of 1 grain), or "derived" (an arithmetic ``expr``
+    over other metrics by name — the MetricFlow derived class; the
+    input metrics' expressions inline into one grouped pass, so a
+    derived metric never costs a second fact scan)."""
     name: str
     model: str
     measure: str
     description: str = ""
     filter_sql: str | None = None
-    metric_type: str = "simple"  # simple | ratio | cumulative | growth
+    # simple | ratio | cumulative | growth | derived
+    metric_type: str = "simple"
     denominator: str | None = None  # measure name, ratio only
+    expr: str | None = None  # derived only: expr over metric names
+    inputs: tuple[str, ...] = ()  # derived only: referenced metrics
 
 
 # time-dimension granularities accepted as `dim__grain` group-bys
@@ -214,6 +220,7 @@ def default_registry() -> Registry:
             ),
             measures=(
                 Measure("revenue", "l_extendedprice * (1 - l_discount)", "sum"),
+                Measure("gross_revenue", "l_extendedprice", "sum"),
                 Measure("quantity", "l_quantity", "sum"),
                 Measure("items", "1", "count"),
             ),
@@ -311,6 +318,20 @@ def default_registry() -> Registry:
             "revenue",
             "running revenue over the request time grain",
             metric_type="cumulative",
+        )
+    )
+    reg.add_metric(
+        Metric("gross_revenue", "lineitem", "gross_revenue", "undiscounted revenue")
+    )
+    reg.add_metric(
+        Metric(
+            "discount_amount",
+            "lineitem",
+            "revenue",  # unused by the derived branch; kept for model binding
+            "revenue given up to discounts (gross minus net)",
+            metric_type="derived",
+            expr="gross_revenue - revenue",
+            inputs=("gross_revenue", "revenue"),
         )
     )
     reg.add_metric(

@@ -359,3 +359,60 @@ class TestGrowthMetric:
                     metrics=("revenue_growth",), group_by=("returnflag",)
                 )
             )
+
+
+class TestDerivedMetric:
+    def test_inlines_inputs_in_one_pass(self):
+        req = MetricQueryRequest(
+            metrics=("discount_amount",), group_by=("returnflag",)
+        )
+        sql = compile_request(req).sql
+        # both input expressions inline into the single SELECT —
+        # no second scan, no self-join of the aggregate
+        assert sql.count("FROM lineitem") == 1
+        assert "ROUND((ROUND(SUM(l_extendedprice)" in sql.replace("\n", " ")
+
+    def test_substitution_is_word_bounded(self):
+        # "revenue" must NOT clobber the inside of "gross_revenue":
+        # the rendered SQL keeps both full expressions
+        req = MetricQueryRequest(
+            metrics=("discount_amount",), group_by=("returnflag",)
+        )
+        sql = compile_request(req).sql
+        assert "SUM(l_extendedprice)" in sql  # gross input survived
+        assert "SUM(l_extendedprice * (1 - l_discount))" in sql
+
+    def test_window_inputs_rejected(self):
+        from dbt_eamples_spark.plans.semantics import Metric
+
+        reg = default_registry()
+        reg.add_metric(
+            Metric(
+                "bad_derived",
+                "lineitem",
+                "revenue",
+                metric_type="derived",
+                expr="cum_revenue - revenue",
+                inputs=("cum_revenue", "revenue"),
+            )
+        )
+        from dbt_eamples_spark.plans.compiler import _metric_select
+
+        with pytest.raises(ValueError, match="window type"):
+            _metric_select(reg, "bad_derived", ("shipdate__month",), ())
+
+    def test_derived_values_consistent(self, spark, sf_dir):
+        req = MetricQueryRequest(
+            metrics=("gross_revenue", "revenue", "discount_amount"),
+            group_by=("returnflag", "linestatus"),
+        )
+        rows = execute(spark, sf_dir, req).df.collect()
+        assert rows
+        for r in rows:
+            assert (
+                abs(
+                    r["discount_amount"]
+                    - round(r["gross_revenue"] - r["revenue"], 2)
+                )
+                < 0.011  # inputs rounded independently of the difference
+            )

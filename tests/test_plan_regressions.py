@@ -86,6 +86,9 @@ class TestShuffleBudgets:
         # window sorts the |batches|-row aggregate, watermark
         # broadcasts back
         "stream_late_data_metrics": 3,
+        # audited plan is post-checkpoint: the mutual self-join must
+        # stay broadcast over the materialized N·K edge list
+        "similarity_knn_graph": 1,
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))

@@ -196,3 +196,47 @@ class TestLateDataMetrics:
         # branches (without jitter the fixture has zero late rows)
         assert sum(r["n_late_dropped"] for r in rows) > 0
         assert sum(r["n_on_time"] for r in rows) > 0
+
+
+class TestKnnGraph:
+    def test_matches_numpy_mutual_topk(self, spark):
+        import numpy as np
+
+        from dbt_eamples_spark.catalog import load_table
+        from dbt_eamples_spark.operators.similarity import (
+            KNN_GRAPH_K,
+            KNN_GRAPH_N,
+            similarity_knn_graph,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        emb = (
+            load_table(spark, sf, "embeddings")
+            .filter(f"vec_id < {KNN_GRAPH_N}")
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        ids = np.array([r["vec_id"] for r in emb])
+        X = np.array([r["embedding"] for r in emb], dtype=np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        S = Xn @ Xn.T
+        np.fill_diagonal(S, -2.0)
+        want = set()
+        topk = {}
+        for i in range(len(ids)):
+            # cosine DESC, neighbor_id ASC tie order, rounded to 6dp
+            # like the operator so borderline ties agree
+            order = sorted(
+                range(len(ids)),
+                key=lambda j: (-round(S[i, j], 6), ids[j]),
+            )[:KNN_GRAPH_K]
+            topk[ids[i]] = {ids[j] for j in order}
+        for a in topk:
+            for b in topk[a]:
+                if a < b and a in topk.get(b, set()):
+                    want.add((a, b))
+        got = {
+            (r["a"], r["b"]) for r in similarity_knn_graph(spark, sf).collect()
+        }
+        assert got == want
+        assert got  # non-degenerate: the fixture yields real edges
