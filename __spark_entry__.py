@@ -25,6 +25,7 @@ from dbt_eamples_spark.operators import relational as R
 from dbt_eamples_spark.operators import sampling as S
 from dbt_eamples_spark.operators.asof import join_asof
 from dbt_eamples_spark.operators.bloom import join_bloom_prefilter
+from dbt_eamples_spark.operators.graph import graph_pagerank_topk
 from dbt_eamples_spark.operators.skew import join_salted_skew
 from dbt_eamples_spark.operators import similarity as V
 from dbt_eamples_spark.operators import text as T
@@ -116,7 +117,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # rows, filling to 50. Everything after position 50 is ordered
 # oldest-first too, so round 5's rotation falls out naturally.
 _R4_PRIORITY = [
-    # (1) new this round
+    # (1) new this round (second wave first — newest never checked)
+    "ts_resample_ohlc",
+    "agg_ship_delay_bands",
+    "join_star_local_volume",
+    "agg_heavy_hitters_cms",
+    "sample_fixed_size_hash",
+    "text_normalize_dedup",
+    "graph_pagerank_topk",
     "table_diff",
     "agg_weighted_percentile",
     "events_inter_arrival",
@@ -237,6 +245,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- round-4 second wave ---
+        # hourly OHLC bars: pick-only doubles, one (series,hour) exchange
+        "ts_resample_ohlc": B.ts_resample_ohlc,
+        # TPC-H Q12 shape: large-large orderkey join + band rollup
+        "agg_ship_delay_bands": R.agg_ship_delay_bands,
+        # TPC-H Q5 shape: 6-table star, integer-cents revenue
+        "join_star_local_volume": R.join_star_local_volume,
+        # count-min sketch heavy hitters with exact-count audit
+        "agg_heavy_hitters_cms": S.agg_heavy_hitters_cms,
+        # exactly-k reproducible hash sample (TakeOrderedAndProject)
+        "sample_fixed_size_hash": S.sample_fixed_size_hash,
+        # aggressive-canonicalization dedup tier
+        "text_normalize_dedup": D.text_normalize_dedup,
+        # fixed-point PageRank over the co-purchase graph
+        "graph_pagerank_topk": graph_pagerank_topk,
         # --- never driver-checked in rounds 1-2: run these first ---
         # long->wide with pinned pivot domain (no discovery job)
         "metric_pivot": R.metric_pivot,

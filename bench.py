@@ -110,6 +110,14 @@ HEADLINE = [
     "stream_late_data_metrics",
     "metric_compiled_derived",
     "similarity_knn_graph",
+    # round-4 second wave
+    "ts_resample_ohlc",
+    "agg_ship_delay_bands",
+    "join_star_local_volume",
+    "agg_heavy_hitters_cms",
+    "sample_fixed_size_hash",
+    "text_normalize_dedup",
+    "graph_pagerank_topk",
 ]
 
 

@@ -606,3 +606,61 @@ def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_us").alias("max_gap_us"),
         F.sum("gap_us").alias("total_gap_us"),
     )
+
+
+# ---- OHLC resampling (X36) --------------------------------------------------
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC (open / high / low / close) resampling of the
+    event value series per event type — the canonical time-series
+    downsample (finance bars, metric rollups) the reference's
+    15-minute transaction DAG would feed
+    (`transactions_dag.py:22-44` lands the raw ticks).
+
+    Open/close are PICKS of existing doubles (first / last value in
+    the hour under the total order ``(ts, event_id)``), and high/low
+    are min/max picks — no float arithmetic ever happens, so every
+    output bit matches any engine that picks the same rows. The
+    tie-break on ``event_id`` makes the picked row unique even when
+    two events share a timestamp.
+
+    Scale shape: ONE exchange keyed on ``(event_type, hour)`` is
+    shared by the row-number window and the final aggregate (same
+    keys, so Catalyst reuses the partitioning instead of adding a
+    second shuffle). Window state is a row counter, not a buffer;
+    the aggregate is map-side combinable. At 100 TB this is the
+    plan you want: resampling is embarrassingly parallel in the
+    (series, bucket) key and never sees a global sort."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("event_type", "hour").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    marked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("event_type", "hour"))
+    )
+    return (
+        marked.groupBy("event_type", "hour")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(
+                F.when(F.col("rn") == F.col("n"), F.col("value"))
+            ).alias("close"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )

@@ -949,3 +949,44 @@ def _cosine_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _COSINE_PAIRS_CACHE[key] = df
     return df
+
+
+def text_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggressive-canonicalization dedup: casefold, strip every
+    non-alphanumeric, collapse whitespace, THEN group — catching the
+    near-copies exact dedup misses (punctuation edits, case changes,
+    reflowed whitespace: the most common wrapper noise in scraped
+    corpora, cf. CCNet's normalization pass). One tier stricter than
+    ``dedup_exact`` (whitespace-only normalization) and far cheaper
+    than MinHash: no shingles, no signatures.
+
+    Output per canonical group: the md5 fingerprint, the survivor
+    (min doc_id), member count, and how many DISTINCT raw texts the
+    canonical form merged (> 1 ⇒ this op found something exact
+    dedup could not).
+
+    Scale shape: a narrow normalize map folds into the scan, then
+    ONE hash-agg exchange keyed on the 128-bit fingerprint — the
+    dedup_exact plan with a stronger key. Both counts are map-side
+    combinable (count + distinct-md5 via two-level agg)."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", ""),
+            r" +",
+            " ",
+        )
+    )
+    return (
+        docs.select(
+            F.col("doc_id"),
+            F.md5(canon).alias("canon_fp"),
+            F.md5(F.col("text")).alias("raw_fp"),
+        )
+        .groupBy("canon_fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").cast("long").alias("n_members"),
+            F.countDistinct("raw_fp").cast("long").alias("n_distinct_raw"),
+        )
+    )

@@ -1304,3 +1304,115 @@ def agg_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_rows"),
         *[F.expr(sql).alias(name) for name, sql in SKEW_KURT_EXPRS.items()],
     )
+
+
+# Q12-style shipping-delay banding: integer day boundaries so the
+# band edges are exact on both engines
+DELAY_BANDS = [(30, "00-30d"), (60, "31-60d"), (90, "61-90d")]
+DELAY_TAIL = ">90d"
+
+
+def agg_ship_delay_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-delay distribution per order priority (the TPC-H Q12
+    question re-expressed on this schema: does low priority correlate
+    with slow shipping?). Each line item lands in an integer
+    day-delay band (``l_shipdate - o_orderdate``), counted per
+    ``o_orderpriority``.
+
+    Scale shape: lineitem ⋈ orders is the one genuinely large-large
+    join in the schema — both sides shuffle on the order key (the
+    CORRECT plan; neither side broadcasts at 100 TB) and only
+    (orderkey, orderdate, priority) survive the scan projection on
+    the orders side. The band CASE folds before the final hash
+    aggregate, which map-side-combines to ≤ 5·4 groups. Counts are
+    bigints on date arithmetic — nothing to diverge between engines.
+
+    Reference shape: the dbt models aggregate order facts per status
+    dimension (`dbt_project/models/marts/*.sql`); this is the same
+    conformed-dimension rollup with a computed band dimension."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    band = F.lit(DELAY_TAIL)
+    for days, name in reversed(DELAY_BANDS):
+        band = F.when(delay <= days, F.lit(name)).otherwise(band)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_orderpriority", band.alias("delay_band"))
+        .groupBy("o_orderpriority", "delay_band")
+        .agg(F.count("*").cast("long").alias("n_lines"))
+    )
+
+
+LOCAL_VOLUME_REGION = "ASIA"
+LOCAL_VOLUME_DATE_LO = "1995-01-01"
+LOCAL_VOLUME_DATE_HI = "1996-12-31"
+
+
+def join_star_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — local-supplier volume: revenue per nation
+    where the customer and the line's supplier sit in the SAME
+    nation of one region, over a two-year order window. The deepest
+    star join in the suite: lineitem ⋈ orders ⋈ customer ⋈ supplier
+    ⋈ nation ⋈ region (6 tables).
+
+    Scale shape: the one large-large shuffle is lineitem ⋈ orders
+    (keyed on the order key, date filter pushed into the orders
+    scan). supplier/nation/region broadcast at any realistic scale;
+    customer broadcasts here and at 100 TB becomes the second
+    shuffle keyed on custkey — the plan is declarative, so AQE picks
+    per-scale. The same-nation predicate applies as a join-level
+    filter (c_nationkey = s_nationkey), cutting rows before the
+    aggregate. Revenue folds in integer cents (round-half-up at
+    line level, bigint sum — the abc_pareto_class convention), so
+    the totals are order-independent and engine-exact.
+
+    Reference shape: the dbt mart joins facts to conformed
+    dimensions then aggregates a money measure per dimension value —
+    this is that pattern at its deepest (cf. `dbt_query.py:77-86`
+    grouped metric over a dimension)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate").between(
+                F.lit(LOCAL_VOLUME_DATE_LO), F.lit(LOCAL_VOLUME_DATE_HI)
+            )
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == LOCAL_VOLUME_REGION
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("n_name", cents.alias("cents"))
+        .groupBy("n_name")
+        .agg(F.sum("cents").alias("revenue_cents"))
+    )

@@ -277,3 +277,103 @@ def sample_source_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("keep"))
         .select("doc_id", "source_bin", "n_docs", "keep_rate", "coin")
     )
+
+
+# Count-min sketch geometry: d independent md5-derived rows of w
+# counters. Collision overcount at this (w, n_keys) operating point
+# is audited in the output (est - exact >= 0 always, by CMS theory).
+CMS_D = 4
+CMS_W = 512
+CMS_TOP_K = 20
+
+
+def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via an explicit count-min sketch: build the
+    d×w counter grid over event user_ids, then report the top-k
+    users by their CMS estimate (min over the d rows) NEXT TO their
+    exact counts, so the sketch's one-sided error is visible
+    (``overcount = est - exact``, provably ≥ 0).
+
+    Why a sketch when Spark can count exactly? At 100 TB the exact
+    per-key count of a high-cardinality key is a corpus-sized
+    shuffle, while the CMS grid is d·w counters PER PARTITION,
+    map-side-combined into one tiny frame (here 4·512 longs) — the
+    standard streaming answer (Cormode & Muthukrishnan 2005). The
+    probe side here scans all distinct keys to make the audit
+    oracle-checkable; production probes only suspect keys.
+
+    Determinism: row hashes are md5-derived 60-bit ints mod w —
+    the repo's engine-portable hash-coin convention — so grid and
+    estimates are bit-identical on any engine. All outputs bigint.
+
+    Scale shape: grid = one narrow d-explode + hash-agg (map-side
+    combine ends at 2048 groups); probe = distinct pass + broadcast
+    join against the 2048-row grid; final cut compiles to
+    TakeOrderedAndProject. No corpus-sized shuffle except the one
+    distinct pass the audit itself requires."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    j = F.explode(F.array([F.lit(i) for i in range(CMS_D)])).alias("j")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("j"), F.col("user_id").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CMS_W
+    ).alias("bucket")
+    grid = (
+        ev.select("user_id", j)
+        .select("j", bucket)
+        .groupBy("j", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    exact = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("exact")
+    )
+    probes = exact.select("user_id", "exact", j).select(
+        "user_id", "exact", "j", bucket
+    )
+    est = (
+        probes.join(F.broadcast(grid), ["j", "bucket"])
+        .groupBy("user_id", "exact")
+        .agg(F.min("cnt").alias("est"))
+    )
+    return (
+        est.select(
+            "user_id", "est", "exact", (F.col("est") - F.col("exact")).alias("overcount")
+        )
+        .orderBy(F.desc("est"), F.asc("user_id"))
+        .limit(CMS_TOP_K)
+    )
+
+
+FIXED_SAMPLE_K = 200
+
+
+def sample_fixed_size_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k uniform corpus sample, reproducibly: order docs by
+    md5(doc_id) and keep the first k — the deterministic stand-in
+    for reservoir sampling (same k docs on every run, any
+    partitioning, any engine; a true reservoir is run-dependent and
+    a `rand()` threshold can't hit k exactly).
+
+    Scale shape: compiles to TakeOrderedAndProject — each partition
+    keeps its local k smallest hashes and the driver merges p·k
+    candidate rows; no global sort, no full shuffle. This is the
+    eval-set / spot-check sampler for a 100 TB corpus: k rows out,
+    one scan, stable under corpus growth for the surviving prefix."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    return (
+        docs.select("doc_id", "source", "n_chars", h.alias("h"))
+        .orderBy(F.asc("h"), F.asc("doc_id"))
+        .limit(FIXED_SAMPLE_K)
+    )

@@ -1983,3 +1983,202 @@ def _knn_graph_oracle_sql() -> str:
 
 
 EXT_ORACLES["similarity_knn_graph"] = _knn_graph_oracle_sql()
+
+
+# ---- round-4 second wave: timeseries / TPC-H shapes / sketches / graph ----
+
+EXT_ORACLES["ts_resample_ohlc"] = """
+    WITH ev AS (
+        SELECT event_type,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               ts, event_id, value
+        FROM events
+    ),
+    marked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY event_type, hour
+                                  ORDER BY ts, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type, hour) AS n
+        FROM ev
+    )
+    SELECT event_type, hour,
+           max(CASE WHEN rn = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn = n THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM marked GROUP BY event_type, hour
+"""
+
+
+def _ship_delay_oracle_sql() -> str:
+    from dbt_eamples_spark.operators.relational import DELAY_BANDS, DELAY_TAIL
+
+    case = "CASE"
+    for days, name in DELAY_BANDS:
+        case += f" WHEN date_diff('day', o_orderdate, l_shipdate) <= {days} THEN '{name}'"
+    case += f" ELSE '{DELAY_TAIL}' END"
+    return f"""
+        SELECT o_orderpriority, {case} AS delay_band,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority, delay_band
+    """
+
+
+EXT_ORACLES["agg_ship_delay_bands"] = _ship_delay_oracle_sql()
+
+
+def _local_volume_oracle_sql() -> str:
+    from dbt_eamples_spark.operators.relational import (
+        LOCAL_VOLUME_DATE_HI,
+        LOCAL_VOLUME_DATE_LO,
+        LOCAL_VOLUME_REGION,
+    )
+
+    return f"""
+        SELECT n_name,
+               CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                   AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = '{LOCAL_VOLUME_REGION}'
+          AND o_orderdate BETWEEN '{LOCAL_VOLUME_DATE_LO}'
+                              AND '{LOCAL_VOLUME_DATE_HI}'
+        GROUP BY n_name
+    """
+
+
+EXT_ORACLES["join_star_local_volume"] = _local_volume_oracle_sql()
+
+
+def _cms_oracle_sql() -> str:
+    from dbt_eamples_spark.operators.sampling import CMS_D, CMS_TOP_K, CMS_W
+
+    js = ",".join(f"({i})" for i in range(CMS_D))
+    bucket = (
+        "('0x' || substr(md5(j::VARCHAR || ':' || user_id::VARCHAR), 1, 15))"
+        f"::BIGINT % {CMS_W}"
+    )
+    return f"""
+        WITH js AS (SELECT * FROM (VALUES {js}) t(j)),
+        hashed AS (
+            SELECT user_id, j, {bucket} AS bucket
+            FROM events CROSS JOIN js
+        ),
+        grid AS (
+            SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt
+            FROM hashed GROUP BY j, bucket
+        ),
+        exact AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS exact
+            FROM events GROUP BY user_id
+        ),
+        probes AS (
+            SELECT user_id, exact, j, {bucket} AS bucket
+            FROM exact CROSS JOIN js
+        ),
+        est AS (
+            SELECT user_id, exact, CAST(min(cnt) AS BIGINT) AS est
+            FROM probes JOIN grid USING (j, bucket)
+            GROUP BY user_id, exact
+        )
+        SELECT user_id, est, exact,
+               CAST(est - exact AS BIGINT) AS overcount
+        FROM est ORDER BY est DESC, user_id LIMIT {CMS_TOP_K}
+    """
+
+
+EXT_ORACLES["agg_heavy_hitters_cms"] = _cms_oracle_sql()
+
+
+def _fixed_sample_oracle_sql() -> str:
+    from dbt_eamples_spark.operators.sampling import FIXED_SAMPLE_K
+
+    return f"""
+        SELECT doc_id, source, n_chars, md5(doc_id::VARCHAR) AS h
+        FROM documents
+        ORDER BY h, doc_id LIMIT {FIXED_SAMPLE_K}
+    """
+
+
+EXT_ORACLES["sample_fixed_size_hash"] = _fixed_sample_oracle_sql()
+
+
+EXT_ORACLES["text_normalize_dedup"] = """
+    WITH c AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g'))) AS canon_fp,
+               md5(text) AS raw_fp
+        FROM documents
+    )
+    SELECT canon_fp,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(DISTINCT raw_fp) AS BIGINT) AS n_distinct_raw
+    FROM c GROUP BY canon_fp
+"""
+
+
+def _pagerank_oracle_sql() -> str:
+    """Unrolled fixed-point power iterations (module constants of
+    operators.graph); MATERIALIZED edges/deg so DuckDB does not
+    re-expand the basket join per iteration (the recursive-CTE
+    re-evaluation trap, ROUND4_NOTES)."""
+    from dbt_eamples_spark.operators.graph import (
+        PAGERANK_DAMP_PCT,
+        PAGERANK_ITERS,
+        PAGERANK_SCALE,
+        PAGERANK_TOP_K,
+    )
+
+    iters = ""
+    prev = "r0"
+    for k in range(1, PAGERANK_ITERS + 1):
+        iters += f""",
+        s{k} AS MATERIALIZED (
+            SELECT e.dst AS node,
+                   CAST(sum(r.rank_fp // r.deg) AS BIGINT) AS in_share
+            FROM edges e JOIN {prev} r ON e.src = r.node
+            GROUP BY e.dst
+        ),
+        r{k} AS (
+            SELECT d.src AS node, d.deg,
+                   CAST(({15 * PAGERANK_SCALE} // (100 * n.c))
+                        + ({PAGERANK_DAMP_PCT} * s.in_share) // 100
+                       AS BIGINT) AS rank_fp
+            FROM deg d JOIN s{k} s ON d.src = s.node, n
+        )"""
+        prev = f"r{k}"
+    return f"""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey <> b.l_partkey
+        ),
+        deg AS MATERIALIZED (
+            SELECT src, CAST(count(*) AS BIGINT) AS deg
+            FROM edges GROUP BY src
+        ),
+        n AS (SELECT count(*) AS c FROM deg),
+        r0 AS (
+            SELECT src AS node, deg,
+                   CAST({PAGERANK_SCALE} // n.c AS BIGINT) AS rank_fp
+            FROM deg, n
+        ){iters}
+        SELECT node AS l_partkey, deg, rank_fp
+        FROM {prev}
+        ORDER BY rank_fp DESC, node LIMIT {PAGERANK_TOP_K}
+    """
+
+
+EXT_ORACLES["graph_pagerank_topk"] = _pagerank_oracle_sql()

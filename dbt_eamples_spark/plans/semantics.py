@@ -73,20 +73,29 @@ class Metric:
     request's time dimension — the MetricFlow cumulative class),
     "growth" (period-over-period fractional change via LAG over the
     request's time grain — the MetricFlow offset class, `metric_time`
-    offset window of 1 grain), or "derived" (an arithmetic ``expr``
+    offset window of 1 grain), "derived" (an arithmetic ``expr``
     over other metrics by name — the MetricFlow derived class; the
     input metrics' expressions inline into one grouped pass, so a
-    derived metric never costs a second fact scan)."""
+    derived metric never costs a second fact scan), or "conversion"
+    (the MetricFlow conversion class: of the base events selected by
+    ``base_filter``, the fraction followed by a ``conversion_filter``
+    event for the same ``conversion_entity`` within
+    ``conversion_window_days``)."""
     name: str
     model: str
     measure: str
     description: str = ""
     filter_sql: str | None = None
-    # simple | ratio | cumulative | growth | derived
+    # simple | ratio | cumulative | growth | derived | conversion
     metric_type: str = "simple"
     denominator: str | None = None  # measure name, ratio only
     expr: str | None = None  # derived only: expr over metric names
     inputs: tuple[str, ...] = ()  # derived only: referenced metrics
+    # conversion only:
+    base_filter: str | None = None  # SQL picking the base events
+    conversion_filter: str | None = None  # SQL picking conversions
+    conversion_entity: str | None = None  # join column (e.g. user_id)
+    conversion_window_days: int = 7
 
 
 # time-dimension granularities accepted as `dim__grain` group-bys

@@ -89,6 +89,24 @@ class TestShuffleBudgets:
         # audited plan is post-checkpoint: the mutual self-join must
         # stay broadcast over the materialized N·K edge list
         "similarity_knn_graph": 1,
+        # one (event_type, hour) exchange shared by the row-number
+        # window and the OHLC aggregate (same keys -> reused)
+        "ts_resample_ohlc": 1,
+        # AQE broadcasts orders at fixture scale; the band rollup is
+        # the one exchange (at 100 TB the join adds its two
+        # orderkey exchanges -- the correct large-large plan)
+        "agg_ship_delay_bands": 1,
+        # 5 broadcast dims + the final nation hash-agg exchange
+        "join_star_local_volume": 1,
+        # grid hash-agg + exact-count hash-agg; grid probe broadcast
+        "agg_heavy_hitters_cms": 2,
+        # pure TakeOrderedAndProject: local top-k, k-row driver merge
+        "sample_fixed_size_hash": 0,
+        # two-level distinct agg: (canon,raw) partial + canon final
+        "text_normalize_dedup": 2,
+        # audited post-checkpoint (per-iteration lineage is cut);
+        # the final cut is TakeOrderedAndProject over |nodes| rows
+        "graph_pagerank_topk": 0,
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))
