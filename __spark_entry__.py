@@ -118,6 +118,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # oldest-first too, so round 5's rotation falls out naturally.
 _R4_PRIORITY = [
     # (1) new this round (second wave first — newest never checked)
+    "metric_compiled_conversion",
     "ts_resample_ohlc",
     "agg_ship_delay_bands",
     "join_star_local_volume",

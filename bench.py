@@ -111,6 +111,7 @@ HEADLINE = [
     "metric_compiled_derived",
     "similarity_knn_graph",
     # round-4 second wave
+    "metric_compiled_conversion",
     "ts_resample_ohlc",
     "agg_ship_delay_bands",
     "join_star_local_volume",

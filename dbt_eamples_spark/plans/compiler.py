@@ -257,6 +257,23 @@ def compile_request(
                 time_aliases.append(alias)
         dims.append((alias, col, model_name))
 
+    conv = [
+        m for m in request.metrics
+        if reg.metric(m).metric_type == "conversion"
+    ]
+    if conv:
+        if len(request.metrics) != 1:
+            raise ValueError(
+                "a conversion metric compiles alone (it is a funnel "
+                "pipeline, not a grouped select item)"
+            )
+        if join_steps:
+            raise ValueError(
+                "conversion metrics group by dimensions of their own "
+                "model only in v1 (no join hops)"
+            )
+        return _compile_conversion(reg, request, fact, dims, conv[0])
+
     # the cumulative window must reference grouping EXPRESSIONS —
     # select-list aliases don't resolve inside a window in Spark
     time_exprs = tuple(c for a, c, _ in dims if a in time_aliases)
@@ -336,6 +353,115 @@ def compile_request(
 
     tables = (fact.table, *(s.table for s in join_steps))
     return CompiledQuery(request, sql, dataflow, tables=tables)
+
+
+def _compile_conversion(
+    reg: Registry,
+    request: MetricQueryRequest,
+    fact,
+    dims: list[tuple[str, str, str]],
+    name: str,
+) -> CompiledQuery:
+    """MetricFlow conversion-metric compilation: of the base events
+    (``base_filter``), the fraction followed by a conversion event
+    (``conversion_filter``) for the SAME ``conversion_entity`` within
+    ``conversion_window_days`` — the funnel-rate class
+    (view→purchase, signup→activation).
+
+    SQL shape (runs verbatim on Spark and DuckDB, so the compiled
+    text is its own oracle like every other compiled metric):
+    base and conversion selections are two filtered scans; the match
+    is an entity equi-join with the window as a range predicate; a
+    DISTINCT on the base event key de-duplicates multi-conversion
+    matches (MetricFlow counts a base event AT MOST once); the final
+    grouped pass counts opportunities and conversions as BIGINTs and
+    emits the rate as a correctly-rounded IEEE division of exact
+    integers (engine-portable).
+
+    Scale shape: both scans push their event_type filter into
+    parquet; the match join shuffles on the entity key (the event
+    log's natural key) with the window applied pre-shuffle-output;
+    DISTINCT reuses the base-key partitioning; no self-join of the
+    unfiltered log ever happens. At 100 TB the conversion side is
+    typically the small side (purchases ≪ views) and AQE broadcasts
+    it."""
+    metric = reg.metric(name)
+    if not (
+        metric.base_filter
+        and metric.conversion_filter
+        and metric.conversion_entity
+    ):
+        raise ValueError(
+            f"conversion metric {name} needs base_filter, "
+            "conversion_filter and conversion_entity"
+        )
+    tcol = fact.time_dimension
+    if tcol is None:
+        raise ValueError(f"model {fact.name} has no time dimension")
+    ent = metric.conversion_entity
+    win = metric.conversion_window_days
+
+    where_parts = [f"({metric.base_filter})"]
+    if request.start_time is not None:
+        where_parts.append(f"{tcol} >= {_ts_literal(request.start_time)}")
+    if request.end_time is not None:
+        where_parts.append(f"{tcol} <= {_ts_literal(request.end_time)}")
+    if request.where:
+        where_parts.append(f"({request.where})")
+
+    dim_cols = "".join(f", {col} AS {alias}" for alias, col, _ in dims)
+    dim_select = "".join(f"{alias}, " for alias, _, _ in dims)
+    group = (
+        "GROUP BY " + ", ".join(a for a, _, _ in dims) + "\n" if dims else ""
+    )
+    order_sql = [
+        f"{o[1:]} DESC" if o.startswith("-") else f"{o} ASC"
+        for o in request.order_by
+    ]
+    order = "ORDER BY " + ", ".join(order_sql) + "\n" if order_sql else ""
+    limit = f"LIMIT {request.limit}\n" if request.limit is not None else ""
+    sql = (
+        f"WITH base AS (\n"
+        f"    SELECT {ent}, {tcol} AS base_ts{dim_cols}\n"
+        f"    FROM {fact.table}\n"
+        f"    WHERE " + "\n      AND ".join(where_parts) + "\n"
+        f"),\n"
+        f"conv AS (\n"
+        f"    SELECT {ent}, {tcol} AS conv_ts\n"
+        f"    FROM {fact.table}\n"
+        f"    WHERE ({metric.conversion_filter})\n"
+        f"),\n"
+        f"converted AS (\n"
+        f"    SELECT DISTINCT b.{ent}, b.base_ts\n"
+        f"    FROM base b JOIN conv c\n"
+        f"      ON b.{ent} = c.{ent}\n"
+        f"     AND c.conv_ts >= b.base_ts\n"
+        f"     AND c.conv_ts <= b.base_ts + INTERVAL {win} DAY\n"
+        f")\n"
+        f"SELECT {dim_select}"
+        f"CAST(COUNT(*) AS BIGINT) AS {name}_opportunities,\n"
+        f"       CAST(COUNT(cv.base_ts) AS BIGINT) AS {name}_conversions,\n"
+        # CAST, not `* 1.0`: Spark types a 1.0 literal as DECIMAL(2,1)
+        # and would return a decimal rate where DuckDB returns double
+        f"       ROUND(CAST(COUNT(cv.base_ts) AS DOUBLE) / COUNT(*), "
+        f"{GROWTH_ROUND_DECIMALS}) AS {name}\n"
+        f"FROM base b LEFT JOIN converted cv\n"
+        f"  ON b.{ent} = cv.{ent} AND b.base_ts = cv.base_ts\n"
+        f"{group}{order}{limit}".rstrip()
+    )
+    dataflow = "\n".join(
+        [
+            f"<AggregateNode metrics=['{name}'] dims="
+            + str([a for a, _, _ in dims])
+            + ">",
+            f"  <ConversionJoinNode entity={ent} window={win}d>",
+            f"    <FilterNode {metric.base_filter}>",
+            f"      <ScanNode table={fact.table}>",
+            f"    <FilterNode {metric.conversion_filter}>",
+            f"      <ScanNode table={fact.table}>",
+        ]
+    )
+    return CompiledQuery(request, sql, dataflow, tables=(fact.table,))
 
 
 def compile_dimension_sweep(

@@ -40,6 +40,10 @@ SAVED_QUERIES: dict[str, MetricQueryRequest] = {
         metrics=("gross_revenue", "revenue", "discount_amount"),
         group_by=("returnflag", "linestatus"),
     ),
+    "metric_compiled_conversion": MetricQueryRequest(
+        metrics=("view_to_purchase",),
+        group_by=("event_time__day",),
+    ),
     "metric_compiled_topk": MetricQueryRequest(
         metrics=("order_total",),
         group_by=("mktsegment", "orderpriority"),

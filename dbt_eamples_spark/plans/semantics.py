@@ -286,6 +286,19 @@ def default_registry() -> Registry:
             dimensions=(Dimension("region_name", "r_name"),),
         )
     )
+    reg.add_model(
+        SemanticModel(
+            name="events",
+            table="events",
+            dimensions=(
+                Dimension("event_type", "event_type"),
+                Dimension("event_time", "ts", "time"),
+            ),
+            measures=(Measure("event_count", "1", "count"),),
+            time_dimension="ts",
+            broadcastable=False,
+        )
+    )
     # entity → dimension-side model + join key column there
     reg.entity_targets = {
         "order": "orders",
@@ -350,6 +363,20 @@ def default_registry() -> Registry:
             "revenue",
             "period-over-period fractional revenue change",
             metric_type="growth",
+        )
+    )
+    reg.add_metric(Metric("event_count", "events", "event_count", "event count"))
+    reg.add_metric(
+        Metric(
+            "view_to_purchase",
+            "events",
+            "event_count",
+            "7-day view→purchase conversion rate per user",
+            metric_type="conversion",
+            base_filter="event_type = 'view'",
+            conversion_filter="event_type = 'purchase'",
+            conversion_entity="user_id",
+            conversion_window_days=7,
         )
     )
     return reg

@@ -416,3 +416,81 @@ class TestDerivedMetric:
                 )
                 < 0.011  # inputs rounded independently of the difference
             )
+
+
+class TestConversionMetric:
+    def test_compiles_to_funnel_pipeline(self):
+        from dbt_eamples_spark.plans.compiler import compile_request
+        from dbt_eamples_spark.plans.saved import SAVED_QUERIES
+
+        c = compile_request(SAVED_QUERIES["metric_compiled_conversion"])
+        assert "INTERVAL 7 DAY" in c.sql
+        assert "SELECT DISTINCT" in c.sql  # one conversion per base event
+        assert "ConversionJoinNode" in c.dataflow_text
+        assert c.tables == ("events",)
+
+    def test_conversion_must_compile_alone(self):
+        import pytest as _pytest
+
+        from dbt_eamples_spark.plans.compiler import (
+            MetricQueryRequest,
+            compile_request,
+        )
+
+        with _pytest.raises(ValueError, match="alone"):
+            compile_request(
+                MetricQueryRequest(
+                    metrics=("view_to_purchase", "event_count"),
+                )
+            )
+
+    def test_no_join_hops(self):
+        import pytest as _pytest
+
+        from dbt_eamples_spark.plans.compiler import (
+            MetricQueryRequest,
+            compile_request,
+        )
+
+        with _pytest.raises((ValueError, KeyError)):
+            compile_request(
+                MetricQueryRequest(
+                    metrics=("view_to_purchase",),
+                    group_by=("nation_name",),
+                )
+            )
+
+    def test_values_match_independent_recompute(self, spark, sf_dir):
+        import datetime as dt
+
+        from dbt_eamples_spark.catalog import load_table
+        from dbt_eamples_spark.plans.compiler import execute
+        from dbt_eamples_spark.plans.saved import SAVED_QUERIES
+
+        rows = execute(
+            spark, sf_dir, SAVED_QUERIES["metric_compiled_conversion"]
+        ).df.collect()
+        assert rows
+        ev = load_table(spark, sf_dir, "events").collect()
+        views = [
+            (r["user_id"], r["ts"]) for r in ev if r["event_type"] == "view"
+        ]
+        buys = {}
+        for r in ev:
+            if r["event_type"] == "purchase":
+                buys.setdefault(r["user_id"], []).append(r["ts"])
+        win = dt.timedelta(days=7)
+        opp, conv = {}, {}
+        for uid, ts in views:
+            day = ts.replace(hour=0, minute=0, second=0, microsecond=0)
+            opp[day] = opp.get(day, 0) + 1
+            if any(ts <= b <= ts + win for b in buys.get(uid, ())):
+                conv[day] = conv.get(day, 0) + 1
+        for r in rows:
+            day = r["event_time__day"]
+            assert r["view_to_purchase_opportunities"] == opp[day]
+            assert r["view_to_purchase_conversions"] == conv.get(day, 0)
+            assert 0.0 <= r["view_to_purchase"] <= 1.0
+        assert sum(opp.values()) == sum(
+            r["view_to_purchase_opportunities"] for r in rows
+        )
