@@ -118,6 +118,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # oldest-first too, so round 5's rotation falls out naturally.
 _R4_PRIORITY = [
     # (1) new this round (second wave first — newest never checked)
+    "text_zipf_slope",
+    "corpus_mix_entropy",
     "metric_compiled_conversion",
     "ts_resample_ohlc",
     "agg_ship_delay_bands",
@@ -247,6 +249,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 second wave ---
+        # Zipf-law slope of the corpus token-frequency distribution
+        "text_zipf_slope": T.text_zipf_slope,
+        # per-lang source-mix Shannon entropy (diversity audit)
+        "corpus_mix_entropy": T.corpus_mix_entropy,
         # hourly OHLC bars: pick-only doubles, one (series,hour) exchange
         "ts_resample_ohlc": B.ts_resample_ohlc,
         # TPC-H Q12 shape: large-large orderkey join + band rollup

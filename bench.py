@@ -112,6 +112,8 @@ HEADLINE = [
     "similarity_knn_graph",
     # round-4 second wave
     "metric_compiled_conversion",
+    "text_zipf_slope",
+    "corpus_mix_entropy",
     "ts_resample_ohlc",
     "agg_ship_delay_bands",
     "join_star_local_volume",

@@ -669,3 +669,106 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("gram"))
         .limit(NGRAM_TOPK)
     )
+
+
+# ---- Zipf-law fit (X37) ----------------------------------------------------
+ZIPF_RANKS = 200
+
+
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus token-frequency distribution:
+    least-squares slope of ln(freq) against ln(rank) over the top
+    ``ZIPF_RANKS`` terms. Natural language sits near slope ≈ −1
+    (Zipf 1949); a corpus that drifts far from it is boilerplate-
+    heavy (flat head) or template spam (cliff) — a one-number
+    distribution-health check used alongside perplexity filtering.
+
+    Determinism: ln(rank) and ln(freq) are pre-rounded at 6dp (the
+    BM25/entropy JVM-vs-libm guard) then scaled to exact 1e6
+    fixed-point bigints; all five regression folds accumulate as
+    decimal(38,0) (the agg_correlation overflow fix — n·Σxy reaches
+    ~5e18 at these magnitudes, one bad corpus away from int64
+    wrap). The closed-form slope/intercept then evaluates on exact
+    integers cast to double — identical expression tree, identical
+    doubles, engine-exact.
+
+    Scale shape: one token explode + vocab-sized hash-agg (map-side
+    combined); the top-``ZIPF_RANKS`` cut is TakeOrderedAndProject;
+    ranking and the regression folds run over a 200-row frame. The
+    only corpus-sized work is the tf aggregate every other corpus
+    statistic already shares."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    tf = (
+        docs.select(F.explode(_tokens_col()).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(ZIPF_RANKS)
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    ranked = tf.select(
+        F.row_number().over(w).alias("rank"), "freq"
+    )
+    x6 = F.round(F.round(F.log(F.col("rank")), 6) * 1e6).cast("decimal(38,0)")
+    y6 = F.round(F.round(F.log(F.col("freq")), 6) * 1e6).cast("decimal(38,0)")
+    folds = ranked.select(
+        x6.alias("x"), y6.alias("y")
+    ).agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") / 1e6
+        - slope * (F.col("sx").cast("double") / 1e6)
+    ) / F.col("n").cast("double")
+    return folds.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+    )
+
+
+def corpus_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix diversity audit per language: Shannon entropy of
+    the source distribution within each lang bucket, plus its
+    normalized form (÷ ln of the source count — 1.0 means perfectly
+    balanced). The mix report a training-data curator reads before
+    setting sampling temperatures (cf. The Pile's per-source mixing
+    weights): a lang whose mass collapses onto one source is a
+    monoculture risk the temperature pass then corrects.
+
+    Same engine-exact recipe as text_word_entropy: each source's
+    −p·ln(p) contribution pre-rounds ln at 6dp and folds in 1e9
+    fixed-point bigints. The per-lang total comes from a WINDOW over
+    the (lang, source) aggregate — not a second aggregate joined
+    back — so the lang partitioning established once is reused by
+    the window AND the final fold (one corpus-sized combine, then
+    two exchanges of a |lang×source|-row frame, no join)."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    cnt = docs.groupBy("lang", "source").agg(F.count("*").alias("c"))
+    n = F.sum("c").over(Window.partitionBy("lang"))
+    cnt = cnt.select("lang", "c", n.alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    w_fp = F.round(-p * F.round(F.log(p), 6) * 1e9).cast("long")
+    return (
+        cnt.select("lang", "n", w_fp.alias("w_fp"))
+        .groupBy("lang")
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_sources"),
+            F.round(F.sum("w_fp").cast("double") / 1e9, 6).alias(
+                "source_entropy"
+            ),
+            F.round(
+                (F.sum("w_fp").cast("double") / 1e9)
+                / F.round(F.log(F.count("*").cast("double")), 6),
+                6,
+            ).alias("norm_entropy"),
+        )
+    )

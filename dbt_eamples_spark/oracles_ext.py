@@ -2182,3 +2182,73 @@ def _pagerank_oracle_sql() -> str:
 
 
 EXT_ORACLES["graph_pagerank_topk"] = _pagerank_oracle_sql()
+
+
+def _zipf_oracle_sql() -> str:
+    from dbt_eamples_spark.operators.text import ZIPF_RANKS
+
+    return rf"""
+        WITH tf AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS freq
+            FROM (
+                SELECT unnest(string_split_regex(lower(text), '\s+')) AS term
+                FROM documents
+            )
+            GROUP BY term ORDER BY freq DESC, term LIMIT {ZIPF_RANKS}
+        ),
+        ranked AS (
+            SELECT row_number() OVER (ORDER BY freq DESC, term) AS rank, freq
+            FROM tf
+        ),
+        fx AS (
+            SELECT CAST(round(round(ln(rank), 6) * 1e6) AS BIGINT) AS x,
+                   CAST(round(round(ln(freq), 6) * 1e6) AS BIGINT) AS y
+            FROM ranked
+        ),
+        folds AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx
+            FROM fx
+        )
+        SELECT n AS n_terms,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+               round((CAST(sy AS DOUBLE) / 1e6
+                      - (CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE))
+                        * (CAST(sx AS DOUBLE) / 1e6))
+                     / CAST(n AS DOUBLE), 6) AS zipf_intercept
+        FROM folds
+    """
+
+
+EXT_ORACLES["text_zipf_slope"] = _zipf_oracle_sql()
+
+
+EXT_ORACLES["corpus_mix_entropy"] = """
+    WITH cnt AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY lang, source
+    ),
+    tot AS (
+        SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY lang
+    ),
+    fp AS (
+        SELECT cnt.lang, n,
+               CAST(round(-(CAST(c AS DOUBLE) / n)
+                     * round(ln(CAST(c AS DOUBLE) / n), 6)
+                     * 1e9) AS BIGINT) AS w_fp
+        FROM cnt JOIN tot USING (lang)
+    )
+    SELECT lang,
+           CAST(max(n) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_sources,
+           round(CAST(SUM(w_fp) AS DOUBLE) / 1e9, 6) AS source_entropy,
+           round((CAST(SUM(w_fp) AS DOUBLE) / 1e9)
+                 / round(ln(CAST(count(*) AS DOUBLE)), 6), 6)
+               AS norm_entropy
+    FROM fp GROUP BY lang
+"""

@@ -107,6 +107,15 @@ class TestShuffleBudgets:
         # audited post-checkpoint (per-iteration lineage is cut);
         # the final cut is TakeOrderedAndProject over |nodes| rows
         "graph_pagerank_topk": 0,
+        # tf hash-agg + the 200-row global ranking window
+        "text_zipf_slope": 2,
+        # parallelize repartition + (lang,source) agg + lang window
+        # (the per-lang total is a window over the aggregate, and the
+        # final fold reuses its partitioning — no join-back)
+        "corpus_mix_entropy": 3,
+        # funnel pipeline: base/conv scans join on the entity key
+        # (broadcast at fixture scale), distinct + grouped pass
+        "metric_compiled_conversion": 2,
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))

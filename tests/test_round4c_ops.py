@@ -190,3 +190,44 @@ class TestPagerank:
         rows = graph_pagerank_topk(spark, sf_dir).collect()
         degs = sorted(r["deg"] for r in rows)
         assert rows[0]["deg"] >= degs[len(degs) // 2]
+
+
+class TestZipfSlope:
+    def test_fit_matches_numpy_lstsq(self, spark, sf_dir):
+        import numpy as np
+
+        from dbt_eamples_spark.operators.text import text_zipf_slope
+
+        row = text_zipf_slope(spark, sf_dir).collect()[0]
+        # independent recompute: collect token frequencies and fit
+        # with numpy polyfit on the same pre-rounded lns
+        docs = load_table(spark, sf_dir, "documents").collect()
+        from collections import Counter
+
+        c = Counter()
+        for r in docs:
+            c.update(r["text"].lower().split())
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:200]
+        x = np.array(
+            [round(np.log(i + 1), 6) for i in range(len(top))]
+        )
+        y = np.array([round(np.log(f), 6) for _, f in top])
+        slope, intercept = np.polyfit(x, y, 1)
+        assert row["n_terms"] == len(top)
+        assert abs(row["zipf_slope"] - slope) < 1e-4
+        assert abs(row["zipf_intercept"] - intercept) < 1e-3
+
+
+class TestMixEntropy:
+    def test_entropy_bounds_and_doc_totals(self, spark, sf_dir):
+        from dbt_eamples_spark.operators.text import corpus_mix_entropy
+
+        rows = corpus_mix_entropy(spark, sf_dir).collect()
+        assert rows
+        docs = load_table(spark, sf_dir, "documents")
+        assert sum(r["n_docs"] for r in rows) == docs.count()
+        import math
+
+        for r in rows:
+            assert 0.0 <= r["source_entropy"] <= math.log(r["n_sources"]) + 1e-6
+            assert 0.0 <= r["norm_entropy"] <= 1.0 + 1e-6
