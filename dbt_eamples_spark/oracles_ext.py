@@ -2252,3 +2252,51 @@ EXT_ORACLES["corpus_mix_entropy"] = """
                AS norm_entropy
     FROM fp GROUP BY lang
 """
+
+
+def _freshness_oracle_sql() -> str:
+    from dbt_eamples_spark.operators.quality import (
+        FRESHNESS_AS_OF,
+        FRESHNESS_ERROR_H,
+        FRESHNESS_SOURCES,
+        FRESHNESS_WARN_H,
+    )
+
+    arms = "\n            UNION ALL ".join(
+        f"SELECT '{name}' AS source_name, "
+        f"CAST(max({col}) AS TIMESTAMP) AS mx FROM {table}"
+        for name, table, col in FRESHNESS_SOURCES
+    )
+    return f"""
+        WITH s AS (
+            {arms}
+        ),
+        h AS (
+            SELECT source_name,
+                   strftime(mx, '%Y-%m-%d %H:%M:%S') AS max_loaded_at,
+                   CAST(date_diff('second', mx,
+                       TIMESTAMP '{FRESHNESS_AS_OF}') // 3600 AS BIGINT)
+                       AS staleness_hours
+            FROM s
+        )
+        SELECT source_name, max_loaded_at, staleness_hours,
+               CASE WHEN staleness_hours >= {FRESHNESS_ERROR_H} THEN 'error'
+                    WHEN staleness_hours >= {FRESHNESS_WARN_H} THEN 'warn'
+                    ELSE 'fresh' END AS status
+        FROM h
+    """
+
+
+EXT_ORACLES["dq_source_freshness"] = _freshness_oracle_sql()
+
+
+EXT_ORACLES["window_percent_rank_cume"] = """
+    SELECT c_custkey,
+           c_mktsegment AS mktsegment,
+           c_acctbal AS acctbal,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal, c_custkey)
+"""

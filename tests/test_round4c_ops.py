@@ -231,3 +231,58 @@ class TestMixEntropy:
         for r in rows:
             assert 0.0 <= r["source_entropy"] <= math.log(r["n_sources"]) + 1e-6
             assert 0.0 <= r["norm_entropy"] <= 1.0 + 1e-6
+
+
+class TestSourceFreshness:
+    def test_verdicts_and_exact_hours(self, spark, sf_dir):
+        import datetime as dt
+
+        from dbt_eamples_spark.operators.quality import (
+            FRESHNESS_AS_OF,
+            FRESHNESS_ERROR_H,
+            FRESHNESS_SOURCES,
+            FRESHNESS_WARN_H,
+            dq_source_freshness,
+        )
+
+        rows = {
+            r["source_name"]: r
+            for r in dq_source_freshness(spark, sf_dir).collect()
+        }
+        assert set(rows) == {n for n, _, _ in FRESHNESS_SOURCES}
+        as_of = dt.datetime.strptime(FRESHNESS_AS_OF, "%Y-%m-%d %H:%M:%S")
+        for name, r in rows.items():
+            mx = dt.datetime.strptime(r["max_loaded_at"], "%Y-%m-%d %H:%M:%S")
+            want_h = int((as_of - mx).total_seconds()) // 3600
+            assert r["staleness_hours"] == want_h
+            want_status = (
+                "error"
+                if want_h >= FRESHNESS_ERROR_H
+                else "warn" if want_h >= FRESHNESS_WARN_H else "fresh"
+            )
+            assert r["status"] == want_status
+        # the fixture exercises both ends of the verdict scale
+        assert {r["status"] for r in rows.values()} >= {"fresh", "error"}
+
+
+class TestPercentRankCume:
+    def test_rank_ratios_per_segment(self, spark, sf_dir):
+        from collections import defaultdict
+
+        from dbt_eamples_spark.operators.relational import (
+            window_percent_rank_cume,
+        )
+
+        rows = window_percent_rank_cume(spark, sf_dir).collect()
+        by_seg = defaultdict(list)
+        for r in rows:
+            by_seg[r["mktsegment"]].append(r)
+        docs = load_table(spark, sf_dir, "customer")
+        assert len(rows) == docs.count()
+        for seg, rs in by_seg.items():
+            rs.sort(key=lambda r: (r["acctbal"], r["c_custkey"]))
+            n = len(rs)
+            for i, r in enumerate(rs):
+                want_pr = 0.0 if n == 1 else i / (n - 1)
+                assert abs(r["pct_rank"] - round(want_pr, 6)) < 1e-9
+                assert abs(r["cume"] - round((i + 1) / n, 6)) < 1e-9
