@@ -118,6 +118,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # oldest-first too, so round 5's rotation falls out naturally.
 _R4_PRIORITY = [
     # (1) new this round (second wave first — newest never checked)
+    "agg_kmv_distinct",
     "dq_source_freshness",
     "window_percent_rank_cume",
     "text_zipf_slope",
@@ -251,6 +252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 second wave ---
+        # KMV distinct sketch per type + lossless sketch merge row
+        "agg_kmv_distinct": S.agg_kmv_distinct,
         # dbt source freshness report (pinned as-of instant)
         "dq_source_freshness": Q.dq_source_freshness,
         # percent_rank + cume_dist per segment (rank-family windows)

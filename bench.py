@@ -112,6 +112,9 @@ HEADLINE = [
     "similarity_knn_graph",
     # round-4 second wave
     "metric_compiled_conversion",
+    "agg_kmv_distinct",
+    "dq_source_freshness",
+    "window_percent_rank_cume",
     "text_zipf_slope",
     "corpus_mix_entropy",
     "ts_resample_ohlc",

@@ -377,3 +377,84 @@ def sample_fixed_size_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("h"), F.asc("doc_id"))
         .limit(FIXED_SAMPLE_K)
     )
+
+
+KMV_K = 64  # sketch size; (K-1)·2^60 stays under 2^63
+
+
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch per event type, plus
+    the MERGED all-types sketch — the third sketch family next to
+    CMS (counts) and HLL (`agg_approx_distinct`): keep the K
+    smallest md5 hash values of the key; the K-th smallest estimates
+    the density, est = (K−1)·2^60 / h_K (Bar-Yossef et al. 2002).
+    Unlike HLL the estimator here is engine-DETERMINISTIC (md5
+    order statistics, no accumulator-order dependence), so the
+    sketch itself is oracle-checkable — and KMV sketches MERGE
+    losslessly: the ``__all__`` row ranks the UNION OF THE PER-TYPE
+    SKETCHES (≤ |types|·K rows), never the corpus, because a
+    globally-K-smallest key is necessarily K-smallest within every
+    type that contains it. That 320-row global window is the
+    documented bounded-slice pattern; the corpus-sized path would be
+    re-ranking all keys.
+
+    Output per group: exact distinct count (audit), sketch estimate,
+    and the sketch fill m (m < K means the sketch saw every key and
+    est == m exactly).
+
+    Scale shape: ONE distinct pass (the only corpus-sized shuffle,
+    checkpointed, consumed by sketch + both audits); per-type
+    ranking windows run over distinct keys; every aggregate
+    map-side combines. At 100 TB you ship the K-row sketches, not
+    the keys — the merge row is exactly that reduction."""
+    ev = load_table(spark, sf_dir, "events")
+    pairs = (
+        ev.select("event_type", "user_id").distinct().localCheckpoint(eager=True)
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = Window.partitionBy("event_type").orderBy(F.asc("h"), F.asc("user_id"))
+    kept = (
+        pairs.select("event_type", "user_id", h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .localCheckpoint(eager=True)  # feeds per-type aggs AND the merge
+    )
+
+    est = F.when(F.col("m") < KMV_K, F.col("m")).otherwise(
+        F.floor(F.lit(float((KMV_K - 1) * (1 << 60))) / F.col("hk")).cast("long")
+    )
+
+    exact = pairs.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact")
+    )
+    per_type = (
+        kept.groupBy("event_type")
+        .agg(F.max("h").alias("hk"), F.count("*").cast("long").alias("m"))
+        .join(F.broadcast(exact), "event_type")
+        .select("event_type", "exact", est.alias("est"), "m")
+    )
+
+    # sketch merge: K smallest distinct hashes across the per-type
+    # sketches == the union sketch (bounded |types|·K-row window)
+    mw = Window.orderBy(F.asc("h"), F.asc("user_id"))
+    merged_kept = (
+        kept.select("user_id", "h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(mw))
+        .filter(F.col("rn") <= KMV_K)
+    )
+    all_exact = pairs.agg(
+        F.countDistinct("user_id").cast("long").alias("exact")
+    )
+    merged = (
+        merged_kept.agg(
+            F.max("h").alias("hk"), F.count("*").cast("long").alias("m")
+        )
+        .crossJoin(F.broadcast(all_exact))
+        .select(
+            F.lit("__all__").alias("event_type"), "exact", est.alias("est"), "m"
+        )
+    )
+    return per_type.unionByName(merged)

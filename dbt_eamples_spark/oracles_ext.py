@@ -2300,3 +2300,58 @@ EXT_ORACLES["window_percent_rank_cume"] = """
     WINDOW w AS (PARTITION BY c_mktsegment
                  ORDER BY c_acctbal, c_custkey)
 """
+
+
+def _kmv_oracle_sql() -> str:
+    from dbt_eamples_spark.operators.sampling import KMV_K
+
+    lit = repr(float((KMV_K - 1) * (1 << 60)))  # same double both engines
+    est = (
+        f"CASE WHEN m < {KMV_K} THEN m "
+        f"ELSE CAST(floor({lit} / hk) AS BIGINT) END"
+    )
+    return f"""
+        WITH pairs AS (SELECT DISTINCT event_type, user_id FROM events),
+        hashed AS (
+            SELECT event_type, user_id,
+                   ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+            FROM pairs
+        ),
+        kept AS (
+            SELECT event_type, user_id, h FROM (
+                SELECT *, row_number() OVER (PARTITION BY event_type
+                              ORDER BY h, user_id) AS rn
+                FROM hashed
+            ) WHERE rn <= {KMV_K}
+        ),
+        exact AS (
+            SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact
+            FROM pairs GROUP BY event_type
+        ),
+        pt AS (
+            SELECT k.event_type, e.exact,
+                   CAST(max(h) AS BIGINT) AS hk,
+                   CAST(count(*) AS BIGINT) AS m
+            FROM kept k JOIN exact e USING (event_type)
+            GROUP BY k.event_type, e.exact
+        ),
+        mk AS (
+            SELECT user_id, h FROM (
+                SELECT *, row_number() OVER (ORDER BY h, user_id) AS rn
+                FROM (SELECT DISTINCT user_id, h FROM kept)
+            ) WHERE rn <= {KMV_K}
+        ),
+        ma AS (
+            SELECT CAST(max(h) AS BIGINT) AS hk,
+                   CAST(count(*) AS BIGINT) AS m,
+                   (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+                    FROM pairs) AS exact
+            FROM mk
+        )
+        SELECT event_type, exact, {est} AS est, m FROM pt
+        UNION ALL
+        SELECT '__all__' AS event_type, exact, {est} AS est, m FROM ma
+    """
+
+
+EXT_ORACLES["agg_kmv_distinct"] = _kmv_oracle_sql()

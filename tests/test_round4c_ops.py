@@ -286,3 +286,85 @@ class TestPercentRankCume:
                 want_pr = 0.0 if n == 1 else i / (n - 1)
                 assert abs(r["pct_rank"] - round(want_pr, 6)) < 1e-9
                 assert abs(r["cume"] - round((i + 1) / n, 6)) < 1e-9
+
+
+class TestKmvDistinct:
+    def test_estimate_error_and_merge_row(self, spark, sf_dir):
+        from dbt_eamples_spark.operators.sampling import (
+            KMV_K,
+            agg_kmv_distinct,
+        )
+
+        rows = {r["event_type"]: r for r in agg_kmv_distinct(spark, sf_dir).collect()}
+        assert "__all__" in rows
+        for t, r in rows.items():
+            assert r["m"] <= KMV_K
+            if r["m"] < KMV_K:
+                # sketch not full -> exact by construction
+                assert r["est"] == r["exact"] == r["m"]
+            else:
+                # standard KMV relative error ~ 1/sqrt(K) ≈ 12.5%;
+                # allow 4 sigma
+                assert abs(r["est"] - r["exact"]) <= r["exact"] * 0.5
+        # merged estimate equals the estimate of the union domain:
+        # every user appears in some type, so __all__ audits the
+        # global distinct count
+        assert rows["__all__"]["exact"] == max(
+            r["exact"] for r in rows.values()
+        )
+
+
+class TestMicrobatch:
+    def test_batches_partition_and_retry_is_idempotent(
+        self, spark, sf_dir, tmp_path
+    ):
+        from dbt_eamples_spark.streaming.incremental import run_microbatch
+
+        ev = load_table(spark, sf_dir, "events")
+        sink = str(tmp_path / "mb")
+        report = run_microbatch(spark, ev, sink)
+        assert sum(r["rows"] for r in report) == ev.count()
+        keys = [r["batch_key"] for r in report]
+        assert keys == sorted(keys) and len(set(keys)) == len(keys)
+        first = spark.read.parquet(sink)
+        n_first = first.count()
+        assert n_first == ev.count()
+
+        # retry ONE batch: partition overwritten in place, nothing
+        # else touched, total unchanged (idempotent backfill)
+        k = keys[len(keys) // 2]
+        report2 = run_microbatch(spark, ev, sink, begin=k)
+        assert report2[0]["batch_key"] == k
+        again = spark.read.parquet(sink)
+        assert again.count() == n_first
+        # per-partition row counts identical to the event log's
+        # Spark infers the partition column back as DATE — stringify
+        per = {
+            str(r["batch_key"]): r["n"]
+            for r in again.groupBy("batch_key")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        want = {
+            r["batch_key"]: r["n"]
+            for r in ev.select(
+                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                    "batch_key"
+                )
+            )
+            .groupBy("batch_key")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert per == want
+
+    def test_bounded_backfill_window(self, spark, sf_dir, tmp_path):
+        from dbt_eamples_spark.streaming.incremental import run_microbatch
+
+        ev = load_table(spark, sf_dir, "events")
+        sink = str(tmp_path / "mb2")
+        report = run_microbatch(
+            spark, ev, sink, begin="2024-01-05", end="2024-01-08"
+        )
+        keys = {r["batch_key"] for r in report}
+        assert keys == {"2024-01-05", "2024-01-06", "2024-01-07"}
