@@ -118,6 +118,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # oldest-first too, so round 5's rotation falls out naturally.
 _R4_PRIORITY = [
     # (1) new this round (second wave first — newest never checked)
+    "agg_market_share",
+    "events_type_pmi",
     "agg_kmv_distinct",
     "dq_source_freshness",
     "window_percent_rank_cume",
@@ -252,6 +254,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 second wave ---
+        # TPC-H Q8 shape: national market share per order year
+        "agg_market_share": R.agg_market_share,
+        # user-day event-type PMI association mining
+        "events_type_pmi": B.events_type_pmi,
         # KMV distinct sketch per type + lossless sketch merge row
         "agg_kmv_distinct": S.agg_kmv_distinct,
         # dbt source freshness report (pinned as-of instant)

@@ -113,6 +113,8 @@ HEADLINE = [
     # round-4 second wave
     "metric_compiled_conversion",
     "agg_kmv_distinct",
+    "agg_market_share",
+    "events_type_pmi",
     "dq_source_freshness",
     "window_percent_rank_cume",
     "text_zipf_slope",

@@ -664,3 +664,86 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---- event-type association mining (X38) -----------------------------------
+def events_type_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event-type pairs at the
+    USER-DAY level: PMI(a,b) = ln(N·n_ab / (n_a·n_b)) where n_x
+    counts user-days exhibiting type x — the association statistic
+    behind "sessions that error also churn" insights; positive PMI =
+    the pair co-occurs within a day above independence. (The
+    per-user-lifetime entity is degenerate on any active product —
+    every heavy user eventually does everything; the day grain is
+    where association structure lives.)
+
+    Scale shape: one distinct (user, day, type) pass feeds
+    everything; co-occurrence expands IN-ROW from each user-day's
+    sorted type set (bounded by |types|² per entity, the
+    market-basket shape — never a corpus self-join); marginals and N
+    are a types-sized aggregate and a one-row count, both broadcast
+    back to the 10-row pair frame. Determinism: N·n_ab and n_a·n_b
+    are exact bigints (≪2^53 even at 1e9 entities); their IEEE
+    quotient is correctly rounded, so the single ln evaluates on an
+    identical double and pre-rounds at 6dp (the JVM-vs-libm
+    guard)."""
+    ev = load_table(spark, sf_dir, "events")
+    pairs_src = (
+        ev.select(
+            "user_id",
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+            "event_type",
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_total = (
+        pairs_src.select("user_id", "day").distinct().count()
+    )  # scalar: one driver int
+    marg = pairs_src.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    sets = pairs_src.groupBy("user_id", "day").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    pair = F.explode(
+        F.filter(
+            F.flatten(
+                F.transform(
+                    "types",
+                    lambda a: F.transform(
+                        "types",
+                        lambda b: F.struct(a.alias("type_a"), b.alias("type_b")),
+                    ),
+                )
+            ),
+            lambda s: s["type_a"] < s["type_b"],
+        )
+    )
+    co = (
+        sets.select(pair.alias("p"))
+        .select("p.type_a", "p.type_b")
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+    )
+    ma = marg.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    mb = marg.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    ratio = (F.col("n_ab") * F.lit(n_total)).cast("double") / (
+        F.col("n_a") * F.col("n_b")
+    ).cast("double")
+    return (
+        co.join(F.broadcast(ma), "type_a")
+        .join(F.broadcast(mb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(F.log(ratio), 6).alias("pmi"),
+        )
+    )

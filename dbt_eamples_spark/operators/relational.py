@@ -1443,3 +1443,78 @@ def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+MARKET_SHARE_REGION = "ASIA"
+MARKET_SHARE_NATION = "NATION_9"
+
+
+def agg_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — national market share: of all revenue sold
+    by suppliers into one region's customer market, the fraction
+    supplied from one nation, per order year. The numerator is a
+    conditional sum inside the same grouped pass (no second scan).
+
+    Determinism: both sums fold in integer cents; the share is one
+    IEEE division of exact integers (correctly rounded ⇒ engine-
+    identical), rounded at 6dp on the same expression tree both
+    sides. Scale shape: same join skeleton as Q5
+    (`join_star_local_volume`) — one large-large orderkey shuffle,
+    dims broadcast, custkey join left to AQE; the share adds one
+    CASE, not one scan."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n_mkt = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("mkt_nationkey"),
+        F.col("n_regionkey").alias("mkt_regionkey"),
+    )
+    n_sup = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sup_nationkey"),
+        F.col("n_name").alias("sup_nation"),
+    )
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == MARKET_SHARE_REGION
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_mkt), c.c_nationkey == F.col("mkt_nationkey"))
+        .join(F.broadcast(r), F.col("mkt_regionkey") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_sup), s.s_nationkey == F.col("sup_nationkey"))
+    )
+    nation_cents = F.sum(
+        F.when(F.col("sup_nation") == MARKET_SHARE_NATION, cents).otherwise(
+            F.lit(0)
+        )
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            F.sum(cents).alias("total_cents"),
+            nation_cents.alias("nation_cents"),
+        )
+        .select(
+            "o_year",
+            "total_cents",
+            "nation_cents",
+            F.round(
+                F.col("nation_cents").cast("double")
+                / F.col("total_cents"),
+                6,
+            ).alias("mkt_share"),
+        )
+    )

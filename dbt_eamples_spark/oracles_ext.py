@@ -2355,3 +2355,73 @@ def _kmv_oracle_sql() -> str:
 
 
 EXT_ORACLES["agg_kmv_distinct"] = _kmv_oracle_sql()
+
+
+def _market_share_oracle_sql() -> str:
+    from dbt_eamples_spark.operators.relational import (
+        MARKET_SHARE_NATION,
+        MARKET_SHARE_REGION,
+    )
+
+    nation_sum = (
+        f"SUM(CASE WHEN sup_nation = '{MARKET_SHARE_NATION}' "
+        "THEN cents ELSE 0 END)"
+    )
+    return f"""
+        WITH j AS (
+            SELECT year(o_orderdate) AS o_year,
+                   CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT) AS cents,
+                   ns.n_name AS sup_nation
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation nm ON c_nationkey = nm.n_nationkey
+            JOIN region   ON nm.n_regionkey = r_regionkey
+                         AND r_name = '{MARKET_SHARE_REGION}'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ns ON s_nationkey = ns.n_nationkey
+        )
+        SELECT o_year,
+               CAST(SUM(cents) AS BIGINT) AS total_cents,
+               CAST({nation_sum} AS BIGINT) AS nation_cents,
+               round(CAST({nation_sum} AS DOUBLE)
+                     / CAST(SUM(cents) AS DOUBLE), 6) AS mkt_share
+        FROM j GROUP BY o_year
+    """
+
+
+EXT_ORACLES["agg_market_share"] = _market_share_oracle_sql()
+
+
+EXT_ORACLES["events_type_pmi"] = """
+    WITH p AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               event_type
+        FROM events
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT DISTINCT user_id, day FROM p)
+    ),
+    marg AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM p GROUP BY event_type
+    ),
+    co AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM p a JOIN p b
+          ON a.user_id = b.user_id AND a.day = b.day
+         AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT type_a, type_b, n_ab,
+           ma.n AS n_a, mb.n AS n_b,
+           round(ln(CAST(n_ab * tot.c AS DOUBLE)
+                    / CAST(ma.n * mb.n AS DOUBLE)), 6) AS pmi
+    FROM co
+    JOIN marg ma ON type_a = ma.event_type
+    JOIN marg mb ON type_b = mb.event_type, tot
+"""

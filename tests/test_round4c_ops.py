@@ -368,3 +368,54 @@ class TestMicrobatch:
         )
         keys = {r["batch_key"] for r in report}
         assert keys == {"2024-01-05", "2024-01-06", "2024-01-07"}
+
+
+class TestMarketShare:
+    def test_share_bounds_and_conditional_sum(self, spark, sf_dir):
+        from dbt_eamples_spark.operators.relational import agg_market_share
+
+        rows = agg_market_share(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 0 <= r["nation_cents"] <= r["total_cents"]
+            assert 0.0 <= r["mkt_share"] <= 1.0
+            assert (
+                abs(r["mkt_share"] - r["nation_cents"] / r["total_cents"])
+                < 1e-6
+            )
+
+
+class TestEventTypePmi:
+    def test_pmi_identity_on_counts(self, spark, sf_dir):
+        import math
+
+        from dbt_eamples_spark.operators.behavior import events_type_pmi
+
+        rows = events_type_pmi(spark, sf_dir).collect()
+        assert rows
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id",
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            "event_type",
+        ).distinct().collect()
+        entities = {(r["user_id"], r["day"]) for r in ev}
+        per_type = {}
+        per_entity = {}
+        for r in ev:
+            per_type.setdefault(r["event_type"], set()).add(
+                (r["user_id"], r["day"])
+            )
+            per_entity.setdefault((r["user_id"], r["day"]), set()).add(
+                r["event_type"]
+            )
+        n = len(entities)
+        for r in rows:
+            a, b = r["type_a"], r["type_b"]
+            n_ab = len(per_type[a] & per_type[b])
+            assert r["n_ab"] == n_ab
+            assert r["n_a"] == len(per_type[a])
+            assert r["n_b"] == len(per_type[b])
+            want = math.log((n_ab * n) / (r["n_a"] * r["n_b"]))
+            assert abs(r["pmi"] - want) < 1e-5
+        # association structure is non-degenerate at the day grain
+        assert any(abs(r["pmi"]) > 1e-3 for r in rows)
