@@ -116,6 +116,14 @@ class TestShuffleBudgets:
         # funnel pipeline: base/conv scans join on the entity key
         # (broadcast at fixture scale), distinct + grouped pass
         "metric_compiled_conversion": 2,
+        # post-checkpoint: exact agg + type window (+reuse), merged
+        # sketch distinct + its bounded 320-row global window + agg;
+        # the BNLJ is the one-row all_exact broadcast (documented)
+        "agg_kmv_distinct": 5,
+        # Q8: one fact exchange, all six dims broadcast
+        "agg_market_share": 1,
+        # post-checkpoint: marginal agg + user-day set agg + pair agg
+        "events_type_pmi": 3,
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))
