@@ -120,6 +120,7 @@ _R4_PRIORITY = [
     # (1) new this round (second wave first — newest never checked)
     "agg_market_share",
     "events_type_pmi",
+    "events_time_to_convert",
     "agg_kmv_distinct",
     "dq_source_freshness",
     "window_percent_rank_cume",
@@ -258,6 +259,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_market_share": R.agg_market_share,
         # user-day event-type PMI association mining
         "events_type_pmi": B.events_type_pmi,
+        # funnel conversion-latency percentiles (view→purchase)
+        "events_time_to_convert": B.events_time_to_convert,
         # KMV distinct sketch per type + lossless sketch merge row
         "agg_kmv_distinct": S.agg_kmv_distinct,
         # dbt source freshness report (pinned as-of instant)

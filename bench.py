@@ -115,6 +115,7 @@ HEADLINE = [
     "agg_kmv_distinct",
     "agg_market_share",
     "events_type_pmi",
+    "events_time_to_convert",
     "dq_source_freshness",
     "window_percent_rank_cume",
     "text_zipf_slope",

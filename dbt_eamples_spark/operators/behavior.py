@@ -747,3 +747,58 @@ def events_type_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log(ratio), 6).alias("pmi"),
         )
     )
+
+
+# ---- funnel conversion latency (X39) ---------------------------------------
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency: per user, the gap between the FIRST view and
+    the first purchase AT OR AFTER it; reported as the converting
+    population's latency percentiles. Third leg of the funnel suite:
+    `events_funnel` counts stage reach, `metric_compiled_conversion`
+    rates the step, this measures HOW LONG it takes (the SLA /
+    campaign-lag statistic).
+
+    Scale shape: ONE user_id exchange serves everything — the
+    first-view window, the purchase filter, and the per-user min all
+    key on user_id (no pair join, no population-sized broadcast; a
+    first-view table joined back would be one or both). Latencies
+    are exact integer seconds; the percentile set runs over the
+    converted-users frame (one row per user). Timestamps fold as
+    EXACT integer microseconds (`unix_micros` / `epoch_us` — a
+    seconds-level `unix_timestamp` truncates sub-second parts and
+    its truncation phase differs from DuckDB's, which flipped a
+    percentile by one row in testing). Exact `percentile`
+    (quantile_cont twin) per the agg_percentiles convention; swap to
+    percentile_approx at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    fv = F.min(
+        F.when(F.col("event_type") == "view", F.col("uts"))
+    ).over(w)
+    marked = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .select("user_id", "event_type", F.unix_micros("ts").alias("uts"))
+        .withColumn("first_view", fv)
+    )
+    n_viewed = (
+        marked.filter(F.col("first_view").isNotNull())
+        .select("user_id")
+        .distinct()
+        .count()
+    )  # scalar: one driver int
+    conv = (
+        marked.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("uts") >= F.col("first_view"))
+        )
+        .groupBy("user_id")
+        .agg((F.min("uts") - F.max("first_view")).alias("latency_us"))
+    )
+    return conv.agg(
+        F.lit(n_viewed).cast("long").alias("n_viewed"),
+        F.count("*").cast("long").alias("n_converted"),
+        F.min("latency_us").cast("long").alias("min_us"),
+        F.round(F.expr("percentile(latency_us, 0.5)"), 4).alias("p50_us"),
+        F.round(F.expr("percentile(latency_us, 0.9)"), 4).alias("p90_us"),
+        F.max("latency_us").cast("long").alias("max_us"),
+    )

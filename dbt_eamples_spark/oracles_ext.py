@@ -2425,3 +2425,35 @@ EXT_ORACLES["events_type_pmi"] = """
     JOIN marg ma ON type_a = ma.event_type
     JOIN marg mb ON type_b = mb.event_type, tot
 """
+
+
+# exact integer microseconds (epoch_us ≡ Spark unix_micros) — a
+# seconds-level epoch truncates sub-second parts engine-differently
+EXT_ORACLES["events_time_to_convert"] = """
+    WITH m AS (
+        SELECT user_id, event_type,
+               epoch_us(ts) AS uts,
+               min(CASE WHEN event_type = 'view'
+                        THEN epoch_us(ts) END)
+                   OVER (PARTITION BY user_id) AS first_view
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    conv AS (
+        SELECT user_id,
+               CAST(min(uts) - max(first_view) AS BIGINT) AS latency_us
+        FROM m
+        WHERE event_type = 'purchase' AND uts >= first_view
+        GROUP BY user_id
+    ),
+    v AS (
+        SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n
+        FROM m WHERE first_view IS NOT NULL
+    )
+    SELECT v.n AS n_viewed,
+           CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(min(latency_us) AS BIGINT) AS min_us,
+           round(quantile_cont(latency_us, 0.5), 4) AS p50_us,
+           round(quantile_cont(latency_us, 0.9), 4) AS p90_us,
+           CAST(max(latency_us) AS BIGINT) AS max_us
+    FROM conv, v GROUP BY v.n
+"""

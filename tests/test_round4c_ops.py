@@ -419,3 +419,32 @@ class TestEventTypePmi:
             assert abs(r["pmi"] - want) < 1e-5
         # association structure is non-degenerate at the day grain
         assert any(abs(r["pmi"]) > 1e-3 for r in rows)
+
+
+class TestTimeToConvert:
+    def test_latency_against_python_recompute(self, spark, sf_dir):
+        from dbt_eamples_spark.operators.behavior import (
+            events_time_to_convert,
+        )
+
+        row = events_time_to_convert(spark, sf_dir).collect()[0]
+        ev = load_table(spark, sf_dir, "events").collect()
+        views, buys = {}, {}
+        for r in ev:
+            us = int(r["ts"].timestamp() * 1_000_000)
+            if r["event_type"] == "view":
+                views[r["user_id"]] = min(
+                    views.get(r["user_id"], us), us
+                )
+            elif r["event_type"] == "purchase":
+                buys.setdefault(r["user_id"], []).append(us)
+        lats = []
+        for uid, fv in views.items():
+            after = [b for b in buys.get(uid, ()) if b >= fv]
+            if after:
+                lats.append(min(after) - fv)
+        assert row["n_viewed"] == len(views)
+        assert row["n_converted"] == len(lats)
+        assert row["min_us"] == min(lats)
+        assert row["max_us"] == max(lats)
+        assert row["min_us"] <= row["p50_us"] <= row["p90_us"] <= row["max_us"]
