@@ -121,6 +121,8 @@ _R4_PRIORITY = [
     "agg_market_share",
     "events_type_pmi",
     "events_time_to_convert",
+    "agg_gini_revenue",
+    "dq_advanced_tests",
     "agg_kmv_distinct",
     "dq_source_freshness",
     "window_percent_rank_cume",
@@ -261,6 +263,10 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_pmi": B.events_type_pmi,
         # funnel conversion-latency percentiles (view→purchase)
         "events_time_to_convert": B.events_time_to_convert,
+        # Gini revenue-concentration index (abc_pareto companion)
+        "agg_gini_revenue": B.agg_gini_revenue,
+        # dbt-utils test pack incl. scd2 validity-overlap check
+        "dq_advanced_tests": Q.dq_advanced_tests,
         # KMV distinct sketch per type + lossless sketch merge row
         "agg_kmv_distinct": S.agg_kmv_distinct,
         # dbt source freshness report (pinned as-of instant)

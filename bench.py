@@ -116,6 +116,8 @@ HEADLINE = [
     "agg_market_share",
     "events_type_pmi",
     "events_time_to_convert",
+    "agg_gini_revenue",
+    "dq_advanced_tests",
     "dq_source_freshness",
     "window_percent_rank_cume",
     "text_zipf_slope",

@@ -802,3 +802,50 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(latency_us, 0.9)"), 4).alias("p90_us"),
         F.max("latency_us").cast("long").alias("max_us"),
     )
+
+
+def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across parts — the
+    one-number inequality companion to `abc_pareto_class`'s banding:
+    G = (2·Σ i·xᵢ) / (n·Σx) − (n+1)/n over revenues sorted
+    ascending (Gini 1912, rank formulation).
+
+    Determinism: revenues fold as integer cents; Σ i·xᵢ accumulates
+    as decimal(38,0) (rank ≤ catalog size × cents ≈ 1e3·1e8 per
+    term — int64-safe at fixture scale, but one 100× catalog away
+    from wrap: the agg_correlation lesson applied preemptively).
+    The closed form evaluates exact integers cast to double on one
+    shared expression tree.
+
+    Scale shape: per-part revenue is the fact-table aggregate; the
+    ranking window runs over the CATALOG-bounded result (one row per
+    part — the abc_pareto bounded-slice argument), and the final
+    fold is a one-row aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    rev = li.select("l_partkey", cents.alias("cents")).groupBy(
+        "l_partkey"
+    ).agg(F.sum("cents").alias("rev"))
+    w = Window.orderBy(F.asc("rev"), F.asc("l_partkey"))
+    ranked = rev.select(
+        "rev", F.row_number().over(w).cast("long").alias("i")
+    )
+    folds = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rev").cast("decimal(38,0)").alias("sx"),
+        F.sum(
+            (F.col("i") * F.col("rev")).cast("decimal(38,0)")
+        ).alias("six"),
+    )
+    g = (
+        F.lit(2.0) * F.col("six").cast("double")
+        / (F.col("n").cast("double") * F.col("sx").cast("double"))
+        - (F.col("n") + 1).cast("double") / F.col("n").cast("double")
+    )
+    return folds.select(
+        "n",
+        F.col("sx").cast("long").alias("total_cents"),
+        F.round(g, 6).alias("gini"),
+    )

@@ -18,7 +18,7 @@ Spark's exchange/scan reuse already dedups identical subplans).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbt_eamples_spark.catalog import load_table
@@ -266,4 +266,81 @@ def dq_source_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "source_name", "max_loaded_at", "staleness_hours", status.alias("status")
+    )
+
+
+# ---- dbt-utils advanced test pack ------------------------------------------
+PRICE_RANGE = (0.0, 1_000_000.0)
+
+
+def dq_advanced_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dbt-utils test pack beyond core's four generic tests
+    (`dq_schema_tests`): accepted_range, unique_combination_of
+    _columns, fewer_rows_than, and mutually_exclusive_ranges — the
+    last one run against the engine's OWN scd2 output (validity
+    intervals per user must not overlap), so the test suite
+    exercises a derived model exactly as a dbt project would.
+
+    Scale shape: each test is one aggregate / grouped count;
+    mutually_exclusive_ranges sorts within user partitions only
+    (the scd2 history is per-user bounded). One report row per
+    test, same shape as dq_schema_tests."""
+    from dbt_eamples_spark.streaming.incremental import scd2_snapshot
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    rng = o.agg(
+        F.count_if(
+            ~F.col("o_totalprice").between(*PRICE_RANGE)
+        ).alias("n_violations")
+    ).select(
+        F.lit("accepted_range_o_totalprice").alias("test_name"),
+        "n_violations",
+    )
+    combo = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count("*").alias("n_violations"))
+        .select(
+            F.lit("unique_combination_orderkey_linenumber").alias(
+                "test_name"
+            ),
+            "n_violations",
+        )
+    )
+    # fewer_rows_than: orders must have fewer rows than lineitem
+    fewer = (
+        o.agg(F.count("*").alias("a"))
+        .crossJoin(li.agg(F.count("*").alias("b")))
+        .select(
+            F.lit("fewer_rows_than_orders_lt_lineitem").alias("test_name"),
+            F.when(F.col("a") < F.col("b"), F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("n_violations"),
+        )
+    )
+    hist = scd2_snapshot(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("valid_from")
+    overlap = (
+        hist.withColumn("next_from", F.lead("valid_from").over(wu))
+        .filter(
+            F.col("next_from").isNotNull()
+            & (F.col("valid_to") > F.col("next_from"))
+        )
+        .agg(F.count("*").alias("n_violations"))
+        .select(
+            F.lit("mutually_exclusive_ranges_scd2_validity").alias(
+                "test_name"
+            ),
+            "n_violations",
+        )
+    )
+    report = rng.unionByName(combo).unionByName(fewer).unionByName(overlap)
+    return report.select(
+        "test_name",
+        F.col("n_violations").cast("long").alias("n_violations"),
+        (F.col("n_violations") == 0).alias("passed"),
     )

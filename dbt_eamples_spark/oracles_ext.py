@@ -2457,3 +2457,88 @@ EXT_ORACLES["events_time_to_convert"] = """
            CAST(max(latency_us) AS BIGINT) AS max_us
     FROM conv, v GROUP BY v.n
 """
+
+
+EXT_ORACLES["agg_gini_revenue"] = """
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                   AS BIGINT)) AS BIGINT) AS rev
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT rev, row_number() OVER (ORDER BY rev, l_partkey) AS i
+        FROM rev
+    ),
+    folds AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(rev) AS BIGINT) AS sx,
+               CAST(SUM(i * rev) AS BIGINT) AS six
+        FROM ranked
+    )
+    SELECT n, sx AS total_cents,
+           round(2.0 * CAST(six AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+                 - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini
+    FROM folds
+"""
+
+
+def _dq_advanced_oracle_sql() -> str:
+    from dbt_eamples_spark.operators.quality import PRICE_RANGE
+
+    lo, hi = PRICE_RANGE
+    return f"""
+        WITH ordered AS (
+            SELECT user_id, event_id, ts, value,
+                   LAG(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev
+            FROM events
+        ),
+        changes AS (
+            SELECT user_id, event_id, ts, value FROM ordered
+            WHERE prev IS NULL OR value <> prev
+        ),
+        hist AS (
+            SELECT user_id, ts AS valid_from,
+                   LEAD(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS valid_to
+            FROM changes
+        ),
+        olap AS (
+            SELECT user_id, valid_from, valid_to,
+                   LEAD(valid_from) OVER (PARTITION BY user_id
+                                          ORDER BY valid_from) AS next_from
+            FROM hist
+        ),
+        t AS (
+            SELECT 'accepted_range_o_totalprice' AS test_name,
+                   CAST(count(*) FILTER (
+                       WHERE o_totalprice NOT BETWEEN {lo} AND {hi}
+                   ) AS BIGINT) AS n_violations
+            FROM orders
+            UNION ALL
+            SELECT 'unique_combination_orderkey_linenumber',
+                   CAST(count(*) AS BIGINT)
+            FROM (
+                SELECT l_orderkey, l_linenumber FROM lineitem
+                GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1
+            )
+            UNION ALL
+            SELECT 'fewer_rows_than_orders_lt_lineitem',
+                   CAST(CASE WHEN (SELECT count(*) FROM orders)
+                                < (SELECT count(*) FROM lineitem)
+                        THEN 0 ELSE 1 END AS BIGINT)
+            UNION ALL
+            SELECT 'mutually_exclusive_ranges_scd2_validity',
+                   CAST(count(*) FILTER (
+                       WHERE next_from IS NOT NULL
+                         AND valid_to > next_from
+                   ) AS BIGINT)
+            FROM olap
+        )
+        SELECT test_name, n_violations, n_violations = 0 AS passed FROM t
+    """
+
+
+EXT_ORACLES["dq_advanced_tests"] = _dq_advanced_oracle_sql()

@@ -448,3 +448,46 @@ class TestTimeToConvert:
         assert row["min_us"] == min(lats)
         assert row["max_us"] == max(lats)
         assert row["min_us"] <= row["p50_us"] <= row["p90_us"] <= row["max_us"]
+
+
+class TestGini:
+    def test_matches_numpy_formula_and_bounds(self, spark, sf_dir):
+        import numpy as np
+
+        from dbt_eamples_spark.operators.behavior import agg_gini_revenue
+
+        row = agg_gini_revenue(spark, sf_dir).collect()[0]
+        li = load_table(spark, sf_dir, "lineitem").collect()
+        import math
+
+        rev = {}
+        for r in li:
+            # Spark round() is HALF-UP; Python round() is banker's —
+            # floor(x+0.5) reproduces half-up for positive cents
+            c = math.floor(
+                r["l_extendedprice"] * (1 - r["l_discount"]) * 100 + 0.5
+            )
+            rev[r["l_partkey"]] = rev.get(r["l_partkey"], 0) + int(c)
+        x = np.array(sorted(rev.values()), dtype=np.float64)
+        n = len(x)
+        want = 2 * np.sum(np.arange(1, n + 1) * x) / (n * x.sum()) - (
+            n + 1
+        ) / n
+        assert row["n"] == n
+        assert row["total_cents"] == int(x.sum())
+        assert abs(row["gini"] - want) < 1e-6
+        assert 0.0 <= row["gini"] < 1.0
+
+
+class TestDqAdvanced:
+    def test_report_shape_and_scd2_validity(self, spark, sf_dir):
+        from dbt_eamples_spark.operators.quality import dq_advanced_tests
+
+        rows = {r["test_name"]: r for r in dq_advanced_tests(spark, sf_dir).collect()}
+        assert len(rows) == 4
+        for r in rows.values():
+            assert r["passed"] == (r["n_violations"] == 0)
+        # scd2 validity intervals are non-overlapping by construction
+        assert rows["mutually_exclusive_ranges_scd2_validity"]["passed"]
+        # orders < lineitem rows always holds on TPC-H-shaped data
+        assert rows["fewer_rows_than_orders_lt_lineitem"]["passed"]
