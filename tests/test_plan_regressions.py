@@ -124,6 +124,15 @@ class TestShuffleBudgets:
         "agg_market_share": 1,
         # post-checkpoint: marginal agg + user-day set agg + pair agg
         "events_type_pmi": 3,
+        # one user_id exchange shared by window + per-user min; the
+        # final percentile fold is a one-row aggregate
+        "events_time_to_convert": 1,
+        # per-part revenue agg; ranking + folds over the catalog-
+        # bounded slice add no exchange
+        "agg_gini_revenue": 1,
+        # unique-combination grouped count + scd2 user window; the
+        # BNLJ is the two-one-row-counts cross join (fewer_rows_than)
+        "dq_advanced_tests": 2,
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))
