@@ -123,6 +123,7 @@ _R4_PRIORITY = [
     "events_time_to_convert",
     "agg_gini_revenue",
     "dq_advanced_tests",
+    "text_lang_confusion",
     "agg_kmv_distinct",
     "dq_source_freshness",
     "window_percent_rank_cume",
@@ -267,6 +268,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_gini_revenue": B.agg_gini_revenue,
         # dbt-utils test pack incl. scd2 validity-overlap check
         "dq_advanced_tests": Q.dq_advanced_tests,
+        # lang-ID confusion matrix vs ground-truth labels (eval)
+        "text_lang_confusion": T.text_lang_confusion,
         # KMV distinct sketch per type + lossless sketch merge row
         "agg_kmv_distinct": S.agg_kmv_distinct,
         # dbt source freshness report (pinned as-of instant)

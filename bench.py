@@ -118,6 +118,7 @@ HEADLINE = [
     "events_time_to_convert",
     "agg_gini_revenue",
     "dq_advanced_tests",
+    "text_lang_confusion",
     "dq_source_freshness",
     "window_percent_rank_cume",
     "text_zipf_slope",

@@ -772,3 +772,34 @@ def corpus_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("norm_entropy"),
         )
     )
+
+
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the engine's own language-ID against the
+    corpus ground-truth labels — the eval harness every classifier
+    in a curation pipeline needs (per-(actual, predicted) counts
+    plus each cell's share of its actual-label row, from which
+    per-class recall is the diagonal). Reuses text_lang_id's exact
+    prediction expression, so this measures the SHIPPED classifier,
+    not a twin.
+
+    Scale shape: the per-doc prediction is a narrow map (regexp
+    counts); the matrix is one hash-agg to ≤|langs|² rows; the row
+    share comes from a window over that bounded grid. Counts are
+    bigints; shares are exact-integer IEEE divisions."""
+    pred = text_lang_id(spark, sf_dir).select(
+        F.col("labeled_lang").alias("actual"),
+        F.col("predicted_lang").alias("predicted"),
+    )
+    grid = pred.groupBy("actual", "predicted").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    row_total = F.sum("n_docs").over(Window.partitionBy("actual"))
+    return grid.select(
+        "actual",
+        "predicted",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / row_total, 6
+        ).alias("row_share"),
+    )

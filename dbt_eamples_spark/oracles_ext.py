@@ -2542,3 +2542,29 @@ def _dq_advanced_oracle_sql() -> str:
 
 
 EXT_ORACLES["dq_advanced_tests"] = _dq_advanced_oracle_sql()
+
+
+def _lang_confusion_oracle_sql() -> str:
+    """Shares the text_lang_id oracle's argmax expression so the
+    confusion matrix audits the SAME shipped classifier."""
+    hits = ", ".join(
+        f"{_lang_hits_sql(k)} AS {k}_hits" for k in LANG_STOPWORDS
+    )
+    return f"""
+        WITH pred AS (
+            SELECT lang AS actual, {_lang_argmax_case()} AS predicted
+            FROM (SELECT lang, {hits} FROM documents)
+        ),
+        grid AS (
+            SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n_docs
+            FROM pred GROUP BY actual, predicted
+        )
+        SELECT actual, predicted, n_docs,
+               round(CAST(n_docs AS DOUBLE)
+                     / CAST(SUM(n_docs) OVER (PARTITION BY actual)
+                         AS DOUBLE), 6) AS row_share
+        FROM grid
+    """
+
+
+EXT_ORACLES["text_lang_confusion"] = _lang_confusion_oracle_sql()

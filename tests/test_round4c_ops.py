@@ -491,3 +491,25 @@ class TestDqAdvanced:
         assert rows["mutually_exclusive_ranges_scd2_validity"]["passed"]
         # orders < lineitem rows always holds on TPC-H-shaped data
         assert rows["fewer_rows_than_orders_lt_lineitem"]["passed"]
+
+
+class TestLangConfusion:
+    def test_matrix_totals_and_recall_diagonal(self, spark, sf_dir):
+        from dbt_eamples_spark.operators.text import text_lang_confusion
+
+        rows = text_lang_confusion(spark, sf_dir).collect()
+        docs = load_table(spark, sf_dir, "documents")
+        assert sum(r["n_docs"] for r in rows) == docs.count()
+        from collections import defaultdict
+
+        per_actual = defaultdict(int)
+        for r in rows:
+            per_actual[r["actual"]] += r["n_docs"]
+        for r in rows:
+            assert (
+                abs(
+                    r["row_share"]
+                    - round(r["n_docs"] / per_actual[r["actual"]], 6)
+                )
+                < 1e-9
+            )
