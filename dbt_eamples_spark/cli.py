@@ -279,6 +279,51 @@ def cmd_tune(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_test(args: argparse.Namespace) -> int:
+    """``dbt test`` UX: run the generic + dbt-utils test packs,
+    print one row per test, exit non-zero iff any test failed —
+    the scheduler contract (`transactions_dag.py` alerting wants an
+    exit code, not a DataFrame)."""
+    from dbt_eamples_spark.operators.quality import (
+        dq_advanced_tests,
+        dq_schema_tests,
+    )
+    from dbt_eamples_spark.session import get_spark
+
+    spark = get_spark("cli-test")
+    rows = (
+        dq_schema_tests(spark, args.sf_dir)
+        .unionByName(dq_advanced_tests(spark, args.sf_dir))
+        .collect()
+    )
+    failed = 0
+    for r in rows:
+        mark = "PASS" if r["passed"] else "FAIL"
+        print(f"{mark} {r['test_name']}: {r['n_violations']} violations")
+        failed += 0 if r["passed"] else 1
+    print(f"{len(rows) - failed} of {len(rows)} tests passed")
+    return 1 if failed else 0
+
+
+def cmd_freshness(args: argparse.Namespace) -> int:
+    """``dbt source freshness`` UX: print the per-source staleness
+    report; exit 1 on any error-status source (warn keeps exit 0,
+    matching dbt's default)."""
+    from dbt_eamples_spark.operators.quality import dq_source_freshness
+    from dbt_eamples_spark.session import get_spark
+
+    spark = get_spark("cli-freshness")
+    rows = dq_source_freshness(spark, args.sf_dir).collect()
+    errors = 0
+    for r in rows:
+        print(
+            f"{r['status'].upper():5s} {r['source_name']}: max_loaded_at="
+            f"{r['max_loaded_at']} staleness={r['staleness_hours']}h"
+        )
+        errors += 1 if r["status"] == "error" else 0
+    return 1 if errors else 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="dbt-eamples-spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -341,6 +386,19 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--n-rows", type=int, required=True)
     t.add_argument("--target-bucket", type=int, default=64)
     t.set_defaults(func=cmd_tune)
+
+    dt = sub.add_parser(
+        "test", help="run data-quality test packs (exit 1 on failure)"
+    )
+    dt.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    dt.set_defaults(func=cmd_test)
+
+    fr = sub.add_parser(
+        "freshness",
+        help="source freshness report (exit 1 on any error-stale source)",
+    )
+    fr.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    fr.set_defaults(func=cmd_freshness)
     return p
 
 

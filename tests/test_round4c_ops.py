@@ -513,3 +513,27 @@ class TestLangConfusion:
                 )
                 < 1e-9
             )
+
+
+class TestCliTestAndFreshness:
+    def test_cli_test_exit_reflects_failures(self, spark, sf_dir, capsys):
+        from dbt_eamples_spark import cli
+
+        rc = cli.main(["test", "--sf-dir", sf_dir])
+        out = capsys.readouterr().out
+        assert "tests passed" in out
+        # the synthetic lineitem has duplicate (orderkey, linenumber)
+        # pairs, so the pack reports >=1 failure and exits 1
+        assert "FAIL unique_combination_orderkey_linenumber" in out
+        assert rc == 1
+
+    def test_cli_freshness_exit_on_stale_sources(
+        self, spark, sf_dir, capsys
+    ):
+        from dbt_eamples_spark import cli
+
+        rc = cli.main(["freshness", "--sf-dir", sf_dir])
+        out = capsys.readouterr().out
+        assert "FRESH events" in out
+        assert "ERROR orders" in out  # historical TPC-H dates
+        assert rc == 1
