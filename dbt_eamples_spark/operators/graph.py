@@ -65,32 +65,24 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k parts by PageRank over the co-purchase graph after
-    ``PAGERANK_ITERS`` damped power iterations (Page et al. 1999),
-    in engine-exact fixed-point integer arithmetic (module
-    docstring). The graph is symmetric by construction, so every
-    node has in- and out-degree ≥ 1 — no dangling-mass term.
-
-    Scale shape: the edge list materializes ONCE (localCheckpoint —
-    every iteration and the degree pass consume it; without
-    materialization each iteration re-runs the basket expansion).
-    Each iteration is one join (ranks ⋈ edges on src — ranks is
-    |nodes| rows, broadcastable up to huge catalogs; at true scale
-    AQE shuffles both on src) plus one dst hash-agg: the canonical
-    1-shuffle-per-iteration propagation, same shape as
-    dedup_clusters' label propagation. Ranks are checkpointed per
-    iteration so the lineage stays flat. Final cut is
-    TakeOrderedAndProject on (rank DESC, node)."""
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+def pagerank_fixed_point(
+    edges: DataFrame, iters: int = PAGERANK_ITERS
+) -> DataFrame:
+    """Core fixed-point propagation over an arbitrary directed edge
+    frame (src, dst) whose node set = the set of sources (true for
+    any symmetric graph). Factored out so property tests can drive
+    it with arbitrary generated graphs and assert EXACT integer
+    equality against a pure-python reference — the determinism claim
+    as a testable contract, not a docstring."""
+    edges = edges.localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
     nodes = deg.select(F.col("src").alias("node"), "deg")
-    n_nodes = nodes.count()  # scalar: catalog-bounded (|parts|)
+    n_nodes = nodes.count()  # scalar: catalog-bounded
     init = PAGERANK_SCALE // n_nodes
     base = (15 * PAGERANK_SCALE) // (100 * n_nodes)
 
     ranks = nodes.select("node", "deg", F.lit(init).alias("rank_fp"))
-    for _ in range(PAGERANK_ITERS):
+    for _ in range(iters):
         contrib = (
             edges.join(
                 ranks.select(
@@ -117,6 +109,27 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+    return ranks
+
+
+def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k parts by PageRank over the co-purchase graph after
+    ``PAGERANK_ITERS`` damped power iterations (Page et al. 1999),
+    in engine-exact fixed-point integer arithmetic (module
+    docstring). The graph is symmetric by construction, so every
+    node has in- and out-degree ≥ 1 — no dangling-mass term.
+
+    Scale shape: the edge list materializes ONCE (localCheckpoint —
+    every iteration and the degree pass consume it; without
+    materialization each iteration re-runs the basket expansion).
+    Each iteration is one join (ranks ⋈ edges on src — ranks is
+    |nodes| rows, broadcastable up to huge catalogs; at true scale
+    AQE shuffles both on src) plus one dst hash-agg: the canonical
+    1-shuffle-per-iteration propagation, same shape as
+    dedup_clusters' label propagation. Ranks are checkpointed per
+    iteration so the lineage stays flat. Final cut is
+    TakeOrderedAndProject on (rank DESC, node)."""
+    ranks = pagerank_fixed_point(_copurchase_edges(spark, sf_dir))
     return (
         ranks.select(F.col("node").alias("l_partkey"), "deg", "rank_fp")
         .orderBy(F.desc("rank_fp"), F.asc("l_partkey"))
