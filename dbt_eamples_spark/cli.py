@@ -324,6 +324,58 @@ def cmd_freshness(args: argparse.Namespace) -> int:
     return 1 if errors else 0
 
 
+def cmd_docs(args: argparse.Namespace) -> int:
+    """``dbt docs generate`` UX: write a markdown catalog of the
+    warehouse — every table's schema (from the live parquet
+    footers), every semantic model's dimensions/measures, every
+    metric with its type and description, and the saved-query
+    presets. One file, reviewable in a PR — the documentation
+    artifact dbt renders as a website, kept engine-side as plain
+    markdown."""
+    from dbt_eamples_spark.catalog import TABLES, load_table
+    from dbt_eamples_spark.plans.saved import SAVED_QUERIES
+    from dbt_eamples_spark.session import get_spark
+
+    reg = default_registry()
+    spark = get_spark("cli-docs")
+    lines = ["# Warehouse catalog", ""]
+    lines += ["## Tables", ""]
+    for t in TABLES:
+        df = load_table(spark, args.sf_dir, t)
+        lines.append(f"### {t}")
+        lines.append("")
+        lines.append("| column | type |")
+        lines.append("|---|---|")
+        for f in df.schema.fields:
+            lines.append(f"| {f.name} | {f.dataType.simpleString()} |")
+        lines.append("")
+    lines += ["## Semantic models", ""]
+    for name, model in sorted(reg.models.items()):
+        dims = ", ".join(d.name for d in model.dimensions) or "—"
+        meas = ", ".join(m.name for m in model.measures) or "—"
+        lines.append(
+            f"- **{name}** (table `{model.table}`): dimensions {dims}; "
+            f"measures {meas}"
+        )
+    lines += ["", "## Metrics", ""]
+    for name in reg.list_metrics():
+        m = reg.metric(name)
+        lines.append(
+            f"- **{name}** ({m.metric_type}) — {m.description or name}"
+        )
+    lines += ["", "## Saved queries", ""]
+    for name, req in sorted(SAVED_QUERIES.items()):
+        lines.append(
+            f"- **{name}**: metrics={list(req.metrics)} "
+            f"group_by={list(req.group_by)}"
+        )
+    out = args.output or "CATALOG.md"
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="dbt-eamples-spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -399,6 +451,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     fr.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     fr.set_defaults(func=cmd_freshness)
+
+    dc = sub.add_parser(
+        "docs", help="generate the markdown warehouse catalog"
+    )
+    dc.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    dc.add_argument("--output", default=None)
+    dc.set_defaults(func=cmd_docs)
     return p
 
 

@@ -537,3 +537,23 @@ class TestCliTestAndFreshness:
         assert "FRESH events" in out
         assert "ERROR orders" in out  # historical TPC-H dates
         assert rc == 1
+
+
+class TestCliDocs:
+    def test_catalog_document_complete(self, spark, sf_dir, tmp_path, capsys):
+        from dbt_eamples_spark import cli
+        from dbt_eamples_spark.catalog import TABLES
+        from dbt_eamples_spark.plans.saved import SAVED_QUERIES
+        from dbt_eamples_spark.plans.semantics import default_registry
+
+        out = str(tmp_path / "CATALOG.md")
+        rc = cli.main(["docs", "--sf-dir", sf_dir, "--output", out])
+        assert rc == 0
+        doc = open(out).read()
+        for t in TABLES:
+            assert f"### {t}" in doc
+        for m in default_registry().list_metrics():
+            assert f"**{m}**" in doc
+        for s in SAVED_QUERIES:
+            assert f"**{s}**" in doc
+        assert "conversion" in doc  # metric types surface
