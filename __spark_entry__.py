@@ -119,6 +119,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _R4_PRIORITY = [
     # (1) new this round (second wave first — newest never checked)
     "agg_market_share",
+    "orders_backlog_daily",
     "events_type_pmi",
     "events_time_to_convert",
     "agg_gini_revenue",
@@ -260,6 +261,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-4 second wave ---
         # TPC-H Q8 shape: national market share per order year
         "agg_market_share": R.agg_market_share,
+        # daily open-order backlog (+1/-1 boundary events)
+        "orders_backlog_daily": R.orders_backlog_daily,
         # user-day event-type PMI association mining
         "events_type_pmi": B.events_type_pmi,
         # funnel conversion-latency percentiles (view→purchase)

@@ -83,11 +83,18 @@ def pagerank_fixed_point(
 
     ranks = nodes.select("node", "deg", F.lit(init).alias("rank_fp"))
     for _ in range(iters):
+        # ranks is |nodes| rows (catalog-bounded) but sits behind a
+        # localCheckpoint, so Catalyst has no size statistics and
+        # would SHUFFLE the 100×-larger edge list every iteration —
+        # broadcast explicitly (at a catalog too big to broadcast,
+        # drop the hint and let both sides shuffle on src once)
         contrib = (
             edges.join(
-                ranks.select(
-                    F.col("node").alias("src"),
-                    F.expr("rank_fp DIV deg").alias("share"),
+                F.broadcast(
+                    ranks.select(
+                        F.col("node").alias("src"),
+                        F.expr("rank_fp DIV deg").alias("share"),
+                    )
                 ),
                 "src",
             )

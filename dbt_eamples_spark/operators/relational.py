@@ -1518,3 +1518,75 @@ def agg_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mkt_share"),
         )
     )
+
+
+def orders_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog — the concurrent-intervals operator
+    (capacity planning / WIP tracking): an order is OPEN from its
+    order date until its last line ships; report how many are open
+    on each day either boundary event occurs.
+
+    Plan shape: the naive form joins a calendar spine against the
+    interval table (spine × orders range join — quadratic-ish and
+    unprunable); this is the +1/−1 BOUNDARY-EVENT form instead: one
+    per-order aggregate (max ship date; the only fact-sized
+    shuffle), explode each order into two signed events, a daily
+    net-change aggregate (map-side combines to |days| rows), and a
+    cumulative window over that BOUNDED day frame (the
+    window_ntile_deciles bounded-slice argument — never over
+    orders). All integer counts on date keys; nothing to diverge.
+
+    The close event lands on day AFTER last_ship (an order still
+    counts as open on the day its last line ships). The close day is
+    clamped to ≥ the open day: the synthetic fixture contains
+    inverted spans (lines "shipped" before the order date), and an
+    unclamped close event would precede its open in the running sum
+    — turning interval counting into nonsense (caught by the
+    interval-stabbing twin in tests)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    shipped = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    spans = (
+        shipped.join(o, shipped["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_orderdate").cast("date").alias("open_day"),
+            F.date_add(
+                F.greatest(
+                    F.col("last_ship").cast("date"),
+                    F.col("o_orderdate").cast("date"),
+                ),
+                1,
+            ).alias("close_day"),
+        )
+    )
+    events = spans.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("open_day").alias("day"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    F.col("close_day").alias("day"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.day", "e.delta")
+    daily = events.groupBy("day").agg(
+        F.sum("delta").cast("long").alias("net_change")
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "net_change",
+        F.sum("net_change").over(w).cast("long").alias("open_orders"),
+    )

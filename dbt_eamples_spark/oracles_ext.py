@@ -2568,3 +2568,29 @@ def _lang_confusion_oracle_sql() -> str:
 
 
 EXT_ORACLES["text_lang_confusion"] = _lang_confusion_oracle_sql()
+
+
+EXT_ORACLES["orders_backlog_daily"] = """
+    WITH spans AS (
+        SELECT CAST(o_orderdate AS DATE) AS open_day,
+               greatest(CAST(max(l_shipdate) AS DATE),
+                        CAST(o_orderdate AS DATE))
+                   + INTERVAL 1 DAY AS close_day
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderkey, o_orderdate
+    ),
+    ev AS (
+        SELECT open_day AS day, 1 AS delta FROM spans
+        UNION ALL
+        SELECT CAST(close_day AS DATE), -1 FROM spans
+    ),
+    daily AS (
+        SELECT day, CAST(SUM(delta) AS BIGINT) AS net_change
+        FROM ev GROUP BY day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, net_change,
+           CAST(SUM(net_change) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS open_orders
+    FROM daily
+"""

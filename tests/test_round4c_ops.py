@@ -557,3 +557,42 @@ class TestCliDocs:
         for s in SAVED_QUERIES:
             assert f"**{s}**" in doc
         assert "conversion" in doc  # metric types surface
+
+
+class TestBacklogDaily:
+    def test_running_sum_matches_interval_stabbing(self, spark, sf_dir):
+        import datetime as dt
+
+        from dbt_eamples_spark.operators.relational import (
+            orders_backlog_daily,
+        )
+
+        rows = sorted(
+            orders_backlog_daily(spark, sf_dir).collect(),
+            key=lambda r: r["day"],
+        )
+        # independent recompute: brute-force interval stabbing
+        li = load_table(spark, sf_dir, "lineitem").collect()
+        o = {
+            r["o_orderkey"]: r["o_orderdate"]
+            for r in load_table(spark, sf_dir, "orders").collect()
+        }
+        last = {}
+        for r in li:
+            k = r["l_orderkey"]
+            d = r["l_shipdate"]
+            if k in o:
+                last[k] = max(last.get(k, d), d)
+        # clamp like the operator: inverted fixture spans (lines
+        # shipped before the order date) are 1-day opens
+        spans = []
+        for k, v in last.items():
+            a = o[k].date() if hasattr(o[k], "date") else o[k]
+            b = v.date() if hasattr(v, "date") else v
+            spans.append((a, max(a, b)))
+        for r in rows[:50]:
+            day = dt.date.fromisoformat(r["day"])
+            open_n = sum(1 for a, b in spans if a <= day <= b)
+            assert r["open_orders"] == open_n
+        # backlog returns to zero after the last close event
+        assert rows[-1]["open_orders"] == 0
