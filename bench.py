@@ -114,6 +114,7 @@ HEADLINE = [
     "metric_compiled_conversion",
     "agg_kmv_distinct",
     "agg_market_share",
+    "orders_backlog_daily",
     "events_type_pmi",
     "events_time_to_convert",
     "agg_gini_revenue",

@@ -133,6 +133,9 @@ class TestShuffleBudgets:
         # unique-combination grouped count + scd2 user window; the
         # BNLJ is the two-one-row-counts cross join (fewer_rows_than)
         "dq_advanced_tests": 2,
+        # per-order last-ship agg + daily net-change agg; the
+        # cumulative window runs over the bounded day frame
+        "orders_backlog_daily": 2,
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))
