@@ -120,6 +120,7 @@ _R4_PRIORITY = [
     # (1) new this round (second wave first — newest never checked)
     "agg_market_share",
     "orders_backlog_daily",
+    "supplier_lead_time_rank",
     "events_type_pmi",
     "events_time_to_convert",
     "agg_gini_revenue",
@@ -263,6 +264,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_market_share": R.agg_market_share,
         # daily open-order backlog (+1/-1 boundary events)
         "orders_backlog_daily": R.orders_backlog_daily,
+        # vendor scorecard: mean ship lead time + dense_rank
+        "supplier_lead_time_rank": R.supplier_lead_time_rank,
         # user-day event-type PMI association mining
         "events_type_pmi": B.events_type_pmi,
         # funnel conversion-latency percentiles (view→purchase)

@@ -115,6 +115,7 @@ HEADLINE = [
     "agg_kmv_distinct",
     "agg_market_share",
     "orders_backlog_daily",
+    "supplier_lead_time_rank",
     "events_type_pmi",
     "events_time_to_convert",
     "agg_gini_revenue",

@@ -1590,3 +1590,49 @@ def orders_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "net_change",
         F.sum("net_change").over(w).cast("long").alias("open_orders"),
     )
+
+
+def supplier_lead_time_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier performance ranking by mean ship lead time (days
+    from order date to line ship date) — the vendor scorecard
+    rollup, and the suite's dense_rank coverage (ties share a rank
+    with no gaps, the convention supplier scorecards use).
+
+    Determinism: the mean folds as an exact integer day sum over a
+    bigint count; the division is one IEEE op; dense_rank orders on
+    the rounded mean ALONE — equal-mean suppliers share a rank, and
+    dense_rank's value is independent of intra-tie row order, so the
+    output set is deterministic without a tie-break column (a
+    row_number here would NOT be). Scale shape: one
+    large-large orderkey join (the Q12 skeleton), supplier-keyed
+    map-side-combined aggregate, ranking window over the
+    supplier-catalog-bounded result."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    per_supp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("l_suppkey", delay.alias("delay"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("delay").cast("long").alias("delay_days_sum"),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+    )
+    mean_delay = F.round(
+        F.col("delay_days_sum").cast("double") / F.col("n_lines"), 4
+    )
+    w = Window.orderBy(F.asc("mean_delay_days"))
+    return per_supp.select(
+        "s_suppkey",
+        "s_name",
+        "n_lines",
+        "delay_days_sum",
+        mean_delay.alias("mean_delay_days"),
+    ).withColumn("lead_time_rank", F.dense_rank().over(w).cast("long"))

@@ -2594,3 +2594,25 @@ EXT_ORACLES["orders_backlog_daily"] = """
                AS BIGINT) AS open_orders
     FROM daily
 """
+
+
+EXT_ORACLES["supplier_lead_time_rank"] = """
+    WITH per AS (
+        SELECT l_suppkey,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(SUM(date_diff('day', o_orderdate, l_shipdate))
+                   AS BIGINT) AS delay_days_sum
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_suppkey
+    ),
+    m AS (
+        SELECT s_suppkey, s_name, n_lines, delay_days_sum,
+               round(CAST(delay_days_sum AS DOUBLE) / n_lines, 4)
+                   AS mean_delay_days
+        FROM per JOIN supplier ON l_suppkey = s_suppkey
+    )
+    SELECT s_suppkey, s_name, n_lines, delay_days_sum, mean_delay_days,
+           CAST(dense_rank() OVER (ORDER BY mean_delay_days) AS BIGINT)
+               AS lead_time_rank
+    FROM m
+"""

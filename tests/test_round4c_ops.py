@@ -596,3 +596,28 @@ class TestBacklogDaily:
             assert r["open_orders"] == open_n
         # backlog returns to zero after the last close event
         assert rows[-1]["open_orders"] == 0
+
+
+class TestSupplierLeadTime:
+    def test_rank_dense_and_mean_exact(self, spark, sf_dir):
+        from dbt_eamples_spark.operators.relational import (
+            supplier_lead_time_rank,
+        )
+
+        rows = sorted(
+            supplier_lead_time_rank(spark, sf_dir).collect(),
+            key=lambda r: (r["lead_time_rank"], r["s_suppkey"]),
+        )
+        assert rows
+        # dense: ranks are 1..K with no gaps over distinct means
+        means = sorted({r["mean_delay_days"] for r in rows})
+        assert max(r["lead_time_rank"] for r in rows) == len(means)
+        for r in rows:
+            assert r["lead_time_rank"] == means.index(r["mean_delay_days"]) + 1
+            assert (
+                abs(
+                    r["mean_delay_days"]
+                    - round(r["delay_days_sum"] / r["n_lines"], 4)
+                )
+                < 1e-9
+            )
