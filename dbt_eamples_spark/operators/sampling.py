@@ -408,9 +408,17 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combines. At 100 TB you ship the K-row sketches, not
     the keys — the merge row is exactly that reduction."""
     ev = load_table(spark, sf_dir, "events")
-    pairs = (
-        ev.select("event_type", "user_id").distinct().localCheckpoint(eager=True)
-    )
+    pairs = ev.select("event_type", "user_id").distinct()
+    return kmv_sketch_report(pairs)
+
+
+def kmv_sketch_report(raw_pairs: DataFrame) -> DataFrame:
+    """Core KMV pipeline over an arbitrary distinct (event_type,
+    user_id) frame — factored out so property tests can drive it
+    with generated sets and assert EXACT equality against a pure
+    python md5-order-statistics reference (the determinism claim as
+    a contract, like pagerank_fixed_point)."""
+    pairs = raw_pairs.localCheckpoint(eager=True)
     h = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
     ).cast("long")
