@@ -154,6 +154,12 @@ _R4_PRIORITY = [
     "events_dau_wau_mau",
     "text_ngram_topk",
     "sample_source_temperature",
+    # (2) fixed (oracle typing / overflow) — must re-green IN-SAMPLE
+    "abc_pareto_class",
+    "agg_correlation",
+    # wave-2 new queries (metric_compiled_growth last: its compiled
+    # SQL is its own oracle — identical text on both engines — so it
+    # is the lowest-risk entry to sit at the 50-sample boundary)
     "events_user_path",
     "ts_gap_fill",
     "text_line_dedup",
@@ -164,13 +170,9 @@ _R4_PRIORITY = [
     "agg_mad_outliers",
     "events_attribution_last_touch",
     "similarity_pq_topk",
-    "metric_compiled_growth",
     "embedding_pq_encode_trained",
     "table_profile",
-    # (2) fixed (oracle typing / overflow) or refactored (nplanes /
-    # ncells threading, decode-stage factor-out) — must re-green
-    "abc_pareto_class",
-    "agg_correlation",
+    "metric_compiled_growth",
     # (3) latest driver row is r1 — 35 queries
     "scan_table",
     "sql_execute_limit",
