@@ -810,10 +810,11 @@ def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     G = (2·Σ i·xᵢ) / (n·Σx) − (n+1)/n over revenues sorted
     ascending (Gini 1912, rank formulation).
 
-    Determinism: revenues fold as integer cents; Σ i·xᵢ accumulates
-    as decimal(38,0) (rank ≤ catalog size × cents ≈ 1e3·1e8 per
-    term — int64-safe at fixture scale, but one 100× catalog away
-    from wrap: the agg_correlation lesson applied preemptively).
+    Determinism: revenues fold as integer cents; the i·xᵢ PRODUCT
+    itself is computed in decimal(38,0) (the rank operand is cast
+    BEFORE the multiply — a long×long product would wrap first and
+    the cast after would only launder the wrapped value; the
+    agg_correlation lesson applied to the term, not just the sum).
     The closed form evaluates exact integers cast to double on one
     shared expression tree.
 
@@ -836,7 +837,7 @@ def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         F.sum("rev").cast("decimal(38,0)").alias("sx"),
         F.sum(
-            (F.col("i") * F.col("rev")).cast("decimal(38,0)")
+            F.col("i").cast("decimal(38,0)") * F.col("rev")
         ).alias("six"),
     )
     g = (

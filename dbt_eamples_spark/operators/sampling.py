@@ -379,7 +379,11 @@ def sample_fixed_size_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-KMV_K = 64  # sketch size; (K-1)·2^60 stays under 2^63
+# sketch size. Estimator safety: the numerator (K-1)·2^60 is a
+# DOUBLE (~7.3e19, fine for a float), and hk >= K-1 (the K-th
+# smallest of K distinct non-negative hashes), so
+# floor(num / hk) <= 2^60 — comfortably inside int64.
+KMV_K = 64
 
 
 def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:

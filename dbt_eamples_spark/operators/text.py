@@ -765,11 +765,18 @@ def corpus_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("w_fp").cast("double") / 1e9, 6).alias(
                 "source_entropy"
             ),
-            F.round(
-                (F.sum("w_fp").cast("double") / 1e9)
-                / F.round(F.log(F.count("*").cast("double")), 6),
-                6,
-            ).alias("norm_entropy"),
+            # n_sources == 1 makes the ln(n) denominator 0: emit 0.0
+            # explicitly (monoculture), not an engine-dependent
+            # NULL/NaN (DuckDB >= 1.1 IEEE-divides 0/0 to NaN)
+            F.when(F.count("*") == 1, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    (F.sum("w_fp").cast("double") / 1e9)
+                    / F.round(F.log(F.count("*").cast("double")), 6),
+                    6,
+                )
+            )
+            .alias("norm_entropy"),
         )
     )
 

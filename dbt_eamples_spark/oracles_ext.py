@@ -2247,9 +2247,10 @@ EXT_ORACLES["corpus_mix_entropy"] = """
            CAST(max(n) AS BIGINT) AS n_docs,
            CAST(count(*) AS BIGINT) AS n_sources,
            round(CAST(SUM(w_fp) AS DOUBLE) / 1e9, 6) AS source_entropy,
-           round((CAST(SUM(w_fp) AS DOUBLE) / 1e9)
-                 / round(ln(CAST(count(*) AS DOUBLE)), 6), 6)
-               AS norm_entropy
+           CASE WHEN count(*) = 1 THEN CAST(0.0 AS DOUBLE)
+                ELSE round((CAST(SUM(w_fp) AS DOUBLE) / 1e9)
+                     / round(ln(CAST(count(*) AS DOUBLE)), 6), 6)
+           END AS norm_entropy
     FROM fp GROUP BY lang
 """
 
@@ -2449,13 +2450,13 @@ EXT_ORACLES["events_time_to_convert"] = """
         SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n
         FROM m WHERE first_view IS NOT NULL
     )
-    SELECT v.n AS n_viewed,
+    SELECT (SELECT n FROM v) AS n_viewed,
            CAST(count(*) AS BIGINT) AS n_converted,
            CAST(min(latency_us) AS BIGINT) AS min_us,
            round(quantile_cont(latency_us, 0.5), 4) AS p50_us,
            round(quantile_cont(latency_us, 0.9), 4) AS p90_us,
            CAST(max(latency_us) AS BIGINT) AS max_us
-    FROM conv, v GROUP BY v.n
+    FROM conv
 """
 
 
@@ -2473,7 +2474,7 @@ EXT_ORACLES["agg_gini_revenue"] = """
     folds AS (
         SELECT CAST(count(*) AS BIGINT) AS n,
                CAST(SUM(rev) AS BIGINT) AS sx,
-               CAST(SUM(i * rev) AS BIGINT) AS six
+               SUM(CAST(i AS HUGEINT) * rev) AS six
         FROM ranked
     )
     SELECT n, sx AS total_cents,

@@ -248,6 +248,7 @@ def run_microbatch(
     batch_grain: str = "day",
     begin: str | None = None,
     end: str | None = None,
+    batch_keys: list[str] | None = None,
 ) -> list[dict]:
     """dbt's ``microbatch`` incremental strategy (dbt-core 1.9,
     public docs: models with ``incremental_strategy='microbatch'``
@@ -265,7 +266,11 @@ def run_microbatch(
     B's rows from the source and overwrites ONLY partition B:
     idempotent at partition granularity, no anti-join needed (the
     merge/delete+insert strategies in `incremental_merge_upsert`
-    cover row-granular keys).
+    cover row-granular keys). Batch selection: ``begin``/``end``
+    bound a half-open backfill WINDOW (``begin=k`` alone replays k
+    and everything after — dbt's ``--event-time-start``); to retry
+    exactly one batch pass ``batch_keys=[k]`` (or ``begin=k,
+    end=next_key``), which selects only the named batches.
 
     Returns the per-batch run report (batch key, rows written) —
     what ``dbt run`` prints per batch. Batches write one at a time
@@ -286,6 +291,8 @@ def run_microbatch(
         batched = batched.filter(F.col("batch_key") >= F.lit(begin))
     if end is not None:
         batched = batched.filter(F.col("batch_key") < F.lit(end))
+    if batch_keys is not None:
+        batched = batched.filter(F.col("batch_key").isin(list(batch_keys)))
     keys = [
         r["batch_key"]
         for r in batched.select("batch_key").distinct().collect()

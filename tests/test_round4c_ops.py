@@ -330,11 +330,13 @@ class TestMicrobatch:
         n_first = first.count()
         assert n_first == ev.count()
 
-        # retry ONE batch: partition overwritten in place, nothing
-        # else touched, total unchanged (idempotent backfill)
+        # retry ONE batch (batch_keys selects exactly the named
+        # batch; begin=k alone would replay k AND every later batch):
+        # partition overwritten in place, nothing else touched,
+        # total unchanged (idempotent backfill)
         k = keys[len(keys) // 2]
-        report2 = run_microbatch(spark, ev, sink, begin=k)
-        assert report2[0]["batch_key"] == k
+        report2 = run_microbatch(spark, ev, sink, batch_keys=[k])
+        assert [r["batch_key"] for r in report2] == [k]
         again = spark.read.parquet(sink)
         assert again.count() == n_first
         # per-partition row counts identical to the event log's
