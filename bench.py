@@ -167,19 +167,25 @@ def main() -> None:
         run_totals.append(round(run_total, 4))
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "protocol": f"per-query min over {n_runs} runs",
-                "raw_run_totals_sec": run_totals,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "protocol": f"per-query min over {n_runs} runs",
+            "raw_run_totals_sec": run_totals,
+        }
     )
+    # self-contained artifact: the driver's stdout capture truncates
+    # long tails (the r4 JSON line got cut mid-object), so the same
+    # JSON also lands in a file next to the script.
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "BENCH_LOCAL.json")
+    with open(out, "w") as fh:
+        fh.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

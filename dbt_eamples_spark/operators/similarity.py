@@ -818,7 +818,7 @@ def similarity_pq_topk(
     spark: SparkSession,
     sf_dir: str,
     *,
-    trained: bool = False,
+    trained: bool = True,
     rerank: int = 0,
 ) -> DataFrame:
     """PQ asymmetric-distance (ADC) top-k search — the memory-side
@@ -843,13 +843,21 @@ def similarity_pq_topk(
     PQ trade); the exact twin similarity_topk carries value-level
     recall in RECALL.md.
 
-    Production dials (default off so the static oracle holds):
-    ``trained=True`` scores against the per-subspace Lloyd codebooks
-    (:func:`_pq_train_codebooks`); ``rerank=N`` keeps an ADC
-    shortlist of N per query and re-ranks it with EXACT cosine — the
-    FAISS ``refine`` stage: the expensive full-width math touches
-    only |Q|·N shortlisted vectors, never the corpus. With rerank
-    the output schema swaps adc_dist for the exact ``cosine``."""
+    Operating point: the DEFAULT is the TRAINED per-subspace Lloyd
+    codebooks (:func:`_pq_train_codebooks`) — the production index a
+    plain-named call should build (measured top-5 recall 0.24 vs
+    0.06 untrained on the worst-case uniform fixture, RECALL.md §PQ);
+    the oracle pins the same trained chain (the Lloyd fixed-point
+    means are engine-exact, so the codebook — hence every ADC
+    distance — is oracle-checkable). ``trained=False`` is the
+    teaching dial: the md5-seeded literal codebook whose VALUES
+    relation makes the quantizer itself legible. ``rerank=N`` keeps
+    an ADC shortlist of N per query and re-ranks it with EXACT
+    cosine — the FAISS ``refine`` stage: the expensive full-width
+    math touches only |Q|·N shortlisted vectors, never the corpus
+    (recall 0.68 at N=50; registered as
+    :func:`similarity_pq_rerank_topk`). With rerank the output
+    schema swaps adc_dist for the exact ``cosine``."""
     if trained:
         books = [
             dict(book) for book in _pq_train_codebooks(spark, sf_dir)

@@ -1278,7 +1278,9 @@ def _pq_adc_oracle_sql() -> str:
     """
 
 
-EXT_ORACLES["similarity_pq_topk"] = _pq_adc_oracle_sql()
+# teaching dial (trained=False): the literal-codebook ADC chain
+# stays available for the untrained path's tests/tools
+EXT_ORACLES["_pq_adc_untrained"] = _pq_adc_oracle_sql()
 
 
 def _pq_trained_parts() -> list[str]:
@@ -1503,6 +1505,84 @@ def _pq_trained_rerank_oracle_sql() -> str:
 
 
 EXT_ORACLES["similarity_pq_rerank_topk"] = _pq_trained_rerank_oracle_sql()
+
+
+def _pq_trained_adc_oracle_sql() -> str:
+    """Mirror of similarity.similarity_pq_topk's DEFAULT (trained)
+    operating point: the shared trained-codebook chain
+    (:func:`_pq_trained_parts`), encode argmin + per-query distance
+    tables against the TRAINED codebook, ADC score as the ORDERED
+    list_reduce over s (Spark's left-assoc addition), deterministic
+    (adc_dist, neighbor_id) top-k — the rerank oracle minus its
+    shortlist/refine tail."""
+    from dbt_eamples_spark.operators.similarity import (
+        N_QUERIES,
+        PQ_SUBDIM,
+        PQ_SUBVECTORS,
+        TOP_K,
+    )
+
+    parts = _pq_trained_parts()
+    enc_dist = (
+        f"list_reduce(list_transform(range(1, {PQ_SUBDIM} + 1), "
+        f"i -> (vec[s * {PQ_SUBDIM} + i] - cvec[i])"
+        f" * (vec[s * {PQ_SUBDIM} + i] - cvec[i])), (x, y) -> x + y)"
+    )
+    q_dist = (
+        f"list_reduce(list_transform(range(1, {PQ_SUBDIM} + 1), "
+        f"i -> (qvec[s * {PQ_SUBDIM} + i] - cvec[i])"
+        f" * (qvec[s * {PQ_SUBDIM} + i] - cvec[i])), (x, y) -> x + y)"
+    )
+    parts.append(
+        f"""d AS (
+            SELECT vec_id, s, k, {enc_dist} AS d2
+            FROM v CROSS JOIN cb
+        )"""
+    )
+    parts.append(
+        """best AS (
+            SELECT vec_id, s, k,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                      ORDER BY d2 ASC, k ASC) AS rn
+            FROM d
+        )"""
+    )
+    parts.append("codes AS (SELECT vec_id, s, k FROM best WHERE rn = 1)")
+    parts.append(
+        f"""q AS (
+            SELECT vec_id AS query_id, vec AS qvec FROM v
+            WHERE vec_id < {N_QUERIES}
+        )"""
+    )
+    parts.append(
+        f"""dt AS (
+            SELECT query_id, s, k, {q_dist} AS dq
+            FROM q CROSS JOIN cb
+        )"""
+    )
+    parts.append(
+        """scored AS (
+            SELECT dt.query_id, c.vec_id AS neighbor_id,
+                   list_reduce(list(dt.dq ORDER BY dt.s),
+                               (x, y) -> x + y) AS adc_dist
+            FROM codes c JOIN dt ON c.s = dt.s AND c.k = dt.k
+            WHERE c.vec_id != dt.query_id
+            GROUP BY dt.query_id, c.vec_id
+        )"""
+    )
+    return f"""
+        WITH {','.join(parts)}
+        SELECT query_id, neighbor_id, adc_dist, rk FROM (
+            SELECT query_id, neighbor_id, adc_dist,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY adc_dist ASC,
+                                               neighbor_id ASC) AS rk
+            FROM scored
+        ) WHERE rk <= {TOP_K}
+    """
+
+
+EXT_ORACLES["similarity_pq_topk"] = _pq_trained_adc_oracle_sql()
 
 
 def _profile_oracle_sql() -> str:
