@@ -25,7 +25,10 @@ from dbt_eamples_spark.operators import relational as R
 from dbt_eamples_spark.operators import sampling as S
 from dbt_eamples_spark.operators.asof import join_asof
 from dbt_eamples_spark.operators.bloom import join_bloom_prefilter
-from dbt_eamples_spark.operators.graph import graph_pagerank_topk
+from dbt_eamples_spark.operators.graph import (
+    graph_pagerank_topk,
+    graph_pagerank_weighted,
+)
 from dbt_eamples_spark.operators.skew import join_salted_skew
 from dbt_eamples_spark.operators import similarity as V
 from dbt_eamples_spark.operators import text as T
@@ -302,6 +305,11 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize_dedup": D.text_normalize_dedup,
         # fixed-point PageRank over the co-purchase graph
         "graph_pagerank_topk": graph_pagerank_topk,
+        # --- round-5 additions ---
+        # support-weighted PageRank (edge weight = co-purchase count)
+        "graph_pagerank_weighted": graph_pagerank_weighted,
+        # temperature rebalance at dyadic alpha=0.25 (sqrt-chain pow)
+        "sample_source_temperature_alpha": S.sample_source_temperature_alpha,
         # --- never driver-checked in rounds 1-2: run these first ---
         # long->wide with pinned pivot domain (no discovery job)
         "metric_pivot": R.metric_pivot,

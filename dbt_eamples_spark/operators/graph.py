@@ -119,6 +119,130 @@ def pagerank_fixed_point(
     return ranks
 
 
+def _copurchase_weighted_edges(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted directed edge list (src, dst, w) of the part
+    co-purchase graph: w = co-purchase SUPPORT (number of distinct
+    orders containing both parts — the market_basket_pairs support
+    statistic, kept per orientation). Same single l_orderkey shuffle
+    and in-row basket expansion as the unweighted builder; the
+    (src, dst) hash-agg that counts support replaces its distinct."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair = F.explode(
+        F.filter(
+            F.flatten(
+                F.transform(
+                    "parts",
+                    lambda a: F.transform(
+                        "parts",
+                        lambda b: F.struct(a.alias("src"), b.alias("dst")),
+                    ),
+                )
+            ),
+            lambda s: s["src"] != s["dst"],
+        )
+    )
+    return (
+        baskets.select(pair.alias("p"))
+        .select("p.src", "p.dst")
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+
+
+def pagerank_weighted_fixed_point(
+    edges: DataFrame, iters: int = PAGERANK_ITERS
+) -> DataFrame:
+    """Weighted fixed-point PageRank over (src, dst, w) edges: each
+    node splits its rank across out-edges PROPORTIONALLY TO WEIGHT,
+
+        share(u→v) = (r(u) · w(u→v)) DIV Σ_out w(u)
+
+    in pure integer arithmetic, so ranks stay bit-identical across
+    engines and partitionings (module docstring). Overflow bound:
+    r ≤ 1e12 total mass and Σw per node ≤ ~1e6 at any realistic
+    support cap, so r·w ≤ 1e18 < 2^63; the damped sum is ≤ 8.5e13.
+
+    Same 1-shuffle-per-iteration shape as the unweighted core; the
+    only structural delta is that the per-EDGE share needs (rank,
+    Σw) joined onto the edge before the integer divide (unweighted
+    pre-divides per src)."""
+    edges = edges.localCheckpoint(eager=True)
+    wsum = edges.groupBy("src").agg(
+        F.sum("w").cast("long").alias("sw"),
+        F.count("*").cast("long").alias("deg"),
+    )
+    nodes = wsum.select(F.col("src").alias("node"), "sw", "deg")
+    n_nodes = nodes.count()  # scalar: catalog-bounded
+    init = PAGERANK_SCALE // n_nodes
+    base = (15 * PAGERANK_SCALE) // (100 * n_nodes)
+
+    ranks = nodes.select("node", "sw", "deg", F.lit(init).alias("rank_fp"))
+    for _ in range(iters):
+        # broadcast the catalog-bounded rank table (see the
+        # unweighted core's statistics note); share is computed per
+        # edge — (rank · w) DIV sw — then combined map-side by dst
+        contrib = (
+            edges.join(
+                F.broadcast(
+                    ranks.select(
+                        F.col("node").alias("src"),
+                        "rank_fp",
+                        F.col("sw").alias("_sw"),
+                    )
+                ),
+                "src",
+            )
+            .select(
+                "dst", F.expr("(rank_fp * w) DIV _sw").alias("share")
+            )
+            .groupBy("dst")
+            .agg(F.sum("share").alias("in_share"))
+        )
+        ranks = (
+            nodes.join(
+                contrib.select(F.col("dst").alias("node"), "in_share"),
+                "node",
+            )
+            .select(
+                "node",
+                "sw",
+                "deg",
+                (
+                    F.lit(base)
+                    + F.expr(f"({PAGERANK_DAMP_PCT} * in_share) DIV 100")
+                ).alias("rank_fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k parts by WEIGHTED PageRank: centrality where an edge
+    counts in proportion to its co-purchase support, so a part
+    bought alongside another in 50 orders pulls 50× the rank of a
+    one-off pairing — the strength-aware variant a recommender
+    actually wants (frequently-bundled cores rank above long-tail
+    coincidences). Same engine-exact integer fixed point and
+    1-shuffle-per-iteration plan as `graph_pagerank_topk`; the edge
+    build swaps distinct for a support count on the same shuffle."""
+    ranks = pagerank_weighted_fixed_point(
+        _copurchase_weighted_edges(spark, sf_dir)
+    )
+    return (
+        ranks.select(
+            F.col("node").alias("l_partkey"), "deg", "sw", "rank_fp"
+        )
+        .orderBy(F.desc("rank_fp"), F.asc("l_partkey"))
+        .limit(PAGERANK_TOP_K)
+    )
+
+
 def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k parts by PageRank over the co-purchase graph after
     ``PAGERANK_ITERS`` damped power iterations (Page et al. 1999),

@@ -279,6 +279,101 @@ def sample_source_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# alpha for the generalized temperature pass, as a DYADIC rational
+# k/2^m: alpha = 1/4 (close to mT5's 0.3 operating point), so the
+# keep-rate exponent 1-alpha = 3/4 composes from sqrt chains.
+TEMP_ALPHA_NUM = 1
+TEMP_ALPHA_LOG2_DEN = 2
+
+
+def dyadic_pow_col(x, num: int, log2_den: int):
+    """x^(num/2^log2_den) for x >= 0 as a product of chained square
+    roots: x^(3/4) = sqrt(x) * sqrt(sqrt(x)), etc. IEEE-754 requires
+    sqrt and multiply to be CORRECTLY ROUNDED, so this composed
+    expression yields the bit-identical double on any conforming
+    engine (JVM, DuckDB) — unlike libm/Math.pow, which carries no
+    such guarantee (the sample_source_temperature docstring's
+    general-alpha caveat, resolved for dyadic alphas). Factors
+    multiply most-significant bit first; the oracle must spell the
+    same order."""
+    out = None
+    cur = x
+    for i in range(1, log2_den + 1):
+        cur = F.sqrt(cur)
+        if (num >> (log2_den - i)) & 1:
+            out = cur if out is None else out * cur
+    if out is None:  # num == 0 -> x^0
+        return F.lit(1.0)
+    return out
+
+
+def dyadic_pow_sql(x: str, num: int, log2_den: int) -> str:
+    """The DuckDB spelling of :func:`dyadic_pow_col` — same sqrt
+    chain, same multiplication order, hence the same bits."""
+    out = None
+    cur = x
+    for i in range(1, log2_den + 1):
+        cur = f"sqrt({cur})"
+        if (num >> (log2_den - i)) & 1:
+            out = cur if out is None else f"{out} * {cur}"
+    return out if out is not None else "1.0"
+
+
+def sample_source_temperature_alpha(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature rebalancing at a GENERAL (dyadic) alpha — the
+    operating-point dial `sample_source_temperature` pins at 0.5:
+    kept volume ∝ n_s^alpha with alpha = TEMP_ALPHA_NUM/2^
+    TEMP_ALPHA_LOG2_DEN = 0.25, a stronger flatten (nearer mT5's
+    0.3) than the sqrt pass. keep_rate = (n_min/n_s)^(1-alpha)
+    composes from IEEE-exact sqrt chains (:func:`dyadic_pow_col`),
+    so the coin < rate decision stays bit-exact cross-engine — the
+    property a plain pow() cannot give. Same skewed
+    floor(sqrt(doc_id)) fixture regrouping, md5 hash coin, one
+    shuffle + broadcast rate table as the alpha=0.5 pass."""
+    exp_num = (1 << TEMP_ALPHA_LOG2_DEN) - TEMP_ALPHA_NUM  # 1 - alpha
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("s"),
+            F.floor(F.sqrt(F.col("doc_id").cast("double"))).cast("long"),
+        ).alias("source_bin"),
+    )
+    counts = docs.groupBy("source_bin").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    nmin = counts.agg(F.min("n_docs").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        "source_bin",
+        "n_docs",
+        dyadic_pow_col(
+            F.col("n_min") / F.col("n_docs"),
+            exp_num,
+            TEMP_ALPHA_LOG2_DEN,
+        ).alias("keep_rate"),
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        / F.lit(float(1 << 60))
+    )
+    return (
+        docs.join(F.broadcast(rates), "source_bin")
+        .select(
+            "doc_id",
+            "source_bin",
+            "n_docs",
+            F.round("keep_rate", 6).alias("keep_rate"),
+            F.round(u, 6).alias("coin"),
+            (u < F.col("keep_rate")).alias("keep"),
+        )
+        .filter(F.col("keep"))
+        .select("doc_id", "source_bin", "n_docs", "keep_rate", "coin")
+    )
+
+
 # Count-min sketch geometry: d independent md5-derived rows of w
 # counters. Collision overcount at this (w, n_keys) operating point
 # is audited in the output (est - exact >= 0 always, by CMS theory).

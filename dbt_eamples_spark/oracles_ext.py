@@ -2697,3 +2697,109 @@ EXT_ORACLES["supplier_lead_time_rank"] = """
                AS lead_time_rank
     FROM m
 """
+
+
+def _pagerank_weighted_oracle_sql() -> str:
+    """Mirror of graph.graph_pagerank_weighted: unrolled weighted
+    fixed-point iterations — per-edge share (rank·w) // sw, the same
+    integer divide as Spark's DIV (all operands positive), over
+    support-weighted edges. MATERIALIZED edges/wsum per the
+    recursive-CTE re-evaluation note on the unweighted oracle."""
+    from dbt_eamples_spark.operators.graph import (
+        PAGERANK_DAMP_PCT,
+        PAGERANK_ITERS,
+        PAGERANK_SCALE,
+        PAGERANK_TOP_K,
+    )
+
+    iters = ""
+    prev = "r0"
+    for k in range(1, PAGERANK_ITERS + 1):
+        iters += f""",
+        s{k} AS MATERIALIZED (
+            SELECT e.dst AS node,
+                   CAST(sum((r.rank_fp * e.w) // r.sw) AS BIGINT)
+                       AS in_share
+            FROM edges e JOIN {prev} r ON e.src = r.node
+            GROUP BY e.dst
+        ),
+        r{k} AS (
+            SELECT d.src AS node, d.sw, d.deg,
+                   CAST(({15 * PAGERANK_SCALE} // (100 * n.c))
+                        + ({PAGERANK_DAMP_PCT} * s.in_share) // 100
+                       AS BIGINT) AS rank_fp
+            FROM wsum d JOIN s{k} s ON d.src = s.node, n
+        )"""
+        prev = f"r{k}"
+    return f"""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS MATERIALIZED (
+            SELECT a.l_partkey AS src, b.l_partkey AS dst,
+                   CAST(count(*) AS BIGINT) AS w
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey <> b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+        ),
+        wsum AS MATERIALIZED (
+            SELECT src, CAST(SUM(w) AS BIGINT) AS sw,
+                   CAST(count(*) AS BIGINT) AS deg
+            FROM edges GROUP BY src
+        ),
+        n AS (SELECT count(*) AS c FROM wsum),
+        r0 AS (
+            SELECT src AS node, sw, deg,
+                   CAST({PAGERANK_SCALE} // n.c AS BIGINT) AS rank_fp
+            FROM wsum, n
+        ){iters}
+        SELECT node AS l_partkey, deg, sw, rank_fp
+        FROM {prev}
+        ORDER BY rank_fp DESC, node LIMIT {PAGERANK_TOP_K}
+    """
+
+
+EXT_ORACLES["graph_pagerank_weighted"] = _pagerank_weighted_oracle_sql()
+
+
+def _temp_alpha_oracle_sql() -> str:
+    """Mirror of sampling.sample_source_temperature_alpha: identical
+    skewed regrouping and md5 coin as the alpha=0.5 oracle; the rate
+    is the SAME sqrt-chain product Spark builds (dyadic_pow_sql =
+    dyadic_pow_col's spelling), so the coin < rate decision is
+    bit-exact; reported rate/coin round at 6dp AFTER the decision."""
+    from dbt_eamples_spark.operators.sampling import (
+        TEMP_ALPHA_LOG2_DEN,
+        TEMP_ALPHA_NUM,
+        dyadic_pow_sql,
+    )
+
+    exp_num = (1 << TEMP_ALPHA_LOG2_DEN) - TEMP_ALPHA_NUM
+    rate = dyadic_pow_sql("n_min / n_docs", exp_num, TEMP_ALPHA_LOG2_DEN)
+    return f"""
+        WITH d AS (
+            SELECT doc_id,
+                   's' || CAST(CAST(floor(sqrt(CAST(doc_id AS DOUBLE)))
+                                    AS BIGINT) AS VARCHAR) AS source_bin
+            FROM documents
+        ),
+        c AS (
+            SELECT source_bin, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM d GROUP BY source_bin
+        ),
+        m AS (SELECT MIN(n_docs) AS n_min FROM c),
+        r AS (
+            SELECT source_bin, n_docs, {rate} AS keep_rate
+            FROM c CROSS JOIN m
+        )
+        SELECT doc_id, source_bin, n_docs,
+               ROUND(keep_rate, 6) AS keep_rate, ROUND(coin, 6) AS coin
+        FROM (
+            SELECT d.doc_id, r.source_bin, r.n_docs, r.keep_rate,
+                   ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                       ::BIGINT / 1152921504606846976.0 AS coin
+            FROM d JOIN r ON d.source_bin = r.source_bin
+        ) WHERE coin < keep_rate
+    """
+
+
+EXT_ORACLES["sample_source_temperature_alpha"] = _temp_alpha_oracle_sql()
