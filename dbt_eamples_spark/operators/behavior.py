@@ -461,14 +461,21 @@ def events_anomaly_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, never raw events. At 100 TB the hourly rollup is the only
     full-data pass."""
     ev = load_table(spark, sf_dir, "events", parallelize=True)
-    hourly = (
-        ev.groupBy(
-            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
-        )
-        .agg(F.count("*").alias("n_events"))
-        .withColumn(
-            "hnum", (F.unix_timestamp("hour") / 3600).cast("long")
-        )
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").alias("n_events"))
+    return anomaly_flags_over_hourly(hourly)
+
+
+def anomaly_flags_over_hourly(hourly: DataFrame) -> DataFrame:
+    """The rolling z-score flag pass over an ALREADY-AGGREGATED
+    hourly frame (event_type, hour, n_events) — factored out so the
+    streaming twin can maintain the hourly rollup incrementally and
+    run this identical bounded pass over the aggregate (O(hours ×
+    types) rows) per drain. Arithmetic contract documented on
+    :func:`events_anomaly_rolling`."""
+    hourly = hourly.withColumn(
+        "hnum", (F.unix_timestamp("hour") / 3600).cast("long")
     )
     rw = (
         Window.partitionBy("event_type")

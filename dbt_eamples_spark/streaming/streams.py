@@ -488,6 +488,75 @@ def stream_sliding_count_streaming(
     _drain(windowed, "complete", checkpoint, out_table)
 
 
+def ts_resample_ohlc_streaming(
+    spark: SparkSession, sf_dir: str, checkpoint: str, out_table: str
+) -> None:
+    """Structured Streaming twin of `operators.behavior.
+    ts_resample_ohlc`: hourly OHLC bars maintained incrementally.
+    The batch form picks open/close by row_number over (ts,
+    event_id) — a sort-window streaming can't run; the twin states
+    the SAME picks as ``min_by``/``max_by`` over the (ts, event_id)
+    struct, which are ordinary aggregates with O(1) state per open
+    (window, type) and therefore stream (batch-identical: the pick
+    under a total order is the argmin/argmax under that order —
+    asserted in tests/test_pipeline.py). Watermark evicts closed
+    bars; complete-mode memory sink for the drain assert."""
+    ev = _events_stream(spark, sf_dir)
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    bars = (
+        ev.groupBy(F.window("ts", TUMBLE).alias("w"), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+    _drain(bars, "complete", checkpoint, out_table)
+
+
+def events_anomaly_rolling_streaming(
+    spark: SparkSession, sf_dir: str, checkpoint: str, out_table: str
+) -> None:
+    """Streaming twin of `operators.behavior.events_anomaly_rolling`:
+    the stream maintains ONLY the hourly count rollup (ordinary
+    windowed agg, O(1) state per open (window, type)); the trailing-
+    24h z-score pass — a RANGE window no streaming agg expresses —
+    runs over the drained AGGREGATE, which is O(hours × types) rows,
+    via the exact batch flag pass (`anomaly_flags_over_hourly`).
+    This is the production split: incremental rollup in the stream,
+    anomaly evaluation on the bounded aggregate each drain — and it
+    is batch-identical because the flag pass consumes an identical
+    hourly frame."""
+    from dbt_eamples_spark.operators.behavior import (
+        anomaly_flags_over_hourly,
+    )
+
+    ev = _events_stream(spark, sf_dir)
+    hourly = (
+        ev.groupBy(F.window("ts", TUMBLE).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "event_type", F.col("w.start").alias("hour"), "n_events"
+        )
+    )
+    inner = f"{out_table}__hourly"
+    _drain(hourly, "complete", checkpoint, inner)
+    anomaly_flags_over_hourly(
+        spark.table(inner)
+    ).createOrReplaceTempView(out_table)
+
+
 # late-data accounting: hourly arrival trigger batches, watermark
 # delay 2 h (same policy as WATERMARK above), deterministic network
 # jitter up to 4 h so the fixture actually EXERCISES the late path

@@ -350,6 +350,52 @@ class TestStreaming:
         assert diff == 0
         assert batch.count() > 0
 
+    def test_ohlc_streaming_equals_batch(self, spark, sf_dir, tmp_path):
+        """min_by/max_by over the (ts, event_id) struct pick the
+        same open/close rows as the batch row_number window."""
+        from dbt_eamples_spark.operators.behavior import ts_resample_ohlc
+        from dbt_eamples_spark.streaming.streams import (
+            ts_resample_ohlc_streaming,
+        )
+
+        name = f"ohlc_{uuid.uuid4().hex[:8]}"
+        ts_resample_ohlc_streaming(
+            spark, sf_dir, checkpoint=str(tmp_path / "ckpt_o"), out_table=name
+        )
+        streamed = spark.sql(f"SELECT * FROM {name}")
+        batch = ts_resample_ohlc(spark, sf_dir)
+        diff = (
+            streamed.exceptAll(batch).count()
+            + batch.exceptAll(streamed).count()
+        )
+        assert diff == 0
+        assert batch.count() > 0
+
+    def test_anomaly_streaming_equals_batch(self, spark, sf_dir, tmp_path):
+        """Streaming hourly rollup + the exact batch flag pass over
+        the drained aggregate reproduces the batch frame."""
+        from dbt_eamples_spark.operators.behavior import (
+            events_anomaly_rolling,
+        )
+        from dbt_eamples_spark.streaming.streams import (
+            events_anomaly_rolling_streaming,
+        )
+
+        name = f"anom_{uuid.uuid4().hex[:8]}"
+        events_anomaly_rolling_streaming(
+            spark, sf_dir, checkpoint=str(tmp_path / "ckpt_a"), out_table=name
+        )
+        streamed = spark.sql(f"SELECT * FROM {name}")
+        batch = events_anomaly_rolling(spark, sf_dir)
+        diff = (
+            streamed.exceptAll(batch).count()
+            + batch.exceptAll(streamed).count()
+        )
+        assert diff == 0
+        assert streamed.filter(F.col("is_anomaly")).count() == batch.filter(
+            F.col("is_anomaly")
+        ).count()
+
     def test_session_streaming_equals_batch(self, spark, sf_dir, tmp_path):
         name = f"sessions_{uuid.uuid4().hex[:8]}"
         stream_session_agg_streaming(
