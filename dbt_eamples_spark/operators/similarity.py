@@ -45,6 +45,24 @@ def _as_double_vec(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+from functools import lru_cache as _lru_cache  # noqa: E402
+
+
+@_lru_cache(maxsize=None)
+def _dlit_array(vals: tuple):
+    """Literal double array as ONE parsed expression. Building it as
+    ``F.array(*[F.lit(x) ...])`` costs len(vals) py4j round-trips —
+    at 64-dim planes/codebooks that was ~2.3 s of pure driver-side
+    query CONSTRUCTION per LSH call (the r3→r4 lsh_topk bench
+    regression's real cause; execution was flat). The ``D``-suffixed
+    SQL double literal parses to the bit-identical IEEE value as
+    ``F.lit`` (round-trip repr), and the Column is immutable so the
+    cache makes repeat builds free."""
+    return F.expr(
+        "array(" + ", ".join(f"{v!r}D" for v in vals) + ")"
+    )
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -421,21 +439,46 @@ LSH_PLANE_WEIGHTS = [
 ]
 
 
+@_lru_cache(maxsize=None)
+def _plane_arr_sql(t: int, p: int) -> str:
+    return "array(" + ", ".join(f"{v!r}D" for v in _plane(t, p)) + ")"
+
+
+def _dot_plane_sql(vec: str, t: int, p: int) -> str:
+    """The _dot fold against plane (t, p) as SQL text — parses to
+    the identical ArrayAggregate/ZipWith tree as the HOF builders,
+    but in ONE py4j call instead of ~8 per lambda (the lambda
+    machinery was most of the residual driver-side build time)."""
+    return (
+        f"aggregate(zip_with({vec}, {_plane_arr_sql(t, p)}, "
+        f"(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def _lsh_bucket(vec_col, t: int, nplanes: int = LSH_PLANES):
     """Bucket id for hash table t: integer of ``nplanes`` sign bits
     of the vector's dot products with the table's planes. The plane
     arrays are literals, so each dot is one zip_with/aggregate over
-    a constant — no joins, no per-row hashing."""
+    a constant — no joins, no per-row hashing. Pass the vector as a
+    column NAME to build the whole bucket as one parsed expression
+    (the fast path; a Column operand falls back to the HOF build)."""
+    if isinstance(vec_col, str):
+        bits = " + ".join(
+            f"(CASE WHEN {_dot_plane_sql(vec_col, t, p)} >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(nplanes)
+        )
+        return F.expr(f"(0 + {bits})")
     bucket = F.lit(0)
     for p in range(nplanes):
-        w = F.array(*[F.lit(x) for x in _plane(t, p)])
+        w = _plane_lit(t, p)
         bit = F.when(_dot(vec_col, w) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bucket + bit
     return bucket
 
 
 def _plane_lit(t: int, p: int):
-    return F.array(*[F.lit(x) for x in _plane(t, p)])
+    return _dlit_array(_plane(t, p))
 
 
 def with_lsh_probes(df: DataFrame, vec_col: str, tables: int, flips: int,
@@ -454,39 +497,34 @@ def with_lsh_probes(df: DataFrame, vec_col: str, tables: int, flips: int,
     dots = df.select(
         "*",
         *[
-            _dot(F.col(vec_col), _plane_lit(t, p)).alias(f"_d{t}_{p}")
+            F.expr(_dot_plane_sql(vec_col, t, p)).alias(f"_d{t}_{p}")
             for t in range(tables)
             for p in range(nplanes)
         ],
     )
-    pow2 = F.array(*[F.lit(1 << p) for p in range(nplanes)])
-
-    # NB: the hof lambdas MUST be single-parameter — a second
-    # Python parameter (even a defaulted capture like `_b=base`)
-    # makes F.transform pass the ELEMENT INDEX as that argument,
-    # silently clobbering the default. Capture via closure instead.
+    # each probe column is ONE parsed expression (base sign-sum,
+    # margin-struct sort, flip transform) — the py4j lambda builders
+    # this replaces dominated driver-side build time; the parsed
+    # tree (CaseWhen/ArraySort/Transform over the _d columns) is the
+    # same one the HOF builders produced, so values are unchanged
     def _probe_col(t: int):
-        base = F.lit(0)
-        for p in range(nplanes):
-            base = base + F.when(
-                F.col(f"_d{t}_{p}") >= 0, F.lit(1 << p)
-            ).otherwise(F.lit(0))
-        margins = F.array_sort(
-            F.array(
-                *[
-                    F.struct(
-                        F.abs(F.col(f"_d{t}_{p}")).alias("m"),
-                        F.lit(p).alias("p"),
-                    )
-                    for p in range(nplanes)
-                ]
+        base = (
+            "("
+            + " + ".join(
+                f"(CASE WHEN _d{t}_{p} >= 0 THEN {1 << p} ELSE 0 END)"
+                for p in range(nplanes)
             )
+            + ")"
         )
-        flip_buckets = F.transform(
-            F.slice(margins, 1, flips),
-            lambda s: base.bitwiseXOR(F.element_at(pow2, s["p"] + 1)),
+        structs = ", ".join(
+            f"named_struct('m', abs(_d{t}_{p}), 'p', {p})"
+            for p in range(nplanes)
         )
-        return F.concat(F.array(base), flip_buckets).alias(f"{prefix}{t}")
+        return F.expr(
+            f"concat(array({base}), transform("
+            f"slice(array_sort(array({structs})), 1, {flips}), "
+            f"s -> {base} ^ shiftleft(1, s.p)))"
+        ).alias(f"{prefix}{t}")
 
     return dots.select(*df.columns, *[_probe_col(t) for t in range(tables)])
 
@@ -499,9 +537,9 @@ def probe_key_pairs(tables: int, prefix: str = "p"):
     table id binds eagerly."""
 
     def _tagged(t: int):
-        return F.transform(
-            F.col(f"{prefix}{t}"),
-            lambda b: F.struct(F.lit(t).alias("t"), b.alias("bucket")),
+        return F.expr(
+            f"transform({prefix}{t}, "
+            f"b -> named_struct('t', {t}, 'bucket', b))"
         )
 
     return F.flatten(F.array(*[_tagged(t) for t in range(tables)]))
@@ -542,7 +580,7 @@ def similarity_lsh_topk(
         "vec_id",
         "vec",
         *[
-            _lsh_bucket(F.col("vec"), t, np_).alias(f"b{t}")
+            _lsh_bucket("vec", t, np_).alias(f"b{t}")
             for t in range(LSH_TABLES)
         ],
     )
@@ -692,7 +730,7 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = emb.select("vec_id", _as_double_vec(F.col("embedding")).alias("vec"))
     proj_cols = [
         _dot(
-            F.col("vec"), F.array(*[F.lit(x) for x in RP_WEIGHTS[j]])
+            F.col("vec"), _dlit_array(tuple(RP_WEIGHTS[j]))
         ).alias(f"c{j}")
         for j in range(RP_TARGET_DIM)
     ]
@@ -766,7 +804,7 @@ def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         sub = F.slice(F.col("vec"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
         cands = []
         for k in range(PQ_CODES):
-            code = F.array(*[F.lit(x) for x in PQ_CODEBOOK[s][k]])
+            code = _dlit_array(tuple(PQ_CODEBOOK[s][k]))
             d2 = F.aggregate(
                 F.zip_with(sub, code, lambda x, c: (x - c) * (x - c)),
                 F.lit(0.0),
@@ -886,7 +924,7 @@ def similarity_pq_topk(
         # (a died trained cluster leaves an inf hole no code id hits)
         for k in range(PQ_CODES):
             if k in books[s]:
-                code = F.array(*[F.lit(x) for x in books[s][k]])
+                code = _dlit_array(tuple(books[s][k]))
                 ds.append(
                     F.aggregate(
                         F.zip_with(
@@ -1077,7 +1115,7 @@ def embedding_pq_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         sub = F.slice(F.col("vec"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
         cands = []
         for k, code_vals in books[s]:
-            code = F.array(*[F.lit(x) for x in code_vals])
+            code = _dlit_array(tuple(code_vals))
             cands.append(
                 F.struct(_l2sq(sub, code).alias("d"), F.lit(k).alias("k"))
             )
