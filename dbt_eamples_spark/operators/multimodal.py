@@ -166,12 +166,32 @@ def _wav_features(b: bytes) -> list[float]:
     ]
 
 
+def _jpeg_features(b: bytes) -> list[float]:
+    """Same feature layout as _png_features — the two image codecs
+    are interchangeable behind the seam (decode → pixel stats)."""
+    from dbt_eamples_spark.operators.jpeg import decode_jpeg
+
+    w, h, ch, px = decode_jpeg(b)
+    arr = px.astype("float64")
+    chan_means = [float(arr[:, :, c].mean()) / 255.0 for c in range(ch)]
+    chan_means += [0.0] * (3 - len(chan_means[:3]))
+    return [
+        float(w),
+        float(h),
+        float(ch),
+        float(arr.mean()) / 255.0,
+        *chan_means[:3],
+        float((arr > 127).mean()),
+    ]
+
+
 def _strict_decode(batch: pd.DataFrame) -> pd.DataFrame:
-    """REAL decode, dispatched on magic bytes: PNG payloads via the
-    pure-stdlib baseline codec, RIFF/WAVE PCM audio via the
-    pure-stdlib WAV codec. Anything else raises NotImplementedError
-    — the PIL/librosa/av integration point for jpeg/compressed
-    audio/video."""
+    """REAL decode, dispatched on magic bytes: PNG and baseline JPEG
+    payloads via the pure-stdlib image codecs, RIFF/WAVE PCM audio
+    via the pure-stdlib WAV codec. Anything else raises
+    NotImplementedError — the PIL/librosa/av integration point for
+    progressive/subsampled JPEG, compressed audio, and video."""
+    from dbt_eamples_spark.operators.jpeg import is_jpeg
     from dbt_eamples_spark.operators.png import is_png
     from dbt_eamples_spark.operators.wav import is_wav
 
@@ -180,13 +200,16 @@ def _strict_decode(batch: pd.DataFrame) -> pd.DataFrame:
         b = bytes(content)
         if is_png(b):
             feats = _png_features(b)
+        elif is_jpeg(b):
+            feats = _jpeg_features(b)
         elif is_wav(b):
             feats = _wav_features(b)
         else:
             raise NotImplementedError(
-                "strict decode handles baseline PNG and PCM WAV "
-                "natively; other media (jpeg/compressed audio/video) "
-                "requires PIL/librosa/av — integrate here, or use "
+                "strict decode handles baseline PNG, baseline JPEG "
+                "and PCM WAV natively; other media (progressive/"
+                "subsampled jpeg, compressed audio, video) requires "
+                "PIL/librosa/av — integrate here, or use "
                 "decode_stub='fake'"
             )
         out.append({"doc_id": doc_id, "n_bytes": len(b), "features": feats})

@@ -113,10 +113,12 @@ class TestStrictDecodeThroughSpark:
                 T.StructField("content", T.BinaryType()),
             ]
         )
-        # JPEG magic: PCM WAV decodes for real now, so the gate test
-        # uses a media type that genuinely needs an external library
+        # MP4 magic: PNG, baseline JPEG and PCM WAV all decode for
+        # real now, so the gate test uses a media type (video) that
+        # genuinely needs an external library
         bt = spark.createDataFrame(
-            [(1, bytearray(b"\xff\xd8\xff\xe0\x00\x10JFIF"))], schema=schema
+            [(1, bytearray(b"\x00\x00\x00\x18ftypmp42\x00\x00\x00\x00"))],
+            schema=schema,
         )
         with pytest.raises(Exception, match="NotImplementedError|PIL"):
             decode_features_frame(bt, "strict").collect()
