@@ -686,23 +686,11 @@ def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 INCR_MOD = 10  # doc_id % 10 == 0 marks the incoming "new batch"
 
 
-def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental near-dup check: dedup the NEW batch against the
-    existing corpus without comparing the corpus to itself — the
-    shape a production ingest actually runs (the 100 TB corpus is
-    indexed once; each delta probes the index).
-
-    Here the corpus-side (band, bucket) keys are recomputed from the
-    fixture for hermeticity; at scale they are the persisted LSH
-    index (a bucketed table on the bucket key), and only the delta
-    pays signature computation. Candidates come from an asymmetric
-    equi-join of batch keys against corpus keys — no corpus
-    self-join, so incremental cost is O(|delta| + collisions), never
-    O(|corpus|²). Verify is exact Jaccard on candidates only, same
-    as dedup_minhash."""
-    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+def _band_keys(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) LSH keys — the banded-signature map
+    shared by the self-join dedup and the incremental index/probe."""
     sig = _minhash_signatures(_shingles(docs))
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(MINHASH_BANDS - 1))).alias("band"),
         F.col("sig"),
@@ -719,13 +707,54 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("bucket"),
     )
+
+
+def minhash_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED corpus-side LSH index (corpus_doc, band,
+    bucket): built once per corpus fingerprint and stored as a
+    parquet artifact (dbt_eamples_spark.artifacts), so an ingest
+    delta probes it without paying corpus signature computation —
+    the index an LSH deployment keeps warm. At scale this artifact
+    is a bucketed table on (band, bucket); here it is the plain
+    parquet the fixture needs."""
+    from dbt_eamples_spark.artifacts import (
+        corpus_fingerprint,
+        load_or_build,
+    )
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents", parallelize=True)
+        corpus = docs.filter(~(F.col("doc_id") % INCR_MOD == 0))
+        return _band_keys(corpus).select(
+            F.col("doc_id").alias("corpus_doc"), "band", "bucket"
+        )
+
+    return load_or_build(
+        spark, "minhash_band_index", corpus_fingerprint(sf_dir, "documents"),
+        build,
+    )
+
+
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup check: dedup the NEW batch against the
+    existing corpus without comparing the corpus to itself — the
+    shape a production ingest actually runs (the 100 TB corpus is
+    indexed once; each delta probes the index).
+
+    The corpus-side (band, bucket) keys come from the PERSISTED
+    artifact index (:func:`minhash_band_index` — round 5; previously
+    recomputed per session), so only the delta pays signature
+    computation. Candidates come from an asymmetric equi-join of
+    batch keys against index keys — no corpus self-join, so
+    incremental cost is O(|delta| + collisions), never O(|corpus|²).
+    Verify is exact Jaccard on candidates only, same as
+    dedup_minhash."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     is_new = F.col("doc_id") % INCR_MOD == 0
-    new_keys = bands.filter(is_new).select(
+    new_keys = _band_keys(docs.filter(is_new)).select(
         F.col("doc_id").alias("new_doc"), "band", "bucket"
     )
-    corpus_keys = bands.filter(~is_new).select(
-        F.col("doc_id").alias("corpus_doc"), "band", "bucket"
-    )
+    corpus_keys = minhash_band_index(spark, sf_dir)
     cands = (
         new_keys.join(corpus_keys, ["band", "bucket"])
         .select("new_doc", "corpus_doc")
@@ -930,23 +959,34 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# verified-pair cache, keyed by (spark application, corpus): the
-# near-dup pair graph is an INDEX — built once, consumed by both the
-# pairwise query and the cluster closure. The cached value is the
-# tiny checkpointed pair frame (|near-dup pairs| rows), valid for
-# the SparkContext that checkpointed it.
+# verified-pair cache: the near-dup pair graph is an INDEX — built
+# once, consumed by both the pairwise query and the cluster closure.
+# Two tiers (round 5): an in-session dict holding the checkpointed
+# frame, over the PERSISTED parquet artifact keyed by corpus
+# fingerprint (dbt_eamples_spark.artifacts) — so a second session or
+# process reuses the index instead of re-running the LSH blocking +
+# exact verify, which is the 100 TB operating model.
 _COSINE_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _cosine_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_eamples_spark.artifacts import (
+        corpus_fingerprint,
+        load_or_build,
+    )
+
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _COSINE_PAIRS_CACHE.get(key)
     if df is None:
-        df = (
-            dedup_embedding_cosine(spark, sf_dir)
-            .select("vec_a", "vec_b")
-            .localCheckpoint(eager=True)
-        )
+        fp = corpus_fingerprint(sf_dir, "embeddings")
+        df = load_or_build(
+            spark,
+            "cosine_pairs",
+            fp,
+            lambda: dedup_embedding_cosine(spark, sf_dir).select(
+                "vec_a", "vec_b"
+            ),
+        ).localCheckpoint(eager=True)
         _COSINE_PAIRS_CACHE[key] = df
     return df
 

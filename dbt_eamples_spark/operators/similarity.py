@@ -1040,10 +1040,48 @@ def _pq_train_codebooks(
     state bounded at PQ_SUBVECTORS·PQ_CODES·PQ_SUBDIM doubles (2 KB)
     — so the ENCODE pass stays a zero-shuffle literal fold exactly
     like the untrained path."""
+    from dbt_eamples_spark.artifacts import (
+        corpus_fingerprint,
+        load_or_build,
+    )
+
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _PQ_CODEBOOKS.get(key)
     if cached is not None:
         return cached
+    # disk tier (round 5): codebooks persist as a (s, k, cvec)
+    # parquet artifact keyed by corpus fingerprint — training is an
+    # index build, and parquet float64 is bit-preserving, so a
+    # loaded codebook scores identically to a trained one
+    art = load_or_build(
+        spark,
+        "pq_codebooks",
+        corpus_fingerprint(sf_dir, "embeddings"),
+        lambda: spark.createDataFrame(
+            [
+                (s, k, vals)
+                for s, book in enumerate(_pq_train_books(spark, sf_dir))
+                for k, vals in book
+            ],
+            "s int, k int, cvec array<double>",
+        ),
+    )
+    rows = art.collect()
+    books = [
+        sorted(
+            (r["k"], list(r["cvec"])) for r in rows if r["s"] == s
+        )
+        for s in range(PQ_SUBVECTORS)
+    ]
+    _PQ_CODEBOOKS[key] = books
+    return books
+
+
+def _pq_train_books(
+    spark: SparkSession, sf_dir: str
+) -> list[list[tuple[int, list[float]]]]:
+    """The actual Lloyd training pass (docstring above) — called
+    only on artifact miss."""
     emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
         "vec_id", _as_double_vec(F.col("embedding")).alias("vec")
     )
@@ -1092,7 +1130,6 @@ def _pq_train_codebooks(
         # keep ORIGINAL code ids (a died-out cluster leaves a gap) so
         # the oracle's id space matches exactly
         books.append(sorted(rows.items()))
-    _PQ_CODEBOOKS[key] = books
     return books
 
 

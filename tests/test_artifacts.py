@@ -1,0 +1,113 @@
+"""Persisted index artifacts (VERDICT r4 #6): a second session must
+REUSE the stored pair index / band index / PQ codebooks rather than
+recompute them, results must be bit-identical either way, and the
+incremental minhash probe must run against the persisted index."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from dbt_eamples_spark import artifacts as A
+from dbt_eamples_spark.operators import dedup as D
+from dbt_eamples_spark.operators import similarity as V
+
+
+@pytest.fixture()
+def art_dir(tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path / "arts"))
+    A.ARTIFACT_EVENTS.clear()
+    # clear the in-session L1 tiers so the disk tier is exercised
+    D._COSINE_PAIRS_CACHE.clear()
+    V._PQ_CODEBOOKS.clear()
+    yield str(tmp_path / "arts")
+    D._COSINE_PAIRS_CACHE.clear()
+    V._PQ_CODEBOOKS.clear()
+
+
+def _events(kind):
+    return [e for k, e in A.ARTIFACT_EVENTS if k == kind]
+
+
+class TestFingerprint:
+    def test_stable_and_rewrite_sensitive(self, sf_dir, tmp_path):
+        fp1 = A.corpus_fingerprint(sf_dir, "documents")
+        assert fp1 == A.corpus_fingerprint(sf_dir, "documents")
+        assert fp1 != A.corpus_fingerprint(sf_dir, "embeddings")
+        # a rewritten copy fingerprints differently (path + mtime)
+        import shutil
+
+        alt = tmp_path / "sfcopy"
+        alt.mkdir()
+        shutil.copy(
+            os.path.join(sf_dir, "documents.parquet"),
+            alt / "documents.parquet",
+        )
+        assert A.corpus_fingerprint(str(alt), "documents") != fp1
+
+
+class TestCosinePairIndex:
+    def test_second_session_reuses_not_recomputes(
+        self, spark, sf_dir, art_dir
+    ):
+        first = {
+            (r["vec_a"], r["vec_b"])
+            for r in D._cosine_pairs_cached(spark, sf_dir).collect()
+        }
+        assert _events("cosine_pairs") == ["build"]
+        # simulate a NEW session: drop the L1 dict (the artifact
+        # store is what survives a SparkContext)
+        D._COSINE_PAIRS_CACHE.clear()
+        second = {
+            (r["vec_a"], r["vec_b"])
+            for r in D._cosine_pairs_cached(spark, sf_dir).collect()
+        }
+        assert _events("cosine_pairs") == ["build", "reuse"]
+        assert second == first and len(first) > 0
+
+    def test_semantic_clusters_consume_artifact(self, spark, sf_dir, art_dir):
+        D.dedup_semantic_clusters(spark, sf_dir).collect()
+        assert _events("cosine_pairs") == ["build"]
+        D._COSINE_PAIRS_CACHE.clear()
+        D.dedup_semantic_clusters(spark, sf_dir).collect()
+        assert _events("cosine_pairs")[-1] == "reuse"
+
+
+class TestPqCodebookArtifact:
+    def test_loaded_books_bit_identical(self, spark, sf_dir, art_dir):
+        books1 = V._pq_train_codebooks(spark, sf_dir)
+        assert _events("pq_codebooks") == ["build"]
+        V._PQ_CODEBOOKS.clear()
+        books2 = V._pq_train_codebooks(spark, sf_dir)
+        assert _events("pq_codebooks") == ["build", "reuse"]
+        assert books2 == books1  # float64 survives parquet bit-for-bit
+
+
+class TestIncrementalProbe:
+    def test_probe_runs_against_persisted_index(self, spark, sf_dir, art_dir):
+        out1 = {
+            (r["new_doc"], r["corpus_doc"], r["jaccard"])
+            for r in D.dedup_incremental_minhash(spark, sf_dir).collect()
+        }
+        assert _events("minhash_band_index") == ["build"]
+        # the delta probe in a later session hits the stored index
+        out2 = {
+            (r["new_doc"], r["corpus_doc"], r["jaccard"])
+            for r in D.dedup_incremental_minhash(spark, sf_dir).collect()
+        }
+        assert _events("minhash_band_index") == ["build", "reuse"]
+        assert out2 == out1
+        # index content is the corpus side only (no delta docs)
+        idx = A.load_or_build(
+            spark,
+            "minhash_band_index",
+            A.corpus_fingerprint(sf_dir, "documents"),
+            lambda: (_ for _ in ()).throw(AssertionError("must reuse")),
+        )
+        assert (
+            idx.filter(
+                (idx.corpus_doc % D.INCR_MOD) == 0
+            ).count()
+            == 0
+        )
