@@ -1279,8 +1279,9 @@ def _pq_adc_oracle_sql() -> str:
 
 
 # teaching dial (trained=False): the literal-codebook ADC chain
-# stays available for the untrained path's tests/tools
-EXT_ORACLES["_pq_adc_untrained"] = _pq_adc_oracle_sql()
+# stays available for the untrained path's tests/tools (not a
+# registry key — the registered query is the trained default)
+UNTRAINED_PQ_ADC_SQL = _pq_adc_oracle_sql()
 
 
 def _pq_trained_parts() -> list[str]:
