@@ -112,71 +112,37 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Round-4 driver-sample rotation (VERDICT r3 #4): the driver checks
-# the FIRST 50 registry entries per round, so order = (1) this
-# round's new queries, (2) queries whose code or oracle changed this
-# round and must re-green, (3) every query whose LATEST driver row is
-# round 1 (the longest-unchecked cohort), (4) the oldest round-2
-# rows, filling to 50. Everything after position 50 is ordered
-# oldest-first too, so round 5's rotation falls out naturally.
-_R4_PRIORITY = [
-    # (1) new this round (second wave first — newest never checked)
-    "agg_market_share",
-    "orders_backlog_daily",
-    "supplier_lead_time_rank",
-    "events_type_pmi",
-    "events_time_to_convert",
-    "agg_gini_revenue",
-    "dq_advanced_tests",
-    "text_lang_confusion",
-    "agg_kmv_distinct",
-    "dq_source_freshness",
-    "window_percent_rank_cume",
-    "text_zipf_slope",
-    "corpus_mix_entropy",
-    "metric_compiled_conversion",
-    "ts_resample_ohlc",
-    "agg_ship_delay_bands",
-    "join_star_local_volume",
-    "agg_heavy_hitters_cms",
-    "sample_fixed_size_hash",
-    "text_normalize_dedup",
-    "graph_pagerank_topk",
-    "table_diff",
-    "agg_weighted_percentile",
-    "events_inter_arrival",
-    "join_bloom_prefilter",
-    "agg_skewness_kurtosis",
-    "stream_late_data_metrics",
-    "metric_compiled_derived",
-    "similarity_knn_graph",
-    "similarity_pq_rerank_topk",
-    "text_pii_scan",
-    "corpus_quality_filter",
-    "events_anomaly_rolling",
-    "events_dau_wau_mau",
-    "text_ngram_topk",
-    "sample_source_temperature",
-    # (2) fixed (oracle typing / overflow) — must re-green IN-SAMPLE
-    "abc_pareto_class",
-    "agg_correlation",
-    # wave-2 new queries (metric_compiled_growth last: its compiled
-    # SQL is its own oracle — identical text on both engines — so it
-    # is the lowest-risk entry to sit at the 50-sample boundary)
-    "events_user_path",
-    "ts_gap_fill",
-    "text_line_dedup",
-    "embedding_pq_encode",
-    "text_perplexity_unigram",
-    "dedup_semantic_clusters",
-    "sample_train_test_split",
-    "agg_mad_outliers",
-    "events_attribution_last_touch",
+# Round-5 driver-sample rotation (VERDICT r4 #1): the driver checks
+# the FIRST 50 registry entries per round, so order = (1) round-5's
+# 2 new queries, (2) the 12 queries whose code or oracle changed
+# this round and must re-green in-sample (PQ trained default, LSH/
+# literal-expr rebuild, artifact-backed indexes, ADVICE oracle
+# fixes), (3) metric_compiled_growth (the only never-driver-checked
+# entry, r4's position-51 boundary casualty), (4) the 35-query
+# cohort whose latest driver row is round 1 — exactly 50. The
+# 32-query r2-latest cohort heads positions 51+ as round 6's front;
+# everything after follows in registry insertion order (r3/r4 rows,
+# newest-verified last).
+_R5_PRIORITY = [
+    # (1) new this round
+    "graph_pagerank_weighted",
+    "sample_source_temperature_alpha",
+    # (2) code/oracle changed in round 5 — re-green IN-SAMPLE
     "similarity_pq_topk",
+    "similarity_pq_rerank_topk",
     "embedding_pq_encode_trained",
-    "table_profile",
+    "similarity_lsh_topk",
+    "dedup_incremental_minhash",
+    "dedup_semantic_clusters",
+    "dedup_embedding_cosine",
+    "embedding_random_projection",
+    "agg_gini_revenue",
+    "corpus_mix_entropy",
+    "events_time_to_convert",
+    "events_anomaly_rolling",
+    # (3) never driver-checked (judge-verified green in r4)
     "metric_compiled_growth",
-    # (3) latest driver row is r1 — 35 queries
+    # (4) latest driver row is r1 — 35 queries
     "scan_table",
     "sql_execute_limit",
     "filter_where_expr",
@@ -212,12 +178,11 @@ _R4_PRIORITY = [
     "doc_winnow_fingerprint",
     "dedup_exact",
     "dedup_ngram_jaccard",
-    # (4) oldest r2 rows, filling the 50-sample
+    # ---- position 51+: r2-latest cohort (round 6's front) ----
     "multi_statement_exec",
     "incremental_delta_filter",
     "stream_tumbling_count",
     "stream_session_agg",
-    # ---- position 51+: remaining r2 (next rotation's front) ----
     "scd2_snapshot",
     "stream_dedup",
     "filter_type_and_notnull",
@@ -257,7 +222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     unchecked → rest), so insertion order here is grouping only.
     """
     d = _query_registry()
-    ordered = {k: d[k] for k in _R4_PRIORITY if k in d}
+    ordered = {k: d[k] for k in _R5_PRIORITY if k in d}
     ordered.update({k: v for k, v in d.items() if k not in ordered})
     return ordered
 
