@@ -574,7 +574,7 @@ def dedup_embedding_cosine(
     from dbt_eamples_spark.operators.similarity import (
         DEDUP_LSH_TABLES,
         DEDUP_PROBE_FLIPS,
-        LSH_PLANES,
+        lsh_planes,
     )
 
     emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
@@ -588,14 +588,19 @@ def dedup_embedding_cosine(
     # only compute-heavy part) evaluate once per vector. Multi-probe
     # is ONE-SIDED (index side stays at DEDUP_LSH_TABLES keys/vector;
     # probe side grows ×(1+flips)); least/greatest canonicalization
-    # keeps symmetric recall. nplanes defaults to the pinned fixture
-    # constant so the static oracle holds; production sizes it via
-    # similarity.lsh_planes(n_rows) so bucket count tracks the corpus.
+    # keeps symmetric recall. nplanes defaults to the DYNAMIC
+    # lsh_planes(n) sizing (round 5: the pinned fixture constant
+    # measured scaling exponent 1.57 on the 10× corpus — bucket
+    # saturation makes in-bucket pair expansion quadratic); the
+    # oracle replicates the same integer ladder from count(*), so
+    # both engines pick identical planes at every corpus size.
+    if nplanes is None:
+        nplanes = lsh_planes(emb.count())  # scalar: index-build param
     pairs = lsh_candidate_pairs(
         v,
         tables=DEDUP_LSH_TABLES,
         flips=DEDUP_PROBE_FLIPS,
-        nplanes=nplanes or LSH_PLANES,
+        nplanes=nplanes,
     )
     cands = pairs.localCheckpoint(eager=True)
 

@@ -390,15 +390,18 @@ def lsh_planes(n_rows: int, target_bucket: int = 64) -> int:
     stays ~n·target/2 instead of saturating toward all-pairs the way
     a pinned plane count does when the corpus outgrows it (the
     round-3 fixture pathology: 4 planes over 2 k vectors ⇒ 77% of
-    all pairs were candidates). Floor = the fixture constant so the
-    static oracles keep describing the default; cap 24 bits keeps
+    all pairs were candidates; the round-5 10× spot-check measured
+    exponent 1.57 for the pinned default). Computed in PURE INTEGER
+    arithmetic — smallest p with target·2^p ≥ n — identical to
+    ceil(log2(n/target)) but immune to the 1-ulp log2 divergence a
+    float form could hit cross-engine (the oracle replicates this
+    ladder in SQL). Floor = the fixture constant; cap 24 bits keeps
     the bucket id a small int and recall per table meaningful."""
-    import math
-
-    return max(
-        LSH_PLANES,
-        min(24, math.ceil(math.log2(max(2.0, n_rows / max(1, target_bucket))))),
-    )
+    tb = max(1, target_bucket)
+    p = LSH_PLANES
+    while (tb << p) < n_rows and p < 24:
+        p += 1
+    return p
 
 
 def ivf_cells(n_rows: int) -> int:

@@ -113,33 +113,78 @@ def _kmeans_cte_sql(iters: int) -> str:
     return ",\n".join(parts)
 
 
-def _lsh_bucket_sql(t: int) -> str:
+# dynamic-plane support: the oracle renders DYN_NP_MAX literal
+# planes, each bit guarded by `p < np` where np comes from the
+# integer CASE ladder below — so the SQL picks the same plane count
+# as similarity.lsh_planes(count) at ANY corpus size (valid up to
+# 64·2^DYN_NP_MAX ≈ 786k vectors, far past local-gate scale)
+DYN_NP_MAX = 12
+
+
+def _np_ladder_sql(table: str = "embeddings", target: int = 64) -> str:
+    """similarity.lsh_planes as pure-integer SQL: smallest p in
+    [LSH_PLANES, DYN_NP_MAX] with target·2^p >= count(*). Integer
+    comparisons only — no float log2 whose last ulp could diverge
+    across engines at power-of-two boundaries."""
+    from dbt_eamples_spark.operators.similarity import LSH_PLANES
+
+    whens = " ".join(
+        f"WHEN c <= {target << p} THEN {p}"
+        for p in range(LSH_PLANES, DYN_NP_MAX)
+    )
+    return (
+        f"SELECT CASE {whens} ELSE {DYN_NP_MAX} END AS np "
+        f"FROM (SELECT count(*) AS c FROM {table})"
+    )
+
+
+def _plane_sql(t: int, p: int) -> str:
+    from dbt_eamples_spark.operators.similarity import _plane
+
+    return "[" + ", ".join(repr(x) for x in _plane(t, p)) + "]"
+
+
+def _lsh_bucket_sql(t: int, np_expr: str | None = None) -> str:
     """Bucket id for table t over a double-list column ``vec`` —
     literal plane weights, strict left-fold dots (mirrors
-    similarity._lsh_bucket exactly)."""
+    similarity._lsh_bucket exactly). With ``np_expr`` (a SQL scalar,
+    e.g. a subquery on the _np_ladder_sql CTE) the bucket uses only
+    planes p < np — the dynamic-sizing twin."""
+    n = LSH_PLANES if np_expr is None else DYN_NP_MAX
     bits = []
-    for p in range(LSH_PLANES):
-        w = "[" + ", ".join(repr(x) for x in LSH_PLANE_WEIGHTS[t][p]) + "]"
+    for p in range(n):
+        guard = f"{p} < {np_expr} AND " if np_expr is not None else ""
         bits.append(
-            f"(CASE WHEN {_dot('vec', w)} >= 0 THEN {1 << p} ELSE 0 END)"
+            f"(CASE WHEN {guard}{_dot('vec', _plane_sql(t, p))} >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
         )
     return "(" + " + ".join(bits) + ")"
 
 
-def _lsh_probe_sql(t: int, flips: int) -> str:
+def _lsh_probe_sql(t: int, flips: int, np_expr: str | None = None) -> str:
     """Multi-probe bucket LIST for table t over ``vec`` — mirrors
     similarity.with_lsh_probes exactly: [base, base^bit(m1), ...,
     base^bit(m_flips)] with m1..m_flips the planes of smallest
     |dot| margin (struct-lexicographic sort ties on plane index in
-    both engines; dots are the identical strict left-fold)."""
-    base = _lsh_bucket_sql(t)
+    both engines; dots are the identical strict left-fold). With
+    ``np_expr`` the margin candidates are filtered to p < np before
+    the sort, matching the dynamic Spark build."""
+    base = _lsh_bucket_sql(t, np_expr)
+    n = LSH_PLANES if np_expr is None else DYN_NP_MAX
     structs = []
-    for p in range(LSH_PLANES):
-        w = "[" + ", ".join(repr(x) for x in LSH_PLANE_WEIGHTS[t][p]) + "]"
-        structs.append(f"{{'m': abs({_dot('vec', w)}), 'p': {p}}}")
+    for p in range(n):
+        structs.append(
+            f"{{'m': abs({_dot('vec', _plane_sql(t, p))}), 'p': {p}}}"
+        )
+    lst = f"[{', '.join(structs)}]"
+    if np_expr is not None:
+        lst = (
+            f"list_filter({lst}, "
+            f"s -> struct_extract(s, 'p') < {np_expr})"
+        )
     return (
         f"list_prepend({base}, list_transform("
-        f"list_sort([{', '.join(structs)}])[1:{flips}], "
+        f"list_sort({lst})[1:{flips}], "
         f"s -> xor({base}, (1 << struct_extract(s, 'p')))))"
     )
 
@@ -554,16 +599,18 @@ EXT_ORACLES: dict[str, str] = {
         ) WHERE jaccard >= 0.3
     """,
     "dedup_embedding_cosine": f"""
-        WITH v AS (
+        WITH npl AS MATERIALIZED ({_np_ladder_sql()}),
+        v AS (
             SELECT vec_id,
                    list_transform(embedding, x -> x::DOUBLE) AS vec
             FROM embeddings
         ),
         wb AS (
             SELECT vec_id, vec,
-                   {', '.join(f"{_lsh_bucket_sql(t)} AS b{t}"
-                              for t in range(DEDUP_LSH_TABLES))}
-            FROM v
+                   {', '.join(
+                       f"{_lsh_bucket_sql(t, 'np')} AS b{t}"
+                       for t in range(DEDUP_LSH_TABLES))}
+            FROM v, npl
         ),
         keys AS (
             {' UNION ALL '.join(
@@ -573,8 +620,8 @@ EXT_ORACLES: dict[str, str] = {
         pkeys AS (
             {' UNION ALL '.join(
                 f"SELECT vec_id, {t} AS t, "
-                f"unnest({_lsh_probe_sql(t, DEDUP_PROBE_FLIPS)}) AS bucket "
-                f"FROM v"
+                f"unnest({_lsh_probe_sql(t, DEDUP_PROBE_FLIPS, 'np')}) AS bucket "
+                f"FROM v, npl"
                 for t in range(DEDUP_LSH_TABLES))}
         ),
         cands AS (
