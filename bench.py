@@ -132,6 +132,9 @@ HEADLINE = [
     "sample_fixed_size_hash",
     "text_normalize_dedup",
     "graph_pagerank_topk",
+    # round-5 additions
+    "graph_pagerank_weighted",
+    "sample_source_temperature_alpha",
 ]
 
 

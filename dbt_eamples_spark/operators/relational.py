@@ -1068,29 +1068,35 @@ def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rfm_segmentation use), and the closed form
     (nΣxy − ΣxΣy) / √((nΣx²−(Σx)²)(nΣy²−(Σy)²)) evaluates on
     doubles with the identical expression tree in the oracle. One
-    map-side-combined shuffle to ≤|groups| rows. The moment folds
-    accumulate as decimal(38,0), not bigint: y is price cents up to
-    ~1e7, so Σy² grows ~1e14 per row and an int64 fold would wrap
-    silently (non-ANSI) past ~1e5 rows per group — low-cardinality
-    keys like l_returnflag hit that by SF1. decimal(38,0) holds
-    ~1e24 rows per group of headroom, and the DuckDB oracle's
-    SUM(BIGINT)→HUGEINT is exact the same way; both sides convert
-    the exact integer moment to double once, correctly rounded."""
+    map-side-combined shuffle to ≤|groups| rows.
+
+    Width strategy (r5 hybrid — the r4 all-decimal fold cost 1.9×):
+    the per-row PRODUCTS multiply in int64, which is safe by a
+    STATIC bound — x ≤ 50 (TPC-H quantity) and y ≤ ~1e7 cents, so
+    x·y ≤ 5e8 and y² ≤ 1e14, far under 2^63; only the SUMS carry
+    overflow risk (Σy² wraps past ~9e4 rows/group in int64 —
+    low-cardinality keys hit that by SF1), so each long product is
+    cast to decimal(38,0) AT THE SUM (~1e24 rows/group headroom).
+    This differs from agg_gini_revenue, where an OPERAND (the rank)
+    is unbounded and the product itself must be decimal. The DuckDB
+    oracle's SUM(BIGINT)→HUGEINT is exact the same way; both sides
+    convert the exact integer moment to double once, correctly
+    rounded."""
     li = load_table(spark, sf_dir, "lineitem")
     base = li.select(
         "l_returnflag",
         F.col("l_quantity").cast("long").alias("x"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
     )
-    xd = F.col("x").cast("decimal(19,0)")
-    yd = F.col("y").cast("decimal(19,0)")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    x, y = F.col("x"), F.col("y")
     agg = base.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.sum(xd).alias("sx"),
-        F.sum(yd).alias("sy"),
-        F.sum(xd * yd).alias("sxy"),
-        F.sum(xd * xd).alias("sxx"),
-        F.sum(yd * yd).alias("syy"),
+        F.sum(dec(x)).alias("sx"),
+        F.sum(dec(y)).alias("sy"),
+        F.sum(dec(x * y)).alias("sxy"),
+        F.sum(dec(x * x)).alias("sxx"),
+        F.sum(dec(y * y)).alias("syy"),
     )
     n, sx, sy, sxy, sxx, syy = (
         F.col(c).cast("double") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
