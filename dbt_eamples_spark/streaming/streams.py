@@ -566,6 +566,93 @@ LATE_DELAY_US = 2 * 3600 * 1_000_000
 LATE_JITTER_US = 4 * 3600 * 1_000_000
 
 
+def late_data_streaming_audit(
+    spark: SparkSession,
+    events,
+    staging_dir: str,
+    checkpoint: str,
+    out_table: str,
+    delay: str = WATERMARK,
+) -> dict:
+    """REAL Structured Streaming twin of the late-data accounting:
+    replay ``events`` (ts, us, batch_id) in ARRIVAL order — one
+    parquet file per arrival batch, ``maxFilesPerTrigger=1`` so each
+    micro-batch is exactly one arrival window — through a
+    watermarked hourly aggregate in append mode, and return the
+    engine's OWN late-drop accounting (Σ numRowsDroppedByWatermark
+    over the per-batch progress events).
+
+    What this proves: the batch replay's watermark SCHEDULE (the
+    max-event-time-per-prior-batch − delay rule, advancing at batch
+    boundaries) matches the engine bit-for-bit — the test asserts
+    the engine counter equals the replay's prediction. Predicate
+    nuances pinned EMPIRICALLY against this Spark build: (a) the
+    displayed per-batch watermark = ms-floored max event time over
+    all PRIOR batches − delay, exactly the replay's rule; (b) a
+    windowed AGGREGATE merges a late row into still-open state and
+    only counts a drop when the row's window was EVICTED in an
+    earlier batch — i.e. window_end ≤ the PREVIOUS batch's
+    watermark (eviction runs at batch end with that batch's own
+    watermark); (c) the counter tallies POST-partial-agg rows, so
+    several same-window stragglers inside one micro-batch count as
+    ONE drop. Stream-stream joins/dedup drop on the raw event time
+    instead — `stream_late_data_metrics` reports that row-level
+    rule; the tests compute the eviction-rule prediction with the
+    same machinery and assert exact equality with the engine
+    counter."""
+    import glob
+    import os
+    import shutil
+
+    os.makedirs(staging_dir, exist_ok=True)
+    batch_ids = sorted(
+        r["batch_id"]
+        for r in events.select("batch_id").distinct().collect()
+    )
+    for i, b in enumerate(batch_ids):
+        tmp = os.path.join(staging_dir, "_tmp")
+        (
+            events.filter(F.col("batch_id") == b)
+            .select("ts")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(staging_dir, f"batch_{i:05d}.parquet"))
+        shutil.rmtree(tmp)
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "100000")
+    schema = spark.read.parquet(
+        os.path.join(staging_dir, "batch_00000.parquet")
+    ).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(staging_dir)
+        .withWatermark("ts", delay)
+        .groupBy(F.window("ts", TUMBLE).alias("w"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = 0
+    n_batches = 0
+    for p in q.recentProgress:
+        n_batches += 1
+        for so in p["stateOperators"]:
+            dropped += so.get("numRowsDroppedByWatermark", 0)
+    return {"dropped": dropped, "n_batches": n_batches}
+
+
 def stream_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark accounting — per event-time hour, how many rows a
     watermarked streaming aggregate ACCEPTS vs DROPS as too late.

@@ -396,6 +396,98 @@ class TestStreaming:
             F.col("is_anomaly")
         ).count()
 
+    def test_late_audit_matches_engine_counters(self, spark, sf_dir, tmp_path):
+        """The watermark SCHEDULE the batch replay models (max event
+        time over prior batches − delay, advancing at batch
+        boundaries) must match the engine: replay arrival batches
+        through a REAL watermarked aggregate and assert Spark's own
+        numRowsDroppedByWatermark equals the replay's prediction
+        (window-end rule, ms-precision watermark — the aggregate's
+        drop predicate)."""
+        from dbt_eamples_spark.catalog import load_table
+        from dbt_eamples_spark.streaming import streams as S
+
+        # 4-hour arrival batches (vs the op's 1-hour constant): the
+        # audit validates the watermark SCHEDULE rule, and the wider
+        # trigger makes window-end-late rows appear within a replay
+        # short enough for a test (the fixture's early hours are
+        # sparse)
+        trig = 4 * 3600 * 1_000_000
+        # jitter must exceed the trigger width for the eviction path
+        # to fire at all (a straggler has to arrive >= 2 batches
+        # after its window closed), so the audit uses 12 h of jitter
+        jit_us = 12 * 3600 * 1_000_000
+        jitter = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.col("event_id").cast("string")), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(jit_us),
+        )
+        ev = load_table(spark, sf_dir, "events").select(
+            "ts",
+            F.unix_micros("ts").alias("us"),
+            F.floor(
+                (F.unix_micros("ts") + jitter) / F.lit(trig)
+            ).alias("batch_id"),
+        )
+        bmin = ev.agg(F.min("batch_id")).collect()[0][0]
+        sub = ev.filter(
+            F.col("batch_id") < bmin + 30
+        ).localCheckpoint(eager=True)
+        name = f"late_{uuid.uuid4().hex[:8]}"
+        # short delay so the EVICTION path (window gone before the
+        # straggler arrives) actually fires within the replayed span
+        delay = "30 minutes"
+        audit = S.late_data_streaming_audit(
+            spark,
+            sub,
+            staging_dir=str(tmp_path / "stage"),
+            checkpoint=str(tmp_path / "ck_l"),
+            out_table=name,
+            delay=delay,
+        )
+        rows = sub.select("us", "batch_id").collect()
+        bmax: dict[int, int] = {}
+        for r in rows:
+            bmax[r["batch_id"]] = max(
+                bmax.get(r["batch_id"], 0), r["us"]
+            )
+        order = sorted(bmax)
+        run = None
+        wm_of_batch: dict[int, int | None] = {}
+        for b in order:
+            wm_of_batch[b] = run  # max event-time ms over PRIOR batches
+            m = bmax[b] // 1000
+            run = m if run is None else max(run, m)
+        prev_of = {
+            order[i]: (order[i - 1] if i > 0 else None)
+            for i in range(len(order))
+        }
+        delay_ms = 30 * 60 * 1000
+        hour_us = 3600 * 1_000_000
+        late_keys = set()
+        for r in rows:
+            # engine rule (pinned empirically): a row is late iff its
+            # window was EVICTED in an earlier batch — window end <=
+            # the PREVIOUS batch's displayed watermark — and the
+            # counter tallies POST-partial-agg rows, so same-window
+            # stragglers within one batch count ONCE
+            pb = prev_of[r["batch_id"]]
+            w = wm_of_batch.get(pb) if pb is not None else None
+            if w is None:
+                continue
+            wm_ms = w - delay_ms
+            wend_ms = ((r["us"] // hour_us) + 1) * hour_us // 1000
+            if wend_ms <= wm_ms:
+                late_keys.add((r["batch_id"], wend_ms))
+        pred = len(late_keys)
+        assert audit["dropped"] == pred and pred > 0
+        assert audit["n_batches"] >= len(bmax)
+
     def test_session_streaming_equals_batch(self, spark, sf_dir, tmp_path):
         name = f"sessions_{uuid.uuid4().hex[:8]}"
         stream_session_agg_streaming(
