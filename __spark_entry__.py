@@ -127,6 +127,7 @@ _R5_PRIORITY = [
     # (1) new this round
     "graph_pagerank_weighted",
     "sample_source_temperature_alpha",
+    "similarity_ivf_pq_topk",
     # (2) code/oracle changed in round 5 — re-green IN-SAMPLE
     "similarity_pq_topk",
     "similarity_pq_rerank_topk",
@@ -177,8 +178,9 @@ _R5_PRIORITY = [
     "doc_fingerprint",
     "doc_winnow_fingerprint",
     "dedup_exact",
+    # ---- position 51+ (r6's front): the one r1-cohort member the
+    # ivf_pq insertion displaced, then the r2-latest cohort ----
     "dedup_ngram_jaccard",
-    # ---- position 51+: r2-latest cohort (round 6's front) ----
     "multi_statement_exec",
     "incremental_delta_filter",
     "stream_tumbling_count",
@@ -273,6 +275,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 additions ---
         # support-weighted PageRank (edge weight = co-purchase count)
         "graph_pagerank_weighted": graph_pagerank_weighted,
+        # FAISS IndexIVFPQ shape: cell-restricted ADC + exact rerank
+        "similarity_ivf_pq_topk": V.similarity_ivf_pq_topk,
         # temperature rebalance at dyadic alpha=0.25 (sqrt-chain pow)
         "sample_source_temperature_alpha": S.sample_source_temperature_alpha,
         # --- never driver-checked in rounds 1-2: run these first ---

@@ -135,6 +135,7 @@ HEADLINE = [
     # round-5 additions
     "graph_pagerank_weighted",
     "sample_source_temperature_alpha",
+    "similarity_ivf_pq_topk",
 ]
 
 

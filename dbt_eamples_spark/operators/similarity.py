@@ -1184,6 +1184,142 @@ KNN_GRAPH_N = 500
 KNN_GRAPH_K = 5
 
 
+def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full FAISS ``IndexIVFPQ`` composition (``by_residual=
+    False``) with a refine stage: IVF cells RESTRICT which vectors
+    are scanned (only the query's NPROBE nearest cells), PQ codes
+    are WHAT gets scanned (4 small ints per vector, ADC lookup
+    tables), and the exact rerank touches only the |Q|·PQ_RERANK
+    shortlist — the memory-side and compute-side scale dials
+    composed, which is how billion-vector indexes actually serve.
+
+    Every stage reuses an oracle-proven core: cells from
+    `_kmeans_centroids` (fixed-point Lloyd, cached per session),
+    codes from `embedding_pq_encode_trained` (artifact-backed
+    trained codebooks), ADC + refine from `similarity_pq_topk`'s
+    machinery. Classical IVFPQ encodes residuals (vec − centroid);
+    this composition scores raw-vector codes (FAISS's by_residual
+    dial off) so the code table is cell-independent — the documented
+    trade is a little ADC accuracy for a reusable flat code table.
+
+    Scale shape: assignment/probing are broadcast-centroid narrow
+    passes; the candidate join is cell-restricted (×NPROBE/NCELLS of
+    the corpus); ADC is lookups+adds on the coded table; only the
+    shortlist pays full-width float math."""
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id", _as_double_vec(F.col("embedding")).alias("vec")
+    )
+    cache_key = (spark.sparkContext.applicationId, sf_dir, NCENTROIDS)
+    cent = _IVF_CENTROIDS.get(cache_key)
+    if cent is None:
+        cent = _kmeans_centroids(emb, NCENTROIDS)
+        _IVF_CENTROIDS[cache_key] = cent
+
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cent_cos"), F.asc("cent_id")
+    )
+    assigned = (
+        emb.join(F.broadcast(cent), how="cross")
+        .select(
+            "vec_id",
+            "cent_id",
+            _cosine(F.col("vec"), F.col("cvec")).alias("cent_cos"),
+        )
+        .withColumn("crk", F.row_number().over(w_assign))
+        .filter(F.col("crk") == 1)
+        .select("vec_id", F.col("cent_id").alias("bucket"))
+    )
+    codes = embedding_pq_encode_trained(spark, sf_dir).select(
+        "vec_id", *[f"code_{s}" for s in range(PQ_SUBVECTORS)]
+    )
+    coded = codes.join(assigned, "vec_id")
+
+    books = [dict(b) for b in _pq_train_codebooks(spark, sf_dir)]
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("probe_cos"), F.asc("cent_id")
+    )
+    probes = (
+        q.join(F.broadcast(cent), how="cross")
+        .select(
+            "query_id",
+            "cent_id",
+            _cosine(F.col("qvec"), F.col("cvec")).alias("probe_cos"),
+        )
+        .withColumn("prk", F.row_number().over(w_probe))
+        .filter(F.col("prk") <= NPROBE)
+        .select("query_id", F.col("cent_id").alias("bucket"))
+    )
+
+    def _dtable(s: int):
+        sub = F.slice(F.col("qvec"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+        ds = []
+        for k in range(PQ_CODES):
+            if k in books[s]:
+                code = _dlit_array(tuple(books[s][k]))
+                ds.append(
+                    F.aggregate(
+                        F.zip_with(
+                            sub, code, lambda x, c: (x - c) * (x - c)
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                )
+            else:
+                ds.append(F.lit(float("inf")))
+        return F.array(*ds)
+
+    qd = q.select(
+        "query_id",
+        *[_dtable(s).alias(f"dt{s}") for s in range(PQ_SUBVECTORS)],
+    )
+    probe_tables = probes.join(qd, "query_id")
+    adc = None
+    for s in range(PQ_SUBVECTORS):
+        term = F.element_at(F.col(f"dt{s}"), F.col(f"code_{s}") + 1)
+        adc = term if adc is None else adc + term
+    scored = coded.join(
+        F.broadcast(probe_tables),
+        (coded["bucket"] == probe_tables["bucket"])
+        & (coded["vec_id"] != probe_tables["query_id"]),
+    ).select(
+        "query_id",
+        coded["vec_id"].alias("neighbor_id"),
+        adc.alias("adc_dist"),
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    short = (
+        scored.withColumn("srk", F.row_number().over(w_short))
+        .filter(F.col("srk") <= PQ_RERANK)
+        .select("query_id", "neighbor_id")
+    )
+    nb = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nvec")
+    )
+    rescored = (
+        short.join(F.broadcast(q), "query_id")
+        .join(nb, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine(F.col("qvec"), F.col("nvec")), 6).alias("cosine"),
+        )
+    )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rk", F.row_number().over(w_final))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
 def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual k-nearest-neighbor graph over the embedding corpus:
     an undirected edge (a, b) exists iff b is in a's top-K cosine

@@ -2851,3 +2851,117 @@ def _temp_alpha_oracle_sql() -> str:
 
 
 EXT_ORACLES["sample_source_temperature_alpha"] = _temp_alpha_oracle_sql()
+
+
+def _ivf_pq_oracle_sql() -> str:
+    """Mirror of similarity.similarity_ivf_pq_topk: the kmeans cell
+    chain (`_kmeans_cte_sql`) and the trained-PQ chain
+    (`_pq_trained_parts`, minus its duplicate ``v``) composed — cell
+    assignment restricts which coded vectors the ADC scan touches,
+    then the PQ_RERANK shortlist reranks with exact cosine. CTE
+    namespaces are disjoint (kmeans: c{i}/a{i}/e{i}; PQ:
+    c{s}_{i}/a{s}_{i}/e{s}_{i})."""
+    from dbt_eamples_spark.operators.similarity import (
+        KMEANS_ITERS,
+        N_QUERIES,
+        NPROBE,
+        PQ_RERANK,
+        PQ_SUBDIM,
+        PQ_SUBVECTORS,
+        TOP_K,
+    )
+
+    pq_parts = _pq_trained_parts()[1:]  # drop its `v` (shared below)
+    enc_dist = (
+        f"list_reduce(list_transform(range(1, {PQ_SUBDIM} + 1), "
+        f"i -> (vec[s * {PQ_SUBDIM} + i] - cvec[i])"
+        f" * (vec[s * {PQ_SUBDIM} + i] - cvec[i])), (x, y) -> x + y)"
+    )
+    q_dist = (
+        f"list_reduce(list_transform(range(1, {PQ_SUBDIM} + 1), "
+        f"i -> (qvec[s * {PQ_SUBDIM} + i] - cvec[i])"
+        f" * (qvec[s * {PQ_SUBDIM} + i] - cvec[i])), (x, y) -> x + y)"
+    )
+    return f"""
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+            FROM embeddings
+        ),
+        {_kmeans_cte_sql(KMEANS_ITERS)},
+        {','.join(pq_parts)},
+        assigned AS (
+            SELECT vec_id, bucket FROM (
+                SELECT v.vec_id, cent_id AS bucket,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                           ORDER BY {_cos('v.vec', 'cvec')} DESC,
+                                    cent_id ASC) AS crk
+                FROM v CROSS JOIN cent
+            ) WHERE crk = 1
+        ),
+        d AS (
+            SELECT vec_id, s, k, {enc_dist} AS d2
+            FROM v CROSS JOIN cb
+        ),
+        best AS (
+            SELECT vec_id, s, k,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                      ORDER BY d2 ASC, k ASC) AS rn
+            FROM d
+        ),
+        codes AS (SELECT vec_id, s, k FROM best WHERE rn = 1),
+        q AS (
+            SELECT vec_id AS query_id, vec AS qvec FROM v
+            WHERE vec_id < {N_QUERIES}
+        ),
+        probes AS (
+            SELECT query_id, bucket FROM (
+                SELECT query_id, cent_id AS bucket,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY {_cos('qvec', 'cvec')} DESC,
+                                    cent_id ASC) AS prk
+                FROM q CROSS JOIN cent
+            ) WHERE prk <= {NPROBE}
+        ),
+        dt AS (
+            SELECT query_id, s, k, {q_dist} AS dq
+            FROM q CROSS JOIN cb
+        ),
+        scored AS (
+            SELECT p.query_id, c.vec_id AS neighbor_id,
+                   list_reduce(list(dt.dq ORDER BY dt.s),
+                               (x, y) -> x + y) AS adc_dist
+            FROM codes c
+            JOIN assigned a ON a.vec_id = c.vec_id
+            JOIN probes p ON a.bucket = p.bucket
+                         AND c.vec_id != p.query_id
+            JOIN dt ON dt.query_id = p.query_id
+                   AND dt.s = c.s AND dt.k = c.k
+            GROUP BY p.query_id, c.vec_id
+        ),
+        shortlist AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY adc_dist ASC,
+                                                   neighbor_id ASC) AS srk
+                FROM scored
+            ) WHERE srk <= {PQ_RERANK}
+        ),
+        rescored AS (
+            SELECT sl.query_id, sl.neighbor_id,
+                   round({_cos('q.qvec', 'nv.vec')}, 6) AS cosine
+            FROM shortlist sl
+            JOIN q ON q.query_id = sl.query_id
+            JOIN v nv ON nv.vec_id = sl.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cosine, rk FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC,
+                                               neighbor_id ASC) AS rk
+            FROM rescored
+        ) WHERE rk <= {TOP_K}
+    """
+
+
+EXT_ORACLES["similarity_ivf_pq_topk"] = _ivf_pq_oracle_sql()

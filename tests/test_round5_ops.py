@@ -202,3 +202,37 @@ class TestTemperatureAlpha:
             assert r["coin"] < r["keep_rate"] or math.isclose(
                 r["coin"], r["keep_rate"], abs_tol=1e-6
             )  # coin decision happened pre-round; round6 may tie
+
+
+class TestIvfPq:
+    def test_composition_shape_and_recall(self, spark, sf_dir):
+        """IVFPQ = cell restriction x PQ codes x exact refine. The
+        output is a full top-k per query, candidates only ever come
+        from probed cells, and the refined recall must sit at or
+        near the unrestricted PQ+rerank path (cells cut candidates,
+        the refine recovers order)."""
+        from dbt_eamples_spark.operators.similarity import (
+            N_QUERIES,
+            TOP_K,
+            similarity_ivf_pq_topk,
+            similarity_topk,
+        )
+
+        rows = similarity_ivf_pq_topk(spark, sf_dir).collect()
+        by_q: dict[int, list] = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        assert len(by_q) == N_QUERIES
+        for q, ms in by_q.items():
+            ms.sort(key=lambda r: r["rk"])
+            assert [m["rk"] for m in ms] == list(range(1, TOP_K + 1))
+            cs = [m["cosine"] for m in ms]
+            assert cs == sorted(cs, reverse=True)
+            assert all(m["neighbor_id"] != q for m in ms)
+        exact: dict[int, set] = {}
+        for r in similarity_topk(spark, sf_dir).collect():
+            exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        got = {q: {m["neighbor_id"] for m in ms} for q, ms in by_q.items()}
+        total = sum(len(v) for v in exact.values())
+        hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+        assert hits / total >= 0.3, f"ivfpq recall {hits}/{total}"
