@@ -128,6 +128,7 @@ _R5_PRIORITY = [
     "graph_pagerank_weighted",
     "sample_source_temperature_alpha",
     "similarity_ivf_pq_topk",
+    "sample_fixed_size_per_group",
     # (2) code/oracle changed in round 5 — re-green IN-SAMPLE
     "similarity_pq_topk",
     "similarity_pq_rerank_topk",
@@ -177,9 +178,9 @@ _R5_PRIORITY = [
     "text_token_count_bpe",
     "doc_fingerprint",
     "doc_winnow_fingerprint",
+    # ---- position 51+ (r6's front): the two r1-cohort members the
+    # round-5 insertions displaced, then the r2-latest cohort ----
     "dedup_exact",
-    # ---- position 51+ (r6's front): the one r1-cohort member the
-    # ivf_pq insertion displaced, then the r2-latest cohort ----
     "dedup_ngram_jaccard",
     "multi_statement_exec",
     "incremental_delta_filter",
@@ -277,6 +278,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank_weighted": graph_pagerank_weighted,
         # FAISS IndexIVFPQ shape: cell-restricted ADC + exact rerank
         "similarity_ivf_pq_topk": V.similarity_ivf_pq_topk,
+        # exactly-k-per-stratum reproducible sample (balanced eval sets)
+        "sample_fixed_size_per_group": S.sample_fixed_size_per_group,
         # temperature rebalance at dyadic alpha=0.25 (sqrt-chain pow)
         "sample_source_temperature_alpha": S.sample_source_temperature_alpha,
         # --- never driver-checked in rounds 1-2: run these first ---

@@ -474,6 +474,44 @@ def sample_fixed_size_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PER_GROUP_K = 20
+
+
+def sample_fixed_size_per_group(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exactly-k-PER-STRATUM reproducible sample: within every
+    source, keep the k docs with the smallest md5(doc_id) — the
+    per-group twin of `sample_fixed_size_hash` and the balanced
+    eval-set builder a curator actually wants (a global k-sample
+    mirrors the corpus mix, so dominant sources drown small ones; k
+    per source gives every stratum equal representation regardless
+    of size, with `sample_stratified` covering the
+    proportional-rate middle ground).
+
+    Scale shape: one hash-partition exchange on ``source`` feeding a
+    rank window whose state is a row counter; with AQE a skewed
+    stratum is a split-able partition, never a buffer (no
+    collect_list). Output ≤ k·|sources| rows. Same determinism
+    argument as the global sampler: md5 order statistics are
+    engine-, run- and partitioning-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(F.asc("h"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "source", "n_chars", h.alias("h"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= PER_GROUP_K)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            "h",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
 # sketch size. Estimator safety: the numerator (K-1)·2^60 is a
 # DOUBLE (~7.3e19, fine for a float), and hk >= K-1 (the K-th
 # smallest of K distinct non-negative hashes), so

@@ -2965,3 +2965,21 @@ def _ivf_pq_oracle_sql() -> str:
 
 
 EXT_ORACLES["similarity_ivf_pq_topk"] = _ivf_pq_oracle_sql()
+
+
+def _per_group_sample_oracle_sql() -> str:
+    from dbt_eamples_spark.operators.sampling import PER_GROUP_K
+
+    return f"""
+        SELECT doc_id, source, n_chars, h, rk FROM (
+            SELECT doc_id, source, n_chars,
+                   md5(CAST(doc_id AS VARCHAR)) AS h,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                doc_id ASC) AS BIGINT) AS rk
+            FROM documents
+        ) WHERE rk <= {PER_GROUP_K}
+    """
+
+
+EXT_ORACLES["sample_fixed_size_per_group"] = _per_group_sample_oracle_sql()
