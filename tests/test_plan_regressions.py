@@ -136,6 +136,22 @@ class TestShuffleBudgets:
         # per-order last-ship agg + daily net-change agg; the
         # cumulative window runs over the bounded day frame
         "orders_backlog_daily": 2,
+        # --- round 5 ---
+        # post-checkpoint like graph_pagerank_topk: the weighted
+        # iterations are materialized; the final cut is
+        # TakeOrderedAndProject over |nodes| rows
+        "graph_pagerank_weighted": 0,
+        # source-count hash-agg + broadcast-rate stream pass — same
+        # plan as the alpha=0.5 sampler (sqrt chain is scan-side)
+        "sample_source_temperature_alpha": 2,
+        # one source exchange feeding the rank window
+        "sample_fixed_size_per_group": 1,
+        # composed index path: encode repartition + assignment/probe
+        # windows over the broadcast-centroid crosses + ADC local
+        # top-k + shortlist/refine windows — cell restriction and
+        # coded scan add NO corpus-sized exchange beyond the PQ
+        # rerank pipeline's own
+        "similarity_ivf_pq_topk": 9,
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))
