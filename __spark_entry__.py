@@ -128,6 +128,7 @@ _R5_PRIORITY = [
     "graph_pagerank_weighted",
     "sample_source_temperature_alpha",
     "similarity_ivf_pq_topk",
+    "similarity_ivf_pq_residual_topk",
     "sample_fixed_size_per_group",
     # (2) code/oracle changed in round 5 — re-green IN-SAMPLE
     "similarity_pq_topk",
@@ -177,9 +178,9 @@ _R5_PRIORITY = [
     "text_quality_score",
     "text_token_count_bpe",
     "doc_fingerprint",
+    # ---- position 51+ (r6's front): the three r1-cohort members
+    # the round-5 insertions displaced, then the r2-latest cohort --
     "doc_winnow_fingerprint",
-    # ---- position 51+ (r6's front): the two r1-cohort members the
-    # round-5 insertions displaced, then the r2-latest cohort ----
     "dedup_exact",
     "dedup_ngram_jaccard",
     "multi_statement_exec",
@@ -278,6 +279,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank_weighted": graph_pagerank_weighted,
         # FAISS IndexIVFPQ shape: cell-restricted ADC + exact rerank
         "similarity_ivf_pq_topk": V.similarity_ivf_pq_topk,
+        # IndexIVFPQ with by_residual=True (residual-trained codes)
+        "similarity_ivf_pq_residual_topk": V.similarity_ivf_pq_residual_topk,
         # exactly-k-per-stratum reproducible sample (balanced eval sets)
         "sample_fixed_size_per_group": S.sample_fixed_size_per_group,
         # temperature rebalance at dyadic alpha=0.25 (sqrt-chain pow)

@@ -136,6 +136,7 @@ HEADLINE = [
     "graph_pagerank_weighted",
     "sample_source_temperature_alpha",
     "similarity_ivf_pq_topk",
+    "similarity_ivf_pq_residual_topk",
     "sample_fixed_size_per_group",
 ]
 

@@ -1088,6 +1088,15 @@ def _pq_train_books(
     emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
         "vec_id", _as_double_vec(F.col("embedding")).alias("vec")
     )
+    return _pq_train_books_from(emb)
+
+
+def _pq_train_books_from(
+    emb: DataFrame,
+) -> list[list[tuple[int, list[float]]]]:
+    """Per-subspace Lloyd training over ANY (vec_id, vec) frame —
+    factored out so the residual-encoding IVFPQ can train on
+    residual vectors with the identical fixed-point machinery."""
     books: list[list[tuple[int, list[float]]]] = []
     w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("k"))
     for s in range(PQ_SUBVECTORS):
@@ -1277,6 +1286,221 @@ def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[_dtable(s).alias(f"dt{s}") for s in range(PQ_SUBVECTORS)],
     )
     probe_tables = probes.join(qd, "query_id")
+    adc = None
+    for s in range(PQ_SUBVECTORS):
+        term = F.element_at(F.col(f"dt{s}"), F.col(f"code_{s}") + 1)
+        adc = term if adc is None else adc + term
+    scored = coded.join(
+        F.broadcast(probe_tables),
+        (coded["bucket"] == probe_tables["bucket"])
+        & (coded["vec_id"] != probe_tables["query_id"]),
+    ).select(
+        "query_id",
+        coded["vec_id"].alias("neighbor_id"),
+        adc.alias("adc_dist"),
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    short = (
+        scored.withColumn("srk", F.row_number().over(w_short))
+        .filter(F.col("srk") <= PQ_RERANK)
+        .select("query_id", "neighbor_id")
+    )
+    nb = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nvec")
+    )
+    rescored = (
+        short.join(F.broadcast(q), "query_id")
+        .join(nb, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine(F.col("qvec"), F.col("nvec")), 6).alias("cosine"),
+        )
+    )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rk", F.row_number().over(w_final))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+# residual-PQ codebook cache (books trained on vec − cell centroid)
+_PQ_RES_CODEBOOKS: dict[tuple[str, str], list[list[tuple[int, list[float]]]]] = {}
+
+
+def _residual_frames(spark: SparkSession, sf_dir: str):
+    """(emb, assigned-with-centroid, residuals) shared by the
+    residual-IVFPQ train/encode/search stages. assigned keeps the
+    centroid VECTOR because the residual is vec − centroid(cell)."""
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id", _as_double_vec(F.col("embedding")).alias("vec")
+    )
+    cache_key = (spark.sparkContext.applicationId, sf_dir, NCENTROIDS)
+    cent = _IVF_CENTROIDS.get(cache_key)
+    if cent is None:
+        cent = _kmeans_centroids(emb, NCENTROIDS)
+        _IVF_CENTROIDS[cache_key] = cent
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cent_cos"), F.asc("cent_id")
+    )
+    assigned = (
+        emb.join(F.broadcast(cent), how="cross")
+        .select(
+            "vec_id",
+            "vec",
+            "cent_id",
+            "cvec",
+            _cosine(F.col("vec"), F.col("cvec")).alias("cent_cos"),
+        )
+        .withColumn("crk", F.row_number().over(w_assign))
+        .filter(F.col("crk") == 1)
+        .select("vec_id", "vec", F.col("cent_id").alias("bucket"), "cvec")
+    )
+    residuals = assigned.select(
+        "vec_id",
+        "bucket",
+        F.zip_with("vec", "cvec", lambda x, c: x - c).alias("vec"),
+    )
+    return emb, cent, assigned, residuals
+
+
+def _pq_res_codebooks(
+    spark: SparkSession, sf_dir: str
+) -> list[list[tuple[int, list[float]]]]:
+    """Residual-trained PQ codebooks — the same fixed-point Lloyd
+    core over (vec − centroid) vectors, with the same session-dict +
+    parquet-artifact tiers as the raw-vector books."""
+    from dbt_eamples_spark.artifacts import (
+        corpus_fingerprint,
+        load_or_build,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PQ_RES_CODEBOOKS.get(key)
+    if cached is not None:
+        return cached
+
+    def build():
+        _, _, _, residuals = _residual_frames(spark, sf_dir)
+        books = _pq_train_books_from(
+            residuals.select("vec_id", "vec")
+        )
+        return spark.createDataFrame(
+            [
+                (s, k, vals)
+                for s, book in enumerate(books)
+                for k, vals in book
+            ],
+            "s int, k int, cvec array<double>",
+        )
+    art = load_or_build(
+        spark,
+        "pq_codebooks_residual",
+        corpus_fingerprint(sf_dir, "embeddings"),
+        build,
+    )
+    rows = art.collect()
+    books = [
+        sorted((r["k"], list(r["cvec"])) for r in rows if r["s"] == s)
+        for s in range(PQ_SUBVECTORS)
+    ]
+    _PQ_RES_CODEBOOKS[key] = books
+    return books
+
+
+def similarity_ivf_pq_residual_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FAISS ``IndexIVFPQ`` with ``by_residual=True`` — the exact
+    production composition: codebooks are trained on RESIDUALS
+    (vec − its cell's centroid), so the 12-bit budget models the
+    within-cell displacement instead of the whole space (the reason
+    real IVFPQ encodes residuals: residual norms are much smaller
+    than vector norms, so the same code count quantizes finer). The
+    price is that a query's distance tables become PER PROBED CELL —
+    q's residual differs cell by cell — which is why FAISS
+    precomputes per-cell tables; here that is |Q|·NPROBE tiny rows.
+
+    Engine-exactness carries through: centroids and codebooks are
+    fixed-point means (bit-identical in the oracle), residual
+    subtraction is exact IEEE on identical trees, ADC folds in the
+    pinned left-assoc order, and the refine reranks with exact
+    cosine over the ORIGINAL vectors.
+
+    Scale shape: identical to `similarity_ivf_pq_topk` — broadcast
+    centroids, cell-restricted coded scan, |Q|·PQ_RERANK full-width
+    refine — plus one narrow residual map."""
+    emb, cent, assigned, residuals = _residual_frames(spark, sf_dir)
+    books = [dict(b) for b in _pq_res_codebooks(spark, sf_dir)]
+
+    def _best(s: int):
+        sub = F.slice(F.col("vec"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+        cands = []
+        for k in sorted(books[s]):
+            code = _dlit_array(tuple(books[s][k]))
+            cands.append(
+                F.struct(_l2sq(sub, code).alias("d"), F.lit(k).alias("k"))
+            )
+        return F.array_sort(F.array(*cands))[0]
+
+    coded = residuals.select(
+        "vec_id",
+        "bucket",
+        *[_best(s).alias(f"b{s}") for s in range(PQ_SUBVECTORS)],
+    ).select(
+        "vec_id",
+        "bucket",
+        *[
+            F.col(f"b{s}.k").cast("int").alias(f"code_{s}")
+            for s in range(PQ_SUBVECTORS)
+        ],
+    )
+
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("probe_cos"), F.asc("cent_id")
+    )
+    probes = (
+        q.join(F.broadcast(cent), how="cross")
+        .select(
+            "query_id",
+            "qvec",
+            "cent_id",
+            "cvec",
+            _cosine(F.col("qvec"), F.col("cvec")).alias("probe_cos"),
+        )
+        .withColumn("prk", F.row_number().over(w_probe))
+        .filter(F.col("prk") <= NPROBE)
+        .select(
+            "query_id",
+            F.col("cent_id").alias("bucket"),
+            F.zip_with("qvec", "cvec", lambda x, c: x - c).alias("qres"),
+        )
+    )
+
+    def _dtable(s: int):
+        sub = F.slice(F.col("qres"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+        ds = []
+        for k in range(PQ_CODES):
+            if k in books[s]:
+                code = _dlit_array(tuple(books[s][k]))
+                ds.append(_l2sq(sub, code))
+            else:
+                ds.append(F.lit(float("inf")))
+        return F.array(*ds)
+
+    probe_tables = probes.select(
+        "query_id",
+        "bucket",
+        *[_dtable(s).alias(f"dt{s}") for s in range(PQ_SUBVECTORS)],
+    )
     adc = None
     for s in range(PQ_SUBVECTORS):
         term = F.element_at(F.col(f"dt{s}"), F.col(f"code_{s}") + 1)

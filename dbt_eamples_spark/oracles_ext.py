@@ -1331,13 +1331,18 @@ def _pq_adc_oracle_sql() -> str:
 UNTRAINED_PQ_ADC_SQL = _pq_adc_oracle_sql()
 
 
-def _pq_trained_parts() -> list[str]:
+def _pq_trained_parts(src: str = "v", cb: str = "cb") -> list[str]:
     """Shared CTE chain for the trained-PQ oracles, through the
     trained codebook relation ``cb(s, k, cvec)``: per-subspace Lloyd
     chains (L2 assignment with (d2, k) tie-break + FIXED-POINT 1e-6
     means — integer sums are order-independent, so the sequential SQL
     means equal Spark's distributed ones bit-for-bit). Code ids are
-    the surviving seed vec_ids in both engines."""
+    the surviving seed vec_ids in both engines. ``src`` names the
+    (vec_id, vec) relation to train over — the default builds ``v``
+    from embeddings; the residual-IVFPQ oracle passes its residual
+    CTE instead (and a distinct ``cb`` name, since its chain
+    coexists with nothing else sharing the s{s}/c{s}_{i} namespace
+    per query)."""
     from dbt_eamples_spark.operators.similarity import (
         PQ_CODES,
         PQ_SUBDIM,
@@ -1345,18 +1350,20 @@ def _pq_trained_parts() -> list[str]:
         PQ_TRAIN_ITERS,
     )
 
-    parts = [
-        """v AS (
+    parts = []
+    if src == "v":
+        parts.append(
+            """v AS (
             SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
             FROM embeddings
         )"""
-    ]
+        )
     for s in range(PQ_SUBVECTORS):
         lo = s * PQ_SUBDIM + 1
         hi = (s + 1) * PQ_SUBDIM
         parts.append(
             f"""s{s} AS (
-            SELECT vec_id, vec[{lo}:{hi}] AS sv FROM v
+            SELECT vec_id, vec[{lo}:{hi}] AS sv FROM {src}
         )"""
         )
         parts.append(
@@ -1406,7 +1413,7 @@ def _pq_trained_parts() -> list[str]:
     # consumers (encode distances + query distance tables); DuckDB
     # would otherwise inline — and re-run — the whole training chain
     # per consumer (the ROUND4_NOTES re-evaluation finding).
-    parts.append(f"cb AS MATERIALIZED ({cb_union})")
+    parts.append(f"{cb} AS MATERIALIZED ({cb_union})")
     return parts
 
 
@@ -2983,3 +2990,124 @@ def _per_group_sample_oracle_sql() -> str:
 
 
 EXT_ORACLES["sample_fixed_size_per_group"] = _per_group_sample_oracle_sql()
+
+
+def _ivf_pq_residual_oracle_sql() -> str:
+    """Mirror of similarity.similarity_ivf_pq_residual_topk
+    (by_residual=True): the kmeans cell chain, a residual CTE
+    (vec − its cell's centroid), the trained-PQ chain RE-RUN OVER
+    RESIDUALS (`_pq_trained_parts(src='rv')`), per-(query, probed
+    cell) residual distance tables, cell-restricted ADC, and exact
+    refine over the ORIGINAL vectors."""
+    from dbt_eamples_spark.operators.similarity import (
+        KMEANS_ITERS,
+        N_QUERIES,
+        NPROBE,
+        PQ_RERANK,
+        PQ_SUBDIM,
+        PQ_SUBVECTORS,
+        TOP_K,
+    )
+
+    pq_parts = _pq_trained_parts(src="rv")
+    enc_dist = (
+        f"list_reduce(list_transform(range(1, {PQ_SUBDIM} + 1), "
+        f"i -> (vec[s * {PQ_SUBDIM} + i] - cvec[i])"
+        f" * (vec[s * {PQ_SUBDIM} + i] - cvec[i])), (x, y) -> x + y)"
+    )
+    q_dist = (
+        f"list_reduce(list_transform(range(1, {PQ_SUBDIM} + 1), "
+        f"i -> (qres[s * {PQ_SUBDIM} + i] - cvec[i])"
+        f" * (qres[s * {PQ_SUBDIM} + i] - cvec[i])), (x, y) -> x + y)"
+    )
+    return f"""
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+            FROM embeddings
+        ),
+        {_kmeans_cte_sql(KMEANS_ITERS)},
+        assigned AS (
+            SELECT vec_id, bucket, ccvec FROM (
+                SELECT v.vec_id, cent_id AS bucket, cvec AS ccvec,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                           ORDER BY {_cos('v.vec', 'cvec')} DESC,
+                                    cent_id ASC) AS crk
+                FROM v CROSS JOIN cent
+            ) WHERE crk = 1
+        ),
+        rv AS (
+            SELECT v.vec_id,
+                   list_transform(range(1, len(v.vec) + 1),
+                                  i -> v.vec[i] - a.ccvec[i]) AS vec
+            FROM v JOIN assigned a ON v.vec_id = a.vec_id
+        ),
+        {','.join(pq_parts)},
+        d AS (
+            SELECT vec_id, s, k, {enc_dist} AS d2
+            FROM rv CROSS JOIN cb
+        ),
+        best AS (
+            SELECT vec_id, s, k,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                      ORDER BY d2 ASC, k ASC) AS rn
+            FROM d
+        ),
+        codes AS (SELECT vec_id, s, k FROM best WHERE rn = 1),
+        q AS (
+            SELECT vec_id AS query_id, vec AS qvec FROM v
+            WHERE vec_id < {N_QUERIES}
+        ),
+        probes AS (
+            SELECT query_id, bucket,
+                   list_transform(range(1, len(qvec) + 1),
+                                  i -> qvec[i] - pcvec[i]) AS qres
+            FROM (
+                SELECT query_id, qvec, cent_id AS bucket, cvec AS pcvec,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY {_cos('qvec', 'cvec')} DESC,
+                                    cent_id ASC) AS prk
+                FROM q CROSS JOIN cent
+            ) WHERE prk <= {NPROBE}
+        ),
+        dt AS (
+            SELECT query_id, bucket, s, k, {q_dist} AS dq
+            FROM probes CROSS JOIN cb
+        ),
+        scored AS (
+            SELECT dt.query_id, c.vec_id AS neighbor_id,
+                   list_reduce(list(dt.dq ORDER BY dt.s),
+                               (x, y) -> x + y) AS adc_dist
+            FROM codes c
+            JOIN assigned a ON a.vec_id = c.vec_id
+            JOIN dt ON dt.bucket = a.bucket
+                   AND dt.s = c.s AND dt.k = c.k
+                   AND c.vec_id != dt.query_id
+            GROUP BY dt.query_id, c.vec_id
+        ),
+        shortlist AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY adc_dist ASC,
+                                                   neighbor_id ASC) AS srk
+                FROM scored
+            ) WHERE srk <= {PQ_RERANK}
+        ),
+        rescored AS (
+            SELECT sl.query_id, sl.neighbor_id,
+                   round({_cos('q.qvec', 'nv.vec')}, 6) AS cosine
+            FROM shortlist sl
+            JOIN q ON q.query_id = sl.query_id
+            JOIN v nv ON nv.vec_id = sl.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cosine, rk FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC,
+                                               neighbor_id ASC) AS rk
+            FROM rescored
+        ) WHERE rk <= {TOP_K}
+    """
+
+
+EXT_ORACLES["similarity_ivf_pq_residual_topk"] = _ivf_pq_residual_oracle_sql()

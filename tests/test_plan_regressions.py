@@ -152,6 +152,9 @@ class TestShuffleBudgets:
         # coded scan add NO corpus-sized exchange beyond the PQ
         # rerank pipeline's own
         "similarity_ivf_pq_topk": 9,
+        # residual variant: one extra narrow residual map, same
+        # exchange skeleton as the raw-code composition
+        "similarity_ivf_pq_residual_topk": 9,
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))

@@ -236,3 +236,30 @@ class TestIvfPq:
         total = sum(len(v) for v in exact.values())
         hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
         assert hits / total >= 0.3, f"ivfpq recall {hits}/{total}"
+
+    def test_residual_variant_recall_at_least_matches(self, spark, sf_dir):
+        """by_residual=True quantizes within-cell displacement — on
+        any corpus its refined recall should sit at or above the
+        raw-code composition's (they share cells, shortlist size and
+        the exact refine)."""
+        from dbt_eamples_spark.operators.similarity import (
+            similarity_ivf_pq_residual_topk,
+            similarity_ivf_pq_topk,
+            similarity_topk,
+        )
+
+        exact: dict[int, set] = {}
+        for r in similarity_topk(spark, sf_dir).collect():
+            exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        total = sum(len(v) for v in exact.values())
+
+        def rec(fn):
+            got: dict[int, set] = {}
+            for r in fn(spark, sf_dir).collect():
+                got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            return sum(len(exact[q] & got.get(q, set())) for q in exact) / total
+
+        raw = rec(similarity_ivf_pq_topk)
+        res = rec(similarity_ivf_pq_residual_topk)
+        assert res >= raw - 0.1, f"residual {res:.2f} far below raw {raw:.2f}"
+        assert res >= 0.3
