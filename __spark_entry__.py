@@ -178,8 +178,12 @@ _R5_PRIORITY = [
     "text_quality_score",
     "text_token_count_bpe",
     "doc_fingerprint",
-    # ---- position 51+ (r6's front): the three r1-cohort members
-    # the round-5 insertions displaced, then the r2-latest cohort --
+    # ---- position 51+ (r6's front): late-round-5 additions (kept
+    # OUT of the top-50 so the rotation-debt clearing above stays
+    # intact — r6 drives them first), then the three r1-cohort
+    # members the round-5 insertions displaced, then the r2-latest
+    # cohort --
+    "text_bpe_train",
     "doc_winnow_fingerprint",
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -285,6 +289,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_fixed_size_per_group": S.sample_fixed_size_per_group,
         # temperature rebalance at dyadic alpha=0.25 (sqrt-chain pow)
         "sample_source_temperature_alpha": S.sample_source_temperature_alpha,
+        # on-corpus BPE merge training over the word-frequency dict
+        "text_bpe_train": T.text_bpe_train,
         # --- never driver-checked in rounds 1-2: run these first ---
         # long->wide with pinned pivot domain (no discovery job)
         "metric_pivot": R.metric_pivot,

@@ -138,6 +138,7 @@ HEADLINE = [
     "similarity_ivf_pq_topk",
     "similarity_ivf_pq_residual_topk",
     "sample_fixed_size_per_group",
+    "text_bpe_train",
 ]
 
 

@@ -810,3 +810,120 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs").cast("double") / row_total, 6
         ).alias("row_share"),
     )
+
+
+# ---- on-corpus BPE tokenizer training (X41) --------------------------------
+# Byte-pair-encoding merge training over the corpus word-frequency
+# dict — the tokenizer-fitting pass an LLM data pipeline runs before
+# token-count budgeting (Sennrich et al. 2016; GPT-2-style in-word
+# merges, no word-end marker: merges never cross word boundaries).
+BPE_MERGES = 12
+BPE_MAX_WLEN = 20
+
+
+def _bpe_merge_fold(s, left, right, merged):
+    """Greedy left-to-right application of ONE merge (left,right) to
+    a symbol array — a single `aggregate` fold with a (out, skip)
+    struct accumulator, O(len) per word, whole-stage-codegen JVM
+    expression (no UDF). `F.get` (0-based, null on out-of-bounds)
+    keeps the lookahead safe under ANSI mode."""
+    n = F.size(s)
+    acc0 = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(False).alias("skip"),
+    )
+
+    def step(acc, i):
+        cur = F.get(s, i - 1)
+        nxt = F.get(s, i)
+        is_m = (~acc["skip"]) & (i < n) & (cur == left) & (nxt == right)
+        return F.struct(
+            F.when(acc["skip"], acc["out"])
+            .when(is_m, F.concat(acc["out"], F.array(merged)))
+            .otherwise(F.concat(acc["out"], F.array(cur)))
+            .alias("out"),
+            F.when(acc["skip"], F.lit(False)).otherwise(is_m).alias("skip"),
+        )
+
+    return F.aggregate(F.sequence(F.lit(1), n), acc0, step, lambda a: a["out"])
+
+
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train ``BPE_MERGES`` byte-pair merges on the documents corpus;
+    returns the merge table (step, left_sym, right_sym, merged,
+    pair_count) — the artifact a tokenizer ships.
+
+    Algorithm: ONE corpus pass builds the word-frequency dict
+    (ASCII-lowercase words, length 2–``BPE_MAX_WLEN``; all further
+    work is bounded by |vocab|, not corpus size — the standard
+    fast-BPE trick). Each iteration (a) expands in-row adjacent
+    symbol pairs weighted by word count, (b) takes the global argmax
+    under the total order (count DESC, left ASC, right ASC), and
+    (c) rewrites every word's symbol array with a greedy
+    left-to-right merge fold. The argmax collect is 1 row per
+    iteration (bounded model state); ``localCheckpoint`` truncates
+    lineage so the fold expressions never nest across iterations.
+
+    Cross-engine contract: the DuckDB oracle applies the SAME greedy
+    semantics in closed set-based form (for L≠R matches can never
+    overlap; for L=R greedy selects matches at even offset from
+    their consecutive-match run start) — equivalence is
+    property-tested in tests/test_bpe_train.py and value-hashed by
+    the gate.
+
+    Scale shape: corpus-sized work is exactly one token explode +
+    vocab hash-agg (map-side combined). Iterations run over the
+    checkpointed vocab (|vocab| rows, ≤ BPE_MAX_WLEN symbols each);
+    per-iteration shuffle is the pair-count agg over ≤ 26² + merged
+    keys. At 100 TB the vocab dict still fits comfortably in one
+    executor wave — this is why BPE trainers aggregate words first."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    words = (
+        docs.select(F.explode(_tokens_col()).alias("w"))
+        .filter(
+            F.col("w").rlike("^[a-z]+$")
+            & F.length("w").between(2, BPE_MAX_WLEN)
+        )
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    vocab = words.select("cnt", chars.alias("s"))
+
+    merges = []
+    for step_no in range(1, BPE_MERGES + 1):
+        vocab = vocab.localCheckpoint(eager=True)
+        pair = F.transform(
+            F.sequence(F.lit(1), F.size("s") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("s"), i).alias("l"),
+                F.element_at(F.col("s"), i + 1).alias("r"),
+            ),
+        )
+        best = (
+            vocab.filter(F.size("s") >= 2)
+            .select(F.explode(pair).alias("p"), "cnt")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:  # vocab fully merged — nothing left to learn
+            break
+        b = best[0]
+        merges.append((step_no, b.l, b.r, b.l + b.r, b.pair_count))
+        vocab = vocab.select(
+            "cnt",
+            _bpe_merge_fold(
+                F.col("s"), F.lit(b.l), F.lit(b.r), F.lit(b.l + b.r)
+            ).alias("s"),
+        )
+    return spark.createDataFrame(
+        merges,
+        "step int, left_sym string, right_sym string, "
+        "merged string, pair_count long",
+    ).orderBy("step")

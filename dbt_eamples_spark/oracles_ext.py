@@ -3111,3 +3111,83 @@ def _ivf_pq_residual_oracle_sql() -> str:
 
 
 EXT_ORACLES["similarity_ivf_pq_residual_topk"] = _ivf_pq_residual_oracle_sql()
+
+
+def _bpe_oracle_sql() -> str:
+    """Mirror of text.text_bpe_train: BPE merge training unrolled to
+    ``BPE_MERGES`` stages. The greedy left-to-right merge uses the
+    closed set-based form (the Spark side folds with an accumulator;
+    both implement the same greedy semantics, property-tested):
+    for L≠R two matches can never be adjacent, so every match is
+    taken; for L=R greedy takes matches at even offset from their
+    consecutive-match run start, where the run start follows from
+    the last non-match position before i. `MATERIALIZED` pins each
+    vocab stage so the doubly-referenced CTEs don't re-expand."""
+    from dbt_eamples_spark.operators.text import BPE_MERGES, BPE_MAX_WLEN
+
+    stages = []
+    for k in range(1, BPE_MERGES + 1):
+        p = k - 1
+        stages.append(rf"""
+        px{k} AS (
+            SELECT unnest(range(1, len(s))) AS i, s, cnt
+            FROM v{p} WHERE len(s) >= 2
+        ),
+        b{k} AS (
+            SELECT l, r, l || r AS merged,
+                   CAST(pair_count AS BIGINT) AS pair_count
+            FROM (
+                SELECT s[i] AS l, s[i + 1] AS r, SUM(cnt) AS pair_count
+                FROM px{k} GROUP BY 1, 2
+            ) ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1
+        ),
+        v{k} AS MATERIALIZED (
+            SELECT cnt, flatten(list_transform(range(1, len(s) + 1), i ->
+                     CASE WHEN i <= len(s) - 1 AND sel[i] THEN [mg]
+                          WHEN i >= 2 AND sel[i - 1]
+                            THEN CAST([] AS VARCHAR[])
+                          ELSE [s[i]] END)) AS s
+            FROM (
+                SELECT cnt, s, mg,
+                       list_transform(range(1, len(s)), i ->
+                         m[i] = 1 AND ((i - 1 - coalesce(list_max(
+                           list_transform(range(1, i), j ->
+                             CASE WHEN m[j] = 0 THEN j ELSE 0 END)), 0))
+                           % 2 = 0)) AS sel
+                FROM (
+                    SELECT cnt, s, b.merged AS mg,
+                           list_transform(range(1, len(s)), i ->
+                             CASE WHEN s[i] = b.l AND s[i + 1] = b.r
+                                  THEN 1 ELSE 0 END) AS m
+                    FROM v{p} CROSS JOIN b{k} AS b
+                )
+            )
+        )""")
+    finals = "\n        UNION ALL ".join(
+        f"SELECT CAST({k} AS INTEGER) AS step, l AS left_sym, "
+        f"r AS right_sym, merged, pair_count FROM b{k}"
+        for k in range(1, BPE_MERGES + 1)
+    )
+    return rf"""
+        WITH v0 AS MATERIALIZED (
+            SELECT cnt,
+                   list_transform(range(1, len(w) + 1), i -> w[i]) AS s
+            FROM (
+                SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM (
+                    SELECT unnest(string_split_regex(lower(text), '\s+'))
+                             AS w
+                    FROM documents
+                )
+                WHERE regexp_matches(w, '^[a-z]+$')
+                  AND len(w) BETWEEN 2 AND {BPE_MAX_WLEN}
+                GROUP BY w
+            )
+        ),{','.join(stages)}
+        SELECT * FROM (
+        {finals}
+        ) ORDER BY step
+    """
+
+
+EXT_ORACLES["text_bpe_train"] = _bpe_oracle_sql()
