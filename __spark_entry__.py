@@ -184,6 +184,7 @@ _R5_PRIORITY = [
     # members the round-5 insertions displaced, then the r2-latest
     # cohort --
     "text_bpe_train",
+    "text_bpe_tokenize",
     "doc_winnow_fingerprint",
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -291,6 +292,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_source_temperature_alpha": S.sample_source_temperature_alpha,
         # on-corpus BPE merge training over the word-frequency dict
         "text_bpe_train": T.text_bpe_train,
+        # corpus tokenization with the trained merges (token budgets)
+        "text_bpe_tokenize": T.text_bpe_tokenize,
         # --- never driver-checked in rounds 1-2: run these first ---
         # long->wide with pinned pivot domain (no discovery job)
         "metric_pivot": R.metric_pivot,

@@ -139,6 +139,7 @@ HEADLINE = [
     "similarity_ivf_pq_residual_topk",
     "sample_fixed_size_per_group",
     "text_bpe_train",
+    "text_bpe_tokenize",
 ]
 
 

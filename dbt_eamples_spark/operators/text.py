@@ -848,35 +848,17 @@ def _bpe_merge_fold(s, left, right, merged):
     return F.aggregate(F.sequence(F.lit(1), n), acc0, step, lambda a: a["out"])
 
 
-def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train ``BPE_MERGES`` byte-pair merges on the documents corpus;
-    returns the merge table (step, left_sym, right_sym, merged,
-    pair_count) — the artifact a tokenizer ships.
+_BPE_SCHEMA = (
+    "step int, left_sym string, right_sym string, "
+    "merged string, pair_count long"
+)
 
-    Algorithm: ONE corpus pass builds the word-frequency dict
-    (ASCII-lowercase words, length 2–``BPE_MAX_WLEN``; all further
-    work is bounded by |vocab|, not corpus size — the standard
-    fast-BPE trick). Each iteration (a) expands in-row adjacent
-    symbol pairs weighted by word count, (b) takes the global argmax
-    under the total order (count DESC, left ASC, right ASC), and
-    (c) rewrites every word's symbol array with a greedy
-    left-to-right merge fold. The argmax collect is 1 row per
-    iteration (bounded model state); ``localCheckpoint`` truncates
-    lineage so the fold expressions never nest across iterations.
 
-    Cross-engine contract: the DuckDB oracle applies the SAME greedy
-    semantics in closed set-based form (for L≠R matches can never
-    overlap; for L=R greedy selects matches at even offset from
-    their consecutive-match run start) — equivalence is
-    property-tested in tests/test_bpe_train.py and value-hashed by
-    the gate.
-
-    Scale shape: corpus-sized work is exactly one token explode +
-    vocab hash-agg (map-side combined). Iterations run over the
-    checkpointed vocab (|vocab| rows, ≤ BPE_MAX_WLEN symbols each);
-    per-iteration shuffle is the pair-count agg over ≤ 26² + merged
-    keys. At 100 TB the vocab dict still fits comfortably in one
-    executor wave — this is why BPE trainers aggregate words first."""
+def _bpe_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trainable word-frequency dict: ASCII-lowercase words of
+    length 2–``BPE_MAX_WLEN`` with corpus counts. The ONE
+    corpus-sized pass of BPE training — everything downstream is
+    bounded by |vocab| (the standard fast-BPE trick)."""
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     words = (
         docs.select(F.explode(_tokens_col()).alias("w"))
@@ -887,11 +869,41 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
-    chars = F.transform(
+    return words
+
+
+def _bpe_chars():
+    """Initial symbolization: one single-char symbol per character."""
+    return F.transform(
         F.sequence(F.lit(1), F.length("w")),
         lambda i: F.col("w").substr(i, F.lit(1)),
     )
-    vocab = words.select("cnt", chars.alias("s"))
+
+
+def _bpe_train_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the merge-training loop; returns the merge table.
+
+    Each iteration (a) expands in-row adjacent symbol pairs, (b)
+    takes the global argmax under the total order (count DESC, left
+    ASC, right ASC), and (c) rewrites every word's symbol array with
+    a greedy left-to-right merge fold. The argmax collect is 1 row
+    per iteration (bounded model state); ``localCheckpoint``
+    truncates lineage so fold expressions never nest across
+    iterations.
+
+    Cross-engine contract: the DuckDB oracle applies the SAME greedy
+    semantics in closed set-based form (for L≠R matches can never
+    overlap; for L=R greedy selects matches at even offset from
+    their consecutive-match run start) — equivalence is
+    property-tested in tests/test_bpe_train.py and value-hashed by
+    the gate.
+
+    Scale shape: iterations run over the checkpointed vocab
+    (|vocab| rows, ≤ BPE_MAX_WLEN symbols each); per-iteration
+    shuffle is the pair-count agg over ≤ 26² + merged keys. At
+    100 TB the vocab dict still fits comfortably in one executor
+    wave — this is why BPE trainers aggregate words first."""
+    vocab = _bpe_words(spark, sf_dir).select("cnt", _bpe_chars().alias("s"))
 
     merges = []
     for step_no in range(1, BPE_MERGES + 1):
@@ -922,8 +934,98 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("s"), F.lit(b.l), F.lit(b.r), F.lit(b.l + b.r)
             ).alias("s"),
         )
-    return spark.createDataFrame(
-        merges,
-        "step int, left_sym string, right_sym string, "
-        "merged string, pair_count long",
-    ).orderBy("step")
+    return spark.createDataFrame(merges, _BPE_SCHEMA)
+
+
+def _bpe_merges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Artifact-backed trained merge table: built once per corpus
+    fingerprint, persisted under ``_artifacts/bpe_merges/`` (the
+    tokenizer-training artifact every downstream token count ships
+    with), reused by both the train query and the tokenizer."""
+    from dbt_eamples_spark.artifacts import corpus_fingerprint, load_or_build
+
+    fp = corpus_fingerprint(sf_dir, "documents")
+    return load_or_build(
+        spark, "bpe_merges", fp, lambda: _bpe_train_frame(spark, sf_dir)
+    )
+
+
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train ``BPE_MERGES`` byte-pair merges on the documents corpus;
+    returns the merge table (step, left_sym, right_sym, merged,
+    pair_count) — the artifact a tokenizer ships (see
+    ``_bpe_train_frame`` for the algorithm and the cross-engine
+    greedy-merge contract)."""
+    return _bpe_merges_df(spark, sf_dir).orderBy("step")
+
+
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the trained BPE merges: per document,
+    the whitespace token count, the BPE token count (trainable words
+    contribute their merged-symbol count; every other token counts 1,
+    unk-style), and chars-per-token — the compression the tokenizer
+    achieves, the number a token-budgeted pipeline actually plans
+    with.
+
+    The merge table comes from the persisted ``bpe_merges`` artifact
+    (trained on demand on first use). All 12 merges apply to the
+    DISTINCT-word dict in ONE nested-fold expression — an aggregate
+    over the merge list whose accumulator is the symbol array, each
+    step the same greedy fold training used — then the per-word
+    token counts broadcast-join back to the corpus token stream.
+
+    Scale shape: corpus-sized work is the token explode + one join
+    + per-doc hash-agg; the merge application is vocab-bounded. The
+    word dict is ≪ corpus (Heaps' law), so the join broadcasts at
+    any realistic scale."""
+    rows = _bpe_merges_df(spark, sf_dir).orderBy("step").collect()
+    marr = F.array(
+        *[
+            F.struct(
+                F.lit(r.left_sym).alias("l"),
+                F.lit(r.right_sym).alias("r"),
+                F.lit(r.merged).alias("m"),
+            )
+            for r in rows
+        ]
+    )
+    applied = F.aggregate(
+        marr,
+        _bpe_chars().cast("array<string>"),
+        lambda acc, mg: _bpe_merge_fold(acc, mg["l"], mg["r"], mg["m"]),
+    )
+    wl = _bpe_words(spark, sf_dir).select(
+        "w", F.size(applied).cast("long").alias("n_syms")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(_tokens_col()).alias("w")
+    ).filter(F.col("w") != "")
+    agg = (
+        tok.join(F.broadcast(wl), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_ws_tokens"),
+            F.sum(F.coalesce(F.col("n_syms"), F.lit(1)))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+        )
+    )
+    chars = docs.select(
+        "doc_id",
+        F.length(F.regexp_replace("text", r"\s+", ""))
+        .cast("long")
+        .alias("n_chars_nws"),
+    )
+    return chars.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_chars_nws",
+        F.coalesce("n_ws_tokens", F.lit(0).cast("long")).alias("n_ws_tokens"),
+        F.coalesce("n_bpe_tokens", F.lit(0).cast("long")).alias(
+            "n_bpe_tokens"
+        ),
+        F.when(
+            F.coalesce("n_bpe_tokens", F.lit(0)) > 0,
+            F.round(F.col("n_chars_nws") / F.col("n_bpe_tokens"), 6),
+        ).alias("chars_per_token"),
+    )

@@ -3113,18 +3113,21 @@ def _ivf_pq_residual_oracle_sql() -> str:
 EXT_ORACLES["similarity_ivf_pq_residual_topk"] = _ivf_pq_residual_oracle_sql()
 
 
-def _bpe_oracle_sql() -> str:
-    """Mirror of text.text_bpe_train: BPE merge training unrolled to
-    ``BPE_MERGES`` stages. The greedy left-to-right merge uses the
-    closed set-based form (the Spark side folds with an accumulator;
-    both implement the same greedy semantics, property-tested):
-    for L≠R two matches can never be adjacent, so every match is
-    taken; for L=R greedy takes matches at even offset from their
+def _bpe_chain_sql(carry_w: bool = False) -> str:
+    """The BPE training chain (v0 … v{BPE_MERGES}, b1 … b{BPE_MERGES})
+    unrolled. The greedy left-to-right merge uses the closed
+    set-based form (the Spark side folds with an accumulator; both
+    implement the same greedy semantics, property-tested): for L≠R
+    two matches can never be adjacent, so every match is taken; for
+    L=R greedy takes matches at even offset from their
     consecutive-match run start, where the run start follows from
     the last non-match position before i. `MATERIALIZED` pins each
-    vocab stage so the doubly-referenced CTEs don't re-expand."""
+    vocab stage so the doubly-referenced CTEs don't re-expand.
+    ``carry_w`` threads the word through every stage (the tokenizer
+    oracle reads per-word symbol counts off the final stage)."""
     from dbt_eamples_spark.operators.text import BPE_MERGES, BPE_MAX_WLEN
 
+    w = "w, " if carry_w else ""
     stages = []
     for k in range(1, BPE_MERGES + 1):
         p = k - 1
@@ -3142,20 +3145,20 @@ def _bpe_oracle_sql() -> str:
             ) ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1
         ),
         v{k} AS MATERIALIZED (
-            SELECT cnt, flatten(list_transform(range(1, len(s) + 1), i ->
+            SELECT {w}cnt, flatten(list_transform(range(1, len(s) + 1), i ->
                      CASE WHEN i <= len(s) - 1 AND sel[i] THEN [mg]
                           WHEN i >= 2 AND sel[i - 1]
                             THEN CAST([] AS VARCHAR[])
                           ELSE [s[i]] END)) AS s
             FROM (
-                SELECT cnt, s, mg,
+                SELECT {w}cnt, s, mg,
                        list_transform(range(1, len(s)), i ->
                          m[i] = 1 AND ((i - 1 - coalesce(list_max(
                            list_transform(range(1, i), j ->
                              CASE WHEN m[j] = 0 THEN j ELSE 0 END)), 0))
                            % 2 = 0)) AS sel
                 FROM (
-                    SELECT cnt, s, b.merged AS mg,
+                    SELECT {w}cnt, s, b.merged AS mg,
                            list_transform(range(1, len(s)), i ->
                              CASE WHEN s[i] = b.l AND s[i + 1] = b.r
                                   THEN 1 ELSE 0 END) AS m
@@ -3163,14 +3166,8 @@ def _bpe_oracle_sql() -> str:
                 )
             )
         )""")
-    finals = "\n        UNION ALL ".join(
-        f"SELECT CAST({k} AS INTEGER) AS step, l AS left_sym, "
-        f"r AS right_sym, merged, pair_count FROM b{k}"
-        for k in range(1, BPE_MERGES + 1)
-    )
-    return rf"""
-        WITH v0 AS MATERIALIZED (
-            SELECT cnt,
+    return rf"""v0 AS MATERIALIZED (
+            SELECT {w}cnt,
                    list_transform(range(1, len(w) + 1), i -> w[i]) AS s
             FROM (
                 SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -3183,7 +3180,21 @@ def _bpe_oracle_sql() -> str:
                   AND len(w) BETWEEN 2 AND {BPE_MAX_WLEN}
                 GROUP BY w
             )
-        ),{','.join(stages)}
+        ),{','.join(stages)}"""
+
+
+def _bpe_oracle_sql() -> str:
+    """Mirror of text.text_bpe_train: the training chain + the merge
+    table read off the per-stage argmax rows."""
+    from dbt_eamples_spark.operators.text import BPE_MERGES
+
+    finals = "\n        UNION ALL ".join(
+        f"SELECT CAST({k} AS INTEGER) AS step, l AS left_sym, "
+        f"r AS right_sym, merged, pair_count FROM b{k}"
+        for k in range(1, BPE_MERGES + 1)
+    )
+    return rf"""
+        WITH {_bpe_chain_sql()}
         SELECT * FROM (
         {finals}
         ) ORDER BY step
@@ -3191,3 +3202,50 @@ def _bpe_oracle_sql() -> str:
 
 
 EXT_ORACLES["text_bpe_train"] = _bpe_oracle_sql()
+
+
+def _bpe_tokenize_oracle_sql() -> str:
+    """Mirror of text.text_bpe_tokenize: re-derives the merge chain
+    (carrying the word), reads per-word symbol counts off the final
+    stage, and rebuilds the per-doc token accounting (trainable
+    words contribute their merged-symbol count; every other
+    non-empty token counts 1)."""
+    from dbt_eamples_spark.operators.text import BPE_MERGES
+
+    return rf"""
+        WITH {_bpe_chain_sql(carry_w=True)},
+        wl AS (
+            SELECT w, CAST(len(s) AS BIGINT) AS n_syms FROM v{BPE_MERGES}
+        ),
+        tok AS (
+            SELECT doc_id, w FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(text), '\s+')) AS w
+                FROM documents
+            ) WHERE w <> ''
+        ),
+        ag AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_ws_tokens,
+                   CAST(SUM(coalesce(wl.n_syms, 1)) AS BIGINT)
+                     AS n_bpe_tokens
+            FROM tok LEFT JOIN wl ON tok.w = wl.w
+            GROUP BY doc_id
+        ),
+        ch AS (
+            SELECT doc_id,
+                   CAST(len(regexp_replace(text, '\s+', '', 'g'))
+                        AS BIGINT) AS n_chars_nws
+            FROM documents
+        )
+        SELECT ch.doc_id, ch.n_chars_nws,
+               coalesce(ag.n_ws_tokens, 0) AS n_ws_tokens,
+               coalesce(ag.n_bpe_tokens, 0) AS n_bpe_tokens,
+               CASE WHEN coalesce(ag.n_bpe_tokens, 0) > 0
+                    THEN round(ch.n_chars_nws / ag.n_bpe_tokens, 6)
+               END AS chars_per_token
+        FROM ch LEFT JOIN ag ON ch.doc_id = ag.doc_id
+    """
+
+
+EXT_ORACLES["text_bpe_tokenize"] = _bpe_tokenize_oracle_sql()

@@ -95,6 +95,59 @@ def test_bpe_matches_duckdb_oracle(merges, sf_dir):
     assert got == want
 
 
+def test_bpe_tokenize_matches_duckdb_oracle(spark, sf_dir):
+    from dbt_eamples_spark.operators.text import text_bpe_tokenize
+
+    got = sorted(
+        (
+            r.doc_id,
+            r.n_chars_nws,
+            r.n_ws_tokens,
+            r.n_bpe_tokens,
+            r.chars_per_token,
+        )
+        for r in text_bpe_tokenize(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(con.execute(EXT_ORACLES["text_bpe_tokenize"]).fetchall())
+    assert got == want
+
+
+def test_bpe_tokenize_invariants(spark, sf_dir):
+    from dbt_eamples_spark.operators.text import text_bpe_tokenize
+    from dbt_eamples_spark.sources.readers import load_table
+
+    rows = text_bpe_tokenize(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        # merging only ever shortens a word's symbol sequence, and
+        # every non-empty whitespace token contributes >= 1 BPE token
+        assert r.n_bpe_tokens >= r.n_ws_tokens >= 0
+        if r.n_bpe_tokens:
+            assert r.chars_per_token is not None and r.chars_per_token > 0
+        # a token has at least one char, so chars >= ws token count
+        assert r.n_chars_nws >= r.n_ws_tokens
+
+
+def test_bpe_merges_artifact_reused(spark, sf_dir, merges):
+    """The tokenizer must consume the persisted merge artifact, not
+    retrain: after the module fixture trained once, a tokenize call
+    logs a reuse event for the bpe_merges kind."""
+    from dbt_eamples_spark.artifacts import ARTIFACT_EVENTS
+    from dbt_eamples_spark.operators.text import text_bpe_tokenize
+
+    before = len(ARTIFACT_EVENTS)
+    text_bpe_tokenize(spark, sf_dir).count()
+    new = ARTIFACT_EVENTS[before:]
+    assert ("bpe_merges", "reuse") in new
+    assert ("bpe_merges", "build") not in new
+
+
 def test_bpe_merge_table_invariants(merges):
     assert len(merges) == BPE_MERGES
     assert [r.step for r in merges] == list(range(1, BPE_MERGES + 1))
