@@ -28,6 +28,7 @@ from dbt_eamples_spark.operators.bloom import join_bloom_prefilter
 from dbt_eamples_spark.operators.graph import (
     graph_pagerank_topk,
     graph_pagerank_weighted,
+    graph_triangle_count,
 )
 from dbt_eamples_spark.operators.skew import join_salted_skew
 from dbt_eamples_spark.operators import similarity as V
@@ -185,6 +186,9 @@ _R5_PRIORITY = [
     # cohort --
     "text_bpe_train",
     "text_bpe_tokenize",
+    "graph_triangle_count",
+    "ts_ewma_smooth",
+    "events_markov_stationary",
     "doc_winnow_fingerprint",
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -294,6 +298,12 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_train": T.text_bpe_train,
         # corpus tokenization with the trained merges (token budgets)
         "text_bpe_tokenize": T.text_bpe_tokenize,
+        # compact-forward triangle census + clustering coefficient
+        "graph_triangle_count": graph_triangle_count,
+        # fixed-point EWMA control-chart smoothing of daily volumes
+        "ts_ewma_smooth": B.ts_ewma_smooth,
+        # stationary distribution of the behavior Markov chain
+        "events_markov_stationary": B.events_markov_stationary,
         # --- never driver-checked in rounds 1-2: run these first ---
         # long->wide with pinned pivot domain (no discovery job)
         "metric_pivot": R.metric_pivot,

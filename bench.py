@@ -140,6 +140,9 @@ HEADLINE = [
     "sample_fixed_size_per_group",
     "text_bpe_train",
     "text_bpe_tokenize",
+    "graph_triangle_count",
+    "ts_ewma_smooth",
+    "events_markov_stationary",
 ]
 
 

@@ -857,3 +857,180 @@ def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sx").cast("long").alias("total_cents"),
         F.round(g, 6).alias("gini"),
     )
+
+
+# ---- EWMA smoothing (ts family) --------------------------------------------
+EWMA_SCALE = 10**6  # fixed-point smoothing state: 6 fractional digits
+
+
+def ts_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the daily event
+    count per type (alpha = 1/4) — the smoothing baseline a
+    monitoring pipeline plots against the raw series (the EWMA
+    control-chart statistic, Roberts 1959, the same trailing
+    statistic events_anomaly_rolling thresholds).
+
+    Engine-exact contract: floats in a recurrence drift across
+    engines, so the state is a FIXED-POINT BIGINT at ``EWMA_SCALE``
+    and the alpha=1/4 update is pure integer arithmetic::
+
+        s_1 = x_1 * SCALE
+        s_t = (x_t * SCALE + 3 * s_{t-1}) >> 2      -- = DIV 4
+
+    (s is a convex combination of x*SCALE values, so s <= max(x) *
+    SCALE <= ~2^50 at any realistic daily volume — no overflow; the
+    shift IS division by 4 because every operand is non-negative.)
+    The reported ``ewma`` is one IEEE division + round(6) off the
+    integer state: bit-stable in any engine. The DuckDB oracle runs
+    the SAME recurrence as a recursive CTE; equality is exact, not
+    approximate.
+
+    Plan: one shuffle builds the daily rollup (map-side combined);
+    the recurrence folds INSIDE a row — each type's series collects
+    to one array bounded by the calendar (|days|, never corpus
+    size), the same bounded-series argument as ts_resample_ohlc.
+    Days with zero events are skipped, not zero-filled (compose
+    with ts_gap_fill for a spined variant)."""
+    ev = load_table(spark, sf_dir, "events", parallelize=True)
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "n_events"))).alias("xs")
+    )
+    acc0 = F.struct(
+        F.expr(
+            "CAST(array() AS "
+            "ARRAY<STRUCT<day: DATE, n_events: BIGINT, ewma_fp: BIGINT>>)"
+        ).alias("out"),
+        F.lit(-1).cast("long").alias("s"),
+    )
+
+    def step(acc, x):
+        s = F.when(acc["s"] < 0, x["n_events"] * EWMA_SCALE).otherwise(
+            F.shiftright(x["n_events"] * EWMA_SCALE + 3 * acc["s"], 2)
+        )
+        return F.struct(
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        x["day"].alias("day"),
+                        x["n_events"].alias("n_events"),
+                        s.alias("ewma_fp"),
+                    )
+                ),
+            ).alias("out"),
+            s.alias("s"),
+        )
+
+    folded = series.select(
+        "event_type",
+        F.explode(
+            F.aggregate("xs", acc0, step, lambda a: a["out"])
+        ).alias("r"),
+    )
+    return folded.select(
+        "event_type",
+        F.date_format("r.day", "yyyy-MM-dd").alias("day"),
+        F.col("r.n_events").alias("n_events"),
+        F.col("r.ewma_fp").alias("ewma_fp"),
+        F.round(F.col("r.ewma_fp") / F.lit(float(EWMA_SCALE)), 6).alias(
+            "ewma"
+        ),
+    )
+
+
+# ---- Markov stationary distribution ----------------------------------------
+MARKOV_ITERS = 4
+MARKOV_SCALE = 10**12  # probability mass in fixed-point units
+MARKOV_PSCALE = 10**6  # per-edge transition probability fixed point
+
+
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the behavior Markov chain: power-
+    iterate pi' = pi.P over the events_transition_matrix chain —
+    "where does user attention settle" — the long-run complement to
+    the one-step transition shares.
+
+    Engine-exact contract (the PageRank pattern, graph.py): mass is
+    fixed-point BIGINT at ``MARKOV_SCALE``; each edge first gets an
+    integer probability p_ij = (c_ij * PSCALE) DIV c_i, then every
+    iteration moves (pi_i * p_ij) DIV PSCALE along each edge and
+    sums per target. Overflow bounds: pi_i <= 1e12 and p_ij <= 1e6,
+    so the product is <= 1e18 < 2^63; c_ij * PSCALE stays in int64
+    up to 9e12 transitions per pair (far beyond 100 TB's event
+    pairs per type pair). DIV flooring loses ≤|types| units of mass
+    per step — deterministic in every engine, so hash-exact.
+
+    Types with no outgoing transition (possible only if a type
+    occurs solely as a user's final event) would be dangling; the
+    chain restricts to types observed as ``prev`` (documented, and
+    vacuous on any realistic log where every type both enters and
+    leaves). Plan: one lag-window shuffle builds the |types|² grid;
+    iterations run ENTIRELY on the grid (catalog-bounded rows) with
+    broadcast pi — corpus is touched exactly once."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    grid = (
+        pairs.groupBy("prev_type", "next_type")
+        .agg(F.count("*").cast("long").alias("c"))
+        .withColumn(
+            "c_out",
+            F.sum("c").over(Window.partitionBy("prev_type")),
+        )
+        .select(
+            "prev_type",
+            "next_type",
+            "c",
+            F.expr(f"(c * {MARKOV_PSCALE}) DIV c_out").alias("p_fp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes = grid.groupBy(F.col("prev_type").alias("event_type")).agg(
+        F.sum("c").cast("long").alias("n_out")
+    )
+    n_types = nodes.count()  # scalar: |types|, catalog-bounded
+    pi = nodes.select(
+        "event_type",
+        F.lit(MARKOV_SCALE // n_types).cast("long").alias("pi_fp"),
+    )
+    for _ in range(MARKOV_ITERS):
+        pi = (
+            grid.join(
+                F.broadcast(
+                    pi.select(
+                        F.col("event_type").alias("prev_type"), "pi_fp"
+                    )
+                ),
+                "prev_type",
+            )
+            .groupBy(F.col("next_type").alias("event_type"))
+            .agg(
+                F.sum(
+                    F.expr(f"(pi_fp * p_fp) DIV {MARKOV_PSCALE}")
+                )
+                .cast("long")
+                .alias("pi_fp")
+            )
+            # restrict to the chain's node set (types observed as prev)
+            .join(F.broadcast(nodes.select("event_type")), "event_type")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        nodes.join(pi, "event_type")
+        .select(
+            "event_type",
+            "n_out",
+            "pi_fp",
+            F.round(F.col("pi_fp") / F.lit(float(MARKOV_SCALE)), 6).alias(
+                "pi"
+            ),
+        )
+        .orderBy(F.desc("pi_fp"), F.asc("event_type"))
+    )

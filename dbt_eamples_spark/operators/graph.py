@@ -266,3 +266,107 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_fp"), F.asc("l_partkey"))
         .limit(PAGERANK_TOP_K)
     )
+
+
+# ---- triangle counting ------------------------------------------------------
+TRIANGLE_TOP_K = 50
+
+
+def triangles_compact_forward(edges: DataFrame) -> DataFrame:
+    """Enumerate each triangle of a SYMMETRIC directed edge frame
+    (src, dst; both orientations present, no self-loops) exactly
+    once, returning (a, b, c) node triples.
+
+    Algorithm: compact-forward (Latapy 2008, the standard
+    distributed triangle enumerator): orient every undirected edge
+    from the endpoint that is SMALLER under the total order
+    (degree, node) to the larger one. Every triangle then has
+    exactly one "apex" — the node from which both out-edges leave —
+    so joining oriented edges on the apex and checking the closing
+    oriented edge counts each triangle exactly once AND bounds the
+    join fan-out by the out-degree, which the orientation caps near
+    sqrt(|E|) for any graph (high-degree hubs only ever RECEIVE
+    oriented edges, so a celebrity node cannot explode the wedge
+    join — the property that makes this survive power-law graphs at
+    100 TB where a naive neighbor self-join dies).
+
+    Plan: degree attach is a broadcast (catalog-bounded node set);
+    the wedge join shuffles oriented edges on the apex; the closing
+    check shuffles on (b, c). Three exchanges total, all on keys
+    with orientation-bounded fan-out."""
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    und = edges.filter(F.col("src") < F.col("dst"))
+    e = und.select(F.col("src").alias("u"), F.col("dst").alias("v")).join(
+        F.broadcast(
+            deg.select(F.col("src").alias("u"), F.col("deg").alias("deg_u"))
+        ),
+        "u",
+    ).join(
+        F.broadcast(
+            deg.select(F.col("src").alias("v"), F.col("deg").alias("deg_v"))
+        ),
+        "v",
+    )
+    lower_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    o = e.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(lower_first, F.col("deg_v"))
+        .otherwise(F.col("deg_u"))
+        .alias("deg_b"),
+    ).localCheckpoint(eager=True)
+    o2 = o.select(
+        "a", F.col("b").alias("c"), F.col("deg_b").alias("deg_c")
+    )
+    wedges = o.join(o2, "a").filter(
+        (F.col("deg_b") < F.col("deg_c"))
+        | ((F.col("deg_b") == F.col("deg_c")) & (F.col("b") < F.col("c")))
+    )
+    closing = o.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    return wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k parts by triangle participation in the co-purchase
+    graph, with the local clustering coefficient — the
+    community-density statistic (a part inside a tight accessory
+    bundle closes many triangles; a hub that merely co-occurs with
+    everything closes few relative to its degree). Reference
+    analogue: none (the reference has no graph engine); this extends
+    the market-basket family the same way PageRank does.
+
+    Triangles enumerate via :func:`triangles_compact_forward` (see
+    its scale argument); each triangle credits all three corners,
+    so the per-node count is one explode + hash-agg over the
+    triangle set. clustering_coeff = 2*tri / (deg*(deg-1)) — exact
+    integer operands, one IEEE division, round(6): engine-stable.
+    Only nodes closing >= 1 triangle rank (deg >= 2 guaranteed)."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    tris = triangles_compact_forward(edges)
+    per_node = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    return (
+        per_node.join(
+            F.broadcast(deg.select(F.col("src").alias("node"), "deg")),
+            "node",
+        )
+        .select(
+            F.col("node").alias("l_partkey"),
+            "deg",
+            "n_triangles",
+            F.round(
+                F.lit(2.0)
+                * F.col("n_triangles")
+                / (F.col("deg") * (F.col("deg") - F.lit(1))),
+                6,
+            ).alias("clustering_coeff"),
+        )
+        .orderBy(F.desc("n_triangles"), F.asc("l_partkey"))
+        .limit(TRIANGLE_TOP_K)
+    )

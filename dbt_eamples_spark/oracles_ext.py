@@ -3249,3 +3249,171 @@ def _bpe_tokenize_oracle_sql() -> str:
 
 
 EXT_ORACLES["text_bpe_tokenize"] = _bpe_tokenize_oracle_sql()
+
+
+def _triangle_oracle_sql() -> str:
+    """Mirror of graph.graph_triangle_count: the same compact-forward
+    orientation ((deg, node) total order), apex wedge join, closing
+    edge check, and per-corner credit, in set-based SQL."""
+    from dbt_eamples_spark.operators.graph import TRIANGLE_TOP_K
+
+    return f"""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey <> b.l_partkey
+        ),
+        deg AS MATERIALIZED (
+            SELECT src, CAST(count(*) AS BIGINT) AS deg
+            FROM edges GROUP BY src
+        ),
+        o AS MATERIALIZED (
+            SELECT CASE WHEN lf THEN u ELSE v END AS a,
+                   CASE WHEN lf THEN v ELSE u END AS b,
+                   CASE WHEN lf THEN deg_v ELSE deg_u END AS deg_b
+            FROM (
+                SELECT e.src AS u, e.dst AS v, du.deg AS deg_u,
+                       dv.deg AS deg_v,
+                       (du.deg < dv.deg
+                        OR (du.deg = dv.deg AND e.src < e.dst)) AS lf
+                FROM edges e
+                JOIN deg du ON e.src = du.src
+                JOIN deg dv ON e.dst = dv.src
+                WHERE e.src < e.dst
+            )
+        ),
+        tri AS (
+            SELECT o1.a, o1.b, o2.c
+            FROM o o1
+            JOIN (SELECT a, b AS c, deg_b AS deg_c FROM o) o2
+              ON o1.a = o2.a
+            JOIN (SELECT a AS b, b AS c FROM o) o3
+              ON o1.b = o3.b AND o2.c = o3.c
+            WHERE o1.deg_b < o2.deg_c
+               OR (o1.deg_b = o2.deg_c AND o1.b < o2.c)
+        ),
+        per_node AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+            FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+            GROUP BY node
+        )
+        SELECT p.node AS l_partkey, d.deg, p.n_triangles,
+               round(2.0 * p.n_triangles / (d.deg * (d.deg - 1)), 6)
+                 AS clustering_coeff
+        FROM per_node p JOIN deg d ON p.node = d.src
+        ORDER BY p.n_triangles DESC, p.node
+        LIMIT {TRIANGLE_TOP_K}
+    """
+
+
+EXT_ORACLES["graph_triangle_count"] = _triangle_oracle_sql()
+
+
+def _ewma_oracle_sql() -> str:
+    """Mirror of behavior.ts_ewma_smooth: the SAME integer fixed-
+    point recurrence, expressed as a recursive CTE stepping the
+    per-type row_number chain (s_1 = x_1*SCALE; s_t = (x_t*SCALE +
+    3*s_{t-1}) // 4 — ``//`` on non-negative operands equals the
+    Spark shiftright-by-2)."""
+    from dbt_eamples_spark.operators.behavior import EWMA_SCALE
+
+    return f"""
+        WITH RECURSIVE daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        seq AS (
+            SELECT event_type, day, n_events,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY day
+                   ) AS rn
+            FROM daily
+        ),
+        r AS (
+            SELECT event_type, day, n_events, rn,
+                   CAST(n_events * {EWMA_SCALE} AS BIGINT) AS ewma_fp
+            FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT s.event_type, s.day, s.n_events, s.rn,
+                   CAST((s.n_events * {EWMA_SCALE} + 3 * r.ewma_fp) // 4
+                        AS BIGINT)
+            FROM r JOIN seq s
+              ON s.event_type = r.event_type AND s.rn = r.rn + 1
+        )
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+               n_events, ewma_fp,
+               round(ewma_fp / {float(EWMA_SCALE)}, 6) AS ewma
+        FROM r
+    """
+
+
+EXT_ORACLES["ts_ewma_smooth"] = _ewma_oracle_sql()
+
+
+def _markov_stationary_oracle_sql() -> str:
+    """Mirror of behavior.events_markov_stationary: the lag-pair
+    grid with integer fixed-point edge probabilities, power
+    iterations unrolled to ``MARKOV_ITERS`` stages (the pagerank
+    oracle pattern — MATERIALIZED grid so DuckDB does not re-expand
+    the window pass per stage)."""
+    from dbt_eamples_spark.operators.behavior import (
+        MARKOV_ITERS,
+        MARKOV_PSCALE,
+        MARKOV_SCALE,
+    )
+
+    iters = ""
+    prev = "p0"
+    for k in range(1, MARKOV_ITERS + 1):
+        iters += f""",
+        p{k} AS MATERIALIZED (
+            SELECT g.next_type AS event_type,
+                   CAST(SUM((p.pi_fp * g.p_fp) // {MARKOV_PSCALE})
+                        AS BIGINT) AS pi_fp
+            FROM grid g
+            JOIN {prev} p ON g.prev_type = p.event_type
+            JOIN nodes nd ON nd.event_type = g.next_type
+            GROUP BY g.next_type
+        )"""
+        prev = f"p{k}"
+    return f"""
+        WITH pairs AS MATERIALIZED (
+            SELECT prev_type, event_type AS next_type FROM (
+                SELECT lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_type,
+                       event_type
+                FROM events
+            ) WHERE prev_type IS NOT NULL
+        ),
+        grid AS MATERIALIZED (
+            SELECT prev_type, next_type, c,
+                   CAST((c * {MARKOV_PSCALE}) // c_out AS BIGINT) AS p_fp
+            FROM (
+                SELECT prev_type, next_type,
+                       CAST(count(*) AS BIGINT) AS c,
+                       SUM(count(*)) OVER (PARTITION BY prev_type) AS c_out
+                FROM pairs GROUP BY prev_type, next_type
+            )
+        ),
+        nodes AS MATERIALIZED (
+            SELECT prev_type AS event_type, CAST(SUM(c) AS BIGINT) AS n_out
+            FROM grid GROUP BY prev_type
+        ),
+        n AS (SELECT count(*) AS k FROM nodes),
+        p0 AS (
+            SELECT event_type,
+                   CAST({MARKOV_SCALE} // n.k AS BIGINT) AS pi_fp
+            FROM nodes, n
+        ){iters}
+        SELECT nd.event_type, nd.n_out, p.pi_fp,
+               round(p.pi_fp / {float(MARKOV_SCALE)}, 6) AS pi
+        FROM nodes nd JOIN {prev} p ON nd.event_type = p.event_type
+        ORDER BY p.pi_fp DESC, nd.event_type
+    """
+
+
+EXT_ORACLES["events_markov_stationary"] = _markov_stationary_oracle_sql()

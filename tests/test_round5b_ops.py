@@ -1,0 +1,169 @@
+"""Round-5 second-wave operators: triangle census, fixed-point EWMA
+smoothing, Markov stationary distribution. Each gets (a) an exact
+pure-python cross-check (the determinism contract enforced, not
+asserted in prose) and (b) the structural invariants a user relies
+on. The Spark-vs-DuckDB value hash runs in tools/oracle_check.py and
+the driver gate; these tests pin the SEMANTICS."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import duckdb
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dbt_eamples_spark.operators.behavior import (
+    EWMA_SCALE,
+    MARKOV_ITERS,
+    MARKOV_PSCALE,
+    MARKOV_SCALE,
+    events_markov_stationary,
+    ts_ewma_smooth,
+)
+from dbt_eamples_spark.operators.graph import (
+    triangles_compact_forward,
+    graph_triangle_count,
+)
+
+
+# ---- triangles --------------------------------------------------------------
+def _brute_triangles(und: set[tuple[int, int]]) -> set[tuple[int, int, int]]:
+    adj = defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    out = set()
+    for u, v in und:
+        for w in adj[u] & adj[v]:
+            out.add(tuple(sorted((u, v, w))))
+    return out
+
+
+@st.composite
+def undirected_graphs(draw):
+    n = draw(st.integers(min_value=3, max_value=10))
+    return draw(
+        st.sets(
+            st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)).filter(
+                lambda p: p[0] < p[1]
+            ),
+            min_size=2,
+            max_size=24,
+        )
+    )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(undirected_graphs())
+def test_compact_forward_enumerates_each_triangle_once(spark, und):
+    edges = sorted({(a, b) for a, b in und} | {(b, a) for a, b in und})
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = [
+        tuple(sorted((r.a, r.b, r.c)))
+        for r in triangles_compact_forward(df).collect()
+    ]
+    # exactly once each: as a multiset, got equals the brute set
+    assert sorted(got) == sorted(_brute_triangles(und))
+
+
+def test_triangle_count_invariants(spark, sf_dir):
+    rows = graph_triangle_count(spark, sf_dir).collect()
+    assert rows, "co-purchase graph closes at least one triangle"
+    for r in rows:
+        assert r.deg >= 2 and r.n_triangles >= 1
+        # a node closes at most C(deg, 2) triangles
+        assert r.n_triangles <= r.deg * (r.deg - 1) // 2
+        assert 0 < r.clustering_coeff <= 1.0
+    tri = [r.n_triangles for r in rows]
+    assert tri == sorted(tri, reverse=True)
+
+
+# ---- EWMA -------------------------------------------------------------------
+def _ewma_reference(sf_dir: str) -> dict[tuple[str, str], tuple[int, int]]:
+    con = duckdb.connect()
+    daily = con.execute(
+        "SELECT event_type, strftime(CAST(date_trunc('day', ts) AS DATE),"
+        " '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) FROM "
+        f"read_parquet('{sf_dir}/events.parquet') GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    out, state = {}, {}
+    for et, day, n in daily:
+        s = state.get(et)
+        s = n * EWMA_SCALE if s is None else (n * EWMA_SCALE + 3 * s) // 4
+        state[et] = s
+        out[(et, day)] = (n, s)
+    return out
+
+
+def test_ewma_matches_pure_python_bit_for_bit(spark, sf_dir):
+    got = {
+        (r.event_type, r.day): (r.n_events, r.ewma_fp)
+        for r in ts_ewma_smooth(spark, sf_dir).collect()
+    }
+    assert got == _ewma_reference(sf_dir)
+
+
+def test_ewma_is_a_convex_combination(spark, sf_dir):
+    rows = ts_ewma_smooth(spark, sf_dir).collect()
+    by_type = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r.event_type, r.day)):
+        by_type[r.event_type].append(r)
+    for series in by_type.values():
+        lo = hi = series[0].n_events * EWMA_SCALE
+        assert series[0].ewma_fp == lo
+        for r in series[1:]:
+            lo = min(lo, r.n_events * EWMA_SCALE)
+            hi = max(hi, r.n_events * EWMA_SCALE)
+            # convexity (up to the per-step floor): never escapes
+            # the running min/max envelope of the inputs
+            assert lo - 1 <= r.ewma_fp <= hi
+
+
+# ---- Markov stationary ------------------------------------------------------
+def _markov_reference(sf_dir: str) -> dict[str, tuple[int, int]]:
+    con = duckdb.connect()
+    pairs = con.execute(
+        "SELECT prev, event_type FROM (SELECT lag(event_type) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS prev, event_type "
+        f"FROM read_parquet('{sf_dir}/events.parquet')) WHERE prev IS NOT NULL"
+    ).fetchall()
+    c = defaultdict(int)
+    c_out = defaultdict(int)
+    for p, n in pairs:
+        c[(p, n)] += 1
+        c_out[p] += 1
+    p_fp = {k: (v * MARKOV_PSCALE) // c_out[k[0]] for k, v in c.items()}
+    nodes = sorted(c_out)
+    pi = {t: MARKOV_SCALE // len(nodes) for t in nodes}
+    for _ in range(MARKOV_ITERS):
+        nxt = defaultdict(int)
+        for (p, n), fp in p_fp.items():
+            nxt[n] += (pi.get(p, 0) * fp) // MARKOV_PSCALE
+        pi = {t: v for t, v in nxt.items() if t in c_out}
+    return {t: (c_out[t], pi.get(t, 0)) for t in nodes if t in pi}
+
+
+def test_markov_matches_pure_python_bit_for_bit(spark, sf_dir):
+    got = {
+        r.event_type: (r.n_out, r.pi_fp)
+        for r in events_markov_stationary(spark, sf_dir).collect()
+    }
+    assert got == _markov_reference(sf_dir)
+
+
+def test_markov_mass_is_conserved_up_to_flooring(spark, sf_dir):
+    rows = events_markov_stationary(spark, sf_dir).collect()
+    total = sum(r.pi_fp for r in rows)
+    assert 0 < total <= MARKOV_SCALE
+    # each step floors away < PSCALE per (edge) + < 1 per target:
+    # a generous slack is one millionth per iteration
+    assert total >= MARKOV_SCALE - MARKOV_ITERS * (
+        MARKOV_SCALE // 10**6 + len(rows) * MARKOV_PSCALE
+    )
+    vals = [r.pi_fp for r in rows]
+    assert vals == sorted(vals, reverse=True)
