@@ -24,7 +24,10 @@ observability hook the reuse tests assert on.
 from __future__ import annotations
 
 import hashlib
+import json
 import os
+import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -73,8 +76,146 @@ def load_or_build(
     marker = os.path.join(path, "_SUCCESS")
     if os.path.exists(marker):
         ARTIFACT_EVENTS.append((kind, "reuse"))
+        _manifest_touch(kind, fingerprint, built=False)
         return spark.read.parquet(path)
     df = build()
     df.write.mode("overwrite").parquet(path)
     ARTIFACT_EVENTS.append((kind, "build"))
+    _manifest_touch(kind, fingerprint, built=True)
     return spark.read.parquet(path)
+
+
+# ---- manifest + GC ----------------------------------------------------------
+# The store ACCRETES one directory per (kind, corpus fingerprint):
+# every source rewrite strands the previous index forever. A real
+# deployment needs expiry, which needs usage stamps — so every
+# build/reuse updates a manifest and ``gc_artifacts`` applies the
+# retention policy (age cutoff and/or keep-N-most-recent per kind).
+# The manifest is operational metadata, never a correctness input:
+# losing it merely re-adopts directories from their filesystem
+# mtimes on the next GC.
+
+MANIFEST_NAME = "manifest.json"
+
+
+def _manifest_path() -> str:
+    return os.path.join(artifacts_root(), MANIFEST_NAME)
+
+
+def _manifest_load() -> dict:
+    try:
+        with open(_manifest_path()) as fh:
+            m = json.load(fh)
+        return m if isinstance(m, dict) else {}
+    except (OSError, ValueError):
+        return {}
+
+
+def _manifest_write(m: dict) -> None:
+    path = _manifest_path()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(m, fh, indent=1, sort_keys=True)
+    os.replace(tmp, path)  # atomic on POSIX: readers see old or new
+
+
+def _manifest_touch(kind: str, fingerprint: str, *, built: bool) -> None:
+    now = time.time()
+    m = _manifest_load()
+    e = m.setdefault(f"{kind}/{fingerprint}", {"built_at": now, "n_uses": 0})
+    if built:
+        e["built_at"] = now
+    e["last_used_at"] = now
+    e["n_uses"] = int(e.get("n_uses", 0)) + 1
+    _manifest_write(m)
+
+
+def list_artifacts() -> list[dict]:
+    """Inventory of the store: one row per on-disk artifact directory
+    with its manifest stamps (untracked directories — e.g. written
+    before the manifest existed — are ADOPTED with their filesystem
+    mtime as both stamps) and its on-disk byte size."""
+    root = artifacts_root()
+    m = _manifest_load()
+    out = []
+    if not os.path.isdir(root):
+        return out
+    for kind in sorted(os.listdir(root)):
+        kdir = os.path.join(root, kind)
+        if not os.path.isdir(kdir):
+            continue
+        for fp in sorted(os.listdir(kdir)):
+            path = os.path.join(kdir, fp)
+            if not os.path.isdir(path):
+                continue
+            key = f"{kind}/{fp}"
+            e = m.get(key)
+            if e is None:
+                mt = os.stat(path).st_mtime
+                e = {"built_at": mt, "last_used_at": mt, "n_uses": 0}
+            size = sum(
+                os.path.getsize(os.path.join(d, f))
+                for d, _, fs in os.walk(path)
+                for f in fs
+            )
+            out.append(
+                {
+                    "kind": kind,
+                    "fingerprint": fp,
+                    "path": path,
+                    "size_bytes": size,
+                    **e,
+                }
+            )
+    return out
+
+
+def gc_artifacts(
+    max_age_seconds: float | None = None,
+    keep_latest_per_kind: int | None = None,
+    now: float | None = None,
+) -> list[dict]:
+    """Expire stored artifacts; returns the removed inventory rows.
+
+    Policy (both optional, combined with AND-to-survive): an
+    artifact survives if its ``last_used_at`` is within
+    ``max_age_seconds`` of ``now`` AND it is among the
+    ``keep_latest_per_kind`` most-recently-used of its kind. With
+    neither set this is a no-op (explicit policy, no surprise
+    deletes). Removal deletes the directory first and then the
+    manifest row, so a crash between the two leaves only a stale
+    manifest row — corrected on the next GC pass (the directory
+    listing, not the manifest, is the source of truth)."""
+    if max_age_seconds is None and keep_latest_per_kind is None:
+        return []
+    now = time.time() if now is None else now
+    inv = list_artifacts()
+    by_kind: dict[str, list[dict]] = {}
+    for row in inv:
+        by_kind.setdefault(row["kind"], []).append(row)
+    doomed = []
+    for kind, rows in by_kind.items():
+        rows.sort(key=lambda r: r["last_used_at"], reverse=True)
+        for i, row in enumerate(rows):
+            too_old = (
+                max_age_seconds is not None
+                and now - row["last_used_at"] > max_age_seconds
+            )
+            overflow = (
+                keep_latest_per_kind is not None
+                and i >= keep_latest_per_kind
+            )
+            if too_old or overflow:
+                doomed.append(row)
+    m = _manifest_load()
+    for row in doomed:
+        shutil.rmtree(row["path"], ignore_errors=True)
+        m.pop(f"{row['kind']}/{row['fingerprint']}", None)
+    # drop manifest rows whose directory vanished out-of-band too
+    live = {f"{r['kind']}/{r['fingerprint']}" for r in inv} - {
+        f"{r['kind']}/{r['fingerprint']}" for r in doomed
+    }
+    m = {k: v for k, v in m.items() if k in live}
+    _manifest_write(m)
+    return doomed

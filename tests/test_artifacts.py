@@ -111,3 +111,74 @@ class TestIncrementalProbe:
             ).count()
             == 0
         )
+
+
+class TestManifestAndGc:
+    def _build(self, spark, art_dir, kind, fp, n=3):
+        return A.load_or_build(
+            spark, kind, fp, lambda: spark.range(n).toDF("v")
+        )
+
+    def test_manifest_records_build_and_reuse(self, spark, art_dir):
+        self._build(spark, art_dir, "k1", "fp1")
+        inv = {(r["kind"], r["fingerprint"]): r for r in A.list_artifacts()}
+        e = inv[("k1", "fp1")]
+        assert e["n_uses"] == 1 and e["built_at"] <= e["last_used_at"]
+        self._build(spark, art_dir, "k1", "fp1")
+        e2 = {
+            (r["kind"], r["fingerprint"]): r for r in A.list_artifacts()
+        }[("k1", "fp1")]
+        assert e2["n_uses"] == 2
+        assert e2["built_at"] == e["built_at"]
+        assert e2["last_used_at"] >= e["last_used_at"]
+        assert e2["size_bytes"] > 0
+
+    def test_gc_without_policy_is_noop(self, spark, art_dir):
+        self._build(spark, art_dir, "k1", "fp1")
+        assert A.gc_artifacts() == []
+        assert len(A.list_artifacts()) == 1
+
+    def test_gc_age_cutoff(self, spark, art_dir):
+        import time
+
+        self._build(spark, art_dir, "k1", "old")
+        t_between = time.time()
+        self._build(spark, art_dir, "k1", "new")
+        removed = A.gc_artifacts(
+            max_age_seconds=time.time() - t_between
+        )
+        assert [r["fingerprint"] for r in removed] == ["old"]
+        left = A.list_artifacts()
+        assert [(r["kind"], r["fingerprint"]) for r in left] == [
+            ("k1", "new")
+        ]
+        assert not os.path.isdir(A.artifact_path("k1", "old"))
+        # the survivor still loads (and counts a reuse, not a build)
+        got = self._build(spark, art_dir, "k1", "new").count()
+        assert got == 3 and _events("k1")[-1] == "reuse"
+
+    def test_gc_keep_latest_per_kind(self, spark, art_dir):
+        for fp in ("a", "b", "c"):
+            self._build(spark, art_dir, "k1", fp)
+        self._build(spark, art_dir, "k2", "z")
+        # bump a's recency above b/c
+        self._build(spark, art_dir, "k1", "a")
+        removed = A.gc_artifacts(keep_latest_per_kind=1)
+        assert sorted(r["fingerprint"] for r in removed) == ["b", "c"]
+        left = sorted(
+            (r["kind"], r["fingerprint"]) for r in A.list_artifacts()
+        )
+        assert left == [("k1", "a"), ("k2", "z")]
+
+    def test_untracked_dirs_are_adopted_by_mtime(self, spark, art_dir):
+        self._build(spark, art_dir, "k1", "fp1")
+        os.remove(A._manifest_path())  # manifest loss is survivable
+        inv = A.list_artifacts()
+        assert len(inv) == 1 and inv[0]["n_uses"] == 0
+        # GC still applies (age measured from the dir mtime)
+        removed = A.gc_artifacts(max_age_seconds=10**6)
+        assert removed == []
+        assert A.gc_artifacts(max_age_seconds=-1.0)[0]["fingerprint"] == (
+            "fp1"
+        )
+        assert A.list_artifacts() == []
