@@ -11,6 +11,13 @@ standard encoder writes with default settings. Palette images,
 at that point a production deployment plugs in PIL, which this
 module's API mirrors 1:1 (decode → (w, h, channels, HxWxC uint8)).
 
+Palette images (color type 3, 8-bit indices) decode too: the PLTE
+table maps indices to RGB, and a tRNS chunk promotes the output to
+RGBA (entries beyond the tRNS length are opaque, per the spec) —
+the profile GIF-era web corpora are full of. Sub-byte palette
+indices (1/2/4-bit), 16-bit depth, and Adam7 interlacing remain
+behind the NotImplementedError seam.
+
 Scale posture: the codec runs INSIDE the Arrow batch of a
 ``mapInPandas`` stage — per-task, streaming, no driver involvement.
 Python-level cost is the unavoidable price of media decode (PIL pays
@@ -44,6 +51,7 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
     pos = 8
     idat = bytearray()
     w = h = color_type = None
+    plte = trns = None
     while pos + 8 <= len(data):
         (length,), ctype = struct.unpack(">I", data[pos : pos + 4]), data[
             pos + 4 : pos + 8
@@ -59,15 +67,21 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
                 raise NotImplementedError(f"bit depth {bit_depth} (only 8)")
             if interlace != 0:
                 raise NotImplementedError("Adam7 interlacing")
-            if color_type not in _CHANNELS:
-                raise NotImplementedError(f"color type {color_type} (palette?)")
+            if color_type != 3 and color_type not in _CHANNELS:
+                raise NotImplementedError(f"color type {color_type}")
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS" and color_type == 3:
+            trns = np.frombuffer(chunk, np.uint8)
         elif ctype == b"IDAT":
             idat.extend(chunk)
         elif ctype == b"IEND":
             break
     if w is None:
         raise ValueError("no IHDR chunk")
-    ch = _CHANNELS[color_type]
+    if color_type == 3 and plte is None:
+        raise ValueError("palette image without PLTE chunk")
+    ch = 1 if color_type == 3 else _CHANNELS[color_type]
     stride = w * ch
     raw = zlib.decompress(bytes(idat))
     if len(raw) != h * (stride + 1):
@@ -106,6 +120,16 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
             raise ValueError(f"unknown scanline filter {f}")
         out[y] = cur.astype(np.uint8)
         prev = cur
+    if color_type == 3:
+        idx = out.reshape(h, w)
+        if idx.max(initial=0) >= len(plte):
+            raise ValueError("palette index out of range")
+        rgb = plte[idx]  # (h, w, 3) gather — vectorized
+        if trns is None:
+            return w, h, 3, rgb
+        alpha = np.full(len(plte), 255, dtype=np.uint8)
+        alpha[: len(trns)] = trns
+        return w, h, 4, np.dstack([rgb, alpha[idx]])
     return w, h, ch, out.reshape(h, w, ch)
 
 
@@ -162,4 +186,41 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(bytes(lines)))
         + chunk(b"IEND", b"")
+    )
+
+
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + ctype
+        + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload))
+    )
+
+
+def encode_png_indexed(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    trns: bytes | None = None,
+) -> bytes:
+    """Encode an (h, w) uint8 index plane as a color-type-3 PNG with
+    the given (n, 3) uint8 PLTE (and optional tRNS alpha table) —
+    the fixture generator the palette decode path is tested with."""
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    lines = bytearray()
+    for y in range(h):
+        lines.append(0)  # filter None
+        lines.extend(idx[y].tobytes())
+    out = PNG_SIGNATURE + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    )
+    out += _png_chunk(b"PLTE", pal.tobytes())
+    if trns is not None:
+        out += _png_chunk(b"tRNS", trns)
+    return (
+        out
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
     )

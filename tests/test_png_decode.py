@@ -148,3 +148,65 @@ class TestCodecProperties:
         )
         assert (got_w, got_h, got_ch) == (w, h, ch)
         np.testing.assert_array_equal(out, px)
+
+
+class TestPaletteProfile:
+    def _fixture(self, with_trns):
+        from dbt_eamples_spark.operators.png import encode_png_indexed
+
+        rng = np.random.RandomState(11)
+        pal = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+        idx = rng.randint(0, 16, size=(9, 7), dtype=np.uint8)
+        trns = bytes(range(10)) if with_trns else None
+        return idx, pal, trns, encode_png_indexed(idx, pal, trns)
+
+    def test_palette_decodes_to_rgb(self):
+        idx, pal, _, data = self._fixture(with_trns=False)
+        w, h, ch, out = decode_png(data)
+        assert (w, h, ch) == (7, 9, 3)
+        np.testing.assert_array_equal(out, pal[idx])
+
+    def test_palette_with_trns_decodes_to_rgba(self):
+        idx, pal, trns, data = self._fixture(with_trns=True)
+        w, h, ch, out = decode_png(data)
+        assert (w, h, ch) == (7, 9, 4)
+        np.testing.assert_array_equal(out[:, :, :3], pal[idx])
+        alpha = np.full(16, 255, dtype=np.uint8)
+        alpha[:10] = np.frombuffer(trns, np.uint8)
+        np.testing.assert_array_equal(out[:, :, 3], alpha[idx])
+
+    def test_palette_through_strict_multimodal_stage(self, spark):
+        from dbt_eamples_spark.operators.png import encode_png_indexed
+
+        rng = np.random.RandomState(5)
+        pal = rng.randint(0, 256, size=(8, 3), dtype=np.uint8)
+        idx = rng.randint(0, 8, size=(6, 6), dtype=np.uint8)
+        data = encode_png_indexed(idx, pal)
+        df = spark.createDataFrame(
+            [(1, bytearray(data))],
+            T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("content", T.BinaryType()),
+                ]
+            ),
+        )
+        rows = decode_features_frame(df, decode_stub="strict").collect()
+        assert len(rows) == 1 and len(rows[0].features) == FEATURE_DIM
+
+    def test_missing_plte_raises(self):
+        from dbt_eamples_spark.operators.png import (
+            PNG_SIGNATURE,
+            _png_chunk,
+        )
+        import struct as _s
+        import zlib as _z
+
+        bad = (
+            PNG_SIGNATURE
+            + _png_chunk(b"IHDR", _s.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+            + _png_chunk(b"IDAT", _z.compress(b"\x00\x00"))
+            + _png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="PLTE"):
+            decode_png(bad)
