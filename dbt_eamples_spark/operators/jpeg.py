@@ -7,12 +7,16 @@ path needs a genuine baseline-DCT decoder even though this container
 ships no image library. Implemented from the public specification
 with struct + numpy only:
 
- - decoder: baseline sequential DCT (SOF0), 8-bit samples, canonical
-   Huffman entropy coding (ANY conforming DHT — the standard Annex K
-   tables included), grayscale or YCbCr without chroma subsampling
-   (all sampling factors 1×1), restart markers honored. Progressive
-   (SOF2), arithmetic coding, 12-bit, and subsampled chroma raise
-   ``NotImplementedError`` — the libjpeg-turbo/PIL integration point.
+ - decoder: baseline sequential DCT (SOF0) AND progressive DCT
+   (SOF2 — multi-scan spectral selection plus full successive
+   approximation, DC and AC first/refinement passes with EOB-run
+   coding per T.81 Annex G), 8-bit samples, canonical Huffman
+   entropy coding (ANY conforming DHT — the standard Annex K tables
+   included), grayscale or YCbCr without chroma subsampling (all
+   sampling factors 1×1), restart markers honored. Arithmetic
+   coding, 12-bit, hierarchical (SOF3+), and subsampled chroma
+   raise ``NotImplementedError`` — the libjpeg-turbo/PIL
+   integration point.
  - encoder: the matching baseline profile (Annex K quantization
    tables at the 50% operating point, per-image canonical Huffman
    tables over the symbols actually emitted, 4:4:4) — used to
@@ -434,12 +438,362 @@ def encode_jpeg(pixels: np.ndarray) -> bytes:
     return bytes(out)
 
 
+# ---- progressive encoder ----------------------------------------------------
+
+
+def _enc_ac_first_block(blk, ss, se, al, emit_sym, emit_bits):
+    """AC first-pass symbols for one block's band, values in the
+    point-transformed domain (sign x (|v| >> Al)); per-block EOB
+    (an EOB-run of exactly 1 — valid, never accumulated across
+    blocks, which keeps the encoder stateless per block)."""
+    vals = []
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        a = abs(v) >> al
+        vals.append(a if v >= 0 else -a)
+    nz = [i for i, v in enumerate(vals) if v]
+    last = nz[-1] if nz else -1
+    run = 0
+    for i in range(last + 1):
+        v = vals[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            emit_sym(0xF0)
+            run -= 16
+        ssss, extra = _magnitude(v)
+        emit_sym((run << 4) | ssss)
+        emit_bits(extra, ssss)
+        run = 0
+    if last < se - ss:
+        emit_sym(0x00)  # EOB
+
+
+def _enc_ac_refine_block(blk, ss, se, al, emit_sym, emit_bits):
+    """AC refinement symbols + correction bits for one block's band
+    (T.81 G.1.2.3, the libjpeg buffered-bits structure): runs count
+    zero-HISTORY coefficients only; already-nonzero coefficients
+    buffer one correction bit each, flushed after the next symbol —
+    the exact interleaving the decoder's run-advance walk reads."""
+    absv, sgn = [], []
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        absv.append(abs(v) >> al)
+        sgn.append(v < 0)
+    eob = -1
+    for i, a in enumerate(absv):
+        if a == 1:
+            eob = i
+    run = 0
+    pending: list[int] = []
+
+    def flush():
+        for bit in pending:
+            emit_bits(bit, 1)
+        pending.clear()
+
+    for i, a in enumerate(absv):
+        if a == 0:
+            run += 1
+            continue
+        if i <= eob:
+            while run > 15:
+                emit_sym(0xF0)
+                flush()
+                run -= 16
+        if a > 1:
+            pending.append(a & 1)
+            continue
+        emit_sym((run << 4) | 1)
+        emit_bits(0 if sgn[i] else 1, 1)
+        flush()
+        run = 0
+    if run > 0 or pending:
+        emit_sym(0x00)  # EOB-run of 1 carrying the tail corrections
+        flush()
+
+
+def encode_jpeg_progressive(pixels: np.ndarray, al: int = 1) -> bytes:
+    """Encode as a progressive (SOF2) JFIF JPEG with the standard
+    scan-script shape: interleaved DC first scan, per-component AC
+    band scans (1-5, 6-63), then — when ``al`` > 0 — DC and AC
+    refinement scans down to full precision. ``al=0`` produces a
+    spectral-selection-only script. Each scan ships its own
+    per-scan canonical DHT. Quantized coefficients are IDENTICAL to
+    ``encode_jpeg``'s, so a decoder must reproduce the baseline
+    pixels bit for bit — the roundtrip tests assert exactly that."""
+    if al < 0 or al > 13:
+        raise ValueError("al out of range")
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 3 and px.shape[2] == 1:
+        px = px[:, :, 0]
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        planes = [px.astype(np.float64)]
+        quants = [QUANT_LUMA]
+        qids = [0]
+    else:
+        ycc = _rgb_to_ycbcr(px)
+        planes = [ycc[:, :, c] for c in range(3)]
+        quants = [QUANT_LUMA, QUANT_CHROMA, QUANT_CHROMA]
+        qids = [0, 1, 1]
+    per_comp = [_quantized_coeffs(p, q) for p, q in zip(planes, quants)]
+    ncomp = len(per_comp)
+    comp_class = [0] if gray else [0, 1, 1]
+    n_blocks = per_comp[0].shape[0]
+    bands = [(1, 5), (6, 63)]
+
+    # scan list: (kind, comp_indices, ss, se, ah, al)
+    scans: list[tuple[str, list[int], int, int, int, int]] = []
+    scans.append(("dc_first", list(range(ncomp)), 0, 0, 0, al))
+    for ci in range(ncomp):
+        for ss, se in bands:
+            scans.append(("ac_first", [ci], ss, se, 0, al))
+    if al > 0:
+        # refine one bit at a time down to Al = 0
+        for lvl in range(al, 0, -1):
+            scans.append(
+                ("dc_refine", list(range(ncomp)), 0, 0, lvl, lvl - 1)
+            )
+            for ci in range(ncomp):
+                for ss, se in bands:
+                    scans.append(("ac_refine", [ci], ss, se, lvl, lvl - 1))
+
+    def run_scan(kind, cis, ss, se, ah, sal, emit_sym, emit_bits):
+        if kind == "dc_first":
+            prev = [0] * ncomp
+            for b in range(n_blocks):
+                for ci in cis:
+                    v = int(per_comp[ci][b][0]) >> sal
+                    diff = v - prev[ci]
+                    prev[ci] = v
+                    ssss, extra = _magnitude(diff)
+                    emit_sym(comp_class[ci], ssss)
+                    if ssss:
+                        emit_bits(extra, ssss)
+        elif kind == "dc_refine":
+            for b in range(n_blocks):
+                for ci in cis:
+                    emit_bits((int(per_comp[ci][b][0]) >> sal) & 1, 1)
+        else:
+            ci = cis[0]
+            fn = (
+                _enc_ac_first_block
+                if kind == "ac_first"
+                else _enc_ac_refine_block
+            )
+            cls = comp_class[ci]
+            for b in range(n_blocks):
+                fn(
+                    per_comp[ci][b], ss, se, sal,
+                    lambda sym: emit_sym(cls, sym), emit_bits,
+                )
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(struct.pack(">H", SOI))
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    n_classes = 1 if gray else 2
+    for qid, q in enumerate(quants[:n_classes]):
+        zz = q.reshape(-1)[ZIGZAG].astype(np.uint8).tobytes()
+        out += seg(0xFFDB, bytes([qid]) + zz)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, qids[ci]])
+    out += seg(0xFFC2, sof)
+
+    for kind, cis, ss, se, ah, sal in scans:
+        is_dc = kind.startswith("dc")
+        needs_table = kind != "dc_refine"
+        if needs_table:
+            # pass 1: per-class symbol frequencies for THIS scan
+            freqs: dict[int, dict[int, int]] = {}
+
+            def count_sym(cls, sym):
+                f = freqs.setdefault(cls, {})
+                f[sym] = f.get(sym, 0) + 1
+
+            run_scan(
+                kind, cis, ss, se, ah, sal, count_sym, lambda *_: None
+            )
+            tables = {
+                cls: _build_huffman(f) for cls, f in sorted(freqs.items())
+            }
+            codes = {cls: _canonical_codes(*t) for cls, t in tables.items()}
+            tc = 0x00 if is_dc else 0x10
+            for cls, (bits, vals) in sorted(tables.items()):
+                out += seg(
+                    0xFFC4, bytes([tc | cls]) + bytes(bits) + bytes(vals)
+                )
+        else:
+            codes = {}
+        bw_ = _BitWriter()
+
+        def write_sym(cls, sym):
+            code, length = codes[cls][sym]
+            bw_.write(code, length)
+
+        run_scan(kind, cis, ss, se, ah, sal, write_sym, bw_.write)
+        sos = bytes([len(cis)])
+        for ci in cis:
+            cls = comp_class[ci]
+            sos += bytes([ci + 1, (cls << 4) | cls])
+        sos += bytes([ss, se, (ah << 4) | sal])
+        out += seg(0xFFDA, sos) + bw_.flush()
+    out += struct.pack(">H", EOI)
+    return bytes(out)
+
+
+# ---- progressive scan passes (T.81 Annex G) --------------------------------
+
+
+def _ac_first_pass(br, dec, blk, ss, se, al, eobrun):
+    """AC spectral-selection first pass for one block; returns the
+    remaining EOB run (G.2.2: an (r, 0) symbol with r<15 codes a run
+    of 2^r + extra end-of-band blocks, this one included)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = dec.decode(br)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC index overflow")
+        blk[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_pass(br, dec, blk, ss, se, al, eobrun):
+    """AC successive-approximation refinement for one block (the
+    correction-bit pass, T.81 G.1.2.3): every already-nonzero
+    coefficient passed contributes one bit; a (r, 1) symbol places a
+    new ±2^Al after r zero-HISTORY coefficients."""
+    p1, m1 = 1 << al, -(1 << al)
+
+    def correct(k):
+        if br.read_bit() and (blk[k] & p1) == 0:
+            blk[k] += p1 if blk[k] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = dec.decode(br)
+            r, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                newval = 0  # ZRL: advance 16 zero-history coeffs
+            else:
+                newval = p1 if br.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 # ---- decoder ----------------------------------------------------------------
 
 
+def _decode_scan(
+    data, pos, coefs, scan, huff_dc, huff_ac, n_blocks,
+    restart_interval, progressive, ss, se, ah, al,
+):
+    """Decode ONE entropy-coded scan into the coefficient planes;
+    returns the byte position of the next marker. Baseline = the
+    single full-band interleaved scan; progressive dispatches on
+    (Ss, Ah) to the four Annex G pass types."""
+    br = _BitReader(data, pos)
+    if not progressive or ss == 0:
+        # interleaved MCU order (baseline and DC scans; 1x1 sampling
+        # makes one MCU = one block per scan component)
+        prev_dc = [0] * len(scan)
+        for mcu in range(n_blocks):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br.align()
+                m = br.at_marker()
+                if m is not None and 0xD0 <= m <= 0xD7:
+                    br.pos += 2
+                    prev_dc = [0] * len(scan)
+            for si, (ci, dc_id, ac_id) in enumerate(scan):
+                blk = coefs[ci][mcu]
+                if progressive and ah != 0:  # DC refinement: 1 bit
+                    if br.read_bit():
+                        blk[0] |= 1 << al
+                    continue
+                ssss = huff_dc[dc_id].decode(br)
+                diff = _extend(br.read_bits(ssss), ssss) if ssss else 0
+                prev_dc[si] += diff
+                blk[0] = prev_dc[si] << al  # al = 0 for baseline
+                if progressive:
+                    continue  # DC-only scan
+                k = 1
+                while k <= 63:
+                    sym = huff_ac[ac_id].decode(br)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += sym >> 4
+                    s = sym & 0x0F
+                    if k > 63:
+                        raise ValueError("AC index overflow")
+                    blk[k] = _extend(br.read_bits(s), s)
+                    k += 1
+    else:
+        # AC band scan: exactly one component, raster block order
+        ci, _dc_id, ac_id = scan[0]
+        dec = huff_ac[ac_id]
+        passfn = _ac_first_pass if ah == 0 else _ac_refine_pass
+        eobrun = 0
+        for b in range(n_blocks):
+            if restart_interval and b and b % restart_interval == 0:
+                br.align()
+                m = br.at_marker()
+                if m is not None and 0xD0 <= m <= 0xD7:
+                    br.pos += 2
+                    eobrun = 0
+            eobrun = passfn(br, dec, coefs[ci][b], ss, se, al, eobrun)
+    br.align()
+    return br.pos
+
+
 def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Decode a baseline JPEG → (width, height, channels, pixels)
-    uint8 (h, w, ch) — grayscale ch=1, color ch=3 (RGB)."""
+    """Decode a baseline (SOF0) or progressive (SOF2) JPEG →
+    (width, height, channels, pixels) uint8 (h, w, ch) — grayscale
+    ch=1, color ch=3 (RGB). Progressive streams accumulate their
+    coefficient planes scan by scan (DC/AC, first/refinement); the
+    single dequantize+IDCT at the end is shared with baseline."""
     data = bytes(data)
     if not is_jpeg(data):
         raise ValueError("not a JPEG: bad SOI")
@@ -449,8 +803,11 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
     huff_ac: dict[int, _HuffDecoder] = {}
     w = h = None
     comps: list[tuple[int, int]] = []  # (comp_id, quant_id)
-    scan_comps: list[tuple[int, int, int]] = []  # (comp_id, dc_tbl, ac_tbl)
     restart_interval = 0
+    progressive = False
+    coefs: list[np.ndarray] = []
+    n_blocks = bh = bw_ = 0
+    any_scan = False
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -460,7 +817,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
         (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         payload = data[pos + 4 : pos + 2 + length]
         pos += 2 + length
-        if marker == 0xC0:  # SOF0 baseline
+        if marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision")
@@ -471,9 +829,14 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
                         "subsampled chroma (only 4:4:4/grayscale)"
                     )
                 comps.append((cid, qid))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            bh, bw_ = (h + 7) // 8, (w + 7) // 8
+            n_blocks = bh * bw_
+            coefs = [
+                np.zeros((n_blocks, 64), dtype=np.int64) for _ in comps
+            ]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                f"SOF{marker - 0xC0} (only baseline sequential SOF0)"
+                f"SOF{marker - 0xC0} (only SOF0 baseline / SOF2 progressive)"
             )
         elif marker == 0xC4:  # DHT (possibly several tables)
             p = 0
@@ -504,51 +867,28 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", payload)
         elif marker == 0xDA:  # SOS — entropy data follows
+            if not comps:
+                raise ValueError("SOS before SOF")
             ns = payload[0]
+            cid_to_ix = {cid: ix for ix, (cid, _q) in enumerate(comps)}
+            scan = []  # (comp_index, dc_tbl, ac_tbl)
             for ci in range(ns):
                 cid = payload[1 + 2 * ci]
                 tbls = payload[2 + 2 * ci]
-                scan_comps.append((cid, tbls >> 4, tbls & 0x0F))
-            break
-    if w is None or not scan_comps:
+                scan.append((cid_to_ix[cid], tbls >> 4, tbls & 0x0F))
+            ss, se, ah_al = payload[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ah_al >> 4, ah_al & 0x0F
+            pos = _decode_scan(
+                data, pos, coefs, scan, huff_dc, huff_ac, n_blocks,
+                restart_interval, progressive, ss, se, ah, al,
+            )
+            any_scan = True
+            if not progressive:
+                break  # baseline: single scan, EOI follows
+    if w is None or not any_scan:
         raise ValueError("missing SOF/SOS")
 
     ncomp = len(comps)
-    bh, bw_ = (h + 7) // 8, (w + 7) // 8
-    n_blocks = bh * bw_
-    coefs = [np.zeros((n_blocks, 64), dtype=np.int64) for _ in comps]
-    br = _BitReader(data, pos)
-    prev_dc = [0] * ncomp
-    mcu = 0
-    while mcu < n_blocks:
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            br.align()
-            m = br.at_marker()
-            if m is not None and 0xD0 <= m <= 0xD7:
-                br.pos += 2
-                prev_dc = [0] * ncomp
-        for ci, (cid, dc_id, ac_id) in enumerate(scan_comps):
-            blk = coefs[ci][mcu]
-            ssss = huff_dc[dc_id].decode(br)
-            diff = _extend(br.read_bits(ssss), ssss) if ssss else 0
-            prev_dc[ci] += diff
-            blk[0] = prev_dc[ci]
-            k = 1
-            while k <= 63:
-                sym = huff_ac[ac_id].decode(br)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += sym >> 4
-                s = sym & 0x0F
-                if k > 63:
-                    raise ValueError("AC index overflow")
-                blk[k] = _extend(br.read_bits(s), s)
-                k += 1
-        mcu += 1
-
     planes = []
     for ci, (cid, qid) in enumerate(comps):
         q = quant[qid]

@@ -186,11 +186,12 @@ def _jpeg_features(b: bytes) -> list[float]:
 
 
 def _strict_decode(batch: pd.DataFrame) -> pd.DataFrame:
-    """REAL decode, dispatched on magic bytes: PNG and baseline JPEG
-    payloads via the pure-stdlib image codecs, RIFF/WAVE PCM audio
-    via the pure-stdlib WAV codec. Anything else raises
-    NotImplementedError — the PIL/librosa/av integration point for
-    progressive/subsampled JPEG, compressed audio, and video."""
+    """REAL decode, dispatched on magic bytes: PNG (incl. palette)
+    and baseline/progressive JPEG payloads via the pure-stdlib image
+    codecs, RIFF/WAVE PCM audio via the pure-stdlib WAV codec.
+    Anything else raises NotImplementedError — the PIL/librosa/av
+    integration point for subsampled JPEG, compressed audio, and
+    video."""
     from dbt_eamples_spark.operators.jpeg import is_jpeg
     from dbt_eamples_spark.operators.png import is_png
     from dbt_eamples_spark.operators.wav import is_wav
@@ -206,9 +207,9 @@ def _strict_decode(batch: pd.DataFrame) -> pd.DataFrame:
             feats = _wav_features(b)
         else:
             raise NotImplementedError(
-                "strict decode handles baseline PNG, baseline JPEG "
-                "and PCM WAV natively; other media (progressive/"
-                "subsampled jpeg, compressed audio, video) requires "
+                "strict decode handles PNG, baseline/progressive "
+                "JPEG and PCM WAV natively; other media (subsampled "
+                "jpeg, compressed audio, video) requires "
                 "PIL/librosa/av — integrate here, or use "
                 "decode_stub='fake'"
             )

@@ -1,4 +1,4 @@
-"""Baseline JPEG decode behind the multimodal strict seam (VERDICT
+"""Baseline + progressive JPEG decode behind the multimodal strict seam (VERDICT
 r4 missing #1): the pure-numpy baseline codec roundtrips grayscale
 and RGB within the quantizer's error bound, interops canonically
 (standard Annex K Huffman tables decode too), and the strict
@@ -70,12 +70,12 @@ class TestCodecRoundtrip:
         with pytest.raises(ValueError):
             decode_jpeg(b"\x89PNG\r\n\x1a\n garbage")
 
-    def test_progressive_marker_raises(self):
+    def test_arithmetic_marker_raises(self):
         px = _smooth(16, 16)
         data = bytearray(encode_jpeg(px))
         i = data.find(b"\xff\xc0")
-        data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-        with pytest.raises(NotImplementedError, match="SOF2"):
+        data[i + 1] = 0xC9  # rewrite SOF0 -> SOF9 (arithmetic)
+        with pytest.raises(NotImplementedError, match="SOF9"):
             decode_jpeg(bytes(data))
 
 
@@ -158,3 +158,90 @@ class TestStrictSeam:
         )
         got = decode_features_frame(bt, decode_stub="strict").collect()
         assert {r["doc_id"] for r in got} == {1, 2, 3}
+
+
+class TestProgressive:
+    """SOF2 multi-scan decode: the progressive stream quantizes
+    IDENTICALLY to the baseline one, so progressive decode must be
+    BIT-IDENTICAL to baseline decode of the same pixels — the
+    strongest cross-profile check available without an external
+    library."""
+
+    def _color(self, h, w, seed=9):
+        rng = np.random.RandomState(seed)
+        base = rng.randint(0, 256, size=(5, 5, 3)).astype(np.float64)
+        big = np.kron(base, np.ones((16, 16, 1)))
+        return np.clip(
+            big[:h, :w] + rng.randn(h, w, 3) * 8, 0, 255
+        ).astype(np.uint8)
+
+    @pytest.mark.parametrize("al", [0, 1, 2])
+    def test_matches_baseline_bit_for_bit_gray(self, al):
+        from dbt_eamples_spark.operators.jpeg import (
+            encode_jpeg_progressive,
+        )
+
+        px = _smooth(41, 26, seed=al)
+        want = decode_jpeg(encode_jpeg(px))
+        data = encode_jpeg_progressive(px, al=al)
+        assert data[2:4] != b"\xff\xc0" and b"\xff\xc2" in data[:200]
+        got = decode_jpeg(data)
+        assert got[:3] == want[:3]
+        np.testing.assert_array_equal(got[3], want[3])
+
+    @pytest.mark.parametrize("al", [0, 1, 2])
+    def test_matches_baseline_bit_for_bit_color(self, al):
+        from dbt_eamples_spark.operators.jpeg import (
+            encode_jpeg_progressive,
+        )
+
+        px = self._color(33, 40, seed=al + 1)
+        want = decode_jpeg(encode_jpeg(px))
+        got = decode_jpeg(encode_jpeg_progressive(px, al=al))
+        assert got[:3] == want[:3]
+        np.testing.assert_array_equal(got[3], want[3])
+
+    def test_noise_stresses_zrl_and_eob_paths(self):
+        from dbt_eamples_spark.operators.jpeg import (
+            encode_jpeg_progressive,
+        )
+
+        rng = np.random.RandomState(2)
+        px = rng.randint(0, 256, size=(32, 24, 3), dtype=np.uint8)
+        want = decode_jpeg(encode_jpeg(px))
+        for al in (0, 1, 2):
+            got = decode_jpeg(encode_jpeg_progressive(px, al=al))
+            np.testing.assert_array_equal(got[3], want[3])
+
+    def test_scan_count_matches_script(self):
+        from dbt_eamples_spark.operators.jpeg import (
+            encode_jpeg_progressive,
+        )
+
+        px = self._color(16, 16)
+        # al=1 color: 1 DC + 6 AC first + (1 DC + 6 AC) refine = 14
+        data = encode_jpeg_progressive(px, al=1)
+        assert data.count(b"\xff\xda") == 14
+        # al=0 color: 1 DC + 6 AC band scans, no refinement
+        assert encode_jpeg_progressive(px, al=0).count(b"\xff\xda") == 7
+
+    def test_progressive_through_strict_multimodal_stage(self, spark):
+        from dbt_eamples_spark.operators.jpeg import (
+            encode_jpeg_progressive,
+        )
+
+        px = self._color(24, 24)
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        )
+        bt = spark.createDataFrame(
+            [(1, bytearray(encode_jpeg_progressive(px, al=1)))], schema
+        )
+        rows = decode_features_frame(bt, decode_stub="strict").collect()
+        assert len(rows) == 1
+        f = rows[0]["features"]
+        assert len(f) == FEATURE_DIM
+        assert f[0:3] == [24.0, 24.0, 3.0]
