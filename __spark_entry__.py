@@ -189,6 +189,7 @@ _R5_PRIORITY = [
     "graph_triangle_count",
     "ts_ewma_smooth",
     "events_markov_stationary",
+    "events_changepoint_cusum",
     "doc_winnow_fingerprint",
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -304,6 +305,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_ewma_smooth": B.ts_ewma_smooth,
         # stationary distribution of the behavior Markov chain
         "events_markov_stationary": B.events_markov_stationary,
+        # two-sided tabular CUSUM level-shift flags (Page 1954)
+        "events_changepoint_cusum": B.events_changepoint_cusum,
         # --- never driver-checked in rounds 1-2: run these first ---
         # long->wide with pinned pivot domain (no discovery job)
         "metric_pivot": R.metric_pivot,

@@ -143,6 +143,7 @@ HEADLINE = [
     "graph_triangle_count",
     "ts_ewma_smooth",
     "events_markov_stationary",
+    "events_changepoint_cusum",
 ]
 
 

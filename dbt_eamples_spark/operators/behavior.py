@@ -1034,3 +1034,96 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("pi_fp"), F.asc("event_type"))
     )
+
+
+# ---- CUSUM changepoint flags -----------------------------------------------
+CUSUM_SLACK_PCT = 50  # slack k = 50% of the series mean
+CUSUM_H_PCT = 400  # decision threshold h = 4x the series mean
+
+
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided tabular CUSUM over the daily event count per type
+    (Page 1954): S+_t = max(0, S+_{t-1} + x_t - mu - k) accumulates
+    upward drift, S-_t the downward mirror; a side crossing h flags
+    a level shift — the changepoint detector that catches slow
+    drifts the per-point z-score (events_anomaly_rolling) misses.
+    mu is the series mean; k and h are mean-relative
+    (``CUSUM_SLACK_PCT``/``CUSUM_H_PCT``), the standard count-rate
+    parameterization.
+
+    Engine-exact contract: mu = tot/n is rational, so the recurrence
+    runs in integer units of 1/(100*n): X_t = 100*n*x_t, M+K =
+    (100 + SLACK)*tot, H = H_PCT*tot — max(0, ...) over integers,
+    bit-stable in any engine (the EWMA/pagerank fixed-point
+    pattern). Bounds: S never exceeds sum(X) = 100*n*tot, int64-safe
+    to ~1e14 events per series-year. Reported cusum values divide
+    the integer state by 100.0*n once, round(6).
+
+    Plan: identical shape to ts_ewma_smooth — one daily-rollup
+    shuffle, per-type fold INSIDE a row over the calendar-bounded
+    series (tot/n ride along in the same aggregate, so the scan
+    count stays one)."""
+    ev = load_table(spark, sf_dir, "events", parallelize=True)
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "n_events"))).alias(
+            "xs"
+        ),
+        F.sum("n_events").cast("long").alias("tot"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    acc0 = F.struct(
+        F.expr(
+            "CAST(array() AS ARRAY<STRUCT<day: DATE, n_events: BIGINT, "
+            "sp: BIGINT, sn: BIGINT>>)"
+        ).alias("out"),
+        F.lit(0).cast("long").alias("sp"),
+        F.lit(0).cast("long").alias("sn"),
+    )
+    up = F.lit(100 + CUSUM_SLACK_PCT) * F.col("tot")
+    dn = F.lit(100 - CUSUM_SLACK_PCT) * F.col("tot")
+
+    def step(acc, x):
+        xs = F.lit(100) * F.col("n_days") * x["n_events"]
+        sp = F.greatest(F.lit(0).cast("long"), acc["sp"] + xs - up)
+        sn = F.greatest(F.lit(0).cast("long"), acc["sn"] + dn - xs)
+        return F.struct(
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        x["day"].alias("day"),
+                        x["n_events"].alias("n_events"),
+                        sp.alias("sp"),
+                        sn.alias("sn"),
+                    )
+                ),
+            ).alias("out"),
+            sp.alias("sp"),
+            sn.alias("sn"),
+        )
+
+    h = F.lit(CUSUM_H_PCT) * F.col("tot")
+    folded = series.select(
+        "event_type",
+        "tot",
+        "n_days",
+        F.explode(F.aggregate("xs", acc0, step, lambda a: a["out"])).alias(
+            "r"
+        ),
+    )
+    scale = F.lit(100.0) * F.col("n_days")
+    return folded.select(
+        "event_type",
+        F.date_format("r.day", "yyyy-MM-dd").alias("day"),
+        F.col("r.n_events").alias("n_events"),
+        F.col("r.sp").alias("cusum_up_fp"),
+        F.col("r.sn").alias("cusum_down_fp"),
+        F.round(F.col("r.sp") / scale, 6).alias("cusum_up"),
+        F.round(F.col("r.sn") / scale, 6).alias("cusum_down"),
+        (F.col("r.sp") > h).alias("shift_up"),
+        (F.col("r.sn") > h).alias("shift_down"),
+    )

@@ -3417,3 +3417,64 @@ def _markov_stationary_oracle_sql() -> str:
 
 
 EXT_ORACLES["events_markov_stationary"] = _markov_stationary_oracle_sql()
+
+
+def _cusum_oracle_sql() -> str:
+    """Mirror of behavior.events_changepoint_cusum: the same integer
+    tabular-CUSUM recurrence in units of 1/(100*n_days), stepped as
+    a recursive CTE over the per-type row_number chain (the EWMA
+    oracle pattern, with the per-type totals joined into the
+    chain)."""
+    from dbt_eamples_spark.operators.behavior import (
+        CUSUM_H_PCT,
+        CUSUM_SLACK_PCT,
+    )
+
+    up = 100 + CUSUM_SLACK_PCT
+    dn = 100 - CUSUM_SLACK_PCT
+    return f"""
+        WITH RECURSIVE daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS tot,
+                   CAST(count(*) AS BIGINT) AS n_days
+            FROM daily GROUP BY event_type
+        ),
+        seq AS (
+            SELECT d.event_type, d.day, d.n_events, t.tot, t.n_days,
+                   row_number() OVER (
+                       PARTITION BY d.event_type ORDER BY d.day
+                   ) AS rn
+            FROM daily d JOIN tot t USING (event_type)
+        ),
+        r AS (
+            SELECT event_type, day, n_events, tot, n_days, rn,
+                   greatest(CAST(0 AS BIGINT),
+                            100*n_days*n_events - {up}*tot) AS sp,
+                   greatest(CAST(0 AS BIGINT),
+                            {dn}*tot - 100*n_days*n_events) AS sn
+            FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT s.event_type, s.day, s.n_events, s.tot, s.n_days,
+                   s.rn,
+                   greatest(CAST(0 AS BIGINT),
+                            r.sp + 100*s.n_days*s.n_events - {up}*s.tot),
+                   greatest(CAST(0 AS BIGINT),
+                            r.sn + {dn}*s.tot - 100*s.n_days*s.n_events)
+            FROM r JOIN seq s
+              ON s.event_type = r.event_type AND s.rn = r.rn + 1
+        )
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_events,
+               sp AS cusum_up_fp, sn AS cusum_down_fp,
+               round(sp / (100.0 * n_days), 6) AS cusum_up,
+               round(sn / (100.0 * n_days), 6) AS cusum_down,
+               sp > {CUSUM_H_PCT}*tot AS shift_up,
+               sn > {CUSUM_H_PCT}*tot AS shift_down
+        FROM r
+    """
+
+
+EXT_ORACLES["events_changepoint_cusum"] = _cusum_oracle_sql()

@@ -155,6 +155,22 @@ class TestShuffleBudgets:
         # residual variant: one extra narrow residual map, same
         # exchange skeleton as the raw-code composition
         "similarity_ivf_pq_residual_topk": 9,
+        # post-checkpoint (edges + oriented list materialized): deg
+        # hash-agg + per-corner triangle hash-agg; the wedge and
+        # closing joins broadcast the oriented list at fixture scale
+        # (at 100 TB AQE shuffles them on apex/(b,c) — documented)
+        "graph_triangle_count": 2,
+        # parallelize repartition + daily hash-agg + per-type series
+        # collect; the recurrence folds in-row (no further exchange)
+        "ts_ewma_smooth": 3,
+        # post-checkpoint (transition grid materialized): node agg +
+        # final join-back exchange; iterations broadcast pi over the
+        # grid, never re-shuffling it
+        "events_markov_stationary": 2,
+        # token explode + per-word join (broadcast) + per-doc agg:
+        # word-dict build, doc agg, chars join-back — the corpus
+        # streams once per side, merge application is vocab-bounded
+        "text_bpe_tokenize": 3,
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))

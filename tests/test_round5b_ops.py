@@ -167,3 +167,67 @@ def test_markov_mass_is_conserved_up_to_flooring(spark, sf_dir):
     )
     vals = [r.pi_fp for r in rows]
     assert vals == sorted(vals, reverse=True)
+
+
+# ---- CUSUM ------------------------------------------------------------------
+def _cusum_reference(sf_dir: str):
+    from dbt_eamples_spark.operators.behavior import (
+        CUSUM_H_PCT,
+        CUSUM_SLACK_PCT,
+    )
+
+    con = duckdb.connect()
+    daily = con.execute(
+        "SELECT event_type, strftime(CAST(date_trunc('day', ts) AS DATE),"
+        " '%Y-%m-%d'), CAST(count(*) AS BIGINT) FROM "
+        f"read_parquet('{sf_dir}/events.parquet') GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    tot = defaultdict(int)
+    n_days = defaultdict(int)
+    for et, _d, n in daily:
+        tot[et] += n
+        n_days[et] += 1
+    out, sp, sn = {}, defaultdict(int), defaultdict(int)
+    for et, day, n in daily:
+        x = 100 * n_days[et] * n
+        sp[et] = max(0, sp[et] + x - (100 + CUSUM_SLACK_PCT) * tot[et])
+        sn[et] = max(0, sn[et] + (100 - CUSUM_SLACK_PCT) * tot[et] - x)
+        out[(et, day)] = (
+            n,
+            sp[et],
+            sn[et],
+            sp[et] > CUSUM_H_PCT * tot[et],
+            sn[et] > CUSUM_H_PCT * tot[et],
+        )
+    return out
+
+
+def test_cusum_matches_pure_python_bit_for_bit(spark, sf_dir):
+    from dbt_eamples_spark.operators.behavior import (
+        events_changepoint_cusum,
+    )
+
+    got = {
+        (r.event_type, r.day): (
+            r.n_events,
+            r.cusum_up_fp,
+            r.cusum_down_fp,
+            r.shift_up,
+            r.shift_down,
+        )
+        for r in events_changepoint_cusum(spark, sf_dir).collect()
+    }
+    assert got == _cusum_reference(sf_dir)
+
+
+def test_cusum_sides_never_both_flag(spark, sf_dir):
+    """h = 4*mean and k = mean/2 make simultaneous up+down shifts
+    impossible on any series (one side resets while the other
+    accumulates); states are always non-negative."""
+    from dbt_eamples_spark.operators.behavior import (
+        events_changepoint_cusum,
+    )
+
+    for r in events_changepoint_cusum(spark, sf_dir).collect():
+        assert r.cusum_up_fp >= 0 and r.cusum_down_fp >= 0
+        assert not (r.shift_up and r.shift_down)
