@@ -190,6 +190,7 @@ _R5_PRIORITY = [
     "ts_ewma_smooth",
     "events_markov_stationary",
     "events_changepoint_cusum",
+    "ts_seasonal_decompose",
     "doc_winnow_fingerprint",
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -307,6 +308,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_stationary": B.events_markov_stationary,
         # two-sided tabular CUSUM level-shift flags (Page 1954)
         "events_changepoint_cusum": B.events_changepoint_cusum,
+        # classical additive trend/weekly-seasonal/residual split
+        "ts_seasonal_decompose": B.ts_seasonal_decompose,
         # --- never driver-checked in rounds 1-2: run these first ---
         # long->wide with pinned pivot domain (no discovery job)
         "metric_pivot": R.metric_pivot,

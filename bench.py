@@ -144,6 +144,7 @@ HEADLINE = [
     "ts_ewma_smooth",
     "events_markov_stationary",
     "events_changepoint_cusum",
+    "ts_seasonal_decompose",
 ]
 
 

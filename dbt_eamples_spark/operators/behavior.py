@@ -1127,3 +1127,87 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("r.sp") > h).alias("shift_up"),
         (F.col("r.sn") > h).alias("shift_down"),
     )
+
+
+# ---- classical seasonal decomposition ---------------------------------------
+STL_PERIOD = 7  # weekly seasonality over daily buckets
+
+
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily event count per
+    type: trend (centered 7-day moving average), weekly seasonal
+    index (per-weekday mean of the detrended series), and residual —
+    the textbook decomposition (Hyndman & Athanasopoulos, FPP3 §3.4)
+    behind every 'is Monday always like this' triage question.
+
+    Engine-exact contract: every reported value is ONE division of
+    exact int64 numerators (then round(6)) — no chained float ops:
+
+        trend_t    = s7_t / 7            (s7 = centered 7-day sum)
+        n_t        = 7*x_t - s7_t        (detrended, x7 numerator)
+        seasonal_d = seas_num_d / (7*m)  (seas_num = sum of n_t
+                                          over the dow's m full-
+                                          window days)
+        resid_t    = (m*n_t - seas_num_d) / (7*m)
+
+    Weekday = epoch-day mod 7 (identical arithmetic in any engine —
+    named DOW functions disagree on 0- vs 1-basing). Days without a
+    FULL centered window (series edges, gap-adjacent days) get NULL
+    trend/seasonal/residual rather than a silently-shortened mean
+    (compose with ts_gap_fill upstream for gapless series).
+
+    Plan: one daily-rollup shuffle; the trend window is a RANGE
+    frame over the integer day number on the same (type-keyed)
+    partitioning; the seasonal index is a |types|*7-row aggregate
+    broadcast back. The corpus is touched once."""
+    ev = load_table(spark, sf_dir, "events", parallelize=True)
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        )
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .withColumn(
+            "day_num",
+            F.datediff("day", F.lit("1970-01-01")).cast("long"),
+        )
+    )
+    half = (STL_PERIOD - 1) // 2
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_num")
+        .rangeBetween(-half, half)
+    )
+    st = daily.select(
+        "event_type",
+        "day",
+        F.pmod(F.col("day_num"), F.lit(STL_PERIOD)).alias("dow"),
+        "n_events",
+        F.when(
+            F.count("*").over(w) == STL_PERIOD,
+            F.sum("n_events").over(w).cast("long"),
+        ).alias("s7"),
+    ).withColumn(
+        "n_t", F.lit(STL_PERIOD) * F.col("n_events") - F.col("s7")
+    )
+    seas = st.groupBy("event_type", "dow").agg(
+        F.sum("n_t").cast("long").alias("seas_num"),
+        F.count("n_t").cast("long").alias("m"),
+    ).filter(F.col("m") > 0)
+    den = F.lit(float(STL_PERIOD)) * F.col("m")
+    return (
+        st.join(F.broadcast(seas), ["event_type", "dow"], "left")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dow",
+            "n_events",
+            F.round(F.col("s7") / F.lit(float(STL_PERIOD)), 6).alias(
+                "trend"
+            ),
+            F.round(F.col("seas_num") / den, 6).alias("seasonal"),
+            F.round(
+                (F.col("m") * F.col("n_t") - F.col("seas_num")) / den, 6
+            ).alias("residual"),
+        )
+    )

@@ -3478,3 +3478,57 @@ def _cusum_oracle_sql() -> str:
 
 
 EXT_ORACLES["events_changepoint_cusum"] = _cusum_oracle_sql()
+
+
+def _seasonal_decompose_oracle_sql() -> str:
+    """Mirror of behavior.ts_seasonal_decompose: centered 7-day RANGE
+    window over the integer day number, per-(type, epoch-dow)
+    detrended means, single-division rationals throughout."""
+    from dbt_eamples_spark.operators.behavior import STL_PERIOD
+
+    half = (STL_PERIOD - 1) // 2
+    return f"""
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        dd AS (
+            SELECT event_type, day, n_events,
+                   CAST(day - DATE '1970-01-01' AS BIGINT) AS day_num
+            FROM daily
+        ),
+        st AS (
+            SELECT event_type, day, day_num % {STL_PERIOD} AS dow,
+                   n_events,
+                   CASE WHEN count(*) OVER w = {STL_PERIOD}
+                        THEN CAST(SUM(n_events) OVER w AS BIGINT)
+                   END AS s7
+            FROM dd
+            WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+                         RANGE BETWEEN {half} PRECEDING
+                               AND {half} FOLLOWING)
+        ),
+        nt AS (
+            SELECT *, {STL_PERIOD} * n_events - s7 AS n_t FROM st
+        ),
+        seas AS (
+            SELECT event_type, dow,
+                   CAST(SUM(n_t) AS BIGINT) AS seas_num,
+                   CAST(COUNT(n_t) AS BIGINT) AS m
+            FROM nt GROUP BY event_type, dow
+            HAVING COUNT(n_t) > 0
+        )
+        SELECT nt.event_type, strftime(nt.day, '%Y-%m-%d') AS day,
+               nt.dow, nt.n_events,
+               round(nt.s7 / {float(STL_PERIOD)}, 6) AS trend,
+               round(s.seas_num / ({float(STL_PERIOD)} * s.m), 6)
+                 AS seasonal,
+               round((s.m * nt.n_t - s.seas_num)
+                     / ({float(STL_PERIOD)} * s.m), 6) AS residual
+        FROM nt LEFT JOIN seas s
+          ON nt.event_type = s.event_type AND nt.dow = s.dow
+    """
+
+
+EXT_ORACLES["ts_seasonal_decompose"] = _seasonal_decompose_oracle_sql()

@@ -231,3 +231,49 @@ def test_cusum_sides_never_both_flag(spark, sf_dir):
     for r in events_changepoint_cusum(spark, sf_dir).collect():
         assert r.cusum_up_fp >= 0 and r.cusum_down_fp >= 0
         assert not (r.shift_up and r.shift_down)
+
+
+# ---- seasonal decomposition -------------------------------------------------
+def test_decompose_additive_identity(spark, sf_dir):
+    """trend + seasonal + residual == n_events EXACTLY in rationals
+    (s7/7 + n_t/7 telescopes); the rounded doubles must reconstruct
+    the count within stacked rounding error."""
+    from dbt_eamples_spark.operators.behavior import ts_seasonal_decompose
+
+    rows = ts_seasonal_decompose(spark, sf_dir).collect()
+    full = [r for r in rows if r.trend is not None]
+    assert full, "fixture series long enough for a centered window"
+    for r in full:
+        assert r.residual is not None and r.seasonal is not None
+        recon = r.trend + r.seasonal + r.residual
+        assert abs(recon - r.n_events) < 3e-6, r
+
+
+def test_decompose_seasonal_constant_per_dow(spark, sf_dir):
+    from dbt_eamples_spark.operators.behavior import ts_seasonal_decompose
+
+    rows = ts_seasonal_decompose(spark, sf_dir).collect()
+    seen = {}
+    for r in rows:
+        if r.seasonal is None:
+            continue
+        key = (r.event_type, r.dow)
+        assert seen.setdefault(key, r.seasonal) == r.seasonal
+    # weekly indexes exist for every observed dow of every type
+    assert len({k[1] for k in seen}) <= 7
+
+
+def test_decompose_edges_are_null_not_shortened(spark, sf_dir):
+    from dbt_eamples_spark.operators.behavior import ts_seasonal_decompose
+
+    rows = sorted(
+        ts_seasonal_decompose(spark, sf_dir).collect(),
+        key=lambda r: (r.event_type, r.day),
+    )
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append(r)
+    for series in by_type.values():
+        # first/last 3 days cannot have a full centered window
+        for r in series[:3] + series[-3:]:
+            assert r.trend is None and r.residual is None
