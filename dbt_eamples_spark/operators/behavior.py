@@ -896,6 +896,15 @@ def ts_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
     ).agg(F.count("*").cast("long").alias("n_events"))
+    return ewma_over_daily(daily)
+
+
+def ewma_over_daily(daily: DataFrame) -> DataFrame:
+    """The recurrence fold over an ALREADY-AGGREGATED daily frame
+    (event_type, day, n_events) — factored out so the streaming twin
+    can maintain the rollup incrementally and run this identical
+    bounded pass over the drained aggregate (the
+    anomaly_flags_over_hourly split)."""
     series = daily.groupBy("event_type").agg(
         F.array_sort(F.collect_list(F.struct("day", "n_events"))).alias("xs")
     )
@@ -1068,6 +1077,13 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
     ).agg(F.count("*").cast("long").alias("n_events"))
+    return cusum_over_daily(daily)
+
+
+def cusum_over_daily(daily: DataFrame) -> DataFrame:
+    """The tabular-CUSUM pass over an ALREADY-AGGREGATED daily frame
+    (event_type, day, n_events) — factored out for the streaming
+    twin, like ewma_over_daily."""
     series = daily.groupBy("event_type").agg(
         F.array_sort(F.collect_list(F.struct("day", "n_events"))).alias(
             "xs"

@@ -557,6 +557,57 @@ def events_anomaly_rolling_streaming(
     ).createOrReplaceTempView(out_table)
 
 
+def ts_ewma_smooth_streaming(
+    spark: SparkSession, sf_dir: str, checkpoint: str, out_table: str
+) -> None:
+    """Streaming twin of `operators.behavior.ts_ewma_smooth`: the
+    stream maintains ONLY the daily count rollup (ordinary windowed
+    agg, O(1) state per open (day, type)); the fixed-point EWMA
+    recurrence — sequential by definition — runs over the drained
+    AGGREGATE (O(days x types) rows) via the exact batch fold
+    (`ewma_over_daily`). Batch-identical because the fold consumes
+    an identical daily frame; the production cadence re-runs the
+    bounded fold per drain, exactly like the anomaly twin."""
+    from dbt_eamples_spark.operators.behavior import ewma_over_daily
+
+    ev = _events_stream(spark, sf_dir)
+    daily = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            "event_type", F.to_date("w.start").alias("day"), "n_events"
+        )
+    )
+    inner = f"{out_table}__daily"
+    _drain(daily, "complete", checkpoint, inner)
+    ewma_over_daily(spark.table(inner)).createOrReplaceTempView(out_table)
+
+
+def events_changepoint_cusum_streaming(
+    spark: SparkSession, sf_dir: str, checkpoint: str, out_table: str
+) -> None:
+    """Streaming twin of `operators.behavior.
+    events_changepoint_cusum`: same split as the EWMA twin — the
+    stream keeps the daily rollup, the integer CUSUM pass
+    (`cusum_over_daily`) re-evaluates on the drained aggregate (the
+    series mean that parameterizes k and h is a full-series
+    statistic, so per-drain re-evaluation is the SEMANTICS, not an
+    approximation)."""
+    from dbt_eamples_spark.operators.behavior import cusum_over_daily
+
+    ev = _events_stream(spark, sf_dir)
+    daily = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            "event_type", F.to_date("w.start").alias("day"), "n_events"
+        )
+    )
+    inner = f"{out_table}__daily"
+    _drain(daily, "complete", checkpoint, inner)
+    cusum_over_daily(spark.table(inner)).createOrReplaceTempView(out_table)
+
+
 # late-data accounting: hourly arrival trigger batches, watermark
 # delay 2 h (same policy as WATERMARK above), deterministic network
 # jitter up to 4 h so the fixture actually EXERCISES the late path

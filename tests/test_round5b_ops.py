@@ -277,3 +277,48 @@ def test_decompose_edges_are_null_not_shortened(spark, sf_dir):
         # first/last 3 days cannot have a full centered window
         for r in series[:3] + series[-3:]:
             assert r.trend is None and r.residual is None
+
+
+# ---- streaming twins --------------------------------------------------------
+class TestStreamingTwins:
+    def test_ewma_streaming_equals_batch(self, spark, sf_dir, tmp_path):
+        import uuid
+
+        from dbt_eamples_spark.operators.behavior import ts_ewma_smooth
+        from dbt_eamples_spark.streaming.streams import (
+            ts_ewma_smooth_streaming,
+        )
+
+        name = f"ewma_{uuid.uuid4().hex[:8]}"
+        ts_ewma_smooth_streaming(
+            spark, sf_dir, checkpoint=str(tmp_path / "ck_e"), out_table=name
+        )
+        streamed = spark.sql(f"SELECT * FROM {name}")
+        batch = ts_ewma_smooth(spark, sf_dir)
+        diff = (
+            streamed.exceptAll(batch).count()
+            + batch.exceptAll(streamed).count()
+        )
+        assert diff == 0 and batch.count() > 0
+
+    def test_cusum_streaming_equals_batch(self, spark, sf_dir, tmp_path):
+        import uuid
+
+        from dbt_eamples_spark.operators.behavior import (
+            events_changepoint_cusum,
+        )
+        from dbt_eamples_spark.streaming.streams import (
+            events_changepoint_cusum_streaming,
+        )
+
+        name = f"cusum_{uuid.uuid4().hex[:8]}"
+        events_changepoint_cusum_streaming(
+            spark, sf_dir, checkpoint=str(tmp_path / "ck_c"), out_table=name
+        )
+        streamed = spark.sql(f"SELECT * FROM {name}")
+        batch = events_changepoint_cusum(spark, sf_dir)
+        diff = (
+            streamed.exceptAll(batch).count()
+            + batch.exceptAll(streamed).count()
+        )
+        assert diff == 0 and batch.count() > 0
