@@ -1194,17 +1194,24 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day_num")
         .rangeBetween(-half, half)
     )
-    st = daily.select(
-        "event_type",
-        "day",
-        F.pmod(F.col("day_num"), F.lit(STL_PERIOD)).alias("dow"),
-        "n_events",
-        F.when(
-            F.count("*").over(w) == STL_PERIOD,
-            F.sum("n_events").over(w).cast("long"),
-        ).alias("s7"),
-    ).withColumn(
-        "n_t", F.lit(STL_PERIOD) * F.col("n_events") - F.col("s7")
+    st = (
+        daily.select(
+            "event_type",
+            "day",
+            F.pmod(F.col("day_num"), F.lit(STL_PERIOD)).alias("dow"),
+            "n_events",
+            F.when(
+                F.count("*").over(w) == STL_PERIOD,
+                F.sum("n_events").over(w).cast("long"),
+            ).alias("s7"),
+        )
+        .withColumn(
+            "n_t", F.lit(STL_PERIOD) * F.col("n_events") - F.col("s7")
+        )
+        # both the seasonal index and the final join consume st:
+        # materialize the O(days x types) aggregate once, or Catalyst
+        # re-runs the corpus scan + rollup into each consumer
+        .localCheckpoint(eager=True)
     )
     seas = st.groupBy("event_type", "dow").agg(
         F.sum("n_t").cast("long").alias("seas_num"),

@@ -171,6 +171,14 @@ class TestShuffleBudgets:
         # word-dict build, doc agg, chars join-back — the corpus
         # streams once per side, merge application is vocab-bounded
         "text_bpe_tokenize": 3,
+        # parallelize repartition + daily hash-agg + per-type series
+        # collect (totals ride the same agg); fold is in-row
+        "events_changepoint_cusum": 3,
+        # post-checkpoint (the trend-windowed daily aggregate is
+        # materialized once for its two consumers): the seasonal
+        # index agg is the one exchange; the index joins back
+        # broadcast
+        "ts_seasonal_decompose": 1,
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))
