@@ -191,6 +191,7 @@ _R5_PRIORITY = [
     "events_markov_stationary",
     "events_changepoint_cusum",
     "ts_seasonal_decompose",
+    "events_survival_km",
     "doc_winnow_fingerprint",
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -310,6 +311,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_changepoint_cusum": B.events_changepoint_cusum,
         # classical additive trend/weekly-seasonal/residual split
         "ts_seasonal_decompose": B.ts_seasonal_decompose,
+        # Kaplan-Meier user-lifetime survival (censoring-aware churn)
+        "events_survival_km": B.events_survival_km,
         # --- never driver-checked in rounds 1-2: run these first ---
         # long->wide with pinned pivot domain (no discovery job)
         "metric_pivot": R.metric_pivot,

@@ -145,6 +145,7 @@ HEADLINE = [
     "events_markov_stationary",
     "events_changepoint_cusum",
     "ts_seasonal_decompose",
+    "events_survival_km",
 ]
 
 

@@ -1234,3 +1234,78 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("residual"),
         )
     )
+
+
+# ---- Kaplan-Meier churn survival -------------------------------------------
+KM_SCALE = 10**12  # survival probability in fixed-point units
+KM_CENSOR_GAP_DAYS = 7  # still-active window: no churn verdict yet
+
+
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of user lifetime (Kaplan & Meier
+    1958): lifetime = days between a user's first and last event;
+    users whose last activity falls within ``KM_CENSOR_GAP_DAYS`` of
+    the observation end are CENSORED (they may still be alive), and
+    KM is the estimator that uses them correctly — each distinct
+    lifetime t steps S' = S * (n_t - d_t) / n_t with n_t the at-risk
+    count (lifetime >= t) and d_t the observed churns at t. The
+    retention question ("what fraction of users survive 14 days?")
+    answered without the still-active bias.
+
+    Engine-exact contract: S is fixed-point BIGINT at ``KM_SCALE``
+    and every step is floor(S * (n-d) / n) in EXACT integer
+    arithmetic — python big-ints here, HUGEINT in the DuckDB oracle,
+    identical floors. The step table itself (one row per distinct
+    lifetime) is HORIZON-bounded (≤ observation days, NEVER corpus-
+    sized), so folding it driver-side is bounded model state — the
+    same argument as the BPE argmax and the one-row bounds
+    collects; at any corpus size the collect is ≤ a few thousand
+    rows.
+
+    Plan: one user_id exchange builds per-user (first, last) spans;
+    the lifetime table is a second (bounded) hash-agg; the
+    observation end rides along via a one-row broadcast cross join.
+    The corpus is touched once."""
+    ev = load_table(spark, sf_dir, "events", parallelize=True)
+    spans = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("first_day"),
+        F.to_date(F.date_trunc("day", F.max("ts"))).alias("last_day"),
+    )
+    obs_end = spans.agg(F.max("last_day").alias("obs_end"))
+    life = spans.crossJoin(F.broadcast(obs_end)).select(
+        F.datediff("last_day", "first_day").cast("long").alias("t"),
+        (
+            F.datediff("obs_end", "last_day") < KM_CENSOR_GAP_DAYS
+        ).alias("censored"),
+    )
+    table = (
+        life.groupBy("t")
+        .agg(
+            F.sum(F.when(~F.col("censored"), 1).otherwise(0))
+            .cast("long")
+            .alias("d"),
+            F.sum(F.when(F.col("censored"), 1).otherwise(0))
+            .cast("long")
+            .alias("c"),
+        )
+        .orderBy("t")
+        .collect()  # horizon-bounded: <= observation days rows
+    )
+    n_at_risk = sum(r.d + r.c for r in table)
+    s, out = KM_SCALE, []
+    for r in table:
+        s = s * (n_at_risk - r.d) // n_at_risk
+        out.append((r.t, n_at_risk, r.d, r.c, s))
+        n_at_risk -= r.d + r.c
+    km = spark.createDataFrame(
+        out,
+        "t_days long, n_at_risk long, n_churned long, n_censored long, "
+        "survival_fp long",
+    )
+    # the reported probability rounds ENGINE-side (Spark round ==
+    # DuckDB round on doubles, the repo-wide convention), not in
+    # python, whose banker's round is a different function
+    return km.withColumn(
+        "survival",
+        F.round(F.col("survival_fp") / F.lit(float(KM_SCALE)), 6),
+    )

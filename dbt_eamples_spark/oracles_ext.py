@@ -3532,3 +3532,59 @@ def _seasonal_decompose_oracle_sql() -> str:
 
 
 EXT_ORACLES["ts_seasonal_decompose"] = _seasonal_decompose_oracle_sql()
+
+
+def _survival_km_oracle_sql() -> str:
+    """Mirror of behavior.events_survival_km: per-user spans, the
+    lifetime step table, and the KM product stepped as a recursive
+    CTE — HUGEINT products give the identical exact floor the
+    python big-int fold computes."""
+    from dbt_eamples_spark.operators.behavior import (
+        KM_CENSOR_GAP_DAYS,
+        KM_SCALE,
+    )
+
+    return f"""
+        WITH RECURSIVE spans AS (
+            SELECT user_id,
+                   CAST(date_trunc('day', min(ts)) AS DATE) AS first_day,
+                   CAST(date_trunc('day', max(ts)) AS DATE) AS last_day
+            FROM events GROUP BY user_id
+        ),
+        oe AS (SELECT max(last_day) AS obs_end FROM spans),
+        life AS (
+            SELECT CAST(last_day - first_day AS BIGINT) AS t,
+                   (obs_end - last_day) < {KM_CENSOR_GAP_DAYS} AS censored
+            FROM spans, oe
+        ),
+        tab AS (
+            SELECT t,
+                   CAST(SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END)
+                        AS BIGINT) AS d,
+                   CAST(SUM(CASE WHEN censored THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c,
+                   row_number() OVER (ORDER BY t) AS rn
+            FROM life GROUP BY t
+        ),
+        tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS n0 FROM tab),
+        r AS (
+            SELECT tab.t, tab.d, tab.c, tab.rn, tot.n0 AS n_at_risk,
+                   CAST((CAST({KM_SCALE} AS HUGEINT) * (tot.n0 - tab.d))
+                        // tot.n0 AS BIGINT) AS s
+            FROM tab, tot WHERE tab.rn = 1
+            UNION ALL
+            SELECT tb.t, tb.d, tb.c, tb.rn,
+                   r.n_at_risk - r.d - r.c,
+                   CAST((CAST(r.s AS HUGEINT)
+                         * (r.n_at_risk - r.d - r.c - tb.d))
+                        // (r.n_at_risk - r.d - r.c) AS BIGINT)
+            FROM r JOIN tab tb ON tb.rn = r.rn + 1
+        )
+        SELECT t AS t_days, n_at_risk, d AS n_churned, c AS n_censored,
+               s AS survival_fp,
+               round(s / {float(KM_SCALE)}, 6) AS survival
+        FROM r
+    """
+
+
+EXT_ORACLES["events_survival_km"] = _survival_km_oracle_sql()

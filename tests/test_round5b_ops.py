@@ -322,3 +322,65 @@ class TestStreamingTwins:
             + batch.exceptAll(streamed).count()
         )
         assert diff == 0 and batch.count() > 0
+
+
+# ---- Kaplan-Meier -----------------------------------------------------------
+def _km_reference(sf_dir: str):
+    from dbt_eamples_spark.operators.behavior import (
+        KM_CENSOR_GAP_DAYS,
+        KM_SCALE,
+    )
+
+    con = duckdb.connect()
+    spans = con.execute(
+        "SELECT CAST(max(ts) AS DATE) - CAST(min(ts) AS DATE) AS t, "
+        "CAST(max(ts) AS DATE) AS last_day FROM "
+        f"read_parquet('{sf_dir}/events.parquet') GROUP BY user_id"
+    ).fetchall()
+    obs_end = max(r[1] for r in spans)
+    tab = defaultdict(lambda: [0, 0])
+    for t, last in spans:
+        censored = (obs_end - last).days < KM_CENSOR_GAP_DAYS
+        tab[t][1 if censored else 0] += 1
+    n = len(spans)
+    s, out = KM_SCALE, []
+    for t in sorted(tab):
+        d, c = tab[t]
+        s = s * (n - d) // n
+        out.append((t, n, d, c, s))
+        n -= d + c
+    return out
+
+
+def test_km_matches_pure_python_bit_for_bit(spark, sf_dir):
+    from dbt_eamples_spark.operators.behavior import events_survival_km
+
+    got = sorted(
+        (r.t_days, r.n_at_risk, r.n_churned, r.n_censored, r.survival_fp)
+        for r in events_survival_km(spark, sf_dir).collect()
+    )
+    assert got == _km_reference(sf_dir)
+
+
+def test_km_curve_invariants(spark, sf_dir):
+    from dbt_eamples_spark.operators.behavior import KM_SCALE
+    from dbt_eamples_spark.operators.behavior import events_survival_km
+
+    rows = sorted(
+        events_survival_km(spark, sf_dir).collect(),
+        key=lambda r: r.t_days,
+    )
+    assert rows
+    prev_s, prev_n = KM_SCALE, None
+    for r in rows:
+        # survival is a non-increasing probability
+        assert 0 <= r.survival_fp <= prev_s
+        prev_s = r.survival_fp
+        # the risk set shrinks by exactly the exits of the prior step
+        if prev_n is not None:
+            assert r.n_at_risk == prev_n
+        prev_n = r.n_at_risk - r.n_churned - r.n_censored
+        # censored users never decrease survival on their own
+        if r.n_churned == 0:
+            assert r.survival_fp == (rows[rows.index(r) - 1].survival_fp
+                                     if rows.index(r) else KM_SCALE)
