@@ -192,6 +192,7 @@ _R5_PRIORITY = [
     "events_changepoint_cusum",
     "ts_seasonal_decompose",
     "events_survival_km",
+    "similarity_mmr_topk",
     "doc_winnow_fingerprint",
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -313,6 +314,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_seasonal_decompose": B.ts_seasonal_decompose,
         # Kaplan-Meier user-lifetime survival (censoring-aware churn)
         "events_survival_km": B.events_survival_km,
+        # diversity-aware rerank: maximal marginal relevance top-k
+        "similarity_mmr_topk": V.similarity_mmr_topk,
         # --- never driver-checked in rounds 1-2: run these first ---
         # long->wide with pinned pivot domain (no discovery job)
         "metric_pivot": R.metric_pivot,

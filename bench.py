@@ -146,6 +146,7 @@ HEADLINE = [
     "events_changepoint_cusum",
     "ts_seasonal_decompose",
     "events_survival_km",
+    "similarity_mmr_topk",
 ]
 
 

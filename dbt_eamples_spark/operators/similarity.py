@@ -1604,3 +1604,120 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") < F.col("dst"))
         .select(F.col("src").alias("a"), F.col("dst").alias("b"), "cosine")
     )
+
+
+# ---- maximal marginal relevance ---------------------------------------------
+MMR_K = 5
+MMR_SHORTLIST = 20  # relevance shortlist the reranker diversifies
+
+
+def similarity_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware top-k: maximal marginal relevance (Carbonell
+    & Goldstein 1998) at lambda = 1/2 over the exact-cosine
+    shortlist — pick the most relevant candidate first, then
+    repeatedly the one maximizing relevance MINUS similarity to the
+    already-picked set. The rerank a retrieval pipeline runs so
+    near-duplicate passages don't fill the whole context window.
+
+    Determinism: relevance and candidate-pair similarities are the
+    repo's engine-exact rounded cosines; lambda = 1/2 makes the
+    selection score 0.5*rel - 0.5*max_sim — two exact dyadic
+    products and one subtraction, so the per-step argmax (ties to
+    the lower neighbor_id) is bit-stable in any engine. The DuckDB
+    oracle unrolls the same K selection stages.
+
+    Scale shape: the corpus-sized work is exactly the brute scorer's
+    (one broadcast-query pass + local top-k cut); everything after
+    operates on |Q| x SHORTLIST rows — pair sims are
+    |Q| x SHORTLIST^2 (bounded), and each of the K-1 selection
+    steps is a bounded-frame argmax with a localCheckpoint keeping
+    the loop lineage flat. Swap the brute shortlist for the IVFPQ
+    shortlist at 100 TB; the MMR stage is shortlist-bounded either
+    way."""
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id", _as_double_vec(F.col("embedding")).alias("vec")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    scored = emb.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(_cosine(F.col("qvec"), F.col("vec")), 6).alias("cosine"),
+    )
+    sl = (
+        _topk(scored, MMR_SHORTLIST)
+        .withColumnRenamed("cosine", "rel")
+        .join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "vec"),
+            "neighbor_id",
+        )
+        .localCheckpoint(eager=True)  # |Q| x SHORTLIST rows
+    )
+    s2 = sl.select(
+        "query_id",
+        F.col("neighbor_id").alias("b"),
+        F.col("vec").alias("bvec"),
+    )
+    sims = (
+        sl.select(
+            "query_id", F.col("neighbor_id").alias("a"), "vec"
+        )
+        .join(s2, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "query_id",
+            "a",
+            "b",
+            F.round(_cosine(F.col("vec"), F.col("bvec")), 6).alias("sim"),
+        )
+        .localCheckpoint(eager=True)  # |Q| x SHORTLIST^2 rows
+    )
+    result = sl.filter(F.col("rk") == 1).select(
+        "query_id",
+        F.lit(1).alias("rank"),
+        "neighbor_id",
+        "rel",
+        F.lit(None).cast("double").alias("max_sim_selected"),
+        F.lit(None).cast("double").alias("mmr_score"),
+    )
+    selected = result.select("query_id", "neighbor_id")
+    for i in range(2, MMR_K + 1):
+        cands = sl.join(
+            selected, ["query_id", "neighbor_id"], "left_anti"
+        ).select("query_id", "neighbor_id", "rel")
+        ms = (
+            sims.join(
+                selected.select(
+                    "query_id", F.col("neighbor_id").alias("b")
+                ),
+                ["query_id", "b"],
+            )
+            .groupBy("query_id", F.col("a").alias("neighbor_id"))
+            .agg(F.max("sim").alias("ms"))
+        )
+        score = F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.col("ms")
+        w = Window.partitionBy("query_id").orderBy(
+            score.desc(), F.asc("neighbor_id")
+        )
+        pick = (
+            cands.join(ms, ["query_id", "neighbor_id"])
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                F.lit(i).alias("rank"),
+                "neighbor_id",
+                "rel",
+                F.col("ms").alias("max_sim_selected"),
+                F.round(score, 6).alias("mmr_score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        result = result.unionByName(pick)
+        selected = selected.unionByName(
+            pick.select("query_id", "neighbor_id")
+        ).localCheckpoint(eager=True)
+    return result

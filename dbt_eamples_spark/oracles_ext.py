@@ -3588,3 +3588,99 @@ def _survival_km_oracle_sql() -> str:
 
 
 EXT_ORACLES["events_survival_km"] = _survival_km_oracle_sql()
+
+
+def _mmr_oracle_sql() -> str:
+    """Mirror of similarity.similarity_mmr_topk: the exact-cosine
+    shortlist, the shortlist-pair similarity table, and the K
+    greedy selection stages unrolled (each: max-sim-to-selected per
+    remaining candidate, argmax of 0.5*rel - 0.5*ms with the
+    neighbor_id tie-break)."""
+    from dbt_eamples_spark.operators.similarity import (
+        MMR_K,
+        MMR_SHORTLIST,
+        N_QUERIES,
+    )
+
+    stages = ""
+    sel_union = "SELECT query_id, neighbor_id FROM sel1"
+    for i in range(2, MMR_K + 1):
+        stages += f""",
+        sel{i} AS MATERIALIZED (
+            SELECT query_id, {i} AS rank, neighbor_id, rel,
+                   ms AS max_sim_selected,
+                   round(0.5*rel - 0.5*ms, 6) AS mmr_score
+            FROM (
+                SELECT c.query_id, c.neighbor_id, c.rel, m.ms,
+                       row_number() OVER (
+                           PARTITION BY c.query_id
+                           ORDER BY 0.5*c.rel - 0.5*m.ms DESC,
+                                    c.neighbor_id
+                       ) AS rn
+                FROM short c
+                JOIN (
+                    SELECT s.query_id, s.a AS neighbor_id,
+                           MAX(s.sim) AS ms
+                    FROM sims s
+                    JOIN ({sel_union}) p
+                      ON s.query_id = p.query_id
+                     AND s.b = p.neighbor_id
+                    GROUP BY s.query_id, s.a
+                ) m ON c.query_id = m.query_id
+                   AND c.neighbor_id = m.neighbor_id
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM ({sel_union}) p2
+                    WHERE p2.query_id = c.query_id
+                      AND p2.neighbor_id = c.neighbor_id
+                )
+            ) WHERE rn = 1
+        )"""
+        sel_union += (
+            f" UNION ALL SELECT query_id, neighbor_id FROM sel{i}"
+        )
+    finals = " UNION ALL ".join(
+        [
+            "SELECT query_id, 1 AS rank, neighbor_id, rel, "
+            "CAST(NULL AS DOUBLE) AS max_sim_selected, "
+            "CAST(NULL AS DOUBLE) AS mmr_score FROM sel1"
+        ]
+        + [f"SELECT * FROM sel{i}" for i in range(2, MMR_K + 1)]
+    )
+    return f"""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> x::DOUBLE) AS vec
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS query_id, vec AS qvec FROM v
+              WHERE vec_id < {N_QUERIES}),
+        short AS MATERIALIZED (
+            SELECT query_id, neighbor_id, rel, rk FROM (
+                SELECT query_id, v.vec_id AS neighbor_id,
+                       round({_cos('qvec', 'v.vec')}, 6) AS rel,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY round({_cos('qvec', 'v.vec')}, 6)
+                                    DESC, v.vec_id ASC
+                       ) AS rk
+                FROM v JOIN q ON v.vec_id != q.query_id
+            ) WHERE rk <= {MMR_SHORTLIST}
+        ),
+        sims AS MATERIALIZED (
+            SELECT s1.query_id, s1.neighbor_id AS a,
+                   s2.neighbor_id AS b,
+                   round({_cos('v1.vec', 'v2.vec')}, 6) AS sim
+            FROM short s1
+            JOIN short s2 ON s1.query_id = s2.query_id
+                         AND s1.neighbor_id != s2.neighbor_id
+            JOIN v v1 ON v1.vec_id = s1.neighbor_id
+            JOIN v v2 ON v2.vec_id = s2.neighbor_id
+        ),
+        sel1 AS (
+            SELECT query_id, neighbor_id, rel FROM short WHERE rk = 1
+        ){stages}
+        SELECT * FROM ({finals})
+    """
+
+
+EXT_ORACLES["similarity_mmr_topk"] = _mmr_oracle_sql()

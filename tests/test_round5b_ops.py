@@ -384,3 +384,112 @@ def test_km_curve_invariants(spark, sf_dir):
         if r.n_churned == 0:
             assert r.survival_fp == (rows[rows.index(r) - 1].survival_fp
                                      if rows.index(r) else KM_SCALE)
+
+
+# ---- MMR --------------------------------------------------------------------
+def _mmr_reference(sf_dir: str):
+    """Pure-python MMR with the SAME sequential-fold cosine and
+    round(6) the engines use."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from dbt_eamples_spark.operators.similarity import (
+        MMR_K,
+        MMR_SHORTLIST,
+        N_QUERIES,
+    )
+
+    def round6(x):
+        """Engine round: HALF_UP on the double's shortest decimal
+        repr (Spark/DuckDB semantics; python's round() banker's-
+        rounds the binary value — off by 1ulp at tie digits)."""
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    con = duckdb.connect()
+    vecs = {
+        vid: [float(x) for x in v]
+        for vid, v in con.execute(
+            "SELECT vec_id, embedding FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        ).fetchall()
+    }
+
+    def cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot = dot + x * y
+        na = nb = 0.0
+        for x in a:
+            na = na + x * x
+        for y in b:
+            nb = nb + y * y
+        return round6(dot / (math.sqrt(na) * math.sqrt(nb)))
+
+    out = []
+    for qid in range(N_QUERIES):
+        rel = {
+            vid: cos(vecs[qid], v)
+            for vid, v in vecs.items()
+            if vid != qid
+        }
+        short = sorted(rel, key=lambda v: (-rel[v], v))[:MMR_SHORTLIST]
+        sel = [short[0]]
+        out.append((qid, 1, short[0], rel[short[0]], None, None))
+        for rank in range(2, MMR_K + 1):
+            best = None
+            for c in short:
+                if c in sel:
+                    continue
+                ms = max(cos(vecs[c], vecs[s]) for s in sel)
+                score = 0.5 * rel[c] - 0.5 * ms
+                key = (-score, c)
+                if best is None or key < best[0]:
+                    best = (key, c, ms, score)
+            _, c, ms, score = best
+            sel.append(c)
+            out.append((qid, rank, c, rel[c], ms, round6(score)))
+    return sorted(out)
+
+
+def test_mmr_matches_pure_python(spark, sf_dir):
+    from dbt_eamples_spark.operators.similarity import similarity_mmr_topk
+
+    got = sorted(
+        (
+            r.query_id,
+            r.rank,
+            r.neighbor_id,
+            r.rel,
+            r.max_sim_selected,
+            r.mmr_score,
+        )
+        for r in similarity_mmr_topk(spark, sf_dir).collect()
+    )
+    assert got == _mmr_reference(sf_dir)
+
+
+def test_mmr_first_pick_is_pure_relevance(spark, sf_dir):
+    from dbt_eamples_spark.operators.similarity import (
+        MMR_K,
+        similarity_mmr_topk,
+        similarity_topk,
+    )
+
+    mmr = similarity_mmr_topk(spark, sf_dir).collect()
+    top = {
+        r.query_id: r.neighbor_id
+        for r in similarity_topk(spark, sf_dir).collect()
+        if r.rk == 1
+    }
+    by_q = defaultdict(set)
+    for r in mmr:
+        by_q[r.query_id].add(r.neighbor_id)
+        if r.rank == 1:
+            assert r.neighbor_id == top[r.query_id]
+            assert r.mmr_score is None and r.max_sim_selected is None
+    for q, picks in by_q.items():
+        assert len(picks) == MMR_K  # K distinct selections
