@@ -193,6 +193,9 @@ _R5_PRIORITY = [
     "ts_seasonal_decompose",
     "events_survival_km",
     "similarity_mmr_topk",
+    "similarity_hard_negatives",
+    "text_readability",
+    "ts_holt_linear",
     "doc_winnow_fingerprint",
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -316,6 +319,12 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_survival_km": B.events_survival_km,
         # diversity-aware rerank: maximal marginal relevance top-k
         "similarity_mmr_topk": V.similarity_mmr_topk,
+        # contrastive hard-negative mining with positive-margin audit
+        "similarity_hard_negatives": V.similarity_hard_negatives,
+        # Flesch / Flesch-Kincaid readability band scores
+        "text_readability": T.text_readability,
+        # Holt double-exponential smoothing + next-step forecast
+        "ts_holt_linear": B.ts_holt_linear,
         # --- never driver-checked in rounds 1-2: run these first ---
         # long->wide with pinned pivot domain (no discovery job)
         "metric_pivot": R.metric_pivot,

@@ -147,6 +147,9 @@ HEADLINE = [
     "ts_seasonal_decompose",
     "events_survival_km",
     "similarity_mmr_topk",
+    "similarity_hard_negatives",
+    "text_readability",
+    "ts_holt_linear",
 ]
 
 

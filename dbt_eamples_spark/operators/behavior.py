@@ -1309,3 +1309,91 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         "survival",
         F.round(F.col("survival_fp") / F.lit(float(KM_SCALE)), 6),
     )
+
+
+# ---- Holt linear-trend smoothing --------------------------------------------
+HOLT_SCALE = 10**6  # fixed-point level/trend state
+
+
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing of the
+    daily event count per type at alpha = beta = 1/4 — the
+    next-step forecaster the EWMA can't be when a series TRENDS
+    (an EWMA lags a ramp forever; Holt's trend state closes the
+    gap). Forecast = level + trend, the capacity-planning number.
+
+        L_1 = x_1 * S;  B_1 = 0
+        L_t = (x_t * S + 3 * (L + B)) >> 2
+        B_t = ((L_t - L) + 3 * B) >> 2
+
+    Engine-exact contract: both states are BIGINT at ``HOLT_SCALE``
+    and every step is a FLOOR division by 4 — arithmetic shiftright
+    in Spark, ``//`` in DuckDB and python, identical on NEGATIVE
+    trend values too (all three floor). Same plan shape as
+    ts_ewma_smooth: one daily-rollup shuffle, in-row fold over the
+    calendar-bounded series, recursive-CTE oracle."""
+    ev = load_table(spark, sf_dir, "events", parallelize=True)
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "n_events"))).alias("xs")
+    )
+    acc0 = F.struct(
+        F.expr(
+            "CAST(array() AS ARRAY<STRUCT<day: DATE, n_events: BIGINT, "
+            "l: BIGINT, b: BIGINT>>)"
+        ).alias("out"),
+        F.lit(0).cast("long").alias("l"),
+        F.lit(0).cast("long").alias("b"),
+        F.lit(False).alias("started"),
+    )
+
+    def step(acc, x):
+        l1 = F.when(
+            ~acc["started"], x["n_events"] * HOLT_SCALE
+        ).otherwise(
+            F.shiftright(
+                x["n_events"] * HOLT_SCALE + 3 * (acc["l"] + acc["b"]), 2
+            )
+        )
+        b1 = F.when(~acc["started"], F.lit(0).cast("long")).otherwise(
+            F.shiftright((l1 - acc["l"]) + 3 * acc["b"], 2)
+        )
+        return F.struct(
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        x["day"].alias("day"),
+                        x["n_events"].alias("n_events"),
+                        l1.alias("l"),
+                        b1.alias("b"),
+                    )
+                ),
+            ).alias("out"),
+            l1.alias("l"),
+            b1.alias("b"),
+            F.lit(True).alias("started"),
+        )
+
+    folded = series.select(
+        "event_type",
+        F.explode(
+            F.aggregate("xs", acc0, step, lambda a: a["out"])
+        ).alias("r"),
+    )
+    sc = F.lit(float(HOLT_SCALE))
+    return folded.select(
+        "event_type",
+        F.date_format("r.day", "yyyy-MM-dd").alias("day"),
+        F.col("r.n_events").alias("n_events"),
+        F.col("r.l").alias("level_fp"),
+        F.col("r.b").alias("trend_fp"),
+        F.round(F.col("r.l") / sc, 6).alias("level"),
+        F.round(F.col("r.b") / sc, 6).alias("trend"),
+        F.round((F.col("r.l") + F.col("r.b")) / sc, 6).alias(
+            "forecast_next"
+        ),
+    )

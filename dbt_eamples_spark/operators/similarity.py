@@ -1721,3 +1721,79 @@ def similarity_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             pick.select("query_id", "neighbor_id")
         ).localCheckpoint(eager=True)
     return result
+
+
+# ---- contrastive hard-negative mining ---------------------------------------
+HARD_NEG_K = 5
+
+
+def similarity_hard_negatives(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-k most-similar vectors with a DIFFERENT label —
+    the negatives that actually teach an embedding model (random
+    negatives are trivially separable; in-batch negatives miss the
+    near-boundary cases). The margin column (query's own-label best
+    similarity minus the negative's) measures how hard each negative
+    is: near-zero or negative margin = boundary case.
+
+    Plan: the brute scorer's single broadcast-query corpus pass with
+    the label inequality fused into the join condition (no second
+    pass for the filter); the positive-best side is the SAME scored
+    pass filtered to equal labels, cut to 1 row per query — both
+    sides reuse one scoring subtree at fixture scale, and the local
+    top-k cut keeps the shuffle at |Q|·partitions·k rows (the
+    similarity_topk two-phase argument). Swap in the IVFPQ shortlist
+    at 100 TB, as with MMR."""
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id", "label", _as_double_vec(F.col("embedding")).alias("vec")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("vec").alias("qvec"),
+    )
+    scored = emb.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "qlabel",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.round(_cosine(F.col("qvec"), F.col("vec")), 6).alias("cosine"),
+    ).localCheckpoint(eager=True)
+    negs = _topk(
+        scored.filter(F.col("neighbor_label") != F.col("qlabel")).select(
+            "query_id", "neighbor_id", "cosine"
+        ),
+        HARD_NEG_K,
+    )
+    best_pos = (
+        scored.filter(F.col("neighbor_label") == F.col("qlabel"))
+        .groupBy("query_id")
+        .agg(F.max("cosine").alias("best_pos_cosine"))
+    )
+    labels = scored.select("query_id", "qlabel").distinct()
+    neg_labels = scored.select(
+        "query_id",
+        F.col("neighbor_id"),
+        F.col("neighbor_label"),
+    )
+    return (
+        negs.join(F.broadcast(labels), "query_id")
+        .join(F.broadcast(neg_labels), ["query_id", "neighbor_id"])
+        .join(F.broadcast(best_pos), "query_id", "left")
+        .select(
+            "query_id",
+            "qlabel",
+            "rk",
+            "neighbor_id",
+            "neighbor_label",
+            "cosine",
+            "best_pos_cosine",
+            F.round(
+                F.col("best_pos_cosine") - F.col("cosine"), 6
+            ).alias("margin"),
+        )
+    )

@@ -1029,3 +1029,72 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_chars_nws") / F.col("n_bpe_tokens"), 6),
         ).alias("chars_per_token"),
     )
+
+
+# ---- readability scoring ----------------------------------------------------
+
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade per document
+    (Kincaid 1975) — the readability band filter corpus curation
+    pipelines cut on (too-simple boilerplate below, OCR soup above).
+
+    Heuristics, stated exactly so both engines agree: sentences =
+    max(1, number of [.!?]+ punctuation runs); words = whitespace
+    tokens containing at least one ascii letter (lowercased);
+    syllables(word) = max(1, number of [aeiouy]+ vowel groups) —
+    the standard vowel-group approximation, no silent-e rule (a
+    documented simplification; the scores shift by a small constant
+    vs dictionary syllabifiers, which a band filter re-centers).
+
+    Determinism: the formulas chain float ops, so BOTH engines
+    evaluate the IDENTICAL expression tree over exact integer
+    inputs — every product/difference is the same IEEE op sequence,
+    hence bit-stable; round(6) at the end only.
+
+    Plan: pure narrow map (regex counting inside a per-row
+    fold; zero shuffles, scan-bound) — the text_quality_score
+    shape."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    words = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"),
+        lambda t: t.rlike("[a-z]"),
+    )
+    d = docs.select(
+        "doc_id",
+        F.greatest(
+            F.lit(1), F.regexp_count(F.col("text"), F.lit(r"[.!?]+"))
+        )
+        .cast("long")
+        .alias("n_sentences"),
+        F.size(words).cast("long").alias("n_words"),
+        F.aggregate(
+            words,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc
+            + F.greatest(
+                F.lit(1), F.regexp_count(t, F.lit("[aeiouy]+"))
+            ),
+        ).alias("n_syllables"),
+    )
+    wps = F.col("n_words") / F.col("n_sentences")
+    spw = F.col("n_syllables") / F.col("n_words")
+    return d.select(
+        "doc_id",
+        "n_sentences",
+        "n_words",
+        "n_syllables",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(
+                F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw,
+                6,
+            ),
+        ).alias("flesch_ease"),
+        F.when(
+            F.col("n_words") > 0,
+            F.round(
+                F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
+            ),
+        ).alias("fk_grade"),
+    )

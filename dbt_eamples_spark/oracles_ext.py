@@ -3684,3 +3684,142 @@ def _mmr_oracle_sql() -> str:
 
 
 EXT_ORACLES["similarity_mmr_topk"] = _mmr_oracle_sql()
+
+
+def _hard_negatives_oracle_sql() -> str:
+    """Mirror of similarity.similarity_hard_negatives: one scored
+    pass, label-split into the negative top-k and the best-positive
+    margin anchor."""
+    from dbt_eamples_spark.operators.similarity import (
+        HARD_NEG_K,
+        N_QUERIES,
+    )
+
+    return f"""
+        WITH v AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> x::DOUBLE) AS vec
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS query_id, label AS qlabel, vec AS qvec
+              FROM v WHERE vec_id < {N_QUERIES}),
+        scored AS MATERIALIZED (
+            SELECT query_id, qlabel, v.vec_id AS neighbor_id,
+                   v.label AS neighbor_label,
+                   round({_cos('qvec', 'v.vec')}, 6) AS cosine
+            FROM v JOIN q ON v.vec_id != q.query_id
+        ),
+        negs AS (
+            SELECT query_id, neighbor_id, cosine, rk FROM (
+                SELECT query_id, neighbor_id, cosine,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC
+                       ) AS rk
+                FROM scored WHERE neighbor_label != qlabel
+            ) WHERE rk <= {HARD_NEG_K}
+        ),
+        bp AS (
+            SELECT query_id, MAX(cosine) AS best_pos_cosine
+            FROM scored WHERE neighbor_label = qlabel
+            GROUP BY query_id
+        )
+        SELECT n.query_id, s.qlabel, n.rk, n.neighbor_id,
+               s.neighbor_label, n.cosine, bp.best_pos_cosine,
+               round(bp.best_pos_cosine - n.cosine, 6) AS margin
+        FROM negs n
+        JOIN scored s ON s.query_id = n.query_id
+                     AND s.neighbor_id = n.neighbor_id
+        LEFT JOIN bp ON bp.query_id = n.query_id
+    """
+
+
+EXT_ORACLES["similarity_hard_negatives"] = _hard_negatives_oracle_sql()
+
+
+EXT_ORACLES["text_readability"] = r"""
+    WITH d AS (
+        SELECT doc_id,
+               greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+                               AS BIGINT)) AS n_sentences,
+               CAST(len(w) AS BIGINT) AS n_words,
+               CAST(coalesce(list_sum(list_transform(w, t ->
+                    greatest(1, len(regexp_extract_all(t, '[aeiouy]+'))))),
+                    0) AS BIGINT) AS n_syllables
+        FROM (
+            SELECT doc_id, text,
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                               t -> regexp_matches(t, '[a-z]')) AS w
+            FROM documents
+        )
+    )
+    SELECT doc_id, n_sentences, n_words, n_syllables,
+           CASE WHEN n_words > 0 THEN
+               round(206.835 - 1.015 * (n_words / n_sentences)
+                     - 84.6 * (n_syllables / n_words), 6)
+           END AS flesch_ease,
+           CASE WHEN n_words > 0 THEN
+               round(0.39 * (n_words / n_sentences)
+                     + 11.8 * (n_syllables / n_words) - 15.59, 6)
+           END AS fk_grade
+    FROM d
+"""
+
+
+def _holt_oracle_sql() -> str:
+    """Mirror of behavior.ts_holt_linear: the same two-state integer
+    recurrence as a recursive CTE (``//`` floors like the Spark
+    arithmetic shiftright, including on negative trends)."""
+    from dbt_eamples_spark.operators.behavior import HOLT_SCALE
+
+    return f"""
+        WITH RECURSIVE daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        seq AS (
+            SELECT event_type, day, n_events,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY day
+                   ) AS rn
+            FROM daily
+        ),
+        r AS (
+            SELECT event_type, day, n_events, rn,
+                   CAST(n_events * {HOLT_SCALE} AS BIGINT) AS l,
+                   CAST(0 AS BIGINT) AS b
+            FROM seq WHERE rn = 1
+            UNION ALL
+            -- DuckDB's integer // TRUNCATES toward zero; the Spark
+            -- shiftright FLOORS — the CASE terms floor-correct the
+            -- (possibly negative) trend numerators
+            SELECT s.event_type, s.day, s.n_events, s.rn, nl.l,
+                   CAST((nb.x // 4
+                         - CASE WHEN nb.x < 0 AND nb.x % 4 <> 0
+                                THEN 1 ELSE 0 END) AS BIGINT)
+            FROM r
+            JOIN seq s
+              ON s.event_type = r.event_type AND s.rn = r.rn + 1
+            CROSS JOIN LATERAL (
+                SELECT s.n_events * {HOLT_SCALE} + 3 * (r.l + r.b) AS x
+            ) nx
+            CROSS JOIN LATERAL (
+                SELECT CAST((nx.x // 4
+                             - CASE WHEN nx.x < 0 AND nx.x % 4 <> 0
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS l
+            ) nl
+            CROSS JOIN LATERAL (
+                SELECT (nl.l - r.l) + 3 * r.b AS x
+            ) nb
+        )
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_events,
+               l AS level_fp, b AS trend_fp,
+               round(l / {float(HOLT_SCALE)}, 6) AS level,
+               round(b / {float(HOLT_SCALE)}, 6) AS trend,
+               round((l + b) / {float(HOLT_SCALE)}, 6) AS forecast_next
+        FROM r
+    """
+
+
+EXT_ORACLES["ts_holt_linear"] = _holt_oracle_sql()

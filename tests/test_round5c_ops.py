@@ -1,0 +1,163 @@
+"""Round-5 third wave: hard-negative mining, readability scoring,
+Holt linear-trend smoothing. Pure-python cross-checks + the
+structural invariants (the test_round5b_ops pattern)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import duckdb
+
+from dbt_eamples_spark.operators.behavior import (
+    HOLT_SCALE,
+    ts_holt_linear,
+)
+from dbt_eamples_spark.operators.similarity import (
+    HARD_NEG_K,
+    similarity_hard_negatives,
+)
+from dbt_eamples_spark.operators.text import text_readability
+
+
+# ---- hard negatives ---------------------------------------------------------
+def test_hard_negatives_invariants(spark, sf_dir):
+    rows = similarity_hard_negatives(spark, sf_dir).collect()
+    by_q = defaultdict(list)
+    for r in rows:
+        assert r.neighbor_label != r.qlabel  # negatives only
+        by_q[r.query_id].append(r)
+    assert by_q
+    for picks in by_q.values():
+        assert len(picks) == HARD_NEG_K
+        picks.sort(key=lambda r: r.rk)
+        cos = [r.cosine for r in picks]
+        assert cos == sorted(cos, reverse=True)
+        for r in picks:
+            if r.best_pos_cosine is not None:
+                # margin is exactly the rounded difference
+                assert abs(
+                    r.margin - round(r.best_pos_cosine - r.cosine, 6)
+                ) < 2e-6
+
+
+def test_hard_negatives_are_the_top_cross_label_cosines(spark, sf_dir):
+    """The picked negatives must dominate every unpicked cross-label
+    candidate — checked against the brute scorer's own output."""
+    from dbt_eamples_spark.operators.similarity import (
+        N_QUERIES,
+        _as_double_vec,
+        _cosine,
+    )
+    from dbt_eamples_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double_vec(F.col("embedding")).alias("vec")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("vec").alias("qvec"),
+    )
+    all_scores = defaultdict(dict)
+    for r in (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_cosine(F.col("qvec"), F.col("vec")), 6).alias("c"),
+        )
+        .collect()
+    ):
+        all_scores[r.query_id][r.neighbor_id] = r.c
+    picks = defaultdict(set)
+    for r in similarity_hard_negatives(spark, sf_dir).collect():
+        picks[r.query_id].add((r.neighbor_id, r.cosine))
+    for qid, chosen in picks.items():
+        floor = min(c for _, c in chosen)
+        chosen_ids = {n for n, _ in chosen}
+        for nid, c in all_scores[qid].items():
+            if nid not in chosen_ids:
+                assert c <= floor
+
+
+# ---- readability ------------------------------------------------------------
+def test_readability_counts_match_pure_python(spark, sf_dir):
+    import re
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    want = {}
+    for doc_id, text in docs:
+        ns = max(1, len(re.findall(r"[.!?]+", text)))
+        words = [
+            t
+            for t in re.split(r"\s+", text.lower())
+            if t and re.search("[a-z]", t)
+        ]
+        sy = sum(
+            max(1, len(re.findall("[aeiouy]+", w))) for w in words
+        )
+        want[doc_id] = (ns, len(words), sy)
+    got = {
+        r.doc_id: (r.n_sentences, r.n_words, r.n_syllables)
+        for r in text_readability(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_readability_bands_are_sane(spark, sf_dir):
+    rows = text_readability(spark, sf_dir).collect()
+    scored = [r for r in rows if r.flesch_ease is not None]
+    assert scored
+    for r in scored:
+        assert r.n_syllables >= r.n_words  # >= 1 syllable per word
+        # synthetic prose lands in a plausible band, not at infinity
+        assert -200 < r.flesch_ease <= 121.22  # theoretical max
+        assert -16 < r.fk_grade < 60
+
+
+# ---- Holt -------------------------------------------------------------------
+def _holt_reference(sf_dir: str):
+    con = duckdb.connect()
+    daily = con.execute(
+        "SELECT event_type, strftime(CAST(date_trunc('day', ts) AS DATE),"
+        " '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) FROM "
+        f"read_parquet('{sf_dir}/events.parquet') GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    state = {}
+    out = {}
+    for et, day, n in daily:
+        if et not in state:
+            l, b = n * HOLT_SCALE, 0
+        else:
+            pl, pb = state[et]
+            l = (n * HOLT_SCALE + 3 * (pl + pb)) // 4  # python floors
+            b = ((l - pl) + 3 * pb) // 4
+        state[et] = (l, b)
+        out[(et, day)] = (n, l, b)
+    return out
+
+
+def test_holt_matches_pure_python_bit_for_bit(spark, sf_dir):
+    got = {
+        (r.event_type, r.day): (r.n_events, r.level_fp, r.trend_fp)
+        for r in ts_holt_linear(spark, sf_dir).collect()
+    }
+    assert got == _holt_reference(sf_dir)
+
+
+def test_holt_tracks_a_ramp_where_ewma_lags(spark, sf_dir):
+    """On any locally-trending stretch the forecast uses the trend
+    state; structurally, forecast_next = level + trend exactly."""
+    for r in ts_holt_linear(spark, sf_dir).collect():
+        assert (
+            abs(
+                r.forecast_next
+                - round((r.level_fp + r.trend_fp) / float(HOLT_SCALE), 6)
+            )
+            < 2e-6
+        )
