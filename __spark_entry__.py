@@ -26,6 +26,7 @@ from dbt_eamples_spark.operators import sampling as S
 from dbt_eamples_spark.operators.asof import join_asof
 from dbt_eamples_spark.operators.bloom import join_bloom_prefilter
 from dbt_eamples_spark.operators.graph import (
+    graph_link_prediction,
     graph_pagerank_topk,
     graph_pagerank_weighted,
     graph_triangle_count,
@@ -196,6 +197,8 @@ _R5_PRIORITY = [
     "similarity_hard_negatives",
     "text_readability",
     "ts_holt_linear",
+    "graph_link_prediction",
+    "events_cohort_ltv",
     "doc_winnow_fingerprint",
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -325,6 +328,10 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_readability": T.text_readability,
         # Holt double-exponential smoothing + next-step forecast
         "ts_holt_linear": B.ts_holt_linear,
+        # Jaccard-overlap link prediction over the co-purchase graph
+        "graph_link_prediction": graph_link_prediction,
+        # cohort payback curve: cumulative LTV per acquisition day
+        "events_cohort_ltv": B.events_cohort_ltv,
         # --- never driver-checked in rounds 1-2: run these first ---
         # long->wide with pinned pivot domain (no discovery job)
         "metric_pivot": R.metric_pivot,

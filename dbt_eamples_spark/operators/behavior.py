@@ -1397,3 +1397,62 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_next"
         ),
     )
+
+
+# ---- cohort lifetime value --------------------------------------------------
+
+
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime value per daily cohort: users grouped by
+    first active day; for each cohort age, active users, that day's
+    revenue, the running total, and LTV per cohort member — the
+    payback-period curve (which acquisition day has paid for itself
+    yet) that pairs with retention_cohort's activity matrix.
+
+    Engine-exact contract: event values convert to integer CENTS
+    once (round(value*100) per event — identical one-op conversion
+    in both engines), so every sum and the cumulative window are
+    order-independent int64 arithmetic; LTV is one division of
+    exact ints, round(6).
+
+    Plan: ONE user_id exchange (window min attaches the cohort day
+    to each event — no first-seen join-back), then the
+    (cohort, age) grid agg; cumulative sum and cohort size are
+    windows over the GRID (bounded by days², the retention_cohort
+    argument). Corpus touched once."""
+    ev = load_table(spark, sf_dir, "events", parallelize=True)
+    base = ev.select(
+        "user_id",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    wu = Window.partitionBy("user_id")
+    withc = base.select(
+        "user_id",
+        "day",
+        "cents",
+        F.min("day").over(wu).alias("cohort_day"),
+    )
+    grid = withc.groupBy(
+        "cohort_day",
+        F.datediff("day", "cohort_day").cast("long").alias("age"),
+    ).agg(
+        F.countDistinct("user_id").cast("long").alias("n_active_users"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+    wc = Window.partitionBy("cohort_day").orderBy("age")
+    wall = Window.partitionBy("cohort_day")
+    cum = F.sum("revenue_cents").over(
+        wc.rangeBetween(Window.unboundedPreceding, 0)
+    )
+    size = F.max(
+        F.when(F.col("age") == 0, F.col("n_active_users"))
+    ).over(wall)
+    return grid.select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "age",
+        "n_active_users",
+        "revenue_cents",
+        cum.cast("long").alias("cum_revenue_cents"),
+        F.round(cum / (F.lit(100.0) * size), 6).alias("cum_ltv_per_user"),
+    )

@@ -3823,3 +3823,82 @@ def _holt_oracle_sql() -> str:
 
 
 EXT_ORACLES["ts_holt_linear"] = _holt_oracle_sql()
+
+
+def _link_prediction_oracle_sql() -> str:
+    """Mirror of graph.graph_link_prediction: wedge-join common
+    neighbors, adjacency anti-join, inclusion-exclusion union."""
+    from dbt_eamples_spark.operators.graph import LINKPRED_TOP_K
+
+    return f"""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey <> b.l_partkey
+        ),
+        deg AS MATERIALIZED (
+            SELECT src, CAST(count(*) AS BIGINT) AS deg
+            FROM edges GROUP BY src
+        ),
+        common AS (
+            SELECT e1.src AS u, e2.dst AS v,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+            WHERE e1.src < e2.dst
+            GROUP BY e1.src, e2.dst
+        ),
+        cand AS (
+            SELECT c.* FROM common c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM edges e
+                WHERE e.src = c.u AND e.dst = c.v
+            )
+        )
+        SELECT c.u AS part_a, c.v AS part_b, c.n_common,
+               du.deg + dv.deg - c.n_common AS n_union,
+               round(c.n_common / (du.deg + dv.deg - c.n_common), 6)
+                 AS jaccard
+        FROM cand c
+        JOIN deg du ON du.src = c.u
+        JOIN deg dv ON dv.src = c.v
+        ORDER BY jaccard DESC, part_a, part_b
+        LIMIT {LINKPRED_TOP_K}
+    """
+
+
+EXT_ORACLES["graph_link_prediction"] = _link_prediction_oracle_sql()
+
+
+EXT_ORACLES["events_cohort_ltv"] = """
+    WITH base AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    withc AS (
+        SELECT user_id, day, cents,
+               MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+        FROM base
+    ),
+    grid AS (
+        SELECT cohort_day,
+               CAST(day - cohort_day AS BIGINT) AS age,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_users,
+               CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        FROM withc GROUP BY cohort_day, day - cohort_day
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day, age,
+           n_active_users, revenue_cents,
+           CAST(SUM(revenue_cents) OVER (
+               PARTITION BY cohort_day ORDER BY age
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_revenue_cents,
+           round(SUM(revenue_cents) OVER (
+               PARTITION BY cohort_day ORDER BY age
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) / (100.0 * MAX(CASE WHEN age = 0 THEN n_active_users END)
+                OVER (PARTITION BY cohort_day)), 6) AS cum_ltv_per_user
+    FROM grid
+"""

@@ -161,3 +161,85 @@ def test_holt_tracks_a_ramp_where_ewma_lags(spark, sf_dir):
             )
             < 2e-6
         )
+
+
+# ---- link prediction --------------------------------------------------------
+def test_link_prediction_candidates_are_nonadjacent(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from dbt_eamples_spark.operators.graph import (
+        _copurchase_edges,
+        graph_link_prediction,
+    )
+
+    preds = graph_link_prediction(spark, sf_dir).collect()
+    assert preds
+    und = {
+        (r.src, r.dst)
+        for r in _copurchase_edges(spark, sf_dir)
+        .filter(F.col("src") < F.col("dst"))
+        .collect()
+    }
+    jac = [r.jaccard for r in preds]
+    assert jac == sorted(jac, reverse=True)
+    for r in preds:
+        assert r.part_a < r.part_b
+        assert (r.part_a, r.part_b) not in und  # predicted, not existing
+        assert 1 <= r.n_common <= r.n_union
+        assert 0 < r.jaccard <= 1.0
+
+
+def test_link_prediction_matches_brute_python(spark, sf_dir):
+    from collections import defaultdict as dd
+
+    from pyspark.sql import functions as F
+
+    from dbt_eamples_spark.operators.graph import (
+        _copurchase_edges,
+        graph_link_prediction,
+    )
+
+    adj = dd(set)
+    for r in _copurchase_edges(spark, sf_dir).collect():
+        adj[r.src].add(r.dst)
+    best = {}
+    for u in adj:
+        for v in adj:
+            if u < v and v not in adj[u]:
+                common = len(adj[u] & adj[v])
+                if common:
+                    best[(u, v)] = common
+    got = {
+        (r.part_a, r.part_b): (r.n_common, r.n_union)
+        for r in graph_link_prediction(spark, sf_dir).collect()
+    }
+    for (u, v), (c, un) in got.items():
+        assert best[(u, v)] == c
+        assert un == len(adj[u]) + len(adj[v]) - c
+
+
+# ---- cohort LTV -------------------------------------------------------------
+def test_cohort_ltv_accumulates_and_anchors(spark, sf_dir):
+    from dbt_eamples_spark.operators.behavior import events_cohort_ltv
+
+    rows = events_cohort_ltv(spark, sf_dir).collect()
+    assert rows
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r.cohort_day].append(r)
+    for series in by_cohort.values():
+        series.sort(key=lambda r: r.age)
+        assert series[0].age == 0  # every cohort starts at age 0
+        run = 0
+        size = series[0].n_active_users
+        for r in series:
+            run += r.revenue_cents
+            assert r.cum_revenue_cents == run
+            assert r.n_active_users <= size  # never exceeds the cohort
+            assert (
+                abs(
+                    r.cum_ltv_per_user
+                    - round(run / (100.0 * size), 6)
+                )
+                < 2e-6
+            )
