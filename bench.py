@@ -150,6 +150,8 @@ HEADLINE = [
     "similarity_hard_negatives",
     "text_readability",
     "ts_holt_linear",
+    "graph_link_prediction",
+    "events_cohort_ltv",
 ]
 
 

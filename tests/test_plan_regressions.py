@@ -179,6 +179,31 @@ class TestShuffleBudgets:
         # index agg is the one exchange; the index joins back
         # broadcast
         "ts_seasonal_decompose": 1,
+        # audited plan is the horizon-bounded createDataFrame result
+        # (the corpus pass ran inside the bounded-model-state
+        # collect); asserting 0 locks that no post-hoc shuffle crept
+        # onto the bounded frame
+        "events_survival_km": 0,
+        # post-checkpoint: shortlist and pair-sim frames are
+        # materialized; each selection step's argmax is a bounded
+        # window over them
+        "similarity_mmr_topk": 0,
+        # checkpointed scored pass fans into: negative local-topk
+        # (groupBy + rank window = 2) + best-positive agg + the
+        # qlabel distinct; label attach joins broadcast
+        "similarity_hard_negatives": 4,
+        # pure narrow map + the parallelize repartition
+        "text_readability": 1,
+        # the EWMA/CUSUM series shape: repartition + daily agg +
+        # per-type collect; two-state fold is in-row
+        "ts_holt_linear": 3,
+        # post-checkpoint: wedge-join common-neighbor agg + the
+        # anti-join side; degrees broadcast, final cut is
+        # TakeOrderedAndProject
+        "graph_link_prediction": 2,
+        # repartition + user-id window + (cohort, age) grid agg +
+        # cohort window over the bounded grid
+        "events_cohort_ltv": 4,
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))
