@@ -1337,6 +1337,13 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
     ).agg(F.count("*").cast("long").alias("n_events"))
+    return holt_over_daily(daily)
+
+
+def holt_over_daily(daily: DataFrame) -> DataFrame:
+    """The two-state Holt fold over an ALREADY-AGGREGATED daily
+    frame — factored out for the streaming twin, like
+    ewma_over_daily / cusum_over_daily."""
     series = daily.groupBy("event_type").agg(
         F.array_sort(F.collect_list(F.struct("day", "n_events"))).alias("xs")
     )

@@ -608,6 +608,29 @@ def events_changepoint_cusum_streaming(
     cusum_over_daily(spark.table(inner)).createOrReplaceTempView(out_table)
 
 
+def ts_holt_linear_streaming(
+    spark: SparkSession, sf_dir: str, checkpoint: str, out_table: str
+) -> None:
+    """Streaming twin of `operators.behavior.ts_holt_linear`: the
+    daily rollup is the streamed state (ordinary windowed agg); the
+    two-state Holt fold — sequential by definition — re-runs over
+    the drained O(days x types) aggregate per drain
+    (`holt_over_daily`), the EWMA/CUSUM twin split."""
+    from dbt_eamples_spark.operators.behavior import holt_over_daily
+
+    ev = _events_stream(spark, sf_dir)
+    daily = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            "event_type", F.to_date("w.start").alias("day"), "n_events"
+        )
+    )
+    inner = f"{out_table}__daily"
+    _drain(daily, "complete", checkpoint, inner)
+    holt_over_daily(spark.table(inner)).createOrReplaceTempView(out_table)
+
+
 # late-data accounting: hourly arrival trigger batches, watermark
 # delay 2 h (same policy as WATERMARK above), deterministic network
 # jitter up to 4 h so the fixture actually EXERCISES the late path

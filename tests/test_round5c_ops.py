@@ -243,3 +243,23 @@ def test_cohort_ltv_accumulates_and_anchors(spark, sf_dir):
                 )
                 < 2e-6
             )
+
+
+def test_holt_streaming_equals_batch(spark, sf_dir, tmp_path):
+    import uuid
+
+    from dbt_eamples_spark.streaming.streams import (
+        ts_holt_linear_streaming,
+    )
+
+    name = f"holt_{uuid.uuid4().hex[:8]}"
+    ts_holt_linear_streaming(
+        spark, sf_dir, checkpoint=str(tmp_path / "ck_h"), out_table=name
+    )
+    streamed = spark.sql(f"SELECT * FROM {name}")
+    batch = ts_holt_linear(spark, sf_dir)
+    diff = (
+        streamed.exceptAll(batch).count()
+        + batch.exceptAll(streamed).count()
+    )
+    assert diff == 0 and batch.count() > 0
