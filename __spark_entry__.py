@@ -199,6 +199,7 @@ _R5_PRIORITY = [
     "ts_holt_linear",
     "graph_link_prediction",
     "events_cohort_ltv",
+    "embedding_centroid_eval",
     "doc_winnow_fingerprint",
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -332,6 +333,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_link_prediction": graph_link_prediction,
         # cohort payback curve: cumulative LTV per acquisition day
         "events_cohort_ltv": B.events_cohort_ltv,
+        # nearest-centroid classifier eval (embedding scorecard)
+        "embedding_centroid_eval": V.embedding_centroid_eval,
         # --- never driver-checked in rounds 1-2: run these first ---
         # long->wide with pinned pivot domain (no discovery job)
         "metric_pivot": R.metric_pivot,

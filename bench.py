@@ -152,6 +152,7 @@ HEADLINE = [
     "ts_holt_linear",
     "graph_link_prediction",
     "events_cohort_ltv",
+    "embedding_centroid_eval",
 ]
 
 

@@ -1797,3 +1797,78 @@ def similarity_hard_negatives(
             ).alias("margin"),
         )
     )
+
+
+# ---- nearest-centroid classifier eval ----------------------------------------
+
+
+def embedding_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-class-centroid classifier evaluation (Rocchio):
+    per-label centroids from the labeled embedding store, every
+    vector assigned to its max-cosine centroid, and the confusion
+    grid (true x predicted, count + share of the true class) — the
+    embedding-quality scorecard a labeling pipeline reads before
+    trusting the space for clustering or retrieval.
+
+    Determinism: centroids use the kmeans FIXED-POINT per-dimension
+    mean (coords rounded to 1e-6, summed as BIGINT — order-free, so
+    Spark's distributed sum and the oracle's sequential sum agree
+    bit-for-bit); assignment is the usual max-cosine argmax with the
+    lower-label tie-break; the share is one IEEE division of exact
+    ints, round(6).
+
+    Plan: one (label, dim) hash-agg builds the centroids
+    (|labels| x dim rows — broadcast model state), one broadcast
+    cross assign pass over the corpus, one |labels|²-bounded grid
+    agg. Corpus touched twice (mean + assign) — the same two passes
+    any centroid classifier needs."""
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id", "label", _as_double_vec(F.col("embedding")).alias("vec")
+    )
+    dims = emb.select("label", F.posexplode("vec").alias("pos", "x"))
+    mean = (F.col("sx").cast("double") / F.col("n")) / F.lit(1_000_000.0)
+    cent = (
+        dims.groupBy("label", "pos")
+        .agg(
+            F.sum(
+                F.round(F.col("x") * F.lit(1_000_000.0)).cast("long")
+            ).alias("sx"),
+            F.count("*").alias("n"),
+        )
+        .select("label", "pos", mean.alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.m,
+            ).alias("cvec")
+        )
+        .select(F.col("label").alias("cent_label"), "cvec")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos"), F.asc("cent_label")
+    )
+    assigned = (
+        emb.join(F.broadcast(cent), how="cross")
+        .select(
+            "vec_id",
+            "label",
+            "cent_label",
+            _cosine(F.col("vec"), F.col("cvec")).alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    grid = assigned.groupBy(
+        F.col("label").alias("true_label"),
+        F.col("cent_label").alias("pred_label"),
+    ).agg(F.count("*").cast("long").alias("n_vectors"))
+    wt = Window.partitionBy("true_label")
+    return grid.select(
+        "true_label",
+        "pred_label",
+        "n_vectors",
+        F.round(
+            F.col("n_vectors") / F.sum("n_vectors").over(wt), 6
+        ).alias("share_of_true"),
+    )

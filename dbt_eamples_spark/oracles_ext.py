@@ -3902,3 +3902,52 @@ EXT_ORACLES["events_cohort_ltv"] = """
                 OVER (PARTITION BY cohort_day)), 6) AS cum_ltv_per_user
     FROM grid
 """
+
+
+def _centroid_eval_oracle_sql() -> str:
+    """Mirror of similarity.embedding_centroid_eval: fixed-point
+    per-label means (the kmeans-oracle arithmetic), max-cosine
+    assignment, confusion grid."""
+    return f"""
+        WITH v AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> x::DOUBLE) AS vec
+            FROM embeddings
+        ),
+        e AS (
+            SELECT label,
+                   unnest(range(1, len(vec) + 1)) AS pos,
+                   unnest(vec) AS x
+            FROM v
+        ),
+        cent AS (
+            SELECT label AS cent_label, list(m ORDER BY pos) AS cvec
+            FROM (
+                SELECT label, pos,
+                       (SUM(CAST(round(x * 1000000.0) AS BIGINT))::DOUBLE
+                            / COUNT(*)) / 1000000.0 AS m
+                FROM e GROUP BY label, pos
+            ) GROUP BY label
+        ),
+        assigned AS (
+            SELECT vec_id, label, cent_label FROM (
+                SELECT v.vec_id, v.label, c.cent_label,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                           ORDER BY {_cos('v.vec', 'c.cvec')} DESC,
+                                    c.cent_label ASC) AS rk
+                FROM v CROSS JOIN cent c
+            ) WHERE rk = 1
+        ),
+        grid AS (
+            SELECT label AS true_label, cent_label AS pred_label,
+                   CAST(count(*) AS BIGINT) AS n_vectors
+            FROM assigned GROUP BY label, cent_label
+        )
+        SELECT true_label, pred_label, n_vectors,
+               round(n_vectors / SUM(n_vectors) OVER (
+                   PARTITION BY true_label), 6) AS share_of_true
+        FROM grid
+    """
+
+
+EXT_ORACLES["embedding_centroid_eval"] = _centroid_eval_oracle_sql()

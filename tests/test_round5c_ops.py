@@ -263,3 +263,30 @@ def test_holt_streaming_equals_batch(spark, sf_dir, tmp_path):
         + batch.exceptAll(streamed).count()
     )
     assert diff == 0 and batch.count() > 0
+
+
+# ---- centroid eval ----------------------------------------------------------
+def test_centroid_eval_grid_accounting(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from dbt_eamples_spark.catalog import load_table
+    from dbt_eamples_spark.operators.similarity import (
+        embedding_centroid_eval,
+    )
+
+    rows = embedding_centroid_eval(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_total = emb.count()
+    labels = {r.label for r in emb.select("label").distinct().collect()}
+    assert sum(r.n_vectors for r in rows) == n_total
+    by_true = defaultdict(list)
+    for r in rows:
+        assert r.true_label in labels and r.pred_label in labels
+        by_true[r.true_label].append(r)
+    for series in by_true.values():
+        assert abs(sum(r.share_of_true for r in series) - 1.0) < 1e-4
+    # the classifier must beat random guessing on its own centroids
+    correct = sum(
+        r.n_vectors for r in rows if r.true_label == r.pred_label
+    )
+    assert correct / n_total > 1.0 / len(labels)
