@@ -458,7 +458,44 @@ def build_parser() -> argparse.ArgumentParser:
     dc.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     dc.add_argument("--output", default=None)
     dc.set_defaults(func=cmd_docs)
+
+    ar = sub.add_parser(
+        "artifacts", help="inspect or expire the persisted index store"
+    )
+    ar.add_argument("action", choices=["list", "gc"])
+    ar.add_argument("--max-age-days", type=float, default=None)
+    ar.add_argument("--keep-latest", type=int, default=None)
+    ar.set_defaults(func=cmd_artifacts)
     return p
+
+
+def cmd_artifacts(args: argparse.Namespace) -> int:
+    """Artifact-store operations: ``list`` prints the inventory
+    (kind, fingerprint, size, usage stamps); ``gc`` applies the
+    retention policy (--max-age-days and/or --keep-latest) and
+    prints what it removed — the expiry path a store keyed by
+    corpus fingerprint needs (every source rewrite strands the
+    previous index)."""
+    import json as _json
+
+    from dbt_eamples_spark.artifacts import gc_artifacts, list_artifacts
+
+    if args.action == "list":
+        for row in list_artifacts():
+            print(_json.dumps(row, sort_keys=True, default=str))
+        return 0
+    removed = gc_artifacts(
+        max_age_seconds=(
+            args.max_age_days * 86400.0
+            if args.max_age_days is not None
+            else None
+        ),
+        keep_latest_per_kind=args.keep_latest,
+    )
+    for row in removed:
+        print(f"removed {row['kind']}/{row['fingerprint']}")
+    print(f"{len(removed)} artifact(s) removed")
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -182,3 +182,19 @@ class TestManifestAndGc:
             "fp1"
         )
         assert A.list_artifacts() == []
+
+
+class TestArtifactsCli:
+    def test_list_and_gc(self, spark, art_dir, capsys):
+        from dbt_eamples_spark.cli import main
+
+        A.load_or_build(
+            spark, "k1", "fp1", lambda: spark.range(2).toDF("v")
+        )
+        assert main(["artifacts", "list"]) == 0
+        out = capsys.readouterr().out
+        assert '"kind": "k1"' in out and '"fingerprint": "fp1"' in out
+        assert main(["artifacts", "gc", "--max-age-days", "-1"]) == 0
+        out = capsys.readouterr().out
+        assert "removed k1/fp1" in out and "1 artifact(s) removed" in out
+        assert A.list_artifacts() == []
