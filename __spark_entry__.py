@@ -200,6 +200,7 @@ _R5_PRIORITY = [
     "graph_link_prediction",
     "events_cohort_ltv",
     "embedding_centroid_eval",
+    "dq_distribution_drift",
     "doc_winnow_fingerprint",
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -335,6 +336,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort_ltv": B.events_cohort_ltv,
         # nearest-centroid classifier eval (embedding scorecard)
         "embedding_centroid_eval": V.embedding_centroid_eval,
+        # PSI distribution drift between observation halves
+        "dq_distribution_drift": Q.dq_distribution_drift,
         # --- never driver-checked in rounds 1-2: run these first ---
         # long->wide with pinned pivot domain (no discovery job)
         "metric_pivot": R.metric_pivot,

@@ -153,6 +153,7 @@ HEADLINE = [
     "graph_link_prediction",
     "events_cohort_ltv",
     "embedding_centroid_eval",
+    "dq_distribution_drift",
 ]
 
 

@@ -344,3 +344,85 @@ def dq_advanced_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_violations").cast("long").alias("n_violations"),
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+# ---- distribution drift (PSI) -----------------------------------------------
+PSI_BINS = 10
+PSI_BIN_WIDTH = 50.0  # event value bins [0, 50), [50, 100), ... clamp
+
+
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between the first and second half
+    of the observation window, over the event-value distribution —
+    THE production ML-monitoring drift statistic (PSI < 0.1 stable,
+    0.1-0.25 shifting, > 0.25 drifted). Catches the silent
+    distribution change that per-row dq tests can't.
+
+    Semantics, stated exactly: periods split at the midpoint
+    epoch-day ((min+max) DIV 2, ref = days <= mid); bins are
+    fixed-width value bands (clamped top bin, the agg_histogram
+    binning); counts get +1 Laplace smoothing so empty bins
+    contribute a finite term. Each bin's term (p_cur - p_ref) *
+    ln(p_cur / p_ref) evaluates the IDENTICAL expression tree in
+    both engines, then converts ONCE to fixed-point
+    (round(term * 1e9) as BIGINT) — the total PSI is an
+    order-independent integer sum, immune to float summation order
+    (the PMI preround lesson, applied to a cross-row sum).
+
+    Plan: one corpus scan → (period, bin) hash-agg (map-side
+    combined, ≤ 2 x PSI_BINS rows); everything after is
+    bounded-grid arithmetic with a window total."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.datediff(
+            F.to_date(F.date_trunc("day", F.col("ts"))),
+            F.lit("1970-01-01"),
+        ).alias("dn"),
+        F.least(
+            F.greatest(
+                F.floor(F.col("value") / PSI_BIN_WIDTH).cast("long"),
+                F.lit(0),
+            ),
+            F.lit(PSI_BINS - 1),
+        ).alias("bin_id"),
+    )
+    bounds = base.agg(
+        F.expr("(min(dn) + max(dn)) DIV 2").alias("mid")
+    )
+    counts = (
+        base.crossJoin(F.broadcast(bounds))
+        .groupBy("bin_id")
+        .agg(
+            F.sum(F.when(F.col("dn") <= F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_ref"),
+            F.sum(F.when(F.col("dn") > F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_cur"),
+        )
+    )
+    wall = Window.partitionBy()
+    tot_ref = F.sum(F.col("n_ref") + 1).over(wall)
+    tot_cur = F.sum(F.col("n_cur") + 1).over(wall)
+    p_ref = (F.col("n_ref") + 1) / tot_ref
+    p_cur = (F.col("n_cur") + 1) / tot_cur
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    g = counts.select(
+        "bin_id",
+        "n_ref",
+        "n_cur",
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round(term, 6).alias("psi_term"),
+        F.round(F.lit(1e9) * term).cast("long").alias("term_fp"),
+    )
+    psi = F.sum("term_fp").over(Window.partitionBy())
+    return g.select(
+        "bin_id",
+        "n_ref",
+        "n_cur",
+        "p_ref",
+        "p_cur",
+        "psi_term",
+        F.round(psi / F.lit(1e9), 6).alias("psi_total"),
+    ).drop("term_fp")

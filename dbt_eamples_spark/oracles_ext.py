@@ -3951,3 +3951,48 @@ def _centroid_eval_oracle_sql() -> str:
 
 
 EXT_ORACLES["embedding_centroid_eval"] = _centroid_eval_oracle_sql()
+
+
+def _psi_drift_oracle_sql() -> str:
+    """Mirror of quality.dq_distribution_drift: identical midpoint
+    split, binning, Laplace smoothing, per-bin IEEE term, and the
+    fixed-point order-free PSI total."""
+    from dbt_eamples_spark.operators.quality import (
+        PSI_BIN_WIDTH,
+        PSI_BINS,
+    )
+
+    return f"""
+        WITH base AS (
+            SELECT CAST(CAST(date_trunc('day', ts) AS DATE)
+                        - DATE '1970-01-01' AS BIGINT) AS dn,
+                   least(greatest(CAST(floor(value / {PSI_BIN_WIDTH})
+                                       AS BIGINT), 0),
+                         {PSI_BINS - 1}) AS bin_id
+            FROM events
+        ),
+        bounds AS (SELECT (min(dn) + max(dn)) // 2 AS mid FROM base),
+        counts AS (
+            SELECT bin_id,
+                   CAST(SUM(CASE WHEN dn <= mid THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_ref,
+                   CAST(SUM(CASE WHEN dn > mid THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_cur
+            FROM base, bounds GROUP BY bin_id
+        ),
+        g AS (
+            SELECT bin_id, n_ref, n_cur,
+                   (n_ref + 1) / SUM(n_ref + 1) OVER () AS pr,
+                   (n_cur + 1) / SUM(n_cur + 1) OVER () AS pc
+            FROM counts
+        )
+        SELECT bin_id, n_ref, n_cur,
+               round(pr, 6) AS p_ref, round(pc, 6) AS p_cur,
+               round((pc - pr) * ln(pc / pr), 6) AS psi_term,
+               round(SUM(CAST(round(1e9 * ((pc - pr) * ln(pc / pr)))
+                              AS BIGINT)) OVER () / 1e9, 6) AS psi_total
+        FROM g
+    """
+
+
+EXT_ORACLES["dq_distribution_drift"] = _psi_drift_oracle_sql()

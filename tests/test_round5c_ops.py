@@ -290,3 +290,26 @@ def test_centroid_eval_grid_accounting(spark, sf_dir):
         r.n_vectors for r in rows if r.true_label == r.pred_label
     )
     assert correct / n_total > 1.0 / len(labels)
+
+
+# ---- PSI drift --------------------------------------------------------------
+def test_psi_drift_accounting(spark, sf_dir):
+    from dbt_eamples_spark.catalog import load_table
+    from dbt_eamples_spark.operators.quality import (
+        dq_distribution_drift,
+    )
+
+    rows = dq_distribution_drift(spark, sf_dir).collect()
+    assert rows
+    n_total = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_ref + r.n_cur for r in rows) == n_total
+    totals = {r.psi_total for r in rows}
+    assert len(totals) == 1  # one global statistic on every row
+    psi = totals.pop()
+    assert psi >= 0 or abs(psi) < 1e-6  # PSI is non-negative
+    # fixture halves are homogeneous by construction: stable band
+    assert psi < 0.25
+    for r in rows:
+        assert 0 < r.p_ref < 1 and 0 < r.p_cur < 1
+        # each term's sign matches (p_cur - p_ref) * ln ratio >= 0
+        assert r.psi_term >= 0 or abs(r.psi_term) < 1e-6
