@@ -201,6 +201,7 @@ _R5_PRIORITY = [
     "events_cohort_ltv",
     "embedding_centroid_eval",
     "dq_distribution_drift",
+    "text_perplexity_bigram",
     "doc_winnow_fingerprint",
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -338,6 +339,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroid_eval": V.embedding_centroid_eval,
         # PSI distribution drift between observation halves
         "dq_distribution_drift": Q.dq_distribution_drift,
+        # interpolated bigram LM scoring (word-order anomalies)
+        "text_perplexity_bigram": T.text_perplexity_bigram,
         # --- never driver-checked in rounds 1-2: run these first ---
         # long->wide with pinned pivot domain (no discovery job)
         "metric_pivot": R.metric_pivot,

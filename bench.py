@@ -154,6 +154,7 @@ HEADLINE = [
     "events_cohort_ltv",
     "embedding_centroid_eval",
     "dq_distribution_drift",
+    "text_perplexity_bigram",
 ]
 
 

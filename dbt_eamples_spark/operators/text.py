@@ -1098,3 +1098,82 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("fk_grade"),
     )
+
+
+# ---- interpolated bigram LM scoring -----------------------------------------
+BIGRAM_LAMBDA_NUM = 3  # interpolation 3/4 bigram + 1/4 smoothed unigram
+
+
+def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram language-model scoring — one rung up the
+    CCNet ladder from text_perplexity_unigram: p(cur|prev) =
+    0.75 * c(prev,cur)/c(prev) + 0.25 * (c(cur)+1)/(N+V) (Jelinek-
+    Mercer interpolation with the add-one unigram as back-off), and
+    the per-doc average negative log-likelihood over its bigrams.
+    Word-ORDER anomalies (shuffled text, keyword stuffing with
+    plausible unigrams) that the unigram filter cannot see score
+    high here.
+
+    Determinism: the probability is exact-int divisions combined
+    with DYADIC weights (3/4, 1/4) in one fixed expression tree,
+    its -ln pre-rounded at 6dp per BIGRAM TYPE (the unigram
+    pattern); per-doc sums fold 1e9 fixed-point bigints; the mean
+    is the same floor-truncated integer-exact form.
+
+    Plan: bigrams extract IN-ROW (slice-zip of the token array — no
+    lag-window shuffle over the corpus); the checkpointed bigram
+    stream feeds both the LM build (grid hash-agg, vocabulary²-
+    bounded output with the left marginal as a window on the same
+    exchange) and the scoring join, exactly the unigram topology.
+    Docs with < 2 tokens have no bigrams and report NULL (their
+    quality verdict belongs to the unigram filter)."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    toks = docs.select("doc_id", _tokens_col().alias("t"))
+    pairs = F.arrays_zip(
+        F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+        F.expr("slice(t, 2, greatest(size(t) - 1, 0))"),
+    )
+    bg = (
+        toks.select("doc_id", F.explode(pairs).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.0").alias("prev"),
+            F.col("p.1").alias("cur"),
+        )
+        .filter((F.col("prev") != "") & (F.col("cur") != ""))
+        .localCheckpoint(eager=True)
+    )
+    uni = (
+        toks.select(F.explode("t").alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("cu"))
+    )
+    tot = uni.agg(
+        F.sum("cu").alias("n_corpus"), F.count("*").alias("v_vocab")
+    )
+    grid = bg.groupBy("prev", "cur").agg(F.count("*").alias("cb"))
+    cp = F.sum("cb").over(Window.partitionBy("prev"))
+    p = F.lit(0.75) * (F.col("cb") / F.col("cp")) + F.lit(0.25) * (
+        (F.col("cu") + 1) / (F.col("n_corpus") + F.col("v_vocab"))
+    )
+    lm = (
+        grid.withColumn("cp", cp)
+        .join(uni.select(F.col("term").alias("cur"), "cu"), "cur")
+        .crossJoin(F.broadcast(tot))
+        .select("prev", "cur", F.round(-F.log(p), 6).alias("nll"))
+    )
+    fp = F.round(F.col("nll") * 1e9).cast("long")
+    return (
+        bg.join(lm, ["prev", "cur"])
+        .select("doc_id", fp.alias("fp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (
+                F.floor(F.sum("fp") / (F.count("*") * F.lit(1000)))
+                / F.lit(1e6)
+            ).alias("avg_nll"),
+        )
+        .join(docs.select("doc_id"), "doc_id", "right")
+    )

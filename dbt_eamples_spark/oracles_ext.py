@@ -3996,3 +3996,58 @@ def _psi_drift_oracle_sql() -> str:
 
 
 EXT_ORACLES["dq_distribution_drift"] = _psi_drift_oracle_sql()
+
+
+EXT_ORACLES["text_perplexity_bigram"] = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(lower(text), '\s+') AS t
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, prev, cur FROM (
+            SELECT doc_id,
+                   unnest(list_slice(t, 1, len(t) - 1)) AS prev,
+                   unnest(list_slice(t, 2, len(t))) AS cur
+            FROM toks
+        ) WHERE prev <> '' AND cur <> ''
+    ),
+    uni AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS cu FROM (
+            SELECT unnest(t) AS term FROM toks
+        ) WHERE term <> '' GROUP BY term
+    ),
+    tot AS (
+        SELECT CAST(SUM(cu) AS BIGINT) AS n_corpus,
+               CAST(COUNT(*) AS BIGINT) AS v_vocab
+        FROM uni
+    ),
+    grid AS (
+        SELECT prev, cur, CAST(count(*) AS BIGINT) AS cb
+        FROM bg GROUP BY prev, cur
+    ),
+    lm AS (
+        SELECT g.prev, g.cur,
+               round(-ln(0.75 * (g.cb / g.cp)
+                         + 0.25 * ((u.cu + 1)
+                                   / (t.n_corpus + t.v_vocab))), 6)
+                 AS nll
+        FROM (
+            SELECT prev, cur, cb,
+                   SUM(cb) OVER (PARTITION BY prev) AS cp
+            FROM grid
+        ) g
+        JOIN uni u ON u.term = g.cur
+        CROSS JOIN tot t
+    ),
+    scores AS (
+        SELECT bg.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               floor(SUM(CAST(round(lm.nll * 1e9) AS BIGINT))
+                     / (count(*) * 1000)) / 1e6 AS avg_nll
+        FROM bg JOIN lm ON bg.prev = lm.prev AND bg.cur = lm.cur
+        GROUP BY bg.doc_id
+    )
+    SELECT d.doc_id, s.n_bigrams, s.avg_nll
+    FROM documents d LEFT JOIN scores s ON d.doc_id = s.doc_id
+"""

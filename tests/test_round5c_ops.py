@@ -313,3 +313,18 @@ def test_psi_drift_accounting(spark, sf_dir):
         assert 0 < r.p_ref < 1 and 0 < r.p_cur < 1
         # each term's sign matches (p_cur - p_ref) * ln ratio >= 0
         assert r.psi_term >= 0 or abs(r.psi_term) < 1e-6
+
+
+# ---- bigram LM --------------------------------------------------------------
+def test_bigram_lm_covers_corpus_and_is_positive(spark, sf_dir):
+    from dbt_eamples_spark.catalog import load_table
+    from dbt_eamples_spark.operators.text import text_perplexity_bigram
+
+    rows = text_perplexity_bigram(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    scored = [r for r in rows if r.n_bigrams is not None]
+    assert scored
+    for r in scored:
+        assert r.n_bigrams >= 1
+        assert r.avg_nll > 0  # -ln p of a proper probability
