@@ -204,6 +204,18 @@ class TestShuffleBudgets:
         # repartition + user-id window + (cohort, age) grid agg +
         # cohort window over the bounded grid
         "events_cohort_ltv": 4,
+        # two corpus passes by design (per-dim mean, assign) +
+        # vec_id argmax window + bounded dim/grid/collect aggs; the
+        # BNLJ is the broadcast-centroid cross (model state)
+        "embedding_centroid_eval": 7,
+        # one histogram hash-agg; the BNLJ is the one-row midpoint
+        # bounds broadcast; grid windows are single-partition over
+        # <= PSI_BINS rows (bounded, by construction)
+        "dq_distribution_drift": 1,
+        # two corpus passes by design (bigram stream checkpoint +
+        # unigram LM pass) + vocab-grid aggs/window + the (prev,cur)
+        # scoring join + per-doc agg + the doc-spine right join
+        "text_perplexity_bigram": 8,
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))
