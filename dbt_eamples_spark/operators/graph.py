@@ -23,7 +23,7 @@ Magnitudes: Σ r ≤ 1e12, so 85·Σ ≤ 8.5e13 ≪ 2^63 — no overflow.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbt_eamples_spark.catalog import load_table
@@ -268,11 +268,45 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# wedge streams are Σ deg(x)² rows — compute that EXACTLY from the
+# degree table (one-row collect = bounded model state) and size the
+# wedge-side shuffles so per-task state stays bounded at any graph
+# scale; a fixed spark.sql.shuffle.partitions OOMs the pair
+# aggregate at ~10x fixture scale (observed at the scaling check)
+GRAPH_ROWS_PER_TASK = 1_500_000
+
+
+def _wedge_partitions(
+    out_edges: DataFrame, key: str, default: int
+) -> tuple[int, int]:
+    """(apex-side, wedge-side) partition counts for the oriented
+    wedge join, from the EXACT edge count Σ fanout(key) and wedge
+    cardinality Σ fanout(key)² of the frame that actually feeds the
+    join (for the oriented triangle join the latter is Σ od² —
+    orders of magnitude below the raw Σ deg² a dense graph has; a
+    one-row collect = bounded model state). The apex count bounds
+    the per-task hash build of the self-join; the wedge count bounds
+    per-task state in every operator downstream of the wedge
+    stream."""
+    od = out_edges.groupBy(key).agg(F.count("*").alias("od"))
+    row = od.agg(
+        F.sum("od").alias("m"),
+        F.sum(F.col("od") * F.col("od")).alias("w"),
+    ).collect()[0]
+    size = lambda n: int(  # noqa: E731
+        min(4096, max(default, int(n or 0) // GRAPH_ROWS_PER_TASK + 1))
+    )
+    return size(row.m), size(row.w)
+
+
 # ---- triangle counting ------------------------------------------------------
 TRIANGLE_TOP_K = 50
 
 
-def triangles_compact_forward(edges: DataFrame) -> DataFrame:
+def triangles_compact_forward(
+    edges: DataFrame, deg: DataFrame | None = None
+) -> DataFrame:
     """Enumerate each triangle of a SYMMETRIC directed edge frame
     (src, dst; both orientations present, no self-loops) exactly
     once, returning (a, b, c) node triples.
@@ -292,9 +326,13 @@ def triangles_compact_forward(edges: DataFrame) -> DataFrame:
 
     Plan: degree attach is a broadcast (catalog-bounded node set);
     the wedge join shuffles oriented edges on the apex; the closing
-    check shuffles on (b, c). Three exchanges total, all on keys
-    with orientation-bounded fan-out."""
-    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    check shuffles on (b, c). Callers that need the degree table
+    themselves pass a materialized ``deg`` (src, deg) so the edge
+    list is degree-scanned once, not once per consumer."""
+    if deg is None:
+        deg = edges.groupBy("src").agg(
+            F.count("*").cast("long").alias("deg")
+        )
     und = edges.filter(F.col("src") < F.col("dst"))
     e = und.select(F.col("src").alias("u"), F.col("dst").alias("v")).join(
         F.broadcast(
@@ -317,15 +355,37 @@ def triangles_compact_forward(edges: DataFrame) -> DataFrame:
         .otherwise(F.col("deg_u"))
         .alias("deg_b"),
     ).localCheckpoint(eager=True)
-    o2 = o.select(
+    # oriented edges scale with the graph — never broadcast them:
+    # shuffle-hash the wedge and closing joins, with shuffle widths
+    # sized from the exact oriented-edge / wedge cardinalities so
+    # per-task hash state stays bounded at any graph scale (a fixed
+    # spark.sql.shuffle.partitions OOM'd the pair state at ~10x
+    # fixture scale in the scaling check). The self-join reads ONE
+    # sized apex exchange — both sides derive from the same
+    # repartition, so the second side is a ReusedExchange, not a
+    # second network pass.
+    parts_a, parts_bc = _wedge_partitions(
+        o, "a", edges.sparkSession.sparkContext.defaultParallelism
+    )
+    oa = o.repartition(parts_a, "a")
+    o2 = oa.select(
         "a", F.col("b").alias("c"), F.col("deg_b").alias("deg_c")
     )
-    wedges = o.join(o2, "a").filter(
-        (F.col("deg_b") < F.col("deg_c"))
-        | ((F.col("deg_b") == F.col("deg_c")) & (F.col("b") < F.col("c")))
+    wedges = (
+        oa.join(o2.hint("shuffle_hash"), "a")
+        .filter(
+            (F.col("deg_b") < F.col("deg_c"))
+            | (
+                (F.col("deg_b") == F.col("deg_c"))
+                & (F.col("b") < F.col("c"))
+            )
+        )
+        .repartition(parts_bc, "b", "c")
     )
     closing = o.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    return wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    return wedges.join(closing.hint("shuffle_hash"), ["b", "c"]).select(
+        "a", "b", "c"
+    )
 
 
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -344,8 +404,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer operands, one IEEE division, round(6): engine-stable.
     Only nodes closing >= 1 triangle rank (deg >= 2 guaranteed)."""
     edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
-    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
-    tris = triangles_compact_forward(edges)
+    # catalog-bounded; materialized once for its two consumers (the
+    # orientation inside the enumerator and the final stat attach)
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count("*").cast("long").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    tris = triangles_compact_forward(edges, deg)
     per_node = (
         tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
@@ -373,41 +439,64 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---- link prediction --------------------------------------------------------
-LINKPRED_TOP_K = 50
+LINKPRED_QUERY_MAX = 200  # query parts: l_partkey <= this
+LINKPRED_PER_QUERY = 10
 
 
 def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k predicted links in the co-purchase graph by Jaccard
-    neighborhood overlap (Liben-Nowell & Kleinberg 2003): for
-    NON-adjacent part pairs, |N(u) ∩ N(v)| / |N(u) ∪ N(v)| — the
-    "customers who buy these also buy those" candidate generator, a
-    recommendation primitive the co-purchase family was built for.
+    """Per-part link prediction by Jaccard neighborhood overlap
+    (Liben-Nowell & Kleinberg 2003): for each QUERY part, the top-k
+    non-adjacent parts ranked by |N(u) ∩ N(v)| / |N(u) ∪ N(v)| —
+    "customers who buy this also buy those", scored on demand for a
+    request set (here the deterministic slice l_partkey <=
+    ``LINKPRED_QUERY_MAX``).
 
-    Plan: common-neighbor counts come from ONE wedge join of the
-    (localCheckpointed) edge list with itself on the shared
-    neighbor — the triangle enumerator's join skeleton — followed by
-    a (u, v) hash-agg; adjacency is removed with a broadcast-able
-    anti-join against the undirected edge list, and degrees attach
-    broadcast. union = deg_u + deg_v - common (inclusion-exclusion,
-    no second pass). Jaccard is ONE IEEE division of exact ints,
-    round(6) — engine-stable. The wedge fan-out is Σ_x deg(x)² —
-    the quantity a degree-cap or the compact-forward orientation
-    bounds at 100 TB; at catalog scale it is the exact intended
-    candidate set."""
+    The query-set shape IS the scale story: the co-purchase graph is
+    DENSE (avg degree ~120 at every SF), so all-pairs common-
+    neighbor counting costs Σ deg(x)² — ~3·10⁹ wedge rows at a mere
+    10x fixture scale (measured; the all-pairs variant OOM'd the
+    pair aggregate there). Restricting the left side to the request
+    set bounds the wedge stream by |Q| · deg² — linear in |Q|,
+    independent of catalog size — which is how a recommender
+    actually serves this query (per-item, on demand, or sharded
+    over the catalog for batch refresh, each shard bounded the same
+    way). Degrees and the union term still use the FULL graph.
+
+    Plan: the bounded query side BROADCASTS into both graph-sized
+    joins, so the full edge list never shuffles: wedge join =
+    broadcast(query edges) probed by the edge stream on the shared
+    neighbor; adjacency removal = broadcast anti-join against the
+    query rows' own adjacency (only u <= QUERY_MAX rows can appear
+    in a candidate, so the build is |Q|·deg, not |E|). The wedge
+    stream map-side-combines into the (u, v) pair hash-agg
+    (exchange #1 — combined pairs, not raw wedges, cross the wire);
+    degrees attach broadcast; the per-query rank window re-clusters
+    on part_a (exchange #2, over candidate pairs only). Jaccard is
+    one IEEE division of exact ints, round(6)."""
     edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
-    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
-    e1 = edges.select(F.col("src").alias("u"), F.col("dst").alias("x"))
+    # catalog-bounded; materialized once for its TWO broadcast
+    # consumers (du, dv) — otherwise each broadcast subtree re-scans
+    # the full edge list for its own degree aggregation
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count("*").cast("long").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    e1 = edges.filter(F.col("src") <= LINKPRED_QUERY_MAX).select(
+        F.col("src").alias("u"), F.col("dst").alias("x")
+    )
     e2 = edges.select(F.col("src").alias("x"), F.col("dst").alias("v"))
     common = (
-        e1.join(e2, "x")
-        .filter(F.col("u") < F.col("v"))
+        F.broadcast(e1)
+        .join(e2, "x")
+        .filter(F.col("u") != F.col("v"))
         .groupBy("u", "v")
         .agg(F.count("*").cast("long").alias("n_common"))
     )
-    und = edges.filter(F.col("src") < F.col("dst")).select(
+    adj_q = edges.filter(F.col("src") <= LINKPRED_QUERY_MAX).select(
         F.col("src").alias("u"), F.col("dst").alias("v")
     )
-    cand = common.join(und, ["u", "v"], "left_anti")
+    cand = common.join(F.broadcast(adj_q), ["u", "v"], "left_anti")
     du = deg.select(F.col("src").alias("u"), F.col("deg").alias("deg_u"))
     dv = deg.select(F.col("src").alias("v"), F.col("deg").alias("deg_v"))
     jac = (
@@ -427,6 +516,10 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
-    return jac.orderBy(
-        F.desc("jaccard"), F.asc("part_a"), F.asc("part_b")
-    ).limit(LINKPRED_TOP_K)
+    w = Window.partitionBy("part_a").orderBy(
+        F.desc("jaccard"), F.asc("part_b")
+    )
+    return (
+        jac.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= LINKPRED_PER_QUERY)
+    )

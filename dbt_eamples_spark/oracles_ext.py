@@ -3826,9 +3826,13 @@ EXT_ORACLES["ts_holt_linear"] = _holt_oracle_sql()
 
 
 def _link_prediction_oracle_sql() -> str:
-    """Mirror of graph.graph_link_prediction: wedge-join common
-    neighbors, adjacency anti-join, inclusion-exclusion union."""
-    from dbt_eamples_spark.operators.graph import LINKPRED_TOP_K
+    """Mirror of graph.graph_link_prediction: query-restricted wedge
+    join, adjacency anti-join, inclusion-exclusion union, per-query
+    rank window."""
+    from dbt_eamples_spark.operators.graph import (
+        LINKPRED_PER_QUERY,
+        LINKPRED_QUERY_MAX,
+    )
 
     return f"""
         WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -3846,7 +3850,7 @@ def _link_prediction_oracle_sql() -> str:
             SELECT e1.src AS u, e2.dst AS v,
                    CAST(count(*) AS BIGINT) AS n_common
             FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
-            WHERE e1.src < e2.dst
+            WHERE e1.src <= {LINKPRED_QUERY_MAX} AND e1.src <> e2.dst
             GROUP BY e1.src, e2.dst
         ),
         cand AS (
@@ -3855,16 +3859,23 @@ def _link_prediction_oracle_sql() -> str:
                 SELECT 1 FROM edges e
                 WHERE e.src = c.u AND e.dst = c.v
             )
+        ),
+        jac AS (
+            SELECT c.u AS part_a, c.v AS part_b, c.n_common,
+                   du.deg + dv.deg - c.n_common AS n_union,
+                   round(c.n_common
+                         / (du.deg + dv.deg - c.n_common), 6) AS jaccard
+            FROM cand c
+            JOIN deg du ON du.src = c.u
+            JOIN deg dv ON dv.src = c.v
         )
-        SELECT c.u AS part_a, c.v AS part_b, c.n_common,
-               du.deg + dv.deg - c.n_common AS n_union,
-               round(c.n_common / (du.deg + dv.deg - c.n_common), 6)
-                 AS jaccard
-        FROM cand c
-        JOIN deg du ON du.src = c.u
-        JOIN deg dv ON dv.src = c.v
-        ORDER BY jaccard DESC, part_a, part_b
-        LIMIT {LINKPRED_TOP_K}
+        SELECT part_a, part_b, n_common, n_union, jaccard, rk FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY part_a
+                       ORDER BY jaccard DESC, part_b ASC
+                   ) AS rk
+            FROM jac
+        ) WHERE rk <= {LINKPRED_PER_QUERY}
     """
 
 

@@ -155,11 +155,13 @@ class TestShuffleBudgets:
         # residual variant: one extra narrow residual map, same
         # exchange skeleton as the raw-code composition
         "similarity_ivf_pq_residual_topk": 9,
-        # post-checkpoint (edges + oriented list materialized): deg
-        # hash-agg + per-corner triangle hash-agg; the wedge and
-        # closing joins broadcast the oriented list at fixture scale
-        # (at 100 TB AQE shuffles them on apex/(b,c) — documented)
-        "graph_triangle_count": 2,
+        # post-checkpoint (edges + oriented list + deg
+        # materialized): sized apex repartition (its self-join twin
+        # is a ReusedExchange) + sized (b,c) wedge repartition +
+        # closing-edge side + per-corner triangle hash-agg — the
+        # shuffle-hash joins never broadcast the graph-scaled
+        # oriented list (OOM'd at the 10x scaling check)
+        "graph_triangle_count": 4,
         # parallelize repartition + daily hash-agg + per-type series
         # collect; the recurrence folds in-row (no further exchange)
         "ts_ewma_smooth": 3,
@@ -197,9 +199,10 @@ class TestShuffleBudgets:
         # the EWMA/CUSUM series shape: repartition + daily agg +
         # per-type collect; two-state fold is in-row
         "ts_holt_linear": 3,
-        # post-checkpoint: wedge-join common-neighbor agg + the
-        # anti-join side; degrees broadcast, final cut is
-        # TakeOrderedAndProject
+        # post-checkpoint (edges + deg materialized): the bounded
+        # query side broadcasts into the wedge and adjacency joins
+        # (the full edge list never shuffles), leaving only the
+        # (u,v) pair hash-agg + the per-query rank window
         "graph_link_prediction": 2,
         # repartition + user-id window + (cohort, age) grid agg +
         # cohort window over the bounded grid

@@ -168,33 +168,38 @@ def test_link_prediction_candidates_are_nonadjacent(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from dbt_eamples_spark.operators.graph import (
+        LINKPRED_PER_QUERY,
+        LINKPRED_QUERY_MAX,
         _copurchase_edges,
         graph_link_prediction,
     )
 
     preds = graph_link_prediction(spark, sf_dir).collect()
     assert preds
-    und = {
-        (r.src, r.dst)
-        for r in _copurchase_edges(spark, sf_dir)
-        .filter(F.col("src") < F.col("dst"))
-        .collect()
+    adj = {
+        (r.src, r.dst) for r in _copurchase_edges(spark, sf_dir).collect()
     }
-    jac = [r.jaccard for r in preds]
-    assert jac == sorted(jac, reverse=True)
+    from collections import defaultdict as dd
+
+    by_q = dd(list)
     for r in preds:
-        assert r.part_a < r.part_b
-        assert (r.part_a, r.part_b) not in und  # predicted, not existing
+        by_q[r.part_a].append(r)
+        assert r.part_a <= LINKPRED_QUERY_MAX
+        assert (r.part_a, r.part_b) not in adj  # predicted, not existing
         assert 1 <= r.n_common <= r.n_union
         assert 0 < r.jaccard <= 1.0
+    for picks in by_q.values():
+        assert len(picks) <= LINKPRED_PER_QUERY
+        picks.sort(key=lambda r: r.rk)
+        jac = [r.jaccard for r in picks]
+        assert jac == sorted(jac, reverse=True)
 
 
 def test_link_prediction_matches_brute_python(spark, sf_dir):
     from collections import defaultdict as dd
 
-    from pyspark.sql import functions as F
-
     from dbt_eamples_spark.operators.graph import (
+        LINKPRED_QUERY_MAX,
         _copurchase_edges,
         graph_link_prediction,
     )
@@ -202,19 +207,13 @@ def test_link_prediction_matches_brute_python(spark, sf_dir):
     adj = dd(set)
     for r in _copurchase_edges(spark, sf_dir).collect():
         adj[r.src].add(r.dst)
-    best = {}
-    for u in adj:
-        for v in adj:
-            if u < v and v not in adj[u]:
-                common = len(adj[u] & adj[v])
-                if common:
-                    best[(u, v)] = common
     got = {
         (r.part_a, r.part_b): (r.n_common, r.n_union)
         for r in graph_link_prediction(spark, sf_dir).collect()
     }
     for (u, v), (c, un) in got.items():
-        assert best[(u, v)] == c
+        assert u <= LINKPRED_QUERY_MAX and v not in adj[u]
+        assert len(adj[u] & adj[v]) == c
         assert un == len(adj[u]) + len(adj[v]) - c
 
 
