@@ -26,6 +26,7 @@ from dbt_eamples_spark.operators import sampling as S
 from dbt_eamples_spark.operators.asof import join_asof
 from dbt_eamples_spark.operators.bloom import join_bloom_prefilter
 from dbt_eamples_spark.operators.graph import (
+    graph_kcore,
     graph_link_prediction,
     graph_pagerank_topk,
     graph_pagerank_weighted,
@@ -202,6 +203,9 @@ _R5_PRIORITY = [
     "embedding_centroid_eval",
     "dq_distribution_drift",
     "text_perplexity_bigram",
+    "graph_kcore",
+    "ts_autocorrelation",
+    "dq_benford_digits",
     "doc_winnow_fingerprint",
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -341,6 +345,12 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_distribution_drift": Q.dq_distribution_drift,
         # interpolated bigram LM scoring (word-order anomalies)
         "text_perplexity_bigram": T.text_perplexity_bigram,
+        # K-core membership of the co-purchase graph (dense bundles)
+        "graph_kcore": graph_kcore,
+        # exact-integer correlogram of daily event counts (lags 1-7)
+        "ts_autocorrelation": B.ts_autocorrelation,
+        # Benford first-digit forensic screen over line revenue
+        "dq_benford_digits": Q.dq_benford_digits,
         # --- never driver-checked in rounds 1-2: run these first ---
         # long->wide with pinned pivot domain (no discovery job)
         "metric_pivot": R.metric_pivot,

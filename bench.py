@@ -155,6 +155,9 @@ HEADLINE = [
     "embedding_centroid_eval",
     "dq_distribution_drift",
     "text_perplexity_bigram",
+    "graph_kcore",
+    "ts_autocorrelation",
+    "dq_benford_digits",
 ]
 
 

@@ -1463,3 +1463,90 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.cast("long").alias("cum_revenue_cents"),
         F.round(cum / (F.lit(100.0) * size), 6).alias("cum_ltv_per_user"),
     )
+
+
+# ---- autocorrelation ---------------------------------------------------------
+ACF_MAX_LAG = 7  # report r_1 .. r_7 (one trading week of daily lags)
+
+
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation r_k of the daily event count per type
+    at calendar lags 1..``ACF_MAX_LAG`` — the correlogram a
+    monitoring pipeline reads before picking seasonal windows (a
+    weekly cycle shows as a spike at lag 7; ts_seasonal_decompose
+    then extracts it).
+
+    Engine-exact contract: the textbook estimator divides by the
+    mean twice — floats. Multiply the centered terms by n instead:
+    with S = Σx and cx_t = n·x_t − S (exact int64),
+
+        r_k = Σ_t cx_t · cx_{t−k}  /  Σ_t cx_t²
+
+    because the 1/n² factors cancel. Both sums fold exact integer
+    products in decimal(38,0) (cx ≤ 2·n·max_x ~ 4·10¹² at a 10⁹
+    daily count and a 10-year calendar, so cx² ~ 10²⁵ silently
+    wraps int64 — same fold class as agg_gini_revenue), and the
+    reported r_k is ONE IEEE division of the two exact integers +
+    round(6). Zero-variance series report NULL explicitly.
+
+    Lags are CALENDAR days: pairs whose t−k day is absent pair
+    nothing (document: compose with ts_gap_fill to zero-fill
+    first); the denominator is the full-series energy, the standard
+    complete-series estimator.
+
+    Plan: one corpus exchange builds the daily rollup; the
+    centering window, per-type energy agg, lag equi-join (day+k on
+    the exploded lag grid), and pair agg all ride the
+    calendar-bounded daily grid, which is localCheckpointed ONCE
+    for its three consumers."""
+    ev = load_table(spark, sf_dir, "events", parallelize=True)
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+    ).agg(F.count("*").cast("long").alias("x"))
+    w = Window.partitionBy("event_type")
+    cent = daily.select(
+        "event_type",
+        "day",
+        (F.count("*").over(w) * F.col("x") - F.sum("x").over(w)).alias(
+            "cx"
+        ),
+    ).localCheckpoint(eager=True)
+    den = cent.groupBy("event_type").agg(
+        F.sum(
+            F.col("cx").cast("decimal(38,0)") * F.col("cx")
+        ).alias("den")
+    )
+    lagged = cent.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(1), F.lit(ACF_MAX_LAG))).alias("lag"),
+        F.col("cx").alias("cx_prev"),
+        F.col("day").alias("day_prev"),
+    ).withColumn("day", F.expr("date_add(day_prev, lag)"))
+    pairs = (
+        cent.join(lagged, ["event_type", "day"])
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(
+                F.col("cx").cast("decimal(38,0)") * F.col("cx_prev")
+            ).alias("num"),
+        )
+    )
+    return (
+        pairs.join(F.broadcast(den), "event_type")
+        .select(
+            "event_type",
+            "lag",
+            "n_pairs",
+            F.when(F.col("den") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(
+                    F.col("num").cast("double") / F.col("den").cast("double"),
+                    6,
+                )
+            )
+            .alias("acf"),
+        )
+        .orderBy("event_type", "lag")
+    )

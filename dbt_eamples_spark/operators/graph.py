@@ -523,3 +523,80 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         jac.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= LINKPRED_PER_QUERY)
     )
+
+
+# ---- k-core decomposition ---------------------------------------------------
+# K sits below the random-graph collapse cliff at every fixture SF
+# (the co-purchase graph is ER-like: its K-core empties abruptly
+# once K crosses ~0.75x the mean degree), so the query returns a
+# non-degenerate core at sf0.001/0.01/0.1 while the peel still
+# cascades for several rounds at the smallest fixture.
+KCORE_K = 65  # minimum within-core degree
+KCORE_ROUNDS = 8  # peel-round cap; convergence within it is test-locked
+
+
+def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Synchronous K-core peel of a directed symmetric edge frame
+    (src, dst): drop every node with degree < k, recompute, repeat
+    to fixpoint — capped at ``rounds`` passes. Returns the surviving
+    edge set. Factored out so tests can drive it with constructed
+    graphs whose core is known by hand."""
+    edges = edges.localCheckpoint(eager=True)
+    n_prev = edges.count()
+    for _ in range(rounds):
+        keep = (
+            edges.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("src")
+        )
+        edges = (
+            edges.join(F.broadcast(keep), "src", "left_semi")
+            .join(
+                F.broadcast(keep.select(F.col("src").alias("dst"))),
+                "dst",
+                "left_semi",
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_now = edges.count()
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    return edges
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Members of the K-core of the co-purchase graph (Seidman
+    1983): the maximal subgraph where every node keeps >= K
+    neighbors, with each survivor's within-core degree — the
+    "dense bundle" detector (a part in the core co-sells with >= K
+    other core parts; parts outside are peripheral attachments).
+    Reference analogue: none (no graph engine in the reference);
+    extends the co-purchase family like PageRank / triangles.
+
+    Algorithm: synchronous peeling — drop every node with degree
+    < K, recompute degrees, repeat to fixpoint. Both engines run
+    EXACTLY ``KCORE_ROUNDS`` logical rounds: the oracle unrolls R
+    static CTE rounds; Spark early-exits only when a round removes
+    nothing (a fixpoint makes all later rounds no-ops, so the
+    results are identical by construction — never a semantic
+    shortcut). Fixture convergence inside the cap is test-locked;
+    the round cap, not the data, bounds the iteration count at any
+    scale.
+
+    Plan: per round, one degree hash-agg over the SHRINKING
+    checkpointed edge list + two broadcast semi-joins against the
+    catalog-bounded survivor set (node list, never edges). The
+    audited final plan is one degree agg over the converged core.
+    The per-round ``count()`` is bounded model state (one long) —
+    it reads the checkpoint, not a recompute."""
+    core = kcore_peel(
+        _copurchase_edges(spark, sf_dir), KCORE_K, KCORE_ROUNDS
+    )
+    return (
+        core.groupBy("src")
+        .agg(F.count("*").cast("long").alias("core_deg"))
+        .select(F.col("src").alias("l_partkey"), "core_deg")
+        .orderBy("l_partkey")
+    )

@@ -426,3 +426,84 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "psi_term",
         F.round(psi / F.lit(1e9), 6).alias("psi_total"),
     ).drop("term_fp")
+
+
+# Benford expected first-digit shares, pinned as LITERAL doubles
+# (repr of python math.log10(1 + 1/d)) and rendered into both the
+# Spark expression and the DuckDB oracle — the cross-engine contract
+# is literal equality, never two libm log10 calls agreeing.
+BENFORD_EXPECTED = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over gross line revenue —
+    the classic forensic-accounting / data-quality test (Nigrini
+    1996): fabricated or truncated monetary values drift from the
+    log10(1+1/d) first-digit distribution that multiplicative
+    processes follow. One row per observed leading digit with the
+    observed share, the Benford expectation, and the absolute
+    deviation; the screen's verdict is the deviation column read
+    against the analyst's tolerance (synthetic uniform-ish fixture
+    prices deviate by design — the point is the measurement).
+
+    Engine-exact: the digit is the first character of the integer
+    cents value (cents = round(price·100), the repo-standard exact
+    money form — never float log10 on the value). share and
+    abs_dev evaluate the IDENTICAL IEEE tree both engines:
+    count/count division, subtraction of the pinned literal, abs,
+    round(6).
+
+    Plan: one map-side-combined hash-agg over the scan onto a
+    9-row digit grid; the total attaches via a single-partition
+    window over those 9 rows (bounded by construction). Zero extra
+    corpus passes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    hist = (
+        li.select(
+            F.substring(cents.cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n_obs"))
+    )
+    expected = F.element_at(
+        F.create_map(
+            *[
+                F.lit(x)
+                for d, e in sorted(BENFORD_EXPECTED.items())
+                for x in (d, e)
+            ]
+        ),
+        F.col("digit"),
+    )
+    total = F.sum("n_obs").over(Window.partitionBy())
+    share = F.col("n_obs") / F.col("n_total")
+    return (
+        hist.select(
+            "digit", "n_obs", total.alias("n_total"), expected.alias(
+                "expected_share"
+            )
+        )
+        .select(
+            "digit",
+            "n_obs",
+            F.round(share, 6).alias("share"),
+            "expected_share",
+            F.round(
+                F.abs(share - F.col("expected_share")), 6
+            ).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )

@@ -4062,3 +4062,131 @@ EXT_ORACLES["text_perplexity_bigram"] = r"""
     SELECT d.doc_id, s.n_bigrams, s.avg_nll
     FROM documents d LEFT JOIN scores s ON d.doc_id = s.doc_id
 """
+
+
+def _kcore_oracle_sql() -> str:
+    """Mirror of graph.graph_kcore: the SAME synchronous peel,
+    unrolled as KCORE_ROUNDS static CTE rounds (the MMR unrolled-
+    stages pattern — DuckDB's recursive CTE allows one reference to
+    the recursive table, but each peel round needs the previous
+    edge set twice: for degrees and for the filter). Every round
+    CTE is MATERIALIZED: DuckDB inlines CTEs by default, and with
+    three references per round the inlined plan re-derives the base
+    edge list 3^R times — observed as an 80 GB spill at sf0.1
+    before materialization pinned each round to one evaluation."""
+    from dbt_eamples_spark.operators.graph import KCORE_K, KCORE_ROUNDS
+
+    rounds = []
+    for i in range(1, KCORE_ROUNDS + 1):
+        prev = "edges" if i == 1 else f"e{i - 1}"
+        rounds.append(f"""
+        k{i} AS MATERIALIZED (
+            SELECT src FROM {prev}
+            GROUP BY src HAVING count(*) >= {KCORE_K}
+        ),
+        e{i} AS MATERIALIZED (
+            SELECT e.src, e.dst
+            FROM {prev} e
+            JOIN k{i} a ON e.src = a.src
+            JOIN k{i} b ON e.dst = b.src
+        )""")
+    return f"""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey <> b.l_partkey
+        ),{",".join(rounds)}
+        SELECT src AS l_partkey, CAST(count(*) AS BIGINT) AS core_deg
+        FROM e{KCORE_ROUNDS}
+        GROUP BY src
+        ORDER BY l_partkey
+    """
+
+
+EXT_ORACLES["graph_kcore"] = _kcore_oracle_sql()
+
+
+def _acf_oracle_sql() -> str:
+    """Mirror of behavior.ts_autocorrelation: identical n-scaled
+    centering (cx = n*x - S, so the 1/n**2 cancels in the ratio),
+    exact HUGEINT product sums (the Spark side folds the same
+    products in decimal(38,0)), one final int->double division."""
+    from dbt_eamples_spark.operators.behavior import ACF_MAX_LAG
+
+    lag_rows = ", ".join(f"({k})" for k in range(1, ACF_MAX_LAG + 1))
+    return f"""
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        cent AS MATERIALIZED (
+            SELECT event_type, day,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type) * x
+                        - SUM(x) OVER (PARTITION BY event_type)
+                        AS HUGEINT) AS cx
+            FROM daily
+        ),
+        den AS (
+            SELECT event_type, SUM(cx * cx) AS den
+            FROM cent GROUP BY event_type
+        ),
+        lags AS (SELECT * FROM (VALUES {lag_rows}) t(lag)),
+        pairs AS (
+            SELECT a.event_type, l.lag,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   SUM(b.cx * a.cx) AS num
+            FROM cent a
+            CROSS JOIN lags l
+            JOIN cent b
+              ON b.event_type = a.event_type
+             AND b.day = a.day + l.lag
+            GROUP BY 1, 2
+        )
+        SELECT p.event_type, p.lag, p.n_pairs,
+               CASE WHEN d.den = 0 THEN NULL
+                    ELSE round(CAST(p.num AS DOUBLE)
+                               / CAST(d.den AS DOUBLE), 6) END AS acf
+        FROM pairs p JOIN den d ON d.event_type = p.event_type
+        ORDER BY p.event_type, p.lag
+    """
+
+
+EXT_ORACLES["ts_autocorrelation"] = _acf_oracle_sql()
+
+
+def _benford_oracle_sql() -> str:
+    """Mirror of quality.dq_benford_digits: the pinned literal
+    expectations render from the SAME python dict, and share /
+    abs_dev evaluate the identical IEEE tree."""
+    from dbt_eamples_spark.operators.quality import BENFORD_EXPECTED
+
+    exp_rows = ", ".join(
+        f"({d}, {e!r})" for d, e in sorted(BENFORD_EXPECTED.items())
+    )
+    return f"""
+        WITH hist AS (
+            SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100)
+                                    AS BIGINT) AS VARCHAR), 1, 1)
+                        AS INTEGER) AS digit,
+                   CAST(count(*) AS BIGINT) AS n_obs
+            FROM lineitem GROUP BY 1
+        ),
+        expected AS (SELECT * FROM (VALUES {exp_rows})
+                     t(digit, expected_share)),
+        tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM hist)
+        SELECT h.digit, h.n_obs,
+               round(h.n_obs / t.n_total, 6) AS share,
+               e.expected_share,
+               round(abs(h.n_obs / t.n_total - e.expected_share), 6)
+                 AS abs_dev
+        FROM hist h
+        JOIN expected e ON e.digit = h.digit
+        CROSS JOIN tot t
+        ORDER BY h.digit
+    """
+
+
+EXT_ORACLES["dq_benford_digits"] = _benford_oracle_sql()

@@ -219,6 +219,19 @@ class TestShuffleBudgets:
         # unigram LM pass) + vocab-grid aggs/window + the (prev,cur)
         # scoring join + per-doc agg + the doc-spine right join
         "text_perplexity_bigram": 8,
+        # audited plan is post-peel (each round's shrinking edge
+        # set is checkpointed): final core degree agg + the ordered
+        # output's range exchange
+        "graph_kcore": 2,
+        # post-checkpoint (the centered daily grid is materialized
+        # once for its three consumers): energy agg + the lag-join
+        # side + pair agg — all riding the calendar-bounded grid;
+        # the corpus-sized exchange (daily rollup) happened at the
+        # checkpoint
+        "ts_autocorrelation": 3,
+        # one map-side-combined digit hash-agg; the total rides a
+        # single-partition window over the 9-row digit grid
+        "dq_benford_digits": 1,
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))
