@@ -26,6 +26,7 @@ from dbt_eamples_spark.operators import sampling as S
 from dbt_eamples_spark.operators.asof import join_asof
 from dbt_eamples_spark.operators.bloom import join_bloom_prefilter
 from dbt_eamples_spark.operators.graph import (
+    graph_bfs_layers,
     graph_kcore,
     graph_link_prediction,
     graph_pagerank_topk,
@@ -206,6 +207,10 @@ _R5_PRIORITY = [
     "graph_kcore",
     "ts_autocorrelation",
     "dq_benford_digits",
+    "agg_small_qty_revenue",
+    "agg_skyline_per_brand",
+    "events_seasonality_profile",
+    "graph_bfs_layers",
     "doc_winnow_fingerprint",
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -351,6 +356,14 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_autocorrelation": B.ts_autocorrelation,
         # Benford first-digit forensic screen over line revenue
         "dq_benford_digits": Q.dq_benford_digits,
+        # TPC-H Q17 shape: correlated small-qty revenue per brand
+        "agg_small_qty_revenue": R.agg_small_qty_revenue,
+        # per-brand price/size efficient frontier (2-D skyline)
+        "agg_skyline_per_brand": R.agg_skyline_per_brand,
+        # dow x hour activity heatmap with peak flags
+        "events_seasonality_profile": B.events_seasonality_profile,
+        # multi-source BFS hop distances over the co-purchase graph
+        "graph_bfs_layers": graph_bfs_layers,
         # --- never driver-checked in rounds 1-2: run these first ---
         # long->wide with pinned pivot domain (no discovery job)
         "metric_pivot": R.metric_pivot,

@@ -158,6 +158,10 @@ HEADLINE = [
     "graph_kcore",
     "ts_autocorrelation",
     "dq_benford_digits",
+    "agg_small_qty_revenue",
+    "agg_skyline_per_brand",
+    "events_seasonality_profile",
+    "graph_bfs_layers",
 ]
 
 

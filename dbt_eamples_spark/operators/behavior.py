@@ -1550,3 +1550,48 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "lag")
     )
+
+
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour activity heatmap per event type — the
+    seasonality fingerprint read before choosing maintenance
+    windows, send times, or the seasonal period ts_seasonal_decompose
+    extracts. One row per observed (type, dow, hour) cell with the
+    exact count, the share of the type's total (round 6), and a
+    peak flag (cell count equals the type max — count equality, so
+    ties flag every co-peak deterministically).
+
+    Engine-exact dow: Spark's dayofweek/extract(DOW) and DuckDB's
+    dow() disagree on numbering, so dow derives from pure date
+    arithmetic instead — (days-since-1970-01-01 + 3) mod 7, 0 =
+    Monday (1970-01-01 was a Thursday) — the same integer in any
+    engine.
+
+    Plan: one map-side-combined (type, dow, hour) hash-agg over the
+    scan; totals and peaks ride windows over the <= 168-cell
+    per-type grid (bounded by construction)."""
+    ev = load_table(spark, sf_dir, "events", parallelize=True)
+    day = F.to_date(F.date_trunc("day", F.col("ts")))
+    cells = ev.groupBy(
+        "event_type",
+        (
+            (F.datediff(day, F.lit("1970-01-01").cast("date")) + 3) % 7
+        ).alias("dow"),
+        F.hour("ts").alias("hour"),
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    w = Window.partitionBy("event_type")
+    return (
+        cells.select(
+            "event_type",
+            "dow",
+            "hour",
+            "n_events",
+            F.round(
+                F.col("n_events") / F.sum("n_events").over(w), 6
+            ).alias("share"),
+            (F.col("n_events") == F.max("n_events").over(w)).alias(
+                "is_peak"
+            ),
+        )
+        .orderBy("event_type", "dow", "hour")
+    )

@@ -600,3 +600,55 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("src").alias("l_partkey"), "core_deg")
         .orderBy("l_partkey")
     )
+
+
+# ---- multi-source BFS -------------------------------------------------------
+BFS_SEED_MAX = 5  # seed set: parts with l_partkey <= this
+BFS_MAX_DEPTH = 3  # frontier rounds (dense graph: diameter ~2-3)
+
+
+def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the co-purchase graph: the hop
+    distance (<= ``BFS_MAX_DEPTH``) from a pinned seed set to every
+    reachable part — the "affinity radius" around a promoted bundle
+    (distance 1 = bought together, 2 = bought with something bought
+    together, ...). Unreached parts are absent, not NULL rows.
+
+    Algorithm: level-synchronous frontier expansion, the canonical
+    distributed BFS. Each round joins the CURRENT frontier (a
+    node-bounded set — broadcast) against the edge stream, dedups
+    the neighbor set, and anti-joins already-labeled nodes, so
+    every node is labeled exactly once with its first-reach round =
+    min distance. Round count is the fixed depth cap, never
+    data-dependent.
+
+    Plan: per round one broadcast hash join (frontier into edges) +
+    a node-bounded distinct + a broadcast anti-join; the labeled
+    set is checkpointed per round (bounded by the node count). The
+    oracle unrolls the SAME rounds as MATERIALIZED CTEs (the
+    k-core inlining lesson)."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    dist = (
+        edges.select("src")
+        .filter(F.col("src") <= BFS_SEED_MAX)
+        .distinct()
+        .select(F.col("src").alias("node"), F.lit(0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    for d in range(1, BFS_MAX_DEPTH + 1):
+        frontier = dist.filter(F.col("dist") == d - 1).select(
+            F.col("node").alias("src")
+        )
+        reached = (
+            edges.join(F.broadcast(frontier), "src", "left_semi")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = reached.join(F.broadcast(dist), "node", "left_anti").select(
+            "node", F.lit(d).alias("dist")
+        )
+        dist = dist.unionByName(new).localCheckpoint(eager=True)
+    return (
+        dist.select(F.col("node").alias("l_partkey"), "dist")
+        .orderBy("l_partkey")
+    )

@@ -1642,3 +1642,98 @@ def supplier_lead_time_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "delay_days_sum",
         mean_delay.alias("mean_delay_days"),
     ).withColumn("lead_time_rank", F.dense_rank().over(w).cast("long"))
+
+
+def agg_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand revenue locked in small-quantity orders — TPC-H
+    Q17's correlated-scalar-subquery shape: lines whose quantity is
+    below 20% of the PART's own average quantity, i.e. the
+    "unusually small order for this item" revenue a replenishment
+    policy would fold into batch shipments. Expressed as the
+    correlated subquery itself (not a hand-decorrelated join) to
+    exercise Catalyst's DecorrelateInnerQuery: the optimized plan is
+    the per-part average aggregate joined back to lineitem — two
+    corpus passes, both map-side combined, no per-row re-aggregation
+    (the plan a warehouse engine must reach for Q17 to be runnable
+    at all; verified by the plan-budget lock).
+
+    Engine-exact: quantities are integral doubles, so sum/count per
+    part is exact and the 0.2·avg threshold is two correctly-rounded
+    IEEE ops — identical in DuckDB; revenue folds as integer cents,
+    divided once at the end (sum(double prices) would be
+    partition-order-dependent)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+               ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                     / CAST(700 AS DOUBLE), 2) AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_quantity < (
+            SELECT 0.2 * AVG(l2.l_quantity)
+            FROM lineitem l2
+            WHERE l2.l_partkey = p_partkey
+        )
+        GROUP BY p_brand
+        ORDER BY p_brand
+        """
+    )
+
+
+def agg_skyline_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand 2-D skyline of the part catalog (Börzsönyi et al.
+    2001): parts not dominated on (retail price ↓, size ↑) by any
+    brand-mate — the "efficient frontier" a buyer actually chooses
+    from (anything off the skyline has a brand-mate that is at least
+    as cheap AND at least as large, strictly better in one).
+
+    Plan: dominance collapses to two RANGE-frame window maxima over
+    the integer-cents price order WITHIN each brand — a row is
+    dominated iff a STRICTLY cheaper brand-mate is at least as large
+    (max_size over price < mine) or a no-more-expensive one is
+    strictly larger (max_size over price <= mine, excluding
+    self-size via strict >). One exchange on brand, never a pair
+    self-join (the naive skyline is O(n²) dominance tests; the
+    windowed form is O(n log n) per brand and distributes by
+    brand). Ties on both dims are mutual non-dominators: both rows
+    stay, matching the NOT EXISTS definition the oracle states
+    directly."""
+    part = load_table(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    p = part.select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        cents.alias("price_cents"),
+    )
+    w_lt = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_le = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = p.select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        "price_cents",
+        F.max("p_size").over(w_lt).alias("best_cheaper"),
+        F.max("p_size").over(w_le).alias("best_at_price"),
+    )
+    return (
+        flagged.filter(
+            (
+                F.col("best_cheaper").isNull()
+                | (F.col("best_cheaper") < F.col("p_size"))
+            )
+            & (F.col("best_at_price") <= F.col("p_size"))
+        )
+        .select("p_brand", "p_partkey", "price_cents", "p_size")
+        .orderBy("p_brand", "price_cents", "p_partkey")
+    )

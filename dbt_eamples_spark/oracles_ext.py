@@ -4190,3 +4190,113 @@ def _benford_oracle_sql() -> str:
 
 
 EXT_ORACLES["dq_benford_digits"] = _benford_oracle_sql()
+
+
+# TPC-H Q17 shape: DuckDB runs the IDENTICAL correlated scalar
+# subquery (both optimizers decorrelate it to the per-part average
+# join — the point of the operator).
+EXT_ORACLES["agg_small_qty_revenue"] = """
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                 / CAST(700 AS DOUBLE), 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity)
+        FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+    )
+    GROUP BY p_brand
+    ORDER BY p_brand
+"""
+
+
+# Mirror of relational.agg_skyline_per_brand — deliberately the
+# DIFFERENT (quadratic NOT EXISTS) formulation of dominance, so the
+# gate cross-checks the windowed O(n log n) rewrite against the
+# definition itself.
+EXT_ORACLES["agg_skyline_per_brand"] = """
+    WITH p AS MATERIALIZED (
+        SELECT p_partkey, p_brand, p_size,
+               CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+        FROM part
+    )
+    SELECT b.p_brand, b.p_partkey, b.price_cents, b.p_size
+    FROM p b
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p a
+        WHERE a.p_brand = b.p_brand
+          AND a.price_cents <= b.price_cents
+          AND a.p_size >= b.p_size
+          AND (a.price_cents < b.price_cents OR a.p_size > b.p_size)
+    )
+    ORDER BY b.p_brand, b.price_cents, b.p_partkey
+"""
+
+
+# Mirror of behavior.events_seasonality_profile — the same pure
+# date-arithmetic dow (engine day-of-week numberings disagree).
+EXT_ORACLES["events_seasonality_profile"] = """
+    WITH cells AS (
+        SELECT event_type,
+               CAST((datediff('day', DATE '1970-01-01',
+                              CAST(date_trunc('day', ts) AS DATE)) + 3)
+                    % 7 AS INTEGER) AS dow,
+               CAST(extract(hour FROM ts) AS INTEGER) AS hour,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type, dow, hour, n_events,
+           round(n_events / SUM(n_events)
+                 OVER (PARTITION BY event_type), 6) AS share,
+           n_events = MAX(n_events)
+                 OVER (PARTITION BY event_type) AS is_peak
+    FROM cells
+    ORDER BY event_type, dow, hour
+"""
+
+
+def _bfs_oracle_sql() -> str:
+    """Mirror of graph.graph_bfs_layers: the SAME level-synchronous
+    rounds unrolled as MATERIALIZED CTEs (each round reads the
+    previous labeled set twice — the k-core inlining lesson)."""
+    from dbt_eamples_spark.operators.graph import (
+        BFS_MAX_DEPTH,
+        BFS_SEED_MAX,
+    )
+
+    rounds = []
+    for i in range(1, BFS_MAX_DEPTH + 1):
+        rounds.append(f"""
+        n{i} AS MATERIALIZED (
+            SELECT DISTINCT e.dst AS node
+            FROM edges e JOIN d{i - 1} f
+              ON e.src = f.node AND f.dist = {i - 1}
+        ),
+        d{i} AS MATERIALIZED (
+            SELECT node, dist FROM d{i - 1}
+            UNION ALL
+            SELECT n.node, {i} AS dist FROM n{i} n
+            WHERE NOT EXISTS (
+                SELECT 1 FROM d{i - 1} x WHERE x.node = n.node
+            )
+        )""")
+    return f"""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey <> b.l_partkey
+        ),
+        d0 AS MATERIALIZED (
+            SELECT DISTINCT src AS node, 0 AS dist
+            FROM edges WHERE src <= {BFS_SEED_MAX}
+        ),{",".join(rounds)}
+        SELECT node AS l_partkey, dist
+        FROM d{BFS_MAX_DEPTH}
+        ORDER BY l_partkey
+    """
+
+
+EXT_ORACLES["graph_bfs_layers"] = _bfs_oracle_sql()

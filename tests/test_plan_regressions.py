@@ -232,6 +232,19 @@ class TestShuffleBudgets:
         # one map-side-combined digit hash-agg; the total rides a
         # single-partition window over the 9-row digit grid
         "dq_benford_digits": 1,
+        # decorrelated Q17 plan: per-part avg agg + brand agg + the
+        # ordered output's range exchange; both joins broadcast and
+        # all three parquet scans carry pushed filters
+        "agg_small_qty_revenue": 3,
+        # one brand exchange shared by both RANGE-frame windows +
+        # the ordered output — never the O(n^2) dominance self-join
+        "agg_skyline_per_brand": 2,
+        # parallelize repartition + (type,dow,hour) hash-agg + the
+        # <=168-cell per-type grid window + ordered output
+        "events_seasonality_profile": 4,
+        # audited plan is post-BFS (each round's labeled set is
+        # checkpointed): the ordered output's range exchange only
+        "graph_bfs_layers": 1,
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))

@@ -191,3 +191,121 @@ def test_kcore_peel_on_constructed_graph(spark):
     core = kcore_peel(edges, 2, 8)
     deg = collections.Counter(r.src for r in core.collect())
     assert deg == {n: 5 for n in range(1, 7)}
+
+
+# ---- agg_small_qty_revenue (TPC-H Q17 shape) --------------------------------
+def test_small_qty_revenue_matches_python(spark, sf_dir):
+    from dbt_eamples_spark.operators.relational import agg_small_qty_revenue
+
+    li = load_table(spark, sf_dir, "lineitem").collect()
+    part = {
+        r.p_partkey: r.p_brand
+        for r in load_table(spark, sf_dir, "part").collect()
+    }
+    sums = collections.defaultdict(lambda: [0, 0])
+    for r in li:
+        s = sums[r.l_partkey]
+        s[0] += r.l_quantity
+        s[1] += 1
+    brand = collections.defaultdict(lambda: [0, 0])
+    for r in li:
+        if r.l_quantity < 0.2 * (sums[r.l_partkey][0] / sums[r.l_partkey][1]):
+            b = brand[part[r.l_partkey]]
+            b[0] += 1
+            b[1] += round(r.l_extendedprice * 100)
+    got = {
+        r.p_brand: (r.n_small_lines, r.avg_yearly)
+        for r in agg_small_qty_revenue(spark, sf_dir).collect()
+    }
+    assert set(got) == set(brand)
+    for b, (n, cents) in brand.items():
+        assert got[b][0] == n
+        assert abs(float(got[b][1]) - cents / 700.0) < 0.006
+
+
+def test_small_qty_revenue_plan_decorrelates(spark, sf_dir):
+    """Catalyst must rewrite the correlated scalar subquery to the
+    per-part aggregate join — a correlated re-execution per row
+    would be unrunnable at scale."""
+    from dbt_eamples_spark.operators.relational import agg_small_qty_revenue
+
+    plan = agg_small_qty_revenue(spark, sf_dir)._jdf.queryExecution(
+    ).optimizedPlan().toString()
+    assert "scalar-subquery" not in plan.lower()
+    assert "Aggregate" in plan
+
+
+# ---- agg_skyline_per_brand --------------------------------------------------
+def test_skyline_matches_brute_dominance(spark, sf_dir):
+    from dbt_eamples_spark.operators.relational import agg_skyline_per_brand
+
+    parts = [
+        (r.p_brand, r.p_partkey, round(r.p_retailprice * 100), r.p_size)
+        for r in load_table(spark, sf_dir, "part").collect()
+    ]
+    by_brand = collections.defaultdict(list)
+    for b, k, p, s in parts:
+        by_brand[b].append((k, p, s))
+    want = set()
+    for b, rows in by_brand.items():
+        for k, p, s in rows:
+            dominated = any(
+                p2 <= p and s2 >= s and (p2 < p or s2 > s)
+                for _, p2, s2 in rows
+            )
+            if not dominated:
+                want.add((b, k))
+    got = {
+        (r.p_brand, r.p_partkey)
+        for r in agg_skyline_per_brand(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+# ---- events_seasonality_profile ---------------------------------------------
+def test_seasonality_dow_share_and_peaks(spark, sf_dir):
+    from dbt_eamples_spark.operators.behavior import (
+        events_seasonality_profile,
+    )
+
+    rows = events_seasonality_profile(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").collect()
+    want = collections.Counter(
+        (r.event_type, r.ts.weekday(), r.ts.hour) for r in ev
+    )
+    got = {(r.event_type, r.dow, r.hour): r.n_events for r in rows}
+    assert got == dict(want)  # dow 0 = Monday, matching weekday()
+    totals = collections.Counter(r.event_type for r in ev)
+    peaks = collections.defaultdict(int)
+    for r in rows:
+        assert abs(r.share - r.n_events / totals[r.event_type]) < 5.1e-7
+        peaks[r.event_type] = max(peaks[r.event_type], r.n_events)
+    for r in rows:
+        assert r.is_peak == (r.n_events == peaks[r.event_type])
+
+
+# ---- graph_bfs_layers -------------------------------------------------------
+def test_bfs_layers_match_python_bfs(spark, sf_dir):
+    from dbt_eamples_spark.operators.graph import (
+        BFS_MAX_DEPTH,
+        BFS_SEED_MAX,
+        _copurchase_edges,
+        graph_bfs_layers,
+    )
+
+    adj = collections.defaultdict(set)
+    for r in _copurchase_edges(spark, sf_dir).collect():
+        adj[r.src].add(r.dst)
+    dist = {n: 0 for n in adj if n <= BFS_SEED_MAX}
+    frontier = set(dist)
+    for d in range(1, BFS_MAX_DEPTH + 1):
+        nxt = {
+            v for u in frontier for v in adj[u] if v not in dist
+        }
+        for v in nxt:
+            dist[v] = d
+        frontier = nxt
+    got = {
+        r.l_partkey: r.dist for r in graph_bfs_layers(spark, sf_dir).collect()
+    }
+    assert got == dist
