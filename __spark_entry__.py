@@ -27,6 +27,7 @@ from dbt_eamples_spark.operators.asof import join_asof
 from dbt_eamples_spark.operators.bloom import join_bloom_prefilter
 from dbt_eamples_spark.operators.graph import (
     graph_bfs_layers,
+    graph_degree_powerlaw,
     graph_kcore,
     graph_link_prediction,
     graph_pagerank_topk,
@@ -211,6 +212,12 @@ _R5_PRIORITY = [
     "agg_skyline_per_brand",
     "events_seasonality_profile",
     "graph_bfs_layers",
+    "supplier_sole_late",
+    "customer_idle_balance",
+    "agg_hhi_concentration",
+    "events_user_streaks",
+    "ts_forecast_snaive",
+    "graph_degree_powerlaw",
     "doc_winnow_fingerprint",
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -364,6 +371,18 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_seasonality_profile": B.events_seasonality_profile,
         # multi-source BFS hop distances over the co-purchase graph
         "graph_bfs_layers": graph_bfs_layers,
+        # TPC-H Q21 shape: sole-late-supplier blame (semi+anti stack)
+        "supplier_sole_late": R.supplier_sole_late,
+        # TPC-H Q22 shape: dormant high-balance accounts per segment
+        "customer_idle_balance": R.customer_idle_balance,
+        # Herfindahl supplier-revenue concentration per nation
+        "agg_hhi_concentration": B.agg_hhi_concentration,
+        # per-user consecutive-day streaks (gaps-and-islands fold)
+        "events_user_streaks": B.events_user_streaks,
+        # seasonal-naive forecast backtest (MAE/bias/WAPE baseline)
+        "ts_forecast_snaive": B.ts_forecast_snaive,
+        # degree-distribution power-law fit of the co-purchase graph
+        "graph_degree_powerlaw": graph_degree_powerlaw,
         # --- never driver-checked in rounds 1-2: run these first ---
         # long->wide with pinned pivot domain (no discovery job)
         "metric_pivot": R.metric_pivot,

@@ -1595,3 +1595,215 @@ def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dow", "hour")
     )
+
+
+# ---- market concentration (HHI) ---------------------------------------------
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of supplier revenue within
+    each nation — the antitrust-style "is this market a monopoly"
+    screen that complements `agg_gini_revenue`'s inequality number:
+    HHI = Σ shareᵢ² over suppliers i, 1/n (perfect competition) → 1
+    (monopoly). Also reports the top supplier's share and the
+    effective competitor count 1/HHI.
+
+    Determinism: revenue folds as integer cents; HHI evaluates as
+    Σrevᵢ² / (Σrev)² where the square SUM accumulates
+    decimal(38,0) with the operand cast BEFORE the multiply (the
+    gini lesson — revᵢ² alone reaches ~1e18 at sf0.1, one catalog
+    away from int64 wrap) and the single division + round(6) is the
+    only float op. The DuckDB oracle runs the same algebra over
+    HUGEINT products.
+
+    Scale shape: one fact-table exchange builds per-(nation,
+    supplier) revenue (map-side combined; supplier/nation attach
+    broadcast); the concentration fold is a second agg over the
+    SUPPLIER-CATALOG-bounded frame — never a share self-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    rev = (
+        li.select("l_suppkey", cents.alias("cents"))
+        .join(F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "s_suppkey")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    folds = rev.groupBy("n_name").agg(
+        F.count("*").cast("long").alias("n_suppliers"),
+        F.sum(F.col("rev").cast("decimal(38,0)")).alias("tot"),
+        F.sum(
+            F.col("rev").cast("decimal(38,0)") * F.col("rev")
+        ).alias("sumsq"),
+        F.max("rev").alias("top_rev"),
+    )
+    tot_d = F.col("tot").cast("double")
+    hhi = F.col("sumsq").cast("double") / (tot_d * tot_d)
+    return folds.select(
+        "n_name",
+        "n_suppliers",
+        F.col("tot").cast("long").alias("total_rev_cents"),
+        F.round(hhi, 6).alias("hhi"),
+        F.round(F.col("top_rev").cast("double") / tot_d, 6).alias(
+            "top_share"
+        ),
+        F.round(F.lit(1.0) / hhi, 6).alias("effective_n"),
+    ).orderBy("n_name")
+
+
+# ---- activity streaks (gaps and islands) ------------------------------------
+def events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user consecutive-day activity streaks — the classic
+    gaps-and-islands statistic engagement teams track (current/
+    longest streak): number of active days, number of distinct
+    streaks, the longest streak's length and its start date
+    (earliest start on ties).
+
+    Two deliberately DIFFERENT formulations face the gate: Spark
+    folds each user's sorted distinct day array in-row with a
+    single `aggregate` accumulator (one pass, exact integer day
+    arithmetic), while the DuckDB oracle states the textbook island
+    algebra (day_number − row_number island key, two grouped
+    rollups) — so the fold is cross-checked against the definition,
+    not a twin of itself.
+
+    Scale shape: ONE user-grain exchange — ``collect_set`` dedups
+    days inside the aggregation buffer (map-side partial merge), so
+    no separate (user, day) distinct pass runs; the per-user day set
+    is CALENDAR-bounded (the observed window caps distinct days per
+    user regardless of event volume — the ewma bounded-series
+    argument), so the buffer never holds corpus-sized state. The
+    fold parses from ONE SQL expression (the round-5 py4j
+    lesson)."""
+    ev = load_table(spark, sf_dir, "events", parallelize=True)
+    per_user = ev.select(
+        "user_id",
+        F.datediff(
+            F.to_date(F.date_trunc("day", F.col("ts"))),
+            F.lit("1970-01-01").cast("date"),
+        ).cast("int").alias("d"),
+    ).groupBy("user_id").agg(
+        F.array_sort(F.collect_set("d")).alias("ds")
+    )
+    fold = F.expr(
+        """
+        aggregate(
+          ds,
+          named_struct(
+            'prev', CAST(NULL AS INT), 'cur_len', CAST(0 AS BIGINT),
+            'cur_start', CAST(0 AS INT), 'best_len', CAST(0 AS BIGINT),
+            'best_start', CAST(0 AS INT), 'n_streaks', CAST(0 AS BIGINT)),
+          (acc, d) -> CASE
+            WHEN acc.prev IS NOT NULL AND d = acc.prev + 1 THEN
+              named_struct(
+                'prev', d, 'cur_len', acc.cur_len + 1L,
+                'cur_start', acc.cur_start,
+                'best_len', IF(acc.cur_len + 1L > acc.best_len,
+                               acc.cur_len + 1L, acc.best_len),
+                'best_start', IF(acc.cur_len + 1L > acc.best_len,
+                                 acc.cur_start, acc.best_start),
+                'n_streaks', acc.n_streaks)
+            ELSE
+              named_struct(
+                'prev', d, 'cur_len', 1L, 'cur_start', d,
+                'best_len', IF(1L > acc.best_len, 1L, acc.best_len),
+                'best_start', IF(1L > acc.best_len, d, acc.best_start),
+                'n_streaks', acc.n_streaks + 1L)
+          END,
+          acc -> acc)
+        """
+    )
+    return per_user.select(
+        "user_id",
+        F.size("ds").cast("long").alias("n_active_days"),
+        fold.alias("st"),
+    ).select(
+        "user_id",
+        "n_active_days",
+        F.col("st.n_streaks").alias("n_streaks"),
+        F.col("st.best_len").alias("longest_streak"),
+        F.date_format(
+            F.date_add(
+                F.lit("1970-01-01").cast("date"), F.col("st.best_start")
+            ),
+            "yyyy-MM-dd",
+        ).alias("longest_start"),
+    ).orderBy("user_id")
+
+
+# ---- seasonal-naive forecast backtest ---------------------------------------
+SNAIVE_SEASON_DAYS = 7  # weekly seasonality: forecast(d) = actual(d-7)
+SNAIVE_BACKTEST_DAYS = 28  # score the trailing four weeks
+
+
+def ts_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest of daily event volume per
+    type: ŷ(d) = y(d − 7), scored over the trailing
+    ``SNAIVE_BACKTEST_DAYS`` — the no-skill baseline every real
+    forecasting model must beat (Hyndman & Athanasopoulos, fpp3
+    §5.2), so its error profile is the yardstick a pipeline stores
+    alongside model errors. Reports MAE, mean bias, and WAPE
+    (Σ|err| / Σactual — the aggregate-ratio form; a per-day MAPE
+    would sum per-row float divisions, partition-order-dependent,
+    and explodes on near-zero days).
+
+    Determinism: errors are exact BIGINT count differences; each
+    reported number is ONE IEEE division of two exact integer sums +
+    round(6). Missing lag days are excluded by the inner lag join
+    (compose with ts_gap_fill for a zero-filled variant).
+
+    Scale shape: one corpus exchange builds the daily rollup, which
+    is localCheckpoint-materialized ONCE for its three consumers
+    (actuals side, lag side, horizon — the ts_autocorrelation
+    pattern; without it the corpus aggregates three times); the
+    lag-7 equi-join and the backtest cut then run on the CALENDAR-
+    bounded grid (|types| × |days| rows). The as-of horizon is the
+    grid's own max day (bounded per-type agg, no wall clock)."""
+    ev = load_table(spark, sf_dir, "events", parallelize=True)
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+    ).agg(F.count("*").cast("long").alias("n_events")).localCheckpoint(
+        eager=True
+    )
+    horizon = daily.groupBy("event_type").agg(
+        F.max("day").alias("max_day")
+    )
+    lagged = daily.alias("a").join(
+        daily.alias("l"),
+        (F.col("a.event_type") == F.col("l.event_type"))
+        & (
+            F.col("a.day")
+            == F.date_add(F.col("l.day"), SNAIVE_SEASON_DAYS)
+        ),
+    ).join(
+        F.broadcast(horizon).alias("h"),
+        F.col("a.event_type") == F.col("h.event_type"),
+    ).filter(
+        F.datediff(F.col("h.max_day"), F.col("a.day"))
+        < SNAIVE_BACKTEST_DAYS
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (F.col("a.n_events") - F.col("l.n_events")).alias("err"),
+        F.col("a.n_events").alias("actual"),
+    )
+    folds = lagged.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(F.abs(F.col("err"))).alias("sae"),
+        F.sum("err").alias("se"),
+        F.sum("actual").alias("sa"),
+    )
+    n_d = F.col("n_days").cast("double")
+    return folds.select(
+        "event_type",
+        "n_days",
+        F.round(F.col("sae").cast("double") / n_d, 6).alias("mae"),
+        F.round(F.col("se").cast("double") / n_d, 6).alias("bias"),
+        F.round(
+            F.col("sae").cast("double") / F.col("sa").cast("double"), 6
+        ).alias("wape"),
+    ).orderBy("event_type")

@@ -652,3 +652,59 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist.select(F.col("node").alias("l_partkey"), "dist")
         .orderBy("l_partkey")
     )
+
+
+def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution power-law fit of the co-purchase graph:
+    least-squares slope of ln(#nodes with degree k) against ln(k) —
+    the one-number structure check (Barabási–Albert scale-free
+    graphs sit near slope −2…−3; an ER-random graph bends away from
+    a line) that tells a pipeline whether hub-aware strategies like
+    the compact-forward triangle orientation are even warranted.
+    Also reports node/edge counts and the degree extremes.
+
+    Determinism: degrees and distribution counts are exact BIGINTs;
+    ln values are pre-rounded at 6dp and scaled to exact 1e6
+    fixed-point bigints, all five regression folds accumulate in
+    decimal(38,0), and the closed-form slope evaluates on exact
+    integers cast to double — the text_zipf_slope contract applied
+    to graph degrees (same engine-exactness argument).
+
+    Scale shape: the basket expansion + distinct is the shared
+    co-purchase edge derivation; the degree agg is one exchange on
+    src; the distribution agg and the regression fold run on the
+    DEGREE-GRID-bounded frame (≤ max-degree rows)."""
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("k"))
+    dist = deg.groupBy("k").agg(F.count("*").cast("long").alias("n_k"))
+    x6 = F.round(F.round(F.log(F.col("k")), 6) * 1e6).cast("decimal(38,0)")
+    y6 = F.round(F.round(F.log(F.col("n_k")), 6) * 1e6).cast("decimal(38,0)")
+    folds = dist.select(
+        x6.alias("x"),
+        y6.alias("y"),
+        F.col("k"),
+        F.col("n_k"),
+    ).agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("n_k").cast("long").alias("n_nodes"),
+        F.min("k").alias("min_degree"),
+        F.max("k").alias("max_degree"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    slope = num / den
+    return folds.select(
+        F.col("n").cast("long").alias("n_degrees"),
+        "n_nodes",
+        "min_degree",
+        "max_degree",
+        F.round(slope, 6).alias("powerlaw_slope"),
+    )

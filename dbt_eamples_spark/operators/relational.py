@@ -1737,3 +1737,127 @@ def agg_skyline_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_brand", "p_partkey", "price_cents", "p_size")
         .orderBy("p_brand", "price_cents", "p_partkey")
     )
+
+
+LATE_SHIP_DAYS = 60  # "late" = shipped more than this after the order date
+
+
+def supplier_sole_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the SOLE late shipper on multi-supplier
+    orders — TPC-H Q21's stacked-existential shape (EXISTS another
+    supplier on the order AND NOT EXISTS another LATE supplier),
+    the "who alone is holding up shared orders" blame report a
+    procurement team escalates on. Late = shipped more than
+    ``LATE_SHIP_DAYS`` after the order date (this schema has no
+    commit/receipt dates; the order date is the promise proxy).
+
+    Written AS the EXISTS / NOT EXISTS pair (not a hand-built
+    aggregate) to exercise Catalyst's RewritePredicateSubquery: the
+    optimized plan is a left-semi join (the EXISTS) and a left-anti
+    join (the NOT EXISTS) against the lineitem stream — both
+    shuffle-hash on l_orderkey, no subquery re-execution per row and
+    no nested loop (plan-budget + no-subquery-in-optimized-plan
+    test-locked). The DuckDB oracle deliberately states the OTHER
+    formulation — per-(order, supplier) lateness flags aggregated to
+    per-order supplier/late-supplier counts — so the gate
+    cross-checks the existential plan against the counting
+    definition rather than a twin of itself.
+
+    Scale shape: three passes over lineitem (the probe + the two
+    existential sides), each map-side filtered before its
+    l_orderkey exchange; supplier/nation attach broadcast. Counting
+    DISTINCT orders per supplier makes the metric independent of how
+    many of the supplier's own lines were late on one order."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        f"""
+        SELECT n_name, s_name,
+               CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT)
+                   AS n_orders_waiting
+        FROM lineitem l1
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        JOIN supplier ON s_suppkey = l1.l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE datediff(l1.l_shipdate, o_orderdate) > {LATE_SHIP_DAYS}
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND datediff(l3.l_shipdate, o_orderdate) > {LATE_SHIP_DAYS}
+          )
+        GROUP BY n_name, s_name
+        ORDER BY n_orders_waiting DESC, s_name
+        """
+    )
+
+
+IDLE_WINDOW_DAYS = 180  # idle = no order in the trailing window
+
+
+def customer_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Well-funded customers with no orders in the trailing
+    ``IDLE_WINDOW_DAYS`` of the observed order history, rolled up
+    per market segment — TPC-H Q22's shape (a global scalar-
+    aggregate threshold + an anti join against the fact table): the
+    dormant high-balance accounts a sales team re-activates first.
+    The as-of instant is the data's own MAX(o_orderdate) (a third
+    scalar subquery), so the report is reproducible at any SF
+    without a wall-clock literal.
+
+    Threshold semantics, engine-exact: "balance above the average
+    positive balance" is evaluated WITHOUT a float average —
+    ``bal_cents * n_pos > sum_pos_cents`` on exact integers (the
+    division is algebraically cleared; a double AVG would make the
+    cut partition-order-dependent in the last ulp). The positive-
+    balance fold sums cents in decimal(38,0) and the product side is
+    cast to decimal BEFORE multiplying (the gini lesson: the product
+    must not wrap in int64 first).
+
+    Plan: the three scalar subqueries collapse to one-row broadcast
+    joins (Catalyst computes each CTE aggregate once — bounded model
+    state, the one-row-bounds pattern); the NOT EXISTS rewrites to a
+    left-anti join on o_custkey with the window filter pushed into
+    the anti side's parquet scan. The DuckDB oracle runs the same
+    statement (only the date-shift spelling differs — DuckDB has no
+    two-arg date_add), pinning the scalar-subquery semantics."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        f"""
+        WITH c AS (
+            SELECT c_custkey, c_mktsegment,
+                   CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+            FROM customer
+        ),
+        pos AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pos,
+                   SUM(CAST(bal_cents AS DECIMAL(38,0))) AS sum_pos
+            FROM c WHERE bal_cents > 0
+        )
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_idle_rich,
+               CAST(SUM(CAST(bal_cents AS DECIMAL(38,0))) AS BIGINT)
+                   AS idle_balance_cents
+        FROM c
+        WHERE CAST(bal_cents AS DECIMAL(38,0)) * (SELECT n_pos FROM pos)
+                  > (SELECT sum_pos FROM pos)
+          AND NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= (
+                    SELECT date_add(MAX(o_orderdate), -{IDLE_WINDOW_DAYS})
+                    FROM orders
+                )
+          )
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """
+    )

@@ -4300,3 +4300,227 @@ def _bfs_oracle_sql() -> str:
 
 
 EXT_ORACLES["graph_bfs_layers"] = _bfs_oracle_sql()
+
+
+# TPC-H Q21 shape: the oracle deliberately states the COUNTING
+# formulation (per-(order, supplier) lateness flags -> per-order
+# supplier/late counts) so the gate cross-checks Spark's
+# EXISTS / NOT EXISTS plan against the definition, not a twin.
+def _sole_late_oracle_sql() -> str:
+    from dbt_eamples_spark.operators.relational import LATE_SHIP_DAYS
+
+    return f"""
+        WITH lat AS (
+            SELECT l_orderkey, l_suppkey,
+                   max(CASE WHEN datediff('day', o_orderdate, l_shipdate)
+                                 > {LATE_SHIP_DAYS}
+                            THEN 1 ELSE 0 END) AS is_late
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            GROUP BY 1, 2
+        ), per_order AS (
+            SELECT l_orderkey,
+                   count(*) AS n_supp, sum(is_late) AS n_late
+            FROM lat GROUP BY 1
+        )
+        SELECT n_name, s_name,
+               CAST(count(*) AS BIGINT) AS n_orders_waiting
+        FROM lat
+        JOIN per_order USING (l_orderkey)
+        JOIN supplier ON s_suppkey = lat.l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE lat.is_late = 1
+          AND per_order.n_supp >= 2 AND per_order.n_late = 1
+        GROUP BY n_name, s_name
+        ORDER BY n_orders_waiting DESC, s_name
+    """
+
+
+EXT_ORACLES["supplier_sole_late"] = _sole_late_oracle_sql()
+
+
+# TPC-H Q22 shape: same statement as the Spark side except the
+# date-shift spelling (DuckDB has no two-arg date_add).
+def _idle_balance_oracle_sql() -> str:
+    from dbt_eamples_spark.operators.relational import IDLE_WINDOW_DAYS
+
+    return f"""
+        WITH c AS (
+            SELECT c_custkey, c_mktsegment,
+                   CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+            FROM customer
+        ),
+        pos AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pos,
+                   SUM(CAST(bal_cents AS DECIMAL(38,0))) AS sum_pos
+            FROM c WHERE bal_cents > 0
+        )
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_idle_rich,
+               CAST(SUM(CAST(bal_cents AS DECIMAL(38,0))) AS BIGINT)
+                   AS idle_balance_cents
+        FROM c
+        WHERE CAST(bal_cents AS DECIMAL(38,0)) * (SELECT n_pos FROM pos)
+                  > (SELECT sum_pos FROM pos)
+          AND NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= (
+                    SELECT MAX(o_orderdate)
+                           - INTERVAL {IDLE_WINDOW_DAYS} DAY
+                    FROM orders
+                )
+          )
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """
+
+
+EXT_ORACLES["customer_idle_balance"] = _idle_balance_oracle_sql()
+
+
+# Mirror of behavior.agg_hhi_concentration (HUGEINT products, the
+# gini ADVICE pattern; one IEEE division + round(6) per report).
+EXT_ORACLES["agg_hhi_concentration"] = """
+    WITH rev AS (
+        SELECT n_name, s_suppkey,
+               SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS rev
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        GROUP BY 1, 2
+    ), folds AS (
+        SELECT n_name,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               SUM(CAST(rev AS HUGEINT)) AS tot,
+               SUM(CAST(rev AS HUGEINT) * rev) AS sumsq,
+               MAX(rev) AS top_rev
+        FROM rev GROUP BY 1
+    )
+    SELECT n_name, n_suppliers,
+           CAST(tot AS BIGINT) AS total_rev_cents,
+           round(CAST(sumsq AS DOUBLE)
+                 / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS hhi,
+           round(CAST(top_rev AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+               AS top_share,
+           round(1.0 / (CAST(sumsq AS DOUBLE)
+                 / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))), 6)
+               AS effective_n
+    FROM folds ORDER BY n_name
+"""
+
+
+# Counter-formulation of behavior.events_user_streaks: the textbook
+# gaps-and-islands algebra (day_number - row_number island key)
+# cross-checks Spark's in-row fold against the definition.
+EXT_ORACLES["events_user_streaks"] = """
+    WITH d AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ), r AS (
+        SELECT user_id, day,
+               datediff('day', DATE '1970-01-01', day)
+               - row_number() OVER (PARTITION BY user_id ORDER BY day)
+                   AS island
+        FROM d
+    ), s AS (
+        SELECT user_id, island,
+               CAST(count(*) AS BIGINT) AS len, MIN(day) AS start
+        FROM r GROUP BY 1, 2
+    ), m AS (
+        SELECT user_id, len, start,
+               MAX(len) OVER (PARTITION BY user_id) AS mx
+        FROM s
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           strftime(MIN(start) FILTER (WHERE len = mx), '%Y-%m-%d')
+               AS longest_start
+    FROM m GROUP BY user_id ORDER BY user_id
+"""
+
+
+# Mirror of behavior.ts_forecast_snaive on the calendar-bounded
+# daily grid (interval-shift join spelling differs per engine).
+def _snaive_oracle_sql() -> str:
+    from dbt_eamples_spark.operators.behavior import (
+        SNAIVE_BACKTEST_DAYS,
+        SNAIVE_SEASON_DAYS,
+    )
+
+    return f"""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        ), h AS (
+            SELECT event_type, MAX(day) AS max_day FROM daily GROUP BY 1
+        ), lagged AS (
+            SELECT a.event_type,
+                   a.n_events - l.n_events AS err,
+                   a.n_events AS actual
+            FROM daily a
+            JOIN daily l
+              ON a.event_type = l.event_type
+             AND a.day = l.day + INTERVAL {SNAIVE_SEASON_DAYS} DAY
+            JOIN h ON a.event_type = h.event_type
+            WHERE datediff('day', a.day, h.max_day)
+                      < {SNAIVE_BACKTEST_DAYS}
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               round(CAST(SUM(abs(err)) AS DOUBLE) / count(*), 6) AS mae,
+               round(CAST(SUM(err) AS DOUBLE) / count(*), 6) AS bias,
+               round(CAST(SUM(abs(err)) AS DOUBLE)
+                     / CAST(SUM(actual) AS DOUBLE), 6) AS wape
+        FROM lagged GROUP BY event_type ORDER BY event_type
+    """
+
+
+EXT_ORACLES["ts_forecast_snaive"] = _snaive_oracle_sql()
+
+
+# Mirror of graph.graph_degree_powerlaw: same co-purchase edge
+# derivation as the other graph oracles, zipf fixed-point folds.
+EXT_ORACLES["graph_degree_powerlaw"] = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (
+        SELECT src, CAST(count(*) AS BIGINT) AS k
+        FROM edges GROUP BY src
+    ),
+    dist AS (
+        SELECT k, CAST(count(*) AS BIGINT) AS n_k FROM deg GROUP BY k
+    ),
+    fx AS (
+        SELECT CAST(round(round(ln(k), 6) * 1e6) AS BIGINT) AS x,
+               CAST(round(round(ln(n_k), 6) * 1e6) AS BIGINT) AS y,
+               k, n_k
+        FROM dist
+    ),
+    folds AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(n_k) AS BIGINT) AS n_nodes,
+               MIN(k) AS min_degree,
+               MAX(k) AS max_degree
+        FROM fx
+    )
+    SELECT n AS n_degrees, n_nodes, min_degree, max_degree,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+               AS powerlaw_slope
+    FROM folds
+"""

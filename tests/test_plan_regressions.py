@@ -245,6 +245,29 @@ class TestShuffleBudgets:
         # audited plan is post-BFS (each round's labeled set is
         # checkpointed): the ordered output's range exchange only
         "graph_bfs_layers": 1,
+        # rewritten-subquery Q21 plan: the probe stream's orderkey
+        # exchange feeds the semi+anti sides (broadcast at fixture
+        # scale, shuffle-hash at cluster scale) + the distinct-order
+        # agg + ordered output
+        "supplier_sole_late": 3,
+        # segment agg + ordered output; the scalar thresholds are
+        # one-row bounds subqueries and the NOT EXISTS is a single
+        # anti join on o_custkey
+        "customer_idle_balance": 2,
+        # (nation, supplier) revenue agg + the supplier-catalog-
+        # bounded concentration fold + ordered output
+        "agg_hhi_concentration": 3,
+        # parallelize repartition + ONE user-grain exchange
+        # (collect_set dedups in-buffer; no separate distinct pass)
+        # + ordered output; the streak fold is in-row
+        "events_user_streaks": 3,
+        # post-checkpoint (daily grid materialized once for its
+        # three consumers): lag join + horizon attach broadcast on
+        # the calendar-bounded grid; per-type agg + ordered output
+        "ts_forecast_snaive": 3,
+        # basket agg + edge distinct + degree agg + the degree-grid
+        # fold (single final agg); no ordered output (one row)
+        "graph_degree_powerlaw": 4,
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))
