@@ -117,77 +117,26 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Round-5 driver-sample rotation (VERDICT r4 #1): the driver checks
-# the FIRST 50 registry entries per round, so order = (1) round-5's
-# 2 new queries, (2) the 12 queries whose code or oracle changed
-# this round and must re-green in-sample (PQ trained default, LSH/
-# literal-expr rebuild, artifact-backed indexes, ADVICE oracle
-# fixes), (3) metric_compiled_growth (the only never-driver-checked
-# entry, r4's position-51 boundary casualty), (4) the 35-query
-# cohort whose latest driver row is round 1 — exactly 50. The
-# 32-query r2-latest cohort heads positions 51+ as round 6's front;
-# everything after follows in registry insertion order (r3/r4 rows,
-# newest-verified last).
-_R5_PRIORITY = [
-    # (1) new this round
+# Round-6 driver-sample rotation (VERDICT r5 #1): no CORRECTNESS
+# row was produced in round 5, so the driver's latest hard signal is
+# r4 and every round-5 addition is still driver-unchecked. The
+# driver samples the FIRST 50 registry entries per round, so order =
+# (1) the 36 never-driver-checked queries (all r5 additions incl.
+# the six documented this round in SURVEY §2, plus
+# metric_compiled_growth, r4's position-51 casualty) — their first
+# driver rows are this round's #1 deliverable; (2) round-6's new
+# queries, also never-checked; (3) as many of the 35-query cohort
+# whose latest driver row is r1 (4 rounds stale) as fit under 50.
+# Positions 51+ queue the remaining r1 cohort then the r2 cohort as
+# round 7's front.
+_R6_PRIORITY = [
+    # (1) never driver-checked — round-5 additions, first rows due
     "graph_pagerank_weighted",
     "sample_source_temperature_alpha",
     "similarity_ivf_pq_topk",
     "similarity_ivf_pq_residual_topk",
     "sample_fixed_size_per_group",
-    # (2) code/oracle changed in round 5 — re-green IN-SAMPLE
-    "similarity_pq_topk",
-    "similarity_pq_rerank_topk",
-    "embedding_pq_encode_trained",
-    "similarity_lsh_topk",
-    "dedup_incremental_minhash",
-    "dedup_semantic_clusters",
-    "dedup_embedding_cosine",
-    "embedding_random_projection",
-    "agg_gini_revenue",
-    "corpus_mix_entropy",
-    "events_time_to_convert",
-    "events_anomaly_rolling",
-    # (3) never driver-checked (judge-verified green in r4)
     "metric_compiled_growth",
-    # (4) latest driver row is r1 — 35 queries
-    "scan_table",
-    "sql_execute_limit",
-    "filter_where_expr",
-    "filter_time_range",
-    "join_fact_dim",
-    "join_star_3way",
-    "join_left_outer",
-    "join_time_range",
-    "agg_count",
-    "agg_count_distinct",
-    "agg_percentiles",
-    "agg_approx_distinct",
-    "metric_groupby_agg",
-    "distinct_values",
-    "metric_grouping_sets",
-    "metric_rollup",
-    "metric_cube",
-    "window_topk_per_group",
-    "order_by",
-    "order_limit_topk",
-    "limit_offset_page",
-    "intersect_except",
-    "hex_decode_utf8",
-    "round_decimals",
-    "regexp_redact",
-    "string_chunk",
-    "sanitize_name",
-    "text_token_stats",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_count_bpe",
-    "doc_fingerprint",
-    # ---- position 51+ (r6's front): late-round-5 additions (kept
-    # OUT of the top-50 so the rotation-debt clearing above stays
-    # intact — r6 drives them first), then the three r1-cohort
-    # members the round-5 insertions displaced, then the r2-latest
-    # cohort --
     "text_bpe_train",
     "text_bpe_tokenize",
     "graph_triangle_count",
@@ -218,6 +167,43 @@ _R5_PRIORITY = [
     "events_user_streaks",
     "ts_forecast_snaive",
     "graph_degree_powerlaw",
+    # (2) new in round 6 — never-checked by construction
+    # (inserted here as they land so they stay inside the top 50)
+    # (3) latest driver row is r1 — oldest cohort, fill to 50
+    "scan_table",
+    "sql_execute_limit",
+    "filter_where_expr",
+    "filter_time_range",
+    "join_fact_dim",
+    "join_star_3way",
+    "join_left_outer",
+    "join_time_range",
+    "agg_count",
+    "agg_count_distinct",
+    "agg_percentiles",
+    "agg_approx_distinct",
+    "metric_groupby_agg",
+    "distinct_values",
+    # ---- position 51+ (round 7's front): the rest of the
+    # r1-latest cohort, then the r2-latest cohort ----
+    "metric_grouping_sets",
+    "metric_rollup",
+    "metric_cube",
+    "window_topk_per_group",
+    "order_by",
+    "order_limit_topk",
+    "limit_offset_page",
+    "intersect_except",
+    "hex_decode_utf8",
+    "round_decimals",
+    "regexp_redact",
+    "string_chunk",
+    "sanitize_name",
+    "text_token_stats",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_count_bpe",
+    "doc_fingerprint",
     "doc_winnow_fingerprint",
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -260,11 +246,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     The driver samples the FIRST 50 entries per round; the dict below
-    is re-ordered through ``_R4_PRIORITY`` (new → re-green → longest
+    is re-ordered through ``_R6_PRIORITY`` (never-checked → new → longest
     unchecked → rest), so insertion order here is grouping only.
     """
     d = _query_registry()
-    ordered = {k: d[k] for k in _R5_PRIORITY if k in d}
+    ordered = {k: d[k] for k in _R6_PRIORITY if k in d}
     ordered.update({k: v for k, v in d.items() if k not in ordered})
     return ordered
 

@@ -23,146 +23,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from dbt_eamples_spark.session import get_spark  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402
 
-# headline set: the heaviest / most representative operators
-HEADLINE = [
-    "metric_groupby_agg",
-    "join_time_range",
-    "join_star_3way",
-    "join_left_outer",
-    "window_topk_per_group",
-    "window_running_sum",
-    "order_limit_topk",
-    "metric_grouping_sets",
-    "string_chunk",
-    "concat_report_rows",
-    "join_asof",
-    "metric_compiled_star",
-    "join_salted_skew",
-    "agg_percentiles",
-    "dedup_minhash",
-    "dedup_simhash",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "similarity_topk",
-    "similarity_ivf_topk",
-    "similarity_lsh_topk",
-    "text_token_stats",
-    "text_decontaminate",
-    "pack_concat_chunks",
-    "doc_fingerprint",
-    "doc_winnow_fingerprint",
-    "multimodal_features_flat",
-    "stream_tumbling_count",
-    "stream_session_agg",
-    "sessionize_events",
-    "join_range_binned",
-    "stream_interval_join",
-    "embedding_quantize_int8",
-    "date_spine",
-    "incremental_merge_upsert",
-    "text_bm25_search",
-    "dq_schema_tests",
-    "text_keyword_extract",
-    "rfm_segmentation",
-    "stream_sliding_count",
-    "agg_equi_depth_histogram",
-    "agg_trend_slope",
-    "dedup_incremental_minhash",
-    "sample_quality_weighted",
-    "events_funnel",
-    "retention_cohort",
-    "agg_mode_per_group",
-    "events_transition_matrix",
-    "agg_zscore_outliers",
-    "text_word_entropy",
-    # round-3 additions
-    "market_basket_pairs",
-    "abc_pareto_class",
-    "embedding_random_projection",
-    "dedup_containment",
-    "agg_correlation",
-    # round-4 additions
-    "events_user_path",
-    "ts_gap_fill",
-    "text_line_dedup",
-    "embedding_pq_encode",
-    "text_perplexity_unigram",
-    "dedup_semantic_clusters",
-    "sample_train_test_split",
-    "agg_mad_outliers",
-    "events_attribution_last_touch",
-    "similarity_pq_topk",
-    "embedding_pq_encode_trained",
-    "metric_compiled_growth",
-    "table_profile",
-    "similarity_pq_rerank_topk",
-    "text_pii_scan",
-    "corpus_quality_filter",
-    "events_anomaly_rolling",
-    "events_dau_wau_mau",
-    "text_ngram_topk",
-    "sample_source_temperature",
-    "table_diff",
-    "agg_weighted_percentile",
-    "events_inter_arrival",
-    "join_bloom_prefilter",
-    "agg_skewness_kurtosis",
-    "stream_late_data_metrics",
-    "metric_compiled_derived",
-    "similarity_knn_graph",
-    # round-4 second wave
-    "metric_compiled_conversion",
-    "agg_kmv_distinct",
-    "agg_market_share",
-    "orders_backlog_daily",
-    "supplier_lead_time_rank",
-    "events_type_pmi",
-    "events_time_to_convert",
-    "agg_gini_revenue",
-    "dq_advanced_tests",
-    "text_lang_confusion",
-    "dq_source_freshness",
-    "window_percent_rank_cume",
-    "text_zipf_slope",
-    "corpus_mix_entropy",
-    "ts_resample_ohlc",
-    "agg_ship_delay_bands",
-    "join_star_local_volume",
-    "agg_heavy_hitters_cms",
-    "sample_fixed_size_hash",
-    "text_normalize_dedup",
-    "graph_pagerank_topk",
-    # round-5 additions
-    "graph_pagerank_weighted",
-    "sample_source_temperature_alpha",
-    "similarity_ivf_pq_topk",
-    "similarity_ivf_pq_residual_topk",
-    "sample_fixed_size_per_group",
-    "text_bpe_train",
-    "text_bpe_tokenize",
-    "graph_triangle_count",
-    "ts_ewma_smooth",
-    "events_markov_stationary",
-    "events_changepoint_cusum",
-    "ts_seasonal_decompose",
-    "events_survival_km",
-    "similarity_mmr_topk",
-    "similarity_hard_negatives",
-    "text_readability",
-    "ts_holt_linear",
-    "graph_link_prediction",
-    "events_cohort_ltv",
-    "embedding_centroid_eval",
-    "dq_distribution_drift",
-    "text_perplexity_bigram",
-    "graph_kcore",
-    "ts_autocorrelation",
-    "dq_benford_digits",
-    "agg_small_qty_revenue",
-    "agg_skyline_per_brand",
-    "events_seasonality_profile",
-    "graph_bfs_layers",
-]
+# Bench set derived from the registry (VERDICT r5 #2b): every
+# queries() entry is measured unless listed in BENCH_EXCLUDE with a
+# reason — a new operator can never ship unmeasured again. The
+# historical HEADLINE list let six round-5 additions skip the bench.
+BENCH_EXCLUDE: dict[str, str] = {
+    # (empty) — all 201 registry queries are benched; add entries
+    # here only with a documented reason (e.g. a query whose cost is
+    # dominated by driver-side fixed overhead rather than plan work).
+}
+
+
+def _bench_names() -> list[str]:
+    qs = entrymod.queries()
+    return [n for n in qs if n not in BENCH_EXCLUDE]
+
 
 
 def main() -> None:
@@ -171,7 +46,7 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
-    names = [n for n in HEADLINE if n in qs]
+    names = _bench_names()
 
     # warm-up: JVM JIT + parquet footer caches
     for n in names:

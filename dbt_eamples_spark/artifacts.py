@@ -47,12 +47,26 @@ def artifacts_root() -> str:
 
 def corpus_fingerprint(sf_dir: str, *tables: str) -> str:
     """md5 over (abs path, size, mtime_ns) of each source table's
-    parquet file — cheap (metadata-only) and rewrite-sensitive."""
+    parquet file — cheap (metadata-only) and rewrite-sensitive.
+    Directory-backed tables fingerprint the RECURSIVE file listing
+    (per part-file path/size/mtime): stat()ing just the directory
+    would miss an in-place part rewrite that leaves the dir entry's
+    size/mtime unchanged, silently reusing a stale index (ADVICE
+    r5)."""
     h = hashlib.md5()
     for t in sorted(tables):
-        p = table_path(sf_dir, t)
-        st = os.stat(p)
-        h.update(f"{os.path.abspath(p)}:{st.st_size}:{st.st_mtime_ns};".encode())
+        p = os.path.abspath(table_path(sf_dir, t))
+        if os.path.isdir(p):
+            for d, _, fs in sorted(os.walk(p)):
+                for f in sorted(fs):
+                    fp = os.path.join(d, f)
+                    st = os.stat(fp)
+                    h.update(
+                        f"{fp}:{st.st_size}:{st.st_mtime_ns};".encode()
+                    )
+        else:
+            st = os.stat(p)
+            h.update(f"{p}:{st.st_size}:{st.st_mtime_ns};".encode())
     return h.hexdigest()[:16]
 
 
@@ -67,11 +81,17 @@ def load_or_build(
     build,
 ) -> DataFrame:
     """Return the ``kind`` artifact for ``fingerprint``, building it
-    with ``build()`` (a () -> DataFrame) only on miss. The artifact
-    is written ONCE (atomic: parquet commit protocol renames a
-    _temporary dir, so a concurrent reader never sees partial data);
-    hits read the parquet back — at scale that read is the bucketed/
-    pruned scan the index exists to provide."""
+    with ``build()`` (a () -> DataFrame) only on miss. Publication is
+    a directory RENAME of a fully-written temp sibling (ADVICE r5:
+    ``mode('overwrite')`` on the final path would first DELETE it, so
+    a concurrent reader could see a vanished/partial artifact and two
+    builders could clobber each other's _temporary dirs). With the
+    rename, a reader either sees no artifact (and builds its own temp
+    copy) or a complete one; if two builders race, the loser's rename
+    fails on the now-existing path and it falls through to reading
+    the winner's identical (same-fingerprint) artifact. Hits read the
+    parquet back — at scale that read is the bucketed/pruned scan the
+    index exists to provide."""
     path = artifact_path(kind, fingerprint)
     marker = os.path.join(path, "_SUCCESS")
     if os.path.exists(marker):
@@ -79,7 +99,14 @@ def load_or_build(
         _manifest_touch(kind, fingerprint, built=False)
         return spark.read.parquet(path)
     df = build()
-    df.write.mode("overwrite").parquet(path)
+    tmp = f"{path}.build.{os.getpid()}.{time.time_ns()}"
+    df.write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        # lost the publish race — the winner's artifact (same
+        # fingerprint, same content) is already in place
+        shutil.rmtree(tmp, ignore_errors=True)
     ARTIFACT_EVENTS.append((kind, "build"))
     _manifest_touch(kind, fingerprint, built=True)
     return spark.read.parquet(path)
@@ -147,8 +174,8 @@ def list_artifacts() -> list[dict]:
             continue
         for fp in sorted(os.listdir(kdir)):
             path = os.path.join(kdir, fp)
-            if not os.path.isdir(path):
-                continue
+            if not os.path.isdir(path) or ".build." in fp:
+                continue  # in-flight temp dirs are not inventory
             key = f"{kind}/{fp}"
             e = m.get(key)
             if e is None:

@@ -1169,7 +1169,9 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     Weekday = epoch-day mod 7 (identical arithmetic in any engine —
     named DOW functions disagree on 0- vs 1-basing). Days without a
     FULL centered window (series edges, gap-adjacent days) get NULL
-    trend/seasonal/residual rather than a silently-shortened mean
+    trend and residual rather than a silently-shortened mean;
+    `seasonal` — a property of the weekday, not of the day's own
+    window — still populates on those days via the left join
     (compose with ts_gap_fill upstream for gapless series).
 
     Plan: one daily-rollup shuffle; the trend window is a RANGE

@@ -808,11 +808,20 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
     coefs: list[np.ndarray] = []
     n_blocks = bh = bw_ = 0
     any_scan = False
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
+        # 0xFF fill bytes may pad before any marker (B.1.1.2)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / stray RSTn: standalone markers, no length field
+            pos += 2
+            continue
+        if pos + 4 > len(data):
             break
         (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         payload = data[pos + 4 : pos + 2 + length]

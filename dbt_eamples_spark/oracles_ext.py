@@ -116,8 +116,12 @@ def _kmeans_cte_sql(iters: int) -> str:
 # dynamic-plane support: the oracle renders DYN_NP_MAX literal
 # planes, each bit guarded by `p < np` where np comes from the
 # integer CASE ladder below — so the SQL picks the same plane count
-# as similarity.lsh_planes(count) at ANY corpus size (valid up to
-# 64·2^DYN_NP_MAX ≈ 786k vectors, far past local-gate scale)
+# as similarity.lsh_planes(count) up to 64·2^DYN_NP_MAX = 262,144
+# vectors (>40× local-gate scale). similarity.lsh_planes caps at 24
+# planes, so past that bound Spark would keep growing planes while
+# the oracle could not; the ladder ERRORS there instead of silently
+# diverging (ADVICE r5) — rendering 24 literal 64-term plane dots
+# would triple the SQL for a regime the oracle never runs in.
 DYN_NP_MAX = 12
 
 
@@ -125,7 +129,8 @@ def _np_ladder_sql(table: str = "embeddings", target: int = 64) -> str:
     """similarity.lsh_planes as pure-integer SQL: smallest p in
     [LSH_PLANES, DYN_NP_MAX] with target·2^p >= count(*). Integer
     comparisons only — no float log2 whose last ulp could diverge
-    across engines at power-of-two boundaries."""
+    across engines at power-of-two boundaries. Corpora past the
+    DYN_NP_MAX validity bound fail loudly via error()."""
     from dbt_eamples_spark.operators.similarity import LSH_PLANES
 
     whens = " ".join(
@@ -133,7 +138,11 @@ def _np_ladder_sql(table: str = "embeddings", target: int = 64) -> str:
         for p in range(LSH_PLANES, DYN_NP_MAX)
     )
     return (
-        f"SELECT CASE {whens} ELSE {DYN_NP_MAX} END AS np "
+        f"SELECT CASE {whens} WHEN c <= {target << DYN_NP_MAX} "
+        f"THEN {DYN_NP_MAX} "
+        f"ELSE CAST(error('corpus exceeds dynamic-LSH oracle bound "
+        f"(64*2^{DYN_NP_MAX} rows); Spark lsh_planes keeps growing "
+        f"past it') AS INT) END AS np "
         f"FROM (SELECT count(*) AS c FROM {table})"
     )
 

@@ -46,6 +46,19 @@ class TestFingerprint:
         )
         assert A.corpus_fingerprint(str(alt), "documents") != fp1
 
+    def test_directory_table_part_rewrite_detected(self, tmp_path):
+        """Directory-backed tables fingerprint the recursive part
+        listing: rewriting a part file IN PLACE (same dir entry)
+        must change the fingerprint (ADVICE r5)."""
+        tdir = tmp_path / "documents.parquet"
+        tdir.mkdir()
+        part = tdir / "part-00000.parquet"
+        part.write_bytes(b"v1-bytes")
+        fp1 = A.corpus_fingerprint(str(tmp_path), "documents")
+        assert fp1 == A.corpus_fingerprint(str(tmp_path), "documents")
+        os.utime(part, ns=(1, 1))  # force a distinct mtime_ns
+        assert A.corpus_fingerprint(str(tmp_path), "documents") != fp1
+
 
 class TestCosinePairIndex:
     def test_second_session_reuses_not_recomputes(

@@ -78,6 +78,20 @@ class TestCodecRoundtrip:
         with pytest.raises(NotImplementedError, match="SOF9"):
             decode_jpeg(bytes(data))
 
+    def test_standalone_markers_and_fill_bytes(self):
+        """Conforming streams may pad with 0xFF fill bytes before a
+        marker and carry standalone TEM (0x01) markers with no
+        length field (T.81 B.1.1.2); both must be skipped, not
+        parsed as a marker-with-length (ADVICE r5)."""
+        px = _smooth(16, 16)
+        clean = encode_jpeg(px)
+        _, _, _, want = decode_jpeg(clean)
+        i = clean.find(b"\xff\xc0")  # splice just before SOF0
+        padded = clean[:i] + b"\xff\xff\xff\x01\xff" + clean[i:]
+        w, h, ch, got = decode_jpeg(padded)
+        assert (w, h, ch) == (16, 16, 1 if px.ndim == 2 else 3)
+        assert np.array_equal(got, want)
+
 
 class TestStandardTableInterop:
     def test_annex_k_huffman_tables_decode(self):
