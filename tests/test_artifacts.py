@@ -11,6 +11,7 @@ import pytest
 
 from dbt_eamples_spark import artifacts as A
 from dbt_eamples_spark.operators import dedup as D
+from dbt_eamples_spark.operators import graph as G
 from dbt_eamples_spark.operators import similarity as V
 
 
@@ -21,9 +22,13 @@ def art_dir(tmp_path, monkeypatch):
     # clear the in-session L1 tiers so the disk tier is exercised
     D._COSINE_PAIRS_CACHE.clear()
     V._PQ_CODEBOOKS.clear()
+    G._EDGES_CACHE.clear()
+    G._WEDGES_CACHE.clear()
     yield str(tmp_path / "arts")
     D._COSINE_PAIRS_CACHE.clear()
     V._PQ_CODEBOOKS.clear()
+    G._EDGES_CACHE.clear()
+    G._WEDGES_CACHE.clear()
 
 
 def _events(kind):
@@ -85,6 +90,44 @@ class TestCosinePairIndex:
         D._COSINE_PAIRS_CACHE.clear()
         D.dedup_semantic_clusters(spark, sf_dir).collect()
         assert _events("cosine_pairs")[-1] == "reuse"
+
+
+class TestCopurchaseEdgeArtifact:
+    def test_built_once_shared_by_graph_queries(
+        self, spark, sf_dir, art_dir
+    ):
+        """All graph queries consume ONE persisted edge list: the
+        basket expansion runs on the first call only (VERDICT r5
+        #3), and a reload is set-identical to the build."""
+        first = {
+            (r["src"], r["dst"])
+            for r in G._copurchase_edges(spark, sf_dir).collect()
+        }
+        assert _events("copurchase_edges") == ["build"]
+        # a second graph query in the same session: L1 hit, no event
+        G.graph_degree_powerlaw(spark, sf_dir).collect()
+        assert _events("copurchase_edges") == ["build"]
+        # a new session (L1 dropped) reloads the artifact
+        G._EDGES_CACHE.clear()
+        second = {
+            (r["src"], r["dst"])
+            for r in G._copurchase_edges(spark, sf_dir).collect()
+        }
+        assert _events("copurchase_edges") == ["build", "reuse"]
+        assert second == first and len(first) > 0
+
+    def test_weighted_edges_artifact_reused(self, spark, sf_dir, art_dir):
+        w1 = {
+            (r["src"], r["dst"], r["w"])
+            for r in G._copurchase_weighted_edges(spark, sf_dir).collect()
+        }
+        G._WEDGES_CACHE.clear()
+        w2 = {
+            (r["src"], r["dst"], r["w"])
+            for r in G._copurchase_weighted_edges(spark, sf_dir).collect()
+        }
+        assert _events("copurchase_weighted_edges") == ["build", "reuse"]
+        assert w2 == w1 and len(w1) > 0
 
 
 class TestPqCodebookArtifact:
