@@ -1179,16 +1179,21 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning; the seasonal index is a |types|*7-row aggregate
     broadcast back. The corpus is touched once."""
     ev = load_table(spark, sf_dir, "events", parallelize=True)
-    daily = (
-        ev.groupBy(
-            "event_type",
-            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
-        )
-        .agg(F.count("*").cast("long").alias("n_events"))
-        .withColumn(
-            "day_num",
-            F.datediff("day", F.lit("1970-01-01")).cast("long"),
-        )
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    return seasonal_decompose_over_daily(daily)
+
+
+def seasonal_decompose_over_daily(daily: DataFrame) -> DataFrame:
+    """Decomposition pass over a (event_type, day, n_events) daily
+    rollup — factored out so the streaming twin can re-run it over
+    the incrementally-maintained aggregate per drain (the
+    ewma_over_daily / holt_over_daily split)."""
+    daily = daily.withColumn(
+        "day_num",
+        F.datediff("day", F.lit("1970-01-01")).cast("long"),
     )
     half = (STL_PERIOD - 1) // 2
     w = (
@@ -1506,6 +1511,13 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
     ).agg(F.count("*").cast("long").alias("x"))
+    return autocorrelation_over_daily(daily)
+
+
+def autocorrelation_over_daily(daily: DataFrame) -> DataFrame:
+    """Correlogram pass over a (event_type, day, x) daily rollup —
+    factored out for the streaming twin (re-run per drain over the
+    bounded aggregate, like seasonal_decompose_over_daily)."""
     w = Window.partitionBy("event_type")
     cent = daily.select(
         "event_type",

@@ -451,23 +451,26 @@ def _min_label_propagation(pairs: DataFrame, a: str, b: str) -> DataFrame:
             .groupBy("doc_a")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        new_comp = (
+        # old label rides along into the checkpoint so the
+        # convergence count is a narrow scan of the materialized
+        # frame — not the extra (node ⋈ node) join per round the
+        # round-5 shape paid (the count was one of two joins per
+        # iteration; now each round is exactly one)
+        stepped = (
             comp.join(nbr_min, comp.node == nbr_min.doc_a, "left")
             .select(
                 "node",
+                F.col("comp").alias("old_comp"),
                 F.least(
                     F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
                 ).alias("comp"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_comp.alias("n")
-            .join(comp.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        comp = new_comp
+        changed = stepped.filter(
+            F.col("comp") != F.col("old_comp")
+        ).count()
+        comp = stepped.select("node", "comp")
         if changed == 0:
             break
     if changed != 0:

@@ -608,6 +608,62 @@ def events_changepoint_cusum_streaming(
     cusum_over_daily(spark.table(inner)).createOrReplaceTempView(out_table)
 
 
+def ts_seasonal_decompose_streaming(
+    spark: SparkSession, sf_dir: str, checkpoint: str, out_table: str
+) -> None:
+    """Streaming twin of `operators.behavior.ts_seasonal_decompose`
+    (VERDICT r5 #6): the stream maintains ONLY the daily count
+    rollup; the centered-window trend + weekday seasonal-index
+    passes — RANGE windows and a full-series per-weekday mean no
+    streaming agg expresses — re-run over the drained O(days × types)
+    aggregate per drain (`seasonal_decompose_over_daily`), the
+    EWMA/CUSUM/Holt twin split. Per-drain re-evaluation is the
+    SEMANTICS here: the seasonal index is a full-series statistic,
+    so each drain re-states the decomposition of everything seen."""
+    from dbt_eamples_spark.operators.behavior import (
+        seasonal_decompose_over_daily,
+    )
+
+    ev = _events_stream(spark, sf_dir)
+    daily = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            "event_type", F.to_date("w.start").alias("day"), "n_events"
+        )
+    )
+    inner = f"{out_table}__daily"
+    _drain(daily, "complete", checkpoint, inner)
+    seasonal_decompose_over_daily(
+        spark.table(inner)
+    ).createOrReplaceTempView(out_table)
+
+
+def ts_autocorrelation_streaming(
+    spark: SparkSession, sf_dir: str, checkpoint: str, out_table: str
+) -> None:
+    """Streaming twin of `operators.behavior.ts_autocorrelation`:
+    daily rollup in the stream, correlogram over the drained
+    aggregate (`autocorrelation_over_daily`) — the n-scaled
+    centering cx = n·x − S depends on the full-series count and sum,
+    so the exact fold re-runs on the bounded daily grid per drain."""
+    from dbt_eamples_spark.operators.behavior import (
+        autocorrelation_over_daily,
+    )
+
+    ev = _events_stream(spark, sf_dir)
+    daily = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").cast("long").alias("x"))
+        .select("event_type", F.to_date("w.start").alias("day"), "x")
+    )
+    inner = f"{out_table}__daily"
+    _drain(daily, "complete", checkpoint, inner)
+    autocorrelation_over_daily(
+        spark.table(inner)
+    ).createOrReplaceTempView(out_table)
+
+
 def ts_holt_linear_streaming(
     spark: SparkSession, sf_dir: str, checkpoint: str, out_table: str
 ) -> None:

@@ -30,11 +30,9 @@ def _pairs(df, a="query_id", b="neighbor_id") -> set[tuple[int, int]]:
     return {(r[a], r[b]) for r in df.select(a, b).collect()}
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    spark = get_spark("recall-report")
-    spark.sparkContext.setLogLevel("ERROR")
-
+def measure(spark, sf_dir: str) -> list[tuple[str, str, float]]:
+    """(operator, ground-truth description, value) rows for one
+    embedding fixture."""
     exact = _pairs(V.similarity_topk(spark, sf_dir))
     rows = []
     for name, fn in (
@@ -125,23 +123,48 @@ def main() -> None:
             dist,
         )
     )
+    return rows
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("recall-report")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # near-uniform fixture (ANN worst case) + the clustered twin
+    # (mixture-of-centroids, tools/clustered_fixture.py) so the
+    # "clustered production embeddings land near 1.0" claim is a
+    # measured column, not an argument (VERDICT r5 #4)
+    from tools.clustered_fixture import write_clustered
+
+    clustered_dir = write_clustered("/root/repo/.tmp/clustered")
+    uni = measure(spark, sf_dir)
+    clu = {n: v for n, _, v in measure(spark, clustered_dir)}
 
     lines = [
         "# RECALL — measured recall of approximate operators",
         "",
-        f"Generated by `tools/recall_report.py` at `{sf_dir}`.",
+        f"Generated by `tools/recall_report.py` at `{sf_dir}` "
+        "(near-uniform column) and the deterministic clustered twin "
+        "`tools/clustered_fixture.py` (clustered column: 10-centroid "
+        "mixture, intra-cluster cosine ~0.89, cross ~0.0 — realistic "
+        "embedding geometry).",
         "",
-        "Ground truth is the exact operator (brute-force cosine). The",
-        "fixture vectors are near-uniform — LSH's worst case — so these",
-        "are FLOOR numbers; clustered production embeddings with a",
-        "0.95+ dup threshold land near 1.0 (collision probability",
-        "compounds per table, see similarity.py DEDUP_LSH_TABLES note).",
+        "Ground truth is the exact operator (brute-force cosine), per",
+        "fixture. Near-uniform vectors are ANN's WORST case (no",
+        "structure for cells/codebooks/buckets to exploit), so that",
+        "column is the floor; the clustered column is what production",
+        "embedding corpora see. Both are measured, test-locked numbers",
+        "(tests/test_clustered_recall.py).",
         "",
-        "| operator | ground truth | measure (recall; |Δcos| for RP) |",
-        "|---|---|---|",
+        "| operator | ground truth (near-uniform) |"
+        " near-uniform | clustered |",
+        "|---|---|---|---|",
     ]
-    for name, desc, recall in rows:
-        lines.append(f"| {name} | {desc} | {recall:.3f} |")
+    for name, desc, recall in uni:
+        c = clu.get(name)
+        cs = f"{c:.3f}" if c is not None else "—"
+        lines.append(f"| {name} | {desc} | {recall:.3f} | {cs} |")
     lines.append(_PQ_EPILOGUE)
     with open("/root/repo/RECALL.md", "w") as f:
         f.write("\n".join(lines))
@@ -188,9 +211,15 @@ vectors — the corpus itself is still scanned as 4-int codes.
 
 The op's value at 100 TB is the SHAPE: the corpus is scanned as
 4-small-int codes plus per-query lookup tables — no full-width float
-math — which is the only way billions of vectors fit in RAM; on
-clustered real embeddings the same 64-bit trained operating point
-sits near 1.0.
+math — which is the only way billions of vectors fit in RAM.
+
+The measured clustered column sharpens the honest reading: bare
+12-bit ADC actually drops on clustered geometry (0.12 — members of a
+tight cluster differ by less than its quantization error, so ADC
+cannot ORDER them), while every composition that refines the ADC
+shortlist (rerank, IVF+PQ, residual IVF+PQ) hits 1.000 there. ADC is
+a shortlist generator; ranking belongs to the refine stage — which
+is exactly how FAISS deployments run it.
 """
 
 
