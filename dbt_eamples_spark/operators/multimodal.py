@@ -166,6 +166,26 @@ def _wav_features(b: bytes) -> list[float]:
     ]
 
 
+def _gif_features(b: bytes) -> list[float]:
+    """Same feature layout as _png_features (the image codecs are
+    interchangeable behind the seam); decodes the FIRST frame —
+    frame sampling stays JVM-side in multimodal_frame_sample."""
+    from dbt_eamples_spark.operators.gif import decode_gif
+
+    w, h, ch, px = decode_gif(b)
+    arr = px.astype("float64")
+    chan_means = [float(arr[:, :, c].mean()) / 255.0 for c in range(ch)]
+    chan_means += [0.0] * (3 - len(chan_means[:3]))
+    return [
+        float(w),
+        float(h),
+        float(ch),
+        float(arr.mean()) / 255.0,
+        *chan_means[:3],
+        float((arr > 127).mean()),
+    ]
+
+
 def _jpeg_features(b: bytes) -> list[float]:
     """Same feature layout as _png_features — the two image codecs
     are interchangeable behind the seam (decode → pixel stats)."""
@@ -192,6 +212,7 @@ def _strict_decode(batch: pd.DataFrame) -> pd.DataFrame:
     Anything else raises NotImplementedError — the PIL/librosa/av
     integration point for subsampled JPEG, compressed audio, and
     video."""
+    from dbt_eamples_spark.operators.gif import is_gif
     from dbt_eamples_spark.operators.jpeg import is_jpeg
     from dbt_eamples_spark.operators.png import is_png
     from dbt_eamples_spark.operators.wav import is_wav
@@ -203,13 +224,15 @@ def _strict_decode(batch: pd.DataFrame) -> pd.DataFrame:
             feats = _png_features(b)
         elif is_jpeg(b):
             feats = _jpeg_features(b)
+        elif is_gif(b):
+            feats = _gif_features(b)
         elif is_wav(b):
             feats = _wav_features(b)
         else:
             raise NotImplementedError(
                 "strict decode handles PNG, baseline/progressive "
-                "JPEG and PCM WAV natively; other media (subsampled "
-                "jpeg, compressed audio, video) requires "
+                "JPEG, GIF87a/89a and PCM WAV natively; other media "
+                "(subsampled jpeg, compressed audio, video) requires "
                 "PIL/librosa/av — integrate here, or use "
                 "decode_stub='fake'"
             )
