@@ -169,6 +169,14 @@ _R6_PRIORITY = [
     "graph_degree_powerlaw",
     # (2) new in round 6 — never-checked by construction
     # (inserted here as they land so they stay inside the top 50)
+    "part_cheapest_supplier",
+    "orders_priority_exists",
+    "part_revenue_important",
+    "supplier_top_revenue",
+    "part_supplier_variety",
+    "corpus_js_divergence",
+    "ts_stl_strength",
+    "sample_coreset_kcenter",
     # (3) latest driver row is r1 — oldest cohort, fill to 50
     "scan_table",
     "sql_execute_limit",
@@ -257,6 +265,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- round-6 additions ---
+        # TPC-H Q2 shape: correlated-MIN cheapest supplier per part
+        "part_cheapest_supplier": R.part_cheapest_supplier,
+        # TPC-H Q4 shape: EXISTS late-lineitem priority counts
+        "orders_priority_exists": R.orders_priority_exists,
+        # TPC-H Q11 shape: global-threshold revenue-important groups
+        "part_revenue_important": R.part_revenue_important,
+        # TPC-H Q15 shape: scalar-MAX top-revenue supplier view
+        "supplier_top_revenue": R.supplier_top_revenue,
+        # TPC-H Q16 shape: NOT-IN-pruned distinct supplier variety
+        "part_supplier_variety": R.part_supplier_variety,
+        # source-pair JS divergence of unigram distributions
+        "corpus_js_divergence": T.corpus_js_divergence,
+        # trend/seasonal strength summary of the decomposition
+        "ts_stl_strength": B.ts_stl_strength,
+        # greedy k-center diverse coreset over the embedding store
+        "sample_coreset_kcenter": V.sample_coreset_kcenter,
         # --- round-4 second wave ---
         # TPC-H Q8 shape: national market share per order year
         "agg_market_share": R.agg_market_share,

@@ -1821,3 +1821,63 @@ def ts_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sae").cast("double") / F.col("sa").cast("double"), 6
         ).alias("wape"),
     ).orderBy("event_type")
+
+
+# ---- round-6: decomposition strength summary --------------------------------
+def ts_stl_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend and seasonal STRENGTH of the daily event series per
+    type — the two summary statistics read off a decomposition
+    (Hyndman & Athanasopoulos, fpp3 §4.3, via Wang-Smith-Hyndman):
+
+        F_T = max(0, 1 − Var(R) / Var(T + R))
+        F_S = max(0, 1 − Var(R) / Var(S + R))
+
+    near 1 = strongly trended / seasonal, near 0 = noise. The
+    one-row-per-type triage a monitoring catalog stores next to each
+    series (ts_seasonal_decompose is the drill-down).
+
+    Engine-exact: consumes the decomposition's ALREADY-ROUNDED 6dp
+    component values, scales them to exact 1e6 fixed-point BIGINTs,
+    and folds n·Σx² − (Σx)² in decimal(38,0) (the n-scaled variance
+    numerator — the 1/n² cancels in the ratio, the
+    ts_autocorrelation contract); each strength is ONE IEEE division
+    of exact integers + round(6). Edge days (NULL trend/residual)
+    are excluded by definition — only fully-decomposed days carry
+    variance. Plan: the decompose plan + one per-type hash-agg over
+    the calendar-bounded grid."""
+    stl = ts_seasonal_decompose(spark, sf_dir).filter(
+        F.col("residual").isNotNull()
+    )
+    fp = lambda c: F.round(c * 1e6).cast("long")  # noqa: E731
+    x = stl.select(
+        "event_type",
+        fp(F.col("residual")).alias("r"),
+        fp(F.col("trend") + F.col("residual")).alias("tr"),
+        fp(F.col("seasonal") + F.col("residual")).alias("sr"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    folds = x.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(d("r")).alias("s_r"),
+        F.sum(d("r") * F.col("r")).alias("ss_r"),
+        F.sum(d("tr")).alias("s_tr"),
+        F.sum(d("tr") * F.col("tr")).alias("ss_tr"),
+        F.sum(d("sr")).alias("s_sr"),
+        F.sum(d("sr") * F.col("sr")).alias("ss_sr"),
+    )
+    var_num = lambda s, ss: (  # noqa: E731
+        F.col("n_days") * F.col(ss) - F.col(s) * F.col(s)
+    ).cast("double")
+    strength = lambda s, ss: F.round(  # noqa: E731
+        F.greatest(
+            F.lit(0.0),
+            F.lit(1.0) - var_num("s_r", "ss_r") / var_num(s, ss),
+        ),
+        6,
+    )
+    return folds.select(
+        "event_type",
+        "n_days",
+        strength("s_tr", "ss_tr").alias("trend_strength"),
+        strength("s_sr", "ss_sr").alias("seasonal_strength"),
+    ).orderBy("event_type")

@@ -1861,3 +1861,191 @@ def customer_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_mktsegment
         """
     )
+
+
+# ---- round-6 TPC-H subquery shapes ------------------------------------------
+CHEAPEST_BRAND = "Brand#11"  # bounded probe set for the Q2 shape
+
+
+def part_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest supplier per part — TPC-H Q2's correlated-MIN
+    shape over this schema (no partsupp table: the observed minimum
+    UNIT price a supplier actually charged for the part stands in
+    for ps_supplycost). For every part of ``CHEAPEST_BRAND``, the
+    supplier(s) whose best unit price equals the part's global
+    minimum — the sourcing shortlist a procurement pipeline emits.
+
+    Written AS the correlated scalar subquery (ps2.unit_cents
+    filtered on the outer part key) to exercise Catalyst's
+    decorrelation: the optimized plan is the per-part MIN aggregate
+    joined back — no per-row re-aggregation, no nested loop
+    (test-locked). Ref: reference has only flat SELECTs
+    (dbt_query.py:77-86); the subquery engine is ours.
+
+    Engine-exact: unit price is ROUND(l_extendedprice * 100 /
+    l_quantity) — one IEEE multiply + divide + round on doubles,
+    the identical expression tree in DuckDB; everything after is
+    exact BIGINT MIN/equality. Scale: one (part, supp) hash-agg
+    over lineitem (map-side combined), the brand filter prunes the
+    probe side before the broadcast part/supplier attach."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        f"""
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   MIN(CAST(ROUND(l_extendedprice * 100 / l_quantity)
+                            AS BIGINT)) AS unit_cents
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        )
+        SELECT p_partkey, s_name, unit_cents
+        FROM ps
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        WHERE p_brand = '{CHEAPEST_BRAND}'
+          AND unit_cents = (
+              SELECT MIN(ps2.unit_cents) FROM ps ps2
+              WHERE ps2.l_partkey = ps.l_partkey
+          )
+        ORDER BY p_partkey, s_name
+        """
+    )
+
+
+def orders_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-order count per order priority — TPC-H Q4's shape: a
+    one-year order window counted by priority where EXISTS a
+    lineitem shipped more than ``LATE_SHIP_DAYS`` after the order
+    date (the schema's promise proxy, as in supplier_sole_late).
+    The priority-mix-of-trouble report an operations review opens
+    with.
+
+    Written AS the EXISTS (not a pre-joined distinct) so Catalyst's
+    RewritePredicateSubquery plans the left-semi join against the
+    filtered lineitem stream — order rows are never duplicated per
+    late line, and the count needs no DISTINCT repair. Exact
+    integer counts only."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_late_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND datediff(l_shipdate, o_orderdate) > {LATE_SHIP_DAYS}
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+IMPORTANT_PER_MILLE = 8  # group is "important" above 0.8% of total
+
+
+def part_revenue_important(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-important part groups — TPC-H Q11's global-threshold
+    shape: (brand, type) groups whose revenue exceeds
+    ``IMPORTANT_PER_MILLE``/1000 of TOTAL corpus revenue, the
+    concentration cut that decides which product lines get dedicated
+    planning. The HAVING carries the global scalar subquery.
+
+    Engine-exact: revenue folds as integer cents; the threshold
+    comparison is ``group_cents * 1000 > total_cents *
+    IMPORTANT_PER_MILLE`` — the division algebraically cleared onto
+    exact integers (the customer_idle_balance lesson; a float
+    fraction would make the cut order-dependent in the last ulp).
+    The reported share is one IEEE division + round(6) for display
+    only. Scale: two passes over the same map-side-combined
+    aggregate (Catalyst reuses the exchange for the scalar
+    subquery); group grid is catalog-bounded."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        f"""
+        WITH g AS (
+            SELECT p_brand, p_type,
+                   SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                  * 100) AS BIGINT)) AS cents
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            GROUP BY p_brand, p_type
+        )
+        SELECT p_brand, p_type, cents AS revenue_cents,
+               ROUND(CAST(cents AS DOUBLE)
+                     / (SELECT CAST(SUM(cents) AS DOUBLE) FROM g),
+                     6) AS revenue_share
+        FROM g
+        WHERE cents * 1000
+              > (SELECT SUM(cents) FROM g) * {IMPORTANT_PER_MILLE}
+        ORDER BY revenue_cents DESC, p_brand, p_type
+        """
+    )
+
+
+def supplier_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-revenue supplier(s) over a quarter — TPC-H Q15's shape:
+    an aggregated revenue view probed by a scalar MAX subquery over
+    itself, returning every supplier tied at the maximum (the reason
+    Q15 is a view + subquery and not an ORDER BY LIMIT 1: ties must
+    all surface). Exact integer cents end-to-end; the tie
+    comparison is BIGINT equality."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+        WITH revenue AS (
+            SELECT l_suppkey,
+                   SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                  * 100) AS BIGINT)) AS total_cents
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_cents
+        FROM revenue JOIN supplier ON s_suppkey = l_suppkey
+        WHERE total_cents = (SELECT MAX(total_cents) FROM revenue)
+        ORDER BY s_suppkey
+        """
+    )
+
+
+VARIETY_MIN_BALANCE = 1000  # exclusion floor: bites at every SF
+
+
+def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier variety per part group — TPC-H Q16's shape: DISTINCT
+    supplier counts per (brand, type) EXCLUDING suppliers on a
+    complaint list (here: account balance below the
+    ``VARIETY_MIN_BALANCE`` working-capital floor — the fixture has
+    no comment column), the
+    single-sourcing-risk screen. The exclusion is written AS the
+    NOT IN subquery so Catalyst plans the null-aware anti join
+    (s_suppkey is non-null, so it degenerates to a plain left-anti
+    — the plan a warehouse must reach for Q16).
+
+    Scale: the anti join prunes lineitem BEFORE the distinct
+    aggregate (supplier list broadcast); one (brand, type) exchange
+    with partial distinct aggregation."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        f"""
+        SELECT p_brand, p_type,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier
+            WHERE s_acctbal < {VARIETY_MIN_BALANCE}
+        )
+        GROUP BY p_brand, p_type
+        ORDER BY supplier_cnt DESC, p_brand, p_type
+        """
+    )

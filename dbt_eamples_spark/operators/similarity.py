@@ -1872,3 +1872,62 @@ def embedding_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_vectors") / F.sum("n_vectors").over(wt), 6
         ).alias("share_of_true"),
     )
+
+
+# ---- round-6: greedy k-center coreset ---------------------------------------
+CORESET_K = 8
+
+
+def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embedding store (Gonzalez
+    1985, the 2-approximation farthest-point heuristic): iteratively
+    pick the vector FARTHEST (cosine distance) from the chosen set —
+    the maximally-diverse seed subset a curation pipeline uses for
+    eval panels, labeling budgets, and cluster initialization
+    (k-center beats random sampling exactly when the corpus is
+    clustered: every mode gets covered). Output: one row per chosen
+    center with its selection round and coverage radius — the
+    max-min distance at selection time, the classic k-center quality
+    certificate (radius after round k bounds every point's distance
+    to its nearest center).
+
+    Determinism: distances are round(1 − cosine, 6) with the strict
+    left-fold dot both engines share; argmax ties break on vec_id.
+    The seed is the minimum vec_id (arbitrary-start is the
+    algorithm's contract; pinning it makes the run reproducible).
+
+    Scale shape: k passes over the corpus, each a NARROW map
+    (distance to ONE new broadcast-literal center + LEAST with the
+    carried min-distance column) followed by a TakeOrdered(1)
+    argmax — no shuffle except the 1-row cut; the min-distance
+    frame is localCheckpointed per round so round i never replays
+    rounds 0..i−1 (the iterative-algorithm contract used by
+    pagerank/k-core). Per-round driver state is ONE row (the new
+    center) — bounded model state. Reference analogue: none —
+    extension surface."""
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id", _as_double_vec(F.col("embedding")).alias("vec")
+    )
+    seed = emb.orderBy("vec_id").limit(1).collect()[0]
+    chosen = [(0, int(seed["vec_id"]), None)]
+
+    def dist_to(center_vec):
+        lit = _dlit_array(tuple(center_vec))
+        return F.round(F.lit(1.0) - _cosine(F.col("vec"), lit), 6)
+
+    mind = emb.select(
+        "vec_id", "vec", dist_to(seed["vec"]).alias("mind")
+    ).localCheckpoint(eager=True)
+    for rnd in range(1, CORESET_K):
+        nxt = (
+            mind.orderBy(F.desc("mind"), F.asc("vec_id")).limit(1).collect()
+        )[0]
+        chosen.append((rnd, int(nxt["vec_id"]), float(nxt["mind"])))
+        mind = mind.select(
+            "vec_id",
+            "vec",
+            F.least(F.col("mind"), dist_to(nxt["vec"])).alias("mind"),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        chosen, "sel_round int, vec_id long, coverage_radius double"
+    ).orderBy("sel_round")

@@ -1177,3 +1177,118 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(docs.select("doc_id"), "doc_id", "right")
     )
+
+
+# ---- round-6: source-pair distribution divergence ---------------------------
+def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between every pair of sources'
+    unigram word distributions — the corpus-similarity matrix a
+    data-mixing pipeline reads before setting sampling weights
+    (near-duplicate sources waste mixture mass; JS is the symmetric,
+    bounded [0, ln 2] choice — Lin 1991). Complements
+    `corpus_mix_entropy` (one number for the whole mix) with the
+    pairwise structure.
+
+    Algebra: terms present in BOTH sources fold term-by-term; terms
+    in only one source of a pair contribute exactly (c/N)·ln 2, so
+    their whole mass collapses to the CLOSED FORM
+    ((Na − Σ_both ca)/Na)·ln 2 — no row is ever materialized for a
+    (pair, term) the other side lacks. That turns the pair expansion
+    into an EQUI self-join of the (source, term) counts on term
+    (fan-out ≤ S per side, no OR-condition nested loop) + one
+    per-pair aggregate.
+
+    Engine-exact: with exact integer counts ca, cb and totals Na,
+    Nb, each both-term log argument is the EXACT-integer ratio
+    2·ca·Nb / (ca·Nb + cb·Na) (the 1/N factors cancel — no float
+    probabilities feed the log); lns are pre-rounded 6dp, products
+    rounded into 1e9 fixed-point BIGINTs, sums fold exact integers
+    (the text_word_entropy recipe). The remainder is two float ops
+    on exact integer sums. n_terms = union vocabulary size.
+
+    Scale shape: ONE corpus tokenize + (source, term) hash-agg
+    (map-side combined); the term self-join shuffles the count table
+    (≤ |vocab|·S rows) once on term; the pair aggregate lands on the
+    S²-bounded grid; totals and per-source vocab counts attach
+    broadcast. Reference analogue: none — extension surface."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    c = (
+        docs.select("source", F.explode(_tokens_col()).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)  # 3 consumers: 2 join sides + vocab
+    )
+    tot = c.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("vocab"),
+    )
+    a = c.select(
+        F.col("source").alias("sa"), "term", F.col("c").alias("ca")
+    )
+    b = c.select(
+        F.col("source").alias("sb"), "term", F.col("c").alias("cb")
+    )
+    pairs = (
+        tot.select(
+            F.col("source").alias("sa"),
+            F.col("n").alias("na"),
+            F.col("vocab").alias("va"),
+        )
+        .join(
+            tot.select(
+                F.col("source").alias("sb"),
+                F.col("n").alias("nb"),
+                F.col("vocab").alias("vb"),
+            ),
+            F.col("sa") < F.col("sb"),
+        )
+    )
+    both = (
+        a.join(b, "term")
+        .filter(F.col("sa") < F.col("sb"))
+        .join(F.broadcast(pairs), ["sa", "sb"])
+    )
+    canb = F.col("ca").cast("decimal(38,0)") * F.col("nb")
+    cbna = F.col("cb").cast("decimal(38,0)") * F.col("na")
+    den = (canb + cbna).cast("double")
+    term_a = F.round(
+        (F.col("ca").cast("double") / F.col("na"))
+        * F.round(F.log(F.lit(2.0) * canb.cast("double") / den), 6)
+        * 1e9
+    ).cast("long")
+    term_b = F.round(
+        (F.col("cb").cast("double") / F.col("nb"))
+        * F.round(F.log(F.lit(2.0) * cbna.cast("double") / den), 6)
+        * 1e9
+    ).cast("long")
+    folds = (
+        both.select(
+            "sa", "sb", "na", "nb", "va", "vb",
+            (term_a + term_b).alias("t_fp"),
+            "ca", "cb",
+        )
+        .groupBy("sa", "sb", "na", "nb", "va", "vb")
+        .agg(
+            F.count("*").cast("long").alias("n_both"),
+            F.sum("t_fp").alias("s_fp"),
+            F.sum("ca").cast("long").alias("sum_ca"),
+            F.sum("cb").cast("long").alias("sum_cb"),
+        )
+    )
+    ln2 = F.round(F.log(F.lit(2.0)), 6)
+    rem_a = F.round(
+        ((F.col("na") - F.col("sum_ca")).cast("double") / F.col("na"))
+        * ln2 * 1e9
+    ).cast("long")
+    rem_b = F.round(
+        ((F.col("nb") - F.col("sum_cb")).cast("double") / F.col("nb"))
+        * ln2 * 1e9
+    ).cast("long")
+    return folds.select(
+        "sa",
+        "sb",
+        (F.col("va") + F.col("vb") - F.col("n_both")).alias("n_terms"),
+        F.round(
+            (F.col("s_fp") + rem_a + rem_b).cast("double") / 2e9, 6
+        ).alias("js_nats"),
+    ).orderBy("sa", "sb")

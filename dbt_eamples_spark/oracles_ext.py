@@ -4533,3 +4533,261 @@ EXT_ORACLES["graph_degree_powerlaw"] = """
                AS powerlaw_slope
     FROM folds
 """
+
+
+# ---- round-6 TPC-H subquery shapes ------------------------------------------
+# Each oracle deliberately states a DIFFERENT equivalent formulation
+# (window algebra / counting joins) so the gate cross-checks Spark's
+# subquery decorrelation against the definition, not a twin.
+def _round6_tpch_oracles() -> dict[str, str]:
+    from dbt_eamples_spark.operators.relational import (
+        CHEAPEST_BRAND,
+        IMPORTANT_PER_MILLE,
+        LATE_SHIP_DAYS,
+        VARIETY_MIN_BALANCE,
+    )
+
+    return {
+        # Q2 shape: correlated MIN cross-checked via window minimum
+        "part_cheapest_supplier": f"""
+            WITH ps AS (
+                SELECT l_partkey, l_suppkey,
+                       MIN(CAST(ROUND(l_extendedprice * 100 / l_quantity)
+                                AS BIGINT)) AS unit_cents
+                FROM lineitem GROUP BY l_partkey, l_suppkey
+            ), w AS (
+                SELECT l_partkey, l_suppkey, unit_cents,
+                       MIN(unit_cents) OVER (PARTITION BY l_partkey)
+                           AS part_min
+                FROM ps
+            )
+            SELECT p_partkey, s_name, unit_cents
+            FROM w
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            WHERE p_brand = '{CHEAPEST_BRAND}'
+              AND unit_cents = part_min
+            ORDER BY p_partkey, s_name
+        """,
+        # Q4 shape: EXISTS cross-checked via distinct-order counting
+        "orders_priority_exists": f"""
+            WITH late_orders AS (
+                SELECT DISTINCT o_orderkey, o_orderpriority
+                FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate < TIMESTAMP '1997-01-01'
+                  AND datediff('day', o_orderdate, l_shipdate)
+                      > {LATE_SHIP_DAYS}
+            )
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_late_orders
+            FROM late_orders
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        # Q11 shape: scalar-subquery threshold via window total
+        "part_revenue_important": f"""
+            WITH g AS (
+                SELECT p_brand, p_type,
+                       CAST(SUM(CAST(ROUND(l_extendedprice
+                                * (1 - l_discount) * 100) AS BIGINT))
+                            AS BIGINT) AS cents
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                GROUP BY p_brand, p_type
+            ), w AS (
+                SELECT p_brand, p_type, cents,
+                       CAST(SUM(cents) OVER () AS BIGINT) AS total
+                FROM g
+            )
+            SELECT p_brand, p_type, cents AS revenue_cents,
+                   ROUND(CAST(cents AS DOUBLE) / CAST(total AS DOUBLE),
+                         6) AS revenue_share
+            FROM w
+            WHERE cents * 1000 > total * {IMPORTANT_PER_MILLE}
+            ORDER BY revenue_cents DESC, p_brand, p_type
+        """,
+        # Q15 shape: scalar MAX via window maximum over the view
+        "supplier_top_revenue": """
+            WITH revenue AS (
+                SELECT l_suppkey,
+                       CAST(SUM(CAST(ROUND(l_extendedprice
+                                * (1 - l_discount) * 100) AS BIGINT))
+                            AS BIGINT) AS total_cents
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            ), w AS (
+                SELECT l_suppkey, total_cents,
+                       MAX(total_cents) OVER () AS best
+                FROM revenue
+            )
+            SELECT s_suppkey, s_name, total_cents
+            FROM w JOIN supplier ON s_suppkey = l_suppkey
+            WHERE total_cents = best
+            ORDER BY s_suppkey
+        """,
+        # Q16 shape: NOT IN cross-checked via explicit anti join
+        "part_supplier_variety": f"""
+            SELECT p_brand, p_type,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            ANTI JOIN (SELECT s_suppkey FROM supplier
+                       WHERE s_acctbal < {VARIETY_MIN_BALANCE}) bad
+                 ON l_suppkey = bad.s_suppkey
+            GROUP BY p_brand, p_type
+            ORDER BY supplier_cnt DESC, p_brand, p_type
+        """,
+    }
+
+
+EXT_ORACLES.update(_round6_tpch_oracles())
+
+
+EXT_ORACLES["corpus_js_divergence"] = r"""
+    WITH tok AS (
+        SELECT source,
+               unnest(string_split_regex(lower(text), '\s+')) AS term
+        FROM documents
+    ), c AS (
+        SELECT source, term, CAST(count(*) AS BIGINT) AS c
+        FROM tok GROUP BY source, term
+    ), tot AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS vocab
+        FROM c GROUP BY source
+    ), pairs AS (
+        SELECT a.source AS sa, a.n AS na, a.vocab AS va,
+               b.source AS sb, b.n AS nb, b.vocab AS vb
+        FROM tot a JOIN tot b ON a.source < b.source
+    ), shared AS (
+        SELECT p.sa, p.sb, p.na, p.nb, p.va, p.vb,
+               x.c AS ca, y.c AS cb
+        FROM c x JOIN c y
+          ON x.term = y.term AND x.source < y.source
+        JOIN pairs p ON p.sa = x.source AND p.sb = y.source
+    ), terms AS (
+        SELECT sa, sb, na, nb, va, vb, ca, cb,
+               (CAST(ROUND(
+                    CAST(ca AS DOUBLE) / na
+                    * ROUND(ln(2.0 * CAST(ca::HUGEINT * nb AS DOUBLE)
+                            / CAST(ca::HUGEINT * nb + cb::HUGEINT * na
+                                   AS DOUBLE)), 6)
+                    * 1e9) AS BIGINT)
+                + CAST(ROUND(
+                    CAST(cb AS DOUBLE) / nb
+                    * ROUND(ln(2.0 * CAST(cb::HUGEINT * na AS DOUBLE)
+                            / CAST(ca::HUGEINT * nb + cb::HUGEINT * na
+                                   AS DOUBLE)), 6)
+                    * 1e9) AS BIGINT)) AS t_fp
+        FROM shared
+    ), folds AS (
+        SELECT sa, sb, na, nb, va, vb,
+               CAST(count(*) AS BIGINT) AS n_both,
+               CAST(SUM(t_fp) AS BIGINT) AS s_fp,
+               CAST(SUM(ca) AS BIGINT) AS sum_ca,
+               CAST(SUM(cb) AS BIGINT) AS sum_cb
+        FROM terms GROUP BY sa, sb, na, nb, va, vb
+    )
+    SELECT sa, sb, va + vb - n_both AS n_terms,
+           ROUND(CAST(s_fp
+               + CAST(ROUND(CAST(na - sum_ca AS DOUBLE) / na
+                            * ROUND(ln(2.0), 6) * 1e9) AS BIGINT)
+               + CAST(ROUND(CAST(nb - sum_cb AS DOUBLE) / nb
+                            * ROUND(ln(2.0), 6) * 1e9) AS BIGINT)
+               AS DOUBLE) / 2e9, 6) AS js_nats
+    FROM folds ORDER BY sa, sb
+"""
+
+
+def _stl_strength_oracle_sql() -> str:
+    """Strength folds over the decomposition oracle's own output —
+    the same already-rounded 6dp components feed identical
+    fixed-point variance numerators in both engines."""
+    return f"""
+        WITH stl AS ({EXT_ORACLES["ts_seasonal_decompose"]}),
+        x AS (
+            SELECT event_type,
+                   CAST(ROUND(residual * 1e6) AS BIGINT) AS r,
+                   CAST(ROUND((trend + residual) * 1e6) AS BIGINT)
+                       AS tr,
+                   CAST(ROUND((seasonal + residual) * 1e6) AS BIGINT)
+                       AS sr
+            FROM stl WHERE residual IS NOT NULL
+        ),
+        folds AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_days,
+                   SUM(r::HUGEINT) AS s_r,
+                   SUM(r::HUGEINT * r) AS ss_r,
+                   SUM(tr::HUGEINT) AS s_tr,
+                   SUM(tr::HUGEINT * tr) AS ss_tr,
+                   SUM(sr::HUGEINT) AS s_sr,
+                   SUM(sr::HUGEINT * sr) AS ss_sr
+            FROM x GROUP BY event_type
+        )
+        SELECT event_type, n_days,
+               round(greatest(0.0, 1.0
+                   - CAST(n_days * ss_r - s_r * s_r AS DOUBLE)
+                   / CAST(n_days * ss_tr - s_tr * s_tr AS DOUBLE)), 6)
+                   AS trend_strength,
+               round(greatest(0.0, 1.0
+                   - CAST(n_days * ss_r - s_r * s_r AS DOUBLE)
+                   / CAST(n_days * ss_sr - s_sr * s_sr AS DOUBLE)), 6)
+                   AS seasonal_strength
+        FROM folds ORDER BY event_type
+    """
+
+
+EXT_ORACLES["ts_stl_strength"] = _stl_strength_oracle_sql()
+
+
+def _kcenter_oracle_sql() -> str:
+    """Unrolled Gonzalez rounds as MATERIALIZED CTEs (the graph-
+    oracle unrolling pattern): c{i} = argmax of the carried
+    min-distance frame m{i-1}, m{i} = LEAST-folded update against
+    the new center."""
+    from dbt_eamples_spark.operators.similarity import CORESET_K
+
+    parts = [
+        """e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> x::DOUBLE) AS vec
+            FROM embeddings
+        )""",
+        """c0 AS MATERIALIZED (
+            SELECT vec_id, vec FROM e ORDER BY vec_id LIMIT 1
+        )""",
+        f"""m0 AS MATERIALIZED (
+            SELECT e.vec_id, e.vec,
+                   round(1.0 - {_cos('e.vec', 'c0.vec')}, 6) AS mind
+            FROM e, c0
+        )""",
+    ]
+    sel = ["SELECT 0 AS sel_round, vec_id, "
+           "CAST(NULL AS DOUBLE) AS coverage_radius FROM c0"]
+    for i in range(1, CORESET_K):
+        parts.append(f"""c{i} AS MATERIALIZED (
+            SELECT vec_id, vec, mind FROM m{i - 1}
+            ORDER BY mind DESC, vec_id LIMIT 1
+        )""")
+        if i < CORESET_K - 1:
+            parts.append(f"""m{i} AS MATERIALIZED (
+                SELECT m.vec_id, m.vec,
+                       least(m.mind,
+                             round(1.0 - {_cos('m.vec', 'c.vec')}, 6))
+                           AS mind
+                FROM m{i - 1} m, c{i} c
+            )""")
+        sel.append(
+            f"SELECT {i} AS sel_round, vec_id, mind FROM c{i}"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        + " UNION ALL ".join(sel) + " ORDER BY sel_round"
+    )
+
+
+EXT_ORACLES["sample_coreset_kcenter"] = _kcenter_oracle_sql()

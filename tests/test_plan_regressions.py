@@ -268,6 +268,29 @@ class TestShuffleBudgets:
         # basket agg + edge distinct + degree agg + the degree-grid
         # fold (single final agg); no ordered output (one row)
         "graph_degree_powerlaw": 4,
+        # decorrelated Q2 plan: (part, supp) unit-price agg + the
+        # per-part MIN agg joined back + ordered output; part and
+        # supplier attach broadcast
+        "part_cheapest_supplier": 4,
+        # rewritten-EXISTS Q4 plan: the semi side's orderkey
+        # exchange + priority agg (ordered output rides the agg)
+        "orders_priority_exists": 2,
+        # Q11 plan: ONE (brand, type) hash-agg reused by the scalar
+        # total subquery (exchange reuse — no second corpus pass)
+        "part_revenue_important": 1,
+        # Q15 plan: supplier revenue agg (reused by the scalar MAX)
+        # + ordered output; supplier attach broadcast
+        "supplier_top_revenue": 2,
+        # Q16 plan: anti join prunes BEFORE the two-level distinct
+        # aggregate (partial + final) + ordered output
+        "part_supplier_variety": 3,
+        # post-checkpoint (the (source, term) count table is
+        # materialized once for its three consumers): term self-join
+        # sides + the S²-grid pair agg; totals broadcast
+        "corpus_js_divergence": 3,
+        # the decompose plan (one daily exchange + grid windows) +
+        # the per-type strength fold + ordered output
+        "ts_stl_strength": 3,
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))
