@@ -177,6 +177,9 @@ _R6_PRIORITY = [
     "corpus_js_divergence",
     "ts_stl_strength",
     "sample_coreset_kcenter",
+    "nations_trade_volume",
+    "promo_revenue_share",
+    "lineitem_disjunctive_scan",
     # (3) latest driver row is r1 — oldest cohort, fill to 50
     "scan_table",
     "sql_execute_limit",
@@ -282,6 +285,12 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_stl_strength": B.ts_stl_strength,
         # greedy k-center diverse coreset over the embedding store
         "sample_coreset_kcenter": V.sample_coreset_kcenter,
+        # TPC-H Q7 shape: bilateral nation trade-volume matrix
+        "nations_trade_volume": R.nations_trade_volume,
+        # TPC-H Q14 shape: promo revenue share per ship month
+        "promo_revenue_share": R.promo_revenue_share,
+        # TPC-H Q19 shape: disjunctive-predicate pushdown revenue
+        "lineitem_disjunctive_scan": R.lineitem_disjunctive_scan,
         # --- round-4 second wave ---
         # TPC-H Q8 shape: national market share per order year
         "agg_market_share": R.agg_market_share,

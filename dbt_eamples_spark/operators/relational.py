@@ -2049,3 +2049,132 @@ def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY supplier_cnt DESC, p_brand, p_type
         """
     )
+
+
+def nations_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral trade volume — TPC-H Q7's shape on this schema:
+    revenue shipped between every (supplier nation, customer
+    nation) pair per order year, the cross-border flow matrix a
+    trade analyst reads off directly. Cross-pairs only (supp_nation
+    <> cust_nation, both directions kept — Q7's semantics).
+
+    Engine-exact: revenue folds as integer cents (one ROUND per
+    line, exact BIGINT sums); the year is integer date arithmetic.
+    Scale shape: lineitem joins orders on l_orderkey (the one
+    fact-fact exchange pair); customer, supplier, and both nation
+    attaches broadcast; final agg lands on the bounded
+    (nation², year) grid with map-side combine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.select("l_orderkey", "l_suppkey", cents.alias("cents"))
+        .join(o.select("o_orderkey", "o_custkey",
+                       F.year("o_orderdate").alias("order_year")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s.select("s_suppkey",
+                                   F.col("s_nationkey").alias("sn"))),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n.select(F.col("n_nationkey").alias("cnk"),
+                                   F.col("n_name").alias("cust_nation"))),
+              F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(n.select(F.col("n_nationkey").alias("snk"),
+                                   F.col("n_name").alias("supp_nation"))),
+              F.col("sn") == F.col("snk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "order_year")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("supp_nation", "cust_nation", "order_year")
+    )
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotional revenue share per month — TPC-H Q14's
+    conditional-aggregation shape: the fraction of each month's
+    revenue earned by PROMO-type parts, the marketing-effect series
+    a merchandising team tracks. Both the promo and total sums fold
+    as exact integer cents in ONE pass (a CASE inside the
+    aggregate, never two scans); the share is one IEEE division +
+    round(6). Part attach broadcast; one month-grid exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    month = F.date_format("l_shipdate", "yyyy-MM")
+    return (
+        li.select("l_partkey", month.alias("ship_month"),
+                  cents.alias("cents"))
+        .join(F.broadcast(p.select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("ship_month")
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", F.col("cents"))
+                  .otherwise(F.lit(0))).cast("long")
+                .alias("promo_cents"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .select(
+            "ship_month",
+            "promo_cents",
+            "total_cents",
+            F.round(
+                F.col("promo_cents").cast("double")
+                / F.col("total_cents").cast("double"), 6
+            ).alias("promo_share"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+def lineitem_disjunctive_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive-predicate revenue — TPC-H Q19's shape: three
+    OR'd (brand × quantity-band × size-band) conjunct groups, the
+    query pattern that tests whether an engine can still prune the
+    scan when the filter is a disjunction (Catalyst pushes the OR
+    of conjunctions into the parquet scan and the common
+    l_quantity bounds fold out; PushedFilters asserted non-empty in
+    the plan lock). One row out: matched line count + exact-cents
+    revenue.
+
+    Scale shape: part attach broadcast, predicate evaluated in the
+    scan's codegen stage, single scalar aggregate — the whole query
+    is one pass with no exchange beyond the final 1-row fold."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("l_quantity").between(1, 11)
+            & F.col("p_size").between(1, 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("l_quantity").between(10, 20)
+            & F.col("p_size").between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("l_quantity").between(20, 30)
+            & F.col("p_size").between(1, 15)
+        )
+    )
+    return j.filter(cond).agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.coalesce(F.sum(cents), F.lit(0)).cast("long")
+            .alias("revenue_cents"),
+    )

@@ -4791,3 +4791,57 @@ def _kcenter_oracle_sql() -> str:
 
 
 EXT_ORACLES["sample_coreset_kcenter"] = _kcenter_oracle_sql()
+
+
+# Q7 / Q14 / Q19 shapes — straight ANSI twins (the Spark side is
+# DataFrame-built; the SQL restates the definition)
+EXT_ORACLES["nations_trade_volume"] = """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    WHERE sn.n_name <> cn.n_name
+    GROUP BY sn.n_name, cn.n_name, year(o_orderdate)
+    ORDER BY supp_nation, cust_nation, order_year
+"""
+
+EXT_ORACLES["promo_revenue_share"] = """
+    WITH m AS (
+        SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+               CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                    * 100) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS promo_cents,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                   * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY ship_month
+    )
+    SELECT ship_month, promo_cents, total_cents,
+           ROUND(CAST(promo_cents AS DOUBLE)
+                 / CAST(total_cents AS DOUBLE), 6) AS promo_share
+    FROM m ORDER BY ship_month
+"""
+
+EXT_ORACLES["lineitem_disjunctive_scan"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice
+                * (1 - l_discount) * 100) AS BIGINT)), 0) AS BIGINT)
+               AS revenue_cents
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+           AND p_size BETWEEN 1 AND 5)
+       OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+           AND p_size BETWEEN 1 AND 10)
+       OR (p_brand = 'Brand#4' AND l_quantity BETWEEN 20 AND 30
+           AND p_size BETWEEN 1 AND 15)
+"""

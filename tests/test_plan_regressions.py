@@ -291,6 +291,16 @@ class TestShuffleBudgets:
         # the decompose plan (one daily exchange + grid windows) +
         # the per-type strength fold + ordered output
         "ts_stl_strength": 3,
+        # Q7 plan: the lineitem⋈orders orderkey exchange pair is
+        # AQE-broadcast at fixture scale (counts as 0 exchanges
+        # there); nation²×year grid agg + ordered output
+        "nations_trade_volume": 3,
+        # Q14 plan: ONE lineitem pass (CASE inside the aggregate),
+        # month-grid agg + ordered output
+        "promo_revenue_share": 2,
+        # Q19 plan: single scan + broadcast part attach + 1-row
+        # scalar fold — no exchange at all beyond the final gather
+        "lineitem_disjunctive_scan": 1,
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))

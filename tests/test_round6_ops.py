@@ -305,3 +305,110 @@ def test_kcenter_matches_greedy_reference(spark, sf_dir):
     assert got == centers
     radii = [c[2] for c in centers[1:]]
     assert radii == sorted(radii, reverse=True)  # max-min shrinks
+
+
+# ---- Q7 shape ---------------------------------------------------------------
+def test_trade_volume_matches_brute(spark, sf_dir):
+    from dbt_eamples_spark.operators.relational import nations_trade_volume
+
+    nat = {
+        r.n_nationkey: r.n_name
+        for r in load_table(spark, sf_dir, "nation").collect()
+    }
+    cnat = {
+        r.c_custkey: nat[r.c_nationkey]
+        for r in load_table(spark, sf_dir, "customer").collect()
+    }
+    snat = {
+        r.s_suppkey: nat[r.s_nationkey]
+        for r in load_table(spark, sf_dir, "supplier").collect()
+    }
+    omap = {
+        r.o_orderkey: (cnat[r.o_custkey], int(str(r.o_orderdate)[:4]))
+        for r in load_table(spark, sf_dir, "orders").collect()
+    }
+    want: dict[tuple, list[int]] = defaultdict(lambda: [0, 0])
+    for r in _lineitems(spark, sf_dir):
+        cust_nation, yr = omap[r.l_orderkey]
+        supp_nation = snat[r.l_suppkey]
+        if supp_nation == cust_nation:
+            continue
+        b = want[(supp_nation, cust_nation, yr)]
+        b[0] += 1
+        b[1] += _r(r.l_extendedprice * (1 - r.l_discount) * 100)
+    got = {
+        (r.supp_nation, r.cust_nation, r.order_year): (
+            r.n_lines,
+            r.revenue_cents,
+        )
+        for r in nations_trade_volume(spark, sf_dir).collect()
+    }
+    assert got == {k: tuple(v) for k, v in want.items()}
+    assert len(got) > 0
+
+
+# ---- Q14 shape --------------------------------------------------------------
+def test_promo_share_single_pass_and_exact(spark, sf_dir):
+    from dbt_eamples_spark.operators.relational import promo_revenue_share
+
+    ptype = {
+        r.p_partkey: r.p_type
+        for r in load_table(spark, sf_dir, "part").collect()
+    }
+    agg: dict[str, list[int]] = defaultdict(lambda: [0, 0])
+    for r in _lineitems(spark, sf_dir):
+        m = str(r.l_shipdate)[:7]
+        c = _r(r.l_extendedprice * (1 - r.l_discount) * 100)
+        if ptype[r.l_partkey] == "PROMO":
+            agg[m][0] += c
+        agg[m][1] += c
+    rows = promo_revenue_share(spark, sf_dir).collect()
+    got = {r.ship_month: (r.promo_cents, r.total_cents) for r in rows}
+    assert got == {m: tuple(v) for m, v in agg.items()}
+    for r in rows:
+        assert 0.0 <= r.promo_share <= 1.0
+    # single corpus pass: exactly one lineitem scan in the plan
+    plan = promo_revenue_share(spark, sf_dir)._jdf.queryExecution(
+    ).optimizedPlan().toString()
+    assert plan.lower().count("lineitem.parquet") <= 1
+
+
+# ---- Q19 shape --------------------------------------------------------------
+def test_disjunctive_scan_matches_brute(spark, sf_dir):
+    from dbt_eamples_spark.operators.relational import (
+        lineitem_disjunctive_scan,
+    )
+
+    pmeta = {
+        r.p_partkey: (r.p_brand, r.p_size)
+        for r in load_table(spark, sf_dir, "part").collect()
+    }
+    n = cents = 0
+    for r in _lineitems(spark, sf_dir):
+        brand, size = pmeta[r.l_partkey]
+        q = r.l_quantity
+        hit = (
+            (brand == "Brand#12" and 1 <= q <= 11 and 1 <= size <= 5)
+            or (brand == "Brand#23" and 10 <= q <= 20 and 1 <= size <= 10)
+            or (brand == "Brand#4" and 20 <= q <= 30 and 1 <= size <= 15)
+        )
+        if hit:
+            n += 1
+            cents += _r(r.l_extendedprice * (1 - r.l_discount) * 100)
+    row = lineitem_disjunctive_scan(spark, sf_dir).collect()[0]
+    assert (row.n_lines, row.revenue_cents) == (n, cents)
+    assert n > 0  # the disjunction actually selects something
+
+
+def test_disjunctive_predicate_reaches_the_scan(spark, sf_dir):
+    from dbt_eamples_spark.operators.relational import (
+        lineitem_disjunctive_scan,
+    )
+
+    df = lineitem_disjunctive_scan(spark, sf_dir)
+    df.collect()
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # the folded-out common quantity bound pushes into the parquet scan
+    assert "PushedFilters: [" in plan
