@@ -1,0 +1,62 @@
+"""Generate the per-entry strict-gate evidence table for
+LOCAL_ORACLE_r{N}.md (VERDICT r5 #8): one row per registry query
+with its latest local strict-gate result at each scale, parsed from
+oracle_check sweep logs — so the provenance chain lives in-repo
+instead of in round notes.
+
+Usage: python tools/oracle_ledger.py LOG_SF001 LOG_SF01 > table.md
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def parse(path: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    pat = re.compile(
+        r"(OK|FAIL|SKIP)\s+(\w+)[:\s].*?(?:\((\d+) rows\))?", re.A
+    )
+    with open(path, errors="replace") as fh:
+        for line in fh:
+            # progress bars glue onto lines; search anywhere
+            for m in re.finditer(
+                r"(OK|FAIL|SKIP)\s+(\w+)(?::| )\s*(?:\((\d+) rows\))?",
+                line,
+            ):
+                status, name, rows = m.groups()
+                if status == "OK" and rows is not None:
+                    out[name] = f"OK ({rows} rows)"
+                elif status == "SKIP":
+                    out[name] = "rows-only (no oracle, by design)"
+                elif status == "FAIL":
+                    out[name] = "FAIL"
+    return out
+
+
+def main() -> None:
+    import __spark_entry__ as e
+
+    small = parse(sys.argv[1])
+    large = parse(sys.argv[2])
+    names = list(e.queries())
+    print("| # | query | sf0.01 | sf0.1 |")
+    print("|---|---|---|---|")
+    for i, n in enumerate(names, 1):
+        print(
+            f"| {i} | `{n}` | {small.get(n, '—')} | {large.get(n, '—')} |"
+        )
+    n_ok_s = sum(1 for n in names if small.get(n, "").startswith("OK"))
+    n_ok_l = sum(1 for n in names if large.get(n, "").startswith("OK"))
+    print(
+        f"\nTotals: {len(names)} registry entries; sf0.01 strict OK "
+        f"{n_ok_s}; sf0.1 strict OK {n_ok_l}; FAIL "
+        f"{sum(1 for v in list(small.values()) + list(large.values()) if v == 'FAIL')}."
+    )
+
+
+if __name__ == "__main__":
+    main()
