@@ -180,6 +180,14 @@ _R6_PRIORITY = [
     "nations_trade_volume",
     "promo_revenue_share",
     "lineitem_disjunctive_scan",
+    "orders_shipping_priority",
+    "revenue_change_forecast",
+    "nation_year_profit",
+    "returned_item_customers",
+    "late_priority_by_year",
+    "customer_order_distribution",
+    "orders_large_quantity",
+    "supplier_dominant_parts",
     # (3) latest driver row is r1 — oldest cohort, fill to 50
     "scan_table",
     "sql_execute_limit",
@@ -291,6 +299,22 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue_share": R.promo_revenue_share,
         # TPC-H Q19 shape: disjunctive-predicate pushdown revenue
         "lineitem_disjunctive_scan": R.lineitem_disjunctive_scan,
+        # TPC-H Q3 shape: unshipped-order revenue top-10
+        "orders_shipping_priority": R.orders_shipping_priority,
+        # TPC-H Q6 shape: pushed-filter revenue-change what-if
+        "revenue_change_forecast": R.revenue_change_forecast,
+        # TPC-H Q9 shape: 5-table nation/year profit rollup
+        "nation_year_profit": R.nation_year_profit,
+        # TPC-H Q10 shape: returned-revenue top customers
+        "returned_item_customers": R.returned_item_customers,
+        # TPC-H Q12 shape: CASE conditional priority mix of late lines
+        "late_priority_by_year": R.late_priority_by_year,
+        # TPC-H Q13 shape: zero-inclusive customer order distribution
+        "customer_order_distribution": R.customer_order_distribution,
+        # TPC-H Q18 shape: IN(GROUP BY HAVING) large-quantity orders
+        "orders_large_quantity": R.orders_large_quantity,
+        # TPC-H Q20 shape: nested-IN dominant product-line suppliers
+        "supplier_dominant_parts": R.supplier_dominant_parts,
         # --- round-4 second wave ---
         # TPC-H Q8 shape: national market share per order year
         "agg_market_share": R.agg_market_share,

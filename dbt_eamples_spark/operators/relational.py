@@ -2178,3 +2178,372 @@ def lineitem_disjunctive_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(cents), F.lit(0)).cast("long")
             .alias("revenue_cents"),
     )
+
+
+# ---- round-6 second TPC-H wave: the remaining 8 of the 22 shapes ----------
+# (Q3/Q6/Q9/Q10/Q12/Q13/Q18/Q20 over this schema — completes full
+# TPC-H-shape coverage together with the earlier waves.)
+
+SHIP_PRIORITY_SEGMENT = "BUILDING"  # Q3's market segment parameter
+SHIP_PRIORITY_CUTOFF = "1997-07-01"  # Q3's date split
+
+
+def orders_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unshipped-order revenue ranking — TPC-H Q3's shape: for one
+    market segment, orders placed before ``SHIP_PRIORITY_CUTOFF``
+    whose lineitems ship after it, ranked by outstanding revenue —
+    the backlog triage list. (No o_shippriority column in this
+    schema; the key + date identify the order.)
+
+    Engine-exact: revenue folds as integer cents (one ROUND per
+    line, BIGINT sum); the top-10 cut orders by (revenue DESC,
+    o_orderdate, o_orderkey) so ties are deterministic. Scale
+    shape: customer segment filter broadcast-attaches to orders,
+    the pruned orders side joins lineitem on the fact-fact key,
+    one (orderkey, orderdate) exchange with map-side combine, then
+    a global top-k (TakeOrderedAndProject — no full sort).
+    Ref: reference runs only flat SELECTs (dbt_query.py:77-86);
+    the multi-join ranking engine is ours."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    cutoff = F.lit(SHIP_PRIORITY_CUTOFF).cast("timestamp")
+    return (
+        o.filter(F.col("o_orderdate") < cutoff)
+        .join(
+            F.broadcast(
+                c.filter(F.col("c_mktsegment") == SHIP_PRIORITY_SEGMENT)
+                .select("c_custkey")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            li.filter(F.col("l_shipdate") > cutoff)
+            .select("l_orderkey", cents.alias("cents")),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum("cents").cast("long").alias("revenue_cents"))
+        .orderBy(
+            F.col("revenue_cents").desc(), "o_orderdate", "o_orderkey"
+        )
+        .limit(10)
+    )
+
+
+def revenue_change_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-change what-if — TPC-H Q6's shape: the revenue that
+    would have been kept by eliminating small discounts on
+    small-quantity 1996 lines (SUM of extendedprice * discount over
+    a tight band filter). The classic single-table filter-aggregate
+    every columnar engine must reduce to one scan pass.
+
+    Engine-exact: each line folds as ROUND(e*d*100) cents, exact
+    BIGINT sum. Scale shape: every predicate (shipdate range,
+    discount band, quantity cap) is pushed into the parquet scan
+    (PushedFilters test-locked) and the whole query is one
+    WholeStageCodegen pass with a 1-row final fold — no exchange
+    except the scalar agg's."""
+    li = load_table(spark, sf_dir, "lineitem")
+    kept = F.round(
+        F.col("l_extendedprice") * F.col("l_discount") * 100
+    ).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.coalesce(F.sum(kept), F.lit(0)).cast("long")
+                .alias("forecast_cents"),
+        )
+    )
+
+
+PROFIT_PART_TOKEN = "widget"  # Q9's part-name LIKE parameter
+PROFIT_COST_PCT = 60  # unit cost proxy: 60% of part retail price
+
+
+def nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation/year profit for one product line — TPC-H Q9's shape:
+    profit per (supplier nation, order year) over parts whose name
+    contains ``PROFIT_PART_TOKEN``. This schema has no partsupp, so
+    unit cost is proxied as ``PROFIT_COST_PCT``% of p_retailprice —
+    the join topology (lineitem ⋈ part ⋈ supplier ⋈ nation ⋈
+    orders, five tables) is the point of the shape, not the cost
+    model.
+
+    Engine-exact: profit per line = ROUND(e*(1-d)*100) −
+    ROUND(retail*qty*PROFIT_COST_PCT) — two IEEE rounds on the
+    identical expression trees in both engines, then exact BIGINT
+    sums. Scale shape: the part name filter prunes lineitem via a
+    broadcast hash join BEFORE the orders fact-fact exchange;
+    supplier and nation attach broadcast; final agg lands on the
+    bounded (nation, year) grid."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    profit = (
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("long")
+        - F.round(
+            F.col("p_retailprice") * F.col("l_quantity") * PROFIT_COST_PCT
+        ).cast("long")
+    )
+    return (
+        li.join(
+            F.broadcast(
+                p.filter(
+                    F.col("p_name").contains(PROFIT_PART_TOKEN)
+                ).select("p_partkey", "p_retailprice")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            o.select("o_orderkey", F.year("o_orderdate").alias("order_year")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"), F.col("order_year"))
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(profit).cast("long").alias("profit_cents"),
+        )
+        .orderBy("nation", F.col("order_year").desc())
+    )
+
+
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top customers by returned revenue — TPC-H Q10's shape:
+    revenue of l_returnflag = 'R' lines on orders placed in a
+    quarter, per customer with their nation attached, top 20 — the
+    lost-revenue account review. Engine-exact integer cents; the
+    cut orders by (revenue DESC, c_custkey) so ties are
+    deterministic.
+
+    Scale shape: the quarter filter prunes orders at the scan;
+    orders ⋈ lineitem is the one fact-fact exchange; customer and
+    nation attach broadcast AFTER the per-customer aggregate (agg
+    on c_custkey alone, the dims join 20 rows at most via the
+    top-k, but we attach pre-cut to keep the oracle single-pass —
+    still broadcast, still bounded)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(
+            li.filter(F.col("l_returnflag") == "R")
+            .select("l_orderkey", cents.alias("cents")),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").cast("long").alias("returned_cents"))
+        .join(
+            F.broadcast(c.select("c_custkey", "c_name", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            "returned_cents",
+        )
+        .orderBy(F.col("returned_cents").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+def late_priority_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority mix of late shipments per year — TPC-H Q12's
+    conditional-aggregation shape: among lines shipped more than
+    ``LATE_SHIP_DAYS`` after the order date, count critical
+    (1-URGENT / 2-HIGH) vs other orders per ship year. (This schema
+    has no l_shipmode; the ship year is the carrier dimension.)
+    Both counts fold in ONE pass via CASE inside the aggregate —
+    never two scans. Exact integers end-to-end.
+
+    Scale shape: one orders ⋈ lineitem exchange (the datediff
+    predicate needs both sides), then a bounded year-grid agg with
+    map-side combine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.select("l_orderkey", "l_shipdate")
+        .join(
+            o.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(
+            F.datediff("l_shipdate", "o_orderdate") > LATE_SHIP_DAYS
+        )
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long")
+                .alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long")
+                .alias("low_line_count"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+DISTRIB_EXCLUDED_PRIORITY = "4-NOT SPECIFIED"  # Q13's NOT-LIKE stand-in
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer count by order count — TPC-H Q13's shape: LEFT
+    join customers to their orders EXCLUDING one priority class
+    (the schema's stand-in for Q13's comment NOT LIKE), count
+    orders per customer INCLUDING the zero-order customers, then
+    the distribution: how many customers placed exactly k orders.
+    The double-aggregate + outer-join-with-join-condition pattern
+    that catches engines which turn the filter into a WHERE (which
+    would silently drop the zero-order customers).
+
+    Scale shape: the priority filter prunes orders at the scan; one
+    c_custkey exchange for the per-customer count (left side is the
+    customer dim — at 100 TB the orders side is the big one, and
+    the join key is the agg key so the exchange is reused); the
+    k-grid second agg is bounded by max orders/customer."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        c.select("c_custkey")
+        .join(
+            o.filter(F.col("o_orderpriority") != DISTRIB_EXCLUDED_PRIORITY)
+            .select("o_custkey", "o_orderkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+LARGE_ORDER_QTY = 250  # Q18's quantity threshold (sf-max ~378)
+
+
+def orders_large_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders — TPC-H Q18's shape: orders whose TOTAL
+    line quantity exceeds ``LARGE_ORDER_QTY``, with the customer
+    attached and the total re-aggregated in the outer query. The
+    membership is written AS the IN (GROUP BY … HAVING) subquery —
+    Q18's signature — so the engine must plan the self-semi-join
+    against the aggregated stream rather than re-scanning.
+
+    Engine-exact: quantities are integral doubles (1..50); totals
+    fold as BIGINT after a per-line CAST. Scale shape: the IN plans
+    as a left-semi of orders against the HAVING-filtered l_orderkey
+    aggregate (map-side combined; the survivor set is tiny), and
+    the outer re-aggregation runs at order grain on the pruned
+    join — the two aggregates have different grouping keys, so the
+    double lineitem pass is inherent to Q18's written form, not a
+    planner miss. Customer attaches via broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li.createOrReplaceTempView("lineitem")
+    o.createOrReplaceTempView("orders")
+    c.createOrReplaceTempView("customer")
+    return spark.sql(
+        f"""
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                   AS total_qty
+        FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS BIGINT)) > {LARGE_ORDER_QTY}
+        )
+        GROUP BY c_custkey, c_name, o_orderkey, o_orderdate
+        ORDER BY total_qty DESC, o_orderkey
+        """
+    )
+
+
+def supplier_dominant_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant suppliers of a product line — TPC-H Q20's shape:
+    suppliers who shipped MORE THAN HALF of a part's total 1996
+    volume, counted per supplier over parts whose name contains
+    ``PROFIT_PART_TOKEN``. Q20's nested IN + correlated-aggregate
+    pattern (supplier IN parts-filtered set, quantity > 0.5 × a
+    correlated SUM), re-expressed over lineitem since this schema
+    has no partsupp.availqty.
+
+    Engine-exact: quantities fold as BIGINT; the half comparison is
+    ``2*q > total`` on exact integers (no float fraction). Scale
+    shape: a (partkey, suppkey) hash agg over the year's lineitem;
+    the correlated total decorrelates to a per-part SUM aggregate
+    joined back (no-scalar-subquery test-locked — the two pq
+    instances differ by the pushed part filter, so the second agg
+    pass is the price of the written-as-Q20 form); part filter
+    broadcast; final per-supplier count is a bounded agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    li.createOrReplaceTempView("lineitem")
+    p.createOrReplaceTempView("part")
+    s.createOrReplaceTempView("supplier")
+    return spark.sql(
+        f"""
+        WITH pq AS (
+            SELECT l_partkey, l_suppkey,
+                   SUM(CAST(l_quantity AS BIGINT)) AS qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_partkey, l_suppkey
+        )
+        SELECT s_suppkey, s_name,
+               CAST(COUNT(*) AS BIGINT) AS n_dominant_parts
+        FROM pq
+        JOIN supplier ON s_suppkey = l_suppkey
+        WHERE l_partkey IN (
+                  SELECT p_partkey FROM part
+                  WHERE p_name LIKE '%{PROFIT_PART_TOKEN}%'
+              )
+          AND qty * 2 > (
+                  SELECT SUM(pq2.qty) FROM pq pq2
+                  WHERE pq2.l_partkey = pq.l_partkey
+              )
+        GROUP BY s_suppkey, s_name
+        ORDER BY n_dominant_parts DESC, s_suppkey
+        """
+    )

@@ -4646,6 +4646,174 @@ def _round6_tpch_oracles() -> dict[str, str]:
 EXT_ORACLES.update(_round6_tpch_oracles())
 
 
+def _round6_tpch_wave2_oracles() -> dict[str, str]:
+    """Oracles for the second round-6 TPC-H wave (Q3/Q6/Q9/Q10/
+    Q12/Q13/Q18/Q20 shapes). Where the Spark side is written as a
+    subquery (Q18 IN-HAVING, Q20 nested IN + correlated SUM) the
+    oracle states the equivalent join/window formulation so the
+    gate cross-checks the decorrelation, not a twin."""
+    from dbt_eamples_spark.operators.relational import (
+        DISTRIB_EXCLUDED_PRIORITY,
+        LARGE_ORDER_QTY,
+        LATE_SHIP_DAYS,
+        PROFIT_COST_PCT,
+        PROFIT_PART_TOKEN,
+        SHIP_PRIORITY_CUTOFF,
+        SHIP_PRIORITY_SEGMENT,
+    )
+
+    return {
+        # Q3 shape: segment backlog revenue top-10
+        "orders_shipping_priority": f"""
+            SELECT o_orderkey, o_orderdate,
+                   CAST(SUM(CAST(ROUND(l_extendedprice
+                            * (1 - l_discount) * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM customer
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = '{SHIP_PRIORITY_SEGMENT}'
+              AND o_orderdate < TIMESTAMP '{SHIP_PRIORITY_CUTOFF}'
+              AND l_shipdate > TIMESTAMP '{SHIP_PRIORITY_CUTOFF}'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue_cents DESC, o_orderdate, o_orderkey
+            LIMIT 10
+        """,
+        # Q6 shape: banded filter-aggregate what-if
+        "revenue_change_forecast": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice
+                            * l_discount * 100) AS BIGINT)), 0)
+                        AS BIGINT) AS forecast_cents
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        # Q9 shape: 5-table profit rollup (cost proxy = pct of retail)
+        "nation_year_profit": f"""
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS order_year,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(
+                       CAST(ROUND(l_extendedprice
+                                  * (1 - l_discount) * 100) AS BIGINT)
+                       - CAST(ROUND(p_retailprice * l_quantity
+                                    * {PROFIT_COST_PCT}) AS BIGINT)
+                   ) AS BIGINT) AS profit_cents
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            WHERE p_name LIKE '%{PROFIT_PART_TOKEN}%'
+            GROUP BY n_name, year(o_orderdate)
+            ORDER BY nation, order_year DESC
+        """,
+        # Q10 shape: returned-revenue top customers
+        "returned_item_customers": """
+            SELECT c_custkey, c_name, n_name AS nation,
+                   CAST(SUM(CAST(ROUND(l_extendedprice
+                            * (1 - l_discount) * 100) AS BIGINT))
+                        AS BIGINT) AS returned_cents
+            FROM orders
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON n_nationkey = c_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY returned_cents DESC, c_custkey
+            LIMIT 20
+        """,
+        # Q12 shape: one-pass CASE conditional priority mix
+        "late_priority_by_year": f"""
+            SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+                   CAST(SUM(CASE WHEN o_orderpriority
+                                      IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority
+                                      IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_line_count
+            FROM lineitem
+            JOIN orders ON o_orderkey = l_orderkey
+            WHERE datediff('day', o_orderdate, l_shipdate)
+                  > {LATE_SHIP_DAYS}
+            GROUP BY year(l_shipdate)
+            ORDER BY ship_year
+        """,
+        # Q13 shape: zero-inclusive order-count distribution
+        "customer_order_distribution": f"""
+            WITH per_cust AS (
+                SELECT c_custkey,
+                       CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+                FROM customer
+                LEFT JOIN orders
+                  ON c_custkey = o_custkey
+                 AND o_orderpriority <> '{DISTRIB_EXCLUDED_PRIORITY}'
+                GROUP BY c_custkey
+            )
+            SELECT c_count,
+                   CAST(COUNT(*) AS BIGINT) AS custdist
+            FROM per_cust
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        # Q18 shape: IN-HAVING cross-checked via direct join on the
+        # aggregated stream
+        "orders_large_quantity": f"""
+            WITH totals AS (
+                SELECT l_orderkey,
+                       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                           AS total_qty
+                FROM lineitem
+                GROUP BY l_orderkey
+                HAVING SUM(CAST(l_quantity AS BIGINT))
+                       > {LARGE_ORDER_QTY}
+            )
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+                   total_qty
+            FROM totals
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            ORDER BY total_qty DESC, o_orderkey
+        """,
+        # Q20 shape: correlated SUM cross-checked via window total
+        "supplier_dominant_parts": f"""
+            WITH pq AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                           AS qty
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'
+                GROUP BY l_partkey, l_suppkey
+            ), w AS (
+                SELECT l_partkey, l_suppkey, qty,
+                       CAST(SUM(qty) OVER (PARTITION BY l_partkey)
+                            AS BIGINT) AS part_total
+                FROM pq
+            )
+            SELECT s_suppkey, s_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_dominant_parts
+            FROM w
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_name LIKE '%{PROFIT_PART_TOKEN}%'
+              AND qty * 2 > part_total
+            GROUP BY s_suppkey, s_name
+            ORDER BY n_dominant_parts DESC, s_suppkey
+        """,
+    }
+
+
+EXT_ORACLES.update(_round6_tpch_wave2_oracles())
+
+
 EXT_ORACLES["corpus_js_divergence"] = r"""
     WITH tok AS (
         SELECT source,

@@ -301,6 +301,35 @@ class TestShuffleBudgets:
         # Q19 plan: single scan + broadcast part attach + 1-row
         # scalar fold — no exchange at all beyond the final gather
         "lineitem_disjunctive_scan": 1,
+        # Q3 plan: segment + cutoff broadcast attaches on the pruned
+        # scans, ONE (orderkey, orderdate) agg exchange; the top-10
+        # is TakeOrderedAndProject (no full sort exchange)
+        "orders_shipping_priority": 1,
+        # Q6 plan: fully-pushed single scan + 1-row scalar fold —
+        # zero exchanges
+        "revenue_change_forecast": 0,
+        # Q9 plan: part/supplier/nation broadcast, ONE lineitem ⋈
+        # orders orderkey exchange pair is AQE-broadcast at fixture
+        # scale; (nation, year) grid agg + ordered output
+        "nation_year_profit": 2,
+        # Q10 plan: quarter-pruned orders broadcast-attaches at
+        # fixture scale; ONE o_custkey agg exchange; dims broadcast;
+        # top-20 is TakeOrderedAndProject
+        "returned_item_customers": 1,
+        # Q12 plan: orderkey join exchange rides AQE-broadcast at
+        # fixture scale; year-grid agg + its partial = 2
+        "late_priority_by_year": 2,
+        # Q13 plan: custkey exchange for the zero-preserving left
+        # join + per-customer count + the bounded k-grid second agg
+        "customer_order_distribution": 3,
+        # Q18 plan: HAVING-side orderkey agg, the semi-joined outer
+        # order-grain agg, ordered output — the two aggs have
+        # different keys, so 3 is the written-form minimum
+        "orders_large_quantity": 3,
+        # Q20 plan: two pq agg passes (they differ by the pushed
+        # part filter), the per-part total agg, the supplier count
+        # agg + ordered output
+        "supplier_dominant_parts": 5,
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))
