@@ -27,6 +27,7 @@ from dbt_eamples_spark.operators.asof import join_asof
 from dbt_eamples_spark.operators.bloom import join_bloom_prefilter
 from dbt_eamples_spark.operators.graph import (
     graph_bfs_layers,
+    graph_community_lpa,
     graph_degree_powerlaw,
     graph_kcore,
     graph_link_prediction,
@@ -188,6 +189,11 @@ _R6_PRIORITY = [
     "customer_order_distribution",
     "orders_large_quantity",
     "supplier_dominant_parts",
+    "dedup_substring_spans",
+    "dedup_top_spans",
+    "customer_entity_match",
+    "graph_community_lpa",
+    "ts_cross_correlation",
     # (3) latest driver row is r1 — oldest cohort, fill to 50
     "scan_table",
     "sql_execute_limit",
@@ -315,6 +321,16 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_large_quantity": R.orders_large_quantity,
         # TPC-H Q20 shape: nested-IN dominant product-line suppliers
         "supplier_dominant_parts": R.supplier_dominant_parts,
+        # exact-substring span dedup: per-doc duplicated-span ratio
+        "dedup_substring_spans": D.dedup_substring_spans,
+        # exact-substring span dedup: corpus top duplicated spans
+        "dedup_top_spans": D.dedup_top_spans,
+        # fuzzy entity resolution: blocked levenshtein match pairs
+        "customer_entity_match": D.customer_entity_match,
+        # LPA community detection over the co-purchase graph
+        "graph_community_lpa": graph_community_lpa,
+        # lead/lag cross-correlation matrix between event types
+        "ts_cross_correlation": B.ts_cross_correlation,
         # --- round-4 second wave ---
         # TPC-H Q8 shape: national market share per order year
         "agg_market_share": R.agg_market_share,

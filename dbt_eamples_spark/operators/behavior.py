@@ -1881,3 +1881,96 @@ def ts_stl_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         strength("s_tr", "ss_tr").alias("trend_strength"),
         strength("s_sr", "ss_sr").alias("seasonal_strength"),
     ).orderBy("event_type")
+
+
+XCORR_MAX_LAG = 7  # lead/lag horizon in calendar days
+
+
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged Pearson cross-correlation between every ORDERED pair
+    of event types' daily count series at lags 0..``XCORR_MAX_LAG``:
+    xcorr(a, b, k) correlates a's count on day d with b's count on
+    day d+k, so a positive peak at k>0 reads "a leads b by k days"
+    — the lead/lag screen behind funnel causality hypotheses
+    (views today → purchases in two days). Self-pairs are excluded
+    (lagged self-correlation is ts_autocorrelation's correlogram).
+
+    Exactness contract (the agg_correlation recipe): both series are
+    ZERO-FILLED over the global [min_day, max_day] calendar spine —
+    a missing day is a day with zero events, and complete series
+    make every (pair, lag) window identical — then the six moments
+    (n, Σx, Σy, Σxy, Σx², Σy²) fold as exact decimal(38,0) with the
+    products formed in decimal (a daily count is NOT statically
+    bounded — at data-center scale x·y can pass 2⁶³, the
+    agg_gini_revenue operand class), and the closed form evaluates
+    on doubles with the identical expression tree in the oracle.
+    Zero-variance windows report NULL.
+
+    Plan: one corpus exchange builds the daily rollup; the spine is
+    types × sequence(min, max) against a broadcast ONE-ROW bounds
+    frame (catalog-bounded, never a data cross join); the lag align
+    is one day-keyed equi join over the calendar-bounded grid
+    (fan-out = |types|²·lags per day, a constant), and the moment
+    fold is one (pair, lag) exchange over ≤ |types|²·lags rows."""
+    ev = load_table(spark, sf_dir, "events", parallelize=True)
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+    ).agg(F.count("*").cast("long").alias("x"))
+    bounds = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    types = daily.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+    )
+    filled = (
+        spine.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    left = filled.select(
+        F.col("event_type").alias("type_a"), "day", "x"
+    )
+    right = filled.select(
+        F.col("event_type").alias("type_b"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(XCORR_MAX_LAG))
+        ).alias("lag"),
+        F.col("x").alias("y"),
+        F.col("day").alias("day_b"),
+    ).withColumn("day", F.expr("date_sub(day_b, lag)"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    x, y = F.col("x"), F.col("y")
+    agg = (
+        left.join(right, "day")
+        .filter(F.col("type_a") != F.col("type_b"))
+        .groupBy("type_a", "type_b", "lag")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum(dec(x)).alias("sx"),
+            F.sum(dec(y)).alias("sy"),
+            F.sum(dec(x) * dec(y)).alias("sxy"),
+            F.sum(dec(x) * dec(x)).alias("sxx"),
+            F.sum(dec(y) * dec(y)).alias("syy"),
+        )
+    )
+    n, sx, sy, sxy, sxx, syy = (
+        F.col(c).cast("double")
+        for c in ("n_days", "sx", "sy", "sxy", "sxx", "syy")
+    )
+    denom = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return agg.select(
+        "type_a",
+        "type_b",
+        "lag",
+        "n_days",
+        F.when(denom > 0, F.round((n * sxy - sx * sy) / denom, 6)).alias(
+            "xcorr"
+        ),
+    ).orderBy("type_a", "type_b", "lag")

@@ -1038,3 +1038,191 @@ def text_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("raw_fp").cast("long").alias("n_distinct_raw"),
         )
     )
+
+
+# Exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better"): the unit of duplication is a
+# k-token SPAN, not the whole document — boilerplate and quoted
+# passages duplicate across otherwise-distinct documents.
+SPAN_TOKENS = 15  # ≈30% of the fixture's ~50-token docs; 50 at prod
+
+
+def _doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h) — one row per k-token span instance, h = md5 of
+    the space-joined span. Whitespace tokenization; docs shorter
+    than ``SPAN_TOKENS`` contribute zero rows (the sequence guard —
+    Spark's sequence(start, stop) DESCENDS when start > stop, so an
+    unguarded expression would fabricate spans)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    )
+    k = SPAN_TOKENS
+    hashes = F.when(
+        F.size("t") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - F.lit(k - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("t", i, F.lit(k)))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks.select("doc_id", F.explode(hashes).alias("h"))
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document exact-substring duplication stats: of each
+    document's k-token spans, how many also occur (verbatim) in at
+    least one OTHER document — the span-level duplication fraction
+    used to drop or trim boilerplate-heavy training documents. A
+    span instance counts as duplicated when its hash appears in >1
+    DISTINCT doc; every document appears in the output, zero-span
+    short docs with NULL ratio.
+
+    Scale shape: spans explode ×(L−k+1) but stay narrow (doc_id,
+    16-byte hash); the per-hash distinct-doc stats are ONE
+    hash-keyed exchange (md5 keys are uniform — no skew), the
+    attach back to span instances is an equi join on the same key,
+    and the per-doc fold is one doc_id exchange. No pairwise doc
+    comparison exists at any point — cost is linear in corpus
+    tokens, the property that makes suffix-free span dedup viable
+    at 100 TB. Ref: reference ships no dedup at all
+    (models/marts only, SURVEY §0); this family is the mandated
+    LLM-pipeline extension."""
+    spans = _doc_spans(spark, sf_dir)
+    stats = spans.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    per_doc = (
+        spans.join(stats, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long")
+            .alias("n_dup_spans"),
+            F.when(
+                F.coalesce("n_spans", F.lit(0)) > 0,
+                F.round(
+                    F.col("n_dup_spans").cast("double")
+                    / F.col("n_spans").cast("double"),
+                    6,
+                ),
+            ).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TOP_SPANS_K = 25
+
+
+def dedup_top_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicated-span offenders: the ``TOP_SPANS_K``
+    span hashes occurring in the most distinct documents, with
+    total instance counts — the report a curation team reads to
+    decide which boilerplate to strip globally (the complement of
+    the per-doc view in ``dedup_substring_spans``). Deterministic
+    (n_docs DESC, n_occurrences DESC, h) tie-break; top-k is
+    TakeOrderedAndProject over the one hash-grid aggregate — no
+    full sort."""
+    spans = _doc_spans(spark, sf_dir)
+    return (
+        spans.groupBy("h")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy(
+            F.col("n_docs").desc(), F.col("n_occurrences").desc(), "h"
+        )
+        .limit(TOP_SPANS_K)
+    )
+
+
+# Fuzzy entity resolution (record linkage): blocked candidate
+# generation + edit-distance verify. Classic Fellegi-Sunter-style
+# blocking — a block key is cheap to compute and recall-oriented;
+# the expensive levenshtein verify runs only inside blocks.
+ENTITY_LEV_MAX = 1  # max edit distance for a match pair
+ENTITY_BLOCK_MAX = 256  # oversized-block guard (ubiquitous keys)
+
+
+def customer_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy duplicate-candidate pairs over customer names: two
+    blocking passes (name minus its last 2 chars → catches edits at
+    the tail; first 9 chars + last 2 chars → catches edits in the
+    middle), pairwise ``levenshtein`` ≤ ``ENTITY_LEV_MAX`` verify
+    INSIDE each block, union of the passes, distinct pairs. Names
+    are normalized (lower + trim) before keying and comparison.
+
+    Scale shape: never a cross join — each pass is an equi self-join
+    on its block key, and blocks larger than ``ENTITY_BLOCK_MAX``
+    are dropped before the join (the standard ER guard: a
+    ubiquitous key produces an O(n²) block that adds no linkage
+    signal; the guard is a count agg + semi-side filter, so one hot
+    key cannot quadratic-blow a task). Levenshtein runs JVM-side in
+    whole-stage codegen on only the in-block pairs. The two passes
+    + distinct cost three key exchanges; output order is a top-level
+    sort for determinism. At 100 TB the block-size cap is the knob:
+    candidate volume is Σ_b min(|b|, cap)², linear in records for
+    bounded blocks. Ref: reference ships no entity resolution
+    (models/marts only, SURVEY §0); mandated pipeline extension."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.lower(F.trim(F.col("c_name"))).alias("name")
+    )
+    key1 = F.expr("substring(name, 1, length(name) - 2)")
+    key2 = F.concat(
+        F.expr("substring(name, 1, 9)"),
+        F.expr("substring(name, length(name) - 1, 2)"),
+    )
+
+    def _pass(key_expr) -> DataFrame:
+        keyed = cust.select("c_custkey", "name", key_expr.alias("bk"))
+        ok = (
+            keyed.groupBy("bk")
+            .agg(F.count("*").alias("bn"))
+            .filter(F.col("bn") <= ENTITY_BLOCK_MAX)
+            .select("bk")
+        )
+        keyed = keyed.join(ok, "bk")
+        a = keyed.select(
+            F.col("bk"),
+            F.col("c_custkey").alias("custkey_a"),
+            F.col("name").alias("name_a"),
+        )
+        b = keyed.select(
+            F.col("bk"),
+            F.col("c_custkey").alias("custkey_b"),
+            F.col("name").alias("name_b"),
+        )
+        return (
+            a.join(b, "bk")
+            .filter(F.col("custkey_a") < F.col("custkey_b"))
+            .filter(
+                F.levenshtein("name_a", "name_b") <= ENTITY_LEV_MAX
+            )
+            .select(
+                "custkey_a",
+                "custkey_b",
+                F.levenshtein("name_a", "name_b")
+                .cast("int")
+                .alias("lev_dist"),
+            )
+        )
+
+    return (
+        _pass(key1)
+        .unionByName(_pass(key2))
+        .distinct()
+        .orderBy("custkey_a", "custkey_b")
+    )

@@ -773,3 +773,81 @@ def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_degree",
         F.round(slope, 6).alias("powerlaw_slope"),
     )
+
+
+LPA_ROUNDS = 4  # synchronous label-propagation rounds
+
+
+def lpa_labels(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
+    """Core synchronous label propagation over a directed edge frame
+    (src, dst) that contains both orientations of every undirected
+    edge (so the node set = the set of sources). Labels start as the
+    node id; each round every node adopts the MODE of its neighbors'
+    labels, ties broken by (count DESC, label ASC) — a total order,
+    so every engine and partitioning produces the identical labeling
+    (the property that makes the DuckDB twin hash-exact). Factored
+    out so property tests can drive arbitrary generated graphs
+    against a pure-python reference.
+
+    Scale shape per round: one dst-keyed equi join to fetch neighbor
+    labels, one (node, label) vote agg, one node-keyed window to
+    pick the mode — three key exchanges over an edge-sized frame,
+    never anything pairwise. Each round is localCheckpointed: the
+    plan stays O(1) deep instead of O(rounds), the same
+    lineage-control pattern as pagerank_fixed_point."""
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        votes = (
+            edges.join(
+                labels.select(F.col("node").alias("dst"), "lbl"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"), "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("c").desc(), F.col("lbl").asc()
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def graph_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the part co-purchase graph by
+    synchronous label propagation (Raghavan et al. 2007 shape, made
+    deterministic): ``LPA_ROUNDS`` mode-of-neighbor-labels rounds
+    with a (count DESC, label ASC) total tie-break. Unlike the
+    min-label propagation in dedup_clusters (which computes
+    connected COMPONENTS), LPA splits a connected graph into dense
+    communities — the catalog-segmentation view of purchasing
+    behavior. Output: every node with its community label and the
+    community's member count, ordered by node.
+
+    Consumes the shared co-purchase edge artifact (paid once per
+    corpus). Rounds are fixed, not run-to-convergence, so the oracle
+    unrolls the identical recurrence as chained CTEs. Ref: reference
+    ships no graph engine (SURVEY §0); pipeline extension."""
+    edges = _copurchase_edges(spark, sf_dir)
+    labels = lpa_labels(edges)
+    sizes = labels.groupBy("lbl").agg(
+        F.count("*").cast("long").alias("community_size")
+    )
+    return (
+        labels.join(sizes, "lbl")
+        .select(
+            F.col("node").alias("l_partkey"),
+            F.col("lbl").cast("long").alias("community"),
+            "community_size",
+        )
+        .orderBy("l_partkey")
+    )

@@ -4311,6 +4311,130 @@ def _bfs_oracle_sql() -> str:
 EXT_ORACLES["graph_bfs_layers"] = _bfs_oracle_sql()
 
 
+def _lpa_oracle_sql() -> str:
+    """Mirror of graph.graph_community_lpa: the SAME fixed number of
+    synchronous mode-of-neighbor-labels rounds with the SAME
+    (count DESC, label ASC) total tie-break, unrolled as chained
+    CTEs (rounds are fixed, so no recursion is needed)."""
+    from dbt_eamples_spark.operators.graph import LPA_ROUNDS
+
+    rounds = []
+    for i in range(1, LPA_ROUNDS + 1):
+        rounds.append(f"""
+        l{i} AS MATERIALIZED (
+            SELECT node, lbl FROM (
+                SELECT e.src AS node, l.lbl,
+                       row_number() OVER (
+                           PARTITION BY e.src
+                           ORDER BY count(*) DESC, l.lbl ASC
+                       ) AS rn
+                FROM edges e JOIN l{i - 1} l ON l.node = e.dst
+                GROUP BY e.src, l.lbl
+            ) WHERE rn = 1
+        )""")
+    last = f"l{LPA_ROUNDS}"
+    return f"""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey <> b.l_partkey
+        ),
+        l0 AS MATERIALIZED (
+            SELECT DISTINCT src AS node, src AS lbl FROM edges
+        ),{",".join(rounds)}
+        SELECT l.node AS l_partkey,
+               CAST(l.lbl AS BIGINT) AS community,
+               CAST(s.community_size AS BIGINT) AS community_size
+        FROM {last} l
+        JOIN (
+            SELECT lbl, count(*) AS community_size
+            FROM {last} GROUP BY lbl
+        ) s USING (lbl)
+        ORDER BY l_partkey
+    """
+
+
+EXT_ORACLES["graph_community_lpa"] = _lpa_oracle_sql()
+
+
+def _xcorr_oracle_sql() -> str:
+    """Mirror of behavior.ts_cross_correlation: the SAME zero-filled
+    calendar spine, HUGEINT-exact moments (the decimal(38,0) twin),
+    and the IDENTICAL double expression tree for the closed form."""
+    from dbt_eamples_spark.operators.behavior import XCORR_MAX_LAG
+
+    return f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        spine AS (
+            SELECT t.event_type, CAST(u.d AS DATE) AS day
+            FROM (SELECT DISTINCT event_type FROM daily) t
+            CROSS JOIN bounds b
+            CROSS JOIN LATERAL unnest(
+                generate_series(b.d0, b.d1, INTERVAL 1 DAY)
+            ) AS u(d)
+        ),
+        filled AS (
+            SELECT s.event_type, s.day,
+                   CAST(COALESCE(d.x, 0) AS BIGINT) AS x
+            FROM spine s
+            LEFT JOIN daily d
+              ON d.event_type = s.event_type AND d.day = s.day
+        ),
+        lags AS (
+            SELECT CAST(l AS INTEGER) AS lag
+            FROM unnest(generate_series(0, {XCORR_MAX_LAG})) AS t(l)
+        ),
+        aligned AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   g.lag, a.x, b.x AS y
+            FROM filled a
+            JOIN lags g ON TRUE
+            JOIN filled b
+              ON b.day = a.day + g.lag * INTERVAL 1 DAY
+             AND b.event_type <> a.event_type
+        ),
+        mom AS (
+            SELECT type_a, type_b, lag,
+                   CAST(count(*) AS BIGINT) AS n_days,
+                   SUM(CAST(x AS HUGEINT)) AS sx,
+                   SUM(CAST(y AS HUGEINT)) AS sy,
+                   SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+                   SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+                   SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+            FROM aligned GROUP BY 1, 2, 3
+        )
+        SELECT type_a, type_b, lag, n_days,
+               CASE WHEN sqrt(
+                        (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                    ) > 0
+                    THEN round(
+                        (CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / sqrt(
+                            (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                        ), 6)
+               END AS xcorr
+        FROM mom
+        ORDER BY type_a, type_b, lag
+    """
+
+
+EXT_ORACLES["ts_cross_correlation"] = _xcorr_oracle_sql()
+
+
 # TPC-H Q21 shape: the oracle deliberately states the COUNTING
 # formulation (per-(order, supplier) lateness flags -> per-order
 # supplier/late counts) so the gate cross-checks Spark's
@@ -4812,6 +4936,139 @@ def _round6_tpch_wave2_oracles() -> dict[str, str]:
 
 
 EXT_ORACLES.update(_round6_tpch_wave2_oracles())
+
+
+def _substring_span_oracles() -> dict[str, str]:
+    """Exact-substring span dedup twins. Same tokenization
+    (whitespace regex split of trimmed text), same md5 of the
+    space-joined k-token window; DuckDB's generate_series(1, n)
+    with n < 1 is empty, mirroring the Spark side's sequence guard
+    for short docs."""
+    from dbt_eamples_spark.operators.dedup import SPAN_TOKENS, TOP_SPANS_K
+
+    k = SPAN_TOKENS
+    spans = f"""
+        toks AS (
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        spans AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(t) - {k} + 1),
+                       i -> md5(array_to_string(t[i : i + {k} - 1], ' '))
+                   )) AS h
+            FROM toks
+        )
+    """
+    return {
+        "dedup_substring_spans": f"""
+            WITH {spans},
+            stats AS (
+                SELECT h, COUNT(DISTINCT doc_id) AS nd
+                FROM spans GROUP BY h
+            ),
+            per_doc AS (
+                SELECT s.doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_spans,
+                       CAST(SUM(CASE WHEN st.nd > 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_dup_spans
+                FROM spans s JOIN stats st USING (h)
+                GROUP BY s.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+                   CAST(COALESCE(p.n_dup_spans, 0) AS BIGINT)
+                       AS n_dup_spans,
+                   CASE WHEN COALESCE(p.n_spans, 0) > 0
+                        THEN round(CAST(p.n_dup_spans AS DOUBLE)
+                                   / CAST(p.n_spans AS DOUBLE), 6)
+                   END AS dup_ratio
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "dedup_top_spans": f"""
+            WITH {spans}
+            SELECT h,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_occurrences
+            FROM spans
+            GROUP BY h
+            HAVING COUNT(DISTINCT doc_id) > 1
+            ORDER BY n_docs DESC, n_occurrences DESC, h
+            LIMIT {TOP_SPANS_K}
+        """,
+    }
+
+
+EXT_ORACLES.update(_substring_span_oracles())
+
+
+def _entity_match_oracle() -> dict[str, str]:
+    """Fuzzy entity-resolution twin: identical normalization, the
+    same two blocking keys, the same oversized-block guard, DuckDB's
+    levenshtein (same classic edit-distance definition as Spark's)."""
+    from dbt_eamples_spark.operators.dedup import (
+        ENTITY_BLOCK_MAX,
+        ENTITY_LEV_MAX,
+    )
+
+    return {
+        "customer_entity_match": f"""
+            WITH cust AS (
+                SELECT c_custkey, lower(trim(c_name)) AS name
+                FROM customer
+            ),
+            k1 AS (
+                SELECT c_custkey, name,
+                       substring(name, 1, length(name) - 2) AS bk
+                FROM cust
+            ),
+            k2 AS (
+                SELECT c_custkey, name,
+                       substring(name, 1, 9)
+                       || substring(name, length(name) - 1, 2) AS bk
+                FROM cust
+            ),
+            ok1 AS (
+                SELECT bk FROM k1 GROUP BY bk
+                HAVING COUNT(*) <= {ENTITY_BLOCK_MAX}
+            ),
+            ok2 AS (
+                SELECT bk FROM k2 GROUP BY bk
+                HAVING COUNT(*) <= {ENTITY_BLOCK_MAX}
+            ),
+            p1 AS (
+                SELECT a.c_custkey AS custkey_a,
+                       b.c_custkey AS custkey_b,
+                       CAST(levenshtein(a.name, b.name) AS INTEGER)
+                           AS lev_dist
+                FROM k1 a
+                JOIN k1 b USING (bk)
+                JOIN ok1 USING (bk)
+                WHERE a.c_custkey < b.c_custkey
+                  AND levenshtein(a.name, b.name) <= {ENTITY_LEV_MAX}
+            ),
+            p2 AS (
+                SELECT a.c_custkey AS custkey_a,
+                       b.c_custkey AS custkey_b,
+                       CAST(levenshtein(a.name, b.name) AS INTEGER)
+                           AS lev_dist
+                FROM k2 a
+                JOIN k2 b USING (bk)
+                JOIN ok2 USING (bk)
+                WHERE a.c_custkey < b.c_custkey
+                  AND levenshtein(a.name, b.name) <= {ENTITY_LEV_MAX}
+            )
+            SELECT DISTINCT custkey_a, custkey_b, lev_dist
+            FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+            ORDER BY custkey_a, custkey_b
+        """,
+    }
+
+
+EXT_ORACLES.update(_entity_match_oracle())
 
 
 EXT_ORACLES["corpus_js_divergence"] = r"""

@@ -330,6 +330,26 @@ class TestShuffleBudgets:
         # part filter), the per-part total agg, the supplier count
         # agg + ordered output
         "supplier_dominant_parts": 5,
+        # span explode stays narrow; hash-grid stats agg + the
+        # same-key attach + per-doc fold + ordered output — never a
+        # pairwise doc comparison
+        "dedup_substring_spans": 4,
+        # one hash-grid agg (partial + final); top-k rides
+        # TakeOrderedAndProject, no sort exchange
+        "dedup_top_spans": 2,
+        # 2 blocking passes × 2 block-guard count aggs (a and b
+        # sides each re-guard) + distinct + ordered output; the
+        # in-block self-joins are bk-keyed (broadcast locally, SHJ
+        # at scale) — never a cross join
+        "customer_entity_match": 6,
+        # audited tail past the per-round checkpoints: size agg +
+        # size attach + ordered output (each LPA round itself is 3
+        # key exchanges — join/vote/window — lineage-cut per round)
+        "graph_community_lpa": 3,
+        # audited tail past the spine checkpoint: the day-keyed lag
+        # align + (pair, lag) moment fold + ordered output; the
+        # corpus exchange lives before the checkpoint (one rollup)
+        "ts_cross_correlation": 2,
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))
