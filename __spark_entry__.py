@@ -194,6 +194,8 @@ _R6_PRIORITY = [
     "customer_entity_match",
     "graph_community_lpa",
     "ts_cross_correlation",
+    "embedding_dim_stats",
+    "embedding_dim_corr_topk",
     # (3) latest driver row is r1 — oldest cohort, fill to 50
     "scan_table",
     "sql_execute_limit",
@@ -331,6 +333,10 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_community_lpa": graph_community_lpa,
         # lead/lag cross-correlation matrix between event types
         "ts_cross_correlation": B.ts_cross_correlation,
+        # per-dimension embedding diagnostics (dead/collapsed dims)
+        "embedding_dim_stats": V.embedding_dim_stats,
+        # most-correlated dimension pairs (PQ/whitening screen)
+        "embedding_dim_corr_topk": V.embedding_dim_corr_topk,
         # --- round-4 second wave ---
         # TPC-H Q8 shape: national market share per order year
         "agg_market_share": R.agg_market_share,

@@ -1917,10 +1917,27 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
     ).agg(F.count("*").cast("long").alias("x"))
+    return cross_correlation_over_daily(daily)
+
+
+def cross_correlation_over_daily(daily: DataFrame) -> DataFrame:
+    """Zero-fill + lag-align + exact moment fold over a
+    (event_type, day, x) daily rollup — factored out for the
+    streaming twin (re-run per drain over the bounded aggregate,
+    the seasonal_decompose/autocorrelation twin split: zero-fill
+    and the pair windows are full-series statistics)."""
     bounds = daily.agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
     )
-    types = daily.select("event_type").distinct()
+    # fresh attribute ids on the spine side: `daily` may be a view
+    # over a streaming MemorySink, where the spine→daily self-join
+    # otherwise hits "Conflicting attributes" (DeduplicateRelations
+    # does not rewrite MemoryPlan leaves)
+    types = (
+        daily.select(F.col("event_type").alias("et"))
+        .distinct()
+        .select(F.col("et").alias("event_type"))
+    )
     spine = types.crossJoin(F.broadcast(bounds)).select(
         "event_type",
         F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),

@@ -1931,3 +1931,124 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         chosen, "sel_round int, vec_id long, coverage_radius double"
     ).orderBy("sel_round")
+
+
+DIM_CORR_TOP_K = 20  # reported most-|corr| dimension pairs
+DIM_Q_SCALE = 1_000_000  # fixed-point quantum for exact dim moments
+
+
+def _dim_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, dim, q) — one row per embedding coordinate with the
+    value quantized to ``round(x * 1e6)`` as int64. Quantization
+    happens per ROW (deterministic: float32 → double promotion and
+    one half-even round are identical in every engine), so every
+    downstream SUM folds exact integers — order-independent, which
+    is what makes corpus-level float statistics hash-checkable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.posexplode(_as_double_vec(F.col("embedding"))).alias(
+            "dim", "x"
+        ),
+    ).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("x") * DIM_Q_SCALE).cast("long").alias("q"),
+    )
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension diagnostics of the embedding corpus: mean, std,
+    min, max, and dead-coordinate fraction per dimension — the
+    pre-indexing screen that catches collapsed dimensions (zero
+    variance → wasted index bits), unnormalized scales, and dead
+    units before an ANN index or a whitening transform is trained.
+
+    Exactness: moments fold over the per-row fixed-point
+    quantization of :func:`_dim_quantized` (decimal(38,0) sums —
+    q² ≲ 10¹² per row, so int64 wraps near 10⁷ rows/dim), then ONE
+    double expression per statistic, identical tree in the oracle.
+    Plan: posexplode is a narrow ×d map over the scan; the fold is
+    a single dim-keyed exchange to d rows. At 100 TB this is scan
+    speed + one tiny shuffle."""
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    q = F.col("q")
+    agg = _dim_quantized(spark, sf_dir).groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(dec(q)).alias("sq"),
+        F.sum(dec(q) * dec(q)).alias("sqq"),
+        F.min("q").alias("qmin"),
+        F.max("q").alias("qmax"),
+        F.sum(F.when(q == 0, 1).otherwise(0)).cast("long").alias("nz"),
+    )
+    n, sq, sqq = (
+        F.col(c).cast("double") for c in ("n", "sq", "sqq")
+    )
+    scale = F.lit(float(DIM_Q_SCALE))
+    return agg.select(
+        "dim",
+        "n",
+        F.round(sq / n / scale, 6).alias("mean"),
+        F.round(
+            F.sqrt((n * sqq - sq * sq) / (n * n)) / scale, 6
+        ).alias("std"),
+        F.round(F.col("qmin") / scale, 6).alias("min_val"),
+        F.round(F.col("qmax") / scale, 6).alias("max_val"),
+        F.round(F.col("nz").cast("double") / n, 6).alias("zero_frac"),
+    ).orderBy("dim")
+
+
+def embedding_dim_corr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``DIM_CORR_TOP_K`` most-correlated (by |Pearson r|)
+    dimension PAIRS of the embedding corpus — the redundancy screen
+    run before choosing PQ subspace splits or deciding a whitening
+    transform is worth it (highly correlated coordinates waste
+    quantizer capacity; PQ subspaces should cut across them).
+
+    Shape: coordinates self-join per vec_id with dim_a < dim_b —
+    an O(n·d²/2) expansion with d BOUNDED by the schema (64 here),
+    so it is linear in vectors; the moment fold is one
+    (dim_a, dim_b) exchange to d²/2 rows, and top-k rides
+    TakeOrderedAndProject on (|r| DESC, dim_a, dim_b) — doubles
+    computed from identical exact integers order identically in
+    every engine. Same exact-moment contract as
+    :func:`embedding_dim_stats`."""
+    qz = _dim_quantized(spark, sf_dir).localCheckpoint(eager=True)
+    a = qz.select(
+        "vec_id", F.col("dim").alias("dim_a"), F.col("q").alias("xa")
+    )
+    b = qz.select(
+        "vec_id", F.col("dim").alias("dim_b"), F.col("q").alias("xb")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    xa, xb = F.col("xa"), F.col("xb")
+    mom = (
+        a.join(b, "vec_id")
+        .filter(F.col("dim_a") < F.col("dim_b"))
+        .groupBy("dim_a", "dim_b")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(dec(xa)).alias("sx"),
+            F.sum(dec(xb)).alias("sy"),
+            F.sum(dec(xa) * dec(xb)).alias("sxy"),
+            F.sum(dec(xa) * dec(xa)).alias("sxx"),
+            F.sum(dec(xb) * dec(xb)).alias("syy"),
+        )
+    )
+    n, sx, sy, sxy, sxx, syy = (
+        F.col(c).cast("double")
+        for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
+    )
+    denom = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    corr = F.when(denom > 0, (n * sxy - sx * sy) / denom)
+    return (
+        mom.select(
+            "dim_a",
+            "dim_b",
+            F.col("n").alias("n_vectors"),
+            F.round(corr, 6).alias("dim_corr"),
+            F.round(F.abs(corr), 6).alias("abs_corr"),
+        )
+        .orderBy(F.col("abs_corr").desc(), "dim_a", "dim_b")
+        .limit(DIM_CORR_TOP_K)
+    )

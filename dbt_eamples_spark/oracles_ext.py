@@ -4435,6 +4435,106 @@ def _xcorr_oracle_sql() -> str:
 EXT_ORACLES["ts_cross_correlation"] = _xcorr_oracle_sql()
 
 
+def _dim_diag_oracles() -> dict[str, str]:
+    """Embedding dimension-diagnostics twins: the SAME per-row
+    fixed-point quantization (round(x·1e6) as BIGINT — float32 →
+    double promotion and half-away-from-zero double rounding agree
+    across engines), HUGEINT-exact moments, identical double trees."""
+    from dbt_eamples_spark.operators.similarity import (
+        DIM_CORR_TOP_K,
+        DIM_Q_SCALE,
+    )
+
+    qz = f"""
+        qz AS (
+            SELECT vec_id,
+                   CAST(u.pos AS INTEGER) - 1 AS dim,
+                   CAST(round(CAST(u.x AS DOUBLE) * {DIM_Q_SCALE})
+                        AS BIGINT) AS q
+            FROM (
+                SELECT vec_id,
+                       unnest(range(1, len(embedding) + 1)) AS pos,
+                       unnest(embedding) AS x
+                FROM embeddings
+            ) u
+        )
+    """
+    s = f"CAST({DIM_Q_SCALE} AS DOUBLE)"
+    return {
+        "embedding_dim_stats": f"""
+            WITH {qz},
+            agg AS (
+                SELECT dim,
+                       CAST(count(*) AS BIGINT) AS n,
+                       SUM(CAST(q AS HUGEINT)) AS sq,
+                       SUM(CAST(q AS HUGEINT) * CAST(q AS HUGEINT))
+                           AS sqq,
+                       min(q) AS qmin, max(q) AS qmax,
+                       CAST(SUM(CASE WHEN q = 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS nz
+                FROM qz GROUP BY dim
+            )
+            SELECT dim, n,
+                   round(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)
+                         / {s}, 6) AS mean,
+                   round(sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                               - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                         / {s}, 6) AS std,
+                   round(qmin / {s}, 6) AS min_val,
+                   round(qmax / {s}, 6) AS max_val,
+                   round(CAST(nz AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                       AS zero_frac
+            FROM agg ORDER BY dim
+        """,
+        "embedding_dim_corr_topk": f"""
+            WITH {qz},
+            mom AS (
+                SELECT a.dim AS dim_a, b.dim AS dim_b,
+                       CAST(count(*) AS BIGINT) AS n,
+                       SUM(CAST(a.q AS HUGEINT)) AS sx,
+                       SUM(CAST(b.q AS HUGEINT)) AS sy,
+                       SUM(CAST(a.q AS HUGEINT) * CAST(b.q AS HUGEINT))
+                           AS sxy,
+                       SUM(CAST(a.q AS HUGEINT) * CAST(a.q AS HUGEINT))
+                           AS sxx,
+                       SUM(CAST(b.q AS HUGEINT) * CAST(b.q AS HUGEINT))
+                           AS syy
+                FROM qz a JOIN qz b USING (vec_id)
+                WHERE a.dim < b.dim
+                GROUP BY 1, 2
+            ),
+            scored AS (
+                SELECT dim_a, dim_b, n AS n_vectors,
+                       CASE WHEN sqrt(
+                         (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                       ) > 0
+                       THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                            / sqrt(
+                         (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                       ) END AS c
+                FROM mom
+            )
+            SELECT dim_a, dim_b, n_vectors,
+                   round(c, 6) AS dim_corr,
+                   round(abs(c), 6) AS abs_corr
+            FROM scored
+            ORDER BY round(abs(c), 6) DESC, dim_a, dim_b
+            LIMIT {DIM_CORR_TOP_K}
+        """,
+    }
+
+
+EXT_ORACLES.update(_dim_diag_oracles())
+
+
 # TPC-H Q21 shape: the oracle deliberately states the COUNTING
 # formulation (per-(order, supplier) lateness flags -> per-order
 # supplier/late counts) so the gate cross-checks Spark's

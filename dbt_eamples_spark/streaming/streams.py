@@ -842,3 +842,31 @@ def stream_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_late_dropped"),
         )
     )
+
+
+def ts_cross_correlation_streaming(
+    spark: SparkSession, sf_dir: str, checkpoint: str, out_table: str
+) -> None:
+    """Streaming twin of `operators.behavior.ts_cross_correlation`:
+    the stream maintains ONLY the per-type daily count rollup (an
+    ordinary windowed agg); the zero-filled spine, lag alignment,
+    and exact moment fold — full-series statistics no streaming agg
+    expresses — re-run over the drained O(days × types) aggregate
+    per drain (`cross_correlation_over_daily`), the decompose/ACF
+    twin split. Per-drain re-evaluation is the semantics: each
+    drain re-states the lead/lag matrix of everything seen."""
+    from dbt_eamples_spark.operators.behavior import (
+        cross_correlation_over_daily,
+    )
+
+    ev = _events_stream(spark, sf_dir)
+    daily = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").cast("long").alias("x"))
+        .select("event_type", F.to_date("w.start").alias("day"), "x")
+    )
+    inner = f"{out_table}__daily"
+    _drain(daily, "complete", checkpoint, inner)
+    cross_correlation_over_daily(
+        spark.table(inner)
+    ).createOrReplaceTempView(out_table)

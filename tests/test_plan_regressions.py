@@ -350,6 +350,13 @@ class TestShuffleBudgets:
         # align + (pair, lag) moment fold + ordered output; the
         # corpus exchange lives before the checkpoint (one rollup)
         "ts_cross_correlation": 2,
+        # posexplode is narrow over the scan; one dim-keyed moment
+        # fold + ordered 64-row output
+        "embedding_dim_stats": 2,
+        # audited tail past the coordinate checkpoint: one
+        # (dim_a, dim_b) moment fold; vec_id join broadcasts
+        # locally (SHJ at scale), top-k rides TakeOrderedAndProject
+        "embedding_dim_corr_topk": 1,
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))

@@ -50,3 +50,19 @@ class TestRound6StreamingTwins:
             spark, sf_dir, checkpoint=str(tmp_path / "ck_a"), out_table=name
         )
         _assert_twin(spark, name, ts_autocorrelation(spark, sf_dir))
+
+    def test_cross_correlation_streaming_equals_batch(
+        self, spark, sf_dir, tmp_path
+    ):
+        from dbt_eamples_spark.operators.behavior import (
+            ts_cross_correlation,
+        )
+        from dbt_eamples_spark.streaming.streams import (
+            ts_cross_correlation_streaming,
+        )
+
+        name = f"xcorr_{uuid.uuid4().hex[:8]}"
+        ts_cross_correlation_streaming(
+            spark, sf_dir, checkpoint=str(tmp_path / "ck_x"), out_table=name
+        )
+        _assert_twin(spark, name, ts_cross_correlation(spark, sf_dir))

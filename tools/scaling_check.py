@@ -4,7 +4,8 @@ bench queries at sf0.1 and at the synthesized 10× corpus
 e = log(t_10x / t_1x) / log(10) — e ≈ 1 is linear-in-rows; anything
 clearly super-linear gets a plan-fix ticket.
 
-Usage: python tools/scaling_check.py  (expects .tmp/sf1.0 to exist)
+Usage: python tools/scaling_check.py [QUERY ...]
+(expects .tmp/sf1.0 to exist; with no args, times the HEAVY list)
 """
 
 from __future__ import annotations
@@ -43,7 +44,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     out = {}
-    for name in HEAVY:
+    for name in sys.argv[1:] or HEAVY:
         fn = qs[name]
         times = {}
         for label, sf in (("t_sf01", small), ("t_10x", big)):
