@@ -26,6 +26,7 @@ from dbt_eamples_spark.operators import sampling as S
 from dbt_eamples_spark.operators.asof import join_asof
 from dbt_eamples_spark.operators.bloom import join_bloom_prefilter
 from dbt_eamples_spark.operators.graph import (
+    graph_assortativity,
     graph_bfs_layers,
     graph_community_lpa,
     graph_degree_powerlaw,
@@ -196,6 +197,10 @@ _R6_PRIORITY = [
     "ts_cross_correlation",
     "embedding_dim_stats",
     "embedding_dim_corr_topk",
+    "ts_rolling_median",
+    "graph_assortativity",
+    "embedding_norm_stats",
+    "sample_neyman_allocation",
     # (3) latest driver row is r1 — oldest cohort, fill to 50
     "scan_table",
     "sql_execute_limit",
@@ -337,6 +342,14 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_stats": V.embedding_dim_stats,
         # most-correlated dimension pairs (PQ/whitening screen)
         "embedding_dim_corr_topk": V.embedding_dim_corr_topk,
+        # rolling 7-day median anomaly baseline per event type
+        "ts_rolling_median": B.ts_rolling_median,
+        # degree assortativity of the co-purchase graph
+        "graph_assortativity": graph_assortativity,
+        # per-label L2-norm profile (cosine-vs-dot drift screen)
+        "embedding_norm_stats": V.embedding_norm_stats,
+        # variance-optimal stratified sample (Neyman allocation)
+        "sample_neyman_allocation": S.sample_neyman_allocation,
         # --- round-4 second wave ---
         # TPC-H Q8 shape: national market share per order year
         "agg_market_share": R.agg_market_share,

@@ -1926,6 +1926,9 @@ def cross_correlation_over_daily(daily: DataFrame) -> DataFrame:
     streaming twin (re-run per drain over the bounded aggregate,
     the seasonal_decompose/autocorrelation twin split: zero-fill
     and the pair windows are full-series statistics)."""
+    # three consumers (bounds, types, spine join) — checkpoint the
+    # calendar-bounded rollup so the corpus is scanned once
+    daily = daily.localCheckpoint(eager=True)
     bounds = daily.agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
     )
@@ -1991,3 +1994,69 @@ def cross_correlation_over_daily(daily: DataFrame) -> DataFrame:
             "xcorr"
         ),
     ).orderBy("type_a", "type_b", "lag")
+
+
+ROLLMED_WINDOW_DAYS = 7  # rolling frame: current day + 6 preceding
+
+
+def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day MEDIAN of the zero-filled daily event count per
+    type, plus each day's deviation from it — the robust anomaly
+    baseline (a single spike day shifts a sliding MEAN for a week;
+    the median shrugs it off, which is why monitoring pipelines
+    baseline on rolling medians before flagging).
+
+    Engine-exact contract: the frame holds ≤ 7 BIGINT counts, and
+    both engines define the even-count median as the midpoint of
+    the two middle values — an exact x.5 in double (verified:
+    Spark `percentile(x, 0.5)` over a rows frame and DuckDB
+    `median(x) OVER (... ROWS 6 PRECEDING)` interpolate
+    identically). Ramp-up days (< 7 rows in frame) use the rows
+    available in BOTH engines — same frames, same rows, same
+    median. No rounding is needed; the only arithmetic is one
+    midpoint of two int64s.
+
+    Plan: one corpus exchange to the daily rollup, the broadcast
+    one-row bounds crossJoin zero-fill spine (cross_correlation's
+    recipe), then ONE event_type-keyed exchange for the sorted
+    window — the frame is bounded (7 rows), so the window state is
+    constant-size and the whole pass is linear in calendar days ×
+    types, micro-data at any corpus scale."""
+    ev = load_table(spark, sf_dir, "events", parallelize=True)
+    # the calendar-bounded rollup feeds THREE consumers (bounds,
+    # type list, spine join) — checkpoint so the corpus is scanned
+    # once, not three times
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        )
+        .agg(F.count("*").cast("long").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    bounds = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    types = daily.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+    )
+    filled = spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(ROLLMED_WINDOW_DAYS - 1), 0)
+    )
+    med = F.percentile("x", F.lit(0.5)).over(w)
+    return filled.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "x",
+        med.alias("med7"),
+        (F.col("x").cast("double") - med).alias("deviation"),
+    ).orderBy("event_type", "day")

@@ -851,3 +851,74 @@ def graph_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_partkey")
     )
+
+
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: the Pearson
+    correlation of (degree(src), degree(dst)) over the directed
+    edge list (Newman 2002) — one number saying whether hubs link
+    to hubs (r > 0, social-network-like) or hubs link to leaves
+    (r < 0, technological/retail-like). Read together with
+    graph_degree_powerlaw it decides whether hub-aware plans (the
+    compact-forward triangle orientation, salted hub joins) pay:
+    disassortative hub-to-leaf graphs concentrate wedge work on a
+    few nodes; assortative graphs spread it.
+
+    Because the edge artifact stores BOTH orientations of every
+    undirected pair, the directed Pearson r over it IS the standard
+    undirected assortativity coefficient (each pair contributes
+    (ka,kb) and (kb,ka), which symmetrizes the moments exactly).
+
+    Engine-exact: degrees are exact BIGINT counts; per-edge degree
+    products multiply in int64 under a static bound (k ≤ node
+    count, the part catalog — k² ≤ 4·10¹⁰ even at SF100) and fold
+    in decimal(38,0); the closed form evaluates once on doubles
+    with the identical tree in the oracle (the agg_correlation
+    recipe on graph degrees).
+
+    Plan: the shared edge artifact is read once (L1/L2 cached); the
+    degree table is ONE exchange on src and is node-bounded →
+    BROADCAST to both ends of the edge stream (two broadcast hash
+    joins, no edge shuffle); the moment fold map-side-combines to a
+    single row. Linear in edges at any scale."""
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(
+        F.count("*").cast("long").alias("k")
+    )
+    ka = deg.select(F.col("src"), F.col("k").alias("ka"))
+    kb = deg.select(
+        F.col("src").alias("dst"), F.col("k").alias("kb")
+    )
+    joined = edges.join(F.broadcast(ka), "src").join(
+        F.broadcast(kb), "dst"
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    x, y = F.col("ka"), F.col("kb")
+    agg = joined.agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum(dec(x)).alias("sx"),
+        F.sum(dec(y)).alias("sy"),
+        F.sum(dec(x * y)).alias("sxy"),
+        F.sum(dec(x * x)).alias("sxx"),
+        F.sum(dec(y * y)).alias("syy"),
+    )
+    nodes = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum(dec(F.col("k"))).alias("sk"),
+    )
+    n, sx, sy, sxy, sxx, syy = (
+        F.col(c).cast("double")
+        for c in ("n_edges", "sx", "sy", "sxy", "sxx", "syy")
+    )
+    denom = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return agg.crossJoin(F.broadcast(nodes)).select(
+        "n_edges",
+        "n_nodes",
+        F.round(
+            F.col("sk").cast("double") / F.col("n_nodes").cast("double"),
+            6,
+        ).alias("avg_degree"),
+        F.when(denom > 0, F.round((n * sxy - sx * sy) / denom, 6)).alias(
+            "assortativity"
+        ),
+    )

@@ -603,3 +603,84 @@ def kmv_sketch_report(raw_pairs: DataFrame) -> DataFrame:
         )
     )
     return per_type.unionByName(merged)
+
+
+NEYMAN_TOTAL_K = 120  # total sample budget allocated across strata
+
+
+def sample_neyman_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Variance-optimal stratified sample (Neyman 1934): a fixed
+    total budget of ``NEYMAN_TOTAL_K`` docs is split across source
+    strata proportionally to N_h·S_h (stratum size × stratum std of
+    n_chars), then filled per stratum by smallest md5(doc_id) —
+    the estimator-variance-minimizing allocation for estimating a
+    corpus mean, and the third allocation policy next to
+    equal-per-group (sample_fixed_size_per_group) and proportional
+    (sample_stratified): high-variance strata earn more budget
+    because uniform rows there are worth more.
+
+    Engine-exact allocation: N_h·S_h = √(N_h·Σx² − (Σx)²) — the
+    n² denominators cancel, so the weight is ONE sqrt of an exact
+    decimal(38,0) moment expression, re-quantized to int64 at 1e-6
+    (`round(sqrt·1e6)`), after which the total Σw is an exact
+    integer fold and each stratum's quota is one double division +
+    half-up round, identical trees in both engines. Rounded quotas
+    need not sum to exactly K (documented; largest-remainder
+    correction is a client choice), and every nonempty stratum
+    keeps at least 1 row. The fill is the md5 order-statistic
+    recipe — engine/run/partitioning independent.
+
+    Plan: one source-keyed moment fold to ≤|sources| rows → the
+    quota table is catalog-bounded → BROADCAST back onto the doc
+    scan feeding the per-stratum rank window (one source exchange,
+    row-counter state, AQE-splittable). Output ≈ K rows. Two scans
+    of the doc table, no corpus-sized intermediate at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    x = F.col("n_chars").cast("long")
+    mom = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("nh"),
+        F.sum(dec(x)).alias("s"),
+        F.sum(dec(x) * dec(x)).alias("ss"),
+    )
+    nsh = F.sqrt(
+        (dec(F.col("nh")) * F.col("ss") - F.col("s") * F.col("s"))
+        .cast("double")
+    )
+    qw = mom.select(
+        "source",
+        "nh",
+        F.round(nsh * 1e6).cast("long").alias("qw"),
+    )
+    tot = qw.agg(F.sum(dec(F.col("qw"))).alias("qtot"))
+    alloc = qw.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "nh",
+        F.greatest(
+            F.lit(1),
+            F.round(
+                F.lit(NEYMAN_TOTAL_K)
+                * F.col("qw").cast("double")
+                / F.col("qtot").cast("double")
+            ).cast("long"),
+        ).alias("alloc"),
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(F.asc("h"), F.asc("doc_id"))
+    ranked = docs.select(
+        "doc_id", "source", "n_chars", h.alias("h")
+    ).withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(alloc), "source")
+        .filter(F.col("rk") <= F.col("alloc"))
+        .select(
+            "source",
+            "alloc",
+            F.col("rk").cast("long").alias("samp_rank"),
+            "doc_id",
+            "n_chars",
+        )
+        .orderBy("source", "samp_rank")
+    )

@@ -2052,3 +2052,61 @@ def embedding_dim_corr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("abs_corr").desc(), "dim_a", "dim_b")
         .limit(DIM_CORR_TOP_K)
     )
+
+
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm profile of the embedding corpus: count,
+    mean/std/median, and extremes of the vector norms — the
+    pre-ANN screen that decides whether cosine and dot-product
+    ranking will disagree (tight norm spread → they coincide; a
+    fat spread or a zero-norm class → normalize first or expect
+    MIPS-vs-cosine drift), and catches degenerate classes before
+    index training.
+
+    Engine-exact: each coordinate quantizes per row to
+    ``round(x·1e6)`` int64 (the embedding_dim_stats contract), so
+    ‖v‖² folds as an EXACT in-row integer (d = 64, q² ≤ ~10¹² →
+    Σ ≤ 10¹⁴, int64-safe); the norm then takes ONE correctly-
+    rounded sqrt of that exact integer and re-quantizes,
+    ``round(sqrt(Σq²))`` — after which every corpus statistic
+    (decimal moment folds, exact interpolated median) runs on
+    exact int64s, order-independent in every engine.
+
+    Plan: the fold is in-row over the array column (no explode —
+    narrow scan), one label-keyed exchange to ≤|labels| rows; the
+    exact median's per-group sort rides the same exchange. Scan
+    speed + one tiny shuffle at any corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q2 = F.aggregate(
+        F.transform(
+            _as_double_vec(F.col("embedding")),
+            lambda x: F.round(x * DIM_Q_SCALE).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, q: acc + q * q,
+    )
+    qn = F.round(F.sqrt(q2.cast("double"))).cast("long")
+    base = emb.select("label", qn.alias("qn"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    v = F.col("qn")
+    agg = base.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum(dec(v)).alias("s"),
+        F.sum(dec(v) * dec(v)).alias("ss"),
+        F.min("qn").alias("qmin"),
+        F.max("qn").alias("qmax"),
+        F.percentile("qn", F.lit(0.5)).alias("qmed"),
+    )
+    n, s, ss = (F.col(c).cast("double") for c in ("n_vecs", "s", "ss"))
+    scale = F.lit(float(DIM_Q_SCALE))
+    return agg.select(
+        "label",
+        "n_vecs",
+        F.round(s / n / scale, 6).alias("mean_norm"),
+        F.round(
+            F.sqrt((n * ss - s * s) / (n * n)) / scale, 6
+        ).alias("std_norm"),
+        F.round(F.col("qmin") / scale, 6).alias("min_norm"),
+        F.round(F.col("qmax") / scale, 6).alias("max_norm"),
+        F.round(F.col("qmed") / scale, 6).alias("med_norm"),
+    ).orderBy("label")

@@ -5370,3 +5370,198 @@ EXT_ORACLES["lineitem_disjunctive_scan"] = """
        OR (p_brand = 'Brand#4' AND l_quantity BETWEEN 20 AND 30
            AND p_size BETWEEN 1 AND 15)
 """
+
+
+# ---- round-6 third wave ------------------------------------------------------
+def _round6_wave3_oracles() -> dict[str, str]:
+    """ts_rolling_median / graph_assortativity /
+    embedding_norm_stats / sample_neyman_allocation twins. Same
+    exactness contracts as their Spark operators: rows-frame median
+    of BIGINTs (both engines midpoint-interpolate), HUGEINT moment
+    folds with identical double closed forms, per-row fixed-point
+    quantization for the float corpus stats, and md5 order-statistic
+    sampling under an integer-quantized Neyman quota."""
+    from dbt_eamples_spark.operators.behavior import (
+        ROLLMED_WINDOW_DAYS,
+    )
+    from dbt_eamples_spark.operators.sampling import NEYMAN_TOTAL_K
+    from dbt_eamples_spark.operators.similarity import DIM_Q_SCALE
+
+    s = f"CAST({DIM_Q_SCALE} AS DOUBLE)"
+    return {
+        "ts_rolling_median": f"""
+            WITH daily AS (
+                SELECT event_type, CAST(date_trunc('day', ts) AS DATE)
+                           AS day,
+                       CAST(count(*) AS BIGINT) AS x
+                FROM events GROUP BY 1, 2
+            ),
+            bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+            spine AS (
+                SELECT t.event_type, CAST(u.d AS DATE) AS day
+                FROM (SELECT DISTINCT event_type FROM daily) t
+                CROSS JOIN bounds b
+                CROSS JOIN LATERAL unnest(
+                    generate_series(b.d0, b.d1, INTERVAL 1 DAY)
+                ) AS u(d)
+            ),
+            filled AS (
+                SELECT s.event_type, s.day,
+                       CAST(COALESCE(d.x, 0) AS BIGINT) AS x
+                FROM spine s
+                LEFT JOIN daily d
+                  ON d.event_type = s.event_type AND d.day = s.day
+            )
+            SELECT event_type, strftime(day, '%Y-%m-%d') AS day, x,
+                   median(x) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN {ROLLMED_WINDOW_DAYS - 1} PRECEDING
+                            AND CURRENT ROW
+                   ) AS med7,
+                   CAST(x AS DOUBLE) - median(x) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN {ROLLMED_WINDOW_DAYS - 1} PRECEDING
+                            AND CURRENT ROW
+                   ) AS deviation
+            FROM filled ORDER BY event_type, day
+        """,
+        "graph_assortativity": """
+            WITH li AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            edges AS (
+                SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                FROM li a JOIN li b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey <> b.l_partkey
+            ),
+            deg AS (
+                SELECT src, CAST(count(*) AS BIGINT) AS k
+                FROM edges GROUP BY src
+            ),
+            joined AS (
+                SELECT ka.k AS ka, kb.k AS kb
+                FROM edges e
+                JOIN deg ka ON ka.src = e.src
+                JOIN deg kb ON kb.src = e.dst
+            ),
+            mom AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_edges,
+                       SUM(CAST(ka AS HUGEINT)) AS sx,
+                       SUM(CAST(kb AS HUGEINT)) AS sy,
+                       SUM(CAST(ka AS HUGEINT) * CAST(kb AS HUGEINT))
+                           AS sxy,
+                       SUM(CAST(ka AS HUGEINT) * CAST(ka AS HUGEINT))
+                           AS sxx,
+                       SUM(CAST(kb AS HUGEINT) * CAST(kb AS HUGEINT))
+                           AS syy
+                FROM joined
+            ),
+            nodes AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                       SUM(CAST(k AS HUGEINT)) AS sk
+                FROM deg
+            )
+            SELECT n_edges, n_nodes,
+                   round(CAST(sk AS DOUBLE) / CAST(n_nodes AS DOUBLE), 6)
+                       AS avg_degree,
+                   CASE WHEN sqrt(
+                            (CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                        ) > 0
+                        THEN round(
+                            (CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                            / sqrt(
+                              (CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * (CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                            ), 6)
+                   END AS assortativity
+            FROM mom, nodes
+        """,
+        "embedding_norm_stats": f"""
+            WITH qn AS (
+                SELECT label,
+                       CAST(round(sqrt(CAST((
+                           SELECT SUM(
+                               CAST(round(CAST(u.x AS DOUBLE)
+                                    * {DIM_Q_SCALE}) AS BIGINT)
+                               * CAST(round(CAST(u.x AS DOUBLE)
+                                      * {DIM_Q_SCALE}) AS BIGINT))
+                           FROM unnest(embedding) AS u(x)
+                       ) AS DOUBLE))) AS BIGINT) AS qn
+                FROM embeddings
+            ),
+            agg AS (
+                SELECT label,
+                       CAST(count(*) AS BIGINT) AS n_vecs,
+                       SUM(CAST(qn AS HUGEINT)) AS sv,
+                       SUM(CAST(qn AS HUGEINT) * CAST(qn AS HUGEINT))
+                           AS svv,
+                       min(qn) AS qmin, max(qn) AS qmax,
+                       median(qn) AS qmed
+                FROM qn GROUP BY label
+            )
+            SELECT label, n_vecs,
+                   round(CAST(sv AS DOUBLE) / CAST(n_vecs AS DOUBLE)
+                         / {s}, 6) AS mean_norm,
+                   round(sqrt((CAST(n_vecs AS DOUBLE)
+                               * CAST(svv AS DOUBLE)
+                               - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+                              / (CAST(n_vecs AS DOUBLE)
+                                 * CAST(n_vecs AS DOUBLE)))
+                         / {s}, 6) AS std_norm,
+                   round(qmin / {s}, 6) AS min_norm,
+                   round(qmax / {s}, 6) AS max_norm,
+                   round(qmed / {s}, 6) AS med_norm
+            FROM agg ORDER BY label
+        """,
+        "sample_neyman_allocation": f"""
+            WITH mom AS (
+                SELECT source,
+                       CAST(count(*) AS BIGINT) AS nh,
+                       SUM(CAST(n_chars AS HUGEINT)) AS s,
+                       SUM(CAST(n_chars AS HUGEINT)
+                           * CAST(n_chars AS HUGEINT)) AS ss
+                FROM documents GROUP BY source
+            ),
+            qw AS (
+                SELECT source, nh,
+                       CAST(round(sqrt(CAST(
+                           CAST(nh AS HUGEINT) * ss - s * s
+                       AS DOUBLE)) * 1e6) AS BIGINT) AS qw
+                FROM mom
+            ),
+            alloc AS (
+                SELECT source, nh,
+                       GREATEST(CAST(1 AS BIGINT), CAST(round(
+                           {NEYMAN_TOTAL_K}
+                           * CAST(qw AS DOUBLE)
+                           / CAST((SELECT SUM(CAST(qw AS HUGEINT))
+                                   FROM qw) AS DOUBLE)
+                       ) AS BIGINT)) AS alloc
+                FROM qw
+            ),
+            ranked AS (
+                SELECT doc_id, source, n_chars,
+                       CAST(row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                    doc_id
+                       ) AS BIGINT) AS rk
+                FROM documents
+            )
+            SELECT r.source, a.alloc, r.rk AS samp_rank,
+                   r.doc_id, r.n_chars
+            FROM ranked r JOIN alloc a ON a.source = r.source
+            WHERE r.rk <= a.alloc
+            ORDER BY r.source, r.rk
+        """,
+    }
+
+
+EXT_ORACLES.update(_round6_wave3_oracles())

@@ -347,9 +347,12 @@ class TestShuffleBudgets:
         # key exchanges — join/vote/window — lineage-cut per round)
         "graph_community_lpa": 3,
         # audited tail past the spine checkpoint: the day-keyed lag
-        # align + (pair, lag) moment fold + ordered output; the
-        # corpus exchange lives before the checkpoint (one rollup)
-        "ts_cross_correlation": 2,
+        # align + (pair, lag) moment fold + ordered output, plus the
+        # AQE rebalance pair the daily-rollup checkpoint introduced —
+        # accepted: checkpointing `daily` cut the events scans 3 → 1
+        # (the corpus-sized cost), and every added exchange moves
+        # only the calendar-bounded days × types grid
+        "ts_cross_correlation": 4,
         # posexplode is narrow over the scan; one dim-keyed moment
         # fold + ordered 64-row output
         "embedding_dim_stats": 2,
@@ -357,6 +360,18 @@ class TestShuffleBudgets:
         # (dim_a, dim_b) moment fold; vec_id join broadcasts
         # locally (SHJ at scale), top-k rides TakeOrderedAndProject
         "embedding_dim_corr_topk": 1,
+        # audited tail past the daily-rollup checkpoint (one corpus
+        # exchange + scan): bounded-frame median window + ordered out
+        "ts_rolling_median": 2,
+        # edge artifact cut: degree agg + single-row moment fold;
+        # degree table broadcasts to both edge ends (no edge shuffle)
+        "graph_assortativity": 2,
+        # in-row norm fold (no explode): one label-keyed moment
+        # exchange + ordered ≤|labels|-row output
+        "embedding_norm_stats": 2,
+        # stratum moment fold + single-row total + the per-stratum
+        # rank window (the one corpus-sized exchange) + ordered out
+        "sample_neyman_allocation": 4,
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))
