@@ -2023,17 +2023,24 @@ def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant-size and the whole pass is linear in calendar days ×
     types, micro-data at any corpus scale."""
     ev = load_table(spark, sf_dir, "events", parallelize=True)
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+    ).agg(F.count("*").cast("long").alias("x"))
+    return rolling_median_over_daily(daily)
+
+
+def rolling_median_over_daily(daily: DataFrame) -> DataFrame:
+    """Zero-fill + bounded-frame median window over a
+    (event_type, day, x) daily rollup — factored out for the
+    streaming twin (re-run per drain over the bounded aggregate,
+    the ewma/cross-correlation twin split: the zero-fill spine and
+    the ordered frame are full-series constructs no streaming agg
+    expresses)."""
     # the calendar-bounded rollup feeds THREE consumers (bounds,
     # type list, spine join) — checkpoint so the corpus is scanned
     # once, not three times
-    daily = (
-        ev.groupBy(
-            "event_type",
-            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
-        )
-        .agg(F.count("*").cast("long").alias("x"))
-        .localCheckpoint(eager=True)
-    )
+    daily = daily.localCheckpoint(eager=True)
     bounds = daily.agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
     )

@@ -870,3 +870,30 @@ def ts_cross_correlation_streaming(
     cross_correlation_over_daily(
         spark.table(inner)
     ).createOrReplaceTempView(out_table)
+
+
+def ts_rolling_median_streaming(
+    spark: SparkSession, sf_dir: str, checkpoint: str, out_table: str
+) -> None:
+    """Streaming twin of `operators.behavior.ts_rolling_median`:
+    the stream maintains ONLY the per-type daily count rollup (an
+    ordinary windowed agg); the zero-fill spine and the bounded
+    7-row median frame — full-series constructs — re-run over the
+    drained O(days × types) aggregate per drain
+    (`rolling_median_over_daily`), the ewma/xcorr twin split. Each
+    drain re-states the rolling baseline of everything seen."""
+    from dbt_eamples_spark.operators.behavior import (
+        rolling_median_over_daily,
+    )
+
+    ev = _events_stream(spark, sf_dir)
+    daily = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").cast("long").alias("x"))
+        .select("event_type", F.to_date("w.start").alias("day"), "x")
+    )
+    inner = f"{out_table}__daily"
+    _drain(daily, "complete", checkpoint, inner)
+    rolling_median_over_daily(
+        spark.table(inner)
+    ).createOrReplaceTempView(out_table)

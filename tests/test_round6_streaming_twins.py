@@ -66,3 +66,19 @@ class TestRound6StreamingTwins:
             spark, sf_dir, checkpoint=str(tmp_path / "ck_x"), out_table=name
         )
         _assert_twin(spark, name, ts_cross_correlation(spark, sf_dir))
+
+    def test_rolling_median_streaming_equals_batch(
+        self, spark, sf_dir, tmp_path
+    ):
+        from dbt_eamples_spark.operators.behavior import (
+            ts_rolling_median,
+        )
+        from dbt_eamples_spark.streaming.streams import (
+            ts_rolling_median_streaming,
+        )
+
+        name = f"rollmed_{uuid.uuid4().hex[:8]}"
+        ts_rolling_median_streaming(
+            spark, sf_dir, checkpoint=str(tmp_path / "ck_rm"), out_table=name
+        )
+        _assert_twin(spark, name, ts_rolling_median(spark, sf_dir))
