@@ -201,6 +201,7 @@ _R6_PRIORITY = [
     "graph_assortativity",
     "embedding_norm_stats",
     "sample_neyman_allocation",
+    "embedding_pca_topvar",
     # (3) latest driver row is r1 — oldest cohort, fill to 50
     "scan_table",
     "sql_execute_limit",
@@ -350,6 +351,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norm_stats": V.embedding_norm_stats,
         # variance-optimal stratified sample (Neyman allocation)
         "sample_neyman_allocation": S.sample_neyman_allocation,
+        # covariance eigenspectrum / whitening screen (rows-only:
+        # no SQL eigensolve; numpy-cross-checked in pytest)
+        "embedding_pca_topvar": V.embedding_pca_topvar,
         # --- round-4 second wave ---
         # TPC-H Q8 shape: national market share per order year
         "agg_market_share": R.agg_market_share,

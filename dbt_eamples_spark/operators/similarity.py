@@ -26,6 +26,8 @@ results bit-reproducible against the DuckDB oracle.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2110,3 +2112,116 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("qmax") / scale, 6).alias("max_norm"),
         F.round(F.col("qmed") / scale, 6).alias("med_norm"),
     ).orderBy("label")
+
+
+PCA_TOP_K = 16  # reported leading eigenvalues
+PCA_JACOBI_SWEEPS = 12  # fixed cyclic sweeps (64x64 converges < 10)
+
+
+def _jacobi_eigenvalues(a: list[list[float]], sweeps: int) -> list[float]:
+    """Eigenvalues of a symmetric matrix by FIXED-COUNT cyclic
+    Jacobi rotations — pure python, no LAPACK, so the result is a
+    deterministic function of the input floats on any platform
+    (the same reason k-means and BPE train with fixed-point
+    arithmetic: reproducible model state). Cyclic-by-row Jacobi
+    converges quadratically; ``sweeps`` is a fixed bound, not a
+    data-dependent stop."""
+    n = len(a)
+    a = [row[:] for row in a]
+    for _ in range(sweeps):
+        for p in range(n - 1):
+            for q in range(p + 1, n):
+                apq = a[p][q]
+                if apq == 0.0:
+                    continue
+                theta = (a[q][q] - a[p][p]) / (2.0 * apq)
+                t = (1.0 if theta >= 0 else -1.0) / (
+                    abs(theta) + math.sqrt(theta * theta + 1.0)
+                )
+                c = 1.0 / math.sqrt(t * t + 1.0)
+                s = t * c
+                for k in range(n):
+                    akp, akq = a[k][p], a[k][q]
+                    a[k][p] = c * akp - s * akq
+                    a[k][q] = s * akp + c * akq
+                for k in range(n):
+                    apk, aqk = a[p][k], a[q][k]
+                    a[p][k] = c * apk - s * aqk
+                    a[q][k] = s * apk + c * aqk
+    return [a[i][i] for i in range(n)]
+
+
+def embedding_pca_topvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading ``PCA_TOP_K`` eigenvalues of the embedding covariance
+    with explained-variance ratios — the spectrum screen that
+    decides whether whitening or dimensionality reduction pays
+    before ANN index training (a spectrum where 16 of 64 components
+    carry ~all variance says: rotate/truncate first; a flat one
+    says the coordinates are already efficient), complementing
+    embedding_dim_corr_topk's pairwise view with the global one.
+
+    Distribution of work: the ONLY corpus-sized stage is the exact
+    covariance moment fold — per-row fixed-point quantization (the
+    embedding_dim_stats contract) then one (dim_a ≤ dim_b) exchange
+    to d(d+1)/2 = 2080 exact integer rows. The eigensolve runs
+    driver-side on the d×d matrix — BOUNDED MODEL STATE (64×64,
+    the k-means-centroid precedent), via fixed-sweep cyclic Jacobi
+    (pure python, no LAPACK) so the spectrum is a deterministic
+    function of the exact moments. No DuckDB twin exists for an
+    eigensolve, so this entry is rows-only at the driver gate; the
+    pytest twin cross-checks against an independent numpy
+    ``eigvalsh`` and asserts the exact trace identity
+    Σ eigenvalues = Σ per-dim variances.
+
+    Cites reference semantics: embedding hygiene ahead of the ANN
+    family (SURVEY §2.12)."""
+    qz = _dim_quantized(spark, sf_dir).localCheckpoint(eager=True)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dims = qz.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(dec(F.col("q"))).alias("s"),
+    )
+    a = qz.select("vec_id", F.col("dim").alias("da"), F.col("q").alias("qa"))
+    b = qz.select("vec_id", F.col("dim").alias("db"), F.col("q").alias("qb"))
+    mom = (
+        a.join(b, "vec_id")
+        .filter(F.col("da") <= F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.sum(dec(F.col("qa")) * dec(F.col("qb"))).alias("spq"))
+    )
+    dim_rows = dims.collect()  # bounded: d rows
+    mom_rows = mom.collect()  # bounded: d(d+1)/2 rows
+    n = dim_rows[0]["n"]
+    d = len(dim_rows)
+    s = {r["dim"]: int(r["s"]) for r in dim_rows}
+    cov = [[0.0] * d for _ in range(d)]
+    scale2 = float(DIM_Q_SCALE) * float(DIM_Q_SCALE)
+    for r in mom_rows:
+        i, j = r["da"], r["db"]
+        c = (n * int(r["spq"]) - s[i] * s[j]) / (
+            float(n) * float(n) * scale2
+        )
+        cov[i][j] = c
+        cov[j][i] = c
+    eig = sorted(
+        _jacobi_eigenvalues(cov, PCA_JACOBI_SWEEPS), reverse=True
+    )
+    total = sum(eig)
+    out, cum = [], 0.0
+    for rank, ev in enumerate(eig[:PCA_TOP_K], start=1):
+        ratio = ev / total if total > 0 else None
+        cum += ratio or 0.0
+        out.append(
+            (
+                rank,
+                n,
+                round(ev, 9),
+                round(ratio, 6) if ratio is not None else None,
+                round(cum, 6) if ratio is not None else None,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "component int, n_vectors long, eigenvalue double, "
+        "explained_ratio double, cumulative_ratio double",
+    ).orderBy("component")

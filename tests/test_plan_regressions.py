@@ -372,6 +372,11 @@ class TestShuffleBudgets:
         # stratum moment fold + single-row total + the per-stratum
         # rank window (the one corpus-sized exchange) + ordered out
         "sample_neyman_allocation": 4,
+        # audited tail = the 16-row driver-built spectrum sort; the
+        # distributed covariance fold (one (dim_a,dim_b) exchange to
+        # d(d+1)/2 rows) is consumed into bounded model state like
+        # the k-means/BPE training collects
+        "embedding_pca_topvar": 1,
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))
