@@ -202,6 +202,8 @@ _R6_PRIORITY = [
     "embedding_norm_stats",
     "sample_neyman_allocation",
     "embedding_pca_topvar",
+    "ts_hampel_outliers",
+    "market_basket_lift",
     # (3) latest driver row is r1 — oldest cohort, fill to 50
     "scan_table",
     "sql_execute_limit",
@@ -354,6 +356,10 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # covariance eigenspectrum / whitening screen (rows-only:
         # no SQL eigensolve; numpy-cross-checked in pytest)
         "embedding_pca_topvar": V.embedding_pca_topvar,
+        # Hampel rolling-median/MAD outlier flags (all-integer test)
+        "ts_hampel_outliers": B.ts_hampel_outliers,
+        # association lift/confidence for co-purchased part pairs
+        "market_basket_lift": B.market_basket_lift,
         # --- round-4 second wave ---
         # TPC-H Q8 shape: national market share per order year
         "agg_market_share": R.agg_market_share,

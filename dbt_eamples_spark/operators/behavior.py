@@ -2067,3 +2067,204 @@ def rolling_median_over_daily(daily: DataFrame) -> DataFrame:
         med.alias("med7"),
         (F.col("x").cast("double") - med).alias("deviation"),
     ).orderBy("event_type", "day")
+
+
+HAMPEL_K_X10000 = 30000  # k = 3.0 as fixed-point 1e4
+HAMPEL_MAD_CONSISTENCY_X10000 = 14826  # 1.4826 (normal-consistency)
+
+
+def ts_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel-filter outlier flags over the zero-filled daily event
+    series per type: a day is an outlier when its count sits more
+    than k·1.4826·MAD from the rolling 7-day median, the MAD being
+    the median absolute deviation of the SAME frame — the robust
+    spike detector that, unlike the z-score
+    (events_anomaly_rolling), keeps a clean baseline even when the
+    frame itself contains the spike (median and MAD have a 50%
+    breakdown point; mean/std have 0%).
+
+    ENTIRELY integer-exact — including the flag: counts double to
+    X = 2x so every frame median (med2 = 2·median) is an exact
+    int64 (midpoint of two evens); deviations |X − med2| are ints;
+    doubling again makes mad4 = 4·MAD an int; and the Hampel test
+        |x − med| > k·1.4826·MAD
+    multiplies through by 4·10⁴ into
+        2·|X − med2|·10⁴ > k₁₀₀₀₀·1.4826₁₀₀₀₀·mad4 / 10⁴ —
+    kept as the cross-multiplied integer comparison
+    2·dev·10⁸ > K·14826·mad4, so NO float enters the decision and
+    no engine can flip a boundary row. A zero-MAD frame (≥ 4 equal
+    values) flags any deviation — the standard Hampel degenerate
+    case, documented. med7/mad are reported as exact-half doubles.
+
+    Plan: the rolling_median_over_daily shape — one corpus exchange
+    to the checkpointed daily rollup, the zero-fill spine, ONE
+    type-keyed window whose state is the bounded 7-row frame list,
+    then in-row exact array math. Linear in calendar days × types."""
+    ev = load_table(spark, sf_dir, "events", parallelize=True)
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        )
+        .agg(F.count("*").cast("long").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    bounds = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    types = daily.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+    )
+    filled = spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(ROLLMED_WINDOW_DAYS - 1), 0)
+    )
+    framed = filled.select(
+        "event_type",
+        "day",
+        "x",
+        F.collect_list((F.col("x") * 2).cast("long")).over(w).alias("fr"),
+    )
+
+    def _list_median(col):  # exact: inputs even -> midpoint integral
+        n = F.size(col)
+        srt = F.array_sort(col)
+        odd = F.element_at(srt, ((n + 1) / 2).cast("int"))
+        ev_mid = F.shiftright(
+            F.element_at(srt, (n / 2).cast("int"))
+            + F.element_at(srt, (n / 2).cast("int") + 1),
+            1,
+        )
+        return F.when(n % 2 == 1, odd).otherwise(ev_mid).cast("long")
+
+    with_med = framed.withColumn("med2", _list_median(F.col("fr")))
+    with_mad = with_med.withColumn(
+        "mad4",
+        _list_median(
+            F.transform(
+                "fr", lambda v: F.abs(v - F.col("med2")) * 2
+            )
+        ),
+    )
+    dev = F.abs(F.col("x") * 2 - F.col("med2"))
+    return with_mad.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "x",
+        (F.col("med2") / 2.0).alias("med7"),
+        (F.col("mad4") / 4.0).alias("mad"),
+        (
+            dev * 2 * 100_000_000
+            > F.lit(HAMPEL_K_X10000)
+            * F.lit(HAMPEL_MAD_CONSISTENCY_X10000)
+            * F.col("mad4")
+        ).alias("is_outlier"),
+    ).orderBy("event_type", "day")
+
+
+# pair-support floor before lift is meaningful. 2 suits the fixture
+# (TPC-H-ish baskets are RANDOM, so repeat co-occurrence thins out as
+# the part catalog grows — support>=5 is already empty by sf0.1); a
+# real retail corpus with genuine affinities tunes this upward.
+LIFT_MIN_SUPPORT = 2
+LIFT_TOP_K = 50
+
+
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule strength for co-purchased part pairs:
+    support, per-item supports, confidence, and LIFT =
+    P(a,b)/(P(a)·P(b)) — the normalization market_basket_pairs'
+    raw co-occurrence counts lack (two ubiquitous parts co-occur
+    often by chance alone; lift > 1 is actual affinity), with a
+    minimum-support floor so rare-pair noise can't top the ranking.
+
+    Engine-exact: all four supports and the basket total are exact
+    BIGINTs; lift and confidence are single double divisions of
+    exact integers with identical trees in the oracle, and the
+    (round(lift,6) DESC, part_a, part_b) total order makes the
+    top-k cut deterministic across engines.
+
+    Plan: ONE l_orderkey exchange builds the distinct baskets
+    (shared shape with market_basket_pairs — bounded basket arrays,
+    in-row pair expansion, never a corpus self-join); item supports
+    explode the same basket arrays (map-side combined to the part
+    catalog); the part-bounded item table BROADCASTS onto the pair
+    supports twice; top-k rides TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    ).localCheckpoint(eager=True)
+    n_orders = baskets.agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+    item = (
+        baskets.select(F.explode("parts").alias("part"))
+        .groupBy("part")
+        .agg(F.count("*").cast("long").alias("supp"))
+    )
+    pair = F.explode(
+        F.filter(
+            F.flatten(
+                F.transform(
+                    "parts",
+                    lambda a: F.transform(
+                        "parts",
+                        lambda b: F.struct(
+                            a.alias("part_a"), b.alias("part_b")
+                        ),
+                    ),
+                )
+            ),
+            lambda s: s["part_a"] < s["part_b"],
+        )
+    )
+    support = (
+        baskets.select(pair.alias("p"))
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= LIFT_MIN_SUPPORT)
+    )
+    ia = item.select(
+        F.col("part").alias("part_a"), F.col("supp").alias("supp_a")
+    )
+    ib = item.select(
+        F.col("part").alias("part_b"), F.col("supp").alias("supp_b")
+    )
+    scored = (
+        support.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            "supp_a",
+            "supp_b",
+            F.round(
+                F.col("support").cast("double")
+                * F.col("n_orders").cast("double")
+                / (
+                    F.col("supp_a").cast("double")
+                    * F.col("supp_b").cast("double")
+                ),
+                6,
+            ).alias("lift"),
+            F.round(
+                F.col("support").cast("double")
+                / F.col("supp_a").cast("double"),
+                6,
+            ).alias("confidence_a_to_b"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift"), "part_a", "part_b"
+    ).limit(LIFT_TOP_K)

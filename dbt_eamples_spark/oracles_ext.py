@@ -5565,3 +5565,136 @@ def _round6_wave3_oracles() -> dict[str, str]:
 
 
 EXT_ORACLES.update(_round6_wave3_oracles())
+
+
+def _hampel_oracle_sql() -> str:
+    """Mirror of behavior.ts_hampel_outliers: same zero-filled
+    spine, same even-integer doubled-units frame math, and the SAME
+    all-integer cross-multiplied Hampel test — no float enters the
+    outlier decision in either engine."""
+    from dbt_eamples_spark.operators.behavior import (
+        HAMPEL_K_X10000,
+        HAMPEL_MAD_CONSISTENCY_X10000,
+        ROLLMED_WINDOW_DAYS,
+    )
+
+    return f"""
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE)
+                       AS day,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        spine AS (
+            SELECT t.event_type, CAST(u.d AS DATE) AS day
+            FROM (SELECT DISTINCT event_type FROM daily) t
+            CROSS JOIN bounds b
+            CROSS JOIN LATERAL unnest(
+                generate_series(b.d0, b.d1, INTERVAL 1 DAY)
+            ) AS u(d)
+        ),
+        filled AS (
+            SELECT s.event_type, s.day,
+                   CAST(COALESCE(d.x, 0) AS BIGINT) AS x
+            FROM spine s LEFT JOIN daily d
+              ON d.event_type = s.event_type AND d.day = s.day
+        ),
+        framed AS (
+            SELECT event_type, day, x,
+                   list(x * 2) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN {ROLLMED_WINDOW_DAYS - 1} PRECEDING
+                            AND CURRENT ROW
+                   ) AS fr
+            FROM filled
+        ),
+        med AS (
+            SELECT *,
+                   CAST(CASE WHEN len(fr) % 2 = 1
+                        THEN list_sort(fr)[(len(fr) + 1) // 2]
+                        ELSE (list_sort(fr)[len(fr) // 2]
+                              + list_sort(fr)[len(fr) // 2 + 1]) // 2
+                   END AS BIGINT) AS med2
+            FROM framed
+        ),
+        mad AS (
+            SELECT *,
+                   CAST((SELECT CASE WHEN len(dl) % 2 = 1
+                         THEN list_sort(dl)[(len(dl) + 1) // 2]
+                         ELSE (list_sort(dl)[len(dl) // 2]
+                               + list_sort(dl)[len(dl) // 2 + 1]) // 2
+                         END
+                         FROM (SELECT list_transform(
+                             fr, v -> abs(v - med2) * 2) AS dl)
+                   ) AS BIGINT) AS mad4
+            FROM med
+        )
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS day, x,
+               med2 / 2.0 AS med7, mad4 / 4.0 AS mad,
+               (abs(x * 2 - med2) * 2 * 100000000
+                > {HAMPEL_K_X10000} * {HAMPEL_MAD_CONSISTENCY_X10000}
+                  * mad4) AS is_outlier
+        FROM mad ORDER BY event_type, day
+    """
+
+
+EXT_ORACLES["ts_hampel_outliers"] = _hampel_oracle_sql()
+
+
+def _basket_lift_oracle_sql() -> str:
+    """Mirror of behavior.market_basket_lift: distinct (order, part)
+    pairs -> pair/item supports as exact BIGINTs -> lift/confidence
+    as single double divisions of exact integers, identical trees;
+    the same (round(lift,6) DESC, pair) total order cuts the top-k."""
+    from dbt_eamples_spark.operators.behavior import (
+        LIFT_MIN_SUPPORT,
+        LIFT_TOP_K,
+    )
+
+    return f"""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        n AS (
+            SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+                       AS n_orders
+            FROM li
+        ),
+        item AS (
+            SELECT l_partkey, CAST(count(*) AS BIGINT) AS supp
+            FROM li GROUP BY l_partkey
+        ),
+        pair AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   CAST(count(*) AS BIGINT) AS support
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT p.part_a, p.part_b, p.support,
+                   ia.supp AS supp_a, ib.supp AS supp_b,
+                   round(CAST(p.support AS DOUBLE)
+                         * CAST(n.n_orders AS DOUBLE)
+                         / (CAST(ia.supp AS DOUBLE)
+                            * CAST(ib.supp AS DOUBLE)), 6) AS lift,
+                   round(CAST(p.support AS DOUBLE)
+                         / CAST(ia.supp AS DOUBLE), 6)
+                       AS confidence_a_to_b
+            FROM pair p
+            JOIN item ia ON ia.l_partkey = p.part_a
+            JOIN item ib ON ib.l_partkey = p.part_b
+            CROSS JOIN n
+            WHERE p.support >= {LIFT_MIN_SUPPORT}
+        )
+        SELECT part_a, part_b, support, supp_a, supp_b, lift,
+               confidence_a_to_b
+        FROM scored
+        ORDER BY lift DESC, part_a, part_b
+        LIMIT {LIFT_TOP_K}
+    """
+
+
+EXT_ORACLES["market_basket_lift"] = _basket_lift_oracle_sql()

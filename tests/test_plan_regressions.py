@@ -372,6 +372,14 @@ class TestShuffleBudgets:
         # stratum moment fold + single-row total + the per-stratum
         # rank window (the one corpus-sized exchange) + ordered out
         "sample_neyman_allocation": 4,
+        # audited tail past the daily-rollup checkpoint: bounded
+        # 7-row frame-list window + ordered out; the Hampel test is
+        # in-row integer math (no extra exchange over med/mad)
+        "ts_hampel_outliers": 2,
+        # audited tail past the basket checkpoint: pair-support agg
+        # (in-row expansion) + item supports broadcast twice; top-k
+        # rides TakeOrderedAndProject
+        "market_basket_lift": 2,
         # audited tail = the 16-row driver-built spectrum sort; the
         # distributed covariance fold (one (dim_a,dim_b) exchange to
         # d(d+1)/2 rows) is consumed into bounded model state like

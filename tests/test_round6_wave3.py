@@ -179,3 +179,120 @@ def test_neyman_high_variance_stratum_earns_more(spark):
         out = sample_neyman_allocation(spark, td).collect()
     quota = {r.source: r.alloc for r in out}
     assert quota["wild"] > quota["flat"]
+
+
+# ---- Hampel filter ----------------------------------------------------------
+def test_hampel_matches_brute(spark, sf_dir):
+    from dbt_eamples_spark.operators.behavior import (
+        HAMPEL_K_X10000,
+        HAMPEL_MAD_CONSISTENCY_X10000,
+        ts_hampel_outliers,
+    )
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    daily: dict[tuple[str, object], int] = defaultdict(int)
+    for r in ev:
+        daily[(r.event_type, r.ts.date())] += 1
+    days = sorted({d for _, d in daily})
+    cal = []
+    d = days[0]
+    while d <= days[-1]:
+        cal.append(d)
+        d = d.fromordinal(d.toordinal() + 1)
+
+    def med_int(vals):  # exact: even inputs -> integral midpoint
+        s = sorted(vals)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) // 2
+
+    want = {}
+    for et in sorted({t for t, _ in daily}):
+        xs = [daily.get((et, d), 0) for d in cal]
+        for i, d in enumerate(cal):
+            fr = [2 * v for v in xs[max(0, i - 6) : i + 1]]
+            med2 = med_int(fr)
+            mad4 = med_int([abs(v - med2) * 2 for v in fr])
+            dev = abs(2 * xs[i] - med2)
+            flag = (
+                dev * 2 * 100_000_000
+                > HAMPEL_K_X10000 * HAMPEL_MAD_CONSISTENCY_X10000 * mad4
+            )
+            want[(et, d.isoformat())] = (xs[i], med2 / 2.0, mad4 / 4.0, flag)
+    got = ts_hampel_outliers(spark, sf_dir).collect()
+    assert len(got) == len(want)
+    for r in got:
+        x, med7, mad, flag = want[(r.event_type, r.day)]
+        assert (r.x, r.med7, r.mad, r.is_outlier) == (x, med7, mad, flag)
+    assert any(r.is_outlier for r in got)  # the fixture has spikes
+
+
+def test_hampel_ignores_spike_in_its_own_frame(spark):
+    """Definition check: a lone 100x spike in an otherwise-flat
+    series is flagged, and its flat neighbors are NOT (the rolling
+    z-score would smear the spike across the whole frame)."""
+    import datetime
+    import tempfile
+
+    from dbt_eamples_spark.operators.behavior import ts_hampel_outliers
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    eid = 0
+    for day in range(21):
+        n = 500 if day == 10 else 5 + (day % 2)
+        for _ in range(n):
+            rows.append(
+                (eid, base + datetime.timedelta(days=day), 1, "tick", 1.0, None)
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(f"{td}/events.parquet")
+        out = {r.day: r.is_outlier for r in ts_hampel_outliers(spark, td).collect()}
+    assert out["2024-01-11"] is True
+    flagged = [d for d, f in out.items() if f]
+    assert flagged == ["2024-01-11"]
+
+
+# ---- basket lift ------------------------------------------------------------
+def test_basket_lift_matches_brute(spark, sf_dir):
+    from dbt_eamples_spark.operators.behavior import (
+        LIFT_MIN_SUPPORT,
+        LIFT_TOP_K,
+        market_basket_lift,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").collect()
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    n_orders = len(baskets)
+    item = defaultdict(int)
+    pair = defaultdict(int)
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for p in ps:
+            item[p] += 1
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                pair[(a, b)] += 1
+    scored = []
+    for (a, b), s in pair.items():
+        if s < LIFT_MIN_SUPPORT:
+            continue
+        lift = round(s * n_orders / (item[a] * item[b]), 6)
+        conf = round(s / item[a], 6)
+        scored.append((-lift, a, b, s, item[a], item[b], lift, conf))
+    scored.sort()
+    want = [t[1:] for t in scored[:LIFT_TOP_K]]
+    got = [
+        (r.part_a, r.part_b, r.support, r.supp_a, r.supp_b, r.lift,
+         r.confidence_a_to_b)
+        for r in market_basket_lift(spark, sf_dir).collect()
+    ]
+    assert got == want
+    assert all(r[5] is not None for r in got)
