@@ -2101,14 +2101,19 @@ def ts_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     type-keyed window whose state is the bounded 7-row frame list,
     then in-row exact array math. Linear in calendar days × types."""
     ev = load_table(spark, sf_dir, "events", parallelize=True)
-    daily = (
-        ev.groupBy(
-            "event_type",
-            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
-        )
-        .agg(F.count("*").cast("long").alias("x"))
-        .localCheckpoint(eager=True)
-    )
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+    ).agg(F.count("*").cast("long").alias("x"))
+    return hampel_over_daily(daily)
+
+
+def hampel_over_daily(daily: DataFrame) -> DataFrame:
+    """Zero-fill + frame-list window + in-row exact Hampel math over
+    a (event_type, day, x) daily rollup — factored out for the
+    streaming twin (re-run per drain over the bounded aggregate,
+    the rolling_median_over_daily split)."""
+    daily = daily.localCheckpoint(eager=True)
     bounds = daily.agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
     )

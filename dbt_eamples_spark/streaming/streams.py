@@ -897,3 +897,26 @@ def ts_rolling_median_streaming(
     rolling_median_over_daily(
         spark.table(inner)
     ).createOrReplaceTempView(out_table)
+
+
+def ts_hampel_outliers_streaming(
+    spark: SparkSession, sf_dir: str, checkpoint: str, out_table: str
+) -> None:
+    """Streaming twin of `operators.behavior.ts_hampel_outliers`:
+    the stream maintains ONLY the per-type daily count rollup; the
+    zero-fill spine, frame-list window, and in-row integer Hampel
+    math re-run over the drained O(days × types) aggregate per
+    drain (`hampel_over_daily`, the rolling-median twin split)."""
+    from dbt_eamples_spark.operators.behavior import hampel_over_daily
+
+    ev = _events_stream(spark, sf_dir)
+    daily = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").cast("long").alias("x"))
+        .select("event_type", F.to_date("w.start").alias("day"), "x")
+    )
+    inner = f"{out_table}__daily"
+    _drain(daily, "complete", checkpoint, inner)
+    hampel_over_daily(spark.table(inner)).createOrReplaceTempView(
+        out_table
+    )

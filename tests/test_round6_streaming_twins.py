@@ -82,3 +82,17 @@ class TestRound6StreamingTwins:
             spark, sf_dir, checkpoint=str(tmp_path / "ck_rm"), out_table=name
         )
         _assert_twin(spark, name, ts_rolling_median(spark, sf_dir))
+
+    def test_hampel_streaming_equals_batch(self, spark, sf_dir, tmp_path):
+        from dbt_eamples_spark.operators.behavior import (
+            ts_hampel_outliers,
+        )
+        from dbt_eamples_spark.streaming.streams import (
+            ts_hampel_outliers_streaming,
+        )
+
+        name = f"hampel_{uuid.uuid4().hex[:8]}"
+        ts_hampel_outliers_streaming(
+            spark, sf_dir, checkpoint=str(tmp_path / "ck_h"), out_table=name
+        )
+        _assert_twin(spark, name, ts_hampel_outliers(spark, sf_dir))
