@@ -356,10 +356,10 @@ class TestShuffleBudgets:
         # posexplode is narrow over the scan; one dim-keyed moment
         # fold + ordered 64-row output
         "embedding_dim_stats": 2,
-        # audited tail past the coordinate checkpoint: one
-        # (dim_a, dim_b) moment fold; vec_id join broadcasts
-        # locally (SHJ at scale), top-k rides TakeOrderedAndProject
-        "embedding_dim_corr_topk": 1,
+        # audited tail past the Gram-fold checkpoint: the per-dim
+        # moment agg + the 2080-row pos agg; every join broadcasts
+        # (d- or d²-bounded), top-k rides TakeOrderedAndProject
+        "embedding_dim_corr_topk": 2,
         # audited tail past the daily-rollup checkpoint (one corpus
         # exchange + scan): bounded-frame median window + ordered out
         "ts_rolling_median": 2,
