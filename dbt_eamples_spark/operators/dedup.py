@@ -1226,3 +1226,64 @@ def customer_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("custkey_a", "custkey_b")
     )
+
+
+DEDUP_CURVE_TAUS = [0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+
+
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-rate-vs-threshold tuning curve: for each Jaccard
+    threshold τ on the grid, how many candidate pairs survive and
+    how many distinct docs are duplicate-involved — the artifact a
+    curator reads to PICK the dedup threshold before running the
+    destructive pass (too low: the curve explodes and real content
+    dies; too high: boilerplate survives; the knee is the setting).
+
+    Rides :func:`dedup_ngram_jaccard`'s content-blocked exact pairs
+    unchanged (same blocking recall contract), so the curve costs
+    one pair-set computation + a grid of micro-aggregations over
+    the pair OUTPUT (checkpointed — pair volume, not corpus
+    volume). The τ grid left-join keeps all 7 rows even where a
+    threshold strands zero pairs. Jaccards are round(·,6) doubles
+    compared against identical grid literals in both engines."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
+    total = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    grid = spark.createDataFrame(
+        [(t,) for t in DEDUP_CURVE_TAUS], "tau double"
+    )
+    tagged = pairs.crossJoin(F.broadcast(grid)).filter(
+        F.col("jaccard") >= F.col("tau")
+    )
+    n_pairs = tagged.groupBy("tau").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    n_docs = (
+        tagged.select(
+            "tau", F.explode(F.array("doc_a", "doc_b")).alias("doc")
+        )
+        .groupBy("tau")
+        .agg(F.count_distinct("doc").cast("long").alias("n_dup_docs"))
+    )
+    return (
+        grid.join(F.broadcast(n_pairs), "tau", "left")
+        .join(F.broadcast(n_docs), "tau", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tau",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_dup_docs", F.lit(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.round(
+                F.coalesce("n_dup_docs", F.lit(0)).cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+        .orderBy("tau")
+    )

@@ -5698,3 +5698,48 @@ def _basket_lift_oracle_sql() -> str:
 
 
 EXT_ORACLES["market_basket_lift"] = _basket_lift_oracle_sql()
+
+
+def _threshold_curve_oracle_sql() -> str:
+    """Mirror of dedup.dedup_threshold_curve: the UNCHANGED
+    dedup_ngram_jaccard twin as a nested CTE, then the same tau-grid
+    micro-aggregations with a left join keeping all grid rows."""
+    from dbt_eamples_spark.operators.dedup import DEDUP_CURVE_TAUS
+
+    taus = ", ".join(f"({t})" for t in DEDUP_CURVE_TAUS)
+    return f"""
+        WITH pairs AS ({EXT_ORACLES["dedup_ngram_jaccard"]}),
+        grid AS (SELECT CAST(t AS DOUBLE) AS tau
+                 FROM (VALUES {taus}) g(t)),
+        total AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+                  FROM documents),
+        tagged AS (
+            SELECT g.tau, p.doc_a, p.doc_b
+            FROM pairs p JOIN grid g ON p.jaccard >= g.tau
+        ),
+        np AS (
+            SELECT tau, CAST(count(*) AS BIGINT) AS n_pairs
+            FROM tagged GROUP BY tau
+        ),
+        nd AS (
+            SELECT tau, CAST(count(DISTINCT doc) AS BIGINT) AS n_dup_docs
+            FROM (
+                SELECT tau, doc_a AS doc FROM tagged
+                UNION ALL
+                SELECT tau, doc_b AS doc FROM tagged
+            ) GROUP BY tau
+        )
+        SELECT g.tau,
+               CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(nd.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+               round(CAST(COALESCE(nd.n_dup_docs, 0) AS DOUBLE)
+                     / CAST(t.n_docs AS DOUBLE), 6) AS dup_frac
+        FROM grid g
+        LEFT JOIN np ON np.tau = g.tau
+        LEFT JOIN nd ON nd.tau = g.tau
+        CROSS JOIN total t
+        ORDER BY g.tau
+    """
+
+
+EXT_ORACLES["dedup_threshold_curve"] = _threshold_curve_oracle_sql()
