@@ -119,72 +119,19 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Round-6 driver-sample rotation (VERDICT r5 #1): no CORRECTNESS
-# row was produced in round 5, so the driver's latest hard signal is
-# r4 and every round-5 addition is still driver-unchecked. The
-# driver samples the FIRST 50 registry entries per round, so order =
-# (1) the 36 never-driver-checked queries (all r5 additions incl.
-# the six documented this round in SURVEY §2, plus
-# metric_compiled_growth, r4's position-51 casualty) — their first
-# driver rows are this round's #1 deliverable; (2) round-6's new
-# queries, also never-checked; (3) as many of the 35-query cohort
-# whose latest driver row is r1 (4 rounds stale) as fit under 50.
-# Positions 51+ queue the remaining r1 cohort then the r2 cohort as
-# round 7's front.
-_R6_PRIORITY = [
-    # (1) never driver-checked — round-5 additions, first rows due
-    "graph_pagerank_weighted",
-    "sample_source_temperature_alpha",
-    "similarity_ivf_pq_topk",
-    "similarity_ivf_pq_residual_topk",
-    "sample_fixed_size_per_group",
-    "metric_compiled_growth",
-    "text_bpe_train",
-    "text_bpe_tokenize",
-    "graph_triangle_count",
-    "ts_ewma_smooth",
-    "events_markov_stationary",
-    "events_changepoint_cusum",
-    "ts_seasonal_decompose",
-    "events_survival_km",
-    "similarity_mmr_topk",
-    "similarity_hard_negatives",
-    "text_readability",
-    "ts_holt_linear",
-    "graph_link_prediction",
-    "events_cohort_ltv",
-    "embedding_centroid_eval",
-    "dq_distribution_drift",
-    "text_perplexity_bigram",
-    "graph_kcore",
-    "ts_autocorrelation",
-    "dq_benford_digits",
-    "agg_small_qty_revenue",
-    "agg_skyline_per_brand",
-    "events_seasonality_profile",
-    "graph_bfs_layers",
-    "supplier_sole_late",
-    "customer_idle_balance",
-    "agg_hhi_concentration",
-    "events_user_streaks",
-    "ts_forecast_snaive",
-    "graph_degree_powerlaw",
-    # (2) new in round 6 — never-checked by construction
-    # (inserted here as they land so they stay inside the top 50)
-    "part_cheapest_supplier",
-    "orders_priority_exists",
-    "part_revenue_important",
-    "supplier_top_revenue",
-    "part_supplier_variety",
-    "corpus_js_divergence",
-    "ts_stl_strength",
-    "sample_coreset_kcenter",
-    "nations_trade_volume",
-    "promo_revenue_share",
-    "lineitem_disjunctive_scan",
-    "orders_shipping_priority",
-    "revenue_change_forecast",
-    "nation_year_profit",
+# Round-7 driver-sample rotation (VERDICT r6 #2): CORRECTNESS_r06
+# covered exactly the first 50 of the r6 list, so the only
+# never-driver-checked queries left are the 19 late-r6 additions
+# that overflowed past position 50 (each already green on the
+# triple-scale local strict gate). The driver samples the FIRST 50
+# registry entries per round, so order = (1) those 19 debt queries;
+# (2) round-7 additions as they land (never-checked by
+# construction); (3) the cohort whose latest driver row is r1 —
+# 5 rounds stale — fills the remaining slots up to 50 (with 19+«new»
+# ahead of them, about 30 − «new» fit). Positions 51+ queue the rest
+# of the r1 cohort, then the r2 cohort, as round 8's front.
+_R7_PRIORITY = [
+    # (1) never driver-checked — late round-6 additions, first rows due
     "returned_item_customers",
     "late_priority_by_year",
     "customer_order_distribution",
@@ -204,6 +151,8 @@ _R6_PRIORITY = [
     "embedding_pca_topvar",
     "ts_hampel_outliers",
     "market_basket_lift",
+    # (2) new in round 7 — never-checked by construction
+    "dedup_threshold_curve",
     # (3) latest driver row is r1 — oldest cohort, fill to 50
     "scan_table",
     "sql_execute_limit",
@@ -219,8 +168,6 @@ _R6_PRIORITY = [
     "agg_approx_distinct",
     "metric_groupby_agg",
     "distinct_values",
-    # ---- position 51+ (round 7's front): the rest of the
-    # r1-latest cohort, then the r2-latest cohort ----
     "metric_grouping_sets",
     "metric_rollup",
     "metric_cube",
@@ -237,6 +184,8 @@ _R6_PRIORITY = [
     "text_token_stats",
     "text_lang_id",
     "text_quality_score",
+    # ---- position 51+ (round 8's front): the rest of the
+    # r1-latest cohort, then the r2-latest cohort ----
     "text_token_count_bpe",
     "doc_fingerprint",
     "doc_winnow_fingerprint",
@@ -281,17 +230,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     The driver samples the FIRST 50 entries per round; the dict below
-    is re-ordered through ``_R6_PRIORITY`` (never-checked → new → longest
+    is re-ordered through ``_R7_PRIORITY`` (never-checked → new → longest
     unchecked → rest), so insertion order here is grouping only.
     """
     d = _query_registry()
-    ordered = {k: d[k] for k in _R6_PRIORITY if k in d}
+    ordered = {k: d[k] for k in _R7_PRIORITY if k in d}
     ordered.update({k: v for k, v in d.items() if k not in ordered})
     return ordered
 
 
 def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- round-7 additions ---
+        # dedup-rate-vs-threshold tuning curve over the ngram-Jaccard
+        # candidate pairs (picks τ before the destructive dedup pass)
+        "dedup_threshold_curve": D.dedup_threshold_curve,
         # --- round-6 additions ---
         # TPC-H Q2 shape: correlated-MIN cheapest supplier per part
         "part_cheapest_supplier": R.part_cheapest_supplier,

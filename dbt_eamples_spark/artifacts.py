@@ -101,15 +101,107 @@ def load_or_build(
     df = build()
     tmp = f"{path}.build.{os.getpid()}.{time.time_ns()}"
     df.write.mode("overwrite").parquet(tmp)
+    published = True
     try:
         os.rename(tmp, path)
     except OSError:
         # lost the publish race — the winner's artifact (same
-        # fingerprint, same content) is already in place
+        # fingerprint, same content) is already in place; record a
+        # hit, not a build, so the inventory counts real publishes
         shutil.rmtree(tmp, ignore_errors=True)
-    ARTIFACT_EVENTS.append((kind, "build"))
-    _manifest_touch(kind, fingerprint, built=True)
+        published = False
+    ARTIFACT_EVENTS.append((kind, "build" if published else "reuse"))
+    _manifest_touch(kind, fingerprint, built=published)
     return spark.read.parquet(path)
+
+
+def load_or_build_bucketed(
+    spark: SparkSession,
+    kind: str,
+    fingerprint: str,
+    bucket_key: str,
+    build,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Bucketed variant of :func:`load_or_build` (VERDICT r6 #5):
+    the artifact's parquet files are written HASH-BUCKETED on
+    ``bucket_key`` once, so every later scan reports
+    ``HashPartitioning(bucket_key)`` and a consumer's
+    groupBy/join/window keyed on it needs NO exchange — for the
+    iterative graph kernels that is zero edge-sized shuffles per
+    power-iteration round, decided at WRITE time (at 100 TB,
+    re-shuffling the edge list per session — let alone per
+    iteration — is the dominant cost this removes).
+
+    Mechanics under the in-memory catalog: ``bucketBy`` requires a
+    table, so a cold build writes an EXTERNAL bucketed table at a
+    temp path, drops the temp catalog entry (files stay), and
+    atomically renames into the artifact path — same crash/race
+    contract as :func:`load_or_build`. Any session (including a
+    brand-new process) then re-attaches with a metadata-only
+    ``CREATE TABLE ... CLUSTERED BY ... LOCATION`` over the
+    existing bucket files and reads via ``spark.table`` — zero data
+    movement on reuse. Bucket files are Spark-written, so the
+    declared spec is trustworthy."""
+    path = artifact_path(kind, fingerprint)
+    marker = os.path.join(path, "_SUCCESS")
+    table = f"art_{kind}_{fingerprint}"
+    if os.path.exists(marker):
+        ARTIFACT_EVENTS.append((kind, "reuse"))
+        _manifest_touch(kind, fingerprint, built=False)
+        return _attach_bucketed(spark, table, path, bucket_key, n_buckets)
+    df = build()
+    tag = f"{os.getpid()}_{time.time_ns()}"
+    tmp_table = f"{table}_build_{tag}"
+    tmp = f"{path}.build.{tag}"
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    (
+        df.write.bucketBy(n_buckets, bucket_key)
+        .sortBy(bucket_key)
+        .option("path", tmp)
+        .format("parquet")
+        .saveAsTable(tmp_table)
+    )
+    spark.sql(f"DROP TABLE `{tmp_table}`")  # external: files stay
+    published = True
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        published = False
+    ARTIFACT_EVENTS.append((kind, "build" if published else "reuse"))
+    _manifest_touch(kind, fingerprint, built=published)
+    return _attach_bucketed(spark, table, path, bucket_key, n_buckets)
+
+
+def _attach_bucketed(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    bucket_key: str,
+    n_buckets: int,
+) -> DataFrame:
+    """Register (idempotently) the external bucketed table over
+    already-written bucket files and return its scan. If the name is
+    already bound to a DIFFERENT location (the artifacts root moved,
+    e.g. per-test tmp stores in one session), rebind — the path, not
+    the catalog entry, is the source of truth."""
+    if spark.catalog.tableExists(table):
+        loc = [
+            r.data_type
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED `{table}`").collect()
+            if r.col_name == "Location"
+        ]
+        if loc and loc[0].replace("file:", "") == os.path.abspath(path):
+            return spark.table(table)
+        spark.sql(f"DROP TABLE `{table}`")
+    ddl = spark.read.parquet(path).schema.toDDL()
+    spark.sql(
+        f"CREATE TABLE `{table}` ({ddl}) USING parquet "
+        f"CLUSTERED BY (`{bucket_key}`) INTO {n_buckets} BUCKETS "
+        f"LOCATION '{path}'"
+    )
+    return spark.table(table)
 
 
 # ---- manifest + GC ----------------------------------------------------------

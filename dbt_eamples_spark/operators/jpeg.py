@@ -814,6 +814,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
         # 0xFF fill bytes may pad before any marker (B.1.1.2)
         while pos + 1 < len(data) and data[pos + 1] == 0xFF:
             pos += 1
+        if pos + 2 > len(data):
+            # stream ends inside 0xFF padding: no marker byte left
+            raise ValueError("truncated stream")
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break

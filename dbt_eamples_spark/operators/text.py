@@ -1242,6 +1242,10 @@ def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("sa") < F.col("sb"),
         )
+        # S²-bounded grid, consumed twice (the both-term tag and the
+        # zero-shared-vocab left join): checkpoint so the tot
+        # aggregation isn't re-planned per consumer
+        .localCheckpoint(eager=True)
     )
     both = (
         a.join(b, "term")
@@ -1263,17 +1267,27 @@ def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     folds = (
         both.select(
-            "sa", "sb", "na", "nb", "va", "vb",
+            "sa", "sb",
             (term_a + term_b).alias("t_fp"),
             "ca", "cb",
         )
-        .groupBy("sa", "sb", "na", "nb", "va", "vb")
+        .groupBy("sa", "sb")
         .agg(
             F.count("*").cast("long").alias("n_both"),
             F.sum("t_fp").alias("s_fp"),
             F.sum("ca").cast("long").alias("sum_ca"),
             F.sum("cb").cast("long").alias("sum_cb"),
         )
+    )
+    # left-join the folds back onto the full pair grid so a pair
+    # with ZERO shared vocabulary still reports a row — its whole
+    # mass is the closed-form remainder, i.e. js_nats = round(ln 2, 6)
+    folds = pairs.join(F.broadcast(folds), ["sa", "sb"], "left").select(
+        "sa", "sb", "na", "nb", "va", "vb",
+        F.coalesce("n_both", F.lit(0)).cast("long").alias("n_both"),
+        F.coalesce("s_fp", F.lit(0)).cast("long").alias("s_fp"),
+        F.coalesce("sum_ca", F.lit(0)).cast("long").alias("sum_ca"),
+        F.coalesce("sum_cb", F.lit(0)).cast("long").alias("sum_cb"),
     )
     ln2 = F.round(F.log(F.lit(2.0)), 6)
     rem_a = F.round(

@@ -5209,12 +5209,22 @@ EXT_ORACLES["corpus_js_divergence"] = r"""
                     * 1e9) AS BIGINT)) AS t_fp
         FROM shared
     ), folds AS (
-        SELECT sa, sb, na, nb, va, vb,
+        SELECT sa, sb,
                CAST(count(*) AS BIGINT) AS n_both,
                CAST(SUM(t_fp) AS BIGINT) AS s_fp,
                CAST(SUM(ca) AS BIGINT) AS sum_ca,
                CAST(SUM(cb) AS BIGINT) AS sum_cb
-        FROM terms GROUP BY sa, sb, na, nb, va, vb
+        FROM terms GROUP BY sa, sb
+    ), allpairs AS (
+        -- left-join back onto the pair grid: a pair with zero
+        -- shared vocabulary still reports js_nats = round(ln 2, 6)
+        SELECT p.sa, p.sb, p.na, p.nb, p.va, p.vb,
+               COALESCE(f.n_both, 0) AS n_both,
+               COALESCE(f.s_fp, 0) AS s_fp,
+               COALESCE(f.sum_ca, 0) AS sum_ca,
+               COALESCE(f.sum_cb, 0) AS sum_cb
+        FROM pairs p LEFT JOIN folds f
+          ON p.sa = f.sa AND p.sb = f.sb
     )
     SELECT sa, sb, va + vb - n_both AS n_terms,
            ROUND(CAST(s_fp
@@ -5223,7 +5233,7 @@ EXT_ORACLES["corpus_js_divergence"] = r"""
                + CAST(ROUND(CAST(nb - sum_cb AS DOUBLE) / nb
                             * ROUND(ln(2.0), 6) * 1e9) AS BIGINT)
                AS DOUBLE) / 2e9, 6) AS js_nats
-    FROM folds ORDER BY sa, sb
+    FROM allpairs ORDER BY sa, sb
 """
 
 

@@ -103,17 +103,17 @@ class TestCopurchaseEdgeArtifact:
             (r["src"], r["dst"])
             for r in G._copurchase_edges(spark, sf_dir).collect()
         }
-        assert _events("copurchase_edges") == ["build"]
+        assert _events("copurchase_edges_b") == ["build"]
         # a second graph query in the same session: L1 hit, no event
         G.graph_degree_powerlaw(spark, sf_dir).collect()
-        assert _events("copurchase_edges") == ["build"]
+        assert _events("copurchase_edges_b") == ["build"]
         # a new session (L1 dropped) reloads the artifact
         G._EDGES_CACHE.clear()
         second = {
             (r["src"], r["dst"])
             for r in G._copurchase_edges(spark, sf_dir).collect()
         }
-        assert _events("copurchase_edges") == ["build", "reuse"]
+        assert _events("copurchase_edges_b") == ["build", "reuse"]
         assert second == first and len(first) > 0
 
     def test_weighted_edges_artifact_reused(self, spark, sf_dir, art_dir):
@@ -126,7 +126,7 @@ class TestCopurchaseEdgeArtifact:
             (r["src"], r["dst"], r["w"])
             for r in G._copurchase_weighted_edges(spark, sf_dir).collect()
         }
-        assert _events("copurchase_weighted_edges") == ["build", "reuse"]
+        assert _events("copurchase_weighted_edges_b") == ["build", "reuse"]
         assert w2 == w1 and len(w1) > 0
 
 

@@ -93,6 +93,14 @@ class TestCodecRoundtrip:
         assert np.array_equal(got, want)
 
 
+    def test_trailing_fill_bytes_raise_value_error(self):
+        """A stream that ENDS inside 0xFF padding has no marker byte
+        left; that must be the documented ValueError for malformed
+        streams, not an IndexError (ADVICE r6)."""
+        with pytest.raises(ValueError, match="truncated"):
+            decode_jpeg(b"\xff\xd8\xff\xff")
+
+
 class TestStandardTableInterop:
     def test_annex_k_huffman_tables_decode(self):
         """A scan re-encoded with the STANDARD Annex K luminance DC

@@ -197,6 +197,30 @@ def test_js_divergence_bounds_and_pair_grid(spark, sf_dir):
         assert r.n_terms > 0
 
 
+def test_js_divergence_disjoint_vocab_reports_ln2(spark, tmp_path):
+    """A source pair with ZERO shared vocabulary must still produce
+    a row, with js_nats = round(ln 2, 6) — the pair grid is the
+    left side of the fold join (ADVICE r6)."""
+    from dbt_eamples_spark.operators.text import corpus_js_divergence
+
+    rows = [
+        (1, "alpha beta gamma alpha", "en", "src_a", 22),
+        (2, "beta gamma delta", "en", "src_a", 16),
+        (3, "omega psi chi omega psi", "en", "src_b", 23),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    out = corpus_js_divergence(spark, str(tmp_path)).collect()
+    assert len(out) == 1  # the pair grid survives the empty fold
+    r = out[0]
+    assert (r.sa, r.sb) == ("src_a", "src_b")
+    assert r.js_nats == round(math.log(2.0), 6)
+    assert r.n_terms == 7  # 4 + 3 disjoint unigrams
+
+
 def test_js_divergence_one_pair_matches_python(spark, sf_dir):
     from dbt_eamples_spark.operators.text import corpus_js_divergence
 

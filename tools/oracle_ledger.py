@@ -15,18 +15,16 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 
+# one source of truth for the sweep-log line format (ADVICE r6)
+PAT = re.compile(r"(OK|FAIL|SKIP)\s+(\w+)(?::| )\s*(?:\((\d+) rows\))?")
+
+
 def parse(path: str) -> dict[str, str]:
     out: dict[str, str] = {}
-    pat = re.compile(
-        r"(OK|FAIL|SKIP)\s+(\w+)[:\s].*?(?:\((\d+) rows\))?", re.A
-    )
     with open(path, errors="replace") as fh:
         for line in fh:
             # progress bars glue onto lines; search anywhere
-            for m in re.finditer(
-                r"(OK|FAIL|SKIP)\s+(\w+)(?::| )\s*(?:\((\d+) rows\))?",
-                line,
-            ):
+            for m in PAT.finditer(line):
                 status, name, rows = m.groups()
                 if status == "OK" and rows is not None:
                     out[name] = f"OK ({rows} rows)"

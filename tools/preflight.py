@@ -1,0 +1,124 @@
+"""Pre-snapshot preflight gate (VERDICT r6 #3): rounds must stop
+shipping ungated tails (r5: six undocumented queries; r6: the
+half-landed ``dedup_threshold_curve``). Run this BEFORE the
+end-of-round snapshot commit; it exits non-zero unless the tree is
+coherent:
+
+1. ``oracle_sql()`` keys are a subset of ``queries()`` keys.
+2. Every registry query name appears in SURVEY.md (the judge checks
+   SURVEY §2 line by line — a query without a SURVEY row is
+   undocumented surface), and registry count == bench count (every
+   operator ships measured).
+3. The newest LOCAL_ORACLE_r*.md sweep is NEWER than the last commit
+   touching engine source — a sweep recorded before the last
+   operator change proves nothing about the tree being shipped.
+4. ``git status`` is clean for bench/evidence files (BENCH_LOCAL,
+   SURVEY, registry) so the committed baseline matches the round's
+   recorded numbers.
+5. (unless --fast) the full pytest suite is green.
+
+Usage: python tools/preflight.py [--fast]
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+import subprocess
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+REPO = "/root/repo"
+
+
+def fail(msgs: list[str]) -> None:
+    for m in msgs:
+        print(f"PREFLIGHT FAIL: {m}")
+    sys.exit(1)
+
+
+def main() -> None:
+    fast = "--fast" in sys.argv
+    errs: list[str] = []
+
+    import __spark_entry__ as e
+    from bench import _bench_names
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+
+    # 1. oracle keys ⊆ queries
+    extra = set(oracles) - set(qs)
+    if extra:
+        errs.append(f"oracle_sql() keys without queries() entry: {sorted(extra)}")
+
+    # 2a. every registry name documented in SURVEY.md
+    with open(os.path.join(REPO, "SURVEY.md")) as fh:
+        survey_tokens = set(re.findall(r"`([a-z0-9_]+)`", fh.read()))
+    undocumented = sorted(set(qs) - survey_tokens)
+    if undocumented:
+        errs.append(f"registry queries with no SURVEY.md row: {undocumented}")
+
+    # 2b. registry == bench set (modulo documented excludes)
+    bench = set(_bench_names())
+    from bench import BENCH_EXCLUDE
+
+    unbenched = sorted(set(qs) - bench - set(BENCH_EXCLUDE))
+    if unbenched:
+        errs.append(f"registry queries missing from the bench set: {unbenched}")
+
+    # 3. strict-sweep freshness: newest LOCAL_ORACLE file vs last
+    # commit touching engine source
+    sweeps = sorted(
+        glob.glob(os.path.join(REPO, "LOCAL_ORACLE_r*.md")), key=os.path.getmtime
+    )
+    if not sweeps:
+        errs.append("no LOCAL_ORACLE_r*.md sweep recorded")
+    else:
+        sweep_ts = os.path.getmtime(sweeps[-1])
+        out = subprocess.run(
+            ["git", "log", "-1", "--format=%ct", "--",
+             "dbt_eamples_spark", "__spark_entry__.py"],
+            cwd=REPO, capture_output=True, text=True,
+        )
+        last_src_commit = int(out.stdout.strip() or 0)
+        if sweep_ts < last_src_commit:
+            errs.append(
+                f"{os.path.basename(sweeps[-1])} predates the last engine "
+                "commit — re-run the full strict sweep before snapshotting"
+            )
+
+    # 4. evidence files committed (the r6 BENCH_LOCAL.json slip)
+    out = subprocess.run(
+        ["git", "status", "--porcelain", "--",
+         "BENCH_LOCAL.json", "SURVEY.md", "__spark_entry__.py",
+         "dbt_eamples_spark", "bench.py"],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    dirty = [ln for ln in out.stdout.splitlines() if ln.strip()]
+    if dirty:
+        errs.append(f"uncommitted evidence/engine files: {dirty}")
+
+    # 5. full suite green
+    if not fast:
+        print("preflight: running full pytest suite ...")
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "tests/", "-q", "-x"],
+            cwd=REPO,
+        )
+        if r.returncode != 0:
+            errs.append("pytest suite is red")
+
+    if errs:
+        fail(errs)
+    print(
+        f"PREFLIGHT OK: {len(qs)} registry queries, {len(oracles)} oracles, "
+        f"{len(bench)} benched, SURVEY documented, sweep fresh"
+        + ("" if fast else ", pytest green")
+    )
+
+
+if __name__ == "__main__":
+    main()
