@@ -153,6 +153,7 @@ _R7_PRIORITY = [
     "market_basket_lift",
     # (2) new in round 7 — never-checked by construction
     "dedup_threshold_curve",
+    "multimodal_codec_stats",
     # (3) latest driver row is r1 — oldest cohort, fill to 50
     "scan_table",
     "sql_execute_limit",
@@ -183,9 +184,9 @@ _R7_PRIORITY = [
     "sanitize_name",
     "text_token_stats",
     "text_lang_id",
-    "text_quality_score",
     # ---- position 51+ (round 8's front): the rest of the
     # r1-latest cohort, then the r2-latest cohort ----
+    "text_quality_score",
     "text_token_count_bpe",
     "doc_fingerprint",
     "doc_winnow_fingerprint",
@@ -245,6 +246,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup-rate-vs-threshold tuning curve over the ngram-Jaccard
         # candidate pairs (picks τ before the destructive dedup pass)
         "dedup_threshold_curve": D.dedup_threshold_curve,
+        # strict PNG/GIF/WAV encode→decode round trip vs the
+        # generative closed form (all three codec magics gated)
+        "multimodal_codec_stats": M.multimodal_codec_stats,
         # --- round-6 additions ---
         # TPC-H Q2 shape: correlated-MIN cheapest supplier per part
         "part_cheapest_supplier": R.part_cheapest_supplier,

@@ -342,3 +342,94 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("frame_md5"),
         )
     )
+
+
+# ---- cross-engine codec exercise (VERDICT r6 #8) ----------------------------
+CODEC_GRID = 8      # image payloads are GRID×GRID
+CODEC_WAV_N = 64    # PCM frames per audio payload
+CODEC_WAV_RATE = 8000
+_CODEC_PALETTE = (0, 85, 170, 255)  # 4-gray GIF palette
+
+
+def _codec_payload_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic mixed-media payload per doc_id — PNG / GIF /
+    WAV round-robin by doc_id % 3, content a closed-form function of
+    doc_id so the decoded statistics are SQL-computable without the
+    oracle ever seeing a codec:
+
+      PNG  gray 8×8:  px[i]  = (doc_id·31 + i) mod 256
+      GIF  4-gray 8×8: idx[i] = (doc_id + i) mod 4, value 85·idx
+      WAV  PCM16 mono: x[i]  = (((doc_id·7 + i·13) mod 2001) − 1000)/1000
+
+    The WAV quantizer never lands on an exact .5 (32768k ≡ 500 mod
+    1000 has no solution), so numpy's round-half-even and SQL's
+    round-half-away agree on every sample."""
+    import numpy as np
+
+    from dbt_eamples_spark.operators.gif import encode_gif_indexed
+    from dbt_eamples_spark.operators.png import encode_png
+    from dbt_eamples_spark.operators.wav import encode_wav
+
+    n = CODEC_GRID * CODEC_GRID
+    out = []
+    for d in batch["doc_id"]:
+        d = int(d)
+        kind = d % 3
+        if kind == 0:
+            px = (
+                ((d * 31 + np.arange(n)) % 256)
+                .astype(np.uint8)
+                .reshape(CODEC_GRID, CODEC_GRID)
+            )
+            b = encode_png(px)
+        elif kind == 1:
+            idx = (
+                ((d + np.arange(n)) % 4)
+                .astype(np.uint8)
+                .reshape(CODEC_GRID, CODEC_GRID)
+            )
+            pal = np.array(
+                [[v, v, v] for v in _CODEC_PALETTE], np.uint8
+            )
+            b = encode_gif_indexed(pal, idx)
+        else:
+            k = ((d * 7 + np.arange(CODEC_WAV_N) * 13) % 2001) - 1000
+            b = encode_wav(k / 1000.0, CODEC_WAV_RATE)
+        out.append({"doc_id": d, "content": b})
+    return pd.DataFrame(out, columns=["doc_id", "content"])
+
+
+def multimodal_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end STRICT-codec exercise as a correctness row: per
+    doc, generate the deterministic payload (PNG / GIF+LZW / WAV
+    round-robin), push it through the real pure-stdlib decoders via
+    the same Arrow ``decode_features_frame`` seam production media
+    uses, and emit the 8 decoded features. Because content is a
+    closed form of doc_id, the DuckDB oracle computes the expected
+    features from the GENERATIVE formula — any bit regression in
+    any of the three codecs (or the Arrow plumbing) breaks the
+    value hash. Encode→decode exactness arguments: image sums are
+    small exact integers; WAV amplitudes are dyadic rationals
+    (k/2^15) whose 64-term sums stay ≤ 2^53, so every moment is
+    bit-exact in both engines.
+
+    Scale shape: two Arrow map stages (generate, decode) — zero
+    shuffles, scan-bound; the ORDER BY is the driver-side output
+    contract only."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b):
+                yield _codec_payload_batch(b)
+
+    payloads = docs.mapInPandas(gen, schema="doc_id long, content binary")
+    feats = decode_features_frame(payloads, decode_stub="strict")
+    return feats.select(
+        "doc_id",
+        (F.col("doc_id") % 3).cast("int").alias("kind"),
+        *[
+            F.round(F.element_at("features", i + 1), 6).alias(f"f{i}")
+            for i in range(FEATURE_DIM)
+        ],
+    ).orderBy("doc_id")

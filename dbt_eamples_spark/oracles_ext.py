@@ -5753,3 +5753,76 @@ def _threshold_curve_oracle_sql() -> str:
 
 
 EXT_ORACLES["dedup_threshold_curve"] = _threshold_curve_oracle_sql()
+
+
+# Mirror of multimodal.multimodal_codec_stats: Spark ENCODES the
+# deterministic payload and STRICT-DECODES it through the real
+# PNG/GIF/WAV codecs; the oracle computes the identical features
+# from the generative closed form — the cross-engine check that the
+# encode→decode round trip is bit-exact for all three magics.
+# Exactness: image sums are small exact integers; WAV amplitudes are
+# dyadic k/2^15 whose 64-term moment sums stay < 2^53 (exact), and
+# the PCM quantizer never hits an exact .5 (32768k ≡ 500 mod 1000 is
+# unsolvable), so ROUND == numpy round on every sample.
+EXT_ORACLES["multimodal_codec_stats"] = r"""
+    WITH docs AS (
+        SELECT doc_id, CAST(doc_id % 3 AS INT) AS kind FROM documents
+    ), grid AS (
+        SELECT d.doc_id, d.kind, t.i
+        FROM docs d CROSS JOIN (SELECT unnest(range(64)) AS i) t
+    ), img AS (
+        SELECT doc_id, kind,
+               CASE WHEN kind = 0 THEN (doc_id * 31 + i) % 256
+                    ELSE 85 * ((doc_id + i) % 4) END AS v
+        FROM grid WHERE kind IN (0, 1)
+    ), imgf AS (
+        SELECT doc_id, kind,
+               CAST(SUM(v) AS BIGINT) AS sv,
+               CAST(SUM(CASE WHEN v > 127 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nb
+        FROM img GROUP BY doc_id, kind
+    ), wavq AS (
+        SELECT doc_id, i,
+               LEAST(ROUND(((doc_id * 7 + i * 13) % 2001 - 1000)
+                           / 1000.0 * 32768.0), 32767.0) / 32768.0
+                   AS mono
+        FROM grid WHERE kind = 2
+    ), wavlag AS (
+        SELECT doc_id, i, mono,
+               LAG(mono) OVER (PARTITION BY doc_id ORDER BY i) AS pm
+        FROM wavq
+    ), wavf AS (
+        SELECT doc_id,
+               SUM(mono * mono) AS ssq,
+               MAX(ABS(mono)) AS pk,
+               SUM(mono) AS sm,
+               CAST(SUM(CASE WHEN pm IS NOT NULL
+                              AND ((mono < 0) != (pm < 0))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zc
+        FROM wavlag GROUP BY doc_id
+    )
+    SELECT doc_id, kind,
+           ROUND(8.0, 6) AS f0,
+           ROUND(8.0, 6) AS f1,
+           ROUND(CASE WHEN kind = 0 THEN 1.0 ELSE 3.0 END, 6) AS f2,
+           ROUND(sv / 64.0 / 255.0, 6) AS f3,
+           ROUND(sv / 64.0 / 255.0, 6) AS f4,
+           ROUND(CASE WHEN kind = 0 THEN 0.0
+                      ELSE sv / 64.0 / 255.0 END, 6) AS f5,
+           ROUND(CASE WHEN kind = 0 THEN 0.0
+                      ELSE sv / 64.0 / 255.0 END, 6) AS f6,
+           ROUND(nb / 64.0, 6) AS f7
+    FROM imgf
+    UNION ALL
+    SELECT doc_id, 2 AS kind,
+           ROUND(8000.0, 6) AS f0,
+           ROUND(64.0, 6) AS f1,
+           ROUND(1.0, 6) AS f2,
+           ROUND(64.0 / 8000.0, 6) AS f3,
+           ROUND(SQRT(ssq / 64.0), 6) AS f4,
+           ROUND(pk, 6) AS f5,
+           ROUND(zc / 63.0, 6) AS f6,
+           ROUND(sm / 64.0, 6) AS f7
+    FROM wavf
+    ORDER BY doc_id
+"""

@@ -88,3 +88,102 @@ class TestClusteredRecall:
         )
         assert len(truth) > 10_000  # the geometry really is clustered
         assert len(got & truth) / len(truth) >= 0.99
+
+
+@pytest.fixture(scope="module")
+def clustered_10x(tmp_path_factory):
+    """10× clustered corpus with 200 planted near-dup twins +
+    throwaway artifact store (same hygiene as clustered_dir)."""
+    import os
+
+    from tools.clustered_fixture import write_clustered_10x
+
+    store = str(tmp_path_factory.mktemp("arts10"))
+    old = os.environ.get("SPARK_GRAFT_ARTIFACTS")
+    os.environ["SPARK_GRAFT_ARTIFACTS"] = store
+    V._PQ_CODEBOOKS.clear()
+    D._COSINE_PAIRS_CACHE.clear()
+    try:
+        yield write_clustered_10x(
+            str(tmp_path_factory.mktemp("clustered10") / "sf")
+        )
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_ARTIFACTS", None)
+        else:
+            os.environ["SPARK_GRAFT_ARTIFACTS"] = old
+        V._PQ_CODEBOOKS.clear()
+        D._COSINE_PAIRS_CACHE.clear()
+
+
+class TestDedupClusteredAt10x:
+    """VERDICT r6 #7: the dedup side's recall story at 10×, against
+    PLANTED near-dups (known truth — no O(N²) brute force)."""
+
+    def test_planted_recall_and_candidate_volume(
+        self, spark, clustered_10x
+    ):
+        sf_dir, planted = clustered_10x
+        # (a) DEFAULT dials: every planted twin recovered
+        got = _pairs(
+            D.dedup_embedding_cosine(spark, sf_dir), "vec_a", "vec_b"
+        )
+        want = {(a, b) for a, b in planted}
+        recall = len(got & want) / len(want)
+        assert recall >= 0.99, f"planted recall {recall}"
+
+        # (b) clustered-corpus operating point: the default
+        # target_bucket=64 sizing accepts ~512/n of all pairs as
+        # candidates BY DESIGN (≈10% at n=5200, shrinking with n);
+        # cluster-fat buckets push it to ~20% here. The documented
+        # production dial for clustered geometry — target_bucket=8,
+        # i.e. 3 more planes — must hold BOTH ≥0.99 planted recall
+        # and <10% candidate volume at this scale.
+        from dbt_eamples_spark.operators.similarity import (
+            DEDUP_LSH_TABLES,
+            DEDUP_PROBE_FLIPS,
+            lsh_planes,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+        v = emb.select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"), lambda x: x.cast("double")
+            ).alias("vec"),
+        )
+        n = emb.count()
+        sized = lsh_planes(n, target_bucket=8)
+        cands = D.lsh_candidate_pairs(
+            v,
+            tables=DEDUP_LSH_TABLES,
+            flips=DEDUP_PROBE_FLIPS,
+            nplanes=sized,
+        ).localCheckpoint(eager=True)
+        n_cands = cands.count()
+        all_pairs = n * (n - 1) // 2
+        assert n_cands < 0.10 * all_pairs, (
+            f"candidates {n_cands} ≥ 10% of {all_pairs}"
+        )
+        got_sized = _pairs(
+            D.dedup_embedding_cosine(spark, sf_dir, nplanes=sized),
+            "vec_a",
+            "vec_b",
+        )
+        recall_sized = len(got_sized & want) / len(want)
+        assert recall_sized >= 0.99, f"sized recall {recall_sized}"
+
+    def test_semantic_clusters_unite_planted_twins(
+        self, spark, clustered_10x
+    ):
+        sf_dir, planted = clustered_10x
+        keep = {
+            r.vec_id: r.cluster_id
+            for r in D.dedup_semantic_clusters(spark, sf_dir).collect()
+        }
+        united = sum(
+            1
+            for a, b in planted
+            if keep.get(a) is not None and keep.get(a) == keep.get(b)
+        )
+        assert united / len(planted) >= 0.99

@@ -181,6 +181,44 @@ class TestStrictSeam:
         got = decode_features_frame(bt, decode_stub="strict").collect()
         assert {r["doc_id"] for r in got} == {1, 2, 3}
 
+    def test_codec_stats_matches_generative_formula(self, spark):
+        """multimodal_codec_stats' Spark side (encode → strict
+        decode → features) must equal the closed form the oracle
+        computes — checked here in pure python for a few doc_ids of
+        each kind (the driver row re-checks via DuckDB)."""
+        from dbt_eamples_spark.operators.multimodal import (
+            _codec_payload_batch,
+            _strict_decode,
+        )
+        import pandas as pd
+
+        batch = _codec_payload_batch(
+            pd.DataFrame({"doc_id": [3, 9, 1, 7, 2, 11]})
+        )
+        feats = {
+            r.doc_id: r.features
+            for r in _strict_decode(batch).itertuples()
+        }
+        for d in (3, 9):  # PNG
+            vals = [(d * 31 + i) % 256 for i in range(64)]
+            f = feats[d]
+            assert f[:3] == [8.0, 8.0, 1.0]
+            assert abs(f[3] - sum(vals) / 64 / 255) < 1e-12
+            assert f[7] == sum(v > 127 for v in vals) / 64
+        for d in (1, 7):  # GIF
+            vals = [85 * ((d + i) % 4) for i in range(64)]
+            f = feats[d]
+            assert f[:3] == [8.0, 8.0, 3.0]
+            assert abs(f[3] - sum(vals) / 64 / 255) < 1e-12
+            assert f[4] == f[5] == f[6]
+        for d in (2, 11):  # WAV
+            ks = [((d * 7 + i * 13) % 2001) - 1000 for i in range(64)]
+            pcm = [min(round(k / 1000.0 * 32768.0), 32767) for k in ks]
+            mono = [p / 32768.0 for p in pcm]
+            f = feats[d]
+            assert f[:4] == [8000.0, 64.0, 1.0, 64 / 8000]
+            assert abs(f[7] - sum(mono) / 64) < 1e-15
+
 
 class TestProgressive:
     """SOF2 multi-scan decode: the progressive stream quantizes

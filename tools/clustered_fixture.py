@@ -81,3 +81,63 @@ def write_clustered(sf_dir: str) -> str:
     pq.write_table(table, tmp)
     os.replace(tmp, path)
     return sf_dir
+
+
+def write_clustered_10x(
+    sf_dir: str, plant: int = 200, n_clusters: int = 100
+) -> tuple[str, list[tuple[int, int]]]:
+    """10× clustered corpus (VERDICT r6 #7): 10·N_VECS mixture
+    vectors plus ``plant`` PLANTED near-dup twins — twin ``10·N+p``
+    copies base ``p·(10·N//plant)`` with 0.01-scale noise (cosine
+    ≈ 0.999, far above COSINE_NEAR_DUP), so dedup recall at scale is
+    measured against known-true pairs instead of an O(N²) brute
+    force. The mode count grows with the corpus (100 clusters vs the
+    1× fixture's 10 — a 10× real corpus has more topics, not 10×
+    fatter ones), which keeps the genuinely-near-dup pair fraction
+    ~1%: a fixture where 10%+ of ALL pairs are true near-dups can't
+    meaningfully bound candidate volume. Returns
+    (sf_dir, planted_pairs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 10 * N_VECS
+    cents = [
+        [_u(f"cent:{c}:{d}") for d in range(DIM)]
+        for c in range(n_clusters)
+    ]
+    rows = []
+    for i in range(n):
+        c = i % n_clusters
+        vec = [
+            round(cents[c][d] + NOISE_SCALE * _u(f"n10:{i}:{d}"), 6)
+            for d in range(DIM)
+        ]
+        rows.append((i, vec, c))
+    planted = []
+    stride = n // plant
+    for p in range(plant):
+        base = p * stride
+        bvec = rows[base][1]
+        tvec = [
+            round(bvec[d] + 0.01 * _u(f"tw:{p}:{d}"), 6)
+            for d in range(DIM)
+        ]
+        rows.append((n + p, tvec, rows[base][2]))
+        planted.append((base, n + p))
+
+    os.makedirs(sf_dir, exist_ok=True)
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(path):
+        table = pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array(
+                    [r[1] for r in rows], pa.list_(pa.float32())
+                ),
+                "label": pa.array([r[2] for r in rows], pa.int32()),
+            }
+        )
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    return sf_dir, planted
