@@ -35,8 +35,15 @@ BENCH_EXCLUDE: dict[str, str] = {
 
 
 def _bench_names() -> list[str]:
+    # FIXED alphabetical run order (VERDICT r6 #6): queries() is
+    # re-ordered every round by the driver-rotation priority list,
+    # so following it made each round's bench run a DIFFERENT
+    # order — page-cache/JIT neighbors changed and per-query deltas
+    # picked up ~1.2× run-order noise (the round-6 ANN/dedup "drift"
+    # profiled to exactly this: solo reruns matched r1). Sorting
+    # pins the order so round-over-round deltas are signal.
     qs = entrymod.queries()
-    return [n for n in qs if n not in BENCH_EXCLUDE]
+    return sorted(n for n in qs if n not in BENCH_EXCLUDE)
 
 
 

@@ -73,7 +73,10 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             fp,
             "src",
             lambda: _copurchase_edges_build(spark, sf_dir),
-        )
+        ).persist()  # InMemoryRelation PRESERVES the bucket
+        # partitioning (unlike localCheckpoint's RDD scan), so
+        # repeat consumers skip the parquet decode AND keep the
+        # exchange-free src-keyed plans
         _EDGES_CACHE[key] = df
     return df
 
@@ -198,7 +201,7 @@ def _copurchase_weighted_edges(
             fp,
             "src",
             lambda: _copurchase_weighted_edges_build(spark, sf_dir),
-        )
+        ).persist()  # partitioning-preserving cache, as unweighted
         _WEDGES_CACHE[key] = df
     return df
 
