@@ -154,6 +154,10 @@ _R7_PRIORITY = [
     # (2) new in round 7 — never-checked by construction
     "dedup_threshold_curve",
     "multimodal_codec_stats",
+    "agg_theil_index",
+    "text_ngram_novelty",
+    "embedding_matryoshka_eval",
+    "dedup_cascade_attrition",
     # (3) latest driver row is r1 — oldest cohort, fill to 50
     "scan_table",
     "sql_execute_limit",
@@ -180,12 +184,12 @@ _R7_PRIORITY = [
     "hex_decode_utf8",
     "round_decimals",
     "regexp_redact",
+    # ---- position 51+ (round 8's front): the rest of the
+    # r1-latest cohort, then the r2-latest cohort ----
     "string_chunk",
     "sanitize_name",
     "text_token_stats",
     "text_lang_id",
-    # ---- position 51+ (round 8's front): the rest of the
-    # r1-latest cohort, then the r2-latest cohort ----
     "text_quality_score",
     "text_token_count_bpe",
     "doc_fingerprint",
@@ -249,6 +253,14 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # strict PNG/GIF/WAV encode→decode round trip vs the
         # generative closed form (all three codec magics gated)
         "multimodal_codec_stats": M.multimodal_codec_stats,
+        # Theil T inequality index (decomposable Gini/HHI companion)
+        "agg_theil_index": B.agg_theil_index,
+        # per-doc first-occurrence 3-gram novelty fraction
+        "text_ngram_novelty": T.text_ngram_novelty,
+        # Matryoshka prefix-dim retrieval-overlap eval
+        "embedding_matryoshka_eval": V.embedding_matryoshka_eval,
+        # dedup funnel: per-stage attrition (exact→near-dup→span)
+        "dedup_cascade_attrition": D.dedup_cascade_attrition,
         # --- round-6 additions ---
         # TPC-H Q2 shape: correlated-MIN cheapest supplier per part
         "part_cheapest_supplier": R.part_cheapest_supplier,

@@ -859,6 +859,60 @@ def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of revenue concentration across
+    parts — T = (1/n)·Σ (xᵢ/μ)·ln(xᵢ/μ) (Theil 1967). Completes the
+    inequality toolkit next to `agg_gini_revenue` (rank-based) and
+    `agg_hhi_concentration` (share-squares): Theil is the only one
+    that DECOMPOSES additively into between-group + within-group
+    terms, which is why mix audits report it.
+
+    Engine-exact: xᵢ/μ = (xᵢ·n)/Σx with both operands exact
+    decimals cast to double (one correctly-rounded division); its
+    ln is pre-rounded 6dp (JVM Math.log vs libm drift — the
+    text_word_entropy recipe); each term folds as a 1e9 fixed-point
+    BIGINT so the sum is order-independent.
+
+    Scale shape: fact-table cents aggregate (1 exchange), one-row
+    total broadcast back, one-row final fold — the catalog-bounded
+    per-part slice never leaves the executors."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    rev = (
+        li.select("l_partkey", cents.alias("cents"))
+        .groupBy("l_partkey")
+        .agg(F.sum("cents").cast("decimal(38,0)").alias("rev"))
+    )
+    tot = rev.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rev").cast("decimal(38,0)").alias("sx"),
+    )
+    ratio = (
+        F.col("rev") * F.col("n")
+    ).cast("double") / F.col("sx").cast("double")
+    term_fp = F.round(
+        ratio * F.round(F.log(ratio), 6) * 1e9
+    ).cast("long")
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .select("n", "sx", term_fp.alias("t_fp"))
+        .groupBy("n", "sx")
+        .agg(F.sum("t_fp").alias("s_fp"))
+        .select(
+            F.col("n").alias("n_parts"),
+            F.col("sx").cast("long").alias("total_cents"),
+            F.round(
+                F.col("s_fp").cast("double")
+                / 1e9
+                / F.col("n").cast("double"),
+                6,
+            ).alias("theil"),
+        )
+    )
+
+
 # ---- EWMA smoothing (ts family) --------------------------------------------
 EWMA_SCALE = 10**6  # fixed-point smoothing state: 6 fractional digits
 

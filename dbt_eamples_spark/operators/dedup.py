@@ -1287,3 +1287,81 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tau")
     )
+
+
+CASCADE_SPAN_RATIO = 0.5  # stage-3 cut: drop docs >=50% duplicated spans
+
+
+def dedup_cascade_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup FUNNEL report: how many documents each cascade
+    stage removes, in the precedence order a curation pipeline runs
+    them — (1) exact normalized-text dups (cheapest), (2) MinHash
+    near-dup cluster non-canonicals, (3) span-heavy boilerplate
+    (``dup_ratio`` ≥ CASCADE_SPAN_RATIO from the exact-substring
+    profile). One row per stage with the removal count, survivors
+    after the stage, and the cumulative removed fraction — the
+    attrition curve a curator reads next to
+    :func:`dedup_threshold_curve` before committing the destructive
+    pass (`corpus_keep_list` is the per-doc verdict twin of stages
+    1–2; this is the funnel SUMMARY with the span tier added).
+
+    Scale shape: one fingerprint window exchange (stage 1), the
+    cluster assignment broadcast (bounded by pair-involved docs),
+    one doc-keyed join against the span profile, then a 3-row
+    spine aggregate — the corpus is never joined to itself here;
+    all pairwise evidence comes from the bounded upstream
+    operators."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    w = Window.partitionBy("fp")
+    exact = docs.select("doc_id", F.md5(norm).alias("fp")).select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("exact_keep"),
+    )
+    clusters = dedup_clusters(spark, sf_dir).select(
+        F.col("doc_id").alias("cl_doc_id"), F.col("keep").alias("cl_keep")
+    )
+    spans = dedup_substring_spans(spark, sf_dir).select(
+        "doc_id", "dup_ratio"
+    )
+    stage = (
+        F.when(~F.col("exact_keep"), F.lit(1))
+        .when(F.col("cl_keep").isNotNull() & ~F.col("cl_keep"), F.lit(2))
+        .when(F.col("dup_ratio") >= CASCADE_SPAN_RATIO, F.lit(3))
+        .otherwise(F.lit(0))
+    )
+    staged = (
+        exact.join(
+            F.broadcast(clusters),
+            exact.doc_id == clusters.cl_doc_id,
+            "left",
+        )
+        .join(spans, "doc_id", "left")
+        .select(stage.cast("int").alias("stage"))
+    )
+    counts = staged.groupBy("stage").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = docs.agg(F.count("*").cast("long").alias("nd"))
+    spine = spark.createDataFrame(
+        [(1, "exact"), (2, "near_dup"), (3, "span_heavy")],
+        "stage int, stage_name string",
+    )
+    wcum = Window.orderBy("stage").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = F.sum(F.coalesce("n", F.lit(0))).over(wcum).cast("long")
+    return (
+        spine.join(F.broadcast(counts), "stage", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "stage",
+            "stage_name",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_removed"),
+            (F.col("nd") - cum).cast("long").alias("n_surviving"),
+            F.round(
+                cum.cast("double") / F.col("nd").cast("double"), 6
+            ).alias("cum_removed_frac"),
+        )
+        .orderBy("stage")
+    )

@@ -2297,3 +2297,78 @@ def embedding_pca_topvar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component int, n_vectors long, eigenvalue double, "
         "explained_ratio double, cumulative_ratio double",
     ).orderBy("component")
+
+
+# ---- Matryoshka truncation eval (round 7) -----------------------------------
+MATRYOSHKA_DIMS = (8, 16, 32)
+
+
+def embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation eval (Kusupati et al. 2022,
+    arXiv:2205.13147): how much of the FULL-dimension top-k survives
+    when retrieval runs on a prefix of the embedding (8/16/32 of 64
+    dims) — the table a pipeline reads before committing to
+    truncated vectors for the cheap first-stage scan (prefix dims
+    cut ADC/scan cost proportionally; this measures the recall
+    price). Output: one row per (dims, query) with the overlap
+    count/fraction against the 64-dim top-k.
+
+    Exactness: each truncated pass is the `similarity_topk` recipe
+    verbatim on `slice(vec, 1, d)` — same rounded-6dp cosine, same
+    (cosine DESC, neighbor ASC) total order — so both engines pick
+    identical top-k sets and the overlap counts are exact integers.
+
+    Scale shape: (1 + |dims|) brute-force scored passes, each the
+    broadcast-query shape with local top-k reduction (`_topk`'s
+    partition-local phase) — no pairwise joins; overlaps are
+    |Q|·k-row broadcast joins."""
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id", _as_double_vec(F.col("embedding")).alias("vec")
+    )
+
+    def _topk_at(d: int | None) -> DataFrame:
+        v = (
+            emb.select("vec_id", F.slice("vec", 1, d).alias("vec"))
+            if d is not None
+            else emb
+        )
+        q = v.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+        )
+        scored = v.join(
+            F.broadcast(q), F.col("vec_id") != F.col("query_id")
+        ).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_cosine(F.col("qvec"), F.col("vec")), 6).alias("cosine"),
+        )
+        return _topk(scored, TOP_K).select("query_id", "neighbor_id")
+
+    full = _topk_at(None).localCheckpoint(eager=True)
+    queries = full.select("query_id").distinct()
+    parts = []
+    for d in MATRYOSHKA_DIMS:
+        hits = (
+            _topk_at(d)
+            .join(full, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count("*").cast("long").alias("n_overlap"))
+        )
+        parts.append(
+            queries.join(F.broadcast(hits), "query_id", "left").select(
+                F.lit(d).cast("int").alias("dims"),
+                "query_id",
+                F.coalesce("n_overlap", F.lit(0))
+                .cast("long")
+                .alias("n_overlap"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "dims",
+        "query_id",
+        "n_overlap",
+        F.round(F.col("n_overlap") / F.lit(float(TOP_K)), 6).alias("overlap"),
+    ).orderBy("dims", "query_id")

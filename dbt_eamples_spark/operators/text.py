@@ -1306,3 +1306,53 @@ def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s_fp") + rem_a + rem_b).cast("double") / 2e9, 6
         ).alias("js_nats"),
     ).orderBy("sa", "sb")
+
+
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram novelty: the fraction of a document's DISTINCT
+    word-3-grams whose global first occurrence (min doc_id over the
+    corpus) is this document — the curriculum/ordering diagnostic a
+    curation pipeline plots to see how fast fresh content decays as
+    the corpus accretes (boilerplate-heavy tails score ~0; the
+    inverse view of `text_line_dedup`'s duplicated-segment fraction,
+    at gram granularity and attributed to the EARLIEST holder).
+
+    Shares :func:`dedup._shingles`' exact shingle recipe (and its
+    SQL twin), so novelty is measured on the same units the dedup
+    cascade blocks on.
+
+    Scale shape: one tokenize pass → (doc, gram) explode with ONE
+    gram-keyed exchange for the first-occurrence window (viral grams
+    are AQE-splittable window keys), then one doc-keyed aggregate.
+    No joins, nothing pairwise."""
+    from pyspark.sql import Window
+
+    from dbt_eamples_spark.operators.dedup import _shingles
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    g = _shingles(docs).select(
+        "doc_id", F.explode("shingles").alias("gram")
+    )
+    w = Window.partitionBy("gram")
+    flagged = g.select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(w))
+        .cast("int")
+        .alias("novel"),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum("novel").cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_grams"), 6
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

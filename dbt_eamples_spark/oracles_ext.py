@@ -5826,3 +5826,165 @@ EXT_ORACLES["multimodal_codec_stats"] = r"""
     FROM wavf
     ORDER BY doc_id
 """
+
+
+# Mirror of behavior.agg_theil_index: identical (x·n)/Σx double
+# division, 6dp-prerounded ln, 1e9 fixed-point term folds.
+EXT_ORACLES["agg_theil_index"] = """
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                   AS BIGINT)) AS HUGEINT) AS rev
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(rev) AS HUGEINT) AS sx
+        FROM rev
+    ),
+    terms AS (
+        SELECT t.n, t.sx,
+               CAST(ROUND(
+                   CAST(r.rev * t.n AS DOUBLE) / CAST(t.sx AS DOUBLE)
+                   * ROUND(ln(CAST(r.rev * t.n AS DOUBLE)
+                              / CAST(t.sx AS DOUBLE)), 6)
+                   * 1e9) AS BIGINT) AS t_fp
+        FROM rev r CROSS JOIN tot t
+    )
+    SELECT n AS n_parts,
+           CAST(sx AS BIGINT) AS total_cents,
+           round(CAST(SUM(t_fp) AS DOUBLE) / 1e9 / CAST(n AS DOUBLE), 6)
+               AS theil
+    FROM terms GROUP BY n, sx
+"""
+
+
+# Mirror of text.text_ngram_novelty over the shared SHINGLES recipe.
+EXT_ORACLES["text_ngram_novelty"] = f"""
+    WITH sh AS ({{SHINGLES}}),
+    g AS (SELECT doc_id, unnest(shingles) AS gram FROM sh),
+    f AS (
+        SELECT doc_id,
+               CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY gram)
+                    THEN 1 ELSE 0 END AS novel
+        FROM g
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(SUM(novel) AS BIGINT) AS n_novel,
+           round(CAST(SUM(novel) AS DOUBLE) / count(*), 6) AS novelty
+    FROM f GROUP BY doc_id ORDER BY doc_id
+""".format(SHINGLES=SHINGLES)
+
+
+def _matryoshka_oracle_sql() -> str:
+    """Mirror of similarity.embedding_matryoshka_eval: the
+    similarity_topk recipe per prefix length on list_slice'd
+    vectors, overlap vs the full-dim top-k as exact integers."""
+    from dbt_eamples_spark.operators.similarity import (
+        MATRYOSHKA_DIMS,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    def _pass(tag: str, vec_expr: str) -> str:
+        return f"""
+        v{tag} AS (SELECT vec_id, {vec_expr} AS vec FROM base),
+        q{tag} AS (SELECT vec_id AS query_id, vec AS qvec
+                   FROM v{tag} WHERE vec_id < {N_QUERIES}),
+        top{tag} AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, v.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY round({_cos('qvec', 'v.vec')}, 6)
+                               DESC, v.vec_id ASC) AS rk
+                FROM v{tag} v JOIN q{tag} q ON v.vec_id != q.query_id
+            ) WHERE rk <= {TOP_K}
+        )"""
+
+    passes = [_pass("full", "vec")] + [
+        _pass(str(d), f"list_slice(vec, 1, {d})") for d in MATRYOSHKA_DIMS
+    ]
+    branches = " UNION ALL ".join(
+        f"""
+        SELECT CAST({d} AS INT) AS dims, qs.query_id,
+               CAST(COALESCE(h.n, 0) AS BIGINT) AS n_overlap
+        FROM queries qs LEFT JOIN (
+            SELECT t.query_id, CAST(count(*) AS BIGINT) AS n
+            FROM top{d} t JOIN topfull f
+              ON t.query_id = f.query_id
+             AND t.neighbor_id = f.neighbor_id
+            GROUP BY t.query_id
+        ) h ON qs.query_id = h.query_id"""
+        for d in MATRYOSHKA_DIMS
+    )
+    return f"""
+        WITH base AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> x::DOUBLE) AS vec
+            FROM embeddings
+        ),{','.join(passes)},
+        queries AS (SELECT DISTINCT query_id FROM topfull)
+        SELECT dims, query_id, n_overlap,
+               round(n_overlap / {float(TOP_K)!r}, 6) AS overlap
+        FROM ({branches})
+        ORDER BY dims, query_id
+    """
+
+
+EXT_ORACLES["embedding_matryoshka_eval"] = _matryoshka_oracle_sql()
+
+
+def _cascade_attrition_oracle_sql() -> str:
+    """Mirror of dedup.dedup_cascade_attrition: composes the
+    UNCHANGED dedup_clusters and dedup_substring_spans twins with
+    the exact-fingerprint window, then folds the 3-row funnel."""
+    from dbt_eamples_spark.operators.dedup import CASCADE_SPAN_RATIO
+
+    return f"""
+        WITH clusters AS ({EXT_ORACLES["dedup_clusters"]}),
+        spans AS ({EXT_ORACLES["dedup_substring_spans"]}),
+        ek AS (
+            SELECT doc_id,
+                   doc_id = MIN(doc_id) OVER (PARTITION BY fp)
+                       AS exact_keep
+            FROM (SELECT doc_id,
+                         md5(trim(regexp_replace(lower(text), '\\s+',
+                                                 ' ', 'g'))) AS fp
+                  FROM documents)
+        ),
+        st AS (
+            SELECT e.doc_id,
+                   CASE WHEN NOT e.exact_keep THEN 1
+                        WHEN c.keep IS NOT NULL AND NOT c.keep THEN 2
+                        WHEN s.dup_ratio >= {CASCADE_SPAN_RATIO} THEN 3
+                        ELSE 0 END AS stage
+            FROM ek e
+            LEFT JOIN clusters c ON e.doc_id = c.doc_id
+            LEFT JOIN spans s ON e.doc_id = s.doc_id
+        ),
+        cnt AS (
+            SELECT stage, CAST(count(*) AS BIGINT) AS n
+            FROM st GROUP BY stage
+        ),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+        spine(stage, stage_name) AS (
+            VALUES (1, 'exact'), (2, 'near_dup'), (3, 'span_heavy')
+        )
+        SELECT sp.stage, sp.stage_name,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS n_removed,
+               CAST(nd - SUM(COALESCE(c.n, 0))
+                        OVER (ORDER BY sp.stage) AS BIGINT)
+                   AS n_surviving,
+               round(CAST(SUM(COALESCE(c.n, 0))
+                          OVER (ORDER BY sp.stage) AS DOUBLE)
+                     / CAST(nd AS DOUBLE), 6) AS cum_removed_frac
+        FROM spine sp
+        LEFT JOIN cnt c ON sp.stage = c.stage
+        CROSS JOIN tot
+        ORDER BY sp.stage
+    """
+
+
+EXT_ORACLES["dedup_cascade_attrition"] = _cascade_attrition_oracle_sql()

@@ -1,0 +1,145 @@
+"""Round-7 operator cross-checks: Theil index, n-gram novelty,
+Matryoshka eval, and the dedup cascade funnel against pure-python
+references / internal invariants on the sf0.001 fixture."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from dbt_eamples_spark.catalog import load_table
+
+
+def test_theil_matches_python(spark, sf_dir):
+    from dbt_eamples_spark.operators.behavior import agg_theil_index
+
+    li = load_table(spark, sf_dir, "lineitem").collect()
+    rev: dict[int, int] = defaultdict(int)
+    for r in li:
+        # HALF_UP like Spark/DuckDB round() — python round() is
+        # banker's and disagrees on exact .5 cents
+        rev[r.l_partkey] += math.floor(
+            r.l_extendedprice * (1 - r.l_discount) * 100 + 0.5
+        )
+    n, sx = len(rev), sum(rev.values())
+    s_fp = 0
+    for x in rev.values():
+        ratio = (x * n) / sx
+        s_fp += round(ratio * round(math.log(ratio), 6) * 1e9)
+    want = round(s_fp / 1e9 / n, 6)
+    row = agg_theil_index(spark, sf_dir).collect()[0]
+    assert row.n_parts == n
+    assert row.total_cents == sx
+    assert abs(row.theil - want) < 1e-9
+    assert row.theil >= 0  # Theil T is non-negative
+
+
+def test_ngram_novelty_matches_python(spark, sf_dir):
+    from dbt_eamples_spark.operators.text import text_ngram_novelty
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    first: dict[str, int] = {}
+    per_doc: dict[int, list[str]] = {}
+    for d in sorted(docs, key=lambda r: r.doc_id):
+        toks = d.text.lower().split()
+        n = max(len(toks) - 2, 1)
+        grams = list({" ".join(toks[i : i + 3]) for i in range(n)})
+        per_doc[d.doc_id] = grams
+        for g in grams:
+            if g not in first or d.doc_id < first[g]:
+                first[g] = d.doc_id
+    got = {r.doc_id: r for r in text_ngram_novelty(spark, sf_dir).collect()}
+    assert set(got) == set(per_doc)
+    for doc_id, grams in per_doc.items():
+        novel = sum(1 for g in grams if first[g] == doc_id)
+        r = got[doc_id]
+        assert r.n_grams == len(grams)
+        assert r.n_novel == novel
+        assert r.novelty == round(novel / len(grams), 6)
+    # doc 0 cohort: the earliest doc's grams are all novel
+    min_doc = min(per_doc)
+    assert got[min_doc].novelty == 1.0
+
+
+def test_matryoshka_overlap_matches_brute(spark, sf_dir):
+    from dbt_eamples_spark.operators.similarity import (
+        MATRYOSHKA_DIMS,
+        N_QUERIES,
+        TOP_K,
+        embedding_matryoshka_eval,
+    )
+
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def topk(d):
+        out = {}
+        for q in range(N_QUERIES):
+            qv = vecs[q][:d] if d else vecs[q]
+            scored = []
+            for vid, v in vecs.items():
+                if vid == q:
+                    continue
+                vv = v[:d] if d else v
+                dot = 0.0
+                for x, y in zip(qv, vv):
+                    dot += x * y
+                na = math.sqrt(sum(x * x for x in qv))
+                nb = math.sqrt(sum(x * x for x in vv))
+                scored.append((round(dot / (na * nb), 6), vid))
+            scored.sort(key=lambda t: (-t[0], t[1]))
+            out[q] = {vid for _, vid in scored[:TOP_K]}
+        return out
+
+    full = topk(None)
+    got = {
+        (r.dims, r.query_id): r
+        for r in embedding_matryoshka_eval(spark, sf_dir).collect()
+    }
+    assert len(got) == len(MATRYOSHKA_DIMS) * N_QUERIES
+    for d in MATRYOSHKA_DIMS:
+        trunc = topk(d)
+        for q in range(N_QUERIES):
+            want = len(trunc[q] & full[q])
+            r = got[(d, q)]
+            assert r.n_overlap == want, (d, q, r.n_overlap, want)
+            assert r.overlap == round(want / TOP_K, 6)
+
+
+def test_cascade_funnel_invariants(spark, sf_dir):
+    from dbt_eamples_spark.operators.dedup import (
+        dedup_cascade_attrition,
+        dedup_clusters,
+        dedup_exact,
+    )
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    rows = {r.stage: r for r in dedup_cascade_attrition(spark, sf_dir).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert [rows[s].stage_name for s in (1, 2, 3)] == [
+        "exact",
+        "near_dup",
+        "span_heavy",
+    ]
+    # stage 1 removal = exact-dup copies beyond the keeper
+    exact_removed = sum(
+        r.n_copies - 1 for r in dedup_exact(spark, sf_dir).collect()
+    )
+    assert rows[1].n_removed == exact_removed
+    # stage 2 removal <= cluster non-canonicals (precedence: some
+    # were already exact dups)
+    non_canon = dedup_clusters(spark, sf_dir).filter(~F.col("keep")).count()
+    assert rows[2].n_removed <= non_canon
+    # funnel conservation + monotone survivors
+    cum = 0
+    prev_surv = n_docs
+    for s in (1, 2, 3):
+        cum += rows[s].n_removed
+        assert rows[s].n_surviving == n_docs - cum
+        assert rows[s].n_surviving <= prev_surv
+        prev_surv = rows[s].n_surviving
+        assert rows[s].cum_removed_frac == round(cum / n_docs, 6)
