@@ -892,7 +892,9 @@ def graph_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("community_size")
     )
     return (
-        labels.join(sizes, "lbl")
+        # sizes is community-bounded (≤ |nodes| rows): broadcast so
+        # the checkpointed label table isn't re-shuffled on lbl
+        labels.join(F.broadcast(sizes), "lbl")
         .select(
             F.col("node").alias("l_partkey"),
             F.col("lbl").cast("long").alias("community"),

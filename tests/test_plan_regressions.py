@@ -219,10 +219,11 @@ class TestShuffleBudgets:
         # unigram LM pass) + vocab-grid aggs/window + the (prev,cur)
         # scoring join + per-doc agg + the doc-spine right join
         "text_perplexity_bigram": 8,
-        # audited plan is post-peel (each round's shrinking edge
-        # set is checkpointed): final core degree agg + the ordered
-        # output's range exchange
-        "graph_kcore": 2,
+        # audited plan is post-peel (each round's shrinking edge set
+        # is persist()ed, partitioning-preserving): the src-bucketed
+        # core makes the degree agg exchange-free — only the ordered
+        # output's range exchange remains
+        "graph_kcore": 1,
         # post-checkpoint (the centered daily grid is materialized
         # once for its three consumers): energy agg + the lag-join
         # side + pair agg — all riding the calendar-bounded grid;
@@ -265,9 +266,10 @@ class TestShuffleBudgets:
         # three consumers): lag join + horizon attach broadcast on
         # the calendar-bounded grid; per-type agg + ordered output
         "ts_forecast_snaive": 3,
-        # basket agg + edge distinct + degree agg + the degree-grid
-        # fold (single final agg); no ordered output (one row)
-        "graph_degree_powerlaw": 4,
+        # bucketed edge artifact: the src degree agg is exchange-free,
+        # the degree-grid fold is the one exchange (single final
+        # agg); no ordered output (one row)
+        "graph_degree_powerlaw": 1,
         # decorrelated Q2 plan: (part, supp) unit-price agg + the
         # per-part MIN agg joined back + ordered output; part and
         # supplier attach broadcast
@@ -342,10 +344,12 @@ class TestShuffleBudgets:
         # in-block self-joins are bk-keyed (broadcast locally, SHJ
         # at scale) — never a cross join
         "customer_entity_match": 6,
-        # audited tail past the per-round checkpoints: size agg +
-        # size attach + ordered output (each LPA round itself is 3
-        # key exchanges — join/vote/window — lineage-cut per round)
-        "graph_community_lpa": 3,
+        # audited tail past the per-round label checkpoints: size agg
+        # + ordered output (sizes attach broadcast); each LPA round
+        # itself is now exchange-FREE on the bucketed edges —
+        # broadcast label join, src-keyed vote agg and mode window
+        # ride the bucket partitioning
+        "graph_community_lpa": 2,
         # audited tail past the spine checkpoint: the day-keyed lag
         # align + (pair, lag) moment fold + ordered output, plus the
         # AQE rebalance pair the daily-rollup checkpoint introduced —
@@ -363,9 +367,10 @@ class TestShuffleBudgets:
         # audited tail past the daily-rollup checkpoint (one corpus
         # exchange + scan): bounded-frame median window + ordered out
         "ts_rolling_median": 2,
-        # edge artifact cut: degree agg + single-row moment fold;
-        # degree table broadcasts to both edge ends (no edge shuffle)
-        "graph_assortativity": 2,
+        # bucketed edge artifact: src degree agg exchange-free, degree
+        # table broadcasts to both edge ends, single-row moment fold
+        # aggregates in place — zero exchanges
+        "graph_assortativity": 0,
         # in-row norm fold (no explode): one label-keyed moment
         # exchange + ordered ≤|labels|-row output
         "embedding_norm_stats": 2,
@@ -385,6 +390,25 @@ class TestShuffleBudgets:
         # d(d+1)/2 rows) is consumed into bounded model state like
         # the k-means/BPE training collects
         "embedding_pca_topvar": 1,
+        # --- round 7 ---
+        # audited tail past the pair-set checkpoint: tau-grid pair
+        # agg + doc-explode distinct agg (2 exchanges each for the
+        # partial/final distinct) — all over pair-OUTPUT volume
+        "dedup_threshold_curve": 4,
+        # two Arrow map stages + the ordered output only
+        "multimodal_codec_stats": 1,
+        # fact cents agg + the final one-row fold's partial exchange
+        "agg_theil_index": 2,
+        # parallelize repartition + gram first-occurrence window +
+        # doc agg + ordered output
+        "text_ngram_novelty": 4,
+        # (1+3 dims) × local-topk reduction (|Q|·parts·k rows) +
+        # rank windows + the final ordered union — every exchange is
+        # |Q|-bounded, never corpus-sized
+        "embedding_matryoshka_eval": 11,
+        # fingerprint window + span-profile join side + the 3-row
+        # funnel spine folds; cluster verdicts broadcast
+        "dedup_cascade_attrition": 5,
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))
