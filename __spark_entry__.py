@@ -158,6 +158,8 @@ _R7_PRIORITY = [
     "text_ngram_novelty",
     "embedding_matryoshka_eval",
     "dedup_cascade_attrition",
+    "agg_winsorized_mean",
+    "ts_seasonal_anomaly",
     # (3) latest driver row is r1 — oldest cohort, fill to 50
     "scan_table",
     "sql_execute_limit",
@@ -182,10 +184,10 @@ _R7_PRIORITY = [
     "limit_offset_page",
     "intersect_except",
     "hex_decode_utf8",
-    "round_decimals",
-    "regexp_redact",
     # ---- position 51+ (round 8's front): the rest of the
     # r1-latest cohort, then the r2-latest cohort ----
+    "round_decimals",
+    "regexp_redact",
     "string_chunk",
     "sanitize_name",
     "text_token_stats",
@@ -261,6 +263,10 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_matryoshka_eval": V.embedding_matryoshka_eval,
         # dedup funnel: per-stage attrition (exact→near-dup→span)
         "dedup_cascade_attrition": D.dedup_cascade_attrition,
+        # robust winsorized mean per type (p05/p95 clip)
+        "agg_winsorized_mean": Q.agg_winsorized_mean,
+        # seasonality-adjusted residual anomaly flags (med±K·MAD)
+        "ts_seasonal_anomaly": B.ts_seasonal_anomaly,
         # --- round-6 additions ---
         # TPC-H Q2 shape: correlated-MIN cheapest supplier per part
         "part_cheapest_supplier": R.part_cheapest_supplier,

@@ -2327,3 +2327,53 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("lift"), "part_a", "part_b"
     ).limit(LIFT_TOP_K)
+
+
+SEASONAL_ANOM_K = 3  # |residual - med| > K * MAD flags
+
+
+def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly flags: days whose DECOMPOSITION
+    RESIDUAL sits more than ``SEASONAL_ANOM_K``·MAD from the
+    per-type residual median — the triage view that doesn't page on
+    'Mondays are always like this' (the raw-count z-score/Hampel
+    flags do; this one subtracts trend+seasonal first and applies
+    the robust test to what's left).
+
+    Composes :func:`ts_seasonal_decompose` UNCHANGED (its residuals
+    are already engine-exact 6dp doubles), then the agg_mad_outliers
+    recipe on the residual column: exact percentile median/MAD
+    (percentile ≡ quantile_cont parity) broadcast back, integer-free
+    comparisons on identical doubles.
+
+    Scale shape: the decomposition's calendar-bounded output (one
+    row per type-day) is the only input — percentile passes and the
+    flag filter all ride the |types|·|days| grid, never raw
+    events."""
+    stl = ts_seasonal_decompose(spark, sf_dir).filter(
+        F.col("residual").isNotNull()
+    )
+    med = stl.groupBy("event_type").agg(
+        F.expr("percentile(residual, 0.5)").alias("med")
+    )
+    j = stl.join(F.broadcast(med), "event_type")
+    mad = j.groupBy("event_type").agg(
+        F.first("med").alias("med"),
+        F.expr("percentile(abs(residual - med), 0.5)").alias("mad"),
+    )
+    return (
+        stl.join(F.broadcast(mad), "event_type")
+        .filter(
+            F.abs(F.col("residual") - F.col("med"))
+            > SEASONAL_ANOM_K * F.col("mad")
+        )
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            "residual",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -507,3 +507,62 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+WINSOR_P = 0.05  # clip tails at p05/p95
+
+
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event type: clip values to the exact
+    [p05, p95] band, then average — the robust location estimate a
+    metrics pipeline reports when the raw mean is dragged by the
+    heavy tail (`agg_mad_outliers` flags the tail; this SUMMARIZES
+    despite it). Reports the raw mean and the clipped-row count
+    alongside so the drag is visible.
+
+    Engine-exact: the percentile bounds come from the same
+    interpolation in both engines (percentile ≡ quantile_cont — the
+    agg_percentiles parity); clipped values re-quantize to 1e4
+    fixed point and raw values to integer cents, so both means are
+    ONE double division of exact int64 sums.
+
+    Plan: one grouped exact-percentile pass (type-bounded output,
+    broadcast back) + one aggregate pass — two corpus scans, one
+    type-keyed exchange each, the approx-percentile swap documented
+    for the 100 TB first pass exactly as agg_mad_outliers."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = ev.groupBy("event_type").agg(
+        F.expr(f"percentile(value, {WINSOR_P})").alias("lo"),
+        F.expr(f"percentile(value, {1 - WINSOR_P})").alias("hi"),
+    )
+    j = ev.join(F.broadcast(pct), "event_type")
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        j.select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.round(clipped * 1e4).cast("long").alias("c_fp"),
+            (
+                (F.col("value") < F.col("lo"))
+                | (F.col("value") > F.col("hi"))
+            )
+            .cast("int")
+            .alias("was_clipped"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("was_clipped").cast("long").alias("n_clipped"),
+            F.round(
+                F.sum("cents").cast("double") / 100.0
+                / F.count("*").cast("double"),
+                6,
+            ).alias("raw_mean"),
+            F.round(
+                F.sum("c_fp").cast("double") / 1e4
+                / F.count("*").cast("double"),
+                6,
+            ).alias("winsor_mean"),
+        )
+        .orderBy("event_type")
+    )

@@ -5988,3 +5988,61 @@ def _cascade_attrition_oracle_sql() -> str:
 
 
 EXT_ORACLES["dedup_cascade_attrition"] = _cascade_attrition_oracle_sql()
+
+
+# Mirror of quality.agg_winsorized_mean (percentile ≡ quantile_cont
+# parity; 1e4/1e2 fixed-point means).
+EXT_ORACLES["agg_winsorized_mean"] = """
+    WITH pct AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM events GROUP BY event_type
+    ),
+    j AS (
+        SELECT e.event_type,
+               CAST(round(e.value * 100) AS BIGINT) AS cents,
+               CAST(round(LEAST(GREATEST(e.value, p.lo), p.hi) * 1e4)
+                    AS BIGINT) AS c_fp,
+               CASE WHEN e.value < p.lo OR e.value > p.hi
+                    THEN 1 ELSE 0 END AS was_clipped
+        FROM events e JOIN pct p USING (event_type)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(was_clipped) AS BIGINT) AS n_clipped,
+           round(CAST(SUM(cents) AS DOUBLE) / 100.0 / count(*), 6)
+               AS raw_mean,
+           round(CAST(SUM(c_fp) AS DOUBLE) / 1e4 / count(*), 6)
+               AS winsor_mean
+    FROM j GROUP BY event_type ORDER BY event_type
+"""
+
+
+def _seasonal_anomaly_oracle_sql() -> str:
+    """Mirror of behavior.ts_seasonal_anomaly over the UNCHANGED
+    decomposition twin (same nesting as ts_stl_strength)."""
+    from dbt_eamples_spark.operators.behavior import SEASONAL_ANOM_K
+
+    return f"""
+        WITH stl AS ({EXT_ORACLES["ts_seasonal_decompose"]}),
+        r AS (SELECT * FROM stl WHERE residual IS NOT NULL),
+        med AS (
+            SELECT event_type, quantile_cont(residual, 0.5) AS med
+            FROM r GROUP BY event_type
+        ),
+        mad AS (
+            SELECT x.event_type, MAX(m.med) AS med,
+                   quantile_cont(abs(x.residual - m.med), 0.5) AS mad
+            FROM r x JOIN med m USING (event_type)
+            GROUP BY x.event_type
+        )
+        SELECT r.event_type, r.day, r.n_events, r.residual,
+               round(mad.med, 6) AS med, round(mad.mad, 6) AS mad
+        FROM r JOIN mad USING (event_type)
+        WHERE abs(r.residual - mad.med) > {SEASONAL_ANOM_K} * mad.mad
+        ORDER BY r.event_type, r.day
+    """
+
+
+EXT_ORACLES["ts_seasonal_anomaly"] = _seasonal_anomaly_oracle_sql()

@@ -409,6 +409,12 @@ class TestShuffleBudgets:
         # fingerprint window + span-profile join side + the 3-row
         # funnel spine folds; cluster verdicts broadcast
         "dedup_cascade_attrition": 5,
+        # percentile-bound agg + the clipped aggregate + ordered
+        # out; bounds broadcast back
+        "agg_winsorized_mean": 3,
+        # audited tail past the decomposition (calendar-bounded):
+        # residual median/MAD aggs + flag pass + ordered out
+        "ts_seasonal_anomaly": 5,
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))

@@ -143,3 +143,78 @@ def test_cascade_funnel_invariants(spark, sf_dir):
         assert rows[s].n_surviving <= prev_surv
         prev_surv = rows[s].n_surviving
         assert rows[s].cum_removed_frac == round(cum / n_docs, 6)
+
+
+def test_winsorized_mean_matches_python(spark, sf_dir):
+    from dbt_eamples_spark.operators.quality import agg_winsorized_mean
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    ).collect()
+    by_type: dict[str, list[float]] = defaultdict(list)
+    for r in ev:
+        by_type[r.event_type].append(r.value)
+
+    def q(vals, p):  # quantile_cont interpolation
+        vals = sorted(vals)
+        pos = p * (len(vals) - 1)
+        lo, frac = int(pos), pos - int(pos)
+        return (
+            vals[lo] + (vals[lo + 1] - vals[lo]) * frac
+            if frac
+            else vals[lo]
+        )
+
+    got = {r.event_type: r for r in agg_winsorized_mean(spark, sf_dir).collect()}
+    assert set(got) == set(by_type)
+    for t, vals in by_type.items():
+        lo, hi = q(vals, 0.05), q(vals, 0.95)
+        clipped = [min(max(v, lo), hi) for v in vals]
+        n = len(vals)
+        r = got[t]
+        assert r.n == n
+        assert r.n_clipped == sum(1 for v in vals if v < lo or v > hi)
+        want_w = round(
+            sum(math.floor(abs(c) * 1e4 + 0.5) * (1 if c >= 0 else -1)
+                for c in clipped) / 1e4 / n, 6
+        )
+        assert abs(r.winsor_mean - want_w) < 2e-6
+        assert r.n_clipped <= max(2, int(0.12 * n))  # ~10% by design
+
+
+def test_seasonal_anomaly_subsets_residuals(spark, sf_dir):
+    from dbt_eamples_spark.operators.behavior import (
+        SEASONAL_ANOM_K,
+        ts_seasonal_anomaly,
+        ts_seasonal_decompose,
+    )
+
+    stl = [
+        r
+        for r in ts_seasonal_decompose(spark, sf_dir).collect()
+        if r.residual is not None
+    ]
+    by_type: dict[str, list[float]] = defaultdict(list)
+    for r in stl:
+        by_type[r.event_type].append(r.residual)
+
+    def med(vals):
+        vals = sorted(vals)
+        n = len(vals)
+        return (
+            vals[n // 2]
+            if n % 2
+            else (vals[n // 2 - 1] + vals[n // 2]) / 2
+        )
+
+    flags = ts_seasonal_anomaly(spark, sf_dir).collect()
+    keyed = {(r.event_type, r.day) for r in flags}
+    # every flagged row is a true > K*MAD residual by the python ref
+    for t, vals in by_type.items():
+        m = med(vals)
+        mad = med([abs(v - m) for v in vals])
+        for r in stl:
+            if r.event_type != t:
+                continue
+            is_anom = abs(r.residual - m) > SEASONAL_ANOM_K * mad
+            assert ((t, r.day) in keyed) == is_anom, (t, r.day)
