@@ -160,6 +160,8 @@ _R7_PRIORITY = [
     "dedup_cascade_attrition",
     "agg_winsorized_mean",
     "ts_seasonal_anomaly",
+    "sample_weighted_reservoir",
+    "events_user_entropy",
     # (3) latest driver row is r1 — oldest cohort, fill to 50
     "scan_table",
     "sql_execute_limit",
@@ -182,10 +184,10 @@ _R7_PRIORITY = [
     "order_by",
     "order_limit_topk",
     "limit_offset_page",
-    "intersect_except",
-    "hex_decode_utf8",
     # ---- position 51+ (round 8's front): the rest of the
     # r1-latest cohort, then the r2-latest cohort ----
+    "intersect_except",
+    "hex_decode_utf8",
     "round_decimals",
     "regexp_redact",
     "string_chunk",
@@ -267,6 +269,10 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_winsorized_mean": Q.agg_winsorized_mean,
         # seasonality-adjusted residual anomaly flags (med±K·MAD)
         "ts_seasonal_anomaly": B.ts_seasonal_anomaly,
+        # exactly-k weighted sample (Efraimidis–Spirakis keys)
+        "sample_weighted_reservoir": S.sample_weighted_reservoir,
+        # per-user event-type Shannon entropy (bot/power-user screen)
+        "events_user_entropy": B.events_user_entropy,
         # --- round-6 additions ---
         # TPC-H Q2 shape: correlated-MIN cheapest supplier per part
         "part_cheapest_supplier": R.part_cheapest_supplier,

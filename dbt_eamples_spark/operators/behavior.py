@@ -2377,3 +2377,45 @@ def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral diversity: Shannon entropy (nats) of the
+    user's event-type distribution, with event/type counts — the
+    bot/power-user screen (single-type loops score 0; a uniform
+    5-type mix scores ln 5) that complements `events_user_streaks`'
+    temporal view with a distributional one.
+
+    Engine-exact: p = c/n is one exact-integer double division, its
+    ln pre-rounded 6dp, each −p·ln p term folded 1e9 fixed-point —
+    the text_word_entropy recipe on the behavioral table.
+
+    Scale shape: one (user, type) hash-agg (map-side combined, ≤
+    |users|·|types| rows) and a per-user fold SHARING the same
+    user_id exchange; nothing row-scale leaves the first
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    ct = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w = Window.partitionBy("user_id")
+    n = F.sum("c").over(w)
+    p = F.col("c").cast("double") / n.cast("double")
+    term_fp = F.round(-p * F.round(F.log(p), 6) * 1e9).cast("long")
+    return (
+        ct.select(
+            "user_id",
+            "c",
+            n.alias("n_events"),
+            term_fp.alias("t_fp"),
+        )
+        .groupBy("user_id", "n_events")
+        .agg(
+            F.count("*").cast("long").alias("n_types"),
+            F.round(F.sum("t_fp").cast("double") / 1e9, 6).alias(
+                "entropy_nats"
+            ),
+        )
+        .select("user_id", "n_events", "n_types", "entropy_nats")
+        .orderBy("user_id")
+    )

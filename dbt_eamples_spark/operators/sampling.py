@@ -684,3 +684,52 @@ def sample_neyman_allocation(
         )
         .orderBy("source", "samp_rank")
     )
+
+
+RESERVOIR_K = 100
+
+
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k WEIGHTED sample without replacement via the
+    Efraimidis–Spirakis order statistic (2006): each doc draws the
+    key −ln(u)/w (u = the md5 hash coin, w = quality score) and the
+    k SMALLEST keys win — inclusion probability ∝ weight, one pass,
+    no replacement, and (unlike sequential reservoir algorithms)
+    fully order-independent, so the same k docs come out of any
+    partitioning or engine. This is the exactly-k twin of
+    `sample_quality_weighted`'s Bernoulli pass (that one's output
+    size drifts with the score distribution; a training-mix builder
+    usually needs k exact).
+
+    Engine-exact: u derives from an exact 60-bit integer (+1 so
+    u ∈ (0,1] — ln(0) guard); ln(u) is pre-rounded 6dp (JVM vs libm
+    1-ulp drift), the division of two exact-input doubles is
+    correctly rounded, and the (key, doc_id) order is total.
+    Zero-weight docs are excluded up front (their key is +inf —
+    never sampled, but an engine-dependent inf/nan ordering is not
+    worth trusting).
+
+    Scale shape: narrow map + TakeOrderedAndProject — per-partition
+    k-heaps, driver merges p·k rows; no global sort, no shuffle."""
+    from dbt_eamples_spark.operators.text import _quality_frame
+
+    q = _quality_frame(load_table(spark, sf_dir, "documents"))
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(float(1 << 60))
+    key = -F.round(F.log(u), 6) / F.col("quality_score")
+    return (
+        q.filter(F.col("quality_score") > 0)
+        .select(
+            "doc_id",
+            "quality_score",
+            F.round(key, 6).alias("es_key"),
+        )
+        .orderBy(F.asc("es_key"), F.asc("doc_id"))
+        .limit(RESERVOIR_K)
+    )

@@ -6046,3 +6046,56 @@ def _seasonal_anomaly_oracle_sql() -> str:
 
 
 EXT_ORACLES["ts_seasonal_anomaly"] = _seasonal_anomaly_oracle_sql()
+
+
+# Mirror of sampling.sample_weighted_reservoir: Efraimidis–Spirakis
+# keys from the (+1-guarded) md5 coin and the shared QUALITY_SQL
+# score; identical 6dp-prerounded ln and total (key, doc_id) order.
+def _weighted_reservoir_oracle_sql() -> str:
+    from dbt_eamples_spark.operators.sampling import RESERVOIR_K
+
+    return f"""
+        WITH q AS ({QUALITY_SQL}),
+        keyed AS (
+            SELECT doc_id, quality_score,
+                   round(-round(ln(
+                       (('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                        1, 15))::BIGINT + 1)
+                       / 1152921504606846976.0), 6)
+                       / quality_score, 6) AS es_key
+            FROM q WHERE quality_score > 0
+        )
+        SELECT doc_id, quality_score, es_key
+        FROM keyed ORDER BY es_key ASC, doc_id ASC
+        LIMIT {RESERVOIR_K}
+    """
+
+
+EXT_ORACLES["sample_weighted_reservoir"] = _weighted_reservoir_oracle_sql()
+
+
+# Mirror of behavior.events_user_entropy (text_word_entropy recipe
+# on the behavioral (user, type) counts).
+EXT_ORACLES["events_user_entropy"] = """
+    WITH ct AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY user_id, event_type
+    ),
+    n AS (
+        SELECT user_id, c,
+               CAST(SUM(c) OVER (PARTITION BY user_id) AS BIGINT)
+                   AS n_events
+        FROM ct
+    ),
+    terms AS (
+        SELECT user_id, n_events,
+               CAST(ROUND(-(CAST(c AS DOUBLE) / n_events)
+                          * ROUND(ln(CAST(c AS DOUBLE) / n_events), 6)
+                          * 1e9) AS BIGINT) AS t_fp
+        FROM n
+    )
+    SELECT user_id, n_events,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(CAST(SUM(t_fp) AS DOUBLE) / 1e9, 6) AS entropy_nats
+    FROM terms GROUP BY user_id, n_events ORDER BY user_id
+"""

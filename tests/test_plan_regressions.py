@@ -415,6 +415,11 @@ class TestShuffleBudgets:
         # audited tail past the decomposition (calendar-bounded):
         # residual median/MAD aggs + flag pass + ordered out
         "ts_seasonal_anomaly": 5,
+        # pure TakeOrderedAndProject over the narrow key map
+        "sample_weighted_reservoir": 0,
+        # one (user,type) agg; the per-user fold shares its exchange;
+        # ordered out
+        "events_user_entropy": 2,
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))

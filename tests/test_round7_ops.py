@@ -218,3 +218,50 @@ def test_seasonal_anomaly_subsets_residuals(spark, sf_dir):
                 continue
             is_anom = abs(r.residual - m) > SEASONAL_ANOM_K * mad
             assert ((t, r.day) in keyed) == is_anom, (t, r.day)
+
+
+def test_weighted_reservoir_is_weighted_and_exact_k(spark, sf_dir):
+    from dbt_eamples_spark.operators.sampling import (
+        RESERVOIR_K,
+        sample_weighted_reservoir,
+    )
+    from dbt_eamples_spark.operators.text import text_quality_score
+
+    rows = sample_weighted_reservoir(spark, sf_dir).collect()
+    assert len(rows) == RESERVOIR_K
+    assert len({r.doc_id for r in rows}) == RESERVOIR_K  # no replacement
+    # inclusion prob ∝ weight: the sampled mean quality must exceed
+    # the corpus mean (deterministic on this fixture)
+    all_q = [
+        r.quality_score
+        for r in text_quality_score(spark, sf_dir).collect()
+    ]
+    samp_q = [r.quality_score for r in rows]
+    assert sum(samp_q) / len(samp_q) > sum(all_q) / len(all_q)
+    # keys are sorted ascending in the output's own ordering
+    keys = [r.es_key for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_user_entropy_matches_python(spark, sf_dir):
+    from dbt_eamples_spark.operators.behavior import events_user_entropy
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type"
+    ).collect()
+    cnt: dict[int, dict[str, int]] = defaultdict(lambda: defaultdict(int))
+    for r in ev:
+        cnt[r.user_id][r.event_type] += 1
+    got = {r.user_id: r for r in events_user_entropy(spark, sf_dir).collect()}
+    assert set(got) == set(cnt)
+    for uid, types in cnt.items():
+        n = sum(types.values())
+        s_fp = 0
+        for c in types.values():
+            p = c / n
+            s_fp += round(-p * round(math.log(p), 6) * 1e9)
+        r = got[uid]
+        assert r.n_events == n
+        assert r.n_types == len(types)
+        assert r.entropy_nats == round(s_fp / 1e9, 6)
+        assert 0 <= r.entropy_nats <= math.log(max(len(types), 1)) + 1e-6
