@@ -2395,8 +2395,16 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id exchange; nothing row-scale leaves the first
     aggregate."""
     ev = load_table(spark, sf_dir, "events")
-    ct = ev.groupBy("user_id", "event_type").agg(
-        F.count("*").cast("long").alias("c")
+    # ONE explicit user_id exchange: HashPartitioning(user_id)
+    # satisfies the (user, type) grouping, the per-user window, AND
+    # the final per-user fold, so none of them re-shuffles (left to
+    # EnsureRequirements, the agg would partition on (user, type)
+    # and the window would add a second user-keyed exchange)
+    ct = (
+        ev.select("user_id", "event_type")
+        .repartition(F.col("user_id"))
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").cast("long").alias("c"))
     )
     w = Window.partitionBy("user_id")
     n = F.sum("c").over(w)
