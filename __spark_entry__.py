@@ -162,6 +162,7 @@ _R7_PRIORITY = [
     "ts_seasonal_anomaly",
     "sample_weighted_reservoir",
     "events_user_entropy",
+    "dedup_incremental_cosine",
     # (3) latest driver row is r1 — oldest cohort, fill to 50
     "scan_table",
     "sql_execute_limit",
@@ -183,9 +184,9 @@ _R7_PRIORITY = [
     "window_topk_per_group",
     "order_by",
     "order_limit_topk",
-    "limit_offset_page",
     # ---- position 51+ (round 8's front): the rest of the
     # r1-latest cohort, then the r2-latest cohort ----
+    "limit_offset_page",
     "intersect_except",
     "hex_decode_utf8",
     "round_decimals",
@@ -273,6 +274,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted_reservoir": S.sample_weighted_reservoir,
         # per-user event-type Shannon entropy (bot/power-user screen)
         "events_user_entropy": B.events_user_entropy,
+        # delta vectors probed against the persisted hyperplane index
+        "dedup_incremental_cosine": D.dedup_incremental_cosine,
         # --- round-6 additions ---
         # TPC-H Q2 shape: correlated-MIN cheapest supplier per part
         "part_cheapest_supplier": R.part_cheapest_supplier,

@@ -1365,3 +1365,134 @@ def dedup_cascade_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+def cosine_base_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED embedding-side LSH index (corpus_vec, t,
+    bucket): base hyperplane buckets of the standing corpus
+    (vec_id % INCR_MOD != 0), built once per embeddings fingerprint
+    and stored as a parquet artifact — the ANN twin of
+    :func:`minhash_band_index`, so an ingest delta probes hyperplane
+    buckets without paying corpus plane-dot computation. Index side
+    stays BASE keys per vector (the one-sided multi-probe contract
+    of dedup_embedding_cosine: the probe side grows, the index
+    doesn't)."""
+    from dbt_eamples_spark.artifacts import (
+        corpus_fingerprint,
+        load_or_build,
+    )
+    from dbt_eamples_spark.operators.similarity import (
+        DEDUP_LSH_TABLES,
+        _as_double_vec,
+        lsh_planes,
+        with_lsh_probes,
+    )
+
+    def build() -> DataFrame:
+        emb = load_table(
+            spark, sf_dir, "embeddings", parallelize=True
+        ).select(
+            "vec_id", _as_double_vec(F.col("embedding")).alias("vec")
+        )
+        corpus = emb.filter(F.col("vec_id") % INCR_MOD != 0)
+        np_ = lsh_planes(corpus.count())
+        keyed = with_lsh_probes(
+            corpus, "vec", DEDUP_LSH_TABLES, 0, nplanes=np_
+        )
+        parts = [
+            keyed.select(
+                F.col("vec_id").alias("corpus_vec"),
+                F.lit(t).cast("int").alias("t"),
+                F.element_at(f"p{t}", 1).alias("bucket"),
+            )
+            for t in range(DEDUP_LSH_TABLES)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    return load_or_build(
+        spark,
+        "cosine_base_index",
+        corpus_fingerprint(sf_dir, "embeddings"),
+        build,
+    )
+
+
+def dedup_incremental_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding near-dup check: the NEW vector batch
+    (vec_id % INCR_MOD == 0) probed against the PERSISTED hyperplane
+    bucket index of the standing corpus — the ANN twin of
+    :func:`dedup_incremental_minhash`, completing the
+    index-once/probe-deltas story for the embedding side. Only the
+    delta pays plane dots; candidates come from the asymmetric
+    (t, bucket) equi-join of delta probe keys against the artifact —
+    incremental cost O(|delta| + collisions), never corpus².
+    Verify is the exact-cosine fold on candidates only, same
+    threshold and float contract as dedup_embedding_cosine."""
+    from dbt_eamples_spark.operators.similarity import (
+        DEDUP_LSH_TABLES,
+        DEDUP_PROBE_FLIPS,
+        _as_double_vec,
+        lsh_planes,
+        probe_key_pairs,
+        with_lsh_probes,
+    )
+
+    emb = load_table(
+        spark, sf_dir, "embeddings", parallelize=True
+    ).select("vec_id", _as_double_vec(F.col("embedding")).alias("vec"))
+    corpus_n = emb.filter(F.col("vec_id") % INCR_MOD != 0).count()
+    np_ = lsh_planes(corpus_n)  # scalar: index-build param
+    delta = emb.filter(F.col("vec_id") % INCR_MOD == 0)
+    dk = with_lsh_probes(
+        delta, "vec", DEDUP_LSH_TABLES, DEDUP_PROBE_FLIPS, nplanes=np_
+    )
+    probe = dk.select(
+        F.col("vec_id").alias("new_vec"),
+        F.explode(probe_key_pairs(DEDUP_LSH_TABLES)).alias("tb"),
+    ).select("new_vec", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    index = cosine_base_index(spark, sf_dir)
+    cands = (
+        probe.join(index, ["t", "bucket"])
+        .select("new_vec", "corpus_vec")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ids = (
+        cands.select(F.col("new_vec").alias("vec_id"))
+        .union(cands.select(F.col("corpus_vec").alias("vec_id")))
+        .distinct()
+    )
+    nrm = F.sqrt(
+        F.aggregate(F.col("vec"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cand_vecs = emb.join(F.broadcast(ids), "vec_id").select(
+        "vec_id", "vec", nrm.alias("nrm")
+    )
+    a = cand_vecs.select(
+        F.col("vec_id").alias("new_vec"),
+        F.col("vec").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = cand_vecs.select(
+        F.col("vec_id").alias("corpus_vec"),
+        F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cands.join(F.broadcast(a), "new_vec")
+        .join(F.broadcast(b), "corpus_vec")
+        .select(
+            "new_vec",
+            "corpus_vec",
+            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_NEAR_DUP)
+    )

@@ -6099,3 +6099,56 @@ EXT_ORACLES["events_user_entropy"] = """
            round(CAST(SUM(t_fp) AS DOUBLE) / 1e9, 6) AS entropy_nats
     FROM terms GROUP BY user_id, n_events ORDER BY user_id
 """
+
+
+def _incremental_cosine_oracle_sql() -> str:
+    """Mirror of dedup.dedup_incremental_cosine: the dynamic plane
+    ladder over the FILTERED corpus count, base keys on the corpus
+    side, multi-probe keys on the delta side, exact-cosine verify."""
+    from dbt_eamples_spark.operators.dedup import (
+        COSINE_NEAR_DUP,
+        INCR_MOD,
+    )
+    from dbt_eamples_spark.operators.similarity import (
+        DEDUP_LSH_TABLES,
+        DEDUP_PROBE_FLIPS,
+    )
+
+    corpus_tbl = f"embeddings WHERE vec_id % {INCR_MOD} != 0"
+    ck = " UNION ALL ".join(
+        f"SELECT vec_id AS corpus_vec, {t} AS t, "
+        f"{_lsh_bucket_sql(t, 'np')} AS bucket FROM corpus, npl"
+        for t in range(DEDUP_LSH_TABLES)
+    )
+    dk = " UNION ALL ".join(
+        f"SELECT vec_id AS new_vec, {t} AS t, "
+        f"unnest({_lsh_probe_sql(t, DEDUP_PROBE_FLIPS, 'np')}) AS bucket "
+        f"FROM delta, npl"
+        for t in range(DEDUP_LSH_TABLES)
+    )
+    return f"""
+        WITH npl AS MATERIALIZED ({_np_ladder_sql(corpus_tbl)}),
+        v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> x::DOUBLE) AS vec
+            FROM embeddings
+        ),
+        corpus AS (SELECT * FROM v WHERE vec_id % {INCR_MOD} != 0),
+        delta AS (SELECT * FROM v WHERE vec_id % {INCR_MOD} = 0),
+        ck AS ({ck}),
+        dk AS ({dk}),
+        cands AS (
+            SELECT DISTINCT d.new_vec, c.corpus_vec
+            FROM dk d JOIN ck c ON d.t = c.t AND d.bucket = c.bucket
+        )
+        SELECT new_vec, corpus_vec, cosine FROM (
+            SELECT new_vec, corpus_vec,
+                   round({_cos('va.vec', 'vb.vec')}, 6) AS cosine
+            FROM cands
+            JOIN v va ON va.vec_id = new_vec
+            JOIN v vb ON vb.vec_id = corpus_vec
+        ) WHERE cosine >= {COSINE_NEAR_DUP}
+    """
+
+
+EXT_ORACLES["dedup_incremental_cosine"] = _incremental_cosine_oracle_sql()

@@ -417,6 +417,10 @@ class TestShuffleBudgets:
         "ts_seasonal_anomaly": 5,
         # pure TakeOrderedAndProject over the narrow key map
         "sample_weighted_reservoir": 0,
+        # audited tail past the candidate checkpoint: distinct agg
+        # feeding the broadcast verify; probe/index sides exchanged
+        # pre-checkpoint (parallelize repartition + (t,bucket) join)
+        "dedup_incremental_cosine": 6,
         # one (user,type) agg; the per-user fold shares its exchange;
         # ordered out
         "events_user_entropy": 2,

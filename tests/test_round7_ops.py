@@ -265,3 +265,34 @@ def test_user_entropy_matches_python(spark, sf_dir):
         assert r.n_types == len(types)
         assert r.entropy_nats == round(s_fp / 1e9, 6)
         assert 0 <= r.entropy_nats <= math.log(max(len(types), 1)) + 1e-6
+
+
+def test_incremental_cosine_probes_persisted_index(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The index artifact builds once; a second probe run reuses it
+    (the dedup_incremental_minhash artifact contract, ANN side) —
+    and every reported pair is delta×corpus with cosine over
+    threshold."""
+    import dbt_eamples_spark.artifacts as A
+    from dbt_eamples_spark.operators.dedup import (
+        COSINE_NEAR_DUP,
+        INCR_MOD,
+        dedup_incremental_cosine,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path))
+    n0 = len(A.ARTIFACT_EVENTS)
+    first = dedup_incremental_cosine(spark, sf_dir).collect()
+    second = dedup_incremental_cosine(spark, sf_dir).collect()
+    ev = [e for e in A.ARTIFACT_EVENTS[n0:] if e[0] == "cosine_base_index"]
+    assert ev == [("cosine_base_index", "build"),
+                  ("cosine_base_index", "reuse")]
+    assert {(r.new_vec, r.corpus_vec) for r in first} == {
+        (r.new_vec, r.corpus_vec) for r in second
+    }
+    assert len(first) > 0
+    for r in first:
+        assert r.new_vec % INCR_MOD == 0
+        assert r.corpus_vec % INCR_MOD != 0
+        assert r.cosine >= COSINE_NEAR_DUP
