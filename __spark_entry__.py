@@ -163,6 +163,8 @@ _R7_PRIORITY = [
     "sample_weighted_reservoir",
     "events_user_entropy",
     "dedup_incremental_cosine",
+    "ts_ljung_box",
+    "text_jaccard_source_similarity",
     # (3) latest driver row is r1 — oldest cohort, fill to 50
     "scan_table",
     "sql_execute_limit",
@@ -182,10 +184,10 @@ _R7_PRIORITY = [
     "metric_rollup",
     "metric_cube",
     "window_topk_per_group",
-    "order_by",
-    "order_limit_topk",
     # ---- position 51+ (round 8's front): the rest of the
     # r1-latest cohort, then the r2-latest cohort ----
+    "order_by",
+    "order_limit_topk",
     "limit_offset_page",
     "intersect_except",
     "hex_decode_utf8",
@@ -276,6 +278,10 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_entropy": B.events_user_entropy,
         # delta vectors probed against the persisted hyperplane index
         "dedup_incremental_cosine": D.dedup_incremental_cosine,
+        # Ljung–Box white-noise test over the correlogram
+        "ts_ljung_box": B.ts_ljung_box,
+        # source-pair 3-gram vocabulary Jaccard (mirror detector)
+        "text_jaccard_source_similarity": T.text_jaccard_source_similarity,
         # --- round-6 additions ---
         # TPC-H Q2 shape: correlated-MIN cheapest supplier per part
         "part_cheapest_supplier": R.part_cheapest_supplier,

@@ -2427,3 +2427,47 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n_events", "n_types", "entropy_nats")
         .orderBy("user_id")
     )
+
+
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau statistic per event type (Ljung & Box
+    1978): Q = n(n+2)·Σ_{k≤h} r_k²/(n−k) over the correlogram — the
+    one-number "is anything left autocorrelated" test a monitoring
+    pipeline runs on a series (or a model's residuals) before
+    trusting iid-based alert thresholds; large Q vs χ²_h says the
+    series still carries structure (compare lag-7 spikes →
+    ts_seasonal_decompose).
+
+    Composes :func:`ts_autocorrelation` UNCHANGED (its r_k are
+    engine-exact 6dp doubles and n−k is its n_pairs column); each
+    r_k²/(n−k) term folds in 1e12 fixed point, the final
+    n(n+2)·Σ is one double multiply. Rides the |types|·|lags|
+    correlogram — no new corpus pass."""
+    acf = ts_autocorrelation(spark, sf_dir)
+    n = (F.col("n_pairs") + F.col("lag")).cast("long")
+    term_fp = F.round(
+        F.col("acf") * F.col("acf")
+        / F.col("n_pairs").cast("double")
+        * 1e12
+    ).cast("long")
+    return (
+        acf.select(
+            "event_type", n.alias("n_days"), term_fp.alias("t_fp")
+        )
+        .groupBy("event_type", "n_days")
+        .agg(
+            F.count("*").cast("long").alias("h_lags"),
+            F.sum("t_fp").alias("s_fp"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "h_lags",
+            F.round(
+                (F.col("n_days") * (F.col("n_days") + 2)).cast("double")
+                * (F.col("s_fp").cast("double") / 1e12),
+                6,
+            ).alias("q_stat"),
+        )
+        .orderBy("event_type")
+    )

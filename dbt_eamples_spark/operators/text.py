@@ -1356,3 +1356,74 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def text_jaccard_source_similarity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise 3-gram Jaccard between sources' DISTINCT shingle
+    vocabularies — the set-overlap companion to
+    `corpus_js_divergence`'s distributional view (JS weighs by
+    frequency; Jaccard asks how much of the gram SPACE two sources
+    share — a mirror/scrape shows up here even when its frequency
+    profile was re-mixed).
+
+    Shares :func:`dedup._shingles`' exact shingle recipe. Scale
+    shape: one tokenize pass → (source, gram) DISTINCT agg
+    (map-side combined) → per-source sizes broadcast → one
+    gram-keyed equi self-join whose output is bounded by
+    Σ_g df_g² over SOURCES (df ≤ |sources|, so ≤ S²·|vocab| — never
+    doc-pairwise) → the S²-grid aggregate."""
+    from dbt_eamples_spark.operators.dedup import _shingles
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    sh = _shingles(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    g = (
+        sh.select("source", F.explode("shingles").alias("gram"))
+        .distinct()
+        .localCheckpoint(eager=True)  # 3 consumers: sizes + 2 sides
+    )
+    sizes = g.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_grams")
+    )
+    a = g.select(F.col("source").alias("sa"), "gram")
+    b = g.select(F.col("source").alias("sb"), "gram")
+    both = (
+        a.join(b, "gram")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    sza = sizes.select(
+        F.col("source").alias("sa"), F.col("n_grams").alias("na")
+    )
+    szb = sizes.select(
+        F.col("source").alias("sb"), F.col("n_grams").alias("nb")
+    )
+    # full pair grid LEFT of the folds so a zero-overlap source pair
+    # reports jaccard = 0 instead of vanishing (the ADVICE-r6
+    # corpus_js_divergence lesson, applied at authoring time)
+    grid = sza.join(szb, F.col("sa") < F.col("sb")).localCheckpoint(
+        eager=True
+    )
+    return (
+        grid.join(F.broadcast(both), ["sa", "sb"], "left")
+        .withColumn("n_both", F.coalesce("n_both", F.lit(0)).cast("long"))
+        .select(
+            "sa",
+            "sb",
+            "na",
+            "nb",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_both")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("sa", "sb")
+    )

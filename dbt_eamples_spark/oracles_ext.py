@@ -6152,3 +6152,62 @@ def _incremental_cosine_oracle_sql() -> str:
 
 
 EXT_ORACLES["dedup_incremental_cosine"] = _incremental_cosine_oracle_sql()
+
+
+# Mirror of behavior.ts_ljung_box over the UNCHANGED correlogram
+# twin (1e12 fixed-point term folds, one final double multiply).
+EXT_ORACLES["ts_ljung_box"] = f"""
+    WITH acf AS ({{ACF}}),
+    terms AS (
+        SELECT event_type,
+               CAST(n_pairs + lag AS BIGINT) AS n_days,
+               CAST(ROUND(acf * acf / CAST(n_pairs AS DOUBLE) * 1e12)
+                    AS BIGINT) AS t_fp
+        FROM acf
+    )
+    SELECT event_type, n_days,
+           CAST(count(*) AS BIGINT) AS h_lags,
+           round(CAST(n_days * (n_days + 2) AS DOUBLE)
+                 * (CAST(SUM(t_fp) AS DOUBLE) / 1e12), 6) AS q_stat
+    FROM terms GROUP BY event_type, n_days ORDER BY event_type
+"""
+EXT_ORACLES["ts_ljung_box"] = EXT_ORACLES["ts_ljung_box"].format(
+    ACF=EXT_ORACLES["ts_autocorrelation"]
+)
+
+
+# Mirror of text.text_jaccard_source_similarity over the shared
+# shingle recipe; the pair grid is the LEFT side so zero-overlap
+# pairs report jaccard = 0.
+EXT_ORACLES["text_jaccard_source_similarity"] = f"""
+    WITH sh AS ({SHINGLES}),
+    g AS (
+        SELECT DISTINCT source, gram FROM (
+            SELECT d.source, unnest(sh.shingles) AS gram
+            FROM sh JOIN documents d USING (doc_id)
+        )
+    ),
+    sizes AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_grams
+        FROM g GROUP BY source
+    ),
+    ovl AS (
+        SELECT a.source AS sa, b.source AS sb,
+               CAST(count(*) AS BIGINT) AS n_both
+        FROM g a JOIN g b
+          ON a.gram = b.gram AND a.source < b.source
+        GROUP BY a.source, b.source
+    ),
+    grid AS (
+        SELECT x.source AS sa, x.n_grams AS na,
+               y.source AS sb, y.n_grams AS nb
+        FROM sizes x JOIN sizes y ON x.source < y.source
+    )
+    SELECT sa, sb, na, nb,
+           CAST(COALESCE(b.n_both, 0) AS BIGINT) AS n_both,
+           round(CAST(COALESCE(b.n_both, 0) AS DOUBLE)
+                 / CAST(na + nb - COALESCE(b.n_both, 0) AS DOUBLE), 6)
+               AS jaccard
+    FROM grid LEFT JOIN ovl b USING (sa, sb)
+    ORDER BY sa, sb
+"""

@@ -420,7 +420,14 @@ class TestShuffleBudgets:
         # audited tail past the candidate checkpoint: distinct agg
         # feeding the broadcast verify; probe/index sides exchanged
         # pre-checkpoint (parallelize repartition + (t,bucket) join)
-        "dedup_incremental_cosine": 6,
+        "dedup_incremental_cosine": 4,
+        # composed over the correlogram's audited tail + the lag
+        # fold and ordered output
+        "ts_ljung_box": 6,
+        # audited tail past the (source, gram) distinct checkpoint:
+        # gram self-join + S²-grid fold + ordered out; sizes/overlap
+        # broadcast onto the grid
+        "text_jaccard_source_similarity": 4,
         # one (user,type) agg; the per-user fold shares its exchange;
         # ordered out
         "events_user_entropy": 2,

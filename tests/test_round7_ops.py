@@ -296,3 +296,54 @@ def test_incremental_cosine_probes_persisted_index(
         assert r.new_vec % INCR_MOD == 0
         assert r.corpus_vec % INCR_MOD != 0
         assert r.cosine >= COSINE_NEAR_DUP
+
+
+def test_ljung_box_matches_python(spark, sf_dir):
+    from dbt_eamples_spark.operators.behavior import (
+        ts_autocorrelation,
+        ts_ljung_box,
+    )
+
+    acf = ts_autocorrelation(spark, sf_dir).collect()
+    by_type: dict[str, list] = defaultdict(list)
+    for r in acf:
+        by_type[r.event_type].append(r)
+    got = {r.event_type: r for r in ts_ljung_box(spark, sf_dir).collect()}
+    assert set(got) == set(by_type)
+    for t, rows in by_type.items():
+        n = rows[0].n_pairs + rows[0].lag
+        s_fp = sum(
+            round(r.acf * r.acf / r.n_pairs * 1e12) for r in rows
+        )
+        r = got[t]
+        assert r.n_days == n
+        assert r.h_lags == len(rows)
+        assert r.q_stat == round(n * (n + 2) * (s_fp / 1e12), 6)
+        assert r.q_stat >= 0
+
+
+def test_source_jaccard_matches_python(spark, sf_dir):
+    from dbt_eamples_spark.operators.text import (
+        text_jaccard_source_similarity,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    grams: dict[str, set] = defaultdict(set)
+    for d in docs:
+        toks = d.text.lower().split()
+        n = max(len(toks) - 2, 1)
+        grams[d.source] |= {" ".join(toks[i : i + 3]) for i in range(n)}
+    srcs = sorted(grams)
+    got = {
+        (r.sa, r.sb): r
+        for r in text_jaccard_source_similarity(spark, sf_dir).collect()
+    }
+    assert len(got) == len(srcs) * (len(srcs) - 1) // 2  # full grid
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            inter = len(grams[a] & grams[b])
+            union = len(grams[a] | grams[b])
+            r = got[(a, b)]
+            assert r.na == len(grams[a]) and r.nb == len(grams[b])
+            assert r.n_both == inter
+            assert r.jaccard == round(inter / union, 6)
