@@ -23,7 +23,7 @@ from dbt_eamples_spark.operators import multimodal as M
 from dbt_eamples_spark.operators import quality as Q
 from dbt_eamples_spark.operators import relational as R
 from dbt_eamples_spark.operators import sampling as S
-from dbt_eamples_spark.operators.asof import join_asof
+from dbt_eamples_spark.operators.asof import join_asof, join_asof_tolerance
 from dbt_eamples_spark.operators.bloom import join_bloom_prefilter
 from dbt_eamples_spark.operators.graph import (
     graph_assortativity,
@@ -34,6 +34,7 @@ from dbt_eamples_spark.operators.graph import (
     graph_link_prediction,
     graph_pagerank_topk,
     graph_pagerank_weighted,
+    graph_transitivity,
     graph_triangle_count,
 )
 from dbt_eamples_spark.operators.skew import join_salted_skew
@@ -165,6 +166,8 @@ _R7_PRIORITY = [
     "dedup_incremental_cosine",
     "ts_ljung_box",
     "text_jaccard_source_similarity",
+    "join_asof_tolerance",
+    "graph_transitivity",
     # (3) latest driver row is r1 — oldest cohort, fill to 50
     "scan_table",
     "sql_execute_limit",
@@ -182,10 +185,10 @@ _R7_PRIORITY = [
     "distinct_values",
     "metric_grouping_sets",
     "metric_rollup",
-    "metric_cube",
-    "window_topk_per_group",
     # ---- position 51+ (round 8's front): the rest of the
     # r1-latest cohort, then the r2-latest cohort ----
+    "metric_cube",
+    "window_topk_per_group",
     "order_by",
     "order_limit_topk",
     "limit_offset_page",
@@ -282,6 +285,10 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_ljung_box": B.ts_ljung_box,
         # source-pair 3-gram vocabulary Jaccard (mirror detector)
         "text_jaccard_source_similarity": T.text_jaccard_source_similarity,
+        # as-of join with a staleness bound (merge_asof tolerance)
+        "join_asof_tolerance": join_asof_tolerance,
+        # global clustering: transitivity + mean local coefficient
+        "graph_transitivity": graph_transitivity,
         # --- round-6 additions ---
         # TPC-H Q2 shape: correlated-MIN cheapest supplier per part
         "part_cheapest_supplier": R.part_cheapest_supplier,

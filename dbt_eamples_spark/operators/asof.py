@@ -104,3 +104,35 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload={"event_id": "last_purchase_id", "ts": "last_purchase_ts"},
         tiebreak="event_id",
     )
+
+
+ASOF_TOLERANCE_DAYS = 7
+
+
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS BOUND — the production variant of
+    :func:`join_asof` (pandas `merge_asof(tolerance=...)`, kdb `wj`
+    within a window): a match older than ``ASOF_TOLERANCE_DAYS``
+    is no match at all (attributing today's click to a purchase
+    from months ago is worse than attributing nothing). NULLs out
+    the carried payload when the matched purchase is stale, and
+    reports the staleness flag so the attrition is visible.
+
+    Scale shape: EXACTLY the union-and-scan as-of plan (one key
+    exchange, running last-non-null, zero pair explosion) — the
+    tolerance is a post-fill per-row comparison, free at any
+    scale."""
+    base = join_asof(spark, sf_dir)
+    fresh = F.col("last_purchase_ts") >= F.col("ts") - F.expr(
+        f"INTERVAL {ASOF_TOLERANCE_DAYS} DAYS"
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(fresh, F.col("last_purchase_id")).alias("last_purchase_id"),
+        F.when(fresh, F.col("last_purchase_ts")).alias("last_purchase_ts"),
+        (F.col("last_purchase_ts").isNotNull() & ~F.coalesce(fresh, F.lit(False)))
+        .alias("stale_dropped"),
+    )

@@ -6211,3 +6211,120 @@ EXT_ORACLES["text_jaccard_source_similarity"] = f"""
     FROM grid LEFT JOIN ovl b USING (sa, sb)
     ORDER BY sa, sb
 """
+
+
+def _asof_tolerance_oracle_sql() -> str:
+    """Mirror of asof.join_asof_tolerance over the same ranked
+    formulation the join_asof oracle uses, with the staleness CASE."""
+    from dbt_eamples_spark.operators.asof import ASOF_TOLERANCE_DAYS
+
+    return f"""
+        WITH p AS (
+            SELECT user_id, ts AS pts, event_id AS pid
+            FROM events WHERE event_type = 'purchase'
+        ),
+        ranked AS (
+            SELECT e.event_id, e.user_id, e.ts, e.event_type,
+                   p.pid, p.pts,
+                   row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY p.pts DESC, p.pid DESC) AS rn
+            FROM events e
+            LEFT JOIN p ON e.user_id = p.user_id AND p.pts <= e.ts
+        ),
+        base AS (SELECT * FROM ranked WHERE rn = 1)
+        SELECT event_id, user_id, ts, event_type,
+               CASE WHEN fresh THEN pid END AS last_purchase_id,
+               CASE WHEN fresh THEN pts END AS last_purchase_ts,
+               (pts IS NOT NULL AND NOT COALESCE(fresh, FALSE))
+                   AS stale_dropped
+        FROM (
+            SELECT *,
+                   pts >= ts - INTERVAL {ASOF_TOLERANCE_DAYS} DAY
+                       AS fresh
+            FROM base
+        )
+    """
+
+
+EXT_ORACLES["join_asof_tolerance"] = _asof_tolerance_oracle_sql()
+
+
+def _transitivity_oracle_sql() -> str:
+    """Mirror of graph.graph_transitivity: the SAME compact-forward
+    triangle CTE chain as the per-node oracle, folded to the global
+    summary (3T/wedges + fixed-point mean local cc)."""
+    return """
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey <> b.l_partkey
+        ),
+        deg AS MATERIALIZED (
+            SELECT src, CAST(count(*) AS BIGINT) AS deg
+            FROM edges GROUP BY src
+        ),
+        o AS MATERIALIZED (
+            SELECT CASE WHEN lf THEN u ELSE v END AS a,
+                   CASE WHEN lf THEN v ELSE u END AS b,
+                   CASE WHEN lf THEN deg_v ELSE deg_u END AS deg_b
+            FROM (
+                SELECT e.src AS u, e.dst AS v, du.deg AS deg_u,
+                       dv.deg AS deg_v,
+                       (du.deg < dv.deg
+                        OR (du.deg = dv.deg AND e.src < e.dst)) AS lf
+                FROM edges e
+                JOIN deg du ON e.src = du.src
+                JOIN deg dv ON e.dst = dv.src
+                WHERE e.src < e.dst
+            )
+        ),
+        tri AS (
+            SELECT o1.a, o1.b, o2.c
+            FROM o o1
+            JOIN (SELECT a, b AS c, deg_b AS deg_c FROM o) o2
+              ON o1.a = o2.a
+            JOIN (SELECT a AS b, b AS c FROM o) o3
+              ON o1.b = o3.b AND o2.c = o3.c
+            WHERE o1.deg_b < o2.deg_c
+               OR (o1.deg_b = o2.deg_c AND o1.b < o2.c)
+        ),
+        per_node AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS t
+            FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+            GROUP BY node
+        ),
+        localcc AS (
+            SELECT COALESCE(p.t, 0) AS t, d.deg,
+                   CAST(ROUND(2.0 * COALESCE(p.t, 0)
+                              / (d.deg * (d.deg - 1)) * 1e6)
+                        AS BIGINT) AS cc_fp
+            FROM deg d LEFT JOIN per_node p ON d.src = p.node
+            WHERE d.deg >= 2
+        ),
+        folds AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_cc_nodes,
+                   CAST(SUM(t) // 3 AS BIGINT) AS n_triangles,
+                   SUM(CAST(deg AS HUGEINT) * (deg - 1)) AS wedges2,
+                   CAST(SUM(cc_fp) AS BIGINT) AS s_cc
+            FROM localcc
+        ),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(SUM(deg) // 2 AS BIGINT) AS n_und_edges
+            FROM deg
+        )
+        SELECT n_nodes, n_und_edges,
+               CAST(wedges2 // 2 AS BIGINT) AS n_wedges,
+               n_triangles,
+               round(6.0 * n_triangles / CAST(wedges2 AS DOUBLE), 6)
+                   AS transitivity,
+               round(CAST(s_cc AS DOUBLE) / 1e6 / n_cc_nodes, 6)
+                   AS avg_local_cc
+        FROM folds CROSS JOIN tot
+    """
+
+
+EXT_ORACLES["graph_transitivity"] = _transitivity_oracle_sql()

@@ -428,6 +428,12 @@ class TestShuffleBudgets:
         # gram self-join + S²-grid fold + ordered out; sizes/overlap
         # broadcast onto the grid
         "text_jaccard_source_similarity": 4,
+        # the union-and-scan as-of plan unchanged: one user_id key
+        # exchange; the freshness test is a narrow post-fill map
+        "join_asof_tolerance": 1,
+        # audited tail past the degree checkpoint: per-corner credit
+        # agg + the sized wedge/closing exchanges + one-row folds
+        "graph_transitivity": 7,
         # one (user,type) agg; the per-user fold shares its exchange;
         # ordered out
         "events_user_entropy": 2,

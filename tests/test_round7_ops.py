@@ -347,3 +347,76 @@ def test_source_jaccard_matches_python(spark, sf_dir):
             assert r.na == len(grams[a]) and r.nb == len(grams[b])
             assert r.n_both == inter
             assert r.jaccard == round(inter / union, 6)
+
+
+def test_asof_tolerance_nulls_stale_matches(spark, sf_dir):
+    from dbt_eamples_spark.operators.asof import (
+        ASOF_TOLERANCE_DAYS,
+        join_asof,
+        join_asof_tolerance,
+    )
+
+    base = {r.event_id: r for r in join_asof(spark, sf_dir).collect()}
+    tol = {
+        r.event_id: r
+        for r in join_asof_tolerance(spark, sf_dir).collect()
+    }
+    assert set(base) == set(tol)
+    horizon = ASOF_TOLERANCE_DAYS * 86400
+    n_stale = 0
+    for eid, b in base.items():
+        t = tol[eid]
+        if b.last_purchase_ts is None:
+            assert t.last_purchase_id is None and not t.stale_dropped
+        elif (b.ts - b.last_purchase_ts).total_seconds() <= horizon:
+            assert t.last_purchase_id == b.last_purchase_id
+            assert not t.stale_dropped
+        else:
+            assert t.last_purchase_id is None
+            assert t.last_purchase_ts is None
+            assert t.stale_dropped
+            n_stale += 1
+    assert n_stale > 0  # the bound actually bites on the fixture
+
+
+def test_transitivity_matches_python(spark, sf_dir):
+    from dbt_eamples_spark.operators.graph import (
+        _copurchase_edges,
+        graph_transitivity,
+    )
+
+    E = {
+        (r.src, r.dst)
+        for r in _copurchase_edges(spark, sf_dir).collect()
+    }
+    adj: dict[int, set] = defaultdict(set)
+    for s, d in E:
+        adj[s].add(d)
+    tri = 0
+    for a in adj:
+        for b in adj[a]:
+            if b <= a:
+                continue
+            tri += sum(1 for c in adj[a] & adj[b] if c > b)
+    wedges2 = sum(len(v) * (len(v) - 1) for v in adj.values())
+    cc_nodes = [n for n in adj if len(adj[n]) >= 2]
+    per_t: dict[int, int] = defaultdict(int)
+    for a in adj:
+        for b in adj[a]:
+            if b <= a:
+                continue
+            for c in adj[a] & adj[b]:
+                if c > b:
+                    for x in (a, b, c):
+                        per_t[x] += 1
+    s_cc = sum(
+        round(2.0 * per_t.get(n, 0) / (len(adj[n]) * (len(adj[n]) - 1)) * 1e6)
+        for n in cc_nodes
+    )
+    r = graph_transitivity(spark, sf_dir).collect()[0]
+    assert r.n_nodes == len(adj)
+    assert r.n_und_edges == len(E) // 2
+    assert r.n_wedges == wedges2 // 2
+    assert r.n_triangles == tri
+    assert r.transitivity == round(6.0 * tri / wedges2, 6)
+    assert r.avg_local_cc == round(s_cc / 1e6 / len(cc_nodes), 6)
