@@ -168,6 +168,7 @@ _R7_PRIORITY = [
     "text_jaccard_source_similarity",
     "join_asof_tolerance",
     "graph_transitivity",
+    "events_ab_test",
     # (3) latest driver row is r1 — oldest cohort, fill to 50
     "scan_table",
     "sql_execute_limit",
@@ -289,6 +290,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_asof_tolerance": join_asof_tolerance,
         # global clustering: transitivity + mean local coefficient
         "graph_transitivity": graph_transitivity,
+        # hash-coin A/B experiment readout (pooled two-proportion z)
+        "events_ab_test": B.events_ab_test,
         # --- round-6 additions ---
         # TPC-H Q2 shape: correlated-MIN cheapest supplier per part
         "part_cheapest_supplier": R.part_cheapest_supplier,

@@ -2471,3 +2471,87 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+AB_CONVERT_MIN = 14  # conversion: >= this many purchases (see below)
+
+
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B experiment readout — the experimentation
+    primitive the analytics surface lacked: users assign to arms by
+    the md5 hash coin (reproducible, partitioning- and
+    engine-independent — the sample_train_test_split contract
+    applied to bucketing an experiment), conversion = the user has
+    ≥1 'purchase' event, and the readout is the standard pooled
+    two-proportion z statistic
+
+        z = (p_b − p_a) / sqrt(p(1−p)(1/n_a + 1/n_b))
+
+    computed on one identical double expression tree from exact
+    integer counts (every operand division is correctly rounded, so
+    both engines produce the same doubles bit-for-bit — the
+    agg_gini_revenue contract). One row: counts, rates, absolute
+    lift, z. Conversion = the user made ≥ AB_CONVERT_MIN purchases —
+    the fixture's per-user purchase median, so the rate sits near
+    50% at every scale factor (any-purchase saturates at 100%,
+    which has zero sampling variance and teaches nothing).
+
+    Scale shape: one user_id hash-agg (map-side combined) over the
+    events scan, then a one-row conditional fold — nothing
+    row-scale survives the first aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(float(1 << 60))
+    )
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("long"))
+            >= AB_CONVERT_MIN
+        )
+        .cast("int")
+        .alias("converted")
+    ).select(
+        F.when(u < 0.5, F.lit("A")).otherwise(F.lit("B")).alias("arm"),
+        "converted",
+    )
+    folds = per_user.agg(
+        F.sum((F.col("arm") == "A").cast("long")).alias("n_a"),
+        F.sum((F.col("arm") == "B").cast("long")).alias("n_b"),
+        F.sum(
+            ((F.col("arm") == "A") & (F.col("converted") == 1)).cast("long")
+        ).alias("c_a"),
+        F.sum(
+            ((F.col("arm") == "B") & (F.col("converted") == 1)).cast("long")
+        ).alias("c_b"),
+    )
+    pa = F.col("c_a").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("c_b").cast("double") / F.col("n_b").cast("double")
+    pool = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pool
+        * (F.lit(1.0) - pool)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return folds.select(
+        "n_a",
+        "n_b",
+        "c_a",
+        "c_b",
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round(pb - pa, 6).alias("abs_lift"),
+        # degenerate experiments (pooled rate 0 or 1 — e.g. every
+        # fixture user converts) have no sampling variance: z is
+        # undefined, reported as NULL, not a division error
+        F.when(se > 0, F.round((pb - pa) / se, 6)).alias("z_score"),
+    )

@@ -6328,3 +6328,53 @@ def _transitivity_oracle_sql() -> str:
 
 
 EXT_ORACLES["graph_transitivity"] = _transitivity_oracle_sql()
+
+
+# Mirror of behavior.events_ab_test: the identical double expression
+# tree from exact integer counts (md5 coin arm assignment).
+EXT_ORACLES["events_ab_test"] = """
+    WITH per_user AS (
+        SELECT user_id,
+               CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                  THEN 1 ELSE 0 END) >= 14
+                    THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY user_id
+    ),
+    armed AS (
+        SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                         1, 15))::BIGINT
+                         / 1152921504606846976.0 < 0.5
+                    THEN 'A' ELSE 'B' END AS arm,
+               converted
+        FROM per_user
+    ),
+    folds AS (
+        SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+               CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b,
+               CAST(SUM(CASE WHEN arm = 'A' AND converted = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+               CAST(SUM(CASE WHEN arm = 'B' AND converted = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+        FROM armed
+    )
+    SELECT n_a, n_b, c_a, c_b,
+           round(CAST(c_a AS DOUBLE) / n_a, 6) AS rate_a,
+           round(CAST(c_b AS DOUBLE) / n_b, 6) AS rate_b,
+           round(CAST(c_b AS DOUBLE) / n_b
+                 - CAST(c_a AS DOUBLE) / n_a, 6) AS abs_lift,
+           CASE WHEN sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                          * (1.0 - CAST(c_a + c_b AS DOUBLE)
+                                 / (n_a + n_b))
+                          * (1.0 / n_a + 1.0 / n_b)) > 0
+                THEN round(
+                    (CAST(c_b AS DOUBLE) / n_b
+                     - CAST(c_a AS DOUBLE) / n_a)
+                    / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                           * (1.0 - CAST(c_a + c_b AS DOUBLE)
+                                  / (n_a + n_b))
+                           * (1.0 / n_a + 1.0 / n_b)), 6)
+           END AS z_score
+    FROM folds
+"""

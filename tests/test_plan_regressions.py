@@ -434,6 +434,8 @@ class TestShuffleBudgets:
         # audited tail past the degree checkpoint: per-corner credit
         # agg + the sized wedge/closing exchanges + one-row folds
         "graph_transitivity": 7,
+        # one user hash-agg + the one-row conditional fold
+        "events_ab_test": 2,
         # one (user,type) agg; the per-user fold shares its exchange;
         # ordered out
         "events_user_entropy": 2,

@@ -420,3 +420,42 @@ def test_transitivity_matches_python(spark, sf_dir):
     assert r.n_triangles == tri
     assert r.transitivity == round(6.0 * tri / wedges2, 6)
     assert r.avg_local_cc == round(s_cc / 1e6 / len(cc_nodes), 6)
+
+
+def test_ab_test_matches_python(spark, sf_dir):
+    import hashlib
+
+    from dbt_eamples_spark.operators.behavior import (
+        AB_CONVERT_MIN,
+        events_ab_test,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type"
+    ).collect()
+    pc: dict[int, int] = defaultdict(int)
+    users = set()
+    for r in ev:
+        users.add(r.user_id)
+        if r.event_type == "purchase":
+            pc[r.user_id] += 1
+
+    def coin(uid):
+        h = hashlib.md5(str(uid).encode()).hexdigest()[:15]
+        return int(h, 16) / float(1 << 60)
+
+    n = {"A": 0, "B": 0}
+    c = {"A": 0, "B": 0}
+    for uid in users:
+        arm = "A" if coin(uid) < 0.5 else "B"
+        n[arm] += 1
+        c[arm] += int(pc.get(uid, 0) >= AB_CONVERT_MIN)
+    r = events_ab_test(spark, sf_dir).collect()[0]
+    assert (r.n_a, r.n_b, r.c_a, r.c_b) == (n["A"], n["B"], c["A"], c["B"])
+    assert r.rate_a == round(c["A"] / n["A"], 6)
+    assert r.rate_b == round(c["B"] / n["B"], 6)
+    pool = (c["A"] + c["B"]) / (n["A"] + n["B"])
+    assert 0 < pool < 1  # the threshold genuinely splits the corpus
+    se = math.sqrt(pool * (1 - pool) * (1 / n["A"] + 1 / n["B"]))
+    want_z = round((c["B"] / n["B"] - c["A"] / n["A"]) / se, 6)
+    assert r.z_score == want_z
