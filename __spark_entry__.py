@@ -35,6 +35,7 @@ from dbt_eamples_spark.operators.graph import (
     graph_pagerank_topk,
     graph_pagerank_weighted,
     graph_transitivity,
+    graph_transitivity_sampled,
     graph_triangle_count,
 )
 from dbt_eamples_spark.operators.skew import join_salted_skew
@@ -120,74 +121,27 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Round-7 driver-sample rotation (VERDICT r6 #2): CORRECTNESS_r06
-# covered exactly the first 50 of the r6 list, so the only
-# never-driver-checked queries left are the 19 late-r6 additions
-# that overflowed past position 50 (each already green on the
-# triple-scale local strict gate). The driver samples the FIRST 50
-# registry entries per round, so order = (1) those 19 debt queries;
-# (2) round-7 additions as they land (never-checked by
-# construction); (3) the cohort whose latest driver row is r1 —
-# 5 rounds stale — fills the remaining slots up to 50 (with 19+«new»
-# ahead of them, about 30 − «new» fit). Positions 51+ queue the rest
-# of the r1 cohort, then the r2 cohort, as round 8's front.
-_R7_PRIORITY = [
-    # (1) never driver-checked — late round-6 additions, first rows due
-    "returned_item_customers",
-    "late_priority_by_year",
-    "customer_order_distribution",
-    "orders_large_quantity",
-    "supplier_dominant_parts",
-    "dedup_substring_spans",
-    "dedup_top_spans",
-    "customer_entity_match",
-    "graph_community_lpa",
-    "ts_cross_correlation",
-    "embedding_dim_stats",
-    "embedding_dim_corr_topk",
-    "ts_rolling_median",
-    "graph_assortativity",
-    "embedding_norm_stats",
-    "sample_neyman_allocation",
+# Round-8 driver-sample rotation (VERDICT r7 #1): CORRECTNESS_r07
+# covered exactly the first 50 of the r7 list, clearing the r6 debt
+# and re-anchoring 16 r1-stale queries. The remaining stale cohort —
+# everything whose latest driver row is r1 or r2, 51 queries queued
+# at r7 positions 51+ — is round 8's front. Order = (1) round-8
+# additions, never driver-checked by construction; (2)
+# `embedding_pca_topvar`, whose new partial SQL oracle (VERDICT r7
+# #9) upgrades it from rows-only to hash-checked — the new gate has
+# never run on the driver; (3) the r1/r2-stale cohort in queue
+# order. With 3+1 ahead of them, 46 of the 51 fit in the driver's
+# 50-query sample; the last 5 (source_quality_rollup …
+# corpus_keep_list) overflow to positions 51+ as round 9's front,
+# leaving max driver-row staleness r3 (5 rounds) for those 5 only.
+_R8_PRIORITY = [
+    # (1) new in round 8 — never-checked by construction
+    "graph_transitivity_sampled",
+    "similarity_hybrid_rrf",
+    "dedup_phash",
+    # (2) oracle upgraded rows-only → partial value hash in round 8
     "embedding_pca_topvar",
-    "ts_hampel_outliers",
-    "market_basket_lift",
-    # (2) new in round 7 — never-checked by construction
-    "dedup_threshold_curve",
-    "multimodal_codec_stats",
-    "agg_theil_index",
-    "text_ngram_novelty",
-    "embedding_matryoshka_eval",
-    "dedup_cascade_attrition",
-    "agg_winsorized_mean",
-    "ts_seasonal_anomaly",
-    "sample_weighted_reservoir",
-    "events_user_entropy",
-    "dedup_incremental_cosine",
-    "ts_ljung_box",
-    "text_jaccard_source_similarity",
-    "join_asof_tolerance",
-    "graph_transitivity",
-    "events_ab_test",
-    # (3) latest driver row is r1 — oldest cohort, fill to 50
-    "scan_table",
-    "sql_execute_limit",
-    "filter_where_expr",
-    "filter_time_range",
-    "join_fact_dim",
-    "join_star_3way",
-    "join_left_outer",
-    "join_time_range",
-    "agg_count",
-    "agg_count_distinct",
-    "agg_percentiles",
-    "agg_approx_distinct",
-    "metric_groupby_agg",
-    "distinct_values",
-    "metric_grouping_sets",
-    "metric_rollup",
-    # ---- position 51+ (round 8's front): the rest of the
-    # r1-latest cohort, then the r2-latest cohort ----
+    # (3) latest driver row is r1 (6 rounds stale) — queue order
     "metric_cube",
     "window_topk_per_group",
     "order_by",
@@ -246,11 +200,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     The driver samples the FIRST 50 entries per round; the dict below
-    is re-ordered through ``_R7_PRIORITY`` (never-checked → new → longest
+    is re-ordered through ``_R8_PRIORITY`` (never-checked → new → longest
     unchecked → rest), so insertion order here is grouping only.
     """
     d = _query_registry()
-    ordered = {k: d[k] for k in _R7_PRIORITY if k in d}
+    ordered = {k: d[k] for k in _R8_PRIORITY if k in d}
     ordered.update({k: v for k, v in d.items() if k not in ordered})
     return ordered
 
@@ -292,6 +246,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_transitivity": graph_transitivity,
         # hash-coin A/B experiment readout (pooled two-proportion z)
         "events_ab_test": B.events_ab_test,
+        # --- round-8 additions ---
+        # Doulion md5-coin sampled transitivity (q³-scaled estimate)
+        "graph_transitivity_sampled": graph_transitivity_sampled,
         # --- round-6 additions ---
         # TPC-H Q2 shape: correlated-MIN cheapest supplier per part
         "part_cheapest_supplier": R.part_cheapest_supplier,

