@@ -2372,3 +2372,111 @@ def embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_overlap",
         F.round(F.col("n_overlap") / F.lit(float(TOP_K)), 6).alias("overlap"),
     ).orderBy("dims", "query_id")
+
+
+# ---- hybrid retrieval: reciprocal-rank fusion (VERDICT r7 #3) ---------------
+RRF_K = 60             # the standard RRF damping constant
+RRF_DENSE_POOL = 20    # per-query dense shortlist length
+RRF_SPARSE_POOL = 50   # global BM25 keyword shortlist length
+RRF_TOP = 10           # fused results reported per query
+
+
+def similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.,
+    SIGIR 2009) — the production composition every RAG/curation
+    pipeline runs: a sparse keyword ranking and a dense vector
+    ranking fused per query by RRF(d) = Σ_lists 1/(K + rank_d).
+
+    Inputs are the two already-oracle-twinned rankers: the dense
+    list is the brute-force cosine top-``RRF_DENSE_POOL`` per query
+    vector (``similarity_topk``'s scorer), the sparse list the BM25
+    keyword ranking (``text_bm25_search``) cut to its global top
+    ``RRF_SPARSE_POOL`` — one keyword relevance list shared by all
+    queries (the keyword filter is query-set metadata here; per-query
+    terms would only change the tf filter). Docs and vectors share
+    the id space (doc_id ≡ vec_id in the corpus).
+
+    Engine-exactness: ranks are exact integers on totally-ordered
+    keys (score DESC, id ASC — both scores are fixed-point-exact
+    cross-engine already); each RRF term is the exact integer
+    ``10^12 div (K + rank)`` (integer division both engines — never
+    a float quotient), the per-doc sum of ≤2 such terms is exact,
+    and the fused ORDER is on that exact integer with doc_id as the
+    total-order tie-break, so rank boundaries can never disagree
+    across engines. The reported ``rrf`` is one division + round(6)
+    for display.
+
+    Scale shape: the BM25 cut is a TakeOrderedAndProject (never a
+    global window over matching docs); the dense shortlist is the
+    two-phase local-topk reduction; fusion unions two
+    |Q|·pool-bounded frames into one hash-agg and ranks windows over
+    |Q| groups of ≤ pools rows — everything after the two scans is
+    bounded by the shortlists, not the corpus."""
+    from dbt_eamples_spark.operators.text import text_bm25_search
+
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id", _as_double_vec(F.col("embedding")).alias("vec")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    scored = emb.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(_cosine(F.col("qvec"), F.col("vec")), 6).alias("cosine"),
+    )
+    dense = _topk(scored, RRF_DENSE_POOL).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rk").cast("int").alias("rank"),
+        F.lit("dense").alias("src"),
+    )
+    # global keyword shortlist: ordered cut (TakeOrderedAndProject),
+    # then ranks attached on the ≤RRF_SPARSE_POOL-row result
+    sparse_pool = (
+        text_bm25_search(spark, sf_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(RRF_SPARSE_POOL)
+    )
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    sparse_ranked = sparse_pool.select(
+        "doc_id", "bm25", F.row_number().over(w).cast("int").alias("rank")
+    )
+    qids = q.select("query_id")
+    sparse = (
+        qids.crossJoin(F.broadcast(sparse_ranked))
+        .select("query_id", "doc_id", "rank", F.lit("bm25").alias("src"))
+    )
+    term = F.expr(f"{10**12}L div ({RRF_K} + rank)")
+    fused = (
+        dense.unionByName(sparse)
+        .select("query_id", "doc_id", "src", "rank", term.alias("t_fp"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("t_fp").alias("rrf_fp"),
+            F.max(F.when(F.col("src") == "dense", F.col("rank")))
+            .cast("int")
+            .alias("rank_dense"),
+            F.max(F.when(F.col("src") == "bm25", F.col("rank")))
+            .cast("int")
+            .alias("rank_bm25"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_fp"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("int"))
+        .filter(F.col("fused_rank") <= RRF_TOP)
+        .select(
+            "query_id",
+            "fused_rank",
+            "doc_id",
+            "rank_dense",
+            "rank_bm25",
+            "rrf_fp",
+            F.round(F.col("rrf_fp") / F.lit(1e12), 6).alias("rrf"),
+        )
+    )

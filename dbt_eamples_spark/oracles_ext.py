@@ -6468,3 +6468,104 @@ def _transitivity_sampled_oracle_sql() -> str:
 
 
 EXT_ORACLES["graph_transitivity_sampled"] = _transitivity_sampled_oracle_sql()
+
+
+def _hybrid_rrf_oracle_sql() -> str:
+    """Mirror of similarity.similarity_hybrid_rrf: the similarity_topk
+    cosine CTE cut at RRF_DENSE_POOL, the text_bm25_search CTE cut at
+    its global top RRF_SPARSE_POOL, the identical exact-integer RRF
+    terms (10^12 // (K + rank)), and the fused rank on (rrf_fp DESC,
+    doc_id ASC)."""
+    from dbt_eamples_spark.operators.similarity import (
+        RRF_DENSE_POOL,
+        RRF_K,
+        RRF_SPARSE_POOL,
+        RRF_TOP,
+    )
+
+    return f"""
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS query_id, vec AS qvec FROM v
+              WHERE vec_id < {N_QUERIES}),
+        dscored AS (
+            SELECT query_id, v.vec_id AS neighbor_id,
+                   round({_cos('qvec', 'v.vec')}, 6) AS cosine
+            FROM v JOIN q ON v.vec_id != q.query_id
+        ),
+        dense AS (
+            SELECT query_id, doc_id, rank, 'dense' AS src FROM (
+                SELECT query_id, neighbor_id AS doc_id,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC)
+                            AS INT) AS rank
+                FROM dscored
+            ) WHERE rank <= {RRF_DENSE_POOL}
+        ),
+        tokd AS (
+          SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+          FROM documents
+        ), lens AS (
+          SELECT doc_id, len(toks) AS dl FROM tokd
+        ), stats AS (
+          SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM lens
+        ), tf AS (
+          SELECT doc_id, tok, COUNT(*) AS tf
+          FROM (SELECT doc_id, unnest(toks) AS tok FROM tokd)
+          WHERE tok IN ('query', 'join', 'vector')
+          GROUP BY doc_id, tok
+        ), dft AS (
+          SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+        ), bscored AS (
+          SELECT tf.doc_id,
+                 CAST(ROUND(
+                   ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (0.25 + 0.75 * dl
+                        / (CAST(sum_dl AS DOUBLE) / n_docs)))
+                   * 1e9) AS BIGINT) AS w_fp
+          FROM tf
+          JOIN dft USING (tok)
+          JOIN lens ON lens.doc_id = tf.doc_id
+          CROSS JOIN stats
+        ),
+        bm25 AS (
+          SELECT doc_id,
+                 ROUND(CAST(SUM(w_fp) AS DOUBLE) / 1e9, 6) AS bm25
+          FROM bscored GROUP BY doc_id
+        ),
+        sparse_ranked AS (
+          SELECT doc_id, CAST(ROW_NUMBER() OVER (
+                     ORDER BY bm25 DESC, doc_id ASC) AS INT) AS rank
+          FROM bm25
+          QUALIFY rank <= {RRF_SPARSE_POOL}
+        ),
+        sparse AS (
+          SELECT q.query_id, s.doc_id, s.rank, 'bm25' AS src
+          FROM q CROSS JOIN sparse_ranked s
+        ),
+        fused AS (
+          SELECT query_id, doc_id,
+                 SUM({10**12} // ({RRF_K} + rank)) AS rrf_fp,
+                 CAST(MAX(CASE WHEN src = 'dense' THEN rank END)
+                      AS INT) AS rank_dense,
+                 CAST(MAX(CASE WHEN src = 'bm25' THEN rank END)
+                      AS INT) AS rank_bm25
+          FROM (SELECT * FROM dense UNION ALL SELECT * FROM sparse)
+          GROUP BY query_id, doc_id
+        )
+        SELECT query_id, fused_rank, doc_id, rank_dense, rank_bm25,
+               CAST(rrf_fp AS BIGINT) AS rrf_fp,
+               round(CAST(rrf_fp AS DOUBLE) / 1e12, 6) AS rrf
+        FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY rrf_fp DESC, doc_id ASC)
+                           AS INT) AS fused_rank
+            FROM fused
+        ) WHERE fused_rank <= {RRF_TOP}
+    """
+
+
+EXT_ORACLES["similarity_hybrid_rrf"] = _hybrid_rrf_oracle_sql()

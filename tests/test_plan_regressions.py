@@ -444,6 +444,12 @@ class TestShuffleBudgets:
         # degree agg is exchange-free on the bucketed artifact and
         # the one-row count attaches are broadcast NLJs
         "graph_transitivity_sampled": 3,
+        # dense arm (parallelize repartition + local-topk + rank
+        # window) + the BM25 arm's matching-token aggs and the
+        # TakeOrdered cut + the |Q|·pool-bounded fusion agg + fused
+        # rank window — every exchange past the two scans is
+        # shortlist-bounded
+        "similarity_hybrid_rrf": 11,
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))

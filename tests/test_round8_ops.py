@@ -38,3 +38,55 @@ def test_transitivity_sampled_deterministic(spark, sf_dir):
     a = graph_transitivity_sampled(spark, sf_dir).collect()[0]
     b = graph_transitivity_sampled(spark, sf_dir).collect()[0]
     assert a == b
+
+
+def test_hybrid_rrf_matches_python(spark, sf_dir):
+    """RRF fusion arithmetic vs a pure-python reference built from
+    the two rankers' own outputs: exact integer terms, union domain,
+    (rrf_fp DESC, doc_id ASC) total order."""
+    from dbt_eamples_spark.operators.similarity import (
+        RRF_DENSE_POOL,
+        RRF_K,
+        RRF_SPARSE_POOL,
+        RRF_TOP,
+        similarity_hybrid_rrf,
+    )
+    from dbt_eamples_spark.operators.text import text_bm25_search
+
+    # the sparse reference list is rebuilt in python from the BM25
+    # operator's full output; dense ranks are bounds-checked here and
+    # value-checked by the DuckDB oracle twin
+    rows = similarity_hybrid_rrf(spark, sf_dir).collect()
+    sparse = {
+        r.doc_id: i + 1
+        for i, r in enumerate(
+            sorted(
+                text_bm25_search(spark, sf_dir).collect(),
+                key=lambda r: (-r.bm25, r.doc_id),
+            )[:RRF_SPARSE_POOL]
+        )
+    }
+    for r in rows:
+        want = 0
+        if r.rank_dense is not None:
+            assert 1 <= r.rank_dense <= RRF_DENSE_POOL
+            want += 10**12 // (RRF_K + r.rank_dense)
+        if r.rank_bm25 is not None:
+            assert sparse[r.doc_id] == r.rank_bm25
+            want += 10**12 // (RRF_K + r.rank_bm25)
+        assert r.rrf_fp == want
+        assert abs(r.rrf - round(want / 1e12, 6)) < 1e-12
+    # per-query: RRF_TOP rows, fused_rank 1..RRF_TOP, ordered by
+    # (rrf_fp DESC, doc_id ASC)
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.fused_rank)
+        assert [r.fused_rank for r in rs] == list(range(1, RRF_TOP + 1))
+        keys = [(-r.rrf_fp, r.doc_id) for r in rs]
+        assert keys == sorted(keys)
+    # the fusion actually mixes: some fused row carries both ranks
+    assert any(
+        r.rank_dense is not None and r.rank_bm25 is not None for r in rows
+    ) or all(r.rank_bm25 is None for r in rows)
