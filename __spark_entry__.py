@@ -251,6 +251,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_transitivity_sampled": graph_transitivity_sampled,
         # sparse BM25 + dense cosine fused by reciprocal-rank fusion
         "similarity_hybrid_rrf": V.similarity_hybrid_rrf,
+        # dHash over real PNGs (strict Arrow decode) → Hamming bands
+        "dedup_phash": M.dedup_phash,
         # --- round-6 additions ---
         # TPC-H Q2 shape: correlated-MIN cheapest supplier per part
         "part_cheapest_supplier": R.part_cheapest_supplier,

@@ -433,3 +433,177 @@ def multimodal_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(FEATURE_DIM)
         ],
     ).orderBy("doc_id")
+
+
+# ---- perceptual image near-dup (VERDICT r7 #4) ------------------------------
+PHASH_GROUP = 5            # docs per planted scene: base + 3 shifts + 1 corrupt
+PHASH_H, PHASH_W = 16, 18  # generated image geometry (2×2-pooled to 8×9)
+PHASH_BUCKET_CAP = 256     # oversized-band guard (entity-match recipe)
+PHASH_MAX_HAMMING = 4      # verify threshold (planted ≤1, cross-scene ≥7)
+
+
+def _phash_pixels(doc_id: int):
+    """Closed-form grayscale image for ``doc_id`` — the generative
+    contract shared verbatim with the DuckDB oracle: scene
+    g = doc_id//5 draws base(i) = ((g+1)(i²+3i+7)) mod 199 over the
+    raster index i; members m = doc_id%5 add a constant brightness
+    shift (+m — preserves every adjacent-block comparison, so
+    members 0-3 share the exact dHash), and member 4 additionally
+    corrupts ONE pixel (+50 at i = 13g mod 288 — flips ≤2 hash bits,
+    measured ≤1). Quadratic-in-i so scenes decorrelate: measured
+    cross-scene Hamming ≥7 over all sf0.01 pairs."""
+    import numpy as np
+
+    g, m = doc_id // PHASH_GROUP, doc_id % PHASH_GROUP
+    i = np.arange(PHASH_H * PHASH_W, dtype=np.int64)
+    base = ((g + 1) * (i * i + 3 * i + 7)) % 199
+    img = base + m
+    if m == PHASH_GROUP - 1:
+        img = img + 50 * (i == (g * 13) % (PHASH_H * PHASH_W))
+    return img.astype(np.uint8).reshape(PHASH_H, PHASH_W)
+
+
+def _phash_payload_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Encode each doc's closed-form image as a REAL baseline PNG."""
+    from dbt_eamples_spark.operators.png import encode_png
+
+    out = [
+        {"doc_id": int(d), "content": encode_png(_phash_pixels(int(d)))}
+        for d in batch["doc_id"]
+    ]
+    return pd.DataFrame(out, columns=["doc_id", "content"])
+
+
+def _phash_band_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """STRICT decode (real PNG codec) → dHash split into 4×16-bit
+    band integers. dHash: 2×2 block sums (integer-exact) pooled to
+    an 8-row × 9-col grid, bit(r,c) = S(r,c) > S(r,c+1) → 64 bits at
+    index i = r·8+c, band b = bits [16b, 16b+16) packed little-end.
+    Bands are the LSH key (Hamming-≤3 twins must share ≥1 band by
+    pigeonhole) AND carry the full hash for the verify step."""
+    import numpy as np
+
+    from dbt_eamples_spark.operators.png import decode_png
+
+    out = []
+    for doc_id, content in zip(batch["doc_id"], batch["content"]):
+        w, h, ch, px = decode_png(bytes(content))
+        assert (w, h, ch) == (PHASH_W, PHASH_H, 1)
+        p = px.reshape(PHASH_H, PHASH_W).astype(np.int64)
+        s = p.reshape(PHASH_H // 2, 2, PHASH_W // 2, 2).sum(axis=(1, 3))
+        bits = (s[:, :-1] > s[:, 1:]).astype(np.int64).flatten()
+        bands = [
+            int(sum(int(bits[16 * b + j]) << j for j in range(16)))
+            for b in range(4)
+        ]
+        out.append(
+            {
+                "doc_id": int(doc_id),
+                "b0": bands[0],
+                "b1": bands[1],
+                "b2": bands[2],
+                "b3": bands[3],
+            }
+        )
+    return pd.DataFrame(out, columns=["doc_id", "b0", "b1", "b2", "b3"])
+
+
+def dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-duplicate detection — dHash over REAL
+    PNGs through the strict Arrow decode seam, Hamming-banded LSH
+    buckets, in-bucket pair expansion, exact Hamming verify: the
+    image twin of the MinHash band→bucket→verify text pipeline,
+    tying the codec stack into the dedup family (VERDICT r7 #4).
+
+    Stages: (1) Arrow generate — closed-form grayscale images
+    encoded with the real PNG encoder (the oracle never sees a
+    codec: it recomputes the dHash from the generative formula, so
+    any codec bit regression breaks the value hash, exactly the
+    multimodal_codec_stats contract); (2) Arrow decode+hash — real
+    PNG decode, integer 2×2 pooling, 64-bit dHash as 4×16-bit band
+    ints; (3) JVM banding — explode 4 (band_idx, value) keys,
+    groupBy buckets (capped at PHASH_BUCKET_CAP, the entity-match
+    oversized-block guard, oracle-mirrored), in-bucket a<b pair
+    expansion; (4) verify — join both sides' bands back, Hamming =
+    Σ bit_count(xor) over the 4 bands (pure JVM integer ops), keep
+    ≤ PHASH_MAX_HAMMING.
+
+    Planted truth (test-locked, 10× fixture too): members of a
+    scene sit at Hamming ≤1 sharing ≥3 bands → banding recall 1.0;
+    cross-scene pairs measure Hamming ≥7, so the verify threshold 4
+    rejects every band false positive. Scale shape: candidate pairs
+    come from band buckets (Σ bucket² bounded by the cap), never an
+    all-pairs self-join; the two band joins shuffle O(pairs)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b):
+                yield _phash_payload_batch(b)
+
+    def dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b):
+                yield _phash_band_batch(b)
+
+    payloads = docs.mapInPandas(gen, schema="doc_id long, content binary")
+    bands = payloads.mapInPandas(
+        dhash, schema="doc_id long, b0 long, b1 long, b2 long, b3 long"
+    ).localCheckpoint(eager=True)  # 3 consumers: banding + both verify sides
+    ex = bands.select(
+        "doc_id",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(
+            "band_idx", "bv"
+        ),
+    )
+    buckets = (
+        ex.groupBy("band_idx", "bv")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(
+            (F.size("ids") >= 2) & (F.size("ids") <= PHASH_BUCKET_CAP)
+        )
+    )
+    pair = F.explode(
+        F.filter(
+            F.flatten(
+                F.transform(
+                    "ids",
+                    lambda a: F.transform(
+                        "ids",
+                        lambda b: F.struct(
+                            a.alias("doc_a"), b.alias("doc_b")
+                        ),
+                    ),
+                )
+            ),
+            lambda s: s["doc_a"] < s["doc_b"],
+        )
+    )
+    cands = (
+        buckets.select(pair.alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("int").alias("n_bands_shared"))
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{i}").alias(f"a{i}") for i in range(4)],
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{i}").alias(f"bb{i}") for i in range(4)],
+    )
+    hamming = sum(
+        F.expr(f"bit_count(a{i} ^ bb{i})") for i in range(4)
+    ).cast("int")
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_bands_shared",
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+    )

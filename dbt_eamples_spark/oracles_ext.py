@@ -6569,3 +6569,92 @@ def _hybrid_rrf_oracle_sql() -> str:
 
 
 EXT_ORACLES["similarity_hybrid_rrf"] = _hybrid_rrf_oracle_sql()
+
+
+def _dedup_phash_oracle_sql() -> str:
+    """Mirror of multimodal.dedup_phash — but GENERATIVE: the dHash
+    bands are recomputed from the closed-form pixel formula (the
+    oracle never runs a codec), so the Spark side's PNG encode →
+    strict decode round trip is value-gated bit-for-bit, exactly the
+    multimodal_codec_stats contract. Banding, the bucket cap, the
+    a<b pair expansion, and the Hamming verify mirror the engine."""
+    from dbt_eamples_spark.operators.multimodal import (
+        PHASH_BUCKET_CAP,
+        PHASH_GROUP,
+        PHASH_MAX_HAMMING,
+    )
+
+    return f"""
+        WITH ids AS (
+            SELECT doc_id, doc_id // {PHASH_GROUP} AS g,
+                   doc_id % {PHASH_GROUP} AS m
+            FROM documents
+        ),
+        px AS (
+            SELECT doc_id, bi // 9 AS r, bi % 9 AS c,
+                   ((g + 1) * (i * i + 3 * i + 7)) % 199 + m
+                   + CASE WHEN m = {PHASH_GROUP - 1}
+                               AND i = (g * 13) % 288
+                          THEN 50 ELSE 0 END AS val
+            FROM (
+                SELECT ids.doc_id, ids.g, ids.m, bi.x AS bi,
+                       ((bi.x // 9) * 2 + dr.x) * 18
+                       + ((bi.x % 9) * 2 + dc.x) AS i
+                FROM ids, range(72) bi(x), range(2) dr(x), range(2) dc(x)
+            )
+        ),
+        blocks AS (
+            SELECT doc_id, r, c, SUM(val) AS s
+            FROM px GROUP BY doc_id, r, c
+        ),
+        bits AS (
+            SELECT doc_id, r, c,
+                   s > LEAD(s) OVER (PARTITION BY doc_id, r
+                                     ORDER BY c) AS bit
+            FROM blocks
+            QUALIFY c < 8
+        ),
+        bands AS (
+            SELECT doc_id, (r * 8 + c) // 16 AS band_idx,
+                   CAST(SUM(CASE WHEN bit
+                            THEN 1 << ((r * 8 + c) % 16)
+                            ELSE 0 END) AS BIGINT) AS bv
+            FROM bits GROUP BY doc_id, (r * 8 + c) // 16
+        ),
+        wide AS (
+            SELECT doc_id,
+                   MAX(CASE WHEN band_idx = 0 THEN bv END) AS b0,
+                   MAX(CASE WHEN band_idx = 1 THEN bv END) AS b1,
+                   MAX(CASE WHEN band_idx = 2 THEN bv END) AS b2,
+                   MAX(CASE WHEN band_idx = 3 THEN bv END) AS b3
+            FROM bands GROUP BY doc_id
+        ),
+        ok AS (
+            SELECT band_idx, bv FROM bands
+            GROUP BY band_idx, bv
+            HAVING count(*) BETWEEN 2 AND {PHASH_BUCKET_CAP}
+        ),
+        cands AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS INT) AS n_bands_shared
+            FROM bands a
+            JOIN bands b USING (band_idx, bv)
+            JOIN ok USING (band_idx, bv)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, n_bands_shared,
+               CAST(bit_count(xor(wa.b0, wb.b0))
+                    + bit_count(xor(wa.b1, wb.b1))
+                    + bit_count(xor(wa.b2, wb.b2))
+                    + bit_count(xor(wa.b3, wb.b3)) AS INT) AS hamming
+        FROM cands
+        JOIN wide wa ON wa.doc_id = doc_a
+        JOIN wide wb ON wb.doc_id = doc_b
+        WHERE bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
+              + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3))
+              <= {PHASH_MAX_HAMMING}
+    """
+
+
+EXT_ORACLES["dedup_phash"] = _dedup_phash_oracle_sql()

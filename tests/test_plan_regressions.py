@@ -450,6 +450,11 @@ class TestShuffleBudgets:
         # rank window — every exchange past the two scans is
         # shortlist-bounded
         "similarity_hybrid_rrf": 11,
+        # audited tail past the band checkpoint: band-bucket groupBy
+        # + candidate-pair groupBy; the two verify band joins
+        # broadcast at fixture scale (O(pairs) exchanges at cluster
+        # scale — still bucket-bounded, never corpus²)
+        "dedup_phash": 2,
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))

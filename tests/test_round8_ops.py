@@ -90,3 +90,41 @@ def test_hybrid_rrf_matches_python(spark, sf_dir):
     assert any(
         r.rank_dense is not None and r.rank_bm25 is not None for r in rows
     ) or all(r.rank_bm25 is None for r in rows)
+
+
+def test_dedup_phash_planted_recall_both_scales(spark):
+    """Planted-twin lock at 1× and 10× (sf0.001 → sf0.01): every
+    intra-scene pair (Hamming ≤1 by construction) is found — banding
+    recall 1.0 — and nothing else survives the verify threshold
+    (cross-scene Hamming measures ≥7 > 4), so precision is 1.0."""
+    import itertools
+
+    from dbt_eamples_spark.catalog import load_table
+    from dbt_eamples_spark.operators.multimodal import (
+        PHASH_GROUP,
+        dedup_phash,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ids = [
+            r.doc_id
+            for r in load_table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .collect()
+        ]
+        by_g: dict[int, list[int]] = {}
+        for d in ids:
+            by_g.setdefault(d // PHASH_GROUP, []).append(d)
+        want = {
+            (a, b)
+            for g, members in by_g.items()
+            for a, b in itertools.combinations(sorted(members), 2)
+        }
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in dedup_phash(spark, sf_dir).collect()
+        }
+        assert got == want, (
+            f"{sf_dir}: {len(want - got)} planted pairs missed, "
+            f"{len(got - want)} false positives"
+        )
