@@ -126,22 +126,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # and re-anchoring 16 r1-stale queries. The remaining stale cohort —
 # everything whose latest driver row is r1 or r2, 51 queries queued
 # at r7 positions 51+ — is round 8's front. Order = (1) round-8
-# additions, never driver-checked by construction; (2)
-# `embedding_pca_topvar`, whose new partial SQL oracle (VERDICT r7
-# #9) upgrades it from rows-only to hash-checked — the new gate has
-# never run on the driver; (3) the r1/r2-stale cohort in queue
-# order. With 3+1 ahead of them, 46 of the 51 fit in the driver's
-# 50-query sample; the last 5 (source_quality_rollup …
+# additions, never driver-checked by construction — including
+# `embedding_pca_invariants`, the hash-checked companion that
+# value-gates the rows-only eigensolve (VERDICT r7 #9); (2) the
+# r1/r2-stale cohort in queue
+# order. With 4 round-8 queries ahead of them, 46 of the 51 fit in
+# the driver's 50-query sample; the last 5 (source_quality_rollup …
 # corpus_keep_list) overflow to positions 51+ as round 9's front,
 # leaving max driver-row staleness r3 (5 rounds) for those 5 only.
 _R8_PRIORITY = [
-    # (1) new in round 8 — never-checked by construction
+    # (1) new in round 8 — never-checked by construction (incl. the
+    # pca-invariants companion that value-gates the rows-only
+    # eigensolve, VERDICT r7 #9)
     "graph_transitivity_sampled",
     "similarity_hybrid_rrf",
     "dedup_phash",
-    # (2) oracle upgraded rows-only → partial value hash in round 8
-    "embedding_pca_topvar",
-    # (3) latest driver row is r1 (6 rounds stale) — queue order
+    "embedding_pca_invariants",
+    # (2) latest driver row is r1 (6 rounds stale) — queue order
     "metric_cube",
     "window_topk_per_group",
     "order_by",
@@ -253,6 +254,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_hybrid_rrf": V.similarity_hybrid_rrf,
         # dHash over real PNGs (strict Arrow decode) → Hamming bands
         "dedup_phash": M.dedup_phash,
+        # hash-checkable invariants of the driver-side eigensolve
+        "embedding_pca_invariants": V.embedding_pca_invariants,
         # --- round-6 additions ---
         # TPC-H Q2 shape: correlated-MIN cheapest supplier per part
         "part_cheapest_supplier": R.part_cheapest_supplier,

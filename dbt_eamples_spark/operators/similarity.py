@@ -2227,30 +2227,16 @@ def _jacobi_eigenvalues(a: list[list[float]], sweeps: int) -> list[float]:
     return [a[i][i] for i in range(n)]
 
 
-def embedding_pca_topvar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leading ``PCA_TOP_K`` eigenvalues of the embedding covariance
-    with explained-variance ratios — the spectrum screen that
-    decides whether whitening or dimensionality reduction pays
-    before ANN index training (a spectrum where 16 of 64 components
-    carry ~all variance says: rotate/truncate first; a flat one
-    says the coordinates are already efficient), complementing
-    embedding_dim_corr_topk's pairwise view with the global one.
-
-    Distribution of work: the ONLY corpus-sized stage is the exact
-    covariance moment fold — per-row fixed-point quantization (the
-    embedding_dim_stats contract) then one (dim_a ≤ dim_b) exchange
-    to d(d+1)/2 = 2080 exact integer rows. The eigensolve runs
-    driver-side on the d×d matrix — BOUNDED MODEL STATE (64×64,
-    the k-means-centroid precedent), via fixed-sweep cyclic Jacobi
-    (pure python, no LAPACK) so the spectrum is a deterministic
-    function of the exact moments. No DuckDB twin exists for an
-    eigensolve, so this entry is rows-only at the driver gate; the
-    pytest twin cross-checks against an independent numpy
-    ``eigvalsh`` and asserts the exact trace identity
-    Σ eigenvalues = Σ per-dim variances.
-
-    Cites reference semantics: embedding hygiene ahead of the ANN
-    family (SURVEY §2.12)."""
+def _pca_spectrum(
+    spark: SparkSession, sf_dir: str
+) -> tuple[int, int, list[float]]:
+    """(n_vectors, n_dims, eigenvalues sorted descending) of the
+    embedding covariance: exact decimal moment folds (the
+    embedding_dim_stats quantization + the shared Arrow Gram fold),
+    then the fixed-sweep Jacobi eigensolve driver-side on the d×d
+    matrix — bounded model state (the k-means-centroid precedent).
+    Shared by :func:`embedding_pca_topvar` (the spectrum view) and
+    :func:`embedding_pca_invariants` (the hash-checkable gate)."""
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     dims = (
         _dim_quantized(spark, sf_dir)
@@ -2278,6 +2264,34 @@ def embedding_pca_topvar(spark: SparkSession, sf_dir: str) -> DataFrame:
     eig = sorted(
         _jacobi_eigenvalues(cov, PCA_JACOBI_SWEEPS), reverse=True
     )
+    return n, d, eig
+
+
+def embedding_pca_topvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading ``PCA_TOP_K`` eigenvalues of the embedding covariance
+    with explained-variance ratios — the spectrum screen that
+    decides whether whitening or dimensionality reduction pays
+    before ANN index training (a spectrum where 16 of 64 components
+    carry ~all variance says: rotate/truncate first; a flat one
+    says the coordinates are already efficient), complementing
+    embedding_dim_corr_topk's pairwise view with the global one.
+
+    Distribution of work: the ONLY corpus-sized stage is the exact
+    covariance moment fold — per-row fixed-point quantization (the
+    embedding_dim_stats contract) then one (dim_a ≤ dim_b) exchange
+    to d(d+1)/2 = 2080 exact integer rows. The eigensolve runs
+    driver-side on the d×d matrix — BOUNDED MODEL STATE (64×64,
+    the k-means-centroid precedent), via fixed-sweep cyclic Jacobi
+    (pure python, no LAPACK) so the spectrum is a deterministic
+    function of the exact moments. No DuckDB twin exists for an
+    eigensolve, so this entry is rows-only at the driver gate; the
+    pytest twin cross-checks against an independent numpy
+    ``eigvalsh`` and asserts the exact trace identity
+    Σ eigenvalues = Σ per-dim variances.
+
+    Cites reference semantics: embedding hygiene ahead of the ANN
+    family (SURVEY §2.12)."""
+    n, _d, eig = _pca_spectrum(spark, sf_dir)
     total = sum(eig)
     out, cum = [], 0.0
     for rank, ev in enumerate(eig[:PCA_TOP_K], start=1):
@@ -2297,6 +2311,75 @@ def embedding_pca_topvar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component int, n_vectors long, eigenvalue double, "
         "explained_ratio double, cumulative_ratio double",
     ).orderBy("component")
+
+
+PCA_TRACE_TOL = 1e-6  # |Σ eig − trace| gate (per-dim 1e-9 rounding
+#                       accumulates ≤ d·5e-10; Jacobi drift ≪ 1e-12)
+
+
+def embedding_pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable gate for the driver-side eigensolve (VERDICT
+    r7 #9): the full `embedding_pca_topvar` spectrum can never be
+    value-hashed cross-engine (no SQL eigensolve exists), but its
+    EXACT INVARIANTS can — this one-row companion query upgrades the
+    eigensolve from rows-only to value-gated:
+
+    - ``trace_fp``: Σ per-dim covariance variances in 1e-9 fixed
+      point, folded SPARK-SIDE with the identical double tree the
+      DuckDB oracle runs (the embedding_dim_stats moment recipe) —
+      a pure SQL quantity, hash-exact;
+    - ``eig_sum_matches_trace``: the eigensolve conservation law
+      Σ eigenvalues = trace(cov), checked driver-side at
+      ``PCA_TRACE_TOL`` and emitted as a boolean the oracle expects
+      TRUE — a broken Jacobi (wrong rotation, dropped sweep, bad
+      moment wiring) shifts Σ eig and flips the bit, failing the
+      value hash;
+    - ``eig_descending`` / ``eig_nonneg``: sort contract and
+      positive-semidefiniteness (covariances are PSD; a negative
+      eigenvalue beyond float noise means a broken fold).
+
+    The eigensolve itself stays driver-side on the d×d moment
+    matrix (bounded model state); everything corpus-sized here is
+    the same one-exchange moment fold dim_stats runs."""
+    n, d, eig = _pca_spectrum(spark, sf_dir)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    q = F.col("q")
+    agg = _dim_quantized(spark, sf_dir).groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(dec(q)).alias("sq"),
+        F.sum(dec(q) * dec(q)).alias("sqq"),
+    )
+    nd, sqd, sqqd = (
+        F.col(c).cast("double") for c in ("n", "sq", "sqq")
+    )
+    scale2 = F.lit(float(DIM_Q_SCALE) * float(DIM_Q_SCALE))
+    var = (nd * sqqd - sqd * sqd) / (nd * nd) / scale2
+    tr = (
+        agg.select(
+            F.round(var * F.lit(1e9)).cast("long").alias("var_fp")
+        )
+        .agg(F.sum("var_fp").alias("trace_fp"))
+        .collect()[0]
+    )
+    trace_fp = int(tr["trace_fp"])
+    sum_eig = sum(eig)
+    row = (
+        n,
+        d,
+        PCA_TOP_K,
+        trace_fp,
+        bool(abs(sum_eig - trace_fp / 1e9) <= PCA_TRACE_TOL),
+        bool(
+            all(eig[i] >= eig[i + 1] for i in range(len(eig) - 1))
+        ),
+        bool(min(eig) >= -1e-9),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_vectors long, n_dims int, n_components int, "
+        "trace_fp long, eig_sum_matches_trace boolean, "
+        "eig_descending boolean, eig_nonneg boolean",
+    )
 
 
 # ---- Matryoshka truncation eval (round 7) -----------------------------------

@@ -6658,3 +6658,58 @@ def _dedup_phash_oracle_sql() -> str:
 
 
 EXT_ORACLES["dedup_phash"] = _dedup_phash_oracle_sql()
+
+
+def _pca_invariants_oracle_sql() -> str:
+    """Mirror of similarity.embedding_pca_invariants: the identical
+    per-dim variance fold (dim_stats quantization + double tree) to
+    trace_fp, literal TRUE for the three eigensolve invariants the
+    Spark side computes driver-side — a broken eigensolve flips a
+    boolean and fails the value hash."""
+    from dbt_eamples_spark.operators.similarity import (
+        DIM_Q_SCALE,
+        PCA_TOP_K,
+    )
+
+    s2 = f"(CAST({DIM_Q_SCALE} AS DOUBLE) * CAST({DIM_Q_SCALE} AS DOUBLE))"
+    return f"""
+        WITH qz AS (
+            SELECT vec_id,
+                   CAST(u.pos AS INTEGER) - 1 AS dim,
+                   CAST(round(CAST(u.x AS DOUBLE) * {DIM_Q_SCALE})
+                        AS BIGINT) AS q
+            FROM (
+                SELECT vec_id,
+                       unnest(range(1, len(embedding) + 1)) AS pos,
+                       unnest(embedding) AS x
+                FROM embeddings
+            ) u
+        ),
+        agg AS (
+            SELECT dim,
+                   CAST(count(*) AS BIGINT) AS n,
+                   SUM(CAST(q AS HUGEINT)) AS sq,
+                   SUM(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS sqq
+            FROM qz GROUP BY dim
+        ),
+        folds AS (
+            SELECT CAST(MAX(n) AS BIGINT) AS n_vectors,
+                   CAST(count(*) AS INT) AS n_dims,
+                   CAST(SUM(CAST(round(
+                       (CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                        - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                       / {s2} * 1e9) AS BIGINT)) AS BIGINT) AS trace_fp
+            FROM agg
+        )
+        SELECT n_vectors, n_dims,
+               CAST({PCA_TOP_K} AS INT) AS n_components,
+               trace_fp,
+               TRUE AS eig_sum_matches_trace,
+               TRUE AS eig_descending,
+               TRUE AS eig_nonneg
+        FROM folds
+    """
+
+
+EXT_ORACLES["embedding_pca_invariants"] = _pca_invariants_oracle_sql()

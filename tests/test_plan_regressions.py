@@ -455,6 +455,11 @@ class TestShuffleBudgets:
         # broadcast at fixture scale (O(pairs) exchanges at cluster
         # scale — still bucket-bounded, never corpus²)
         "dedup_phash": 2,
+        # final frame is the one-row driver-materialized gate; the
+        # corpus-sized moment folds run upstream in the collect()
+        # (the single dim-keyed dim_stats exchange + the Arrow Gram
+        # fold), same contract as embedding_pca_topvar
+        "embedding_pca_invariants": 0,
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))

@@ -128,3 +128,43 @@ def test_dedup_phash_planted_recall_both_scales(spark):
             f"{sf_dir}: {len(want - got)} planted pairs missed, "
             f"{len(got - want)} false positives"
         )
+
+
+def test_pca_invariants_gate(spark, sf_dir):
+    """The invariants row really gates the eigensolve: all booleans
+    TRUE on a healthy tree, trace_fp equals the independent per-dim
+    variance fold (numpy, exact ints), and n columns are sane."""
+    import numpy as np
+
+    from dbt_eamples_spark.catalog import load_table
+    from dbt_eamples_spark.operators.similarity import (
+        DIM_Q_SCALE,
+        PCA_TOP_K,
+        embedding_pca_invariants,
+    )
+
+    row = embedding_pca_invariants(spark, sf_dir).collect()[0]
+    assert row.eig_sum_matches_trace
+    assert row.eig_descending
+    assert row.eig_nonneg
+    assert row.n_components == PCA_TOP_K
+    emb = np.array(
+        [
+            r.embedding
+            for r in load_table(spark, sf_dir, "embeddings").collect()
+        ],
+        dtype=np.float64,
+    )
+    q = np.round(emb * DIM_Q_SCALE).astype(np.int64)
+    n = q.shape[0]
+    assert row.n_vectors == n and row.n_dims == q.shape[1]
+    want = 0
+    for d in range(q.shape[1]):
+        sq = float(q[:, d].sum())
+        sqq = float((q[:, d].astype(object) ** 2).sum())
+        var = (
+            (n * sqq - sq * sq) / (float(n) * float(n))
+            / (float(DIM_Q_SCALE) * float(DIM_Q_SCALE))
+        )
+        want += int(np.floor(var * 1e9 + 0.5))
+    assert row.trace_fp == want
