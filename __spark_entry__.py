@@ -130,10 +130,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # `embedding_pca_invariants`, the hash-checked companion that
 # value-gates the rows-only eigensolve (VERDICT r7 #9); (2) the
 # r1/r2-stale cohort in queue
-# order. With 4 round-8 queries ahead of them, 46 of the 51 fit in
-# the driver's 50-query sample; the last 5 (source_quality_rollup …
-# corpus_keep_list) overflow to positions 51+ as round 9's front,
-# leaving max driver-row staleness r3 (5 rounds) for those 5 only.
+# order. With 4 round-8 queries + the ts_ljung_box re-gate ahead of
+# them, 45 of the 51 fit in the driver's 50-query sample; the last 6
+# (text_repetition_stats … corpus_keep_list) overflow to positions
+# 51+ as round 9's front, leaving max driver-row staleness r3
+# (5 rounds) for those 6 only.
 _R8_PRIORITY = [
     # (1) new in round 8 — never-checked by construction (incl. the
     # pca-invariants companion that value-gates the rows-only
@@ -142,6 +143,9 @@ _R8_PRIORITY = [
     "similarity_hybrid_rrf",
     "dedup_phash",
     "embedding_pca_invariants",
+    # re-gate: n_days/NULL-lag semantics changed in round 8
+    # (ADVICE r7 #1), so its r7 driver row no longer proves the code
+    "ts_ljung_box",
     # (2) latest driver row is r1 (6 rounds stale) — queue order
     "metric_cube",
     "window_topk_per_group",

@@ -21,6 +21,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from dbt_eamples_spark.session import get_spark  # noqa: E402
+from tools.treehash import engine_tree_hash as _engine_tree  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402
 
 # Bench set derived from the registry (VERDICT r5 #2b): every
@@ -88,6 +89,9 @@ def main() -> None:
             "sf": sf,
             "protocol": f"per-query min over {n_runs} runs",
             "raw_run_totals_sec": run_totals,
+            # evidence provenance (ADVICE r7 #5): preflight compares
+            # this to the tree it is snapshotting
+            "engine_tree": _engine_tree(),
         }
     )
     # self-contained artifact: the driver's stdout capture truncates

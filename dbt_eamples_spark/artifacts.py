@@ -174,6 +174,16 @@ def load_or_build_bucketed(
     return _attach_bucketed(spark, table, path, bucket_key, n_buckets)
 
 
+def _uri_path(location: str) -> str:
+    """Filesystem path of a catalog Location string: handles plain
+    paths, file:/x, file:///x, and percent-encoded characters (tmp
+    dirs with spaces) via urllib — never string surgery."""
+    from urllib.parse import unquote, urlparse
+
+    p = urlparse(location)
+    return os.path.abspath(unquote(p.path) if p.scheme else location)
+
+
 def _attach_bucketed(
     spark: SparkSession,
     table: str,
@@ -192,7 +202,11 @@ def _attach_bucketed(
             for r in spark.sql(f"DESCRIBE TABLE EXTENDED `{table}`").collect()
             if r.col_name == "Location"
         ]
-        if loc and loc[0].replace("file:", "") == os.path.abspath(path):
+        # normalize BOTH sides as URIs before comparing (ADVICE r7:
+        # a blind replace('file:', '') mangles any path containing
+        # 'file:' and misses file:// / percent-encoded forms, so a
+        # valid binding could be dropped and recreated per call)
+        if loc and _uri_path(loc[0]) == os.path.abspath(path):
             return spark.table(table)
         spark.sql(f"DROP TABLE `{table}`")
     ddl = spark.read.parquet(path).schema.toDDL()

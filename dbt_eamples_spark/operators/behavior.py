@@ -2439,26 +2439,47 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_seasonal_decompose).
 
     Composes :func:`ts_autocorrelation` UNCHANGED (its r_k are
-    engine-exact 6dp doubles and n−k is its n_pairs column); each
-    r_k²/(n−k) term folds in 1e12 fixed point, the final
-    n(n+2)·Σ is one double multiply. Rides the |types|·|lags|
-    correlogram — no new corpus pass."""
-    acf = ts_autocorrelation(spark, sf_dir)
-    n = (F.col("n_pairs") + F.col("lag")).cast("long")
+    engine-exact 6dp doubles and its n_pairs is the exact n−k pair
+    count); each r_k²/(n−k) term folds in 1e12 fixed point, the
+    final n(n+2)·Σ is one double multiply.
+
+    n is the per-type OBSERVED series length, counted once from the
+    daily grid (ADVICE r7: the old n_pairs+lag back-derivation is
+    only the series length on a gapless calendar, and calendar gaps
+    made it differ PER LAG, splitting one type across partial-Q
+    rows). Precondition stated, not assumed: the textbook Q and its
+    χ²_h reference distribution presume a GAPLESS daily calendar —
+    on gappy series compose with ts_gap_fill first; the lags here
+    are calendar days and absent t−k days pair nothing. NULL-r_k
+    lags (zero-variance series) are EXCLUDED from both h_lags and
+    the sum, so h_lags is exactly the number of terms in Q (they
+    were previously counted but silently skipped by SUM)."""
+    acf = ts_autocorrelation(spark, sf_dir).filter(
+        F.col("acf").isNotNull()
+    )
+    ev = load_table(spark, sf_dir, "events", parallelize=True)
+    ndays = ev.groupBy("event_type").agg(
+        F.countDistinct(
+            F.to_date(F.date_trunc("day", F.col("ts")))
+        )
+        .cast("long")
+        .alias("n_days")
+    )
     term_fp = F.round(
         F.col("acf") * F.col("acf")
         / F.col("n_pairs").cast("double")
         * 1e12
     ).cast("long")
-    return (
-        acf.select(
-            "event_type", n.alias("n_days"), term_fp.alias("t_fp")
-        )
-        .groupBy("event_type", "n_days")
+    per_type = (
+        acf.select("event_type", term_fp.alias("t_fp"))
+        .groupBy("event_type")
         .agg(
             F.count("*").cast("long").alias("h_lags"),
             F.sum("t_fp").alias("s_fp"),
         )
+    )
+    return (
+        per_type.join(F.broadcast(ndays), "event_type")
         .select(
             "event_type",
             "n_days",
@@ -2481,9 +2502,9 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive the analytics surface lacked: users assign to arms by
     the md5 hash coin (reproducible, partitioning- and
     engine-independent — the sample_train_test_split contract
-    applied to bucketing an experiment), conversion = the user has
-    ≥1 'purchase' event, and the readout is the standard pooled
-    two-proportion z statistic
+    applied to bucketing an experiment), conversion = the user made
+    ≥ AB_CONVERT_MIN 'purchase' events (see below), and the readout
+    is the standard pooled two-proportion z statistic
 
         z = (p_b − p_a) / sqrt(p(1−p)(1/n_a + 1/n_b))
 

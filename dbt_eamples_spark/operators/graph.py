@@ -123,6 +123,17 @@ def pagerank_fixed_point(
     reference — the determinism claim as a testable contract, not a
     docstring.
 
+    SYMMETRY IS A PRECONDITION, not a convention (ADVICE r7): on an
+    asymmetric edge list this gather-by-src form is NOT forward
+    PageRank (nor reverse — shares still divide by the original
+    out-degree). There is deliberately no runtime symmetry scan (it
+    would cost an edge-sized exchange per call); the contract is
+    pinned by tests/test_pagerank_props.py::
+    test_asymmetric_input_diverges_from_textbook, and every engine
+    caller feeds the symmetric co-purchase artifact. External
+    callers with one-directional edges must symmetrize first
+    (union the flipped frame, distinct).
+
     Scale shape (VERDICT r6 #5): each node's in-share is gathered by
     joining the edge's DST end to the broadcast rank table and
     grouping by SRC — under symmetry the identical multiset of
@@ -263,7 +274,11 @@ def pagerank_weighted_fixed_point(
     gathering by DST-side join + SRC-side group is the identical
     integer multiset per node); the only structural delta is that
     the per-EDGE share needs (rank, Σw) joined onto the edge before
-    the integer divide (unweighted pre-divides per node)."""
+    the integer divide (unweighted pre-divides per node). Symmetry
+    (of edges AND weights) is a PRECONDITION exactly as in the
+    unweighted core — see its docstring and the asymmetry property
+    test; asymmetric input silently computes a different fixed
+    point."""
     wsum = edges.groupBy("src").agg(
         F.sum("w").cast("long").alias("sw"),
         F.count("*").cast("long").alias("deg"),

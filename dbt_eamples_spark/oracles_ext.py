@@ -6155,21 +6155,34 @@ EXT_ORACLES["dedup_incremental_cosine"] = _incremental_cosine_oracle_sql()
 
 
 # Mirror of behavior.ts_ljung_box over the UNCHANGED correlogram
-# twin (1e12 fixed-point term folds, one final double multiply).
+# twin (1e12 fixed-point term folds, one final double multiply); n
+# is the per-type observed series length from the daily grid and
+# NULL-r_k lags are excluded from h_lags and the sum (ADVICE r7).
 EXT_ORACLES["ts_ljung_box"] = f"""
     WITH acf AS ({{ACF}}),
+    ndays AS (
+        SELECT event_type,
+               CAST(COUNT(DISTINCT CAST(date_trunc('day', ts) AS DATE))
+                    AS BIGINT) AS n_days
+        FROM events GROUP BY event_type
+    ),
     terms AS (
         SELECT event_type,
-               CAST(n_pairs + lag AS BIGINT) AS n_days,
                CAST(ROUND(acf * acf / CAST(n_pairs AS DOUBLE) * 1e12)
                     AS BIGINT) AS t_fp
-        FROM acf
+        FROM acf WHERE acf IS NOT NULL
+    ),
+    per_type AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS h_lags,
+               CAST(SUM(t_fp) AS BIGINT) AS s_fp
+        FROM terms GROUP BY event_type
     )
-    SELECT event_type, n_days,
-           CAST(count(*) AS BIGINT) AS h_lags,
+    SELECT p.event_type, n_days, h_lags,
            round(CAST(n_days * (n_days + 2) AS DOUBLE)
-                 * (CAST(SUM(t_fp) AS DOUBLE) / 1e12), 6) AS q_stat
-    FROM terms GROUP BY event_type, n_days ORDER BY event_type
+                 * (CAST(s_fp AS DOUBLE) / 1e12), 6) AS q_stat
+    FROM per_type p JOIN ndays USING (event_type)
+    ORDER BY event_type
 """
 EXT_ORACLES["ts_ljung_box"] = EXT_ORACLES["ts_ljung_box"].format(
     ACF=EXT_ORACLES["ts_autocorrelation"]

@@ -68,3 +68,53 @@ def test_spark_matches_pure_python_bit_for_bit(spark, edges, iters):
     }
     want = _reference(edges, iters)
     assert got == want
+
+
+def _gather_by_src_reference(
+    edges: set[tuple[int, int]], iters: int
+) -> dict[int, int]:
+    """The engine's literal recurrence on an ARBITRARY edge frame:
+    node s gathers share(d) = rank(d) // out_deg(d) along its OUT
+    edges (s, d). Under symmetry this equals the textbook form; on
+    an asymmetric frame it equals neither forward nor reverse
+    textbook PageRank (shares still divide by the ORIGINAL
+    out-degree)."""
+    deg: dict[int, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(deg)
+    init = PAGERANK_SCALE // n
+    base = (15 * PAGERANK_SCALE) // (100 * n)
+    ranks = {v: init for v in deg}
+    for _ in range(iters):
+        share = {v: ranks[v] // deg[v] for v in deg}
+        in_share: dict[int, int] = {}
+        for s, d in edges:
+            in_share[s] = in_share.get(s, 0) + share[d]
+        ranks = {
+            v: base + (PAGERANK_DAMP_PCT * in_share.get(v, 0)) // 100
+            for v in deg
+        }
+    return ranks
+
+
+def test_asymmetric_input_diverges_from_textbook(spark):
+    """ADVICE r7 guard: the engine gathers by joining the DST end
+    and grouping by SRC — equivalent to textbook PageRank ONLY on a
+    symmetric frame. This test pins the asymmetric behavior (engine
+    == its literal gather-by-src recurrence, engine != the textbook
+    forward form), so a caller wiring a one-directional edge list
+    hits a documented contract, not a silent wrong answer."""
+    edges = {(0, 1), (1, 2), (2, 0), (0, 2)}  # asymmetric: no (2,1) etc.
+    # every node must appear as a source (engine derives nodes there)
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {
+        r.node: r.rank_fp
+        for r in pagerank_fixed_point(df, iters=2).collect()
+    }
+    assert got == _gather_by_src_reference(edges, iters=2)
+    assert got != _reference(edges, iters=2), (
+        "engine unexpectedly equals textbook forward PageRank on an "
+        "asymmetric graph — if the gather direction changed, update "
+        "the symmetry contract in pagerank_fixed_point's docstring"
+    )

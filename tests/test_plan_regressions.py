@@ -422,8 +422,10 @@ class TestShuffleBudgets:
         # pre-checkpoint (parallelize repartition + (t,bucket) join)
         "dedup_incremental_cosine": 4,
         # composed over the correlogram's audited tail + the lag
-        # fold and ordered output
-        "ts_ljung_box": 6,
+        # fold, the per-type observed-days corpus agg (ADVICE r7 —
+        # n counted once from the daily grid, broadcast back), and
+        # ordered output
+        "ts_ljung_box": 7,
         # audited tail past the (source, gram) distinct checkpoint:
         # gram self-join + S²-grid fold + ordered out; sizes/overlap
         # broadcast onto the grid

@@ -54,6 +54,13 @@ def main() -> None:
         f"{n_ok_s}; sf0.1 strict OK {n_ok_l}; FAIL "
         f"{sum(1 for v in list(small.values()) + list(large.values()) if v == 'FAIL')}."
     )
+    # provenance stamp (ADVICE r7 #5): preflight compares this to the
+    # tree being snapshotted — content-based, so a fresh clone can't
+    # trivially pass (mtimes could) and uncommitted edits can't hide
+    # (git log could not see them)
+    from tools.treehash import engine_tree_hash
+
+    print(f"\nEngine tree: `{engine_tree_hash()}`")
 
 
 if __name__ == "__main__":

