@@ -305,6 +305,23 @@ def cmd_test(args: argparse.Namespace) -> int:
     return 1 if failed else 0
 
 
+def cmd_unit_test(args: argparse.Namespace) -> int:
+    """``dbt test`` on model UNIT tests (dbt 1.8 `unit_tests:`):
+    literal mocked inputs through the real metric compiler, exact
+    row diffs, one line per test, exit non-zero iff any failed."""
+    from dbt_eamples_spark.plans.unit_tests import run_all
+    from dbt_eamples_spark.session import get_spark
+
+    spark = get_spark("cli-unit-test")
+    results = run_all(spark, args.sf_dir)
+    failed = 0
+    for r in results:
+        print(f"{'PASS' if r.passed else 'FAIL'} {r.name}: {r.message}")
+        failed += 0 if r.passed else 1
+    print(f"{len(results) - failed} of {len(results)} unit tests passed")
+    return 1 if failed else 0
+
+
 def cmd_freshness(args: argparse.Namespace) -> int:
     """``dbt source freshness`` UX: print the per-source staleness
     report; exit 1 on any error-status source (warn keeps exit 0,
@@ -444,6 +461,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     dt.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     dt.set_defaults(func=cmd_test)
+
+    ut = sub.add_parser(
+        "unit-test",
+        help="run model unit tests (mocked inputs, exact diffs)",
+    )
+    ut.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ut.set_defaults(func=cmd_unit_test)
 
     fr = sub.add_parser(
         "freshness",
