@@ -130,11 +130,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # `embedding_pca_invariants`, the hash-checked companion that
 # value-gates the rows-only eigensolve (VERDICT r7 #9); (2) the
 # r1/r2-stale cohort in queue
-# order. With 4 round-8 queries + the ts_ljung_box re-gate ahead of
-# them, 45 of the 51 fit in the driver's 50-query sample; the last 6
-# (text_repetition_stats … corpus_keep_list) overflow to positions
-# 51+ as round 9's front, leaving max driver-row staleness r3
-# (5 rounds) for those 6 only.
+# order. With 6 round-8 queries + the ts_ljung_box re-gate ahead of
+# them, 43 of the 51 fit in the driver's 50-query sample; the last 8
+# (agg_histogram … corpus_keep_list) overflow to positions 51+ as
+# round 9's front, leaving max driver-row staleness r3 (5 rounds)
+# for those 8 only.
 _R8_PRIORITY = [
     # (1) new in round 8 — never-checked by construction (incl. the
     # pca-invariants companion that value-gates the rows-only
@@ -143,6 +143,8 @@ _R8_PRIORITY = [
     "similarity_hybrid_rrf",
     "dedup_phash",
     "embedding_pca_invariants",
+    "dedup_phash_clusters",
+    "similarity_ivf_recall_eval",
     # re-gate: n_days/NULL-lag semantics changed in round 8
     # (ADVICE r7 #1), so its r7 driver row no longer proves the code
     "ts_ljung_box",
@@ -260,6 +262,10 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_phash": M.dedup_phash,
         # hash-checkable invariants of the driver-side eigensolve
         "embedding_pca_invariants": V.embedding_pca_invariants,
+        # image keep/drop verdicts: components over the phash pairs
+        "dedup_phash_clusters": M.dedup_phash_clusters,
+        # recall@k of the trained IVF index vs the exact ranking
+        "similarity_ivf_recall_eval": V.similarity_ivf_recall_eval,
         # --- round-6 additions ---
         # TPC-H Q2 shape: correlated-MIN cheapest supplier per part
         "part_cheapest_supplier": R.part_cheapest_supplier,

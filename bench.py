@@ -55,6 +55,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     names = _bench_names()
+    # informational subset runs (e.g. the sf1 sweep, VERDICT r7 #5):
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the set — and the run
+    # then NEVER overwrites BENCH_LOCAL.json, which is the committed
+    # full-registry evidence artifact
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        sel = {s.strip() for s in only.split(",") if s.strip()}
+        unknown = sel - set(names)
+        if unknown:
+            raise SystemExit(f"BENCH_ONLY names not in bench set: {sorted(unknown)}")
+        names = [n for n in names if n in sel]
 
     # warm-up: JVM JIT + parquet footer caches
     for n in names:
@@ -96,11 +107,14 @@ def main() -> None:
     )
     # self-contained artifact: the driver's stdout capture truncates
     # long tails (the r4 JSON line got cut mid-object), so the same
-    # JSON also lands in a file next to the script.
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "BENCH_LOCAL.json")
-    with open(out, "w") as fh:
-        fh.write(line + "\n")
+    # JSON also lands in a file next to the script — full-registry
+    # runs only (a filtered subset must not masquerade as the
+    # committed evidence)
+    if not only:
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LOCAL.json")
+        with open(out, "w") as fh:
+            fh.write(line + "\n")
     print(line)
 
 

@@ -607,3 +607,32 @@ def dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
     )
+
+
+def dedup_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the perceptual near-dup pairs —
+    the image twin of :func:`dedup.dedup_clusters`: transitive
+    closure of the Hamming-verified dHash pairs, so a scene whose
+    variants chain A~B, B~C keeps ONE canonical image even when A~C
+    was never directly bucketed. This turns the pairwise
+    :func:`dedup_phash` evidence into the keep/drop verdict an
+    image-curation pipeline consumes.
+
+    Same min-label propagation kernel (one node-keyed shuffle per
+    round, edges checkpointed once, diameter-bounded iterations) —
+    shared code, shared scale argument. Output: (doc_id, cluster_id,
+    cluster_size, keep) for every pair-involved image; singletons
+    never enter the pair graph and are implicitly kept."""
+    from pyspark.sql import Window
+
+    from dbt_eamples_spark.operators.dedup import _min_label_propagation
+
+    pairs = dedup_phash(spark, sf_dir).select("doc_a", "doc_b")
+    comp = _min_label_propagation(pairs, "doc_a", "doc_b")
+    w = Window.partitionBy("comp")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        F.count("*").over(w).cast("long").alias("cluster_size"),
+        (F.col("node") == F.col("comp")).alias("keep"),
+    )

@@ -2563,3 +2563,49 @@ def similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("rrf_fp") / F.lit(1e12), 6).alias("rrf"),
         )
     )
+
+
+def similarity_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the trained IVF index against the exact
+    brute-force ranking, per query — retrieval EVAL as a first-class
+    query (the RECALL.md study as an operator a pipeline can gate
+    deploys on). recall = |IVF top-k ∩ exact top-k| / k; both
+    shortlists are the engine's own deterministic, oracle-twinned
+    rankers, so the eval itself is hash-checkable — exact ranks on
+    totally-ordered keys intersect identically in every engine.
+
+    Scale shape: rides the two shortlist queries (|Q|·k rows each —
+    the corpus-sized work happens inside them, IVF against the
+    cached trained centroids); the intersection join, per-query
+    fold, and query-spine left join are all |Q|-bounded."""
+    exact = similarity_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity_ivf_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    # both sides are |Q|·k rows — broadcast explicitly: the window
+    # outputs carry no size statistics, and Catalyst otherwise
+    # falls back to a sort-merge join (seen at fixture scale)
+    hits = (
+        exact.join(F.broadcast(approx), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    qids = exact.select("query_id").distinct()
+    return (
+        qids.join(F.broadcast(hits), "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(TOP_K).cast("int").alias("k"),
+            F.coalesce("n_overlap", F.lit(0))
+            .cast("long")
+            .alias("n_overlap"),
+            F.round(
+                F.coalesce("n_overlap", F.lit(0)).cast("double")
+                / F.lit(float(TOP_K)),
+                6,
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

@@ -6726,3 +6726,64 @@ def _pca_invariants_oracle_sql() -> str:
 
 
 EXT_ORACLES["embedding_pca_invariants"] = _pca_invariants_oracle_sql()
+
+
+def _dedup_phash_clusters_oracle_sql() -> str:
+    """Mirror of multimodal.dedup_phash_clusters: the UNCHANGED
+    generative phash-pair statement nested as the edge source of the
+    dedup_clusters recursive-CTE component walk."""
+    phash = _dedup_phash_oracle_sql()
+    return f"""
+        WITH RECURSIVE pairs AS ({phash}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        walk(node, comp) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.dst AS node, w.comp AS comp
+            FROM walk w JOIN edges e ON e.src = w.node
+        ),
+        comp AS (SELECT node, MIN(comp) AS comp FROM walk GROUP BY node)
+        SELECT node AS doc_id,
+               comp AS cluster_id,
+               COUNT(*) OVER (PARTITION BY comp) AS cluster_size,
+               node = comp AS keep
+        FROM comp
+    """
+
+
+EXT_ORACLES["dedup_phash_clusters"] = _dedup_phash_clusters_oracle_sql()
+
+
+def _ivf_recall_oracle_sql() -> str:
+    """Mirror of similarity.similarity_ivf_recall_eval: the two
+    UNCHANGED shortlist oracles (trained-IVF and brute-force cosine)
+    nested as CTEs, intersected per query, left-anchored on the
+    query spine so a zero-overlap query reports 0."""
+    ivf = EXT_ORACLES["similarity_ivf_topk"]
+    brute = EXT_ORACLES["similarity_topk"]
+    return f"""
+        WITH ivf AS ({ivf}),
+        brute AS ({brute}),
+        hits AS (
+            SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+            FROM brute b JOIN ivf i
+              ON b.query_id = i.query_id
+             AND b.neighbor_id = i.neighbor_id
+            GROUP BY b.query_id
+        ),
+        qids AS (SELECT DISTINCT query_id FROM brute)
+        SELECT q.query_id, CAST({TOP_K} AS INT) AS k,
+               CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+               round(CAST(COALESCE(h.n_overlap, 0) AS DOUBLE)
+                     / {TOP_K}, 6) AS recall
+        FROM qids q LEFT JOIN hits h USING (query_id)
+        ORDER BY query_id
+    """
+
+
+EXT_ORACLES["similarity_ivf_recall_eval"] = _ivf_recall_oracle_sql()

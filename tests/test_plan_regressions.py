@@ -462,6 +462,13 @@ class TestShuffleBudgets:
         # (the single dim-keyed dim_stats exchange + the Arrow Gram
         # fold), same contract as embedding_pca_topvar
         "embedding_pca_invariants": 0,
+        # audited tail past the label-propagation checkpoint: one
+        # comp-keyed window exchange (the dedup_clusters shape)
+        "dedup_phash_clusters": 1,
+        # rides the two shortlist plans (their exchanges, incl. the
+        # IVF assign/probe passes); the intersection, per-query
+        # fold, and spine join are |Q|-bounded broadcasts
+        "similarity_ivf_recall_eval": 9,
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))

@@ -168,3 +168,47 @@ def test_pca_invariants_gate(spark, sf_dir):
         )
         want += int(np.floor(var * 1e9 + 0.5))
     assert row.trace_fp == want
+
+
+def test_phash_clusters_match_planted_scenes(spark, sf_dir):
+    """Every pair-involved image clusters with exactly its scene
+    (5-cliques by construction): cluster = the scene's doc_id set,
+    canonical = min id, size 5."""
+    from dbt_eamples_spark.operators.multimodal import (
+        PHASH_GROUP,
+        dedup_phash_clusters,
+    )
+
+    rows = dedup_phash_clusters(spark, sf_dir).collect()
+    assert rows, "planted scenes must produce clusters"
+    for r in rows:
+        g = r.doc_id // PHASH_GROUP
+        assert r.cluster_id == g * PHASH_GROUP  # scene min id
+        assert r.cluster_size == PHASH_GROUP
+        assert r.keep == (r.doc_id == r.cluster_id)
+
+
+def test_ivf_recall_eval_matches_python(spark, sf_dir):
+    """recall@k recomputed in python from the two operators' own
+    outputs; bounds and the exact-ranker sanity (recall of exact vs
+    itself would be 1) checked."""
+    from dbt_eamples_spark.operators.similarity import (
+        TOP_K,
+        similarity_ivf_recall_eval,
+        similarity_ivf_topk,
+        similarity_topk,
+    )
+
+    exact: dict[int, set[int]] = {}
+    for r in similarity_topk(spark, sf_dir).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx: dict[int, set[int]] = {}
+    for r in similarity_ivf_topk(spark, sf_dir).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    rows = similarity_ivf_recall_eval(spark, sf_dir).collect()
+    assert sorted(r.query_id for r in rows) == sorted(exact)
+    for r in rows:
+        want = len(exact[r.query_id] & approx.get(r.query_id, set()))
+        assert r.k == TOP_K and r.n_overlap == want
+        assert abs(r.recall - round(want / TOP_K, 6)) < 1e-12
+        assert 0 <= r.recall <= 1
