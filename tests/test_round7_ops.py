@@ -307,11 +307,18 @@ def test_ljung_box_matches_python(spark, sf_dir):
     acf = ts_autocorrelation(spark, sf_dir).collect()
     by_type: dict[str, list] = defaultdict(list)
     for r in acf:
-        by_type[r.event_type].append(r)
+        if r.acf is not None:  # NULL-r_k lags excluded (ADVICE r7)
+            by_type[r.event_type].append(r)
+    # n = the OBSERVED per-type series length from the daily grid,
+    # independent of the correlogram (the round-8 n_days contract)
+    ev = load_table(spark, sf_dir, "events").collect()
+    days: dict[str, set] = defaultdict(set)
+    for e in ev:
+        days[e.event_type].add(e.ts.date())
     got = {r.event_type: r for r in ts_ljung_box(spark, sf_dir).collect()}
     assert set(got) == set(by_type)
     for t, rows in by_type.items():
-        n = rows[0].n_pairs + rows[0].lag
+        n = len(days[t])
         s_fp = sum(
             round(r.acf * r.acf / r.n_pairs * 1e12) for r in rows
         )
