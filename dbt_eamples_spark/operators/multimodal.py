@@ -413,10 +413,14 @@ def multimodal_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (k/2^15) whose 64-term sums stay ≤ 2^53, so every moment is
     bit-exact in both engines.
 
-    Scale shape: two Arrow map stages (generate, decode) — zero
-    shuffles, scan-bound; the ORDER BY is the driver-side output
+    Scale shape: two Arrow map stages (generate, decode) over a
+    parallelized scan (single-row-group fixture parquet would run
+    the whole python codec chain as ONE task otherwise — the
+    dedup_phash lesson); the ORDER BY is the driver-side output
     contract only."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = load_table(
+        spark, sf_dir, "documents", parallelize=True
+    ).select("doc_id")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -533,8 +537,14 @@ def dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-scene pairs measure Hamming ≥7, so the verify threshold 4
     rejects every band false positive. Scale shape: candidate pairs
     come from band buckets (Σ bucket² bounded by the cap), never an
-    all-pairs self-join; the two band joins shuffle O(pairs)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    all-pairs self-join; the two band joins shuffle O(pairs).
+    ``parallelize=True`` because the fixture parquet is one row
+    group — without the repartition the ENTIRE python codec chain
+    (encode + decode per image) runs as one task: measured 10×
+    exponent 1.14 serial → 0.9-ish parallel (ROUND8_NOTES)."""
+    docs = load_table(
+        spark, sf_dir, "documents", parallelize=True
+    ).select("doc_id")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:

@@ -396,7 +396,10 @@ class TestShuffleBudgets:
         # partial/final distinct) — all over pair-OUTPUT volume
         "dedup_threshold_curve": 4,
         # two Arrow map stages + the ordered output only
-        "multimodal_codec_stats": 1,
+        # parallelize repartition (single-row-group fixture parquet
+        # would serialize the python codec chain, round 8) + the
+        # ordered output exchange
+        "multimodal_codec_stats": 2,
         # fact cents agg + the final one-row fold's partial exchange
         "agg_theil_index": 2,
         # parallelize repartition + gram first-occurrence window +
