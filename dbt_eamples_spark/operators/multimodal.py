@@ -443,24 +443,31 @@ def multimodal_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 PHASH_GROUP = 5            # docs per planted scene: base + 3 shifts + 1 corrupt
 PHASH_H, PHASH_W = 16, 18  # generated image geometry (2×2-pooled to 8×9)
 PHASH_BUCKET_CAP = 256     # oversized-band guard (entity-match recipe)
-PHASH_MAX_HAMMING = 4      # verify threshold (planted ≤1, cross-scene ≥7)
+PHASH_MAX_HAMMING = 4      # verify threshold (planted ≤2, cross-scene ≥7)
 
 
 def _phash_pixels(doc_id: int):
     """Closed-form grayscale image for ``doc_id`` — the generative
     contract shared verbatim with the DuckDB oracle: scene
-    g = doc_id//5 draws base(i) = ((g+1)(i²+3i+7)) mod 199 over the
-    raster index i; members m = doc_id%5 add a constant brightness
-    shift (+m — preserves every adjacent-block comparison, so
-    members 0-3 share the exact dHash), and member 4 additionally
-    corrupts ONE pixel (+50 at i = 13g mod 288 — flips ≤2 hash bits,
-    measured ≤1). Quadratic-in-i so scenes decorrelate: measured
-    cross-scene Hamming ≥7 over all sf0.01 pairs."""
+    g = doc_id//5 draws base(i) = ((g+1)(i²+3i+7) + (13g mod 193)
+    (2i+1)) mod 199 over the raster index i; members m = doc_id%5
+    add a constant brightness shift (+m — preserves every
+    adjacent-block comparison, so members 0-3 share the exact
+    dHash), and member 4 additionally corrupts ONE pixel (+50 at
+    i = 13g mod 288 — flips ≤2 hash bits, measured ≤2). The second
+    modulus term kills the scene period: a single (g+1)·q(i) mod
+    199 form repeats every 199 scenes (caught at sf0.1 — identical
+    cross-scene images), while collisions now need g ≡ g' under
+    BOTH 199 and 193, period lcm = 38,407 scenes (~192k docs);
+    measured cross-scene Hamming ≥ 11 over ALL 499,500 scene pairs
+    at 1000 scenes (sf0.1), ≥ 14 sampled at 10,000."""
     import numpy as np
 
     g, m = doc_id // PHASH_GROUP, doc_id % PHASH_GROUP
     i = np.arange(PHASH_H * PHASH_W, dtype=np.int64)
-    base = ((g + 1) * (i * i + 3 * i + 7)) % 199
+    base = (
+        (g + 1) * (i * i + 3 * i + 7) + (g * 13 % 193) * (2 * i + 1)
+    ) % 199
     img = base + m
     if m == PHASH_GROUP - 1:
         img = img + 50 * (i == (g * 13) % (PHASH_H * PHASH_W))
@@ -533,7 +540,7 @@ def dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ PHASH_MAX_HAMMING.
 
     Planted truth (test-locked, 10× fixture too): members of a
-    scene sit at Hamming ≤1 sharing ≥3 bands → banding recall 1.0;
+    scene sit at Hamming ≤2 sharing ≥3 bands → banding recall 1.0;
     cross-scene pairs measure Hamming ≥7, so the verify threshold 4
     rejects every band false positive. Scale shape: candidate pairs
     come from band buckets (Σ bucket² bounded by the cap), never an

@@ -6605,7 +6605,8 @@ def _dedup_phash_oracle_sql() -> str:
         ),
         px AS (
             SELECT doc_id, bi // 9 AS r, bi % 9 AS c,
-                   ((g + 1) * (i * i + 3 * i + 7)) % 199 + m
+                   ((g + 1) * (i * i + 3 * i + 7)
+                    + (g * 13 % 193) * (2 * i + 1)) % 199 + m
                    + CASE WHEN m = {PHASH_GROUP - 1}
                                AND i = (g * 13) % 288
                           THEN 50 ELSE 0 END AS val

@@ -102,6 +102,17 @@ def run_unit_test(
     finally:
         for table in shadowed:
             spark.catalog.dropTempView(table)
+        if shadowed:
+            # the shadow views replaced whatever register_tables had
+            # registered, and its idempotence memo would make the
+            # next compiled-metric execution skip re-registering —
+            # leaving the catalog EMPTY where the caller expects the
+            # physical fixture views. Invalidate the memo so the
+            # next call re-registers (caught by the full-suite run:
+            # a prior test had warmed the memo).
+            from dbt_eamples_spark import catalog
+
+            catalog.register_tables._slot = None
     want = [dict(r) for r in test.expect]
     if _canon(actual) == _canon(want):
         return UnitTestResult(test.name, True, actual, want, "ok")

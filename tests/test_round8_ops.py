@@ -94,7 +94,7 @@ def test_hybrid_rrf_matches_python(spark, sf_dir):
 
 def test_dedup_phash_planted_recall_both_scales(spark):
     """Planted-twin lock at 1× and 10× (sf0.001 → sf0.01): every
-    intra-scene pair (Hamming ≤1 by construction) is found — banding
+    intra-scene pair (Hamming ≤2 by construction) is found — banding
     recall 1.0 — and nothing else survives the verify threshold
     (cross-scene Hamming measures ≥7 > 4), so precision is 1.0."""
     import itertools
