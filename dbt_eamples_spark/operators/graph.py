@@ -498,6 +498,49 @@ def triangles_compact_forward(
     )
 
 
+_TRIANGLE_CREDITS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _triangle_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, n_triangles) — per-node triangle participation of the
+    co-purchase graph, artifact-backed (round 8): the
+    compact-forward enumeration + per-corner credit agg build ONCE
+    per lineitem fingerprint into a persisted parquet table; its two
+    consumers (:func:`graph_triangle_count`'s top-k view and
+    :func:`graph_transitivity`'s global folds) then scan
+    node-bounded rows — the same build-once/query-many contract as
+    the co-purchase edge artifact the enumeration reads."""
+    from dbt_eamples_spark.artifacts import (
+        corpus_fingerprint,
+        load_or_build,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _TRIANGLE_CREDITS_CACHE.get(key)
+    if df is None:
+
+        def build() -> DataFrame:
+            edges = _copurchase_edges(spark, sf_dir)
+            deg = edges.groupBy("src").agg(
+                F.count("*").cast("long").alias("deg")
+            ).localCheckpoint(eager=True)
+            tris = triangles_compact_forward(edges, deg)
+            return (
+                tris.select(
+                    F.explode(F.array("a", "b", "c")).alias("node")
+                )
+                .groupBy("node")
+                .agg(F.count("*").cast("long").alias("n_triangles"))
+            )
+
+        fp = corpus_fingerprint(sf_dir, "lineitem")
+        df = load_or_build(
+            spark, "triangle_credits", fp, build
+        ).persist()
+        _TRIANGLE_CREDITS_CACHE[key] = df
+    return df
+
+
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k parts by triangle participation in the co-purchase
     graph, with the local clustering coefficient — the
@@ -510,23 +553,17 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Triangles enumerate via :func:`triangles_compact_forward` (see
     its scale argument); each triangle credits all three corners,
     so the per-node count is one explode + hash-agg over the
-    triangle set. clustering_coeff = 2*tri / (deg*(deg-1)) — exact
-    integer operands, one IEEE division, round(6): engine-stable.
-    Only nodes closing >= 1 triangle rank (deg >= 2 guaranteed)."""
+    triangle set — built once per corpus into the persisted
+    ``triangle_credits`` artifact (:func:`_triangle_credits`).
+    clustering_coeff = 2*tri / (deg*(deg-1)) — exact integer
+    operands, one IEEE division, round(6): engine-stable. Only
+    nodes closing >= 1 triangle rank (deg >= 2 guaranteed)."""
     edges = _copurchase_edges(spark, sf_dir)
-    # catalog-bounded; materialized once for its two consumers (the
-    # orientation inside the enumerator and the final stat attach)
-    deg = (
-        edges.groupBy("src")
-        .agg(F.count("*").cast("long").alias("deg"))
-        .localCheckpoint(eager=True)
+    # catalog-bounded; exchange-free on the bucketed edge artifact
+    deg = edges.groupBy("src").agg(
+        F.count("*").cast("long").alias("deg")
     )
-    tris = triangles_compact_forward(edges, deg)
-    per_node = (
-        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
-        .groupBy("node")
-        .agg(F.count("*").cast("long").alias("n_triangles"))
-    )
+    per_node = _triangle_credits(spark, sf_dir)
     return (
         per_node.join(
             F.broadcast(deg.select(F.col("src").alias("node"), "deg")),
@@ -1007,21 +1044,16 @@ def graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e6 fixed-point.
 
     Scale shape: the degree agg is exchange-free on the bucketed
-    edge artifact; triangles enumerate via
-    :func:`triangles_compact_forward` (apex-bounded wedge joins);
-    per-corner credit is one explode + hash-agg; everything else is
-    node-bounded or one-row."""
+    edge artifact; per-node triangle credits come from the persisted
+    ``triangle_credits`` artifact (:func:`_triangle_credits` — the
+    compact-forward enumeration builds once per corpus); everything
+    else is node-bounded or one-row."""
     edges = _copurchase_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(
         F.count("*").cast("long").alias("deg")
-    ).localCheckpoint(eager=True)  # 3 consumers: orient, wedges, cc
-    tris = triangles_compact_forward(edges, deg)
-    per_node = (
-        tris.select(
-            F.explode(F.array("a", "b", "c")).alias("node")
-        )
-        .groupBy("node")
-        .agg(F.count("*").cast("long").alias("t"))
+    ).localCheckpoint(eager=True)  # 2 consumers: wedge fold + cc
+    per_node = _triangle_credits(spark, sf_dir).select(
+        "node", F.col("n_triangles").alias("t")
     )
     cc = F.round(
         F.lit(2.0)
