@@ -254,3 +254,86 @@ class TestArtifactsCli:
         out = capsys.readouterr().out
         assert "removed k1/fp1" in out and "1 artifact(s) removed" in out
         assert A.list_artifacts() == []
+
+
+class TestRound8StageArtifacts:
+    """Round-8 derived tables follow the same build-once contract:
+    span_profile / span_dup_stats / cluster_verdicts (the cascade's
+    per-stage verdicts), ngram_jaccard_pairs, triangle_credits."""
+
+    def _fresh(self):
+        D._SPAN_PROFILE_CACHE.clear()
+        D._SPAN_DUP_STATS_CACHE.clear()
+        D._CLUSTER_VERDICTS_CACHE.clear()
+        D._NGRAM_PAIRS_CACHE.clear()
+        G._TRIANGLE_CREDITS_CACHE.clear()
+
+    def test_span_profile_built_once_then_reused(
+        self, spark, sf_dir, art_dir
+    ):
+        self._fresh()
+        p1 = {
+            (r.doc_id, r.n_spans, r.n_dup_spans)
+            for r in D._span_profile(spark, sf_dir).collect()
+        }
+        assert _events("span_profile") == ["build"]
+        # same session, second consumer: L1 hit, no new event
+        D.dedup_substring_spans(spark, sf_dir).collect()
+        assert _events("span_profile") == ["build"]
+        D._SPAN_PROFILE_CACHE.clear()
+        p2 = {
+            (r.doc_id, r.n_spans, r.n_dup_spans)
+            for r in D._span_profile(spark, sf_dir).collect()
+        }
+        assert _events("span_profile") == ["build", "reuse"]
+        assert p2 == p1 and len(p1) > 0
+
+    def test_cascade_reads_persisted_verdicts(
+        self, spark, sf_dir, art_dir
+    ):
+        self._fresh()
+        D.dedup_cascade_attrition(spark, sf_dir).collect()
+        built = {k for k, v in A.ARTIFACT_EVENTS if v == "build"}
+        assert {"span_profile", "cluster_verdicts"} <= built
+        # a fresh session re-runs the cascade from artifacts alone
+        self._fresh()
+        A.ARTIFACT_EVENTS.clear()
+        D.dedup_cascade_attrition(spark, sf_dir).collect()
+        assert all(v == "reuse" for _, v in A.ARTIFACT_EVENTS), (
+            A.ARTIFACT_EVENTS
+        )
+
+    def test_triangle_credits_shared_by_both_views(
+        self, spark, sf_dir, art_dir
+    ):
+        self._fresh()
+        top = G.graph_triangle_count(spark, sf_dir).collect()
+        assert _events("triangle_credits") == ["build"]
+        glob = G.graph_transitivity(spark, sf_dir).collect()[0]
+        assert _events("triangle_credits") == ["build"]  # L1 hit
+        # the two views agree: total credits = 3 * triangle count
+        G._TRIANGLE_CREDITS_CACHE.clear()
+        credits = G._triangle_credits(spark, sf_dir).collect()
+        assert _events("triangle_credits") == ["build", "reuse"]
+        assert sum(r.n_triangles for r in credits) == 3 * glob.n_triangles
+        by_node = {r.node: r.n_triangles for r in credits}
+        for r in top:
+            assert by_node[r.l_partkey] == r.n_triangles
+
+    def test_ngram_pairs_shared_with_threshold_curve(
+        self, spark, sf_dir, art_dir
+    ):
+        self._fresh()
+        pairs = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in D.dedup_ngram_jaccard(spark, sf_dir).collect()
+        }
+        assert _events("ngram_jaccard_pairs") == ["build"]
+        curve = D.dedup_threshold_curve(spark, sf_dir).collect()
+        assert _events("ngram_jaccard_pairs") == ["build"]  # L1 hit
+        # curve consistency against the pair set it rides
+        for row in curve:
+            assert row.n_pairs == sum(
+                1 for *_ab, j in pairs if j >= row.tau
+            )
+        assert len(pairs) > 0
