@@ -70,6 +70,27 @@ def corpus_fingerprint(sf_dir: str, *tables: str) -> str:
     return h.hexdigest()[:16]
 
 
+def session_cache_key(
+    cache: dict, spark: SparkSession, sf_dir: str, fingerprint: str
+) -> tuple[str, str, str]:
+    """Key for the operators' L1 session-dict caches: (applicationId,
+    sf_dir, corpus fingerprint). Including the fingerprint means an
+    in-session rewrite of a fixture table misses the cache and falls
+    through to the L2 artifact layer, which already rebuilds on
+    fingerprint change (ADVICE r8: the old (app, dir) key served
+    stale persisted frames across a rewrite). Stale same-(app, dir)
+    entries are evicted and unpersisted so a rewrite doesn't leak
+    the superseded frame's storage."""
+    key = (spark.sparkContext.applicationId, sf_dir, fingerprint)
+    for k in [k for k in cache if k[:2] == key[:2] and k != key]:
+        old = cache.pop(k)
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # non-DataFrame payloads (codebook lists) or dead contexts
+    return key
+
+
 def artifact_path(kind: str, fingerprint: str) -> str:
     return os.path.join(artifacts_root(), kind, fingerprint)
 

@@ -155,6 +155,16 @@ def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return out
 
 
+def invalidate_registered_tables() -> None:
+    """Drop the ``register_tables`` idempotence memo.
+
+    Callers that shadow or drop the registered views (e.g. the unit
+    test harness replacing fixtures with mock temp views) must call
+    this so the next compiled-metric execution re-registers instead
+    of trusting a memo that no longer reflects the catalog."""
+    register_tables._slot = None
+
+
 STATS_DB = "dbt_stats"
 
 

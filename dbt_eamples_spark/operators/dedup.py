@@ -358,19 +358,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ngram_pairs(spark, sf_dir)
 
 
-_NGRAM_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_NGRAM_PAIRS_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_eamples_spark.artifacts import (
         corpus_fingerprint,
         load_or_build,
+        session_cache_key,
     )
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    fp = corpus_fingerprint(sf_dir, "documents")
+    key = session_cache_key(_NGRAM_PAIRS_CACHE, spark, sf_dir, fp)
     df = _NGRAM_PAIRS_CACHE.get(key)
     if df is None:
-        fp = corpus_fingerprint(sf_dir, "documents")
         df = load_or_build(
             spark,
             "ngram_jaccard_pairs",
@@ -1009,19 +1010,20 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fingerprint (dbt_eamples_spark.artifacts) — so a second session or
 # process reuses the index instead of re-running the LSH blocking +
 # exact verify, which is the 100 TB operating model.
-_COSINE_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_COSINE_PAIRS_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _cosine_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_eamples_spark.artifacts import (
         corpus_fingerprint,
         load_or_build,
+        session_cache_key,
     )
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    fp = corpus_fingerprint(sf_dir, "embeddings")
+    key = session_cache_key(_COSINE_PAIRS_CACHE, spark, sf_dir, fp)
     df = _COSINE_PAIRS_CACHE.get(key)
     if df is None:
-        fp = corpus_fingerprint(sf_dir, "embeddings")
         df = load_or_build(
             spark,
             "cosine_pairs",
@@ -1110,9 +1112,9 @@ def _doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # documents-corpus fingerprint — L2 parquet artifact + L1 session
 # cache, the minhash-band-index precedent. A production cascade
 # reads persisted per-stage verdict tables; this is that shape.
-_SPAN_PROFILE_CACHE: dict[tuple[str, str], DataFrame] = {}
-_SPAN_DUP_STATS_CACHE: dict[tuple[str, str], DataFrame] = {}
-_CLUSTER_VERDICTS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SPAN_PROFILE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_SPAN_DUP_STATS_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_CLUSTER_VERDICTS_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _cluster_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1124,12 +1126,13 @@ def _cluster_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_eamples_spark.artifacts import (
         corpus_fingerprint,
         load_or_build,
+        session_cache_key,
     )
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    fp = corpus_fingerprint(sf_dir, "documents")
+    key = session_cache_key(_CLUSTER_VERDICTS_CACHE, spark, sf_dir, fp)
     df = _CLUSTER_VERDICTS_CACHE.get(key)
     if df is None:
-        fp = corpus_fingerprint(sf_dir, "documents")
         df = load_or_build(
             spark,
             "cluster_verdicts",
@@ -1148,9 +1151,11 @@ def _span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_eamples_spark.artifacts import (
         corpus_fingerprint,
         load_or_build,
+        session_cache_key,
     )
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    fp = corpus_fingerprint(sf_dir, "documents")
+    key = session_cache_key(_SPAN_PROFILE_CACHE, spark, sf_dir, fp)
     df = _SPAN_PROFILE_CACHE.get(key)
     if df is None:
 
@@ -1170,7 +1175,6 @@ def _span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
 
-        fp = corpus_fingerprint(sf_dir, "documents")
         df = load_or_build(spark, "span_profile", fp, build).persist()
         _SPAN_PROFILE_CACHE[key] = df
     return df
@@ -1183,9 +1187,11 @@ def _span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_eamples_spark.artifacts import (
         corpus_fingerprint,
         load_or_build,
+        session_cache_key,
     )
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    fp = corpus_fingerprint(sf_dir, "documents")
+    key = session_cache_key(_SPAN_DUP_STATS_CACHE, spark, sf_dir, fp)
     df = _SPAN_DUP_STATS_CACHE.get(key)
     if df is None:
 
@@ -1200,7 +1206,6 @@ def _span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(F.col("n_docs") > 1)
             )
 
-        fp = corpus_fingerprint(sf_dir, "documents")
         df = load_or_build(spark, "span_dup_stats", fp, build).persist()
         _SPAN_DUP_STATS_CACHE[key] = df
     return df

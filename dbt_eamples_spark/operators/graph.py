@@ -41,7 +41,7 @@ PAGERANK_TOP_K = 50
 # once per corpus, not once per query (VERDICT r5 #3). L2 is the
 # persisted parquet artifact under _artifacts/, so a second session
 # or process reloads instead of re-deriving.
-_EDGES_CACHE: dict[tuple[str, str], DataFrame] = {}
+_EDGES_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,12 +61,13 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_eamples_spark.artifacts import (
         corpus_fingerprint,
         load_or_build_bucketed,
+        session_cache_key,
     )
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    fp = corpus_fingerprint(sf_dir, "lineitem")
+    key = session_cache_key(_EDGES_CACHE, spark, sf_dir, fp)
     df = _EDGES_CACHE.get(key)
     if df is None:
-        fp = corpus_fingerprint(sf_dir, "lineitem")
         df = load_or_build_bucketed(
             spark,
             "copurchase_edges_b",
@@ -200,12 +201,13 @@ def _copurchase_weighted_edges(
     from dbt_eamples_spark.artifacts import (
         corpus_fingerprint,
         load_or_build_bucketed,
+        session_cache_key,
     )
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    fp = corpus_fingerprint(sf_dir, "lineitem")
+    key = session_cache_key(_WEDGES_CACHE, spark, sf_dir, fp)
     df = _WEDGES_CACHE.get(key)
     if df is None:
-        fp = corpus_fingerprint(sf_dir, "lineitem")
         df = load_or_build_bucketed(
             spark,
             "copurchase_weighted_edges_b",
@@ -217,7 +219,7 @@ def _copurchase_weighted_edges(
     return df
 
 
-_WEDGES_CACHE: dict[tuple[str, str], DataFrame] = {}
+_WEDGES_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _copurchase_weighted_edges_build(
@@ -498,7 +500,7 @@ def triangles_compact_forward(
     )
 
 
-_TRIANGLE_CREDITS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_TRIANGLE_CREDITS_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _triangle_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -513,9 +515,11 @@ def _triangle_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_eamples_spark.artifacts import (
         corpus_fingerprint,
         load_or_build,
+        session_cache_key,
     )
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    fp = corpus_fingerprint(sf_dir, "lineitem")
+    key = session_cache_key(_TRIANGLE_CREDITS_CACHE, spark, sf_dir, fp)
     df = _TRIANGLE_CREDITS_CACHE.get(key)
     if df is None:
 
@@ -533,7 +537,6 @@ def _triangle_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.count("*").cast("long").alias("n_triangles"))
             )
 
-        fp = corpus_fingerprint(sf_dir, "lineitem")
         df = load_or_build(
             spark, "triangle_credits", fp, build
         ).persist()
@@ -1139,7 +1142,8 @@ def graph_transitivity_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     split. est_transitivity = 6·T_s·Q³ / wedges2 with integer
     operands and ONE IEEE division, round(6): engine-stable.
 
-    Error audit: tests/test_graph.py locks the fixture-scale
+    Error audit: tests/test_round8_ops.py::
+    test_transitivity_sampled_error_vs_exact locks the fixture-scale
     relative error of est_triangles vs the exact count (|err| ≤ 25%
     at p = 1/4 on both sf0.001 and sf0.01 — measured 3.7% / 1.9%;
     ROUND8_NOTES.md carries the error-vs-exact table per scale).

@@ -499,7 +499,13 @@ def _phash_band_batch(batch: pd.DataFrame) -> pd.DataFrame:
     out = []
     for doc_id, content in zip(batch["doc_id"], batch["content"]):
         w, h, ch, px = decode_png(bytes(content))
-        assert (w, h, ch) == (PHASH_W, PHASH_H, 1)
+        if (w, h, ch) != (PHASH_W, PHASH_H, 1):
+            # not assert: survives python -O — a geometry regression
+            # must fail loudly here, not reshape into wrong bands
+            raise ValueError(
+                f"phash decode geometry {(w, h, ch)} != "
+                f"{(PHASH_W, PHASH_H, 1)} for doc_id={int(doc_id)}"
+            )
         p = px.reshape(PHASH_H, PHASH_W).astype(np.int64)
         s = p.reshape(PHASH_H // 2, 2, PHASH_W // 2, 2).sum(axis=(1, 3))
         bits = (s[:, :-1] > s[:, 1:]).astype(np.int64).flatten()

@@ -1020,7 +1020,7 @@ PQ_TRAIN_ITERS = 2
 # Measured on the uniform fixture (RECALL.md §PQ): trained ADC top-5
 # recall 0.24 → 0.68 with rerank=50 at ~1% of the corpus re-scored.
 PQ_RERANK = 50
-_PQ_CODEBOOKS: dict[tuple[str, str], list[list[tuple[int, list[float]]]]] = {}
+_PQ_CODEBOOKS: dict[tuple[str, str, str], list[list[tuple[int, list[float]]]]] = {}
 
 
 def _l2sq(a, b):
@@ -1048,9 +1048,11 @@ def _pq_train_codebooks(
     from dbt_eamples_spark.artifacts import (
         corpus_fingerprint,
         load_or_build,
+        session_cache_key,
     )
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    fp = corpus_fingerprint(sf_dir, "embeddings")
+    key = session_cache_key(_PQ_CODEBOOKS, spark, sf_dir, fp)
     cached = _PQ_CODEBOOKS.get(key)
     if cached is not None:
         return cached
@@ -1061,7 +1063,7 @@ def _pq_train_codebooks(
     art = load_or_build(
         spark,
         "pq_codebooks",
-        corpus_fingerprint(sf_dir, "embeddings"),
+        fp,
         lambda: spark.createDataFrame(
             [
                 (s, k, vals)
@@ -1332,7 +1334,7 @@ def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # residual-PQ codebook cache (books trained on vec − cell centroid)
-_PQ_RES_CODEBOOKS: dict[tuple[str, str], list[list[tuple[int, list[float]]]]] = {}
+_PQ_RES_CODEBOOKS: dict[tuple[str, str, str], list[list[tuple[int, list[float]]]]] = {}
 
 
 def _residual_frames(spark: SparkSession, sf_dir: str):
@@ -1380,9 +1382,11 @@ def _pq_res_codebooks(
     from dbt_eamples_spark.artifacts import (
         corpus_fingerprint,
         load_or_build,
+        session_cache_key,
     )
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    fp = corpus_fingerprint(sf_dir, "embeddings")
+    key = session_cache_key(_PQ_RES_CODEBOOKS, spark, sf_dir, fp)
     cached = _PQ_RES_CODEBOOKS.get(key)
     if cached is not None:
         return cached
@@ -1403,7 +1407,7 @@ def _pq_res_codebooks(
     art = load_or_build(
         spark,
         "pq_codebooks_residual",
-        corpus_fingerprint(sf_dir, "embeddings"),
+        fp,
         build,
     )
     rows = art.collect()

@@ -112,7 +112,7 @@ def run_unit_test(
             # a prior test had warmed the memo).
             from dbt_eamples_spark import catalog
 
-            catalog.register_tables._slot = None
+            catalog.invalidate_registered_tables()
     want = [dict(r) for r in test.expect]
     if _canon(actual) == _canon(want):
         return UnitTestResult(test.name, True, actual, want, "ok")

@@ -46,9 +46,15 @@ def main() -> None:
     print("| query | sf0.1 s | sf1 s | ratio | exponent e (t∝SFᵉ) |")
     print("|---|---|---|---|---|")
     flagged = []
+    skipped = []
     for name in sorted(q1):
         a, b = q01.get(name), q1[name]
         if not a:
+            # no-silent-caps: record WHY the row is dropped so the
+            # report's coverage can't shrink without a trace
+            skipped.append(
+                (name, "missing from BENCH_LOCAL.json" if a is None else "recorded 0.0 at sf0.1")
+            )
             continue
         ratio = b / a
         e = math.log(ratio) / math.log(10)
@@ -71,6 +77,14 @@ def main() -> None:
         print("Super-linear (> 1.05) — explained or ticketed:")
         for name, e in flagged:
             print(f"- `{name}`: {e:.2f}")
+    if skipped:
+        print()
+        print(
+            f"Skipped {len(skipped)} swept queries (no sf0.1 "
+            f"reference — listed, not silently dropped):"
+        )
+        for name, why in skipped:
+            print(f"- `{name}`: {why}")
 
 
 if __name__ == "__main__":
