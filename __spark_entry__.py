@@ -121,77 +121,29 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Round-8 driver-sample rotation (VERDICT r7 #1): CORRECTNESS_r07
-# covered exactly the first 50 of the r7 list, clearing the r6 debt
-# and re-anchoring 16 r1-stale queries. The remaining stale cohort —
-# everything whose latest driver row is r1 or r2, 51 queries queued
-# at r7 positions 51+ — is round 8's front. Order = (1) round-8
-# additions, never driver-checked by construction — including
-# `embedding_pca_invariants`, the hash-checked companion that
-# value-gates the rows-only eigensolve (VERDICT r7 #9); (2) the
-# r1/r2-stale cohort in queue
-# order. With 6 round-8 queries + the ts_ljung_box re-gate ahead of
-# them, 43 of the 51 fit in the driver's 50-query sample; the last 8
-# (agg_histogram … corpus_keep_list) overflow to positions 51+ as
-# round 9's front, leaving max driver-row staleness r3 (5 rounds)
-# for those 8 only.
-_R8_PRIORITY = [
-    # (1) new in round 8 — never-checked by construction (incl. the
-    # pca-invariants companion that value-gates the rows-only
-    # eigensolve, VERDICT r7 #9)
-    "graph_transitivity_sampled",
-    "similarity_hybrid_rrf",
-    "dedup_phash",
-    "embedding_pca_invariants",
-    "dedup_phash_clusters",
-    "similarity_ivf_recall_eval",
-    # re-gate: n_days/NULL-lag semantics changed in round 8
-    # (ADVICE r7 #1), so its r7 driver row no longer proves the code
-    "ts_ljung_box",
-    # (2) latest driver row is r1 (6 rounds stale) — queue order
-    "metric_cube",
-    "window_topk_per_group",
-    "order_by",
-    "order_limit_topk",
-    "limit_offset_page",
-    "intersect_except",
-    "hex_decode_utf8",
-    "round_decimals",
-    "regexp_redact",
-    "string_chunk",
-    "sanitize_name",
-    "text_token_stats",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_count_bpe",
-    "doc_fingerprint",
-    "doc_winnow_fingerprint",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "multi_statement_exec",
-    "incremental_delta_filter",
-    "stream_tumbling_count",
-    "stream_session_agg",
-    "scd2_snapshot",
-    "stream_dedup",
-    "filter_type_and_notnull",
-    "project_report_cols",
-    "join_anti_new_rows",
-    "join_semi_exists",
-    "join_asof",
-    "join_salted_skew",
-    "agg_max_watermark",
-    "window_running_sum",
-    "window_lag_delta",
-    "window_sliding_avg",
-    "union_incremental_snapshots",
-    "unixtime_to_iso",
-    "tz_normalize",
-    "concat_report_rows",
-    "json_extract_props",
-    "agg_approx_percentiles",
-    "dedup_clusters",
-    "sample_stratified",
+# Round-9 driver-sample rotation (VERDICT r8 #1): CORRECTNESS_r08
+# covered exactly the first 50 of the r8 list (the 6 round-8
+# additions, the ts_ljung_box re-gate, and 43 of the r1/r2-stale
+# cohort). The r8 verdict found the r1/r2 cohort was actually 52
+# queries, not 51: `metric_rollup` (driver row r1, the stalest
+# registry entry) was omitted from _R8_PRIORITY entirely — it goes
+# FIRST after the round-9 additions. Order = (1) round-9 additions,
+# never driver-checked by construction; (2) `metric_rollup`; (3) the
+# 8 r2-overflow entries queued at r8 positions 51+
+# (agg_histogram … corpus_keep_list); (4) the r3-stale cohort
+# (48 queries incl. the two rows-only twins), alphabetical. With
+# 3 + 1 + 8 ahead, 38 of the 48 fit in the driver's 50-query
+# sample; the alphabetical tail 10 (similarity_topk …
+# window_ntile_deciles) overflow to positions 51+ as round 10's
+# front, alongside the r4 cohort (50 queries) behind them.
+_R9_PRIORITY = [
+    # (1) new in round 9 — never-checked by construction
+    "similarity_lsh_recall_eval",
+    "similarity_ivfpq_recall_eval",
+    "dedup_incremental_phash",
+    # (2) the missed r1 row (VERDICT r8 #1) — 8 rounds stale
+    "metric_rollup",
+    # (3) r2-overflow queued at r8 positions 51+
     "agg_histogram",
     "text_decontaminate",
     "text_repetition_stats",
@@ -200,6 +152,56 @@ _R8_PRIORITY = [
     "pack_concat_chunks",
     "multimodal_frame_sample",
     "corpus_keep_list",
+    # (4) r3-stale cohort (latest driver row r3), alphabetical
+    "agg_equi_depth_histogram",
+    "agg_mode_per_group",
+    "agg_trend_slope",
+    "agg_trend_slope_pandas",
+    "agg_zscore_outliers",
+    "append_with_audit_col",
+    "date_spine",
+    "dedup_containment",
+    "dedup_embedding_cosine",
+    "dedup_incremental_minhash",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dq_schema_tests",
+    "embedding_quantize_int8",
+    "embedding_random_projection",
+    "events_funnel",
+    "events_transition_matrix",
+    "fanout_fetch",
+    "incremental_merge_upsert",
+    "join_range_binned",
+    "market_basket_pairs",
+    "metric_compiled_cumulative",
+    "metric_compiled_dim_sweep",
+    "metric_compiled_filtered",
+    "metric_compiled_monthly",
+    "metric_compiled_star",
+    "metric_compiled_topk",
+    "metric_pivot",
+    "metric_unpivot",
+    "multimodal_features_flat",
+    "multimodal_meta",
+    "result_text_format",
+    "retention_cohort",
+    "rfm_segmentation",
+    "sample_quality_weighted",
+    "sessionize_events",
+    "similarity_ivf_topk",
+    "similarity_lsh_topk",
+    # ---- position 51+ (round-10 front queue) ----
+    "similarity_topk",
+    "similarity_topk_pandas",
+    "sink_csv",
+    "source_json_records",
+    "stream_interval_join",
+    "stream_sliding_count",
+    "text_bm25_search",
+    "text_keyword_extract",
+    "text_word_entropy",
+    "window_ntile_deciles",
 ]
 
 
@@ -207,11 +209,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     The driver samples the FIRST 50 entries per round; the dict below
-    is re-ordered through ``_R8_PRIORITY`` (never-checked → new → longest
+    is re-ordered through ``_R9_PRIORITY`` (never-checked → new → longest
     unchecked → rest), so insertion order here is grouping only.
     """
     d = _query_registry()
-    ordered = {k: d[k] for k in _R8_PRIORITY if k in d}
+    ordered = {k: d[k] for k in _R9_PRIORITY if k in d}
     ordered.update({k: v for k, v in d.items() if k not in ordered})
     return ordered
 
