@@ -47,8 +47,9 @@ JACCARD_THRESHOLD = 0.5
 MINHASH_P = 2_147_483_647
 
 
-def _shingles(df: DataFrame) -> DataFrame:
-    """doc_id → distinct word-3-shingle array (lowercased).
+def _shingles(df: DataFrame, *carry: str) -> DataFrame:
+    """doc_id [+ carry cols] → distinct word-3-shingle array
+    (lowercased).
 
     Tokens are materialized in their own projection: referenced more
     than once from the shingle lambda, the split is NOT inlined by
@@ -56,13 +57,55 @@ def _shingles(df: DataFrame) -> DataFrame:
     per shingle (O(T) vs O(T²) — measured 11× on the fixture docs).
     """
     tokd = df.select(
-        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("toks")
+        "doc_id", *carry, F.split(F.lower(F.col("text")), r"\s+").alias("toks")
     )
     ids = F.sequence(F.lit(1), F.greatest(F.size("toks") - 2, F.lit(1)))
     sh = F.array_distinct(
         F.transform(ids, lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 3)))
     )
-    return tokd.select("doc_id", sh.alias("shingles"))
+    return tokd.select("doc_id", *carry, sh.alias("shingles"))
+
+
+# Shared shingle artifact (VERDICT r8 #3): the word-3-gram tokenize
+# pass is the linear floor of the whole ngram family —
+# dedup_ngram_jaccard's pair builder, text_ngram_novelty, and
+# text_jaccard_source_similarity each re-ran it per call. The
+# per-doc distinct shingle arrays are corpus-derived state, so they
+# earn the span_profile treatment: built ONCE per documents
+# fingerprint into a persisted parquet artifact; every consumer
+# then starts from an explode over parquet arrays (no regex, no
+# md5) instead of a full re-tokenize. At 100 TB the tokenize pass
+# is the dominant scan cost — paying it once per corpus instead of
+# once per query is the entire point of the artifact layer.
+_DOC_SHINGLES_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, shingles) — each document's DISTINCT
+    word-3-shingle array with its source attached, artifact-backed
+    per documents fingerprint (L1 session dict over the L2 parquet
+    store, the span_profile two-tier shape)."""
+    from dbt_eamples_spark.artifacts import (
+        corpus_fingerprint,
+        load_or_build,
+        session_cache_key,
+    )
+
+    fp = corpus_fingerprint(sf_dir, "documents")
+    key = session_cache_key(_DOC_SHINGLES_CACHE, spark, sf_dir, fp)
+    df = _DOC_SHINGLES_CACHE.get(key)
+    if df is None:
+        def build() -> DataFrame:
+            docs = load_table(
+                spark, sf_dir, "documents", parallelize=True
+            )
+            return _shingles(
+                docs.select("doc_id", "source", "text"), "source"
+            )
+
+        df = load_or_build(spark, "doc_shingles", fp, build).persist()
+        _DOC_SHINGLES_CACHE[key] = df
+    return df
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -385,8 +428,9 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ngram_jaccard_pairs_build(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents", parallelize=True)
-    sh = _shingles(docs)
+    # starts from the shared doc_shingles artifact (VERDICT r8 #3) —
+    # the tokenize pass is paid once per corpus, not per index build
+    sh = doc_shingles(spark, sf_dir).select("doc_id", "shingles")
     blocked = sh.select(
         "doc_id",
         "shingles",

@@ -1180,6 +1180,46 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---- round-6: source-pair distribution divergence ---------------------------
+# Shared unigram-count artifact (VERDICT r8 #3): the (source, term)
+# exact count table is the distributional twin of dedup.doc_shingles
+# — corpus-derived, vocab-bounded, and re-derived per call by every
+# frequency-profile query before round 9. Built once per documents
+# fingerprint; persisted as parquet; L1 session dict on top.
+_SOURCE_TERM_COUNTS_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _source_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, term, c) — exact per-source unigram counts,
+    artifact-backed per documents fingerprint."""
+    from dbt_eamples_spark.artifacts import (
+        corpus_fingerprint,
+        load_or_build,
+        session_cache_key,
+    )
+
+    fp = corpus_fingerprint(sf_dir, "documents")
+    key = session_cache_key(_SOURCE_TERM_COUNTS_CACHE, spark, sf_dir, fp)
+    df = _SOURCE_TERM_COUNTS_CACHE.get(key)
+    if df is None:
+        def build() -> DataFrame:
+            docs = load_table(
+                spark, sf_dir, "documents", parallelize=True
+            )
+            return (
+                docs.select(
+                    "source", F.explode(_tokens_col()).alias("term")
+                )
+                .groupBy("source", "term")
+                .agg(F.count("*").cast("long").alias("c"))
+            )
+
+        df = load_or_build(
+            spark, "source_term_counts", fp, build
+        ).persist()
+        _SOURCE_TERM_COUNTS_CACHE[key] = df
+    return df
+
+
 def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jensen–Shannon divergence between every pair of sources'
     unigram word distributions — the corpus-similarity matrix a
@@ -1206,18 +1246,15 @@ def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the text_word_entropy recipe). The remainder is two float ops
     on exact integer sums. n_terms = union vocabulary size.
 
-    Scale shape: ONE corpus tokenize + (source, term) hash-agg
-    (map-side combined); the term self-join shuffles the count table
-    (≤ |vocab|·S rows) once on term; the pair aggregate lands on the
-    S²-bounded grid; totals and per-source vocab counts attach
-    broadcast. Reference analogue: none — extension surface."""
-    docs = load_table(spark, sf_dir, "documents", parallelize=True)
-    c = (
-        docs.select("source", F.explode(_tokens_col()).alias("term"))
-        .groupBy("source", "term")
-        .agg(F.count("*").cast("long").alias("c"))
-        .localCheckpoint(eager=True)  # 3 consumers: 2 join sides + vocab
-    )
+    Scale shape: the (source, term) count table is the persisted
+    `source_term_counts` artifact (VERDICT r8 #3 — ONE corpus
+    tokenize + hash-agg per documents fingerprint; warm calls scan
+    vocab-sized parquet); the term self-join shuffles the count
+    table (≤ |vocab|·S rows) once on term; the pair aggregate lands
+    on the S²-bounded grid; totals and per-source vocab counts
+    attach broadcast. Reference analogue: none — extension
+    surface."""
+    c = _source_term_counts(spark, sf_dir)
     tot = c.groupBy("source").agg(
         F.sum("c").cast("long").alias("n"),
         F.count("*").cast("long").alias("vocab"),
@@ -1321,16 +1358,17 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL twin), so novelty is measured on the same units the dedup
     cascade blocks on.
 
-    Scale shape: one tokenize pass → (doc, gram) explode with ONE
-    gram-keyed exchange for the first-occurrence window (viral grams
-    are AQE-splittable window keys), then one doc-keyed aggregate.
-    No joins, nothing pairwise."""
+    Scale shape: an explode over the persisted `doc_shingles`
+    artifact (VERDICT r8 #3 — the tokenize pass builds once per
+    documents fingerprint; warm calls never touch the regex) with
+    ONE gram-keyed exchange for the first-occurrence window (viral
+    grams are AQE-splittable window keys), then one doc-keyed
+    aggregate. No joins, nothing pairwise."""
     from pyspark.sql import Window
 
-    from dbt_eamples_spark.operators.dedup import _shingles
+    from dbt_eamples_spark.operators.dedup import doc_shingles
 
-    docs = load_table(spark, sf_dir, "documents", parallelize=True)
-    g = _shingles(docs).select(
+    g = doc_shingles(spark, sf_dir).select(
         "doc_id", F.explode("shingles").alias("gram")
     )
     w = Window.partitionBy("gram")
@@ -1368,18 +1406,17 @@ def text_jaccard_source_similarity(
     share — a mirror/scrape shows up here even when its frequency
     profile was re-mixed).
 
-    Shares :func:`dedup._shingles`' exact shingle recipe. Scale
-    shape: one tokenize pass → (source, gram) DISTINCT agg
-    (map-side combined) → per-source sizes broadcast → one
-    gram-keyed equi self-join whose output is bounded by
-    Σ_g df_g² over SOURCES (df ≤ |sources|, so ≤ S²·|vocab| — never
-    doc-pairwise) → the S²-grid aggregate."""
-    from dbt_eamples_spark.operators.dedup import _shingles
+    Shares :func:`dedup._shingles`' exact shingle recipe, served
+    from the persisted `doc_shingles` artifact (VERDICT r8 #3 — the
+    tokenize pass builds once per documents fingerprint; warm calls
+    explode parquet arrays). Scale shape: artifact explode →
+    (source, gram) DISTINCT agg (map-side combined) → per-source
+    sizes broadcast → one gram-keyed equi self-join whose output is
+    bounded by Σ_g df_g² over SOURCES (df ≤ |sources|, so ≤
+    S²·|vocab| — never doc-pairwise) → the S²-grid aggregate."""
+    from dbt_eamples_spark.operators.dedup import doc_shingles
 
-    docs = load_table(spark, sf_dir, "documents", parallelize=True)
-    sh = _shingles(docs).join(
-        docs.select("doc_id", "source"), "doc_id"
-    )
+    sh = doc_shingles(spark, sf_dir)
     g = (
         sh.select("source", F.explode("shingles").alias("gram"))
         .distinct()

@@ -337,3 +337,80 @@ class TestRound8StageArtifacts:
                 1 for *_ab, j in pairs if j >= row.tau
             )
         assert len(pairs) > 0
+
+
+class TestRound9SharedTokenizeArtifacts:
+    """Round-9 shared-tokenize artifacts (VERDICT r8 #3): the
+    word-3-gram tokenize pass builds ONCE per documents fingerprint
+    into `doc_shingles`, shared by text_ngram_novelty,
+    text_jaccard_source_similarity, and the ngram_jaccard pair
+    builder; the unigram twin `source_term_counts` feeds
+    corpus_js_divergence."""
+
+    def _fresh(self):
+        D._DOC_SHINGLES_CACHE.clear()
+        D._NGRAM_PAIRS_CACHE.clear()
+        from dbt_eamples_spark.operators import text as T
+
+        T._SOURCE_TERM_COUNTS_CACHE.clear()
+
+    def test_doc_shingles_shared_by_three_consumers(
+        self, spark, sf_dir, art_dir
+    ):
+        from dbt_eamples_spark.operators import text as T
+
+        self._fresh()
+        nov = T.text_ngram_novelty(spark, sf_dir).collect()
+        assert _events("doc_shingles") == ["build"]
+        T.text_jaccard_source_similarity(spark, sf_dir).collect()
+        assert _events("doc_shingles") == ["build"]  # L1 hit
+        # the pair builder rides the same artifact — a cleared L1
+        # falls through to disk reuse, never a second tokenize
+        D._DOC_SHINGLES_CACHE.clear()
+        D.dedup_ngram_jaccard(spark, sf_dir).collect()
+        assert _events("doc_shingles") == ["build", "reuse"]
+        # warm results identical to the cold-build pass
+        self._fresh()
+        A.ARTIFACT_EVENTS.clear()
+        nov2 = T.text_ngram_novelty(spark, sf_dir).collect()
+        assert _events("doc_shingles") == ["reuse"]
+        assert sorted(map(tuple, nov)) == sorted(map(tuple, nov2))
+        assert len(nov) > 0
+
+    def test_source_term_counts_built_once(self, spark, sf_dir, art_dir):
+        from dbt_eamples_spark.operators import text as T
+
+        self._fresh()
+        js1 = T.corpus_js_divergence(spark, sf_dir).collect()
+        assert _events("source_term_counts") == ["build"]
+        self._fresh()
+        js2 = T.corpus_js_divergence(spark, sf_dir).collect()
+        assert _events("source_term_counts") == ["build", "reuse"]
+        assert sorted(map(tuple, js1)) == sorted(map(tuple, js2))
+        assert len(js1) > 0
+
+    def test_session_cache_key_evicts_stale_fingerprints(self, spark):
+        """ADVICE r8: the L1 key includes the corpus fingerprint, so
+        an in-session fixture rewrite misses the cache AND evicts
+        (unpersists) the superseded entry."""
+
+        class _Frame:
+            unpersisted = False
+
+            def unpersist(self):
+                self.unpersisted = True
+
+        cache = {}
+        old = _Frame()
+        app = spark.sparkContext.applicationId
+        cache[(app, "/some/dir", "fp_old")] = old
+        key = A.session_cache_key(cache, spark, "/some/dir", "fp_new")
+        assert key == (app, "/some/dir", "fp_new")
+        assert (app, "/some/dir", "fp_old") not in cache
+        assert old.unpersisted
+        # other dirs are untouched
+        other = _Frame()
+        cache[(app, "/other/dir", "fp_x")] = other
+        A.session_cache_key(cache, spark, "/some/dir", "fp_new")
+        assert (app, "/other/dir", "fp_x") in cache
+        assert not other.unpersisted

@@ -286,9 +286,8 @@ class TestShuffleBudgets:
         # Q16 plan: anti join prunes BEFORE the two-level distinct
         # aggregate (partial + final) + ordered output
         "part_supplier_variety": 3,
-        # post-checkpoint (the (source, term) count table is
-        # materialized once for its three consumers): term self-join
-        # sides + the S²-grid pair agg; totals broadcast
+        # warm plan over the source_term_counts artifact: term
+        # self-join sides + the S²-grid pair agg; totals broadcast
         "corpus_js_divergence": 3,
         # the decompose plan (one daily exchange + grid windows) +
         # the per-type strength fold + ordered output
@@ -402,8 +401,8 @@ class TestShuffleBudgets:
         "multimodal_codec_stats": 2,
         # fact cents agg + the final one-row fold's partial exchange
         "agg_theil_index": 2,
-        # parallelize repartition + gram first-occurrence window +
-        # doc agg + ordered output
+        # warm plan over the doc_shingles artifact: gram
+        # first-occurrence window + doc agg + ordered output
         "text_ngram_novelty": 4,
         # (1+3 dims) × local-topk reduction (|Q|·parts·k rows) +
         # rank windows + the final ordered union — every exchange is
