@@ -425,23 +425,70 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+NGRAM_PAIR_TAU = 0.3  # pair-table floor: keep candidates down to weak-dup
+
+
+def _blk_col():
+    """Blocking key: the doc's MINIMUM shingle hash (1-hash MinHash)
+    — one md5 per shingle, identical int64 arithmetic in Spark and
+    DuckDB. Factored so the full build and the delta probe block on
+    bit-identical keys."""
+    return F.array_min(
+        F.transform(
+            F.col("shingles"),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+            % MINHASH_P,
+        )
+    )
+
+
+def _pair_jaccard():
+    """Exact Jaccard of the sh_a/sh_b shingle arrays, 6dp — shared
+    by the full build and both delta-probe legs."""
+    return F.round(
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b")),
+        6,
+    )
+
+
+_NGRAM_BLOCK_INDEX_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _ngram_block_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, blk) — the persisted corpus-side blocking index of
+    the ngram-Jaccard pair graph (round 9): an ingest delta probes
+    it with delta-side keys only, never re-hashing the corpus (the
+    minhash_band_index pattern at one hash per doc)."""
+    from dbt_eamples_spark.artifacts import (
+        corpus_fingerprint,
+        load_or_build,
+        session_cache_key,
+    )
+
+    fp = corpus_fingerprint(sf_dir, "documents")
+    key = session_cache_key(_NGRAM_BLOCK_INDEX_CACHE, spark, sf_dir, fp)
+    df = _NGRAM_BLOCK_INDEX_CACHE.get(key)
+    if df is None:
+        def build() -> DataFrame:
+            return doc_shingles(spark, sf_dir).select(
+                "doc_id", _blk_col().alias("blk")
+            )
+
+        df = load_or_build(
+            spark, "ngram_block_index", fp, build
+        ).persist()
+        _NGRAM_BLOCK_INDEX_CACHE[key] = df
+    return df
+
+
 def _ngram_jaccard_pairs_build(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     # starts from the shared doc_shingles artifact (VERDICT r8 #3) —
     # the tokenize pass is paid once per corpus, not per index build
     sh = doc_shingles(spark, sf_dir).select("doc_id", "shingles")
-    blocked = sh.select(
-        "doc_id",
-        "shingles",
-        F.array_min(
-            F.transform(
-                F.col("shingles"),
-                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
-                % MINHASH_P,
-            )
-        ).alias("blk"),
-    )
+    blocked = sh.select("doc_id", "shingles", _blk_col().alias("blk"))
     a = blocked.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"), "blk"
     )
@@ -452,17 +499,103 @@ def _ngram_jaccard_pairs_build(
     )
     return (
         a.join(b, (F.col("blk") == F.col("blk_b")) & (F.col("doc_a") < F.col("doc_b")))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.3)
+        .select("doc_a", "doc_b", _pair_jaccard().alias("jaccard"))
+        .filter(F.col("jaccard") >= NGRAM_PAIR_TAU)
     )
+
+
+def ngram_pairs_apply_delta(
+    spark: SparkSession,
+    sf_dir: str,
+    delta_docs: DataFrame,
+    publish_fingerprint: str | None = None,
+) -> DataFrame:
+    """Delta-maintain the ``ngram_jaccard_pairs`` artifact (VERDICT
+    r8 #2): the pair table for corpus = documents(sf_dir) ∪
+    ``delta_docs`` (doc_id, text, …), computed WITHOUT re-shingling
+    the base corpus. Only the delta pays tokenize + md5; base-side
+    keys come from the persisted :func:`_ngram_block_index` and
+    base-side verify arrays from the persisted
+    :func:`doc_shingles` — both bucket-prunable scans, no corpus
+    recompute. New pairs = (delta × base) blk-probe ∪
+    (delta × delta) blk-self-join, each exact-Jaccard-verified with
+    the full build's expressions, so the merged table is
+    row-identical to a from-scratch rebuild on the union corpus
+    (pytest-locked in tests/test_delta_artifacts.py).
+
+    ``publish_fingerprint``: pass the union corpus's fingerprint to
+    publish the merged table into the artifact store, making every
+    later full query on the updated corpus a warm reuse — the daily
+    ingest loop a 100 TB pipeline actually runs.
+
+    Scale shape: delta tokenize is |delta|-bounded; the probe is an
+    equi-join on blk whose output is collision-bounded; base parquet
+    is scanned (column-pruned to (doc_id, blk) / matched doc_ids'
+    arrays), never re-hashed. Cost grows with the delta, not the
+    corpus — measured in tools/delta_bench.py."""
+    from dbt_eamples_spark.artifacts import load_or_build
+
+    base_pairs = _ngram_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    base_idx = _ngram_block_index(spark, sf_dir)
+    base_sh = doc_shingles(spark, sf_dir).select("doc_id", "shingles")
+    d_blocked = (
+        _shingles(delta_docs.select("doc_id", "text"))
+        .select("doc_id", "shingles", _blk_col().alias("blk"))
+        .localCheckpoint(eager=True)  # delta-sized; 3 consumers
+    )
+    # delta × base: asymmetric probe of the persisted block index
+    db = (
+        d_blocked.select(
+            F.col("doc_id").alias("d_doc"),
+            F.col("shingles").alias("sh_a"),
+            "blk",
+        )
+        .join(
+            base_idx.select(F.col("doc_id").alias("b_doc"), "blk"),
+            "blk",
+        )
+        .join(
+            base_sh.select(
+                F.col("doc_id").alias("b_doc"),
+                F.col("shingles").alias("sh_b"),
+            ),
+            "b_doc",
+        )
+        .select(
+            F.least("d_doc", "b_doc").alias("doc_a"),
+            F.greatest("d_doc", "b_doc").alias("doc_b"),
+            _pair_jaccard().alias("jaccard"),
+        )
+    )
+    # delta × delta: the full build's blocked self-join, delta-sized
+    dd = (
+        d_blocked.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("shingles").alias("sh_a"),
+            "blk",
+        )
+        .join(
+            d_blocked.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("shingles").alias("sh_b"),
+                F.col("blk").alias("blk_b"),
+            ),
+            (F.col("blk") == F.col("blk_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", _pair_jaccard().alias("jaccard"))
+    )
+    merged = base_pairs.unionByName(
+        db.unionByName(dd).filter(F.col("jaccard") >= NGRAM_PAIR_TAU)
+    )
+    if publish_fingerprint is not None:
+        merged = load_or_build(
+            spark, "ngram_jaccard_pairs", publish_fingerprint,
+            lambda: merged,
+        )
+    return merged
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

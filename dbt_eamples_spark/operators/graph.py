@@ -544,6 +544,114 @@ def _triangle_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def triangle_credits_apply_delta(
+    spark: SparkSession,
+    sf_dir: str,
+    delta_lineitem: DataFrame,
+    publish_fingerprint: str | None = None,
+) -> DataFrame:
+    """Delta-maintain the ``triangle_credits`` artifact (VERDICT r8
+    #2): per-node triangle participation for the co-purchase graph
+    of lineitem(sf_dir) ∪ ``delta_lineitem`` (l_orderkey, l_partkey,
+    …), WITHOUT re-enumerating the corpus's triangles. A lineitem
+    delta can extend EXISTING baskets, so the touched-order basket
+    set is rebuilt from (base rows of touched orders ∪ delta rows) —
+    an orderkey-pruned scan, order-bounded, never corpus-wide. New
+    undirected edges = touched-basket pairs anti-joined against the
+    persisted edge artifact. Every triangle gained by the delta
+    contains ≥1 new edge, so enumerating common neighbors of each
+    new edge over the union adjacency (then DISTINCT on the sorted
+    triple — a triangle with 2–3 new edges is found once per new
+    edge) yields exactly the gained triangles; their per-corner
+    credits MERGE into the persisted base credits by summation.
+    Row-identical to a from-scratch rebuild on the union corpus
+    (pytest-locked in tests/test_delta_artifacts.py).
+
+    ``publish_fingerprint``: the union corpus's lineitem
+    fingerprint, to publish the merged credits so later
+    graph_triangle_count/graph_transitivity calls on the updated
+    corpus reuse instead of rebuilding.
+
+    Scale shape: cost ∝ |touched orders| · basket² for edge
+    candidates + |new edges| · degree for the wedge probes — the
+    delta's neighborhood, not the corpus. Base triangles are never
+    revisited; base edges are scanned (bucket-partitioned parquet),
+    never re-derived from lineitem."""
+    from dbt_eamples_spark.artifacts import load_or_build
+
+    base_credits = _triangle_credits(spark, sf_dir).select(
+        "node", "n_triangles"
+    )
+    base_edges = _copurchase_edges(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    touched = delta_lineitem.select("l_orderkey").distinct()
+    touched_rows = (
+        li.join(F.broadcast(touched), "l_orderkey")
+        .select("l_orderkey", "l_partkey")
+        .unionByName(delta_lineitem.select("l_orderkey", "l_partkey"))
+    )
+    baskets = touched_rows.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair = F.explode(
+        F.filter(
+            F.flatten(
+                F.transform(
+                    "parts",
+                    lambda a: F.transform(
+                        "parts",
+                        lambda b: F.struct(a.alias("src"), b.alias("dst")),
+                    ),
+                )
+            ),
+            lambda s: s["src"] != s["dst"],
+        )
+    )
+    cand_edges = (
+        baskets.select(pair.alias("p")).select("p.src", "p.dst").distinct()
+    )
+    new_edges = cand_edges.join(
+        base_edges, ["src", "dst"], "left_anti"
+    ).localCheckpoint(eager=True)  # delta-bounded; 3 consumers
+    full_edges = base_edges.unionByName(new_edges)
+    # triangles gained = those with ≥1 new edge: common neighbors of
+    # each new undirected edge over the union adjacency, then one
+    # DISTINCT on the sorted triple so multi-new-edge triangles
+    # credit once
+    e1 = new_edges.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    uw = full_edges.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    vw = full_edges.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    triples = (
+        e1.join(uw, "u")
+        .join(vw, ["v", "w"])
+        .select(F.array_sort(F.array("u", "v", "w")).alias("t"))
+        .distinct()
+    )
+    gained = (
+        triples.select(F.explode("t").alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("gained"))
+    )
+    merged = (
+        base_credits.join(gained, "node", "full_outer")
+        .select(
+            "node",
+            (
+                F.coalesce("n_triangles", F.lit(0))
+                + F.coalesce("gained", F.lit(0))
+            ).cast("long").alias("n_triangles"),
+        )
+    )
+    if publish_fingerprint is not None:
+        merged = load_or_build(
+            spark, "triangle_credits", publish_fingerprint,
+            lambda: merged,
+        )
+    return merged
+
+
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k parts by triangle participation in the co-purchase
     graph, with the local clustering coefficient — the
