@@ -268,6 +268,11 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_phash_clusters": M.dedup_phash_clusters,
         # recall@k of the trained IVF index vs the exact ranking
         "similarity_ivf_recall_eval": V.similarity_ivf_recall_eval,
+        # --- round-9 additions ---
+        # recall@k of the hyperplane-LSH shortlist vs exact
+        "similarity_lsh_recall_eval": V.similarity_lsh_recall_eval,
+        # recall@k of the residual IVF-PQ composition vs exact
+        "similarity_ivfpq_recall_eval": V.similarity_ivfpq_recall_eval,
         # --- round-6 additions ---
         # TPC-H Q2 shape: correlated-MIN cheapest supplier per part
         "part_cheapest_supplier": R.part_cheapest_supplier,

@@ -2569,25 +2569,24 @@ def similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def similarity_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k of the trained IVF index against the exact
-    brute-force ranking, per query — retrieval EVAL as a first-class
-    query (the RECALL.md study as an operator a pipeline can gate
-    deploys on). recall = |IVF top-k ∩ exact top-k| / k; both
-    shortlists are the engine's own deterministic, oracle-twinned
-    rankers, so the eval itself is hash-checkable — exact ranks on
-    totally-ordered keys intersect identically in every engine.
+def _recall_eval_frame(
+    spark: SparkSession, sf_dir: str, approx: DataFrame
+) -> DataFrame:
+    """Shared recall@k fold: |approx top-k ∩ exact top-k| / k per
+    query, left-anchored on the exact side's query spine so a
+    zero-overlap query reports 0. Both shortlists are the engine's
+    own deterministic, oracle-twinned rankers, so the eval itself is
+    hash-checkable — exact ranks on totally-ordered keys intersect
+    identically in every engine.
 
     Scale shape: rides the two shortlist queries (|Q|·k rows each —
-    the corpus-sized work happens inside them, IVF against the
-    cached trained centroids); the intersection join, per-query
-    fold, and query-spine left join are all |Q|-bounded."""
+    the corpus-sized work happens inside them); the intersection
+    join, per-query fold, and query-spine left join are all
+    |Q|-bounded."""
     exact = similarity_topk(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
-    approx = similarity_ivf_topk(spark, sf_dir).select(
-        "query_id", "neighbor_id"
-    )
+    approx = approx.select("query_id", "neighbor_id")
     # both sides are |Q|·k rows — broadcast explicitly: the window
     # outputs carry no size statistics, and Catalyst otherwise
     # falls back to a sort-merge join (seen at fixture scale)
@@ -2612,4 +2611,36 @@ def similarity_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
         .orderBy("query_id")
+    )
+
+
+def similarity_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the trained IVF index against the exact
+    brute-force ranking, per query — retrieval EVAL as a first-class
+    query (the RECALL.md study as an operator a pipeline can gate
+    deploys on). See :func:`_recall_eval_frame` for the fold."""
+    return _recall_eval_frame(
+        spark, sf_dir, similarity_ivf_topk(spark, sf_dir)
+    )
+
+
+def similarity_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the random-hyperplane LSH shortlist against the
+    exact brute-force ranking (VERDICT r8 #4) — same hash-checkable
+    exact-integer-intersection form as
+    :func:`similarity_ivf_recall_eval`, so RECALL.md's LSH column is
+    a gated query, not tool output."""
+    return _recall_eval_frame(
+        spark, sf_dir, similarity_lsh_topk(spark, sf_dir)
+    )
+
+
+def similarity_ivfpq_recall_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall@k of the residual-trained IVF-PQ shortlist (the FAISS
+    production composition, :func:`similarity_ivf_pq_residual_topk`)
+    against the exact brute-force ranking (VERDICT r8 #4)."""
+    return _recall_eval_frame(
+        spark, sf_dir, similarity_ivf_pq_residual_topk(spark, sf_dir)
     )

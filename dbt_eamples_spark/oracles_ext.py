@@ -6760,19 +6760,20 @@ def _dedup_phash_clusters_oracle_sql() -> str:
 EXT_ORACLES["dedup_phash_clusters"] = _dedup_phash_clusters_oracle_sql()
 
 
-def _ivf_recall_oracle_sql() -> str:
-    """Mirror of similarity.similarity_ivf_recall_eval: the two
-    UNCHANGED shortlist oracles (trained-IVF and brute-force cosine)
-    nested as CTEs, intersected per query, left-anchored on the
-    query spine so a zero-overlap query reports 0."""
-    ivf = EXT_ORACLES["similarity_ivf_topk"]
+def _recall_oracle_sql(approx_key: str) -> str:
+    """Mirror of similarity._recall_eval_frame for any shortlist:
+    the two UNCHANGED shortlist oracles (the approx ranker under
+    eval and brute-force cosine) nested as CTEs, intersected per
+    query, left-anchored on the query spine so a zero-overlap query
+    reports 0."""
+    approx = EXT_ORACLES[approx_key]
     brute = EXT_ORACLES["similarity_topk"]
     return f"""
-        WITH ivf AS ({ivf}),
+        WITH approx AS ({approx}),
         brute AS ({brute}),
         hits AS (
             SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_overlap
-            FROM brute b JOIN ivf i
+            FROM brute b JOIN approx i
               ON b.query_id = i.query_id
              AND b.neighbor_id = i.neighbor_id
             GROUP BY b.query_id
@@ -6787,4 +6788,12 @@ def _ivf_recall_oracle_sql() -> str:
     """
 
 
-EXT_ORACLES["similarity_ivf_recall_eval"] = _ivf_recall_oracle_sql()
+EXT_ORACLES["similarity_ivf_recall_eval"] = _recall_oracle_sql(
+    "similarity_ivf_topk"
+)
+EXT_ORACLES["similarity_lsh_recall_eval"] = _recall_oracle_sql(
+    "similarity_lsh_topk"
+)
+EXT_ORACLES["similarity_ivfpq_recall_eval"] = _recall_oracle_sql(
+    "similarity_ivf_pq_residual_topk"
+)

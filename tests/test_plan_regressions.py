@@ -471,6 +471,10 @@ class TestShuffleBudgets:
         # IVF assign/probe passes); the intersection, per-query
         # fold, and spine join are |Q|-bounded broadcasts
         "similarity_ivf_recall_eval": 9,
+        # same recall fold over the LSH / residual-IVF-PQ shortlist
+        # plans — every added exchange is |Q|-bounded
+        "similarity_lsh_recall_eval": 8,
+        "similarity_ivfpq_recall_eval": 8,
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))
