@@ -273,6 +273,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_recall_eval": V.similarity_lsh_recall_eval,
         # recall@k of the residual IVF-PQ composition vs exact
         "similarity_ivfpq_recall_eval": V.similarity_ivfpq_recall_eval,
+        # image-ingest delta probing the persisted phash band index
+        "dedup_incremental_phash": M.dedup_incremental_phash,
         # --- round-6 additions ---
         # TPC-H Q2 shape: correlated-MIN cheapest supplier per part
         "part_cheapest_supplier": R.part_cheapest_supplier,

@@ -525,6 +525,28 @@ def _phash_band_batch(batch: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out, columns=["doc_id", "b0", "b1", "b2", "b3"])
 
 
+def _phash_bands_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, b0..b3) dHash bands for a doc_id frame: the full
+    PNG encode → strict decode → pool → band chain as two Arrow
+    stages — shared by :func:`dedup_phash`, the persisted corpus
+    index build, and the incremental probe's delta side."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b):
+                yield _phash_payload_batch(b)
+
+    def dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b):
+                yield _phash_band_batch(b)
+
+    payloads = docs.mapInPandas(gen, schema="doc_id long, content binary")
+    return payloads.mapInPandas(
+        dhash, schema="doc_id long, b0 long, b1 long, b2 long, b3 long"
+    )
+
+
 def dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image near-duplicate detection — dHash over REAL
     PNGs through the strict Arrow decode seam, Hamming-banded LSH
@@ -558,21 +580,9 @@ def dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(
         spark, sf_dir, "documents", parallelize=True
     ).select("doc_id")
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            if len(b):
-                yield _phash_payload_batch(b)
-
-    def dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            if len(b):
-                yield _phash_band_batch(b)
-
-    payloads = docs.mapInPandas(gen, schema="doc_id long, content binary")
-    bands = payloads.mapInPandas(
-        dhash, schema="doc_id long, b0 long, b1 long, b2 long, b3 long"
-    ).localCheckpoint(eager=True)  # 3 consumers: banding + both verify sides
+    bands = _phash_bands_frame(docs).localCheckpoint(
+        eager=True
+    )  # 3 consumers: banding + both verify sides
     ex = bands.select(
         "doc_id",
         F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(
@@ -658,4 +668,108 @@ def dedup_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comp").alias("cluster_id"),
         F.count("*").over(w).cast("long").alias("cluster_size"),
         (F.col("node") == F.col("comp")).alias("keep"),
+    )
+
+
+_PHASH_BAND_INDEX_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def phash_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED corpus-side dHash band index (corpus_doc,
+    b0..b3): built once per documents fingerprint and stored as a
+    parquet artifact, so an image-ingest delta probes it WITHOUT
+    paying corpus decode+hash — the image twin of
+    :func:`dedup.minhash_band_index` (VERDICT r8 #8). Corpus =
+    doc_id % INCR_MOD != 0 (the held-out tenth is the incoming
+    batch, the incremental-minhash fixture convention)."""
+    from dbt_eamples_spark.artifacts import (
+        corpus_fingerprint,
+        load_or_build,
+        session_cache_key,
+    )
+    from dbt_eamples_spark.operators.dedup import INCR_MOD
+
+    fp = corpus_fingerprint(sf_dir, "documents")
+    key = session_cache_key(_PHASH_BAND_INDEX_CACHE, spark, sf_dir, fp)
+    df = _PHASH_BAND_INDEX_CACHE.get(key)
+    if df is None:
+        def build() -> DataFrame:
+            docs = load_table(
+                spark, sf_dir, "documents", parallelize=True
+            ).select("doc_id")
+            corpus = docs.filter(~(F.col("doc_id") % INCR_MOD == 0))
+            return _phash_bands_frame(corpus).select(
+                F.col("doc_id").alias("corpus_doc"),
+                "b0", "b1", "b2", "b3",
+            )
+
+        df = load_or_build(
+            spark, "phash_band_index", fp, build
+        ).persist()
+        _PHASH_BAND_INDEX_CACHE[key] = df
+    return df
+
+
+def dedup_incremental_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental perceptual near-dup check: hash the NEW image
+    batch only and probe the persisted corpus band index — the image
+    twin of :func:`dedup.dedup_incremental_minhash` (VERDICT r8 #8).
+    The corpus is decoded+hashed once per fingerprint (the artifact
+    build); each delta pays decode+dHash on its own images only.
+    Candidates come from an asymmetric (band_idx, band_value)
+    equi-join of batch keys against index keys — never a corpus
+    self-join, so incremental cost is O(|delta| + band collisions);
+    a viral band value is an AQE-splittable join key. Verify is the
+    exact 64-bit Hamming distance via bit_count(xor) over the four
+    bands, same threshold as :func:`dedup_phash`.
+
+    Output: (new_doc, corpus_doc, n_bands_shared, hamming) for every
+    verified pair at Hamming ≤ PHASH_MAX_HAMMING."""
+    from dbt_eamples_spark.operators.dedup import INCR_MOD
+
+    docs = load_table(
+        spark, sf_dir, "documents", parallelize=True
+    ).select("doc_id")
+    new_bands = _phash_bands_frame(
+        docs.filter(F.col("doc_id") % INCR_MOD == 0)
+    ).localCheckpoint(eager=True)  # delta-sized; key + verify sides
+    idx = phash_band_index(spark, sf_dir)
+    ex_new = new_bands.select(
+        F.col("doc_id").alias("new_doc"),
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(
+            "band_idx", "bv"
+        ),
+    )
+    ex_idx = idx.select(
+        "corpus_doc",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(
+            "band_idx", "bv"
+        ),
+    )
+    cands = (
+        ex_new.join(ex_idx, ["band_idx", "bv"])
+        .groupBy("new_doc", "corpus_doc")
+        .agg(F.count("*").cast("int").alias("n_bands_shared"))
+    )
+    a = new_bands.select(
+        F.col("doc_id").alias("new_doc"),
+        *[F.col(f"b{i}").alias(f"a{i}") for i in range(4)],
+    )
+    b = idx.select(
+        "corpus_doc",
+        *[F.col(f"b{i}").alias(f"bb{i}") for i in range(4)],
+    )
+    hamming = sum(
+        F.expr(f"bit_count(a{i} ^ bb{i})") for i in range(4)
+    ).cast("int")
+    return (
+        cands.join(F.broadcast(a), "new_doc")
+        .join(b, "corpus_doc")
+        .select(
+            "new_doc",
+            "corpus_doc",
+            "n_bands_shared",
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
     )

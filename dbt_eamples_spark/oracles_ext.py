@@ -6584,21 +6584,14 @@ def _hybrid_rrf_oracle_sql() -> str:
 EXT_ORACLES["similarity_hybrid_rrf"] = _hybrid_rrf_oracle_sql()
 
 
-def _dedup_phash_oracle_sql() -> str:
-    """Mirror of multimodal.dedup_phash — but GENERATIVE: the dHash
-    bands are recomputed from the closed-form pixel formula (the
-    oracle never runs a codec), so the Spark side's PNG encode →
-    strict decode round trip is value-gated bit-for-bit, exactly the
-    multimodal_codec_stats contract. Banding, the bucket cap, the
-    a<b pair expansion, and the Hamming verify mirror the engine."""
-    from dbt_eamples_spark.operators.multimodal import (
-        PHASH_BUCKET_CAP,
-        PHASH_GROUP,
-        PHASH_MAX_HAMMING,
-    )
+def _phash_bands_cte() -> str:
+    """The generative dHash band CTEs (ids → px → blocks → bits →
+    bands → wide) shared by the full, clusters, and incremental
+    phash oracles — the closed-form recompute that value-gates the
+    Spark side's real codec round trip."""
+    from dbt_eamples_spark.operators.multimodal import PHASH_GROUP
 
-    return f"""
-        WITH ids AS (
+    return f"""ids AS (
             SELECT doc_id, doc_id // {PHASH_GROUP} AS g,
                    doc_id % {PHASH_GROUP} AS m
             FROM documents
@@ -6642,7 +6635,23 @@ def _dedup_phash_oracle_sql() -> str:
                    MAX(CASE WHEN band_idx = 2 THEN bv END) AS b2,
                    MAX(CASE WHEN band_idx = 3 THEN bv END) AS b3
             FROM bands GROUP BY doc_id
-        ),
+        )"""
+
+
+def _dedup_phash_oracle_sql() -> str:
+    """Mirror of multimodal.dedup_phash — but GENERATIVE: the dHash
+    bands are recomputed from the closed-form pixel formula (the
+    oracle never runs a codec), so the Spark side's PNG encode →
+    strict decode round trip is value-gated bit-for-bit, exactly the
+    multimodal_codec_stats contract. Banding, the bucket cap, the
+    a<b pair expansion, and the Hamming verify mirror the engine."""
+    from dbt_eamples_spark.operators.multimodal import (
+        PHASH_BUCKET_CAP,
+        PHASH_MAX_HAMMING,
+    )
+
+    return f"""
+        WITH {_phash_bands_cte()},
         ok AS (
             SELECT band_idx, bv FROM bands
             GROUP BY band_idx, bv
@@ -6672,6 +6681,48 @@ def _dedup_phash_oracle_sql() -> str:
 
 
 EXT_ORACLES["dedup_phash"] = _dedup_phash_oracle_sql()
+
+
+def _dedup_incremental_phash_oracle_sql() -> str:
+    """Mirror of multimodal.dedup_incremental_phash: the same
+    generative band CTEs, split new batch (doc_id % INCR_MOD = 0)
+    vs corpus, asymmetric (band_idx, bv) equi-join for candidates,
+    exact Hamming verify — no bucket machinery (the probe is
+    collision-bounded by construction)."""
+    from dbt_eamples_spark.operators.dedup import INCR_MOD
+    from dbt_eamples_spark.operators.multimodal import PHASH_MAX_HAMMING
+
+    return f"""
+        WITH {_phash_bands_cte()},
+        newb AS (
+            SELECT * FROM bands WHERE doc_id % {INCR_MOD} = 0
+        ),
+        corp AS (
+            SELECT * FROM bands WHERE doc_id % {INCR_MOD} != 0
+        ),
+        cands AS (
+            SELECT n.doc_id AS new_doc, c.doc_id AS corpus_doc,
+                   CAST(count(*) AS INT) AS n_bands_shared
+            FROM newb n JOIN corp c USING (band_idx, bv)
+            GROUP BY 1, 2
+        )
+        SELECT new_doc, corpus_doc, n_bands_shared,
+               CAST(bit_count(xor(wa.b0, wb.b0))
+                    + bit_count(xor(wa.b1, wb.b1))
+                    + bit_count(xor(wa.b2, wb.b2))
+                    + bit_count(xor(wa.b3, wb.b3)) AS INT) AS hamming
+        FROM cands
+        JOIN wide wa ON wa.doc_id = new_doc
+        JOIN wide wb ON wb.doc_id = corpus_doc
+        WHERE bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
+              + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3))
+              <= {PHASH_MAX_HAMMING}
+    """
+
+
+EXT_ORACLES["dedup_incremental_phash"] = (
+    _dedup_incremental_phash_oracle_sql()
+)
 
 
 def _pca_invariants_oracle_sql() -> str:

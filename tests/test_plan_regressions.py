@@ -475,6 +475,10 @@ class TestShuffleBudgets:
         # plans — every added exchange is |Q|-bounded
         "similarity_lsh_recall_eval": 8,
         "similarity_ivfpq_recall_eval": 8,
+        # asymmetric probe of the persisted phash band index: ONE
+        # (new_doc, corpus_doc) candidate agg exchange; the delta
+        # band frame and index attach broadcast at fixture scale
+        "dedup_incremental_phash": 1,
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))

@@ -40,3 +40,44 @@ def test_recall_eval_matches_python(spark, sf_dir, kind):
         assert r.k == TOP_K and r.n_overlap == want
         assert abs(r.recall - round(want / TOP_K, 6)) < 1e-12
         assert 0 <= r.recall <= 1
+
+
+def test_incremental_phash_matches_full_restriction(spark, sf_dir, tmp_path, monkeypatch):
+    """The incremental probe must reproduce exactly the full
+    dedup_phash pair set restricted to (new × corpus) pairs (the
+    fixture buckets are far below the cap, so the full query's
+    fat-bucket guard never fires and the restriction is exact), and
+    the corpus band index must build once then be reused."""
+    from dbt_eamples_spark import artifacts as A
+    from dbt_eamples_spark.operators import multimodal as M
+    from dbt_eamples_spark.operators.dedup import INCR_MOD
+
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path / "arts"))
+    A.ARTIFACT_EVENTS.clear()
+    M._PHASH_BAND_INDEX_CACHE.clear()
+    inc = {
+        (r.new_doc, r.corpus_doc, r.n_bands_shared, r.hamming)
+        for r in M.dedup_incremental_phash(spark, sf_dir).collect()
+    }
+    full = M.dedup_phash(spark, sf_dir).collect()
+    want = set()
+    for r in full:
+        a_new = r.doc_a % INCR_MOD == 0
+        b_new = r.doc_b % INCR_MOD == 0
+        if a_new != b_new:
+            new, corp = (r.doc_a, r.doc_b) if a_new else (r.doc_b, r.doc_a)
+            want.add((new, corp, r.n_bands_shared, r.hamming))
+    assert inc == want and len(inc) > 0
+    # every planted even scene contributes its 4 (new member-0 ×
+    # corpus member) pairs — recall 1.0 on the generative truth
+    n_new = sum(1 for r in inc)
+    new_docs = {n for n, *_ in inc}
+    assert all(
+        sum(1 for n, *_ in inc if n == d) == 4 for d in new_docs
+    ) and n_new == 4 * len(new_docs)
+    # index built once; a cleared L1 reuses the parquet artifact
+    assert [e for k, e in A.ARTIFACT_EVENTS if k == "phash_band_index"] == ["build"]
+    M._PHASH_BAND_INDEX_CACHE.clear()
+    M.dedup_incremental_phash(spark, sf_dir).collect()
+    assert [e for k, e in A.ARTIFACT_EVENTS if k == "phash_band_index"] == ["build", "reuse"]
+    M._PHASH_BAND_INDEX_CACHE.clear()
