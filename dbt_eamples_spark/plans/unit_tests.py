@@ -20,14 +20,20 @@ contract for the engine's compiled metric models:
    every metric (ROUND_DECIMALS), so hand-computable fixtures are
    bit-stable, the same reason the DuckDB oracle twins hash-match.
 
-`UNIT_TESTS` ships golden fixtures for the three metric classes a
-semantic layer must not regress on: simple (one aggregated
-measure), ratio (numerator/denominator), and derived (expression
-over sibling metrics, inlined into one pass).
+`UNIT_TESTS` ships golden fixtures for every metric class the
+compiler can emit: simple (one aggregated measure), ratio
+(numerator/denominator), derived (expression over sibling metrics,
+inlined into one pass), and — round 9 (VERDICT r8 #5) — the three
+windowed/funnel classes: cumulative (running total over the time
+grain), growth (period-over-period LAG fraction, incl. the
+first-period-NULL and the −0.0-normalization paths), and conversion
+(the MetricFlow funnel: in-window match, multi-conversion dedup,
+pre-base purchases ignored).
 """
 
 from __future__ import annotations
 
+import datetime as _dt
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
@@ -136,9 +142,10 @@ def run_all(
     ]
 
 
-# ---- golden fixtures: the three metric classes ------------------------------
+# ---- golden fixtures: every compiled metric class ---------------------------
 # Hand-computable rows; every expectation is exact after the
-# compiler's ROUND(…, 2).
+# compiler's ROUND(…, 2) (6dp for growth/conversion rates).
+_TS = _dt.datetime
 _LI_ROWS = (
     # A-flag: 100·0.9 = 90 and 50·1.0 = 50 → revenue 140, gross 150
     {"l_returnflag": "A", "l_extendedprice": 100.0, "l_discount": 0.10},
@@ -168,6 +175,110 @@ UNIT_TESTS: tuple[ModelUnitTest, ...] = (
         expect=(
             {"returnflag": "A", "revenue_per_item": 70.0},  # 140/2
             {"returnflag": "R", "revenue_per_item": 150.0},  # 150/1
+        ),
+    ),
+    ModelUnitTest(
+        name="cumulative_running_revenue_monthly",
+        request=MetricQueryRequest(
+            metrics=("revenue", "cum_revenue"),
+            group_by=("shipdate__month",),
+        ),
+        given={
+            "lineitem": (
+                # Jan: 100·0.9 = 90; Feb: 50 + 200·0.75 = 200;
+                # Mar: 10 → running 90, 290, 300
+                {"l_extendedprice": 100.0, "l_discount": 0.10,
+                 "l_shipdate": _TS(1995, 1, 10)},
+                {"l_extendedprice": 50.0, "l_discount": 0.00,
+                 "l_shipdate": _TS(1995, 2, 5)},
+                {"l_extendedprice": 200.0, "l_discount": 0.25,
+                 "l_shipdate": _TS(1995, 2, 20)},
+                {"l_extendedprice": 10.0, "l_discount": 0.00,
+                 "l_shipdate": _TS(1995, 3, 1)},
+            )
+        },
+        expect=(
+            {"shipdate__month": _TS(1995, 1, 1), "revenue": 90.0,
+             "cum_revenue": 90.0},
+            {"shipdate__month": _TS(1995, 2, 1), "revenue": 200.0,
+             "cum_revenue": 290.0},
+            {"shipdate__month": _TS(1995, 3, 1), "revenue": 10.0,
+             "cum_revenue": 300.0},
+        ),
+    ),
+    ModelUnitTest(
+        name="growth_pop_revenue_by_flag",
+        request=MetricQueryRequest(
+            metrics=("revenue", "revenue_growth"),
+            group_by=("returnflag", "shipdate__month"),
+        ),
+        given={
+            "lineitem": (
+                # A: 90 → 200 → 200: first period NULL, then
+                # (200−90)/90 = 1.222222, then the flat period hits
+                # the −0.0-normalization CASE and emits +0.0
+                {"l_returnflag": "A", "l_extendedprice": 100.0,
+                 "l_discount": 0.10, "l_shipdate": _TS(1995, 1, 10)},
+                {"l_returnflag": "A", "l_extendedprice": 200.0,
+                 "l_discount": 0.00, "l_shipdate": _TS(1995, 2, 5)},
+                {"l_returnflag": "A", "l_extendedprice": 200.0,
+                 "l_discount": 0.00, "l_shipdate": _TS(1995, 3, 15)},
+                # R: a single period stays NULL (LAG partition
+                # restart — growth never leaks across flags)
+                {"l_returnflag": "R", "l_extendedprice": 10.0,
+                 "l_discount": 0.00, "l_shipdate": _TS(1995, 3, 1)},
+            )
+        },
+        expect=(
+            {"returnflag": "A", "shipdate__month": _TS(1995, 1, 1),
+             "revenue": 90.0, "revenue_growth": None},
+            {"returnflag": "A", "shipdate__month": _TS(1995, 2, 1),
+             "revenue": 200.0, "revenue_growth": 1.222222},
+            {"returnflag": "A", "shipdate__month": _TS(1995, 3, 1),
+             "revenue": 200.0, "revenue_growth": 0.0},
+            {"returnflag": "R", "shipdate__month": _TS(1995, 3, 1),
+             "revenue": 10.0, "revenue_growth": None},
+        ),
+    ),
+    ModelUnitTest(
+        name="conversion_view_to_purchase_daily",
+        request=MetricQueryRequest(
+            metrics=("view_to_purchase",),
+            group_by=("event_time__day",),
+        ),
+        given={
+            "events": (
+                # u1 views day 1, purchases twice inside the 7-day
+                # window → ONE conversion (DISTINCT base-key dedup)
+                {"event_id": 1, "ts": _TS(2024, 1, 1, 9),
+                 "user_id": 1, "event_type": "view"},
+                {"event_id": 2, "ts": _TS(2024, 1, 3, 9),
+                 "user_id": 1, "event_type": "purchase"},
+                {"event_id": 3, "ts": _TS(2024, 1, 4, 9),
+                 "user_id": 1, "event_type": "purchase"},
+                # u2 views day 1; its only purchase PRECEDES the
+                # view → no conversion
+                {"event_id": 4, "ts": _TS(2024, 1, 1, 10),
+                 "user_id": 2, "event_type": "view"},
+                {"event_id": 7, "ts": _TS(2023, 12, 30, 9),
+                 "user_id": 2, "event_type": "purchase"},
+                # u3 views day 2, purchases on day 12 — OUTSIDE the
+                # 7-day window → no conversion
+                {"event_id": 5, "ts": _TS(2024, 1, 2, 8),
+                 "user_id": 3, "event_type": "view"},
+                {"event_id": 6, "ts": _TS(2024, 1, 12, 9),
+                 "user_id": 3, "event_type": "purchase"},
+            )
+        },
+        expect=(
+            {"event_time__day": _TS(2024, 1, 1),
+             "view_to_purchase_opportunities": 2,
+             "view_to_purchase_conversions": 1,
+             "view_to_purchase": 0.5},
+            {"event_time__day": _TS(2024, 1, 2),
+             "view_to_purchase_opportunities": 1,
+             "view_to_purchase_conversions": 0,
+             "view_to_purchase": 0.0},
         ),
     ),
     ModelUnitTest(
