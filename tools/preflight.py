@@ -131,7 +131,34 @@ def main() -> None:
                 f"{tree_now} — re-run bench.py before snapshotting"
             )
 
-    # 4. evidence files committed (the r6 BENCH_LOCAL.json slip)
+    # 4. evidence files committed (the r6 BENCH_LOCAL.json slip) —
+    # EXCEPT driver-written artifacts (VERDICT r8 #6): the driver's
+    # post-close rerun overwrites BENCH_LOCAL.json in the working
+    # tree through no builder fault; recognize that copy by its
+    # raw_run_totals_sec appearing verbatim in the newest
+    # driver-recorded BENCH_r*.json and treat it as expected-dirty.
+    # (BENCH_r*.json / CORRECTNESS_r*.json themselves are
+    # driver-committed and never in this path list.) Everything
+    # else keeps failing the gate.
+    def _is_driver_bench_local() -> bool:
+        try:
+            with open(bl_path) as fh:
+                bl2 = _json.load(fh)
+        except (ValueError, OSError):
+            return False
+        totals = bl2.get("raw_run_totals_sec")
+        if not totals:
+            return False
+        brs = glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+        if not brs:
+            return False
+        try:
+            with open(max(brs, key=os.path.getmtime)) as fh:
+                txt = fh.read()
+        except OSError:
+            return False
+        return _json.dumps(totals) in txt
+
     out = subprocess.run(
         ["git", "status", "--porcelain", "--",
          "BENCH_LOCAL.json", "SURVEY.md", "__spark_entry__.py",
@@ -139,6 +166,16 @@ def main() -> None:
         cwd=REPO, capture_output=True, text=True,
     )
     dirty = [ln for ln in out.stdout.splitlines() if ln.strip()]
+    driver_lines = [
+        ln for ln in dirty if ln.split()[-1] == "BENCH_LOCAL.json"
+    ]
+    if driver_lines and _is_driver_bench_local():
+        print(
+            "preflight: BENCH_LOCAL.json working-tree copy matches "
+            "the driver's post-close rerun (raw_run_totals_sec found "
+            "in the newest BENCH_r*.json) — expected-dirty, ignored"
+        )
+        dirty = [ln for ln in dirty if ln not in driver_lines]
     if dirty:
         errs.append(f"uncommitted evidence/engine files: {dirty}")
 
