@@ -444,6 +444,13 @@ PHASH_GROUP = 5            # docs per planted scene: base + 3 shifts + 1 corrupt
 PHASH_H, PHASH_W = 16, 18  # generated image geometry (2×2-pooled to 8×9)
 PHASH_BUCKET_CAP = 256     # oversized-band guard (entity-match recipe)
 PHASH_MAX_HAMMING = 4      # verify threshold (planted ≤2, cross-scene ≥7)
+# collision-free horizon of the two-modulus generative form: scenes
+# g ≡ g' under BOTH 199 and 193 repeat, so distinct-scene images are
+# guaranteed only below lcm(199, 193) scenes (~192k docs). Guarded
+# at generation time (VERDICT r8 #7) so a larger synthesis fails
+# loudly instead of silently planting cross-scene duplicates — the
+# fix at that scale is a third coprime modulus term.
+PHASH_SCENE_PERIOD = 199 * 193  # 38,407 scenes
 
 
 def _phash_pixels(doc_id: int):
@@ -464,6 +471,12 @@ def _phash_pixels(doc_id: int):
     import numpy as np
 
     g, m = doc_id // PHASH_GROUP, doc_id % PHASH_GROUP
+    if g >= PHASH_SCENE_PERIOD:
+        raise ValueError(
+            f"phash generative fixture: scene {g} >= the two-modulus "
+            f"collision-free period {PHASH_SCENE_PERIOD} — add a third "
+            "coprime modulus before synthesizing past ~192k docs"
+        )
     i = np.arange(PHASH_H * PHASH_W, dtype=np.int64)
     base = (
         (g + 1) * (i * i + 3 * i + 7) + (g * 13 % 193) * (2 * i + 1)

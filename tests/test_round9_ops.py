@@ -81,3 +81,38 @@ def test_incremental_phash_matches_full_restriction(spark, sf_dir, tmp_path, mon
     M.dedup_incremental_phash(spark, sf_dir).collect()
     assert [e for k, e in A.ARTIFACT_EVENTS if k == "phash_band_index"] == ["build", "reuse"]
     M._PHASH_BAND_INDEX_CACHE.clear()
+
+
+def test_phash_fixture_horizon_guard():
+    """The two-modulus generative scene form is collision-free only
+    below lcm(199, 193) = 38,407 scenes (~192k docs); generation
+    past that horizon must fail loudly (VERDICT r8 #7), and the
+    period really is the first scene collision (the base pixel
+    arrays repeat exactly there, the reason the guard exists)."""
+    import numpy as np
+    import pytest as _pt
+
+    from dbt_eamples_spark.operators.multimodal import (
+        PHASH_GROUP,
+        PHASH_SCENE_PERIOD,
+        _phash_pixels,
+    )
+
+    # inside the horizon: fine; at the horizon: loud
+    _phash_pixels((PHASH_SCENE_PERIOD - 1) * PHASH_GROUP)
+    with _pt.raises(ValueError, match="third"):
+        _phash_pixels(PHASH_SCENE_PERIOD * PHASH_GROUP)
+    # the period is real: scene g and g + period share pixels bit
+    # for bit (computed directly from the closed form, bypassing
+    # the guard) while g and g+1 differ
+    g = 7
+    i = np.arange(16 * 18, dtype=np.int64)
+
+    def base(gg):
+        return (
+            (gg + 1) * (i * i + 3 * i + 7)
+            + (gg * 13 % 193) * (2 * i + 1)
+        ) % 199
+
+    assert np.array_equal(base(g), base(g + PHASH_SCENE_PERIOD))
+    assert not np.array_equal(base(g), base(g + 1))
