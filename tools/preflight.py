@@ -130,6 +130,21 @@ def main() -> None:
                 f"{stamped}, but the tree being snapshotted hashes "
                 f"{tree_now} — re-run bench.py before snapshotting"
             )
+    # same stamp gate for the solo-rerun ledger (VERDICT r8 #9)
+    solo_path = os.path.join(REPO, "BENCH_SOLO.json")
+    if os.path.exists(solo_path):
+        try:
+            solo = _json.load(open(solo_path))
+        except ValueError:
+            solo = {}
+        stamped = solo.get("engine_tree")
+        if stamped and stamped != tree_now:
+            errs.append(
+                f"BENCH_SOLO.json was recorded against engine tree "
+                f"{stamped}, but the tree being snapshotted hashes "
+                f"{tree_now} — re-run tools/bench_solo.py before "
+                "snapshotting"
+            )
 
     # 4. evidence files committed (the r6 BENCH_LOCAL.json slip) —
     # EXCEPT driver-written artifacts (VERDICT r8 #6): the driver's
