@@ -187,8 +187,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
        docs (broadcast semi-join BEFORE the shingle expression), and
        the verify joins broadcast that small set.
     """
-    docs = load_table(spark, sf_dir, "documents", parallelize=True)
-    sh = _shingles(docs)
+    # shingles come from the shared doc_shingles artifact (round 9):
+    # the tokenize pass is paid once per corpus across the whole
+    # ngram family, not once per query
+    sh = doc_shingles(spark, sf_dir).select("doc_id", "shingles")
     sig = _minhash_signatures(sh)
 
     bands = sig.select(
@@ -226,6 +228,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cands.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
+    # verify-side shingles are RE-DERIVED for candidate docs only
+    # (broadcast semi-join under the regex): candidates are tiny, so
+    # recomputing beats scanning the corpus-wide fat-array artifact
+    # (measured 3.5x on the solo rerun)
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     cand_sh = _shingles(docs.join(F.broadcast(ids), "doc_id"))
     sa = cand_sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = cand_sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
@@ -327,8 +334,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of one ``collect_list`` aggregation buffer (the round-2
     shape, which had to hold the whole bucket in a single task).
     """
-    docs = load_table(spark, sf_dir, "documents", parallelize=True)
-    sigs = _simhash_signatures(_shingles(docs))
+    sigs = _simhash_signatures(
+        doc_shingles(spark, sf_dir).select("doc_id", "shingles")
+    )
 
     # band b covers 16 consecutive bits: 0/1 from sig_lo, 2/3 from
     # sig_hi — an int bucket key, no string slicing
@@ -907,10 +915,11 @@ def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 INCR_MOD = 10  # doc_id % 10 == 0 marks the incoming "new batch"
 
 
-def _band_keys(docs: DataFrame) -> DataFrame:
-    """(doc_id, band, bucket) LSH keys — the banded-signature map
-    shared by the self-join dedup and the incremental index/probe."""
-    sig = _minhash_signatures(_shingles(docs))
+def _band_keys(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) LSH keys from a (doc_id, shingles)
+    frame — the banded-signature map shared by the self-join dedup
+    and the incremental index/probe."""
+    sig = _minhash_signatures(sh)
     return sig.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(MINHASH_BANDS - 1))).alias("band"),
@@ -944,8 +953,9 @@ def minhash_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def build() -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents", parallelize=True)
-        corpus = docs.filter(~(F.col("doc_id") % INCR_MOD == 0))
+        corpus = doc_shingles(spark, sf_dir).filter(
+            ~(F.col("doc_id") % INCR_MOD == 0)
+        ).select("doc_id", "shingles")
         return _band_keys(corpus).select(
             F.col("doc_id").alias("corpus_doc"), "band", "bucket"
         )
@@ -970,9 +980,9 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental cost is O(|delta| + collisions), never O(|corpus|²).
     Verify is exact Jaccard on candidates only, same as
     dedup_minhash."""
-    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    sh_all = doc_shingles(spark, sf_dir).select("doc_id", "shingles")
     is_new = F.col("doc_id") % INCR_MOD == 0
-    new_keys = _band_keys(docs.filter(is_new)).select(
+    new_keys = _band_keys(sh_all.filter(is_new)).select(
         F.col("doc_id").alias("new_doc"), "band", "bucket"
     )
     corpus_keys = minhash_band_index(spark, sf_dir)
@@ -987,6 +997,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cands.select(F.col("corpus_doc").alias("doc_id")))
         .distinct()
     )
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     cand_sh = _shingles(docs.join(F.broadcast(ids), "doc_id"))
     sa = cand_sh.select(
         F.col("doc_id").alias("new_doc"), F.col("shingles").alias("sh_a")
@@ -1036,8 +1047,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifies only candidate pairs via array_intersect on the two
     (distinct) shingle arrays. Ties in the rarity ranking break on
     the shingle string so both engines pick identical keys."""
-    docs = load_table(spark, sf_dir, "documents", parallelize=True)
-    sh = _shingles(docs).localCheckpoint(eager=True)
+    sh = doc_shingles(spark, sf_dir).select(
+        "doc_id", "shingles"
+    ).localCheckpoint(eager=True)
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     df_counts = ex.groupBy("s").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "s")
