@@ -29,7 +29,7 @@ import __spark_entry__ as entrymod  # noqa: E402
 # reason — a new operator can never ship unmeasured again. The
 # historical HEADLINE list let six round-5 additions skip the bench.
 BENCH_EXCLUDE: dict[str, str] = {
-    # (empty) — all 201 registry queries are benched; add entries
+    # (empty) — every registry query is benched; add entries
     # here only with a documented reason (e.g. a query whose cost is
     # dominated by driver-side fixed overhead rather than plan work).
 }
