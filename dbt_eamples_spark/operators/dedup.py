@@ -966,6 +966,38 @@ def minhash_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_band_index_apply_delta(
+    spark: SparkSession,
+    sf_dir: str,
+    delta_docs: DataFrame,
+    publish_fingerprint: str | None = None,
+) -> DataFrame:
+    """Delta-maintain the persisted MinHash band index: signatures
+    are computed for ``delta_docs`` (doc_id, text, …) ONLY and
+    appended to the base index — a pure index-append (band keys are
+    per-doc state, so no base row ever changes), the cheapest delta
+    shape in the artifact family. With ``publish_fingerprint`` (the
+    union corpus's documents fingerprint) the merged index lands in
+    the artifact store, so the next ingest batch probes an index
+    that already covers this one. Row-identical to a from-scratch
+    index build over base-corpus ∪ delta (pytest-locked; the
+    fixture's %INCR_MOD corpus convention applies to the BASE dir
+    only — callers decide delta membership)."""
+    from dbt_eamples_spark.artifacts import load_or_build
+
+    base = minhash_band_index(spark, sf_dir)
+    new_keys = _band_keys(
+        _shingles(delta_docs.select("doc_id", "text"))
+    ).select(F.col("doc_id").alias("corpus_doc"), "band", "bucket")
+    merged = base.unionByName(new_keys)
+    if publish_fingerprint is not None:
+        merged = load_or_build(
+            spark, "minhash_band_index", publish_fingerprint,
+            lambda: merged,
+        )
+    return merged
+
+
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup check: dedup the NEW batch against the
     existing corpus without comparing the corpus to itself — the
@@ -1349,9 +1381,11 @@ def _span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     if df is None:
 
         def build() -> DataFrame:
-            spans = _doc_spans(spark, sf_dir)
-            stats = spans.groupBy("h").agg(
-                F.countDistinct("doc_id").alias("nd")
+            # rides the persisted span indexes (round 9): one
+            # tokenize pass serves all four span artifacts
+            spans = _doc_span_index(spark, sf_dir)
+            stats = _span_hash_index(spark, sf_dir).select(
+                "h", F.col("n_docs").alias("nd")
             )
             return (
                 spans.join(stats, "h")
@@ -1385,19 +1419,206 @@ def _span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     if df is None:
 
         def build() -> DataFrame:
-            return (
-                _doc_spans(spark, sf_dir)
-                .groupBy("h")
-                .agg(
-                    F.countDistinct("doc_id").cast("long").alias("n_docs"),
-                    F.count("*").cast("long").alias("n_occurrences"),
-                )
-                .filter(F.col("n_docs") > 1)
+            return _span_hash_index(spark, sf_dir).filter(
+                F.col("n_docs") > 1
             )
 
         df = load_or_build(spark, "span_dup_stats", fp, build).persist()
         _SPAN_DUP_STATS_CACHE[key] = df
     return df
+
+
+# Delta maintenance for the span family (round 9, extending VERDICT
+# r8 #2 past the named pair/credit artifacts): a corpus append must
+# not re-tokenize the world to refresh span_profile/span_dup_stats.
+# Two additional persisted indexes make the delta exact:
+# `doc_span_index` (the (doc_id, h) span-instance table — the
+# suffix-style index a production span-dedup keeps warm) and
+# `span_hash_index` (UNfiltered per-hash (n_docs, n_occurrences),
+# singletons included — required because a delta span hitting a base
+# SINGLETON hash flips that base holder's instances to duplicated,
+# which the >1-filtered span_dup_stats artifact cannot see).
+_DOC_SPAN_INDEX_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_SPAN_HASH_INDEX_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _delta_doc_spans(delta_docs: DataFrame) -> DataFrame:
+    """The _doc_spans expression over an in-memory delta frame."""
+    toks = delta_docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    )
+    k = SPAN_TOKENS
+    hashes = F.when(
+        F.size("t") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - F.lit(k - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("t", i, F.lit(k)))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks.select("doc_id", F.explode(hashes).alias("h"))
+
+
+def _doc_span_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, h) span-instance table."""
+    from dbt_eamples_spark.artifacts import (
+        corpus_fingerprint,
+        load_or_build,
+        session_cache_key,
+    )
+
+    fp = corpus_fingerprint(sf_dir, "documents")
+    key = session_cache_key(_DOC_SPAN_INDEX_CACHE, spark, sf_dir, fp)
+    df = _DOC_SPAN_INDEX_CACHE.get(key)
+    if df is None:
+        df = load_or_build(
+            spark, "doc_span_index", fp,
+            lambda: _doc_spans(spark, sf_dir),
+        ).persist()
+        _DOC_SPAN_INDEX_CACHE[key] = df
+    return df
+
+
+def _span_hash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted UNfiltered (h, n_docs, n_occurrences) stats."""
+    from dbt_eamples_spark.artifacts import (
+        corpus_fingerprint,
+        load_or_build,
+        session_cache_key,
+    )
+
+    fp = corpus_fingerprint(sf_dir, "documents")
+    key = session_cache_key(_SPAN_HASH_INDEX_CACHE, spark, sf_dir, fp)
+    df = _SPAN_HASH_INDEX_CACHE.get(key)
+    if df is None:
+        def build() -> DataFrame:
+            return (
+                _doc_span_index(spark, sf_dir)
+                .groupBy("h")
+                .agg(
+                    F.countDistinct("doc_id").cast("long").alias("n_docs"),
+                    F.count("*").cast("long").alias("n_occurrences"),
+                )
+            )
+
+        df = load_or_build(spark, "span_hash_index", fp, build).persist()
+        _SPAN_HASH_INDEX_CACHE[key] = df
+    return df
+
+
+def span_artifacts_apply_delta(
+    spark: SparkSession,
+    sf_dir: str,
+    delta_docs: DataFrame,
+    publish_fingerprint: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Delta-maintain the span verdict artifacts: returns the
+    (span_profile, span_dup_stats) pair for corpus =
+    documents(sf_dir) ∪ ``delta_docs`` (doc_id, text, …; doc_ids
+    must be NEW), re-tokenizing ONLY the delta.
+
+    Exactness argument (pytest-locked vs full rebuild in
+    tests/test_delta_artifacts.py):
+     - per-hash stats are additive: merged (n_docs, n_occurrences) =
+       base ⊕ delta per hash (base side from the persisted
+       unfiltered `span_hash_index`); the >1 filter then reproduces
+       span_dup_stats exactly;
+     - delta-doc profile rows fold the delta spans against the
+       MERGED stats;
+     - a base doc's row changes IFF the delta turned one of its
+       singleton hashes multi-doc (base n_docs = 1, delta adds ≥ 1
+       doc): those hashes' base instances — found by an equi-probe
+       of the persisted `doc_span_index`, output bounded by the
+       crossing set — are added to n_dup_spans; n_spans never
+       changes.
+
+    Scale shape: delta tokenize |delta|-bounded; one hash-keyed
+    merge of delta stats into the index scan; the crossing-hash
+    probe is crossing-set-bounded. Base text is never re-read.
+
+    ``publish_fingerprint`` publishes BOTH merged artifacts (and the
+    two merged indexes) under the union corpus's fingerprint."""
+    from dbt_eamples_spark.artifacts import load_or_build
+
+    d_spans = _delta_doc_spans(
+        delta_docs.select("doc_id", "text")
+    ).localCheckpoint(eager=True)  # delta-sized; 3 consumers
+    d_stats = d_spans.groupBy("h").agg(
+        F.countDistinct("doc_id").cast("long").alias("nd_d"),
+        F.count("*").cast("long").alias("occ_d"),
+    )
+    base_stats = _span_hash_index(spark, sf_dir)
+    merged_stats = (
+        base_stats.join(d_stats, "h", "full_outer")
+        .select(
+            "h",
+            (
+                F.coalesce("n_docs", F.lit(0))
+                + F.coalesce("nd_d", F.lit(0))
+            ).cast("long").alias("n_docs"),
+            (
+                F.coalesce("n_occurrences", F.lit(0))
+                + F.coalesce("occ_d", F.lit(0))
+            ).cast("long").alias("n_occurrences"),
+            F.coalesce("n_docs", F.lit(0)).alias("base_nd"),
+            F.coalesce("nd_d", F.lit(0)).alias("delta_nd"),
+        )
+        .localCheckpoint(eager=True)  # consumed by stats + 2 profiles
+    )
+    dup_stats = merged_stats.filter(F.col("n_docs") > 1).select(
+        "h", "n_docs", "n_occurrences"
+    )
+    # delta-doc profile rows against the merged stats
+    d_profile = (
+        d_spans.join(merged_stats.select("h", "n_docs"), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+    )
+    # base corrections: singleton hashes the delta made multi-doc
+    crossing = merged_stats.filter(
+        (F.col("base_nd") == 1) & (F.col("delta_nd") >= 1)
+    ).select("h")
+    corr = (
+        _doc_span_index(spark, sf_dir)
+        .join(F.broadcast(crossing), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("add_dup"))
+    )
+    profile = (
+        _span_profile(spark, sf_dir)
+        .join(corr, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            (
+                F.col("n_dup_spans") + F.coalesce("add_dup", F.lit(0))
+            ).cast("long").alias("n_dup_spans"),
+        )
+        .unionByName(d_profile)
+    )
+    if publish_fingerprint is not None:
+        profile = load_or_build(
+            spark, "span_profile", publish_fingerprint, lambda: profile
+        )
+        dup_stats = load_or_build(
+            spark, "span_dup_stats", publish_fingerprint,
+            lambda: dup_stats,
+        )
+        load_or_build(
+            spark, "doc_span_index", publish_fingerprint,
+            lambda: _doc_span_index(spark, sf_dir).unionByName(d_spans),
+        )
+        load_or_build(
+            spark, "span_hash_index", publish_fingerprint,
+            lambda: merged_stats.select(
+                "h", "n_docs", "n_occurrences"
+            ),
+        )
+    return profile, dup_stats
 
 
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -723,6 +723,34 @@ def phash_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def phash_band_index_apply_delta(
+    spark: SparkSession,
+    sf_dir: str,
+    delta_docs: DataFrame,
+    publish_fingerprint: str | None = None,
+) -> DataFrame:
+    """Delta-maintain the persisted phash band index: decode+dHash
+    the ``delta_docs`` (doc_id) images ONLY and append — per-doc
+    state, so a pure index-append like
+    :func:`dedup.minhash_band_index_apply_delta`. With
+    ``publish_fingerprint`` the merged index lands in the artifact
+    store for the next batch's probe. Pytest-locked row-identical
+    to a from-scratch build over base-corpus ∪ delta."""
+    from dbt_eamples_spark.artifacts import load_or_build
+
+    base = phash_band_index(spark, sf_dir)
+    new_rows = _phash_bands_frame(delta_docs.select("doc_id")).select(
+        F.col("doc_id").alias("corpus_doc"), "b0", "b1", "b2", "b3"
+    )
+    merged = base.unionByName(new_rows)
+    if publish_fingerprint is not None:
+        merged = load_or_build(
+            spark, "phash_band_index", publish_fingerprint,
+            lambda: merged,
+        )
+    return merged
+
+
 def dedup_incremental_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental perceptual near-dup check: hash the NEW image
     batch only and probe the persisted corpus band index — the image

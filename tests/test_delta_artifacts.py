@@ -152,3 +152,118 @@ class TestTriangleCreditsDelta:
         G._TRIANGLE_CREDITS_CACHE.clear()
         G.graph_triangle_count(spark, sf_dir).collect()
         assert _events("triangle_credits") == ["reuse"]
+
+
+class TestBandIndexDeltas:
+    """The two LSH band indexes are per-doc state, so their delta
+    path is a pure append — merged index must equal a from-scratch
+    build over the union corpus (both indexes keep the fixture's
+    %INCR_MOD corpus convention on their own dir, so the test's
+    delta uses doc_id % 10 == 7 rows: corpus-side in the full dir,
+    absent from the base dir)."""
+
+    def _split_docs(self, spark, sf_dir, tmp_path, name):
+        docs = load_table(spark, sf_dir, "documents")
+        base = docs.filter(F.col("doc_id") % 10 != 7)
+        delta = docs.filter(F.col("doc_id") % 10 == 7)
+        base_dir = str(tmp_path / name)
+        os.makedirs(base_dir, exist_ok=True)
+        base.write.parquet(os.path.join(base_dir, "documents.parquet"))
+        return base_dir, delta
+
+    def test_minhash_index_delta(self, spark, sf_dir, tmp_path, art_dir):
+        base_dir, delta = self._split_docs(spark, sf_dir, tmp_path, "mb")
+        merged = {
+            (r.corpus_doc, r.band, r.bucket)
+            for r in D.minhash_band_index_apply_delta(
+                spark, base_dir, delta
+            ).collect()
+        }
+        full = {
+            (r.corpus_doc, r.band, r.bucket)
+            for r in D.minhash_band_index(spark, sf_dir).collect()
+        }
+        assert merged == full and len(full) > 0
+
+    def test_phash_index_delta(self, spark, sf_dir, tmp_path, art_dir):
+        from dbt_eamples_spark.operators import multimodal as M
+
+        M._PHASH_BAND_INDEX_CACHE.clear()
+        base_dir, delta = self._split_docs(spark, sf_dir, tmp_path, "pb")
+        merged = {
+            tuple(r) for r in M.phash_band_index_apply_delta(
+                spark, base_dir, delta.select("doc_id")
+            ).collect()
+        }
+        M._PHASH_BAND_INDEX_CACHE.clear()
+        full = {
+            tuple(r)
+            for r in M.phash_band_index(spark, sf_dir).collect()
+        }
+        M._PHASH_BAND_INDEX_CACHE.clear()
+        assert merged == full and len(full) > 0
+
+
+class TestSpanArtifactsDelta:
+    def _split(self, spark, sf_dir, tmp_path):
+        docs = load_table(spark, sf_dir, "documents")
+        base = docs.filter(F.col("doc_id") % 10 != 3)
+        delta = docs.filter(F.col("doc_id") % 10 == 3)
+        base_dir = str(tmp_path / "sbase")
+        os.makedirs(base_dir, exist_ok=True)
+        base.write.parquet(os.path.join(base_dir, "documents.parquet"))
+        return base_dir, delta
+
+    def _fresh(self):
+        D._SPAN_PROFILE_CACHE.clear()
+        D._SPAN_DUP_STATS_CACHE.clear()
+        D._DOC_SPAN_INDEX_CACHE.clear()
+        D._SPAN_HASH_INDEX_CACHE.clear()
+
+    def test_delta_merge_equals_full_rebuild(
+        self, spark, sf_dir, tmp_path, art_dir
+    ):
+        self._fresh()
+        base_dir, delta = self._split(spark, sf_dir, tmp_path)
+        profile, dup_stats = D.span_artifacts_apply_delta(
+            spark, base_dir, delta
+        )
+        got_p = {tuple(r) for r in profile.collect()}
+        got_s = {tuple(r) for r in dup_stats.collect()}
+        self._fresh()
+        want_p = {
+            tuple(r) for r in D._span_profile(spark, sf_dir).collect()
+        }
+        want_s = {
+            tuple(r) for r in D._span_dup_stats(spark, sf_dir).collect()
+        }
+        assert got_s == want_s and len(want_s) > 0
+        assert got_p == want_p and len(want_p) > 0
+        # the split really exercises the singleton-crossing path:
+        # some base doc's n_dup_spans changed vs the base-only world
+        self._fresh()
+        base_p = {
+            r.doc_id: r.n_dup_spans
+            for r in D._span_profile(spark, base_dir).collect()
+        }
+        changed = [
+            (d, nd) for (d, _ns, nd) in got_p
+            if d in base_p and base_p[d] != nd
+        ]
+        assert changed, "split produced no crossing hashes — weak fixture"
+
+    def test_publish_makes_full_queries_warm(
+        self, spark, sf_dir, tmp_path, art_dir
+    ):
+        self._fresh()
+        base_dir, delta = self._split(spark, sf_dir, tmp_path)
+        fp_full = A.corpus_fingerprint(sf_dir, "documents")
+        p, s = D.span_artifacts_apply_delta(
+            spark, base_dir, delta, publish_fingerprint=fp_full
+        )
+        p.collect(), s.collect()
+        self._fresh()
+        A.ARTIFACT_EVENTS.clear()
+        D.dedup_substring_spans(spark, sf_dir).collect()
+        kinds = {k for k, e in A.ARTIFACT_EVENTS if e == "build"}
+        assert "span_profile" not in kinds and "span_dup_stats" not in kinds
