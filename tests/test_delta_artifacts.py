@@ -267,3 +267,70 @@ class TestSpanArtifactsDelta:
         D.dedup_substring_spans(spark, sf_dir).collect()
         kinds = {k for k, e in A.ARTIFACT_EVENTS if e == "build"}
         assert "span_profile" not in kinds and "span_dup_stats" not in kinds
+
+
+class TestEmptyDeltaIdentity:
+    """An EMPTY delta batch must be an exact no-op for every
+    apply_delta path — the daily-ingest edge case (a scheduled run
+    with nothing new) that silently corrupting merges fail."""
+
+    def test_all_paths_identity_on_empty_delta(
+        self, spark, sf_dir, tmp_path, art_dir
+    ):
+        from dbt_eamples_spark.operators import multimodal as M
+
+        docs = load_table(spark, sf_dir, "documents")
+        li = load_table(spark, sf_dir, "lineitem")
+        empty_docs = docs.limit(0)
+        empty_li = li.limit(0)
+
+        pairs = {
+            tuple(r)
+            for r in D.ngram_pairs_apply_delta(
+                spark, sf_dir, empty_docs
+            ).collect()
+        }
+        assert pairs == {
+            tuple(r) for r in D._ngram_pairs(spark, sf_dir).collect()
+        }
+
+        credits = {
+            tuple(r)
+            for r in G.triangle_credits_apply_delta(
+                spark, sf_dir, empty_li
+            ).collect()
+        }
+        assert credits == {
+            tuple(r)
+            for r in G._triangle_credits(spark, sf_dir).collect()
+        }
+
+        p, st = D.span_artifacts_apply_delta(spark, sf_dir, empty_docs)
+        assert {tuple(r) for r in p.collect()} == {
+            tuple(r) for r in D._span_profile(spark, sf_dir).collect()
+        }
+        assert {tuple(r) for r in st.collect()} == {
+            tuple(r) for r in D._span_dup_stats(spark, sf_dir).collect()
+        }
+
+        assert {
+            tuple(r)
+            for r in D.minhash_band_index_apply_delta(
+                spark, sf_dir, empty_docs
+            ).collect()
+        } == {
+            tuple(r)
+            for r in D.minhash_band_index(spark, sf_dir).collect()
+        }
+
+        M._PHASH_BAND_INDEX_CACHE.clear()
+        assert {
+            tuple(r)
+            for r in M.phash_band_index_apply_delta(
+                spark, sf_dir, empty_docs.select("doc_id")
+            ).collect()
+        } == {
+            tuple(r)
+            for r in M.phash_band_index(spark, sf_dir).collect()
+        }
+        M._PHASH_BAND_INDEX_CACHE.clear()
