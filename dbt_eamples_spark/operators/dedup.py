@@ -517,6 +517,7 @@ def ngram_pairs_apply_delta(
     sf_dir: str,
     delta_docs: DataFrame,
     publish_fingerprint: str | None = None,
+    assume_new_ids: bool = False,
 ) -> DataFrame:
     """Delta-maintain the ``ngram_jaccard_pairs`` artifact (VERDICT
     r8 #2): the pair table for corpus = documents(sf_dir) ∪
@@ -540,7 +541,16 @@ def ngram_pairs_apply_delta(
     equi-join on blk whose output is collision-bounded; base parquet
     is scanned (column-pruned to (doc_id, blk) / matched doc_ids'
     arrays), never re-hashed. Cost grows with the delta, not the
-    corpus — measured in tools/delta_bench.py."""
+    corpus — measured in tools/delta_bench.py.
+
+    CONTRACT (ADVICE r9): delta doc_ids must be NEW — re-ingesting
+    an existing doc_id would emit a self-pair (doc_a == doc_b,
+    jaccard 1.0) through least/greatest plus stale base pairs in
+    the merged table. The overlap is checked with a delta-sized
+    semi-join against the persisted block index and raises
+    ValueError loudly; a caller that already guarantees freshness
+    (e.g. the watermarked ingest loop, whose anti-join IS that
+    guarantee) can skip the probe with ``assume_new_ids=True``."""
     from dbt_eamples_spark.artifacts import load_or_build
 
     base_pairs = _ngram_pairs(spark, sf_dir).select(
@@ -553,6 +563,23 @@ def ngram_pairs_apply_delta(
         .select("doc_id", "shingles", _blk_col().alias("blk"))
         .localCheckpoint(eager=True)  # delta-sized; 3 consumers
     )
+    if not assume_new_ids:
+        overlap = (
+            d_blocked.select("doc_id")
+            .join(base_idx.select("doc_id"), "doc_id", "left_semi")
+            .limit(1)
+            .collect()
+        )
+        if overlap:
+            raise ValueError(
+                "ngram_pairs_apply_delta: delta contains doc_ids "
+                f"already in the base corpus (e.g. {overlap[0].doc_id}) "
+                "— the delta contract is new-ids-only (a re-ingest "
+                "would merge self-pairs and stale base pairs); dedup "
+                "the delta against the corpus first, or pass "
+                "assume_new_ids=True if the ingest path already "
+                "guarantees freshness"
+            )
     # delta × base: asymmetric probe of the persisted block index
     db = (
         d_blocked.select(
@@ -980,14 +1007,25 @@ def minhash_band_index_apply_delta(
     union corpus's documents fingerprint) the merged index lands in
     the artifact store, so the next ingest batch probes an index
     that already covers this one. Row-identical to a from-scratch
-    index build over base-corpus ∪ delta (pytest-locked; the
-    fixture's %INCR_MOD corpus convention applies to the BASE dir
-    only — callers decide delta membership)."""
+    index build over base-corpus ∪ delta (pytest-locked).
+
+    The %INCR_MOD corpus convention is applied to the DELTA too
+    (ADVICE r9): a from-scratch build at any fingerprint excludes
+    doc_id % INCR_MOD == 0 rows, so the merged index must as well —
+    otherwise a delta carrying such ids (inevitable in real ingest)
+    publishes an artifact that differs from the builder's output for
+    the same (kind, fingerprint) key, breaking the
+    fingerprint→content invariant and silently adding new×new
+    candidate pairs to later incremental runs."""
     from dbt_eamples_spark.artifacts import load_or_build
 
     base = minhash_band_index(spark, sf_dir)
     new_keys = _band_keys(
-        _shingles(delta_docs.select("doc_id", "text"))
+        _shingles(
+            delta_docs.select("doc_id", "text").filter(
+                ~(F.col("doc_id") % INCR_MOD == 0)
+            )
+        )
     ).select(F.col("doc_id").alias("corpus_doc"), "band", "bucket")
     merged = base.unionByName(new_keys)
     if publish_fingerprint is not None:

@@ -576,7 +576,16 @@ def triangle_credits_apply_delta(
     candidates + |new edges| · degree for the wedge probes — the
     delta's neighborhood, not the corpus. Base triangles are never
     revisited; base edges are scanned (bucket-partitioned parquet),
-    never re-derived from lineitem."""
+    never re-derived from lineitem.
+
+    Delta contract (ADVICE r9, stated for parity with
+    span_artifacts_apply_delta): unlike the doc-keyed paths, this
+    one has NO new-ids-only precondition — a re-ingested existing
+    lineitem row is a no-op by construction (baskets are
+    collect_set'd, candidate edges are DISTINCT, and the anti-join
+    against the persisted edge artifact drops every edge the base
+    already has), so only genuinely new (orderkey, partkey)
+    co-occurrences produce new edges."""
     from dbt_eamples_spark.artifacts import load_or_build
 
     base_credits = _triangle_credits(spark, sf_dir).select(

@@ -735,11 +735,20 @@ def phash_band_index_apply_delta(
     :func:`dedup.minhash_band_index_apply_delta`. With
     ``publish_fingerprint`` the merged index lands in the artifact
     store for the next batch's probe. Pytest-locked row-identical
-    to a from-scratch build over base-corpus ∪ delta."""
+    to a from-scratch build over base-corpus ∪ delta. The %INCR_MOD
+    corpus convention is applied to the DELTA too (ADVICE r9): a
+    from-scratch build at any fingerprint excludes doc_id %
+    INCR_MOD == 0 rows, so the merged/published index must as well
+    — the fingerprint→content invariant."""
     from dbt_eamples_spark.artifacts import load_or_build
+    from dbt_eamples_spark.operators.dedup import INCR_MOD
 
     base = phash_band_index(spark, sf_dir)
-    new_rows = _phash_bands_frame(delta_docs.select("doc_id")).select(
+    new_rows = _phash_bands_frame(
+        delta_docs.select("doc_id").filter(
+            ~(F.col("doc_id") % INCR_MOD == 0)
+        )
+    ).select(
         F.col("doc_id").alias("corpus_doc"), "b0", "b1", "b2", "b3"
     )
     merged = base.unionByName(new_rows)

@@ -10,6 +10,7 @@ is exercised, not just whole-new-group appends."""
 from __future__ import annotations
 
 import os
+from collections import Counter
 
 import pytest
 from pyspark.sql import functions as F
@@ -42,6 +43,13 @@ def _events(kind):
     return [e for k, e in A.ARTIFACT_EVENTS if k == kind]
 
 
+def _ctr(rows):
+    """Multiset of row tuples (ADVICE r9): set() on both sides would
+    let a duplicated row in a merged artifact (e.g. a future union
+    bug emitting a pair twice) pass the row-identical lock."""
+    return Counter(tuple(r) for r in rows)
+
+
 class TestNgramPairsDelta:
     def _split(self, spark, sf_dir, tmp_path):
         docs = load_table(spark, sf_dir, "documents")
@@ -56,16 +64,10 @@ class TestNgramPairsDelta:
         self, spark, sf_dir, tmp_path, art_dir
     ):
         base_dir, delta = self._split(spark, sf_dir, tmp_path)
-        merged = {
-            (r.doc_a, r.doc_b, r.jaccard)
-            for r in D.ngram_pairs_apply_delta(
-                spark, base_dir, delta
-            ).collect()
-        }
-        full = {
-            (r.doc_a, r.doc_b, r.jaccard)
-            for r in D._ngram_pairs(spark, sf_dir).collect()
-        }
+        merged = _ctr(
+            D.ngram_pairs_apply_delta(spark, base_dir, delta).collect()
+        )
+        full = _ctr(D._ngram_pairs(spark, sf_dir).collect())
         assert merged == full and len(full) > 0
         # the delta path never re-built the base pair table from
         # scratch beyond its one-time base build; base-side events
@@ -88,10 +90,7 @@ class TestNgramPairsDelta:
         ).collect()
         A.ARTIFACT_EVENTS.clear()
         D._NGRAM_PAIRS_CACHE.clear()
-        got = {
-            (r.doc_a, r.doc_b, r.jaccard)
-            for r in D.dedup_ngram_jaccard(spark, sf_dir).collect()
-        }
+        got = _ctr(D.dedup_ngram_jaccard(spark, sf_dir).collect())
         assert _events("ngram_jaccard_pairs") == ["reuse"]
         # and the published table is the rebuild-identical one
         D._NGRAM_PAIRS_CACHE.clear()
@@ -100,10 +99,7 @@ class TestNgramPairsDelta:
             import shutil
 
             shutil.rmtree(p)
-        full = {
-            (r.doc_a, r.doc_b, r.jaccard)
-            for r in D._ngram_pairs(spark, sf_dir).collect()
-        }
+        full = _ctr(D._ngram_pairs(spark, sf_dir).collect())
         assert got == full
 
 
@@ -128,16 +124,10 @@ class TestTriangleCreditsDelta:
     ):
         base_dir, delta = self._split(spark, sf_dir, tmp_path)
         assert delta.count() > 0
-        merged = {
-            (r.node, r.n_triangles)
-            for r in G.triangle_credits_apply_delta(
-                spark, base_dir, delta
-            ).collect()
-        }
-        full = {
-            (r.node, r.n_triangles)
-            for r in G._triangle_credits(spark, sf_dir).collect()
-        }
+        merged = _ctr(
+            G.triangle_credits_apply_delta(spark, base_dir, delta).collect()
+        )
+        full = _ctr(G._triangle_credits(spark, sf_dir).collect())
         assert merged == full and len(full) > 0
 
     def test_publish_makes_full_query_warm(
@@ -173,16 +163,12 @@ class TestBandIndexDeltas:
 
     def test_minhash_index_delta(self, spark, sf_dir, tmp_path, art_dir):
         base_dir, delta = self._split_docs(spark, sf_dir, tmp_path, "mb")
-        merged = {
-            (r.corpus_doc, r.band, r.bucket)
-            for r in D.minhash_band_index_apply_delta(
+        merged = _ctr(
+            D.minhash_band_index_apply_delta(
                 spark, base_dir, delta
             ).collect()
-        }
-        full = {
-            (r.corpus_doc, r.band, r.bucket)
-            for r in D.minhash_band_index(spark, sf_dir).collect()
-        }
+        )
+        full = _ctr(D.minhash_band_index(spark, sf_dir).collect())
         assert merged == full and len(full) > 0
 
     def test_phash_index_delta(self, spark, sf_dir, tmp_path, art_dir):
@@ -190,16 +176,13 @@ class TestBandIndexDeltas:
 
         M._PHASH_BAND_INDEX_CACHE.clear()
         base_dir, delta = self._split_docs(spark, sf_dir, tmp_path, "pb")
-        merged = {
-            tuple(r) for r in M.phash_band_index_apply_delta(
+        merged = _ctr(
+            M.phash_band_index_apply_delta(
                 spark, base_dir, delta.select("doc_id")
             ).collect()
-        }
+        )
         M._PHASH_BAND_INDEX_CACHE.clear()
-        full = {
-            tuple(r)
-            for r in M.phash_band_index(spark, sf_dir).collect()
-        }
+        full = _ctr(M.phash_band_index(spark, sf_dir).collect())
         M._PHASH_BAND_INDEX_CACHE.clear()
         assert merged == full and len(full) > 0
 
@@ -228,15 +211,11 @@ class TestSpanArtifactsDelta:
         profile, dup_stats = D.span_artifacts_apply_delta(
             spark, base_dir, delta
         )
-        got_p = {tuple(r) for r in profile.collect()}
-        got_s = {tuple(r) for r in dup_stats.collect()}
+        got_p = _ctr(profile.collect())
+        got_s = _ctr(dup_stats.collect())
         self._fresh()
-        want_p = {
-            tuple(r) for r in D._span_profile(spark, sf_dir).collect()
-        }
-        want_s = {
-            tuple(r) for r in D._span_dup_stats(spark, sf_dir).collect()
-        }
+        want_p = _ctr(D._span_profile(spark, sf_dir).collect())
+        want_s = _ctr(D._span_dup_stats(spark, sf_dir).collect())
         assert got_s == want_s and len(want_s) > 0
         assert got_p == want_p and len(want_p) > 0
         # the split really exercises the singleton-crossing path:
@@ -247,7 +226,7 @@ class TestSpanArtifactsDelta:
             for r in D._span_profile(spark, base_dir).collect()
         }
         changed = [
-            (d, nd) for (d, _ns, nd) in got_p
+            (d, nd) for (d, _ns, nd) in got_p.keys()
             if d in base_p and base_p[d] != nd
         ]
         assert changed, "split produced no crossing hashes — weak fixture"
@@ -284,53 +263,112 @@ class TestEmptyDeltaIdentity:
         empty_docs = docs.limit(0)
         empty_li = li.limit(0)
 
-        pairs = {
-            tuple(r)
-            for r in D.ngram_pairs_apply_delta(
-                spark, sf_dir, empty_docs
-            ).collect()
-        }
-        assert pairs == {
-            tuple(r) for r in D._ngram_pairs(spark, sf_dir).collect()
-        }
+        pairs = _ctr(
+            D.ngram_pairs_apply_delta(spark, sf_dir, empty_docs).collect()
+        )
+        assert pairs == _ctr(D._ngram_pairs(spark, sf_dir).collect())
 
-        credits = {
-            tuple(r)
-            for r in G.triangle_credits_apply_delta(
+        credits = _ctr(
+            G.triangle_credits_apply_delta(
                 spark, sf_dir, empty_li
             ).collect()
-        }
-        assert credits == {
-            tuple(r)
-            for r in G._triangle_credits(spark, sf_dir).collect()
-        }
+        )
+        assert credits == _ctr(
+            G._triangle_credits(spark, sf_dir).collect()
+        )
 
         p, st = D.span_artifacts_apply_delta(spark, sf_dir, empty_docs)
-        assert {tuple(r) for r in p.collect()} == {
-            tuple(r) for r in D._span_profile(spark, sf_dir).collect()
-        }
-        assert {tuple(r) for r in st.collect()} == {
-            tuple(r) for r in D._span_dup_stats(spark, sf_dir).collect()
-        }
+        assert _ctr(p.collect()) == _ctr(
+            D._span_profile(spark, sf_dir).collect()
+        )
+        assert _ctr(st.collect()) == _ctr(
+            D._span_dup_stats(spark, sf_dir).collect()
+        )
 
-        assert {
-            tuple(r)
-            for r in D.minhash_band_index_apply_delta(
+        assert _ctr(
+            D.minhash_band_index_apply_delta(
                 spark, sf_dir, empty_docs
             ).collect()
-        } == {
-            tuple(r)
-            for r in D.minhash_band_index(spark, sf_dir).collect()
-        }
+        ) == _ctr(D.minhash_band_index(spark, sf_dir).collect())
 
         M._PHASH_BAND_INDEX_CACHE.clear()
-        assert {
-            tuple(r)
-            for r in M.phash_band_index_apply_delta(
+        assert _ctr(
+            M.phash_band_index_apply_delta(
                 spark, sf_dir, empty_docs.select("doc_id")
             ).collect()
-        } == {
-            tuple(r)
-            for r in M.phash_band_index(spark, sf_dir).collect()
-        }
+        ) == _ctr(M.phash_band_index(spark, sf_dir).collect())
         M._PHASH_BAND_INDEX_CACHE.clear()
+
+
+class TestDeltaContracts:
+    """ADVICE r9: (a) the band-index delta paths must apply the same
+    %INCR_MOD corpus convention as the from-scratch build, so the
+    artifact published under the union fingerprint is bit-identical
+    to what a builder would produce at that key; (b) the ngram delta
+    path's new-ids-only contract fails loudly on a re-ingest instead
+    of silently merging self-pairs."""
+
+    def test_band_index_delta_with_incoming_ids_matches_rebuild(
+        self, spark, sf_dir, tmp_path, art_dir
+    ):
+        docs = load_table(spark, sf_dir, "documents")
+        base = docs.filter(
+            (F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 10 != 7)
+        )
+        # the delta an actual ingest hands over: contains %10 == 0
+        # ids, which the from-scratch build at the union fingerprint
+        # would EXCLUDE per the corpus convention
+        delta = docs.filter(
+            (F.col("doc_id") % 10 == 0) | (F.col("doc_id") % 10 == 7)
+        )
+        base_dir = str(tmp_path / "conv")
+        os.makedirs(base_dir, exist_ok=True)
+        base.write.parquet(os.path.join(base_dir, "documents.parquet"))
+
+        merged = _ctr(
+            D.minhash_band_index_apply_delta(
+                spark, base_dir, delta
+            ).collect()
+        )
+        full = _ctr(D.minhash_band_index(spark, sf_dir).collect())
+        assert merged == full and len(full) > 0
+
+    def test_phash_index_delta_with_incoming_ids_matches_rebuild(
+        self, spark, sf_dir, tmp_path, art_dir
+    ):
+        from dbt_eamples_spark.operators import multimodal as M
+
+        M._PHASH_BAND_INDEX_CACHE.clear()
+        docs = load_table(spark, sf_dir, "documents")
+        base = docs.filter(
+            (F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 10 != 7)
+        )
+        delta = docs.filter(
+            (F.col("doc_id") % 10 == 0) | (F.col("doc_id") % 10 == 7)
+        )
+        base_dir = str(tmp_path / "pconv")
+        os.makedirs(base_dir, exist_ok=True)
+        base.write.parquet(os.path.join(base_dir, "documents.parquet"))
+
+        merged = _ctr(
+            M.phash_band_index_apply_delta(
+                spark, base_dir, delta.select("doc_id")
+            ).collect()
+        )
+        M._PHASH_BAND_INDEX_CACHE.clear()
+        full = _ctr(M.phash_band_index(spark, sf_dir).collect())
+        M._PHASH_BAND_INDEX_CACHE.clear()
+        assert merged == full and len(full) > 0
+
+    def test_ngram_delta_reingest_raises(
+        self, spark, sf_dir, tmp_path, art_dir
+    ):
+        docs = load_table(spark, sf_dir, "documents")
+        base = docs.filter(F.col("doc_id") % 10 != 0)
+        base_dir = str(tmp_path / "reing")
+        os.makedirs(base_dir, exist_ok=True)
+        base.write.parquet(os.path.join(base_dir, "documents.parquet"))
+        # delta re-ingests rows the base corpus already has
+        stale = docs.filter(F.col("doc_id") % 10 == 1).limit(5)
+        with pytest.raises(ValueError, match="new-ids-only"):
+            D.ngram_pairs_apply_delta(spark, base_dir, stale).collect()
