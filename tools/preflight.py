@@ -69,6 +69,33 @@ def main() -> None:
     if unbenched:
         errs.append(f"registry queries missing from the bench set: {unbenched}")
 
+    # 2c. the driver-sample rotation queue is GENERATED state
+    # (VERDICT r9 #1): the shipped _R{N}_PRIORITY literal must equal
+    # tools/rotation.py's recomputation from the CORRECTNESS history
+    # — the r8 hand-count bug (metric_rollup dropped from the queue)
+    # becomes structurally impossible.
+    from tools import rotation
+
+    try:
+        rot_name, shipped = rotation.shipped_priority()
+        generated = rotation.generate()
+        if shipped != generated:
+            diverge = next(
+                (
+                    f"position {i}: shipped {a!r} vs generated {b!r}"
+                    for i, (a, b) in enumerate(zip(shipped, generated))
+                    if a != b
+                ),
+                f"length {len(shipped)} vs {len(generated)}",
+            )
+            errs.append(
+                f"{rot_name} does not match tools/rotation.py's "
+                f"generated ordering ({diverge}) — regenerate with "
+                "`python tools/rotation.py --literal`"
+            )
+    except AttributeError as exc:
+        errs.append(f"rotation check failed: {exc}")
+
     # 3. strict-sweep freshness. Preferred gate (ADVICE r7 #5): the
     # ledger stamps the engine CONTENT hash at generation time —
     # compare hashes, which survives clones (mtimes reset) and sees
