@@ -1091,6 +1091,440 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- incremental cluster maintenance (VERDICT r9 #2) ----------------
+# `cluster_verdicts` was the last rebuild-on-change artifact: a delta
+# edge can MERGE two existing clusters, so per-doc state alone cannot
+# be appended. But components only ever merge when edges are added
+# (never split), so the relabel is exact on the QUOTIENT graph: each
+# existing component collapses to its label (one super-node), the new
+# pairs project onto super-nodes, and min-label propagation over that
+# tiny graph (|new pairs| edges, not the corpus) yields the merged
+# labeling. Every label is already the min doc_id of its component,
+# so the min over a merged super-component IS the union component's
+# min — row-identical to a from-scratch rebuild (pytest-locked in
+# tests/test_delta_artifacts.py, incl. the two-existing-clusters
+# merge fixture).
+
+_MINHASH_BAND_INDEX_FULL_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def minhash_band_index_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, bucket) over ALL docs of the dir — the
+    persisted index backing incremental CLUSTER maintenance. Unlike
+    :func:`minhash_band_index` (which holds out the %INCR_MOD
+    fixture batch to model an ingest), the cluster pair graph covers
+    the whole corpus, so its delta probe needs keys for every base
+    doc."""
+    from dbt_eamples_spark.artifacts import (
+        corpus_fingerprint,
+        load_or_build,
+        session_cache_key,
+    )
+
+    fp = corpus_fingerprint(sf_dir, "documents")
+    key = session_cache_key(
+        _MINHASH_BAND_INDEX_FULL_CACHE, spark, sf_dir, fp
+    )
+    df = _MINHASH_BAND_INDEX_FULL_CACHE.get(key)
+    if df is None:
+        def build() -> DataFrame:
+            return _band_keys(
+                doc_shingles(spark, sf_dir).select("doc_id", "shingles")
+            )
+
+        df = load_or_build(
+            spark, "minhash_band_index_full", fp, build
+        ).persist()
+        _MINHASH_BAND_INDEX_FULL_CACHE[key] = df
+    return df
+
+
+# Pure-append delta paths for the per-doc base artifacts (round 10,
+# the appenders the ingest composer needs so a SECOND batch's
+# apply_delta calls find every base artifact warm at the updated
+# fingerprint instead of re-tokenizing the grown corpus).
+
+
+def doc_shingles_apply_delta(
+    spark: SparkSession,
+    sf_dir: str,
+    delta_docs: DataFrame,
+    publish_fingerprint: str | None = None,
+) -> DataFrame:
+    """Delta-maintain the shared ``doc_shingles`` artifact: tokenize
+    the delta only, append — per-doc state, row-identical to a
+    rebuild over base ∪ delta by construction."""
+    from dbt_eamples_spark.artifacts import load_or_build
+
+    merged = doc_shingles(spark, sf_dir).unionByName(
+        _shingles(
+            delta_docs.select("doc_id", "source", "text"), "source"
+        )
+    )
+    if publish_fingerprint is not None:
+        merged = load_or_build(
+            spark, "doc_shingles", publish_fingerprint, lambda: merged
+        )
+    return merged
+
+
+def ngram_block_index_apply_delta(
+    spark: SparkSession,
+    sf_dir: str,
+    delta_docs: DataFrame,
+    publish_fingerprint: str | None = None,
+) -> DataFrame:
+    """Delta-maintain the ``ngram_block_index`` (doc_id, blk)
+    blocking artifact — a pure per-doc append."""
+    from dbt_eamples_spark.artifacts import load_or_build
+
+    merged = _ngram_block_index(spark, sf_dir).unionByName(
+        _shingles(delta_docs.select("doc_id", "text")).select(
+            "doc_id", _blk_col().alias("blk")
+        )
+    )
+    if publish_fingerprint is not None:
+        merged = load_or_build(
+            spark, "ngram_block_index", publish_fingerprint,
+            lambda: merged,
+        )
+    return merged
+
+
+def minhash_band_index_full_apply_delta(
+    spark: SparkSession,
+    sf_dir: str,
+    delta_docs: DataFrame,
+    publish_fingerprint: str | None = None,
+) -> DataFrame:
+    """Delta-maintain :func:`minhash_band_index_full` — a pure
+    per-doc append (NO %INCR_MOD filter: the full index covers every
+    doc by definition)."""
+    from dbt_eamples_spark.artifacts import load_or_build
+
+    merged = minhash_band_index_full(spark, sf_dir).unionByName(
+        _band_keys(_shingles(delta_docs.select("doc_id", "text")))
+    )
+    if publish_fingerprint is not None:
+        merged = load_or_build(
+            spark, "minhash_band_index_full", publish_fingerprint,
+            lambda: merged,
+        )
+    return merged
+
+
+def minhash_pairs_delta_new(
+    spark: SparkSession,
+    sf_dir: str,
+    delta_docs: DataFrame,
+    assume_new_ids: bool = False,
+) -> DataFrame:
+    """The verified MinHash near-dup pairs GAINED by appending
+    ``delta_docs`` (doc_id, text, …) to the corpus at ``sf_dir``:
+    (delta × base) from an asymmetric probe of the persisted
+    :func:`minhash_band_index_full`, plus (delta × delta) from a
+    delta-sized band self-join — each exact-Jaccard-verified with
+    dedup_minhash's expressions. Base×base pairs are untouched by
+    an append (band keys are per-doc), so base ∪ these IS the union
+    corpus's pair set. Output (doc_a, doc_b, jaccard), doc_a <
+    doc_b. Same new-ids-only contract (and ValueError guard) as
+    :func:`ngram_pairs_apply_delta`."""
+    d_sh = _shingles(
+        delta_docs.select("doc_id", "text")
+    ).localCheckpoint(eager=True)  # delta-sized; keys + both verify legs
+    base_idx = minhash_band_index_full(spark, sf_dir)
+    if not assume_new_ids:
+        overlap = (
+            d_sh.select("doc_id")
+            .join(base_idx.select("doc_id"), "doc_id", "left_semi")
+            .limit(1)
+            .collect()
+        )
+        if overlap:
+            raise ValueError(
+                "minhash_pairs_delta_new: delta contains doc_ids "
+                f"already in the base corpus (e.g. {overlap[0].doc_id})"
+                " — the delta contract is new-ids-only"
+            )
+    d_keys = _band_keys(d_sh).localCheckpoint(eager=True)
+    # delta × base: probe the persisted index; candidates are
+    # band-collision-bounded, never a corpus self-join
+    cands_db = (
+        d_keys.select(F.col("doc_id").alias("d_doc"), "band", "bucket")
+        .join(
+            base_idx.select(F.col("doc_id").alias("b_doc"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("d_doc", "b_doc")
+        .distinct()
+    )
+    b_ids = cands_db.select(F.col("b_doc").alias("doc_id")).distinct()
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    b_sh = _shingles(docs.join(F.broadcast(b_ids), "doc_id"))
+    db = (
+        cands_db.join(
+            F.broadcast(
+                d_sh.select(
+                    F.col("doc_id").alias("d_doc"),
+                    F.col("shingles").alias("sh_a"),
+                )
+            ),
+            "d_doc",
+        )
+        .join(
+            F.broadcast(
+                b_sh.select(
+                    F.col("doc_id").alias("b_doc"),
+                    F.col("shingles").alias("sh_b"),
+                )
+            ),
+            "b_doc",
+        )
+        .select(
+            F.least("d_doc", "b_doc").alias("doc_a"),
+            F.greatest("d_doc", "b_doc").alias("doc_b"),
+            _pair_jaccard().alias("jaccard"),
+        )
+    )
+    # delta × delta: dedup_minhash's band self-join, delta-sized
+    cands_dd = (
+        d_keys.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+        .join(
+            d_keys.select(F.col("doc_id").alias("doc_b"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    dd = (
+        cands_dd.join(
+            F.broadcast(
+                d_sh.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("shingles").alias("sh_a"),
+                )
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                d_sh.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("shingles").alias("sh_b"),
+                )
+            ),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", _pair_jaccard().alias("jaccard"))
+    )
+    return db.unionByName(dd).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+
+
+def _merge_labels_quotient(
+    base_labels: DataFrame, new_pairs: DataFrame
+) -> DataFrame:
+    """Incremental connected components via the quotient graph:
+    ``base_labels`` (doc_id, cluster_id, …) is an exact labeling of
+    the base pair graph; ``new_pairs`` (doc_a, doc_b) are the edges
+    an append gained. Each new-pair endpoint maps to its existing
+    label (or itself when previously unlabeled — new docs AND base
+    singletons crossing into the pair graph); min-label propagation
+    runs over THAT graph only (|new pairs| edges), and the resulting
+    label map relabels just the touched components. Untouched
+    components never shuffle. Returns (doc_id, cluster_id, keep)."""
+    lab = base_labels.select("doc_id", "cluster_id")
+    ep = (
+        new_pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(new_pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    snode = ep.join(lab, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("snode"),
+    ).localCheckpoint(eager=True)  # delta-sized; 3 consumers
+    qe = (
+        new_pairs.join(
+            snode.select(
+                F.col("doc_id").alias("doc_a"), F.col("snode").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            snode.select(
+                F.col("doc_id").alias("doc_b"), F.col("snode").alias("sb")
+            ),
+            "doc_b",
+        )
+        .select("sa", "sb")
+        .distinct()
+    )
+    comp = _min_label_propagation(qe, "sa", "sb")  # (node=snode, comp)
+    relabeled = (
+        lab.join(
+            comp.select(
+                F.col("node").alias("cluster_id"),
+                F.col("comp").alias("new_comp"),
+            ),
+            "cluster_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("new_comp", F.col("cluster_id")).alias("cluster_id"),
+        )
+    )
+    fresh = (
+        snode.join(lab.select("doc_id"), "doc_id", "left_anti")
+        .join(comp, snode.snode == comp.node)
+        .select("doc_id", F.col("comp").alias("cluster_id"))
+    )
+    return relabeled.unionByName(fresh).select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )
+
+
+def cluster_verdicts_apply_delta(
+    spark: SparkSession,
+    sf_dir: str,
+    delta_docs: DataFrame,
+    publish_fingerprint: str | None = None,
+    assume_new_ids: bool = False,
+) -> DataFrame:
+    """Delta-maintain the persisted cluster labeling (VERDICT r9 #2
+    — the last rebuild-on-change artifact): new pairs from
+    :func:`minhash_pairs_delta_new`, then the quotient-graph merge
+    of :func:`_merge_labels_quotient` over the persisted
+    :func:`cluster_labels`. A delta edge merging two existing
+    clusters relabels both to the union's min doc_id — exactly what
+    a from-scratch :func:`dedup_clusters` on base ∪ delta produces
+    (pytest-locked, incl. the explicit two-clusters-merge fixture).
+
+    ``publish_fingerprint``: the union corpus's documents
+    fingerprint, to publish the merged labeling so every later
+    cascade query on the updated corpus reads it warm.
+
+    Scale shape: delta signature + collision-bounded probes for the
+    new pairs; label propagation over |new pairs| quotient edges
+    (NOT the corpus pair graph); one labels-sized relabel join whose
+    broadcast side is the tiny quotient label map. Cost grows with
+    the delta's neighborhood, never the corpus — measured in
+    tools/delta_bench.py."""
+    from dbt_eamples_spark.artifacts import load_or_build
+
+    base = cluster_labels(spark, sf_dir)
+    new_pairs = minhash_pairs_delta_new(
+        spark, sf_dir, delta_docs, assume_new_ids=assume_new_ids
+    ).select("doc_a", "doc_b")
+    merged = _merge_labels_quotient(base, new_pairs)
+    if publish_fingerprint is not None:
+        merged = load_or_build(
+            spark, "cluster_labels", publish_fingerprint,
+            lambda: merged,
+        )
+    return merged
+
+
+def dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cluster maintenance as a driver-checkable query
+    (VERDICT r9 #2): the corpus convention splits the dir into base
+    (doc_id % INCR_MOD != 0) and the incoming tenth; base labels come
+    from min-label propagation over BASE-ONLY pairs, the delta's new
+    pairs from an asymmetric band probe + delta self-join, and the
+    final labeling from the quotient-graph merge
+    (:func:`_merge_labels_quotient`) — never re-propagating over the
+    base pair graph. The oracle is the SAME recursive-CTE connected
+    components over the whole corpus as ``dedup_clusters``, so the
+    value hash proves the incremental composition (base CC + delta
+    probe + quotient merge) is exactly a from-scratch rebuild,
+    merges included.
+
+    Output mirrors :func:`dedup_clusters`: (doc_id, cluster_id,
+    cluster_size, keep) for every pair-involved doc of the union.
+
+    Scale shape: base keys/pairs here are the warm persisted state a
+    deployment holds (`minhash_band_index_full` / `cluster_labels`,
+    exercised by :func:`cluster_verdicts_apply_delta`); the
+    delta-side work is delta signatures + collision-bounded probes +
+    label propagation over |new pairs| quotient edges."""
+    sh_all = doc_shingles(spark, sf_dir).select("doc_id", "shingles")
+    is_new = F.col("doc_id") % INCR_MOD == 0
+    base_keys = _band_keys(sh_all.filter(~is_new)).localCheckpoint(
+        eager=True
+    )  # base index stand-in; self-join + delta probe read it
+    delta_keys = _band_keys(sh_all.filter(is_new)).localCheckpoint(
+        eager=True
+    )
+
+    def verify(cands: DataFrame) -> DataFrame:
+        # exact-Jaccard verify, shingles re-derived for candidate
+        # docs only (the dedup_minhash shape — candidates are tiny)
+        ids = (
+            cands.select(F.col("doc_a").alias("doc_id"))
+            .union(cands.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        docs = load_table(spark, sf_dir, "documents", parallelize=True)
+        csh = _shingles(docs.join(F.broadcast(ids), "doc_id"))
+        sa = csh.select(
+            F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+        )
+        sb = csh.select(
+            F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+        )
+        return (
+            cands.join(F.broadcast(sa), "doc_a")
+            .join(F.broadcast(sb), "doc_b")
+            .select("doc_a", "doc_b", _pair_jaccard().alias("jaccard"))
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        )
+
+    def self_pairs(keys: DataFrame) -> DataFrame:
+        ka = keys.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+        kb = keys.select("band", "bucket", F.col("doc_id").alias("doc_b"))
+        return (
+            ka.join(kb, ["band", "bucket"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+
+    base_pairs = verify(self_pairs(base_keys)).localCheckpoint(eager=True)
+    base_comp = _min_label_propagation(base_pairs, "doc_a", "doc_b")
+    base_labels = base_comp.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+    cands_db = (
+        delta_keys.select("band", "bucket", F.col("doc_id").alias("d_doc"))
+        .join(
+            base_keys.select(
+                "band", "bucket", F.col("doc_id").alias("b_doc")
+            ),
+            ["band", "bucket"],
+        )
+        .select(
+            F.least("d_doc", "b_doc").alias("doc_a"),
+            F.greatest("d_doc", "b_doc").alias("doc_b"),
+        )
+        .distinct()
+    )
+    new_pairs = verify(
+        cands_db.unionByName(self_pairs(delta_keys)).distinct()
+    ).select("doc_a", "doc_b")
+    merged = _merge_labels_quotient(base_labels, new_pairs)
+    w = Window.partitionBy("cluster_id")
+    return merged.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+        "keep",
+    )
+
+
 # containment dedup: catches SUBSET duplicates (doc quoted inside a
 # longer doc, boilerplate wrappers) that Jaccard-based near-dup
 # misses — a small doc inside a big one has low Jaccard but high
@@ -1376,12 +1810,16 @@ _SPAN_DUP_STATS_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 _CLUSTER_VERDICTS_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
-def _cluster_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, keep) for every pair-involved doc — the persisted
-    stage-2 verdict table of the cascade (VERDICT r7 #10: a
+def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id, keep) for every pair-involved doc — the
+    persisted stage-2 labeling of the cascade (VERDICT r7 #10: a
     production cascade reads per-stage verdicts, it does not re-run
     label propagation per report). Built from
-    :func:`dedup_clusters` once per documents fingerprint."""
+    :func:`dedup_clusters` once per documents fingerprint; carrying
+    ``cluster_id`` (round 10) is what lets
+    :func:`cluster_verdicts_apply_delta` relabel touched components
+    without a rebuild. (New artifact kind — the old 2-column
+    ``cluster_verdicts`` dirs are orphans the GC reclaims.)"""
     from dbt_eamples_spark.artifacts import (
         corpus_fingerprint,
         load_or_build,
@@ -1394,14 +1832,20 @@ def _cluster_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     if df is None:
         df = load_or_build(
             spark,
-            "cluster_verdicts",
+            "cluster_labels",
             fp,
             lambda: dedup_clusters(spark, sf_dir).select(
-                "doc_id", "keep"
+                "doc_id", "cluster_id", "keep"
             ),
         ).persist()
         _CLUSTER_VERDICTS_CACHE[key] = df
     return df
+
+
+def _cluster_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, keep) — the cascade's verdict view over the
+    persisted :func:`cluster_labels` artifact."""
+    return cluster_labels(spark, sf_dir).select("doc_id", "keep")
 
 
 def _span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1548,7 +1992,8 @@ def span_artifacts_apply_delta(
     sf_dir: str,
     delta_docs: DataFrame,
     publish_fingerprint: str | None = None,
-) -> tuple[DataFrame, DataFrame]:
+    return_indexes: bool = False,
+) -> tuple[DataFrame, ...]:
     """Delta-maintain the span verdict artifacts: returns the
     (span_profile, span_dup_stats) pair for corpus =
     documents(sf_dir) ∪ ``delta_docs`` (doc_id, text, …; doc_ids
@@ -1638,6 +2083,8 @@ def span_artifacts_apply_delta(
         )
         .unionByName(d_profile)
     )
+    merged_dsi = _doc_span_index(spark, sf_dir).unionByName(d_spans)
+    merged_shi = merged_stats.select("h", "n_docs", "n_occurrences")
     if publish_fingerprint is not None:
         profile = load_or_build(
             spark, "span_profile", publish_fingerprint, lambda: profile
@@ -1648,14 +2095,16 @@ def span_artifacts_apply_delta(
         )
         load_or_build(
             spark, "doc_span_index", publish_fingerprint,
-            lambda: _doc_span_index(spark, sf_dir).unionByName(d_spans),
+            lambda: merged_dsi,
         )
         load_or_build(
             spark, "span_hash_index", publish_fingerprint,
-            lambda: merged_stats.select(
-                "h", "n_docs", "n_occurrences"
-            ),
+            lambda: merged_shi,
         )
+    if return_indexes:
+        # the ingest composer publishes these itself under a
+        # fingerprint that only exists after the corpus append
+        return profile, dup_stats, merged_dsi, merged_shi
     return profile, dup_stats
 
 

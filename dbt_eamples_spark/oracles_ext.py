@@ -986,6 +986,13 @@ def _containment_oracle_sql() -> str:
 
 EXT_ORACLES["dedup_containment"] = _containment_oracle_sql()
 
+# dedup_incremental_clusters: the Spark side composes base-only CC +
+# an asymmetric delta probe + the quotient-graph merge; the oracle is
+# DELIBERATELY the from-scratch recursive-CTE component walk over the
+# whole corpus — the value hash is the proof that the incremental
+# composition equals a rebuild (VERDICT r9 #2).
+EXT_ORACLES["dedup_incremental_clusters"] = EXT_ORACLES["dedup_clusters"]
+
 
 EXT_ORACLES["agg_correlation"] = """
     WITH base AS (

@@ -294,7 +294,7 @@ class TestRound8StageArtifacts:
         self._fresh()
         D.dedup_cascade_attrition(spark, sf_dir).collect()
         built = {k for k, v in A.ARTIFACT_EVENTS if v == "build"}
-        assert {"span_profile", "cluster_verdicts"} <= built
+        assert {"span_profile", "cluster_labels"} <= built
         # a fresh session re-runs the cascade from artifacts alone
         self._fresh()
         A.ARTIFACT_EVENTS.clear()

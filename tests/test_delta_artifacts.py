@@ -29,6 +29,8 @@ def art_dir(tmp_path, monkeypatch):
         D._NGRAM_PAIRS_CACHE,
         D._NGRAM_BLOCK_INDEX_CACHE,
         D._DOC_SHINGLES_CACHE,
+        D._CLUSTER_VERDICTS_CACHE,
+        D._MINHASH_BAND_INDEX_FULL_CACHE,
         G._EDGES_CACHE,
         G._TRIANGLE_CREDITS_CACHE,
     ]
@@ -372,3 +374,133 @@ class TestDeltaContracts:
         stale = docs.filter(F.col("doc_id") % 10 == 1).limit(5)
         with pytest.raises(ValueError, match="new-ids-only"):
             D.ngram_pairs_apply_delta(spark, base_dir, stale).collect()
+
+
+def _write_docs(spark, rows, path):
+    os.makedirs(path, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).coalesce(1).write.parquet(os.path.join(path, "documents.parquet"))
+
+
+class TestClusterVerdictsDelta:
+    """VERDICT r9 #2: the last rebuild-on-change artifact gets its
+    apply_delta path — incremental connected components via the
+    quotient-graph merge. Components only ever MERGE under edge
+    additions, so relabeling touched components over the tiny
+    label-graph is exact (locked row-identical to a from-scratch
+    dedup_clusters on the union, incl. the explicit
+    two-existing-clusters-merge fixture)."""
+
+    # seed-13 word pool (frozen from an offline search over the
+    # md5-deterministic minhash pipeline): A/B are two identical-pair
+    # clusters with J(A,B) ≈ 0.2 (no direct pair), and bridge text C
+    # band-collides with BOTH sides at J ≥ 0.54 — so delta doc 301
+    # must merge clusters 101 and 201.
+    _COMMON = " ".join(f"c13x{i}" for i in range(12))
+    _A = _COMMON + " " + " ".join(f"a13x{i}" for i in range(18))
+    _B = _COMMON + " " + " ".join(f"b13x{i}" for i in range(18))
+    _C = _A + " " + " ".join(f"b13x{i}" for i in range(18))
+
+    def test_delta_merge_equals_full_rebuild(
+        self, spark, sf_dir, tmp_path, art_dir
+    ):
+        docs = load_table(spark, sf_dir, "documents")
+        base = docs.filter(F.col("doc_id") % 10 != 0)
+        delta = docs.filter(F.col("doc_id") % 10 == 0)
+        base_dir = str(tmp_path / "clbase")
+        os.makedirs(base_dir, exist_ok=True)
+        base.write.parquet(os.path.join(base_dir, "documents.parquet"))
+
+        merged = _ctr(
+            D.cluster_verdicts_apply_delta(
+                spark, base_dir, delta
+            ).collect()
+        )
+        full = _ctr(
+            D.dedup_clusters(spark, sf_dir)
+            .select("doc_id", "cluster_id", "keep")
+            .collect()
+        )
+        assert merged == full and len(full) > 0
+
+    def test_two_existing_clusters_merge(self, spark, tmp_path, art_dir):
+        base_rows = [
+            (101, self._A, "s"), (102, self._A, "s"),
+            (201, self._B, "s"), (202, self._B, "s"),
+        ]
+        delta_rows = [(301, self._C, "s")]
+        base_dir = str(tmp_path / "mbase")
+        union_dir = str(tmp_path / "munion")
+        _write_docs(spark, base_rows, base_dir)
+        _write_docs(spark, base_rows + delta_rows, union_dir)
+
+        # precondition: the base labeling really has TWO clusters
+        base_labels = {
+            r.doc_id: r.cluster_id
+            for r in D.cluster_labels(spark, base_dir).collect()
+        }
+        assert base_labels == {101: 101, 102: 101, 201: 201, 202: 201}
+
+        delta = spark.createDataFrame(
+            delta_rows, "doc_id long, text string, source string"
+        )
+        merged = {
+            r.doc_id: (r.cluster_id, r.keep)
+            for r in D.cluster_verdicts_apply_delta(
+                spark, base_dir, delta
+            ).collect()
+        }
+        # the bridge doc merges both clusters into min-doc 101
+        assert merged == {
+            101: (101, True), 102: (101, False),
+            201: (101, False), 202: (101, False),
+            301: (101, False),
+        }
+        # and that is exactly the from-scratch union rebuild
+        D._DOC_SHINGLES_CACHE.clear()
+        full = {
+            r.doc_id: (r.cluster_id, r.keep)
+            for r in D.dedup_clusters(spark, union_dir)
+            .select("doc_id", "cluster_id", "keep")
+            .collect()
+        }
+        assert merged == full
+
+    def test_publish_makes_cascade_warm(
+        self, spark, sf_dir, tmp_path, art_dir
+    ):
+        docs = load_table(spark, sf_dir, "documents")
+        base = docs.filter(F.col("doc_id") % 10 != 0)
+        delta = docs.filter(F.col("doc_id") % 10 == 0)
+        base_dir = str(tmp_path / "clpub")
+        os.makedirs(base_dir, exist_ok=True)
+        base.write.parquet(os.path.join(base_dir, "documents.parquet"))
+        fp_full = A.corpus_fingerprint(sf_dir, "documents")
+        D.cluster_verdicts_apply_delta(
+            spark, base_dir, delta, publish_fingerprint=fp_full
+        ).collect()
+        D._CLUSTER_VERDICTS_CACHE.clear()
+        A.ARTIFACT_EVENTS.clear()
+        D.corpus_keep_list(spark, sf_dir).collect()
+        built = {k for k, v in A.ARTIFACT_EVENTS if v == "build"}
+        assert "cluster_labels" not in built
+
+    def test_reingest_raises(self, spark, sf_dir, tmp_path, art_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        base = docs.filter(F.col("doc_id") % 10 != 0)
+        base_dir = str(tmp_path / "clre")
+        os.makedirs(base_dir, exist_ok=True)
+        base.write.parquet(os.path.join(base_dir, "documents.parquet"))
+        stale = docs.filter(F.col("doc_id") % 10 == 1).limit(3)
+        with pytest.raises(ValueError, match="new-ids-only"):
+            D.minhash_pairs_delta_new(spark, base_dir, stale).collect()
+
+    def test_empty_delta_identity(self, spark, sf_dir, art_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        merged = _ctr(
+            D.cluster_verdicts_apply_delta(
+                spark, sf_dir, docs.limit(0)
+            ).collect()
+        )
+        assert merged == _ctr(D.cluster_labels(spark, sf_dir).collect())

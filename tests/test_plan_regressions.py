@@ -479,6 +479,12 @@ class TestShuffleBudgets:
         # (new_doc, corpus_doc) candidate agg exchange; the delta
         # band frame and index attach broadcast at fixture scale
         "dedup_incremental_phash": 1,
+        # quotient-graph merge tail (base CC and band legs are
+        # checkpointed out of the final plan): endpoint distinct,
+        # quotient-edge distinct, relabel union legs, and the
+        # cluster_size window — each delta- or labels-sized, never
+        # a corpus pair-graph exchange
+        "dedup_incremental_clusters": 6,
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))
