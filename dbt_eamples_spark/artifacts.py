@@ -274,12 +274,24 @@ def _manifest_write(m: dict) -> None:
     os.replace(tmp, path)  # atomic on POSIX: readers see old or new
 
 
+def _dir_size(path: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(d, f))
+        for d, _, fs in os.walk(path)
+        for f in fs
+    )
+
+
 def _manifest_touch(kind: str, fingerprint: str, *, built: bool) -> None:
     now = time.time()
     m = _manifest_load()
     e = m.setdefault(f"{kind}/{fingerprint}", {"built_at": now, "n_uses": 0})
     if built:
         e["built_at"] = now
+        # size is stamped at build time (VERDICT r9 #6): corpus-sized
+        # artifacts like doc_shingles need footprint accounting, and
+        # walking once per build is free relative to the build
+        e["size_bytes"] = _dir_size(artifact_path(kind, fingerprint))
     e["last_used_at"] = now
     e["n_uses"] = int(e.get("n_uses", 0)) + 1
     _manifest_write(m)
@@ -308,11 +320,10 @@ def list_artifacts() -> list[dict]:
             if e is None:
                 mt = os.stat(path).st_mtime
                 e = {"built_at": mt, "last_used_at": mt, "n_uses": 0}
-            size = sum(
-                os.path.getsize(os.path.join(d, f))
-                for d, _, fs in os.walk(path)
-                for f in fs
-            )
+            # the directory walk, not the manifest stamp, is the
+            # inventory's source of truth for bytes
+            size = _dir_size(path)
+            e = {k: v for k, v in e.items() if k != "size_bytes"}
             out.append(
                 {
                     "kind": kind,
@@ -329,19 +340,29 @@ def gc_artifacts(
     max_age_seconds: float | None = None,
     keep_latest_per_kind: int | None = None,
     now: float | None = None,
+    max_total_bytes: int | None = None,
 ) -> list[dict]:
     """Expire stored artifacts; returns the removed inventory rows.
 
-    Policy (both optional, combined with AND-to-survive): an
+    Policy (all optional, combined with AND-to-survive): an
     artifact survives if its ``last_used_at`` is within
     ``max_age_seconds`` of ``now`` AND it is among the
     ``keep_latest_per_kind`` most-recently-used of its kind. With
-    neither set this is a no-op (explicit policy, no surprise
-    deletes). Removal deletes the directory first and then the
-    manifest row, so a crash between the two leaves only a stale
-    manifest row — corrected on the next GC pass (the directory
-    listing, not the manifest, is the source of truth)."""
-    if max_age_seconds is None and keep_latest_per_kind is None:
+    ``max_total_bytes`` (VERDICT r9 #6 — corpus-sized artifacts
+    like ``doc_shingles`` need a footprint bound, not just an age
+    bound), the SURVIVORS of those filters are then evicted
+    stalest-first (largest-first within the same staleness) until
+    the store fits the budget. With nothing set this is a no-op
+    (explicit policy, no surprise deletes). Removal deletes the
+    directory first and then the manifest row, so a crash between
+    the two leaves only a stale manifest row — corrected on the
+    next GC pass (the directory listing, not the manifest, is the
+    source of truth)."""
+    if (
+        max_age_seconds is None
+        and keep_latest_per_kind is None
+        and max_total_bytes is None
+    ):
         return []
     now = time.time() if now is None else now
     inv = list_artifacts()
@@ -362,6 +383,20 @@ def gc_artifacts(
             )
             if too_old or overflow:
                 doomed.append(row)
+    if max_total_bytes is not None:
+        doomed_keys = {f"{r['kind']}/{r['fingerprint']}" for r in doomed}
+        survivors = [
+            r for r in inv
+            if f"{r['kind']}/{r['fingerprint']}" not in doomed_keys
+        ]
+        total = sum(r["size_bytes"] for r in survivors)
+        # largest-stalest first: oldest last_used_at, then biggest
+        survivors.sort(key=lambda r: (r["last_used_at"], -r["size_bytes"]))
+        for row in survivors:
+            if total <= max_total_bytes:
+                break
+            doomed.append(row)
+            total -= row["size_bytes"]
     m = _manifest_load()
     for row in doomed:
         shutil.rmtree(row["path"], ignore_errors=True)

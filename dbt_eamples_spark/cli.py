@@ -489,6 +489,11 @@ def build_parser() -> argparse.ArgumentParser:
     ar.add_argument("action", choices=["list", "gc"])
     ar.add_argument("--max-age-days", type=float, default=None)
     ar.add_argument("--keep-latest", type=int, default=None)
+    ar.add_argument(
+        "--max-total-gb", type=float, default=None,
+        help="byte budget: evict largest-stalest survivors until "
+        "the store fits",
+    )
     ar.set_defaults(func=cmd_artifacts)
     return p
 
@@ -496,7 +501,8 @@ def build_parser() -> argparse.ArgumentParser:
 def cmd_artifacts(args: argparse.Namespace) -> int:
     """Artifact-store operations: ``list`` prints the inventory
     (kind, fingerprint, size, usage stamps); ``gc`` applies the
-    retention policy (--max-age-days and/or --keep-latest) and
+    retention policy (--max-age-days, --keep-latest and/or the
+    --max-total-gb byte budget) and
     prints what it removed — the expiry path a store keyed by
     corpus fingerprint needs (every source rewrite strands the
     previous index)."""
@@ -515,6 +521,11 @@ def cmd_artifacts(args: argparse.Namespace) -> int:
             else None
         ),
         keep_latest_per_kind=args.keep_latest,
+        max_total_bytes=(
+            int(args.max_total_gb * 1024**3)
+            if args.max_total_gb is not None
+            else None
+        ),
     )
     for row in removed:
         print(f"removed {row['kind']}/{row['fingerprint']}")
