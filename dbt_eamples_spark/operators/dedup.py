@@ -1323,6 +1323,49 @@ def minhash_pairs_delta_new(
     )
 
 
+# one ingest batch's quotient graph (label-level edges, one per new
+# near-dup pair) is AGGREGATED state like a codebook or moment grid:
+# collision-bounded, orders of magnitude below the corpus. Up to this
+# many edges the components are solved driver-side with union-find
+# (micro-seconds) instead of paying per-iteration job latency in the
+# distributed propagation — which at fixture scale dominated the
+# whole delta path (measured: the cluster delta was SLOWER than its
+# 2 s rebuild purely on propagation-round latency). Past the bound —
+# a pathological batch — the exchange-based propagation takes over.
+QUOTIENT_DRIVER_CC_MAX = 1_000_000
+
+
+def _quotient_components(qe: DataFrame) -> DataFrame:
+    """Connected components of the (sa, sb) quotient-edge frame →
+    (node, comp). Driver union-find below QUOTIENT_DRIVER_CC_MAX
+    edges, distributed min-label propagation above."""
+    if qe.limit(QUOTIENT_DRIVER_CC_MAX + 1).count() > QUOTIENT_DRIVER_CC_MAX:
+        return _min_label_propagation(qe, "sa", "sb")
+    edges = [(r.sa, r.sb) for r in qe.collect()]
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN so the root IS the component label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = {n for e in edges for n in e}
+    rows = [(n, find(n)) for n in sorted(nodes)]
+    spark = qe.sparkSession
+    if not rows:
+        return spark.createDataFrame([], "node long, comp long")
+    return spark.createDataFrame(rows, "node long, comp long")
+
+
 def _merge_labels_quotient(
     base_labels: DataFrame, new_pairs: DataFrame
 ) -> DataFrame:
@@ -1360,8 +1403,10 @@ def _merge_labels_quotient(
         )
         .select("sa", "sb")
         .distinct()
+        .localCheckpoint(eager=True)  # tiny: one row per new pair's
+        # label edge; read twice (size probe + CC input)
     )
-    comp = _min_label_propagation(qe, "sa", "sb")  # (node=snode, comp)
+    comp = _quotient_components(qe)  # (node=snode, comp)
     relabeled = (
         lab.join(
             comp.select(

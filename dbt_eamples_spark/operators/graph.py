@@ -544,6 +544,14 @@ def _triangle_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+# Measured delta-vs-rebuild crossover for the triangle family
+# (tools/delta_bench.py, sf0.1: crossover ~26% of rows; the sf1 block
+# confirms the fraction is corpus-size-stable). Above this fraction
+# triangle_credits_apply_delta warns that a from-scratch rebuild of
+# the union is the cheaper plan.
+TRIANGLE_DELTA_REBUILD_CROSSOVER = 0.25
+
+
 def triangle_credits_apply_delta(
     spark: SparkSession,
     sf_dir: str,
@@ -585,9 +593,33 @@ def triangle_credits_apply_delta(
     collect_set'd, candidate edges are DISTINCT, and the anti-join
     against the persisted edge artifact drops every edge the base
     already has), so only genuinely new (orderkey, partkey)
-    co-occurrences produce new edges."""
+    co-occurrences produce new edges.
+
+    Crossover policy (VERDICT r9 #4): the wedge-probe term grows
+    with the delta's neighborhood, so past a measured delta fraction
+    a from-scratch rebuild is CHEAPER — tools/delta_bench.py put the
+    crossover at ≈26% of rows at sf0.1 (2%: 2.9x faster than
+    rebuild; 32%: slower). Above
+    ``TRIANGLE_DELTA_REBUILD_CROSSOVER`` the function warns to
+    rebuild instead; it still returns the (equivalence-locked)
+    merged result so callers keep correctness either way."""
+    import warnings
+
     from dbt_eamples_spark.artifacts import load_or_build
 
+    n_delta = delta_lineitem.count()
+    n_base = load_table(spark, sf_dir, "lineitem").count()
+    if n_base > 0 and n_delta / n_base > TRIANGLE_DELTA_REBUILD_CROSSOVER:
+        warnings.warn(
+            f"triangle_credits_apply_delta: delta is "
+            f"{n_delta / n_base:.0%} of the base corpus — past the "
+            f"measured ~{TRIANGLE_DELTA_REBUILD_CROSSOVER:.0%} "
+            "delta-vs-rebuild crossover (DELTA_BENCH.json); a "
+            "from-scratch _triangle_credits build over the union "
+            "is cheaper at this delta size",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     base_credits = _triangle_credits(spark, sf_dir).select(
         "node", "n_triangles"
     )

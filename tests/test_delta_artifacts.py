@@ -504,3 +504,27 @@ class TestClusterVerdictsDelta:
             ).collect()
         )
         assert merged == _ctr(D.cluster_labels(spark, sf_dir).collect())
+
+
+class TestTriangleCrossoverPolicy:
+    """VERDICT r9 #4: the measured delta-vs-rebuild crossover is
+    encoded as policy — past TRIANGLE_DELTA_REBUILD_CROSSOVER the
+    apply_delta path warns that a rebuild is cheaper (the result
+    stays equivalence-locked either way)."""
+
+    def test_oversized_delta_warns(self, spark, sf_dir, tmp_path, art_dir):
+        import warnings as W
+
+        li = load_table(spark, sf_dir, "lineitem")
+        base = li.filter(F.col("l_orderkey") % 100 >= 40)
+        delta = li.filter(F.col("l_orderkey") % 100 < 40)  # ~67% of base
+        base_dir = str(tmp_path / "xbase")
+        os.makedirs(base_dir, exist_ok=True)
+        base.write.parquet(os.path.join(base_dir, "lineitem.parquet"))
+        with pytest.warns(RuntimeWarning, match="crossover"):
+            G.triangle_credits_apply_delta(spark, base_dir, delta)
+        # a small delta stays silent
+        small = li.filter(F.col("l_orderkey") % 100 == 41).limit(50)
+        with W.catch_warnings():
+            W.simplefilter("error", RuntimeWarning)
+            G.triangle_credits_apply_delta(spark, base_dir, small)

@@ -173,6 +173,27 @@ def main() -> None:
                 "snapshotting"
             )
 
+    # 3c. round-notes evidence freshness (VERDICT r9 #8): the newest
+    # ROUND{N}_NOTES.md must carry a generated Evidence footer
+    # stamping THIS tree — post-notes source commits strand numbers
+    # otherwise (the r9 848-vs-853 pytest-count drift). Legacy notes
+    # without a stamp are skipped; the current round's notes are
+    # expected to be generated by tools/round_notes.py.
+    notes = sorted(
+        glob.glob(os.path.join(REPO, "ROUND*_NOTES.md")),
+        key=lambda p: int(re.search(r"ROUND(\d+)_NOTES", p).group(1)),
+    )
+    if notes:
+        with open(notes[-1]) as fh:
+            m = re.search(r"Engine tree: `([0-9a-f]+)`", fh.read())
+        if m and m.group(1) != tree_now:
+            errs.append(
+                f"{os.path.basename(notes[-1])} Evidence footer stamps "
+                f"tree {m.group(1)}, but the tree being snapshotted "
+                f"hashes {tree_now} — regenerate the Evidence block "
+                "(tools/round_notes.py) on the final tree"
+            )
+
     # 4. evidence files committed (the r6 BENCH_LOCAL.json slip) —
     # EXCEPT driver-written artifacts (VERDICT r8 #6): the driver's
     # post-close rerun overwrites BENCH_LOCAL.json in the working
