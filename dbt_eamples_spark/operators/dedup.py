@@ -1338,10 +1338,13 @@ QUOTIENT_DRIVER_CC_MAX = 1_000_000
 def _quotient_components(qe: DataFrame) -> DataFrame:
     """Connected components of the (sa, sb) quotient-edge frame →
     (node, comp). Driver union-find below QUOTIENT_DRIVER_CC_MAX
-    edges, distributed min-label propagation above."""
-    if qe.limit(QUOTIENT_DRIVER_CC_MAX + 1).count() > QUOTIENT_DRIVER_CC_MAX:
+    edges, distributed min-label propagation above. The size probe
+    IS the collect (one job, LIMIT-bounded): only past the bound
+    does the distributed path re-read the frame."""
+    rows = qe.limit(QUOTIENT_DRIVER_CC_MAX + 1).collect()
+    if len(rows) > QUOTIENT_DRIVER_CC_MAX:
         return _min_label_propagation(qe, "sa", "sb")
-    edges = [(r.sa, r.sb) for r in qe.collect()]
+    edges = [(r.sa, r.sb) for r in rows]
     parent: dict = {}
 
     def find(x):
@@ -1379,6 +1382,10 @@ def _merge_labels_quotient(
     label map relabels just the touched components. Untouched
     components never shuffle. Returns (doc_id, cluster_id, keep)."""
     lab = base_labels.select("doc_id", "cluster_id")
+    new_pairs = new_pairs.select("doc_a", "doc_b").localCheckpoint(
+        eager=True
+    )  # collision-bounded; the endpoint and quotient-edge legs both
+    # read it — without the pin each leg re-runs the probe + verify
     ep = (
         new_pairs.select(F.col("doc_a").alias("doc_id"))
         .union(new_pairs.select(F.col("doc_b").alias("doc_id")))
@@ -1403,8 +1410,6 @@ def _merge_labels_quotient(
         )
         .select("sa", "sb")
         .distinct()
-        .localCheckpoint(eager=True)  # tiny: one row per new pair's
-        # label edge; read twice (size probe + CC input)
     )
     comp = _quotient_components(qe)  # (node=snode, comp)
     relabeled = (
@@ -1474,93 +1479,133 @@ def cluster_verdicts_apply_delta(
     return merged
 
 
+def _verify_pairs(
+    spark: SparkSession, sf_dir: str, cands: DataFrame
+) -> DataFrame:
+    """Exact-Jaccard verify of a (doc_a, doc_b) candidate frame:
+    shingles re-derived for candidate docs only (the dedup_minhash
+    shape — candidates are collision-bounded and tiny)."""
+    ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    csh = _shingles(docs.join(F.broadcast(ids), "doc_id"))
+    sa = csh.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = csh.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    return (
+        cands.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", _pair_jaccard().alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def _band_self_pairs(keys: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) candidates from a (doc_id, band,
+    bucket) key frame — the banded self-join shared by the base
+    labeling build and the delta's own-batch pairs."""
+    ka = keys.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+    kb = keys.select("band", "bucket", F.col("doc_id").alias("doc_b"))
+    return (
+        ka.join(kb, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+_CLUSTER_LABELS_BASE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _cluster_labels_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) — the persisted CC labeling of the
+    BASE-corpus (doc_id % INCR_MOD != 0) pair graph, the warm label
+    state :func:`dedup_incremental_clusters` merges into. Built once
+    per documents fingerprint from the persisted
+    :func:`minhash_band_index` (same corpus convention), so the
+    incremental query's WARM cost is two artifact scans plus
+    delta-sized work — the production shape, like the band index
+    behind dedup_incremental_minhash."""
+    from dbt_eamples_spark.artifacts import (
+        corpus_fingerprint,
+        load_or_build,
+        session_cache_key,
+    )
+
+    fp = corpus_fingerprint(sf_dir, "documents")
+    key = session_cache_key(_CLUSTER_LABELS_BASE_CACHE, spark, sf_dir, fp)
+    df = _CLUSTER_LABELS_BASE_CACHE.get(key)
+    if df is None:
+        def build() -> DataFrame:
+            keys = minhash_band_index(spark, sf_dir).select(
+                F.col("corpus_doc").alias("doc_id"), "band", "bucket"
+            )
+            pairs = _verify_pairs(
+                spark, sf_dir, _band_self_pairs(keys)
+            ).localCheckpoint(eager=True)
+            return _min_label_propagation(pairs, "doc_a", "doc_b").select(
+                F.col("node").alias("doc_id"),
+                F.col("comp").alias("cluster_id"),
+            )
+
+        df = load_or_build(
+            spark, "cluster_labels_base", fp, build
+        ).persist()
+        _CLUSTER_LABELS_BASE_CACHE[key] = df
+    return df
+
+
 def dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental cluster maintenance as a driver-checkable query
     (VERDICT r9 #2): the corpus convention splits the dir into base
-    (doc_id % INCR_MOD != 0) and the incoming tenth; base labels come
-    from min-label propagation over BASE-ONLY pairs, the delta's new
-    pairs from an asymmetric band probe + delta self-join, and the
+    (doc_id % INCR_MOD != 0) and the incoming tenth; base labels are
+    the PERSISTED :func:`_cluster_labels_base` artifact, the delta's
+    new pairs come from an asymmetric probe of the persisted
+    :func:`minhash_band_index` plus a delta-sized self-join, and the
     final labeling from the quotient-graph merge
-    (:func:`_merge_labels_quotient`) — never re-propagating over the
-    base pair graph. The oracle is the SAME recursive-CTE connected
-    components over the whole corpus as ``dedup_clusters``, so the
-    value hash proves the incremental composition (base CC + delta
-    probe + quotient merge) is exactly a from-scratch rebuild,
-    merges included.
+    (:func:`_merge_labels_quotient`) — the base pair graph is never
+    re-propagated, base signatures never recomputed. The oracle is
+    the SAME recursive-CTE connected components over the whole
+    corpus as ``dedup_clusters``, so the value hash proves the
+    incremental composition (persisted labels + delta probe +
+    quotient merge) is exactly a from-scratch rebuild, merges
+    included.
 
     Output mirrors :func:`dedup_clusters`: (doc_id, cluster_id,
     cluster_size, keep) for every pair-involved doc of the union.
 
-    Scale shape: base keys/pairs here are the warm persisted state a
-    deployment holds (`minhash_band_index_full` / `cluster_labels`,
-    exercised by :func:`cluster_verdicts_apply_delta`); the
-    delta-side work is delta signatures + collision-bounded probes +
-    label propagation over |new pairs| quotient edges."""
+    Scale shape: warm cost = two artifact scans (band index, base
+    labels) + delta signatures + collision-bounded probes + a
+    union-find over |new pairs| quotient edges. The
+    explicit-delta-frame twin over arbitrary ingest batches is
+    :func:`cluster_verdicts_apply_delta`."""
     sh_all = doc_shingles(spark, sf_dir).select("doc_id", "shingles")
-    is_new = F.col("doc_id") % INCR_MOD == 0
-    base_keys = _band_keys(sh_all.filter(~is_new)).localCheckpoint(
-        eager=True
-    )  # base index stand-in; self-join + delta probe read it
-    delta_keys = _band_keys(sh_all.filter(is_new)).localCheckpoint(
-        eager=True
-    )
-
-    def verify(cands: DataFrame) -> DataFrame:
-        # exact-Jaccard verify, shingles re-derived for candidate
-        # docs only (the dedup_minhash shape — candidates are tiny)
-        ids = (
-            cands.select(F.col("doc_a").alias("doc_id"))
-            .union(cands.select(F.col("doc_b").alias("doc_id")))
-            .distinct()
-        )
-        docs = load_table(spark, sf_dir, "documents", parallelize=True)
-        csh = _shingles(docs.join(F.broadcast(ids), "doc_id"))
-        sa = csh.select(
-            F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
-        )
-        sb = csh.select(
-            F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
-        )
-        return (
-            cands.join(F.broadcast(sa), "doc_a")
-            .join(F.broadcast(sb), "doc_b")
-            .select("doc_a", "doc_b", _pair_jaccard().alias("jaccard"))
-            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        )
-
-    def self_pairs(keys: DataFrame) -> DataFrame:
-        ka = keys.select("band", "bucket", F.col("doc_id").alias("doc_a"))
-        kb = keys.select("band", "bucket", F.col("doc_id").alias("doc_b"))
-        return (
-            ka.join(kb, ["band", "bucket"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .distinct()
-        )
-
-    base_pairs = verify(self_pairs(base_keys)).localCheckpoint(eager=True)
-    base_comp = _min_label_propagation(base_pairs, "doc_a", "doc_b")
-    base_labels = base_comp.select(
-        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
-    )
+    delta_keys = _band_keys(
+        sh_all.filter(F.col("doc_id") % INCR_MOD == 0)
+    ).localCheckpoint(eager=True)  # delta-sized; probe + self-join
+    idx = minhash_band_index(spark, sf_dir)
     cands_db = (
         delta_keys.select("band", "bucket", F.col("doc_id").alias("d_doc"))
-        .join(
-            base_keys.select(
-                "band", "bucket", F.col("doc_id").alias("b_doc")
-            ),
-            ["band", "bucket"],
-        )
+        .join(idx.select("band", "bucket", "corpus_doc"), ["band", "bucket"])
         .select(
-            F.least("d_doc", "b_doc").alias("doc_a"),
-            F.greatest("d_doc", "b_doc").alias("doc_b"),
+            F.least("d_doc", "corpus_doc").alias("doc_a"),
+            F.greatest("d_doc", "corpus_doc").alias("doc_b"),
         )
         .distinct()
     )
-    new_pairs = verify(
-        cands_db.unionByName(self_pairs(delta_keys)).distinct()
+    new_pairs = _verify_pairs(
+        spark, sf_dir,
+        cands_db.unionByName(_band_self_pairs(delta_keys)).distinct(),
     ).select("doc_a", "doc_b")
-    merged = _merge_labels_quotient(base_labels, new_pairs)
+    merged = _merge_labels_quotient(
+        _cluster_labels_base(spark, sf_dir), new_pairs
+    )
     w = Window.partitionBy("cluster_id")
     return merged.select(
         "doc_id",
