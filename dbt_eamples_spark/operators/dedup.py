@@ -1139,6 +1139,62 @@ def minhash_band_index_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def dedup_incremental_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ngram-Jaccard near-dup check (round 10 — the last
+    incremental family without a driver-gated query form): the NEW
+    batch (doc_id % INCR_MOD == 0) probes the persisted
+    ``ngram_block_index`` with its own 1-hash-MinHash block keys;
+    candidates are the blk equi-join against the corpus side
+    (% INCR_MOD != 0 rows of the same index), verified with the
+    exact Jaccard the full build uses. No corpus self-join, no
+    corpus re-tokenize: the corpus side is two artifact scans (block
+    index + shingle arrays); only the delta pays blk hashing —
+    O(|delta| + collisions), the ``ngram_pairs_apply_delta`` probe
+    shape as a hash-checkable query.
+
+    Output: (new_doc, corpus_doc, jaccard) for verified pairs at
+    Jaccard ≥ NGRAM_PAIR_TAU — the dedup_incremental_minhash schema
+    for the ngram family."""
+    is_new = F.col("doc_id") % INCR_MOD == 0
+    idx = _ngram_block_index(spark, sf_dir)
+    sh = doc_shingles(spark, sf_dir).select("doc_id", "shingles")
+    d_blocked = (
+        sh.filter(is_new)
+        .select("doc_id", "shingles", _blk_col().alias("blk"))
+        .localCheckpoint(eager=True)  # delta-sized; key + verify legs
+    )
+    cands = (
+        d_blocked.select(F.col("doc_id").alias("new_doc"), "blk")
+        .join(
+            idx.filter(~is_new).select(
+                F.col("doc_id").alias("corpus_doc"), "blk"
+            ),
+            "blk",
+        )
+        .select("new_doc", "corpus_doc")
+    )
+    return (
+        cands.join(
+            F.broadcast(
+                d_blocked.select(
+                    F.col("doc_id").alias("new_doc"),
+                    F.col("shingles").alias("sh_a"),
+                )
+            ),
+            "new_doc",
+        )
+        .join(
+            sh.filter(~is_new).select(
+                F.col("doc_id").alias("corpus_doc"),
+                F.col("shingles").alias("sh_b"),
+            ),
+            "corpus_doc",
+        )
+        .select("new_doc", "corpus_doc", _pair_jaccard().alias("jaccard"))
+        .filter(F.col("jaccard") >= NGRAM_PAIR_TAU)
+    )
+
+
 # Pure-append delta paths for the per-doc base artifacts (round 10,
 # the appenders the ingest composer needs so a SECOND batch's
 # apply_delta calls find every base artifact warm at the updated

@@ -2644,3 +2644,17 @@ def similarity_ivfpq_recall_eval(
     return _recall_eval_frame(
         spark, sf_dir, similarity_ivf_pq_residual_topk(spark, sf_dir)
     )
+
+
+def similarity_rerank_recall_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall@k of the trained-ADC + exact-refine path
+    (:func:`similarity_pq_rerank_topk` — FAISS's IndexRefine
+    composition) against the exact brute-force ranking (round 10):
+    the fourth and last RECALL.md index column promoted to a
+    hash-checked query, so every deployable shortlist shape has a
+    driver-gated deploy-gate eval."""
+    return _recall_eval_frame(
+        spark, sf_dir, similarity_pq_rerank_topk(spark, sf_dir)
+    )

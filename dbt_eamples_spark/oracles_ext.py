@@ -6855,3 +6855,18 @@ EXT_ORACLES["similarity_lsh_recall_eval"] = _recall_oracle_sql(
 EXT_ORACLES["similarity_ivfpq_recall_eval"] = _recall_oracle_sql(
     "similarity_ivf_pq_residual_topk"
 )
+EXT_ORACLES["similarity_rerank_recall_eval"] = _recall_oracle_sql(
+    "similarity_pq_rerank_topk"
+)
+
+# dedup_incremental_ngram: the full blk-blocked pair statement
+# restricted to (new x corpus) pairs under the %INCR_MOD convention,
+# reoriented to the incremental (new_doc, corpus_doc) schema — the
+# ngram family's probe-the-persisted-index query (round 10)
+EXT_ORACLES["dedup_incremental_ngram"] = (
+    "SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS new_doc,\n"
+    "       CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS corpus_doc,\n"
+    "       jaccard FROM (\n"
+    + EXT_ORACLES["dedup_ngram_jaccard"]
+    + "\n) WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)"
+)

@@ -479,6 +479,12 @@ class TestShuffleBudgets:
         # (new_doc, corpus_doc) candidate agg exchange; the delta
         # band frame and index attach broadcast at fixture scale
         "dedup_incremental_phash": 1,
+        # the Q90 recall fold over the trained-ADC + exact-refine
+        # shortlist — every added exchange is |Q|-bounded
+        "similarity_rerank_recall_eval": 7,
+        # pure broadcast probe of the persisted block index: delta
+        # keys and verify arrays broadcast, ZERO exchanges
+        "dedup_incremental_ngram": 0,
         # quotient-graph merge tail (base CC and band legs are
         # checkpointed out of the final plan): endpoint distinct,
         # quotient-edge distinct, relabel union legs, and the
