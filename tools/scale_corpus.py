@@ -44,8 +44,24 @@ def vowel_perm(i: int) -> str:
     return v[i % 5 :] + v[: i % 5]
 
 
+def alpha_perm(i: int) -> str:
+    """Full-alphabet per-copy rotation (round 10, opt-in via
+    --full-permute): the vowel-only permutation is an IDENTITY on
+    consonant-only/numeric texts, so those docs survive as genuine
+    cross-copy near-dups — a quadratic planted-dup tail the default
+    synthesis docstring assumes away (measured in BENCH_SF1.md:
+    26,845 of 29,265 verified sf1 minhash pairs were cross-copy).
+    Rotating all 26 letters leaves only digit/punctuation-only texts
+    as fixed points. Default output is UNCHANGED for cross-round
+    comparability."""
+    a = "abcdefghijklmnopqrstuvwxyz"
+    k = (i * 7) % 26 or (1 if i else 0)
+    return a[k:] + a[:k]
+
+
 def main() -> None:
-    out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.tmp/sf1.0"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out = args[0] if args else "/root/repo/.tmp/sf1.0"
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count() or 8}")
@@ -107,10 +123,13 @@ def main() -> None:
             user_id + {i * OFF} AS user_id, event_type, value, props
             FROM '{SRC}/events.parquet'""",
     )
+    full = "--full-permute" in sys.argv
     copy_union(
         "documents",
         lambda i: f"""SELECT doc_id + {i * OFF} AS doc_id,
-            translate(text, 'aeiou', '{vowel_perm(i)}')
+            translate(text,
+                      '{"abcdefghijklmnopqrstuvwxyz" if full else "aeiou"}',
+                      '{alpha_perm(i) if full else vowel_perm(i)}')
               || ' u' || CAST(doc_id + {i * OFF} AS VARCHAR) AS text,
             lang, source, n_chars FROM '{SRC}/documents.parquet'""",
     )
