@@ -939,6 +939,55 @@ def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_dedup_rate_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source duplication telemetry (round 10): the keep-list
+    verdicts rolled up by document source — the number a curation
+    pipeline actually acts on (a source whose dup_rate spikes gets
+    downweighted or re-crawled, Dolma/RefinedWeb-style source
+    accounting). One broadcast attach of the (doc_id, source) columns
+    to the verdict table, one source-keyed hash-agg; the heavy
+    evidence (exact window + cluster labels) is the persisted
+    cascade state corpus_keep_list already reads.
+
+    Output: (source, n_docs, n_exact_dup, n_near_dup, n_kept,
+    dup_rate) ordered by source."""
+    verdicts = corpus_keep_list(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    return (
+        verdicts.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("reason") == "exact_dup", 1).otherwise(0))
+            .cast("long")
+            .alias("n_exact_dup"),
+            F.sum(F.when(F.col("reason") == "near_dup", 1).otherwise(0))
+            .cast("long")
+            .alias("n_near_dup"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_exact_dup",
+            "n_near_dup",
+            "n_kept",
+            F.round(
+                (F.col("n_docs") - F.col("n_kept")).cast("double")
+                / F.col("n_docs"),
+                6,
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 INCR_MOD = 10  # doc_id % 10 == 0 marks the incoming "new batch"
 
 

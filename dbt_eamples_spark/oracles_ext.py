@@ -6863,6 +6863,26 @@ EXT_ORACLES["similarity_rerank_recall_eval"] = _recall_oracle_sql(
 # restricted to (new x corpus) pairs under the %INCR_MOD convention,
 # reoriented to the incremental (new_doc, corpus_doc) schema — the
 # ngram family's probe-the-persisted-index query (round 10)
+# per-source rollup of the keep-list verdicts (round 10)
+EXT_ORACLES["corpus_dedup_rate_by_source"] = f"""
+    WITH v AS ({EXT_ORACLES['corpus_keep_list']}),
+    j AS (
+        SELECT d.source, v.reason, v.keep
+        FROM v JOIN documents d USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN reason = 'exact_dup' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact_dup,
+           CAST(SUM(CASE WHEN reason = 'near_dup' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_near_dup,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           round((COUNT(*) - SUM(CASE WHEN keep THEN 1 ELSE 0 END))::DOUBLE
+                 / COUNT(*), 6) AS dup_rate
+    FROM j GROUP BY source ORDER BY source
+"""
+
 EXT_ORACLES["dedup_incremental_ngram"] = (
     "SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS new_doc,\n"
     "       CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS corpus_doc,\n"

@@ -482,6 +482,9 @@ class TestShuffleBudgets:
         # the Q90 recall fold over the trained-ADC + exact-refine
         # shortlist — every added exchange is |Q|-bounded
         "similarity_rerank_recall_eval": 7,
+        # exact-fp window exchange + the source hash-agg + the
+        # bounded source sort; cluster verdicts attach broadcast
+        "corpus_dedup_rate_by_source": 3,
         # pure broadcast probe of the persisted block index: delta
         # keys and verify arrays broadcast, ZERO exchanges
         "dedup_incremental_ngram": 0,
