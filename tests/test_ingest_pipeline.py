@@ -118,11 +118,16 @@ class TestIngestPipeline:
         )
         assert r1["near_dup_pairs"] == want
 
-        # batch 2: every base read must be WARM (published by batch 1)
+        # batch 2 is delivered OVERLAPPING (b1 rows re-sent alongside
+        # the new b2 rows — the at-least-once delivery a file drop
+        # gives you): the anti-join must strip the b1 half and the
+        # maintenance must see only the truly-new rows. Every base
+        # read must be WARM (published by batch 1).
         A.ARTIFACT_EVENTS.clear()
         _clear_l1()
         r2 = I.ingest_documents_batch(
-            spark, b2, corpus_dir, maintain_artifacts=True
+            spark, b1.unionByName(b2), corpus_dir,
+            maintain_artifacts=True,
         )
         assert r2["rows_appended"] == b2.count()
         base_builds = {
