@@ -2638,6 +2638,79 @@ def cosine_base_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cosine_base_index_apply_delta(
+    spark: SparkSession,
+    sf_dir: str,
+    delta_embeddings: DataFrame,
+    publish_fingerprint: str | None = None,
+) -> DataFrame:
+    """Delta-maintain the persisted hyperplane bucket index (round
+    10 — the last persisted index without a delta path): plane-dot
+    the ``delta_embeddings`` (vec_id, embedding) ONLY and append,
+    filtered with the same %INCR_MOD corpus convention the
+    from-scratch build applies (the ADVICE-r9 fingerprint→content
+    invariant).
+
+    RESIZE RULE: ``lsh_planes`` is sized by corpus count, so an
+    append that pushes the corpus across a plane-count step CANNOT
+    be expressed as an append — the bucket ids of every existing row
+    change. When ``lsh_planes(base+delta) != lsh_planes(base)`` the
+    function rebuilds the whole index at the new plane count (the
+    FAISS-retrain analogue of an index resize: rare — plane steps
+    are ×2 in corpus size — and detected exactly, never silently
+    wrong). Both paths are pytest-locked row-identical to a
+    from-scratch build over the union."""
+    from dbt_eamples_spark.artifacts import load_or_build
+    from dbt_eamples_spark.operators.similarity import (
+        DEDUP_LSH_TABLES,
+        _as_double_vec,
+        lsh_planes,
+        with_lsh_probes,
+    )
+
+    def keys_for(corpus: DataFrame, np_: int) -> DataFrame:
+        keyed = with_lsh_probes(
+            corpus, "vec", DEDUP_LSH_TABLES, 0, nplanes=np_
+        )
+        parts = [
+            keyed.select(
+                F.col("vec_id").alias("corpus_vec"),
+                F.lit(t).cast("int").alias("t"),
+                F.element_at(f"p{t}", 1).alias("bucket"),
+            )
+            for t in range(DEDUP_LSH_TABLES)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    emb = load_table(
+        spark, sf_dir, "embeddings", parallelize=True
+    ).select("vec_id", _as_double_vec(F.col("embedding")).alias("vec"))
+    base_corpus = emb.filter(F.col("vec_id") % INCR_MOD != 0)
+    d = delta_embeddings.select(
+        "vec_id", _as_double_vec(F.col("embedding")).alias("vec")
+    ).filter(F.col("vec_id") % INCR_MOD != 0)
+    base_n = base_corpus.count()
+    delta_n = d.count()
+    np_base = lsh_planes(base_n)
+    np_union = lsh_planes(base_n + delta_n)
+    if np_union != np_base:
+        # index resize: every existing bucket id changes — rebuild
+        merged = keys_for(base_corpus.unionByName(d), np_union)
+    else:
+        merged = cosine_base_index(spark, sf_dir).unionByName(
+            keys_for(d, np_base)
+        )
+    if publish_fingerprint is not None:
+        merged = load_or_build(
+            spark, "cosine_base_index", publish_fingerprint,
+            lambda: merged,
+        )
+    return merged
+
+
 def dedup_incremental_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental embedding near-dup check: the NEW vector batch
     (vec_id % INCR_MOD == 0) probed against the PERSISTED hyperplane

@@ -528,3 +528,83 @@ class TestTriangleCrossoverPolicy:
         with W.catch_warnings():
             W.simplefilter("error", RuntimeWarning)
             G.triangle_credits_apply_delta(spark, base_dir, small)
+
+
+class TestCosineIndexDelta:
+    """Round 10: the hyperplane bucket index joins the append family
+    — with the resize rule (lsh_planes is corpus-count-sized, so an
+    append crossing a plane step must rebuild; both paths locked
+    row-identical to a from-scratch union build)."""
+
+    def test_append_path_equals_rebuild(
+        self, spark, sf_dir, tmp_path, art_dir
+    ):
+        emb = load_table(spark, sf_dir, "embeddings")
+        base = emb.filter(
+            (F.col("vec_id") % 10 != 0) & (F.col("vec_id") % 10 != 7)
+        )
+        delta = emb.filter(
+            (F.col("vec_id") % 10 == 0) | (F.col("vec_id") % 10 == 7)
+        )
+        base_dir = str(tmp_path / "cb")
+        os.makedirs(base_dir, exist_ok=True)
+        base.write.parquet(os.path.join(base_dir, "embeddings.parquet"))
+        merged = _ctr(
+            D.cosine_base_index_apply_delta(
+                spark, base_dir, delta
+            ).collect()
+        )
+        full = _ctr(D.cosine_base_index(spark, sf_dir).collect())
+        assert merged == full and len(full) > 0
+
+    def test_resize_rebuild_equals_rebuild(self, spark, tmp_path, art_dir):
+        from dbt_eamples_spark.operators.similarity import lsh_planes
+
+        # synthetic 8-dim corpus big enough that the append crosses
+        # the 1024-row plane step (lsh_planes: 4 below, 5 above)
+        def vecs(lo, hi):
+            return [
+                (
+                    i,
+                    [
+                        float(((i * 37 + j * 11) % 97) - 48) / 48.0
+                        for j in range(8)
+                    ],
+                    0,
+                )
+                for i in range(lo, hi)
+            ]
+
+        schema = "vec_id long, embedding array<float>, label int"
+        base_dir = str(tmp_path / "rz_base")
+        union_dir = str(tmp_path / "rz_union")
+        os.makedirs(base_dir, exist_ok=True)
+        os.makedirs(union_dir, exist_ok=True)
+        base_rows = vecs(0, 1000)       # 900 corpus-side (%10 != 0)
+        delta_rows = vecs(1000, 1400)   # +360 corpus-side
+        spark.createDataFrame(base_rows, schema).write.parquet(
+            os.path.join(base_dir, "embeddings.parquet")
+        )
+        spark.createDataFrame(base_rows + delta_rows, schema).write.parquet(
+            os.path.join(union_dir, "embeddings.parquet")
+        )
+        assert lsh_planes(900) != lsh_planes(1260)  # the step is real
+        merged = _ctr(
+            D.cosine_base_index_apply_delta(
+                spark, base_dir,
+                spark.createDataFrame(delta_rows, schema),
+            ).collect()
+        )
+        full = _ctr(D.cosine_base_index(spark, union_dir).collect())
+        assert merged == full and len(full) > 0
+
+    def test_empty_delta_identity(self, spark, sf_dir, art_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        merged = _ctr(
+            D.cosine_base_index_apply_delta(
+                spark, sf_dir, emb.limit(0)
+            ).collect()
+        )
+        assert merged == _ctr(
+            D.cosine_base_index(spark, sf_dir).collect()
+        )
