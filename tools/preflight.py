@@ -104,8 +104,11 @@ def main() -> None:
     from tools.treehash import engine_tree_hash
 
     tree_now = engine_tree_hash()
+    # numeric round sort — NOT mtime (a git checkout restoring an old
+    # sweep bumps its mtime) and NOT lexicographic (r9 > r10)
     sweeps = sorted(
-        glob.glob(os.path.join(REPO, "LOCAL_ORACLE_r*.md")), key=os.path.getmtime
+        glob.glob(os.path.join(REPO, "LOCAL_ORACLE_r*.md")),
+        key=lambda p: int(re.search(r"_r(\d+)\.md$", p).group(1)),
     )
     if not sweeps:
         errs.append("no LOCAL_ORACLE_r*.md sweep recorded")

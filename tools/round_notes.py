@@ -93,7 +93,10 @@ def evidence(prev_rev: str, pytest_count: int | None) -> str:
             f"fresh JVMs (best-of-3), stamped `{tree}`."
         )
 
-    sweeps = sorted(glob.glob(os.path.join(REPO, "LOCAL_ORACLE_r*.md")))
+    sweeps = sorted(
+        glob.glob(os.path.join(REPO, "LOCAL_ORACLE_r*.md")),
+        key=lambda p: int(re.search(r"_r(\d+)\.md$", p).group(1)),
+    )
     if sweeps:
         txt = open(sweeps[-1]).read()
         m = re.search(r"Engine tree: `([0-9a-f]+)`", txt)
@@ -102,12 +105,12 @@ def evidence(prev_rev: str, pytest_count: int | None) -> str:
                 f"{os.path.basename(sweeps[-1])} stamp {m.group(1)} != "
                 f"tree {tree} — re-run the strict sweep"
             )
-        ok = len(re.findall(r"\bOK\b", txt))
-        fails = len(re.findall(r"\bFAIL\b", txt))
+        ok = len(re.findall(r"OK \(\d+ rows\)", txt))
+        fails = txt.count("| FAIL |")
         lines.append(
             f"- Strict local oracle sweep ({os.path.basename(sweeps[-1])}"
-            f", stamped on this tree): {ok} OK rows, {fails} FAIL "
-            "mentions (see file for the per-scale split)."
+            f", stamped on this tree): {ok} strict-OK cells across the "
+            f"two scales, {fails} FAIL cells."
         )
 
     db_path = os.path.join(REPO, "DELTA_BENCH.json")
