@@ -1,0 +1,126 @@
+"""The end-of-round close protocol as ONE runnable sequence (round
+10): every piece of evidence the judge reads, regenerated on the
+final tree in the right order, with the stamps that preflight (and
+the generated notes block) verify. Rounds 6–9 each lost a step to
+hand-sequencing (stale sweeps, mid-round pytest counts, draft
+exponents); this makes the protocol executable instead of
+remembered.
+
+Steps (all on the CURRENT tree — commit your source first):
+  1. strict oracle sweep at sf0.01 and sf0.1 → .tmp logs
+  2. tools/oracle_ledger.py → LOCAL_ORACLE_r{N}.md (tree-stamped)
+  3. bench.py (3 passes) → BENCH_LOCAL.json (tree-stamped)
+  4. tools/bench_solo.py 10 → BENCH_SOLO.json (tree-stamped)
+  5. tools/explain_audit.py → EXPLAINS.md
+  6. full pytest → count
+  7. tools/round_notes.py --prev REV --pytest-count N → Evidence
+     block appended to ROUND{N}_NOTES.md (replacing any previous
+     generated block), footer tree-stamped
+  8. tools/preflight.py --fast (the full-suite gate was step 6)
+
+Usage: python tools/close_round.py --round N --prev REV [--skip-pytest]
+Exits non-zero the moment any step fails. Wall-clock ~1.5 h at
+sf0.1 on local[32].
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import subprocess
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+REPO = "/root/repo"
+TMP = os.path.join(REPO, ".tmp")
+
+
+def run(cmd: list[str], log: str | None = None) -> str:
+    print(f"close: $ {' '.join(cmd)}" + (f" > {log}" if log else ""),
+          flush=True)
+    r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
+    if log:
+        with open(log, "w") as fh:
+            fh.write(r.stdout)
+            fh.write(r.stderr)
+    if r.returncode != 0:
+        tail = (r.stdout + r.stderr)[-2000:]
+        raise SystemExit(f"close: step failed ({cmd[1] if len(cmd) > 1 else cmd[0]}):\n{tail}")
+    return r.stdout
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, required=True)
+    ap.add_argument("--prev", required=True,
+                    help="previous round's close commit rev")
+    ap.add_argument("--skip-pytest", action="store_true",
+                    help="reuse a pytest count already measured on "
+                    "THIS tree (pass it via --pytest-count)")
+    ap.add_argument("--pytest-count", type=int, default=None)
+    args = ap.parse_args()
+    os.makedirs(TMP, exist_ok=True)
+    py = sys.executable
+
+    # 1. strict sweeps
+    log001 = os.path.join(TMP, "sweep_sf001.log")
+    log01 = os.path.join(TMP, "sweep_sf01.log")
+    run([py, "tools/oracle_check.py", "/root/testdata/sf0.01"], log001)
+    run([py, "tools/oracle_check.py", "/root/testdata/sf0.1"], log01)
+    for log in (log001, log01):
+        txt = open(log, errors="replace").read()
+        m = re.search(r"(\d+) failures", txt)
+        if not m or m.group(1) != "0":
+            raise SystemExit(f"close: sweep {log} has failures — stop")
+
+    # 2. ledger
+    ledger = run([py, "tools/oracle_ledger.py", log001, log01])
+    with open(os.path.join(REPO, f"LOCAL_ORACLE_r{args.round}.md"), "w") as fh:
+        fh.write(ledger)
+
+    # 3. bench (writes BENCH_LOCAL.json itself)
+    run([py, "bench.py"], os.path.join(TMP, "bench_close.log"))
+
+    # 4. solo ledger (writes BENCH_SOLO.json itself)
+    run([py, "tools/bench_solo.py", "10"],
+        os.path.join(TMP, "solo_close.log"))
+
+    # 5. plan audit
+    run([py, "tools/explain_audit.py"],
+        os.path.join(TMP, "explains_close.log"))
+
+    # 6. full suite
+    count = args.pytest_count
+    if not args.skip_pytest:
+        out = run([py, "-m", "pytest", "tests/", "-q"],
+                  os.path.join(TMP, "pytest_close.log"))
+        m = re.search(r"(\d+) passed", open(
+            os.path.join(TMP, "pytest_close.log")).read())
+        if not m:
+            raise SystemExit("close: could not parse pytest count")
+        count = int(m.group(1))
+    if count is None:
+        raise SystemExit("close: --skip-pytest requires --pytest-count")
+
+    # 7. notes evidence (replace any previous generated block)
+    block = run([py, "tools/round_notes.py", "--prev", args.prev,
+                 "--pytest-count", str(count)])
+    notes_path = os.path.join(REPO, f"ROUND{args.round}_NOTES.md")
+    marker = "## Evidence (generated — tools/round_notes.py)"
+    if os.path.exists(notes_path):
+        txt = open(notes_path).read()
+        txt = txt.split(marker)[0].rstrip() + "\n\n"
+    else:
+        txt = f"# Round {args.round} notes\n\n"
+    with open(notes_path, "w") as fh:
+        fh.write(txt + block)
+
+    # 8. coherence gate (suite already ran as step 6)
+    run([py, "tools/preflight.py", "--fast"])
+    print("close: ALL STEPS GREEN — commit the evidence files now")
+
+
+if __name__ == "__main__":
+    main()
