@@ -39,6 +39,51 @@ def fail(msgs: list[str]) -> None:
     sys.exit(1)
 
 
+def is_driver_bench_local(bl_path: str, repo: str = REPO) -> bool:
+    """True when the working-tree BENCH_LOCAL.json is the DRIVER's
+    post-close rerun: its raw_run_totals_sec appears — PARSED, not
+    substring-matched (ADVICE r9: serialization drift between the
+    two writers must not disable the carve-out) — in the truncated
+    stdout tail the newest BENCH_r*.json embeds. Module-level so the
+    carve-out is unit-testable."""
+    import json as _json
+
+    try:
+        with open(bl_path) as fh:
+            bl2 = _json.load(fh)
+    except (ValueError, OSError):
+        return False
+    totals = bl2.get("raw_run_totals_sec")
+    if not totals:
+        return False
+    brs = glob.glob(os.path.join(repo, "BENCH_r*.json"))
+    if not brs:
+        return False
+    newest = max(
+        brs,
+        key=lambda p: int(re.search(r"BENCH_r(\d+)\.json$", p).group(1)),
+    )
+    try:
+        with open(newest) as fh:
+            br = _json.load(fh)
+    except (ValueError, OSError):
+        return False
+    if not isinstance(br, dict):
+        return False
+    pat = re.compile(r'"raw_run_totals_sec"\s*:\s*(\[[^\]]*\])')
+    for v in br.values():
+        if not isinstance(v, str):
+            continue
+        for m in pat.finditer(v):
+            try:
+                recorded = _json.loads(m.group(1))
+            except ValueError:
+                continue
+            if recorded == list(totals):
+                return True
+    return False
+
+
 def main() -> None:
     fast = "--fast" in sys.argv
     errs: list[str] = []
@@ -207,43 +252,7 @@ def main() -> None:
     # driver-committed and never in this path list.) Everything
     # else keeps failing the gate.
     def _is_driver_bench_local() -> bool:
-        try:
-            with open(bl_path) as fh:
-                bl2 = _json.load(fh)
-        except (ValueError, OSError):
-            return False
-        totals = bl2.get("raw_run_totals_sec")
-        if not totals:
-            return False
-        brs = glob.glob(os.path.join(REPO, "BENCH_r*.json"))
-        if not brs:
-            return False
-        try:
-            with open(max(brs, key=os.path.getmtime)) as fh:
-                br = _json.load(fh)
-        except (ValueError, OSError):
-            return False
-        if not isinstance(br, dict):
-            return False
-        # The driver file embeds a TRUNCATED stdout tail of its
-        # post-close rerun; the totals array sits at the end of that
-        # tail. Extract and PARSE it, then compare parsed objects
-        # (ADVICE r9: verbatim json.dumps substring matching breaks
-        # on any separator/key-order/float-repr drift between the
-        # two writers, silently disabling the expected-dirty
-        # carve-out and failing the gate on legitimate trees).
-        pat = re.compile(r'"raw_run_totals_sec"\s*:\s*(\[[^\]]*\])')
-        for v in br.values():
-            if not isinstance(v, str):
-                continue
-            for m in pat.finditer(v):
-                try:
-                    recorded = _json.loads(m.group(1))
-                except ValueError:
-                    continue
-                if recorded == list(totals):
-                    return True
-        return False
+        return is_driver_bench_local(bl_path, REPO)
 
     out = subprocess.run(
         ["git", "status", "--porcelain", "--",
