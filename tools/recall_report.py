@@ -126,6 +126,70 @@ def measure(spark, sf_dir: str) -> list[tuple[str, str, float]]:
     return rows
 
 
+
+_STATIC_SECTIONS = """\
+
+## Dedup at 10× clustered scale (tests/test_clustered_recall.py::TestDedupClusteredAt10x)
+
+5,200-vector corpus (100 clusters — mode count grows with the
+corpus — plus 200 PLANTED near-dup twins at cosine ≈ 0.999), so
+recall at scale is measured against known-true pairs instead of an
+O(N²) brute force. Test-locked:
+
+| operating point | planted recall | candidate volume |
+|---|---|---|
+| `dedup_embedding_cosine` default dials (dynamic `lsh_planes(n)`, target_bucket 64) | 1.00 (≥0.99 locked) | ~20% of all pairs — the sizing rule's ~512/n design point, inflated by cluster-fat buckets |
+| clustered-corpus dial (`target_bucket=8`, 3 more planes) | 1.00 (≥0.99 locked) | <10% of all pairs (locked) |
+| `dedup_semantic_clusters` default dials | ≥0.99 of twins share a cluster (locked) | rides the same pair graph |
+
+Reading: the default target_bucket=64 accepts ~n·target·tables/2
+candidates by design — a fraction of all pairs that SHRINKS as
+512/n with corpus growth (10% at n=5k, 0.1% at n=500k). On
+clustered geometry the buckets inherit the cluster structure, so a
+deployment dedup pass over a clustered corpus should run the
+tighter target_bucket dial; both dials hold planted recall at 1.0
+because near-dup twins (cosine ≥ 0.99) almost never straddle a
+hyperplane, and the 8-table × 1-flip probe covers the stragglers.
+
+## Perceptual image near-dup (round 8): `dedup_phash`
+
+Planted truth is closed-form (oracle-shared): each 5-image scene is
+a base image + 3 brightness shifts (dHash-invariant → Hamming 0) +
+1 single-pixel corruption (measured Hamming ≤ 2); scenes decorrelate
+via a two-modulus quadratic form — a first cut with a single
+(g+1)·q(i) mod 199 term repeated every 199 scenes (caught at sf0.1:
+identical cross-scene images inflated the pair set 6×), the shipped
+form needs g ≡ g′ under BOTH 199 and 193 to collide (period 38,407
+scenes ≈ 192k docs). Measured cross-scene Hamming: ≥ 7 over all
+sf0.01 pairs, **≥ 11 over ALL 499,500 scene pairs at 1000 scenes
+(sf0.1 scale)**, ≥ 14 sampled at 10,000 scenes. Test-locked at 1×
+and 10× (sf0.001 → sf0.01),
+`tests/test_round8_ops.py::test_dedup_phash_planted_recall_both_scales`:
+
+| operating point | planted recall | precision | candidate volume |
+|---|---|---|---|
+| 4×16-bit Hamming bands, verify ≤ 4 | 1.0 (exact-set locked) | 1.0 (exact-set locked) | band collisions ≈ 0.2% of cross pairs, all rejected by the exact Hamming verify |
+
+Reading: Hamming-≤3 twins must share ≥1 of 4 bands by pigeonhole
+(planted twins share ≥3), so banding recall is structural, not
+statistical; the verify threshold (4) sits inside the measured
+margin (2, 7). `dedup_phash_clusters` then locks the transitive
+closure: every pair-involved image clusters with exactly its scene
+(5-cliques, canonical = min id).
+
+## Doulion sampled transitivity (round 8): error vs exact
+
+md5-coin sparsifier at p = 1/4, estimate = 64·T_sampled, wedges
+exact. Test-locked ≤ 25%
+(`tests/test_round8_ops.py::test_transitivity_sampled_error_vs_exact`):
+
+| scale | exact triangles | estimate | rel. error |
+|---|---|---|---|
+| sf0.001 | 125,968 | 130,560 | 3.7% |
+| sf0.01 | 413,718 | 421,696 | 1.9% |
+"""
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("recall-report")
@@ -157,6 +221,14 @@ def main() -> None:
         "embedding corpora see. Both are measured, test-locked numbers",
         "(tests/test_clustered_recall.py).",
         "",
+        "Since round 8/9/10, the per-query recall@k of four of these rows",
+        "is ALSO a hash-checked registry query — `similarity_ivf_recall_eval`",
+        "(IVF, r8), `similarity_lsh_recall_eval` (LSH, r9),",
+        "`similarity_ivfpq_recall_eval` (residual IVF-PQ, r9), and",
+        "`similarity_rerank_recall_eval` (trained ADC + exact refine, r10) —",
+        "so every deployable shortlist shape below is a driver/oracle-gated",
+        "deploy-gate query, not just tool output.",
+        "",
         "| operator | ground truth (near-uniform) |"
         " near-uniform | clustered |",
         "|---|---|---|---|",
@@ -165,7 +237,8 @@ def main() -> None:
         c = clu.get(name)
         cs = f"{c:.3f}" if c is not None else "—"
         lines.append(f"| {name} | {desc} | {recall:.3f} | {cs} |")
-    lines.append(_PQ_EPILOGUE)
+    lines.append(_PQ_EPILOGUE.rstrip())
+    lines.append(_STATIC_SECTIONS.rstrip() + "\n")
     with open("/root/repo/RECALL.md", "w") as f:
         f.write("\n".join(lines))
     print("wrote RECALL.md")
