@@ -14,8 +14,8 @@ from tools import rotation
 
 
 def test_shipped_priority_matches_generator():
-    name, shipped = rotation.shipped_priority()
-    assert shipped == rotation.generate(), (
+    rnd, name, shipped = rotation.shipped_priority()
+    assert shipped == rotation.generate(max_round=rnd - 1), (
         f"{name} is stale — regenerate with "
         "`python tools/rotation.py --literal`"
     )
@@ -26,7 +26,7 @@ def test_ordering_rule(monkeypatch):
     # r5, d also r2 (alphabetical within the bucket)
     monkeypatch.setattr(
         rotation, "correctness_history",
-        lambda: {"a": 2, "b": 5, "d": 2},
+        lambda max_round=None: {"a": 2, "b": 5, "d": 2},
     )
     assert rotation.generate(["b", "d", "a", "c"]) == ["c", "a", "d", "b"]
 
@@ -34,8 +34,30 @@ def test_ordering_rule(monkeypatch):
 def test_priority_covers_whole_registry():
     import __spark_entry__ as e
 
-    _, shipped = rotation.shipped_priority()
+    _, _, shipped = rotation.shipped_priority()
     assert sorted(shipped) == sorted(e._query_registry()), (
         "the priority list must be the FULL registry ordering so "
         "positions 51+ are the next round's queue by construction"
     )
+
+
+def test_history_bound_ignores_future_rounds(monkeypatch, tmp_path):
+    """The round-N queue must survive the driver writing
+    CORRECTNESS_rN.json after the close: generate(max_round=N-1)
+    ignores it, so the committed _RN_PRIORITY stays valid on the
+    post-driver tree."""
+    import json
+
+    (tmp_path / "CORRECTNESS_r09.json").write_text(
+        json.dumps({"a": {}, "b": {}})
+    )
+    (tmp_path / "CORRECTNESS_r10.json").write_text(
+        json.dumps({"c": {}})
+    )
+    monkeypatch.setattr(rotation, "REPO", str(tmp_path))
+    keys = ["a", "b", "c"]
+    # bounded at r9: c is never-checked and leads
+    assert rotation.generate(keys, max_round=9) == ["c", "a", "b"]
+    # unbounded, the r10 row would demote c — exactly the failure
+    # the bound prevents
+    assert rotation.generate(keys) == ["a", "b", "c"]

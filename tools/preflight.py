@@ -122,8 +122,10 @@ def main() -> None:
     from tools import rotation
 
     try:
-        rot_name, shipped = rotation.shipped_priority()
-        generated = rotation.generate()
+        rot_round, rot_name, shipped = rotation.shipped_priority()
+        # the round-N queue derives from rounds <= N-1: the driver's
+        # own post-close CORRECTNESS_rN.json must not invalidate it
+        generated = rotation.generate(max_round=rot_round - 1)
         if shipped != generated:
             diverge = next(
                 (

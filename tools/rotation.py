@@ -37,15 +37,23 @@ sys.path.insert(0, "/root/repo")
 REPO = "/root/repo"
 
 
-def correctness_history() -> dict[str, int]:
+def correctness_history(max_round: int | None = None) -> dict[str, int]:
     """query name -> latest driver round that recorded it (any
-    verdict — a FAIL row is still a driver check)."""
+    verdict — a FAIL row is still a driver check). ``max_round``
+    bounds the history: the round-N priority list is derived from
+    rounds ≤ N-1, so the check must IGNORE CORRECTNESS files the
+    driver writes after the list shipped (otherwise the driver's own
+    post-close CORRECTNESS_rN.json would immediately invalidate
+    _RN_PRIORITY and fail every later pytest/preflight run on the
+    committed tree)."""
     latest: dict[str, int] = {}
     for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue
         rnd = int(m.group(1))
+        if max_round is not None and rnd > max_round:
+            continue
         try:
             with open(path) as fh:
                 data = json.load(fh)
@@ -58,21 +66,26 @@ def correctness_history() -> dict[str, int]:
     return latest
 
 
-def generate(registry_keys: list[str] | None = None) -> list[str]:
-    """The full priority ordering over the current registry."""
+def generate(
+    registry_keys: list[str] | None = None,
+    max_round: int | None = None,
+) -> list[str]:
+    """The full priority ordering over the current registry, from
+    the CORRECTNESS history through ``max_round`` (pass N-1 to
+    reproduce round N's queue)."""
     if registry_keys is None:
         import __spark_entry__ as e
 
         registry_keys = list(e._query_registry())
-    latest = correctness_history()
+    latest = correctness_history(max_round)
     # never-checked sorts before every real round via round 0... but
     # rule 1 says alphabetical within the never-checked group too, so
     # a single (round, name) sort key covers all three clauses
     return sorted(registry_keys, key=lambda q: (latest.get(q, 0), q))
 
 
-def shipped_priority() -> tuple[str, list[str]]:
-    """(attr name, list) of the newest _R{N}_PRIORITY in
+def shipped_priority() -> tuple[int, str, list[str]]:
+    """(round N, attr name, list) of the newest _R{N}_PRIORITY in
     __spark_entry__.py."""
     import __spark_entry__ as e
 
@@ -84,14 +97,14 @@ def shipped_priority() -> tuple[str, list[str]]:
     ]
     if not attrs:
         raise AttributeError("no _R{N}_PRIORITY attribute found")
-    _, name = max(attrs)
-    return name, list(getattr(e, name))
+    rnd, name = max(attrs)
+    return rnd, name, list(getattr(e, name))
 
 
 def main() -> None:
-    order = generate()
+    rnd, name, shipped = shipped_priority()
+    order = generate(max_round=rnd - 1)
     if "--check" in sys.argv:
-        name, shipped = shipped_priority()
         if shipped != order:
             extra = [q for q in shipped if q not in order]
             missing = [q for q in order if q not in shipped]
@@ -111,7 +124,7 @@ def main() -> None:
               f"({len(order)} queries)")
         return
     if "--literal" in sys.argv:
-        latest = correctness_history()
+        latest = correctness_history(rnd - 1)
         print("[")
         prev = None
         for q in order:
