@@ -51,6 +51,23 @@ def run(cmd: list[str], log: str | None = None) -> str:
     return r.stdout
 
 
+EVIDENCE_MARKER = "## Evidence (generated — tools/round_notes.py)"
+
+
+def replace_evidence_block(
+    notes_text: str | None, block: str, round_no: int
+) -> str:
+    """Idempotent notes assembly: the hand-written prose (everything
+    before the generated marker) is preserved verbatim; any previous
+    generated block is replaced by the fresh one, so re-running the
+    close never duplicates or strands Evidence sections."""
+    if notes_text is None:
+        head = f"# Round {round_no} notes\n\n"
+    else:
+        head = notes_text.split(EVIDENCE_MARKER)[0].rstrip() + "\n\n"
+    return head + block
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--round", type=int, required=True)
@@ -108,14 +125,9 @@ def main() -> None:
     block = run([py, "tools/round_notes.py", "--prev", args.prev,
                  "--pytest-count", str(count)])
     notes_path = os.path.join(REPO, f"ROUND{args.round}_NOTES.md")
-    marker = "## Evidence (generated — tools/round_notes.py)"
-    if os.path.exists(notes_path):
-        txt = open(notes_path).read()
-        txt = txt.split(marker)[0].rstrip() + "\n\n"
-    else:
-        txt = f"# Round {args.round} notes\n\n"
+    prior = open(notes_path).read() if os.path.exists(notes_path) else None
     with open(notes_path, "w") as fh:
-        fh.write(txt + block)
+        fh.write(replace_evidence_block(prior, block, args.round))
 
     # 8. coherence gate (suite already ran as step 6)
     run([py, "tools/preflight.py", "--fast"])
