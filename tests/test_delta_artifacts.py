@@ -608,3 +608,29 @@ class TestCosineIndexDelta:
         assert merged == _ctr(
             D.cosine_base_index(spark, sf_dir).collect()
         )
+
+
+class TestMinhashDeltaNewPairs:
+    def test_delta_pairs_equal_full_restriction(
+        self, spark, sf_dir, tmp_path, art_dir
+    ):
+        """Row-level lock for the probe itself (not just the merged
+        labels it feeds): the delta's new verified pairs must equal
+        the full union build's pairs restricted to delta-involved —
+        same jaccard values, same multiset."""
+        docs = load_table(spark, sf_dir, "documents")
+        base = docs.filter(F.col("doc_id") % 10 != 3)
+        delta = docs.filter(F.col("doc_id") % 10 == 3)
+        base_dir = str(tmp_path / "mpd")
+        os.makedirs(base_dir, exist_ok=True)
+        base.write.parquet(os.path.join(base_dir, "documents.parquet"))
+        got = _ctr(
+            D.minhash_pairs_delta_new(spark, base_dir, delta).collect()
+        )
+        d_ids = {r.doc_id for r in delta.select("doc_id").collect()}
+        want = Counter(
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in D.dedup_minhash(spark, sf_dir).collect()
+            if r.doc_a in d_ids or r.doc_b in d_ids
+        )
+        assert got == want and len(want) > 0
