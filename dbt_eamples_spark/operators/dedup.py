@@ -1437,7 +1437,11 @@ def minhash_pairs_delta_new(
 # whole delta path (measured: the cluster delta was SLOWER than its
 # 2 s rebuild purely on propagation-round latency). Past the bound —
 # a pathological batch — the exchange-based propagation takes over.
-QUOTIENT_DRIVER_CC_MAX = 1_000_000
+# Bound sized so the probe collect itself stays ~10 MB of driver
+# heap (two longs + Row overhead per edge): at the previous 1M bound
+# the size probe could be hundreds of MB before the distributed
+# fallback was ever chosen.
+QUOTIENT_DRIVER_CC_MAX = 100_000
 
 
 def _quotient_components(qe: DataFrame) -> DataFrame:
@@ -2697,8 +2701,16 @@ def cosine_base_index_apply_delta(
     np_base = lsh_planes(base_n)
     np_union = lsh_planes(base_n + delta_n)
     if np_union != np_base:
-        # index resize: every existing bucket id changes — rebuild
-        merged = keys_for(base_corpus.unionByName(d), np_union)
+        # index resize: every existing bucket id changes — rebuild.
+        # Pinned eagerly: the rebuild scans the LIVE embeddings
+        # table, and the two-phase ingest shape publishes AFTER
+        # appending the delta to that table — a lazy plan evaluated
+        # at publish time would re-read the grown table and
+        # duplicate the delta rows (matching the checkpoint
+        # discipline of the document-side apply_delta functions)
+        merged = keys_for(base_corpus.unionByName(d), np_union).localCheckpoint(
+            eager=True
+        )
     else:
         merged = cosine_base_index(spark, sf_dir).unionByName(
             keys_for(d, np_base)
@@ -2723,12 +2735,8 @@ def dedup_incremental_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Verify is the exact-cosine fold on candidates only, same
     threshold and float contract as dedup_embedding_cosine."""
     from dbt_eamples_spark.operators.similarity import (
-        DEDUP_LSH_TABLES,
-        DEDUP_PROBE_FLIPS,
         _as_double_vec,
         lsh_planes,
-        probe_key_pairs,
-        with_lsh_probes,
     )
 
     emb = load_table(
@@ -2737,6 +2745,34 @@ def dedup_incremental_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_n = emb.filter(F.col("vec_id") % INCR_MOD != 0).count()
     np_ = lsh_planes(corpus_n)  # scalar: index-build param
     delta = emb.filter(F.col("vec_id") % INCR_MOD == 0)
+    return _cosine_delta_vs_base(spark, sf_dir, delta, np_)
+
+
+def _cosine_delta_vs_base(
+    spark: SparkSession, sf_dir: str, delta_vecs: DataFrame, np_: int
+) -> DataFrame:
+    """The delta×base probe shared by :func:`dedup_incremental_cosine`
+    (delta = the table's %INCR_MOD convention rows) and
+    :func:`cosine_pairs_delta_new` (delta = an arbitrary not-yet-
+    appended ingest batch). ``delta_vecs`` is (vec_id, vec); the
+    a-side verify vectors are drawn from it (NOT the table — an
+    ingest batch is probed before its append), the b-side from the
+    persisted index's standing corpus. Same float expressions in the
+    same order as the pre-refactor inline body, so the driver-checked
+    hash contract of dedup_incremental_cosine is unchanged."""
+    from dbt_eamples_spark.operators.similarity import (
+        DEDUP_LSH_TABLES,
+        DEDUP_PROBE_FLIPS,
+        probe_key_pairs,
+        with_lsh_probes,
+    )
+
+    from dbt_eamples_spark.operators.similarity import _as_double_vec
+
+    emb = load_table(
+        spark, sf_dir, "embeddings", parallelize=True
+    ).select("vec_id", _as_double_vec(F.col("embedding")).alias("vec"))
+    delta = delta_vecs
     dk = with_lsh_probes(
         delta, "vec", DEDUP_LSH_TABLES, DEDUP_PROBE_FLIPS, nplanes=np_
     )
@@ -2751,26 +2787,29 @@ def dedup_incremental_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    ids = (
-        cands.select(F.col("new_vec").alias("vec_id"))
-        .union(cands.select(F.col("corpus_vec").alias("vec_id")))
-        .distinct()
-    )
     nrm = F.sqrt(
         F.aggregate(F.col("vec"), F.lit(0.0), lambda acc, x: acc + x * x)
     )
-    cand_vecs = emb.join(F.broadcast(ids), "vec_id").select(
-        "vec_id", "vec", nrm.alias("nrm")
-    )
-    a = cand_vecs.select(
+    # a-side vectors from the DELTA frame (for an ingest batch they
+    # are not in the table yet); b-side from the table — same rows /
+    # same float fold either way for the convention delta
+    a = delta.join(
+        F.broadcast(cands.select(F.col("new_vec").alias("vec_id")).distinct()),
+        "vec_id",
+    ).select(
         F.col("vec_id").alias("new_vec"),
         F.col("vec").alias("va"),
-        F.col("nrm").alias("na"),
+        nrm.alias("na"),
     )
-    b = cand_vecs.select(
+    b = emb.join(
+        F.broadcast(
+            cands.select(F.col("corpus_vec").alias("vec_id")).distinct()
+        ),
+        "vec_id",
+    ).select(
         F.col("vec_id").alias("corpus_vec"),
         F.col("vec").alias("vb"),
-        F.col("nrm").alias("nb"),
+        nrm.alias("nb"),
     )
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y),
@@ -2783,6 +2822,115 @@ def dedup_incremental_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "new_vec",
             "corpus_vec",
+            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_NEAR_DUP)
+    )
+
+
+def cosine_pairs_delta_new(
+    spark: SparkSession,
+    sf_dir: str,
+    delta_embeddings: DataFrame,
+    assume_new_ids: bool = False,
+) -> DataFrame:
+    """Embedding near-dup pairs GAINED against the STANDING corpus by
+    an ingest batch (vec_id, embedding, ...) that has NOT been
+    appended yet: the ANN twin of :func:`minhash_pairs_delta_new`'s
+    delta x base leg. The batch's multi-probe keys hit the persisted
+    :func:`cosine_base_index` (plane count = the index's own sizing,
+    ``lsh_planes`` of the standing convention-base count); exact
+    cosine verifies candidates only. Output (new_vec, corpus_vec,
+    cosine) — :func:`dedup_incremental_cosine`'s contract
+    generalized to an arbitrary delta frame. Within-batch pairs are
+    the separate :func:`cosine_pairs_delta_within` leg (different
+    schema: both sides new). Same new-ids-only contract (and
+    ValueError guard) as :func:`ngram_pairs_apply_delta`."""
+    from dbt_eamples_spark.operators.similarity import (
+        _as_double_vec,
+        lsh_planes,
+    )
+
+    d = delta_embeddings.select(
+        "vec_id", _as_double_vec(F.col("embedding")).alias("vec")
+    ).localCheckpoint(eager=True)  # delta-sized; probed and verified
+    # against the PRE-append corpus state, must survive the append
+    emb_ids = load_table(
+        spark, sf_dir, "embeddings", parallelize=True
+    ).select("vec_id")
+    if not assume_new_ids:
+        overlap = (
+            d.select("vec_id")
+            .join(emb_ids, "vec_id", "left_semi")
+            .limit(1)
+            .collect()
+        )
+        if overlap:
+            raise ValueError(
+                "cosine_pairs_delta_new: delta contains vec_ids "
+                f"already in the base corpus (e.g. {overlap[0].vec_id})"
+                " — the delta contract is new-ids-only"
+            )
+    base_n = emb_ids.filter(F.col("vec_id") % INCR_MOD != 0).count()
+    np_ = lsh_planes(base_n)  # scalar: MUST match the index build
+    return _cosine_delta_vs_base(spark, sf_dir, d, np_)
+
+
+def cosine_pairs_delta_within(
+    spark: SparkSession, delta_embeddings: DataFrame, nplanes: int
+) -> DataFrame:
+    """LSH self-pairs WITHIN an ingest batch — the delta x delta leg
+    of the embedding ingest probe (delta x base being
+    :func:`cosine_pairs_delta_new`): :func:`lsh_candidate_pairs`
+    over the batch alone, then dedup_embedding_cosine's exact-cosine
+    verify. Output (vec_a, vec_b, cosine), vec_a < vec_b. Cost is
+    batch-sized (plane dots) + collision-bounded (verify), never
+    corpus-touching."""
+    from dbt_eamples_spark.operators.similarity import (
+        DEDUP_LSH_TABLES,
+        DEDUP_PROBE_FLIPS,
+        _as_double_vec,
+    )
+
+    v = delta_embeddings.select(
+        "vec_id", _as_double_vec(F.col("embedding")).alias("vec")
+    ).localCheckpoint(eager=True)
+    cands = lsh_candidate_pairs(
+        v, tables=DEDUP_LSH_TABLES, flips=DEDUP_PROBE_FLIPS,
+        nplanes=nplanes,
+    ).localCheckpoint(eager=True)
+    ids = (
+        cands.select(F.col("vec_a").alias("vec_id"))
+        .union(cands.select(F.col("vec_b").alias("vec_id")))
+        .distinct()
+    )
+    nrm = F.sqrt(
+        F.aggregate(F.col("vec"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cand_vecs = v.join(F.broadcast(ids), "vec_id").select(
+        "vec_id", "vec", nrm.alias("nrm")
+    )
+    a = cand_vecs.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("vec").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = cand_vecs.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cands.join(F.broadcast(a), "vec_a")
+        .join(F.broadcast(b), "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
             F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= COSINE_NEAR_DUP)

@@ -115,16 +115,57 @@ def publish_artifacts(
     return published
 
 
+def run_housekeeping(
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    gc_max_total_bytes: int | None = None,
+    compact_target_file_bytes: int | None = None,
+) -> dict:
+    """Post-batch housekeeping (VERDICT r10 #3 — without it the
+    store accretes a corpus-sized ``doc_shingles`` per batch until
+    someone calls GC by hand): compact the appended table dir into
+    ~target-sized files, then evict stale-fingerprint artifacts
+    until the store fits the byte budget. Compaction must run
+    BEFORE the caller fingerprints + publishes — the fingerprint is
+    path/size/mtime-based, so compacting after publish would orphan
+    the just-published artifacts under a stale key. GC runs AFTER
+    publish (the batch functions call each half at its phase); the
+    fresh generation carries the newest ``last_used_at`` and
+    survives the budget cut while prior generations are evicted."""
+    report: dict = {}
+    if compact_target_file_bytes is not None:
+        from dbt_eamples_spark.sources.sinks import compact_small_files
+
+        report["corpus_files"] = compact_small_files(
+            spark, table_dir, target_file_bytes=compact_target_file_bytes
+        )
+    if gc_max_total_bytes is not None:
+        from dbt_eamples_spark.artifacts import gc_artifacts
+
+        report["artifacts_gc_removed"] = len(
+            gc_artifacts(max_total_bytes=gc_max_total_bytes)
+        )
+    return report
+
+
 def ingest_documents_batch(
     spark: SparkSession,
     batch: DataFrame,
     corpus_dir: str,
     *,
     maintain_artifacts: bool = False,
+    gc_max_total_bytes: int | None = None,
+    compact_target_file_bytes: int | None = None,
 ) -> dict:
     """One micro-batch of the document ingest loop; returns the run
     report row. Idempotent: re-delivering the same batch appends
-    zero rows and touches nothing."""
+    zero rows and touches nothing. Optional housekeeping: with
+    ``compact_target_file_bytes`` the appended table dir is
+    compacted BEFORE fingerprinting (so the published artifacts key
+    to the compacted state and stay warm for the next batch); with
+    ``gc_max_total_bytes`` stale-fingerprint artifacts are evicted
+    after publish until the store fits the budget."""
     from dbt_eamples_spark.artifacts import corpus_fingerprint
     from dbt_eamples_spark.operators import dedup as D
 
@@ -132,6 +173,12 @@ def ingest_documents_batch(
     corpus = spark.read.parquet(docs_path)
     fresh = (
         batch.select(*corpus.columns)  # corpus column order
+        # the at-least-once file source this loop models can deliver
+        # the same doc_id twice WITHIN one micro-batch; the anti-join
+        # below only dedups against the persisted corpus, so without
+        # this the duplicate would be appended twice and fed to every
+        # apply_delta with assume_new_ids=True
+        .dropDuplicates(["doc_id"])
         .join(corpus.select("doc_id"), "doc_id", "left_anti")
         .localCheckpoint(eager=True)  # pinned: consumed by the plan,
         # the probe, and the append — and must survive the append
@@ -154,15 +201,25 @@ def ingest_documents_batch(
         ).localCheckpoint(eager=True)
         n_pairs = probe.count()
     fresh.write.mode("append").parquet(docs_path)
+    report = {"rows_appended": n, "near_dup_pairs": n_pairs}
+    if compact_target_file_bytes is not None:
+        # before fingerprinting: the fingerprint is file-stat-based
+        report.update(run_housekeeping(
+            spark, docs_path,
+            compact_target_file_bytes=compact_target_file_bytes,
+        ))
     published: list[str] = []
     if maintain_artifacts:
         fp_union = corpus_fingerprint(corpus_dir, "documents")
         published = publish_artifacts(spark, frames, fp_union)
-    return {
-        "rows_appended": n,
-        "near_dup_pairs": n_pairs,
-        "artifacts_published": published,
-    }
+    if gc_max_total_bytes is not None:
+        # after publish: the fresh generation is the most recently
+        # used, so the budget cut evicts prior generations first
+        report.update(run_housekeeping(
+            spark, docs_path, gc_max_total_bytes=gc_max_total_bytes,
+        ))
+    report["artifacts_published"] = published
+    return report
 
 
 def stream_document_ingest(
@@ -202,14 +259,132 @@ def stream_document_ingest(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout=300)
+    if not q.awaitTermination(timeout=300):
+        # AvailableNow should drain well inside the timeout; a live
+        # query here means `reports` is silently partial — stop it
+        # and fail loud rather than return a truncated list
+        q.stop()
+        raise TimeoutError(
+            "stream_document_ingest: AvailableNow drain did not "
+            "terminate within 300s; partial reports discarded"
+        )
     return reports
+
+
+# the embedding-family artifact kinds the composer maintains — the
+# cosine LSH bucket index is the one persisted embedding-side index
+EMBEDDING_ARTIFACT_KINDS = ["cosine_base_index"]
+
+
+def plan_embedding_artifact_deltas(
+    spark: SparkSession, corpus_dir: str, fresh_vecs: DataFrame
+) -> dict[str, DataFrame]:
+    """Phase 1 of the embeddings loop: the merged
+    ``cosine_base_index`` frame planned against the CURRENT
+    (pre-append) embeddings state. ``fresh_vecs`` must already be
+    anti-joined against the corpus. The apply_delta handles the
+    plane-resize rule internally (an append crossing a
+    ``lsh_planes`` step rebuilds at the new count, eagerly
+    checkpointed; the common path appends delta keys to the
+    persisted artifact scan — both stable across the append)."""
+    from dbt_eamples_spark.operators import dedup as D
+
+    return {
+        "cosine_base_index": D.cosine_base_index_apply_delta(
+            spark, corpus_dir, fresh_vecs
+        )
+    }
+
+
+def ingest_embeddings_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    corpus_dir: str,
+    *,
+    maintain_artifacts: bool = False,
+    gc_max_total_bytes: int | None = None,
+    compact_target_file_bytes: int | None = None,
+) -> dict:
+    """The embeddings-side twin of :func:`ingest_documents_batch`
+    (VERDICT r10 #2): micro-batch of (vec_id, embedding, ...) rows →
+    idempotent corpus append → the persisted hyperplane bucket index
+    delta-maintained and published under the union embeddings
+    fingerprint → per-batch near-dup probe report. The probe has two
+    legs, reported separately: ``near_dup_pairs`` = batch×corpus
+    (:func:`~dbt_eamples_spark.operators.dedup.cosine_pairs_delta_new`
+    — the dedup_incremental_cosine contract over the not-yet-appended
+    batch) and ``within_batch_pairs`` = batch-internal LSH self-pairs.
+    Same two-phase shape as the document loop: plan + probe against
+    the pre-append state, append, fingerprint, publish."""
+    from dbt_eamples_spark.artifacts import corpus_fingerprint
+    from dbt_eamples_spark.operators import dedup as D
+    from dbt_eamples_spark.operators.similarity import lsh_planes
+
+    emb_path = table_path(corpus_dir, "embeddings")
+    corpus = spark.read.parquet(emb_path)
+    fresh = (
+        batch.select(*corpus.columns)
+        # same at-least-once guard as the document loop: duplicate
+        # vec_ids WITHIN one micro-batch must collapse before the
+        # anti-join (which only strips already-persisted ids)
+        .dropDuplicates(["vec_id"])
+        .join(corpus.select("vec_id"), "vec_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    n = fresh.count()
+    if n == 0:
+        return {
+            "rows_appended": 0,
+            "near_dup_pairs": 0,
+            "within_batch_pairs": 0,
+            "artifacts_published": [],
+        }
+    frames: dict[str, DataFrame] = {}
+    n_pairs = n_within = 0
+    if maintain_artifacts:
+        frames = plan_embedding_artifact_deltas(spark, corpus_dir, fresh)
+        probe = D.cosine_pairs_delta_new(
+            spark, corpus_dir, fresh, assume_new_ids=True
+        ).localCheckpoint(eager=True)
+        n_pairs = probe.count()
+        base_n = corpus.filter(
+            F.col("vec_id") % D.INCR_MOD != 0
+        ).count()
+        within = D.cosine_pairs_delta_within(
+            spark, fresh, lsh_planes(base_n)
+        ).localCheckpoint(eager=True)
+        n_within = within.count()
+    fresh.write.mode("append").parquet(emb_path)
+    report = {
+        "rows_appended": n,
+        "near_dup_pairs": n_pairs,
+        "within_batch_pairs": n_within,
+    }
+    if compact_target_file_bytes is not None:
+        report.update(run_housekeeping(
+            spark, emb_path,
+            compact_target_file_bytes=compact_target_file_bytes,
+        ))
+    published: list[str] = []
+    if maintain_artifacts:
+        fp_union = corpus_fingerprint(corpus_dir, "embeddings")
+        published = publish_artifacts(spark, frames, fp_union)
+    if gc_max_total_bytes is not None:
+        report.update(run_housekeeping(
+            spark, emb_path, gc_max_total_bytes=gc_max_total_bytes,
+        ))
+    report["artifacts_published"] = published
+    return report
 
 
 __all__ = [
     "DOCUMENT_ARTIFACT_KINDS",
+    "EMBEDDING_ARTIFACT_KINDS",
     "plan_document_artifact_deltas",
+    "plan_embedding_artifact_deltas",
     "publish_artifacts",
     "ingest_documents_batch",
+    "ingest_embeddings_batch",
+    "run_housekeeping",
     "stream_document_ingest",
 ]

@@ -186,6 +186,47 @@ class TestIngestPipeline:
         assert not [e for _, e in A.ARTIFACT_EVENTS if e == "build"]
         assert corpus_fingerprint(corpus_dir, "documents") == fp_final
 
+    def test_within_batch_duplicates(self, spark, sf_dir, tmp_path, art_dir):
+        """ADVICE r10 (medium): the at-least-once file source can
+        deliver the same doc_id twice WITHIN one micro-batch. The
+        corpus anti-join only strips rows already persisted, so the
+        batch itself must be deduped first — otherwise the duplicate
+        is appended twice and fed to every apply_delta with
+        assume_new_ids=True, breaking the artifacts==rebuild
+        invariant."""
+        corpus_dir, b1, _ = self._setup(spark, sf_dir, tmp_path)
+        r = I.ingest_documents_batch(
+            spark, b1.unionByName(b1), corpus_dir,
+            maintain_artifacts=True,
+        )
+        assert r["rows_appended"] == b1.count()
+        docs = spark.read.parquet(
+            os.path.join(corpus_dir, "documents.parquet")
+        )
+        assert (
+            docs.groupBy("doc_id").count()
+            .filter(F.col("count") > 1).count() == 0
+        )
+        # delta-maintained artifacts still equal a one-shot rebuild
+        fp = A.corpus_fingerprint(corpus_dir, "documents")
+        got = {
+            kind: _ctr(
+                spark.read.parquet(A.artifact_path(kind, fp)).collect()
+            )
+            for kind in ("doc_shingles", "minhash_band_index")
+        }
+        os.environ["SPARK_GRAFT_ARTIFACTS"] = str(
+            tmp_path / "arts_scratch_dup"
+        )
+        _clear_l1()
+        try:
+            for kind, inc in got.items():
+                want = _ctr(_BUILDERS[kind](spark, corpus_dir).collect())
+                assert inc == want, kind
+        finally:
+            os.environ["SPARK_GRAFT_ARTIFACTS"] = art_dir
+            _clear_l1()
+
     def test_streaming_form(self, spark, sf_dir, tmp_path, art_dir):
         """The foreachBatch wrapper drains the source with
         AvailableNow and reports per batch; a rerun with a fresh
@@ -210,3 +251,210 @@ class TestIngestPipeline:
             maintain_artifacts=True,
         )
         assert [r["rows_appended"] for r in reports2] == [0]
+
+
+class TestEmbeddingsIngest:
+    """The embeddings-side twin (VERDICT r10 #2): same two-phase
+    shape around cosine_base_index_apply_delta, probe ==
+    batch-restricted dedup_incremental_cosine."""
+
+    def _setup(self, spark, sf_dir, tmp_path):
+        emb = load_table(spark, sf_dir, "embeddings")
+        corpus_dir = str(tmp_path / "ecorpus")
+        os.makedirs(corpus_dir, exist_ok=True)
+        emb.filter(
+            (F.col("vec_id") % 10 >= 1) & (F.col("vec_id") % 10 <= 7)
+        ).write.parquet(os.path.join(corpus_dir, "embeddings.parquet"))
+        b1 = emb.filter(
+            (F.col("vec_id") % 10 == 8) | (F.col("vec_id") % 10 == 9)
+        )
+        # batch 2 is EXACTLY the %INCR_MOD == 0 convention class, so
+        # post-ingest dedup_incremental_cosine's delta IS this batch
+        b2 = emb.filter(F.col("vec_id") % 10 == 0)
+        return corpus_dir, b1, b2
+
+    def test_two_batch_replay(self, spark, sf_dir, tmp_path, art_dir):
+        corpus_dir, b1, b2 = self._setup(spark, sf_dir, tmp_path)
+
+        r1 = I.ingest_embeddings_batch(
+            spark, b1, corpus_dir, maintain_artifacts=True
+        )
+        assert r1["rows_appended"] == b1.count()
+        assert set(r1["artifacts_published"]) == set(
+            I.EMBEDDING_ARTIFACT_KINDS
+        )
+
+        # probe contract for batch 2 (the convention class): the
+        # pre-append delta probe must equal the post-append
+        # dedup_incremental_cosine output row-for-row
+        from dbt_eamples_spark.operators import dedup as D
+
+        want_probe = _ctr(
+            D.cosine_pairs_delta_new(spark, corpus_dir, b2).collect()
+        )
+
+        # batch 2 delivered OVERLAPPING with the already-ingested b1
+        # rows (at-least-once file drop) AND self-duplicated: the
+        # dropDuplicates + anti-join must reduce it to the new rows
+        A.ARTIFACT_EVENTS.clear()
+        r2 = I.ingest_embeddings_batch(
+            spark, b1.unionByName(b2).unionByName(b2), corpus_dir,
+            maintain_artifacts=True,
+        )
+        assert r2["rows_appended"] == b2.count()
+        assert r2["near_dup_pairs"] == sum(want_probe.values())
+        # zero base rebuilds in batch 2: the only build event is the
+        # batch-2 publish itself (the base read was warm at the
+        # post-batch-1 fingerprint published by batch 1)
+        builds = Counter(
+            k for k, e in A.ARTIFACT_EVENTS
+            if e == "build" and k in I.EMBEDDING_ARTIFACT_KINDS
+        )
+        assert builds == Counter({"cosine_base_index": 1}), builds
+
+        emb_final = spark.read.parquet(
+            os.path.join(corpus_dir, "embeddings.parquet")
+        )
+        assert (
+            emb_final.groupBy("vec_id").count()
+            .filter(F.col("count") > 1).count() == 0
+        )
+
+        # post-append: dedup_incremental_cosine (delta = the %10==0
+        # class = exactly b2) equals the pre-append probe
+        got_incr = _ctr(
+            D.dedup_incremental_cosine(spark, corpus_dir)
+            .select(
+                F.col("new_vec").alias("vec_id_a"),
+                F.col("corpus_vec").alias("vec_id_b"),
+                "cosine",
+            )
+            .collect()
+        )
+        want_renamed = _ctr(
+            D.cosine_pairs_delta_new(spark, corpus_dir, b2, True)
+            .select(
+                F.col("new_vec").alias("vec_id_a"),
+                F.col("corpus_vec").alias("vec_id_b"),
+                "cosine",
+            )
+            .collect()
+        )
+        assert got_incr == want_renamed
+        # and the original pre-append probe is that same multiset
+        assert want_probe == _ctr(
+            D.cosine_pairs_delta_new(spark, corpus_dir, b2, True).collect()
+        )
+
+        # incremental index == one-shot rebuild over the final corpus
+        fp_final = A.corpus_fingerprint(corpus_dir, "embeddings")
+        inc = _ctr(
+            spark.read.parquet(
+                A.artifact_path("cosine_base_index", fp_final)
+            ).collect()
+        )
+        os.environ["SPARK_GRAFT_ARTIFACTS"] = str(
+            tmp_path / "arts_scratch_emb"
+        )
+        try:
+            want = _ctr(D.cosine_base_index(spark, corpus_dir).collect())
+        finally:
+            os.environ["SPARK_GRAFT_ARTIFACTS"] = art_dir
+        assert inc == want
+        assert len(want) > 0
+
+        # idempotent replay
+        A.ARTIFACT_EVENTS.clear()
+        for b in (b1, b2):
+            r = I.ingest_embeddings_batch(
+                spark, b, corpus_dir, maintain_artifacts=True
+            )
+            assert r == {
+                "rows_appended": 0,
+                "near_dup_pairs": 0,
+                "within_batch_pairs": 0,
+                "artifacts_published": [],
+            }
+        assert not [e for _, e in A.ARTIFACT_EVENTS if e == "build"]
+
+
+class TestHousekeeping:
+    """VERDICT r10 #3: the loop must not accrete storage forever —
+    gc_artifacts keeps the store under a byte budget with the newest
+    generation intact, and compact_small_files bounds the corpus
+    dir's file count with row-identical content."""
+
+    def test_budgeted_three_batch_loop(
+        self, spark, sf_dir, tmp_path, art_dir
+    ):
+        docs = load_table(spark, sf_dir, "documents")
+        corpus_dir = str(tmp_path / "corpus")
+        os.makedirs(corpus_dir, exist_ok=True)
+        docs_path = os.path.join(corpus_dir, "documents.parquet")
+        docs.filter(
+            (F.col("doc_id") % 10 >= 1) & (F.col("doc_id") % 10 <= 6)
+        ).write.parquet(docs_path)
+        batches = [
+            docs.filter(F.col("doc_id") % 10 == 7),
+            docs.filter(F.col("doc_id") % 10 == 8),
+            docs.filter(
+                (F.col("doc_id") % 10 == 9) | (F.col("doc_id") % 10 == 0)
+            ),
+        ]
+        # first batch un-budgeted to measure one generation's bytes
+        # (planning also lands the pre-append base builds, so the
+        # store holds TWO fingerprint generations after batch 1)
+        r1 = I.ingest_documents_batch(
+            spark, batches[0], corpus_dir, maintain_artifacts=True,
+            compact_target_file_bytes=1 << 20,
+        )
+        assert r1["rows_appended"] == batches[0].count()
+        assert r1["corpus_files"] >= 1
+        total_after_b1 = sum(
+            r["size_bytes"] for r in A.list_artifacts()
+        )
+        budget = total_after_b1  # room for ~2 generations, not more
+        expect_rows = _ctr(
+            spark.read.parquet(docs_path)
+            .unionByName(batches[1]).unionByName(batches[2])
+            .select("doc_id").collect()
+        )
+        for b in batches[1:]:
+            _clear_l1()
+            A.ARTIFACT_EVENTS.clear()
+            r = I.ingest_documents_batch(
+                spark, b, corpus_dir, maintain_artifacts=True,
+                gc_max_total_bytes=budget,
+                compact_target_file_bytes=1 << 20,
+            )
+            assert r["rows_appended"] == b.count()
+            # GC never evicts what the next plan needs: every base
+            # read this batch was warm (publish = 1 build per kind)
+            builds = Counter(
+                k for k, e in A.ARTIFACT_EVENTS
+                if e == "build" and k in I.DOCUMENT_ARTIFACT_KINDS
+            )
+            assert all(v == 1 for v in builds.values()), builds
+            assert builds.keys() == set(I.DOCUMENT_ARTIFACT_KINDS)
+            # store stays under budget after each budgeted batch
+            assert sum(
+                rr["size_bytes"] for rr in A.list_artifacts()
+            ) <= budget
+            assert r["artifacts_gc_removed"] > 0
+
+        # newest fingerprint's artifacts all intact and readable
+        fp = A.corpus_fingerprint(corpus_dir, "documents")
+        for kind in I.DOCUMENT_ARTIFACT_KINDS:
+            p = A.artifact_path(kind, fp)
+            assert os.path.exists(os.path.join(p, "_SUCCESS")), kind
+            spark.read.parquet(p).head(1)
+
+        # corpus dir: bounded file count, row-identical content
+        parts = [
+            f for f in os.listdir(docs_path) if f.endswith(".parquet")
+        ]
+        assert len(parts) <= 2, parts  # ~1 MB target, tiny corpus
+        got_rows = _ctr(
+            spark.read.parquet(docs_path).select("doc_id").collect()
+        )
+        assert got_rows == expect_rows

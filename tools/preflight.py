@@ -56,13 +56,17 @@ def is_driver_bench_local(bl_path: str, repo: str = REPO) -> bool:
     totals = bl2.get("raw_run_totals_sec")
     if not totals:
         return False
-    brs = glob.glob(os.path.join(repo, "BENCH_r*.json"))
+    # filter to numeric-round names first: a stray BENCH_rerun.json
+    # would make the bare regex .group(1) raise inside the max() key
+    brs = [
+        (int(m.group(1)), p)
+        for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
+        for m in [re.search(r"BENCH_r(\d+)\.json$", p)]
+        if m
+    ]
     if not brs:
         return False
-    newest = max(
-        brs,
-        key=lambda p: int(re.search(r"BENCH_r(\d+)\.json$", p).group(1)),
-    )
+    newest = max(brs)[1]
     try:
         with open(newest) as fh:
             br = _json.load(fh)
