@@ -1055,6 +1055,67 @@ def agg_trend_slope_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_trend_slope_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gate for the Arrow path (VERDICT r10 #8 — the
+    :func:`~dbt_eamples_spark.operators.similarity.embedding_pca_invariants`
+    pattern): ``agg_trend_slope_pandas`` is rows-only at the driver
+    by policy (no SQL oracle can run applyInPandas), but its
+    EQUALITY to the JVM twin is checkable inside the engine. This
+    one-row companion full-outer-joins the two paths on user_id,
+    counts null-safe (n_events, slope) mismatches, and emits the
+    match bit alongside SQL-expressible corpus aggregates of the
+    JVM side (user count, event total, null-slope count, a 1e4
+    fixed-point slope checksum — slopes are pre-rounded to 4
+    decimals so the checksum is exact). The oracle recomputes the
+    aggregates and expects ``pandas_matches_jvm`` TRUE — an Arrow
+    drift (dtype change, overflow, rounding divergence) flips the
+    bit and fails the value hash, upgrading the Python path from
+    rows-only to value-gated. The comparison is distributed (one
+    count aggregate); only the two scalar totals reach the driver."""
+    jvm = agg_trend_slope(spark, sf_dir)
+    pdf = agg_trend_slope_pandas(spark, sf_dir)
+    j = jvm.select(
+        "user_id",
+        F.col("n_events").alias("n_j"),
+        F.col("slope_per_day").alias("s_j"),
+    )
+    p = pdf.select(
+        "user_id",
+        F.col("n_events").alias("n_p"),
+        F.col("slope_per_day").alias("s_p"),
+    )
+    cmp_row = (
+        j.join(p, "user_id", "full_outer")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("n_j").eqNullSafe(F.col("n_p"))
+                    & F.col("s_j").eqNullSafe(F.col("s_p")),
+                    0,
+                ).otherwise(1)
+            ).alias("n_mismatch")
+        )
+        .collect()[0]
+    )
+    matches = bool(cmp_row["n_mismatch"] == 0)
+    return jvm.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("n_events").cast("long").alias("n_events_total"),
+        F.sum(
+            F.when(F.col("slope_per_day").isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_null_slopes"),
+        F.sum(
+            F.round(F.col("slope_per_day") * 1e4).cast("long")
+        ).cast("long").alias("slope_checksum_fp"),
+    ).select(
+        "n_users",
+        "n_events_total",
+        "n_null_slopes",
+        "slope_checksum_fp",
+        F.lit(matches).alias("pandas_matches_jvm"),
+    )
+
+
 def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group Pearson correlation between line quantity and
     extended price — the numeric-profiling statistic every

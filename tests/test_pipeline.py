@@ -543,6 +543,26 @@ class TestTrendSlope:
         assert diff == 0
         assert jvm.count() > 0
 
+    def test_audit_row_reports_match(self, spark, sf_dir):
+        """The driver-hash-gated companion (VERDICT r10 #8): one row,
+        pandas_matches_jvm TRUE, aggregates consistent with the JVM
+        output it summarizes."""
+        from dbt_eamples_spark.operators.relational import (
+            agg_trend_slope,
+            agg_trend_slope_audit,
+        )
+
+        row = agg_trend_slope_audit(spark, sf_dir).collect()
+        assert len(row) == 1
+        row = row[0]
+        assert row.pandas_matches_jvm is True
+        jvm = agg_trend_slope(spark, sf_dir).collect()
+        assert row.n_users == len(jvm)
+        assert row.n_events_total == sum(r.n_events for r in jvm)
+        assert row.n_null_slopes == sum(
+            1 for r in jvm if r.slope_per_day is None
+        )
+
 
 class TestLakehouseWrites:
     def test_dynamic_overwrite_touches_only_present_partitions(
