@@ -444,42 +444,50 @@ PHASH_GROUP = 5            # docs per planted scene: base + 3 shifts + 1 corrupt
 PHASH_H, PHASH_W = 16, 18  # generated image geometry (2×2-pooled to 8×9)
 PHASH_BUCKET_CAP = 256     # oversized-band guard (entity-match recipe)
 PHASH_MAX_HAMMING = 4      # verify threshold (planted ≤2, cross-scene ≥7)
-# collision-free horizon of the two-modulus generative form: scenes
-# g ≡ g' under BOTH 199 and 193 repeat, so distinct-scene images are
-# guaranteed only below lcm(199, 193) scenes (~192k docs). Guarded
-# at generation time (VERDICT r8 #7) so a larger synthesis fails
-# loudly instead of silently planting cross-scene duplicates — the
-# fix at that scale is a third coprime modulus term.
-PHASH_SCENE_PERIOD = 199 * 193  # 38,407 scenes
+# collision-free horizon of the generative form: two scenes repeat
+# only when g ≡ g' under ALL of 199, 193 AND 197 (the r11 third
+# coprime modulus — each modulus rides its own monomial, so the
+# mod-199 polynomial identity forces every congruence separately),
+# so distinct-scene images are guaranteed below lcm(199,193,197)
+# scenes (~37.8M docs — covers the 10× synthesis whose offset ids
+# overflowed the old two-modulus 38,407-scene horizon). Guarded at
+# generation time (VERDICT r8 #7) so a larger synthesis fails
+# loudly instead of silently planting cross-scene duplicates.
+PHASH_SCENE_PERIOD = 199 * 193 * 197  # 7,566,179 scenes
 
 
 def _phash_pixels(doc_id: int):
     """Closed-form grayscale image for ``doc_id`` — the generative
     contract shared verbatim with the DuckDB oracle: scene
     g = doc_id//5 draws base(i) = ((g+1)(i²+3i+7) + (13g mod 193)
-    (2i+1)) mod 199 over the raster index i; members m = doc_id%5
-    add a constant brightness shift (+m — preserves every
-    adjacent-block comparison, so members 0-3 share the exact
-    dHash), and member 4 additionally corrupts ONE pixel (+50 at
-    i = 13g mod 288 — flips ≤2 hash bits, measured ≤2). The second
-    modulus term kills the scene period: a single (g+1)·q(i) mod
-    199 form repeats every 199 scenes (caught at sf0.1 — identical
-    cross-scene images), while collisions now need g ≡ g' under
-    BOTH 199 and 193, period lcm = 38,407 scenes (~192k docs);
-    measured cross-scene Hamming ≥ 11 over ALL 499,500 scene pairs
-    at 1000 scenes (sf0.1), ≥ 14 sampled at 10,000."""
+    (2i+1) + (7g mod 197)·i³) mod 199 over the raster index i;
+    members m = doc_id%5 add a constant brightness shift (+m —
+    preserves every adjacent-block comparison, so members 0-3 share
+    the exact dHash), and member 4 additionally corrupts ONE pixel
+    (+50 at i = 13g mod 288 — flips ≤2 hash bits, measured ≤2).
+    Each modulus rides its own monomial degree (i³ coefficient is
+    the mod-197 term alone, i² the mod-199 term, and matching the
+    i¹/i⁰ coefficients then forces the mod-193 term), so two scenes
+    produce identical arrays only when g ≡ g' under ALL of 199, 193
+    and 197 — period lcm = 7,566,179 scenes (~37.8M docs). The
+    third term was added in r11 because the 10× synthesis's offset
+    doc_ids overflowed the old two-modulus horizon; cross-scene
+    Hamming re-measured after the change (see
+    tests/test_round9_ops.py's separation locks and BENCH_SF1.md)."""
     import numpy as np
 
     g, m = doc_id // PHASH_GROUP, doc_id % PHASH_GROUP
     if g >= PHASH_SCENE_PERIOD:
         raise ValueError(
-            f"phash generative fixture: scene {g} >= the two-modulus "
-            f"collision-free period {PHASH_SCENE_PERIOD} — add a third "
-            "coprime modulus before synthesizing past ~192k docs"
+            f"phash generative fixture: scene {g} >= the three-modulus "
+            f"collision-free period {PHASH_SCENE_PERIOD} — add a fourth "
+            "coprime modulus before synthesizing past ~37.8M docs"
         )
     i = np.arange(PHASH_H * PHASH_W, dtype=np.int64)
     base = (
-        (g + 1) * (i * i + 3 * i + 7) + (g * 13 % 193) * (2 * i + 1)
+        (g + 1) * (i * i + 3 * i + 7)
+        + (g * 13 % 193) * (2 * i + 1)
+        + (g * 7 % 197) * (i * i * i)
     ) % 199
     img = base + m
     if m == PHASH_GROUP - 1:

@@ -6606,7 +6606,8 @@ def _phash_bands_cte() -> str:
         px AS (
             SELECT doc_id, bi // 9 AS r, bi % 9 AS c,
                    ((g + 1) * (i * i + 3 * i + 7)
-                    + (g * 13 % 193) * (2 * i + 1)) % 199 + m
+                    + (g * 13 % 193) * (2 * i + 1)
+                    + (g * 7 % 197) * (i * i * i)) % 199 + m
                    + CASE WHEN m = {PHASH_GROUP - 1}
                                AND i = (g * 13) % 288
                           THEN 50 ELSE 0 END AS val

@@ -84,11 +84,13 @@ def test_incremental_phash_matches_full_restriction(spark, sf_dir, tmp_path, mon
 
 
 def test_phash_fixture_horizon_guard():
-    """The two-modulus generative scene form is collision-free only
-    below lcm(199, 193) = 38,407 scenes (~192k docs); generation
-    past that horizon must fail loudly (VERDICT r8 #7), and the
-    period really is the first scene collision (the base pixel
-    arrays repeat exactly there, the reason the guard exists)."""
+    """The three-modulus generative scene form is collision-free
+    only below lcm(199, 193, 197) = 7,566,179 scenes (~37.8M docs);
+    generation past that horizon must fail loudly (VERDICT r8 #7,
+    period extended r11 with the i^3 mod-197 term so the 10x
+    synthesis's offset ids fit), and the period really is the first
+    scene collision (the base pixel arrays repeat exactly there, the
+    reason the guard exists)."""
     import numpy as np
     import pytest as _pt
 
@@ -100,11 +102,12 @@ def test_phash_fixture_horizon_guard():
 
     # inside the horizon: fine; at the horizon: loud
     _phash_pixels((PHASH_SCENE_PERIOD - 1) * PHASH_GROUP)
-    with _pt.raises(ValueError, match="third"):
+    with _pt.raises(ValueError, match="fourth"):
         _phash_pixels(PHASH_SCENE_PERIOD * PHASH_GROUP)
     # the period is real: scene g and g + period share pixels bit
     # for bit (computed directly from the closed form, bypassing
-    # the guard) while g and g+1 differ
+    # the guard) while g and g+1 differ, and no PROPER divisor of
+    # the period built from the moduli is itself a period
     g = 7
     i = np.arange(16 * 18, dtype=np.int64)
 
@@ -112,7 +115,10 @@ def test_phash_fixture_horizon_guard():
         return (
             (gg + 1) * (i * i + 3 * i + 7)
             + (gg * 13 % 193) * (2 * i + 1)
+            + (gg * 7 % 197) * (i * i * i)
         ) % 199
 
     assert np.array_equal(base(g), base(g + PHASH_SCENE_PERIOD))
     assert not np.array_equal(base(g), base(g + 1))
+    for sub in (199 * 193, 199 * 197, 193 * 197):
+        assert not np.array_equal(base(g), base(g + sub)), sub

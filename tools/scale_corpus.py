@@ -29,6 +29,7 @@ Usage: python tools/scale_corpus.py [out_dir]  (default
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 
@@ -36,7 +37,26 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 OFF = 100_000_000
+# documents use a SMALLER copy offset: the phash generative fixture
+# derives a scene id g = doc_id//5, and its three-modulus form is
+# collision-free only below ~7.57M scenes (~37.8M docs) — 1M-offset
+# copies keep every synthesized g inside that horizon (max ≈ 1.8M)
+# while preserving the %INCR_MOD classes (1e6 ≡ 0 mod 10) and
+# doc_id uniqueness (sf0.1 max doc_id 4,999 << 1M)
+DOC_OFF = 1_000_000
 COPIES = 10
+# Synthesis version, stamped into <out>/_synthesis.json and quoted
+# by every BENCH_SF1 exponent table (VERDICT r10 #7 — exponents must
+# never again be measured against an unstated fixture artifact):
+#   1: vowel-permutation documents, OFF=1e8 everywhere (rounds 4-9).
+#      Plants a quadratic cross-copy dup tail: the vowel permutation
+#      is an identity on consonant-only/numeric texts.
+#   2: adds the --full-permute control (round 10) — full-alphabet
+#      rotation, no planted tail; default output unchanged.
+#   3: documents copy offset 1e6 (round 11) so the phash image
+#      family synthesizes inside the three-modulus horizon; text
+#      content unchanged except the ' u<doc_id>' uniqueness suffix.
+SYNTH_VERSION = 3
 
 
 def vowel_perm(i: int) -> str:
@@ -126,11 +146,11 @@ def main() -> None:
     full = "--full-permute" in sys.argv
     copy_union(
         "documents",
-        lambda i: f"""SELECT doc_id + {i * OFF} AS doc_id,
+        lambda i: f"""SELECT doc_id + {i * DOC_OFF} AS doc_id,
             translate(text,
                       '{"abcdefghijklmnopqrstuvwxyz" if full else "aeiou"}',
                       '{alpha_perm(i) if full else vowel_perm(i)}')
-              || ' u' || CAST(doc_id + {i * OFF} AS VARCHAR) AS text,
+              || ' u' || CAST(doc_id + {i * DOC_OFF} AS VARCHAR) AS text,
             lang, source, n_chars FROM '{SRC}/documents.parquet'""",
     )
     copy_union(
@@ -140,6 +160,35 @@ def main() -> None:
                         embedding[:{i % 64}]) AS embedding,
             label FROM '{SRC}/embeddings.parquet'""",
     )
+    with open(os.path.join(out, "_synthesis.json"), "w") as fh:
+        json.dump(
+            {
+                "synth_version": SYNTH_VERSION,
+                "src": SRC,
+                "copies": COPIES,
+                "off": OFF,
+                "doc_off": DOC_OFF,
+                "documents_permutation": (
+                    "full-alphabet" if full else "vowel"
+                ),
+            },
+            fh,
+            indent=1,
+        )
+    print("synthesis manifest: version", SYNTH_VERSION,
+          "(full-permute)" if full else "(vowel, planted dup tail)")
+
+
+def synth_manifest(corpus_dir: str) -> dict:
+    """The stamped synthesis manifest of a generated corpus dir —
+    {} for corpora generated before versioning (treat as version 1,
+    OFF=1e8 documents)."""
+    p = os.path.join(corpus_dir, "_synthesis.json")
+    try:
+        with open(p) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
 
 
 if __name__ == "__main__":
