@@ -1072,7 +1072,10 @@ def agg_trend_slope_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit and fails the value hash, upgrading the Python path from
     rows-only to value-gated. The comparison is distributed (one
     count aggregate); only the two scalar totals reach the driver."""
-    jvm = agg_trend_slope(spark, sf_dir)
+    # pinned: |users|-bounded (one row per user), consumed by both
+    # the comparison join and the aggregate pass — without it the
+    # events-table OLS aggregation would evaluate twice
+    jvm = agg_trend_slope(spark, sf_dir).localCheckpoint(eager=True)
     pdf = agg_trend_slope_pandas(spark, sf_dir)
     j = jvm.select(
         "user_id",

@@ -10,6 +10,8 @@ Steps (all on the CURRENT tree — commit your source first):
   1. strict oracle sweep at sf0.01 and sf0.1 → .tmp logs
   2. tools/oracle_ledger.py → LOCAL_ORACLE_r{N}.md (tree-stamped)
   3. bench.py (3 passes) → BENCH_LOCAL.json (tree-stamped)
+  3b. tools/bench_sf1_report.py → BENCH_SF1.md (tree-stamped,
+      generated whole; synthesizes .tmp/sf1.0 first if absent)
   4. tools/bench_solo.py 10 → BENCH_SOLO.json (tree-stamped)
   5. tools/explain_audit.py → EXPLAINS.md
   6. full pytest → count
@@ -99,6 +101,16 @@ def main() -> None:
 
     # 3. bench (writes BENCH_LOCAL.json itself)
     run([py, "bench.py"], os.path.join(TMP, "bench_close.log"))
+
+    # 3b. BENCH_SF1.md regeneration (VERDICT r10 #6): generated
+    # whole on this tree, against the fresh BENCH_LOCAL.json — its
+    # engine-tree footer is preflight-gated, so a close on a tree
+    # without the synthesized corpus must build it first
+    if not os.path.isdir(os.path.join(TMP, "sf1.0")):
+        run([py, "tools/scale_corpus.py"],
+            os.path.join(TMP, "scale_corpus_close.log"))
+    run([py, "tools/bench_sf1_report.py"],
+        os.path.join(TMP, "bench_sf1_close.log"))
 
     # 4. solo ledger (writes BENCH_SOLO.json itself)
     run([py, "tools/bench_solo.py", "10"],

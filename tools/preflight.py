@@ -248,6 +248,27 @@ def main() -> None:
                 "(tools/round_notes.py) on the final tree"
             )
 
+    # 3d. BENCH_SF1.md freshness (VERDICT r10 #6): generated whole
+    # by tools/bench_sf1_report.py with an engine-tree footer — a
+    # stale first screen was exactly the r10 finding. A legacy file
+    # without a stamp fails too (it predates the generator).
+    sf1_md = os.path.join(REPO, "BENCH_SF1.md")
+    if os.path.exists(sf1_md):
+        with open(sf1_md) as fh:
+            m = re.search(r"Engine tree: `([0-9a-f]+)`", fh.read())
+        if not m:
+            errs.append(
+                "BENCH_SF1.md carries no engine-tree footer — "
+                "regenerate it whole with tools/bench_sf1_report.py"
+            )
+        elif m.group(1) != tree_now:
+            errs.append(
+                f"BENCH_SF1.md was generated against engine tree "
+                f"{m.group(1)}, but the tree being snapshotted hashes "
+                f"{tree_now} — re-run tools/bench_sf1_report.py "
+                "before snapshotting"
+            )
+
     # 4. evidence files committed (the r6 BENCH_LOCAL.json slip) —
     # EXCEPT driver-written artifacts (VERDICT r8 #6): the driver's
     # post-close rerun overwrites BENCH_LOCAL.json in the working
