@@ -377,6 +377,51 @@ def ingest_embeddings_batch(
     return report
 
 
+def stream_embeddings_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    corpus_dir: str,
+    checkpoint: str,
+    *,
+    maintain_artifacts: bool = False,
+) -> list[dict]:
+    """Structured-Streaming form of the embeddings loop — the
+    :func:`stream_document_ingest` twin: file source over
+    ``source_dir`` (parquet embedding batches dropped by an upstream
+    encoder) → ``foreachBatch`` running
+    :func:`ingest_embeddings_batch`, drained with AvailableNow;
+    per-batch reports returned in batch order, same loud-timeout
+    contract."""
+    emb_path = table_path(corpus_dir, "embeddings")
+    schema = spark.read.parquet(emb_path).schema
+    src = spark.readStream.schema(schema).parquet(
+        os.path.join(source_dir, "*.parquet")
+    )
+    reports: list[dict] = []
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        row = ingest_embeddings_batch(
+            spark, batch, corpus_dir,
+            maintain_artifacts=maintain_artifacts,
+        )
+        row["batch_id"] = batch_id
+        reports.append(row)
+
+    q = (
+        src.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout=300):
+        q.stop()
+        raise TimeoutError(
+            "stream_embeddings_ingest: AvailableNow drain did not "
+            "terminate within 300s; partial reports discarded"
+        )
+    return reports
+
+
 __all__ = [
     "DOCUMENT_ARTIFACT_KINDS",
     "EMBEDDING_ARTIFACT_KINDS",
@@ -387,4 +432,5 @@ __all__ = [
     "ingest_embeddings_batch",
     "run_housekeeping",
     "stream_document_ingest",
+    "stream_embeddings_ingest",
 ]

@@ -377,6 +377,30 @@ class TestEmbeddingsIngest:
             }
         assert not [e for _, e in A.ARTIFACT_EVENTS if e == "build"]
 
+    def test_streaming_form(self, spark, sf_dir, tmp_path, art_dir):
+        """The foreachBatch wrapper over the embeddings loop drains
+        with AvailableNow and reports per batch; a rerun with a
+        fresh checkpoint appends nothing (the document-side
+        streaming contract, mirrored)."""
+        corpus_dir, b1, _ = self._setup(spark, sf_dir, tmp_path)
+        src = str(tmp_path / "vec_incoming")
+        os.makedirs(src, exist_ok=True)
+        b1.coalesce(1).write.parquet(os.path.join(src, "b1.parquet"))
+
+        reports = I.stream_embeddings_ingest(
+            spark, src, corpus_dir, str(tmp_path / "eckpt1"),
+            maintain_artifacts=True,
+        )
+        assert [r["rows_appended"] for r in reports] == [b1.count()]
+        assert set(reports[0]["artifacts_published"]) == set(
+            I.EMBEDDING_ARTIFACT_KINDS
+        )
+        reports2 = I.stream_embeddings_ingest(
+            spark, src, corpus_dir, str(tmp_path / "eckpt2"),
+            maintain_artifacts=True,
+        )
+        assert [r["rows_appended"] for r in reports2] == [0]
+
 
 class TestHousekeeping:
     """VERDICT r10 #3: the loop must not accrete storage forever —
