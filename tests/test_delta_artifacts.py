@@ -634,3 +634,35 @@ class TestMinhashDeltaNewPairs:
             if r.doc_a in d_ids or r.doc_b in d_ids
         )
         assert got == want and len(want) > 0
+
+
+def test_quotient_components_distributed_fallback(spark, monkeypatch):
+    """Past QUOTIENT_DRIVER_CC_MAX edges the components come from
+    distributed min-label propagation instead of the driver
+    union-find (the bound dropped 1M -> 100k in r11 to keep the
+    size-probe collect ~10 MB); both paths must label identically.
+    Forced by shrinking the bound below the fixture edge count."""
+    from dbt_eamples_spark.operators import dedup as D
+
+    edges = [
+        (1, 2), (2, 3), (10, 11), (11, 12), (12, 13), (20, 21),
+        (30, 31), (31, 32), (3, 4), (40, 41),
+    ]
+    qe = spark.createDataFrame(edges, "sa long, sb long")
+
+    def labels(df):
+        return {
+            r.node: r.comp
+            for r in D._quotient_components(df).collect()
+        }
+
+    want = labels(qe)  # driver union-find (10 edges < bound)
+    monkeypatch.setattr(D, "QUOTIENT_DRIVER_CC_MAX", 3)
+    got = labels(qe)  # forced distributed propagation
+    assert got == want
+    # min-label contract: every component labeled by its min node
+    comps: dict = {}
+    for n, c in want.items():
+        comps.setdefault(c, set()).add(n)
+    assert all(c == min(ns) for c, ns in comps.items())
+    assert len(comps) == 5
