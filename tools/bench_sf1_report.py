@@ -112,8 +112,38 @@ def _synth(corpus: str) -> dict:
     return synth_manifest(corpus)
 
 
+def flagged_queries(sf1: dict, sf01: dict) -> list[str]:
+    """Names whose bench-table exponent exceeds 1.05 — these get an
+    automatic solo re-check (fresh JVM, warm min-of-3) because the
+    table's sf0.1 column comes from the full-registry run whose
+    ambient JIT/cache state differs from the 46-query sf1 sweep;
+    BENCH_SOLO is the arbiter for per-query deltas, and the same
+    rule applies here."""
+    q1, q01 = sf1["queries"], sf01["queries"]
+    out = []
+    for name in sorted(q1):
+        a = q01.get(name)
+        if a and math.log(q1[name] / a) / math.log(10) > 1.05:
+            out.append(name)
+    return out
+
+
+def _run_solo_recheck(names: list[str]) -> dict:
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "scaling_check.py"), *names],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    if r.returncode != 0:
+        raise SystemExit(
+            f"scaling_check re-check failed:\n{r.stderr[-2000:]}"
+        )
+    line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
 def render(
-    sf1: dict, sf01: dict, profs: list[dict], tree: str
+    sf1: dict, sf01: dict, profs: list[dict], tree: str,
+    solo: dict | None = None,
 ) -> str:
     q1, q01 = sf1["queries"], sf01["queries"]
     man = _synth(SF1)
@@ -164,9 +194,19 @@ def render(
       f"{math.log(tot1 / tot01) / math.log(10):.2f}).")
     if flagged:
         w("")
-        w("Super-linear (> 1.05) — explained or ticketed:")
+        w("Super-linear (> 1.05) in the cross-run table — solo "
+          "arbiter (fresh JVM, warm min-of-3, same corpus pair; the "
+          "table's sf0.1 column rides the full-registry run's "
+          "ambient JIT/cache state, so per-query ratios there are "
+          "noisy — the BENCH_SOLO rule):")
         for name, e in flagged:
-            w(f"- `{name}`: {e:.2f}")
+            s = (solo or {}).get(name)
+            if s:
+                w(f"- `{name}`: table e {e:.2f} → solo "
+                  f"{s['t_sf01']:.2f} s → {s['t_10x']:.2f} s, "
+                  f"e {s['exponent']:.2f}")
+            else:
+                w(f"- `{name}`: {e:.2f} (no solo re-check recorded)")
     if skipped:
         w("")
         w(f"Skipped {len(skipped)} swept queries (no sf0.1 "
@@ -271,7 +311,9 @@ def main() -> None:
         [SF1_FP] if os.path.isdir(SF1_FP) else []
     )
     profs = _run_ngram_profile(prof_dirs)
-    text = render(sf1, sf01, profs, engine_tree_hash())
+    flagged = flagged_queries(sf1, sf01)
+    solo = _run_solo_recheck(flagged) if flagged else {}
+    text = render(sf1, sf01, profs, engine_tree_hash(), solo)
     if "--dry-run" in sys.argv:
         print(text)
         return
