@@ -108,9 +108,12 @@ def main() -> None:
     # self-contained artifact: the driver's stdout capture truncates
     # long tails (the r4 JSON line got cut mid-object), so the same
     # JSON also lands in a file next to the script — full-registry
-    # runs only (a filtered subset must not masquerade as the
-    # committed evidence)
-    if not only:
+    # runs AT THE EVIDENCE SCALE only (a filtered subset must not
+    # masquerade as the committed evidence, and neither may a
+    # full-registry run at another SF_DIR: an sf0.01 smoke run
+    # silently replaced the sf0.1 artifact in r11 and poisoned the
+    # first generated BENCH_SF1 reference column)
+    if not only and abs(sf - 0.1) < 1e-9:
         out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_LOCAL.json")
         with open(out, "w") as fh:

@@ -306,6 +306,12 @@ def main() -> None:
 
     with open(os.path.join(REPO, "BENCH_LOCAL.json")) as fh:
         sf01 = json.load(fh)
+    if abs(sf01.get("sf", 0) - 0.1) > 1e-9:
+        raise SystemExit(
+            f"BENCH_LOCAL.json records sf={sf01.get('sf')} — the "
+            "reference column must be the sf0.1 full-registry "
+            "artifact; re-run bench.py at the default SF_DIR first"
+        )
     sf1 = _run_bench()
     prof_dirs = ["/root/testdata/sf0.1", SF1] + (
         [SF1_FP] if os.path.isdir(SF1_FP) else []
