@@ -2425,19 +2425,33 @@ def customer_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_custkey").alias("custkey_b"),
             F.col("name").alias("name_b"),
         )
+        # banded DP (r11): the threshold form early-exits past
+        # ENTITY_LEV_MAX (O(len·k) per pair instead of O(len²)) and
+        # returns -1 above it, so ONE evaluation serves both the
+        # verify filter and the emitted distance (the unbounded form
+        # evaluated twice — once in the filter, once in the
+        # projection); the length-difference prefilter prunes pairs
+        # that cannot pass before any DP runs. Distances ≤ the max
+        # are identical to the unbounded form, so the oracle SQL
+        # (plain levenshtein ≤ max) is unchanged. (A single fused
+        # explode-both-keys self-join was measured 1.8× SLOWER than
+        # the two-pass union — the generator breaks codegen and the
+        # doubled-width frame shuffles more bytes — so the two-pass
+        # shape stays.)
+        lev = F.levenshtein("name_a", "name_b", ENTITY_LEV_MAX)
         return (
             a.join(b, "bk")
             .filter(F.col("custkey_a") < F.col("custkey_b"))
             .filter(
-                F.levenshtein("name_a", "name_b") <= ENTITY_LEV_MAX
+                F.abs(F.length("name_a") - F.length("name_b"))
+                <= ENTITY_LEV_MAX
             )
             .select(
                 "custkey_a",
                 "custkey_b",
-                F.levenshtein("name_a", "name_b")
-                .cast("int")
-                .alias("lev_dist"),
+                lev.cast("int").alias("lev_dist"),
             )
+            .filter(F.col("lev_dist") >= 0)
         )
 
     return (
