@@ -71,26 +71,29 @@ def _cos(a: str, b: str) -> str:
 
 
 
-def _kmeans_cte_sql(iters: int) -> str:
+def _kmeans_cte_sql(iters: int, src: str = "v") -> str:
     """CTE chain c0..c{iters} replicating
     similarity._kmeans_centroids exactly: max-cosine assignment +
     FIXED-POINT per-dimension means (coordinates rounded to 1e-6 and
     summed as BIGINT — integer addition is order-independent, so the
     distributed Spark mean and this sequential SQL mean agree
-    bit-for-bit; a double avg would diverge with summation order)."""
+    bit-for-bit; a double avg would diverge with summation order).
+    ``src`` is the training-set CTE (round 12: the incremental IVF
+    oracle trains on the standing-corpus view ``vb`` while assigning
+    the full table — the frozen-quantizer contract)."""
     parts = [
-        f"""c0 AS (SELECT vec_id AS cent_id, vec AS cvec FROM v
+        f"""c0 AS (SELECT vec_id AS cent_id, vec AS cvec FROM {src}
                    WHERE vec_id < {NCENTROIDS})"""
     ]
     for i in range(1, iters + 1):
         parts.append(f"""
         a{i} AS (
             SELECT cent_id, vec FROM (
-                SELECT v.vec_id, v.vec, c.cent_id,
-                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                           ORDER BY {_cos('v.vec', 'c.cvec')} DESC,
+                SELECT s.vec_id, s.vec, c.cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                           ORDER BY {_cos('s.vec', 'c.cvec')} DESC,
                                     c.cent_id ASC) AS rk
-                FROM v CROSS JOIN c{i - 1} c
+                FROM {src} s CROSS JOIN c{i - 1} c
             ) WHERE rk = 1
         )""")
         parts.append(f"""
@@ -6819,13 +6822,17 @@ def _dedup_phash_clusters_oracle_sql() -> str:
 EXT_ORACLES["dedup_phash_clusters"] = _dedup_phash_clusters_oracle_sql()
 
 
-def _recall_oracle_sql(approx_key: str) -> str:
+def _recall_oracle_sql(
+    approx_key: str | None = None, approx_sql: str | None = None
+) -> str:
     """Mirror of similarity._recall_eval_frame for any shortlist:
     the two UNCHANGED shortlist oracles (the approx ranker under
     eval and brute-force cosine) nested as CTEs, intersected per
     query, left-anchored on the query spine so a zero-overlap query
-    reports 0."""
-    approx = EXT_ORACLES[approx_key]
+    reports 0. ``approx_sql`` lets a shortlist that is not itself a
+    registry query (round 12: the incremental-IVF search) plug in
+    directly without leaking a private key into oracle_sql()."""
+    approx = approx_sql if approx_sql is not None else EXT_ORACLES[approx_key]
     brute = EXT_ORACLES["similarity_topk"]
     return f"""
         WITH approx AS ({approx}),
@@ -6890,4 +6897,59 @@ EXT_ORACLES["dedup_incremental_ngram"] = (
     "       jaccard FROM (\n"
     + EXT_ORACLES["dedup_ngram_jaccard"]
     + "\n) WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)"
+)
+
+
+# ---- round 12: recall gate for the incrementally-maintained IVF ----
+# Mirror of similarity._ivf_delta_topk: the quantizer trains on the
+# STANDING corpus only (vb = vec_id % 10 != 0 — the artifact
+# contract of similarity.ivf_centroids), then EVERY vector (standing
+# + the %10 == 0 delta class) is assigned to those frozen cells —
+# exactly what ivf_assign_apply_delta's append path materializes.
+# The persisted base assignments and the live frozen-cell delta
+# assignment are the same per-row function of the same centroids,
+# so assigning the full table in one pass is row-identical.
+def _ivf_delta_topk_oracle_sql() -> str:
+    return f"""
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+            FROM embeddings
+        ),
+        vb AS (SELECT vec_id, vec FROM v WHERE vec_id % 10 != 0),
+        {_kmeans_cte_sql(KMEANS_ITERS, src="vb")},
+        assigned AS (
+            SELECT vec_id, vec, bucket FROM (
+                SELECT v.vec_id, v.vec, cent_id AS bucket,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                           ORDER BY {_cos('v.vec', 'cvec')} DESC, cent_id ASC) AS crk
+                FROM v CROSS JOIN cent
+            ) WHERE crk = 1
+        ),
+        q AS (SELECT vec_id AS query_id, vec AS qvec FROM v
+              WHERE vec_id < {N_QUERIES}),
+        probes AS (
+            SELECT query_id, qvec, bucket FROM (
+                SELECT query_id, qvec, cent_id AS bucket,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY {_cos('qvec', 'cvec')} DESC, cent_id ASC) AS prk
+                FROM q CROSS JOIN cent
+            ) WHERE prk <= {NPROBE}
+        ),
+        scored AS (
+            SELECT query_id, a.vec_id AS neighbor_id,
+                   round({_cos('qvec', 'a.vec')}, 6) AS cosine
+            FROM assigned a JOIN probes p ON a.bucket = p.bucket
+            WHERE a.vec_id != p.query_id
+        )
+        SELECT query_id, neighbor_id, cosine, rk FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id ASC) AS rk
+            FROM scored
+        ) WHERE rk <= {TOP_K}
+    """
+
+
+EXT_ORACLES["similarity_ivf_delta_recall_eval"] = _recall_oracle_sql(
+    approx_sql=_ivf_delta_topk_oracle_sql()
 )

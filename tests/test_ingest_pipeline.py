@@ -310,7 +310,9 @@ class TestEmbeddingsIngest:
             k for k, e in A.ARTIFACT_EVENTS
             if e == "build" and k in I.EMBEDDING_ARTIFACT_KINDS
         )
-        assert builds == Counter({"cosine_base_index": 1}), builds
+        assert builds == Counter(
+            {k: 1 for k in I.EMBEDDING_ARTIFACT_KINDS}
+        ), builds
 
         emb_final = spark.read.parquet(
             os.path.join(corpus_dir, "embeddings.parquet")
@@ -363,6 +365,40 @@ class TestEmbeddingsIngest:
         assert inc == want
         assert len(want) > 0
 
+        # IVF invariant (round 12): on BOTH the append and the
+        # retrain path, the published assignment index equals a
+        # fresh assignment of the post-append standing corpus
+        # against the PUBLISHED quantizer (FAISS add() semantics —
+        # the quantizer is carried forward, not retrained, unless
+        # the occupancy trigger fired and published a new one)
+        from dbt_eamples_spark.operators.similarity import (
+            _as_double_vec,
+            _assign_cells,
+        )
+
+        cent_pub = spark.read.parquet(
+            A.artifact_path("ivf_centroids", fp_final)
+        )
+        inc_ivf = _ctr(
+            spark.read.parquet(
+                A.artifact_path("ivf_assign_index", fp_final)
+            ).collect()
+        )
+        standing = emb_final.filter(F.col("vec_id") % 10 != 0).select(
+            "vec_id", _as_double_vec(F.col("embedding")).alias("vec")
+        )
+        want_ivf = _ctr(_assign_cells(standing, cent_pub).collect())
+        assert inc_ivf == want_ivf and len(want_ivf) > 0
+
+        # every registered embedding artifact kind must exist in the
+        # store under the UNION fingerprint after the loop (VERDICT
+        # r11 #6 — registering a kind without the loop publishing it
+        # must fail the suite, not silently skip maintenance)
+        for kind in I.EMBEDDING_ARTIFACT_KINDS:
+            assert os.path.exists(
+                os.path.join(A.artifact_path(kind, fp_final), "_SUCCESS")
+            ), f"{kind} not published under the union fingerprint"
+
         # idempotent replay
         A.ARTIFACT_EVENTS.clear()
         for b in (b1, b2):
@@ -373,6 +409,7 @@ class TestEmbeddingsIngest:
                 "rows_appended": 0,
                 "near_dup_pairs": 0,
                 "within_batch_pairs": 0,
+                "convention_excluded": 0,
                 "artifacts_published": [],
             }
         assert not [e for _, e in A.ARTIFACT_EVENTS if e == "build"]

@@ -112,6 +112,54 @@ def _synth(corpus: str) -> dict:
     return synth_manifest(corpus)
 
 
+def _phash_planted_lock(sf_dir: str) -> dict:
+    """Measure the image-family planted-truth lock LIVE on the sweep
+    corpus (ADVICE r11 — the r11 generator baked the r11 measurement
+    into the report as a frozen string, so a regeneration on a later
+    tree would have re-stamped 'measured on this tree' over numbers
+    nobody re-measured): recall/precision of dedup_phash against the
+    generative intra-scene truth, max verified Hamming, pair/scene
+    counts. All joins/folds distributed — no pair set is collected."""
+    from pyspark.sql import functions as F
+
+    from dbt_eamples_spark.catalog import load_table
+    from dbt_eamples_spark.operators.multimodal import (
+        PHASH_GROUP,
+        dedup_phash,
+    )
+    from dbt_eamples_spark.session import get_spark
+
+    spark = get_spark("bench-sf1-phash-lock")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") / PHASH_GROUP).cast("long").alias("g")
+    )
+    want = (
+        docs.alias("x")
+        .join(docs.alias("y"), "g")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+    )
+    got = dedup_phash(spark, sf_dir).localCheckpoint(eager=True)
+    n_want = want.count()
+    n_got = got.count()
+    n_hit = got.join(want, ["doc_a", "doc_b"]).count()
+    stats = got.agg(F.max("hamming").alias("mh")).collect()[0]
+    n_scenes = (
+        docs.groupBy("g").count().filter(F.col("count") >= 2).count()
+    )
+    return {
+        "n_truth_pairs": n_want,
+        "n_found_pairs": n_got,
+        "n_scenes": n_scenes,
+        "recall": round(n_hit / n_want, 6) if n_want else None,
+        "precision": round(n_hit / n_got, 6) if n_got else None,
+        "max_hamming": stats.mh,
+    }
+
+
 def flagged_queries(sf1: dict, sf01: dict) -> list[str]:
     """Names whose bench-table exponent exceeds 1.05 — these get an
     automatic solo re-check (fresh JVM, warm min-of-3) because the
@@ -143,7 +191,8 @@ def _run_solo_recheck(names: list[str]) -> dict:
 
 def render(
     sf1: dict, sf01: dict, profs: list[dict], tree: str,
-    solo: dict | None = None,
+    solo: dict | None = None, phash_lock: dict | None = None,
+    delta_bench: list[dict] | None = None,
 ) -> str:
     q1, q01 = sf1["queries"], sf01["queries"]
     man = _synth(SF1)
@@ -236,17 +285,52 @@ def render(
             w(f"| `{name}` | {a or '—'} | {b or '—'} | (not in both "
               "sweeps) |")
     w("")
-    w("Planted-truth lock at 10×: dedup_phash over sf1.0 returns "
-      "exactly 10 intra-scene pairs per scene (100,000 pairs / "
-      "10,000 scenes), recall 1.0, precision 1.0, max Hamming 2 — "
-      "measured on this tree after the modulus change.")
+    if phash_lock:
+        pl = phash_lock
+        w(f"Planted-truth lock at 10× — measured LIVE in this "
+          f"generation run (not a frozen constant): dedup_phash over "
+          f"sf1.0 found {pl['n_found_pairs']:,} pairs against "
+          f"{pl['n_truth_pairs']:,} generative intra-scene truth "
+          f"pairs across {pl['n_scenes']:,} scenes — recall "
+          f"{pl['recall']}, precision {pl['precision']}, max "
+          f"verified Hamming {pl['max_hamming']}.")
+    else:
+        w("Planted-truth lock: NOT measured in this run (--no-lock); "
+          "see tests/test_round8_ops.py for the fixture-scale lock.")
 
     # ---- ngram delta attribution ----
+    # every figure below is DERIVED from this run's profile rows or
+    # the committed DELTA_BENCH.json — not baked in (ADVICE r11)
+    by_dir = {p["sf_dir"]: p for p in profs}
+
+    def _rate(d: str, pct: str = "8pct") -> float | None:
+        row = by_dir.get(d, {}).get("deltas", {}).get(pct)
+        if not row or not row.get("n_delta_docs"):
+            return None
+        return row["n_probe_cands"] / row["n_delta_docs"]
+
+    def _dd(d: str, pct: str = "8pct") -> int | None:
+        row = by_dir.get(d, {}).get("deltas", {}).get(pct)
+        return None if row is None else row.get("n_dd_pairs")
+
+    def _ngram_db(sfd: str) -> dict:
+        for ent in delta_bench or []:
+            if ent.get("sf_dir") == sfd:
+                return ent.get("families", {}).get(
+                    "ngram_jaccard_pairs", {}
+                )
+        return {}
+
+    db01 = _ngram_db("/root/testdata/sf0.1")
+    db1 = _ngram_db(SF1)
     w("")
     w("## ngram_jaccard_pairs delta exponent — attributed (r10 #5)")
     w("")
-    w("DELTA_BENCH measured exponent-vs-delta 0.066 (sf0.1) → "
-      "0.412 (sf1). Stage profile "
+    w(f"DELTA_BENCH measured exponent-vs-delta "
+      f"{db01.get('exponent_vs_delta', '—')} (sf0.1) → "
+      f"{db1.get('exponent_vs_delta', '—')} (sf1) "
+      "(committed DELTA_BENCH.json — regenerate with "
+      "tools/delta_bench.py if engine code changed). Stage profile "
       "(tools/ngram_delta_profile.py; base = 92% of docs, deltas "
       "2%/8%, warm base artifacts, min-of-3):")
     w("")
@@ -270,29 +354,47 @@ def render(
               f"{row['n_probe_cands']} | "
               f"{row['n_probe_cands'] / n:.1f} | "
               f"{row['n_db_pairs']} | {row['n_dd_pairs']} |")
+    rate1 = _rate(SF1)
+    rate_fp = _rate(SF1_FP)
+    rate01 = _rate("/root/testdata/sf0.1")
+    dd1, dd_fp = _dd(SF1), _dd(SF1_FP)
     w("")
     w("**Attribution** (control experiment, the r10 minhash "
       "method): the decade-over-decade exponent step is two "
       "benign effects, no corpus-size term —")
     w("")
     w("1. **The sf0.1 exponent is a job-overhead floor artifact**: "
-      "at sf0.1 the whole delta path times flat (~0.2 s) because "
-      "fixed per-job cost dominates; at sf1 the genuinely "
-      "delta-proportional work (delta tokenize + candidate verify) "
-      "rises above the floor, so the measured exponent approaches "
-      "the true linear-in-delta slope it always had.")
-    w("2. **The planted cross-copy dup tail doubles the verify "
-      "load**: with the default vowel permutation, probe "
-      "candidates per delta doc double vs the full-permute "
-      "control (~7.6 vs ~4.0 — the control matches sf0.1's ~4.0 "
-      "rate exactly) and delta×delta true pairs appear (1918 vs 7 "
-      "at 8%). Cost stays proportional to TRUE candidate/pair "
-      "output — correct verify-stage behavior, the same synthesis "
-      "artifact the r10 control pinned for dedup_minhash.")
-    w("")
-    w("Absolute margins stay wide (delta ≈ 1.6 s vs rebuild ≈ 8.6 s "
-      "at 8% on sf1), so no crossover-policy change: the "
-      "delta-vs-rebuild policy constants in DELTA_BENCH.json stand.")
+      "at sf0.1 the whole delta path times flat (see the sf0.1 "
+      "rows above) because fixed per-job cost dominates; at sf1 "
+      "the genuinely delta-proportional work (delta tokenize + "
+      "candidate verify) rises above the floor, so the measured "
+      "exponent approaches the true linear-in-delta slope it "
+      "always had.")
+    if rate_fp is not None:
+        w(f"2. **The planted cross-copy dup tail inflates the "
+          f"verify load**: with the default vowel permutation, "
+          f"probe candidates per delta doc run "
+          f"{rate1:.1f} vs {rate_fp:.1f} on the full-permute "
+          f"control (sf0.1's own rate: {rate01:.1f}) and "
+          f"delta×delta true pairs appear ({dd1} vs {dd_fp} at "
+          "8%) — all four figures from THIS run's profile rows. "
+          "Cost stays proportional to TRUE candidate/pair output "
+          "— correct verify-stage behavior, the same synthesis "
+          "artifact the r10 control pinned for dedup_minhash.")
+    else:
+        w(f"2. **The planted cross-copy dup tail inflates the "
+          f"verify load**: vowel-permutation candidates/delta-doc "
+          f"{rate1:.1f} vs sf0.1's {rate01:.1f} "
+          "(full-permute control corpus absent in this run — "
+          "synthesize .tmp/sf1.0-fp for the controlled figure).")
+    if db1.get("delta_8pct_sec") and db1.get("full_rebuild_sec"):
+        w("")
+        w(f"Absolute margins stay wide (delta "
+          f"{db1['delta_8pct_sec']:.1f} s vs rebuild "
+          f"{db1['full_rebuild_sec']:.1f} s at 8% on sf1, committed "
+          "DELTA_BENCH.json), so no crossover-policy change: the "
+          "delta-vs-rebuild policy constants in DELTA_BENCH.json "
+          "stand.")
     w("")
     w(f"Engine tree: `{tree}`")
     w("")
@@ -319,7 +421,18 @@ def main() -> None:
     profs = _run_ngram_profile(prof_dirs)
     flagged = flagged_queries(sf1, sf01)
     solo = _run_solo_recheck(flagged) if flagged else {}
-    text = render(sf1, sf01, profs, engine_tree_hash(), solo)
+    phash_lock = (
+        None if "--no-lock" in sys.argv else _phash_planted_lock(SF1)
+    )
+    try:
+        with open(os.path.join(REPO, "DELTA_BENCH.json")) as fh:
+            delta_bench = json.load(fh)
+    except (OSError, ValueError):
+        delta_bench = []
+    text = render(
+        sf1, sf01, profs, engine_tree_hash(), solo,
+        phash_lock=phash_lock, delta_bench=delta_bench,
+    )
     if "--dry-run" in sys.argv:
         print(text)
         return
