@@ -36,3 +36,33 @@ def test_rerun_is_idempotent():
     once = replace_evidence_block(None, block, 12)
     twice = replace_evidence_block(once, block, 12)
     assert once == twice
+
+
+def test_find_movers_flags_regressions_only():
+    """Round 12 (VERDICT r11 #5): the mover screen flags shared
+    queries that regressed >= MOVER_RATIO in-run, ignores queries
+    that got faster, new queries (no prev entry), and zero-time
+    prev rows."""
+    from tools.bench_solo import MOVER_RATIO, find_movers
+
+    cur = {
+        "slow_regressed": 2.6,   # 2.0 -> 2.6 = 1.3x  -> mover
+        "at_threshold": 1.25,    # 1.0 -> 1.25 = 1.25x -> mover (>=)
+        "under": 1.2,            # 1.0 -> 1.2          -> not
+        "faster": 0.5,           # 1.0 -> 0.5          -> not
+        "brand_new": 3.0,        # absent in prev      -> not
+        "zero_prev": 1.0,        # prev recorded 0.0   -> not (no div)
+    }
+    prev = {
+        "slow_regressed": 2.0,
+        "at_threshold": 1.0,
+        "under": 1.0,
+        "faster": 1.0,
+        "zero_prev": 0.0,
+        "dropped_query": 9.9,    # absent in cur — must not appear
+    }
+    got = find_movers(cur, prev)
+    assert set(got) == {"slow_regressed", "at_threshold"}
+    assert got["slow_regressed"]["ratio"] == 1.3
+    assert got["at_threshold"]["prev_close"] == 1.0
+    assert MOVER_RATIO == 1.25

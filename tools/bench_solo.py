@@ -9,8 +9,17 @@ warm-up pass, same noop-write execution as bench.py) and writes
 BENCH_SOLO.json with the engine tree stamp. Solo best-of-3 is the
 arbiter before calling any in-run delta a regression.
 
+Round 12 (VERDICT r11 #5): in-run movers are arbitrated
+AUTOMATICALLY — with ``--prev-bench PATH`` (a previous close's
+BENCH_LOCAL.json, extracted from git by tools/close_round.py), any
+shared query whose in-run time moved more than MOVER_RATIO over the
+prior close is solo re-timed too, and the ledger carries a
+``movers`` section with in-run/prev/ratio/solo per name — so the
+close ledger decides what was noise, not per-round judgment calls
+(r11 adjudicated ts_resample_ohlc & co by hand).
+
 Usage:
-  python tools/bench_solo.py [N]          # default 10 slowest
+  python tools/bench_solo.py [N] [--prev-bench PATH]  # default 10 slowest
   python tools/bench_solo.py --one NAME SF_DIR   # internal child
 """
 
@@ -44,19 +53,65 @@ def _run_one(name: str, sf_dir: str) -> None:
     print("SOLO_RESULT " + json.dumps({name: round(best, 4)}))
 
 
+# in-run delta past this ratio (either direction ≥ it, slower side
+# only — a query getting FASTER needs no arbitration) triggers an
+# automatic solo re-time when --prev-bench is given
+MOVER_RATIO = 1.25
+
+
+def find_movers(cur: dict, prev: dict) -> dict[str, dict]:
+    """Shared-set queries whose in-run time regressed ≥ MOVER_RATIO
+    vs the previous close. Pure function for pytest."""
+    out: dict[str, dict] = {}
+    for name, t in cur.items():
+        p = prev.get(name)
+        if not p:
+            continue
+        ratio = t / p
+        if ratio >= MOVER_RATIO:
+            out[name] = {
+                "in_run": t,
+                "prev_close": p,
+                "ratio": round(ratio, 3),
+            }
+    return out
+
+
 def main() -> None:
     if len(sys.argv) >= 2 and sys.argv[1] == "--one":
         _run_one(sys.argv[2], sys.argv[3])
         return
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    argv = list(sys.argv[1:])
+    prev_bench = None
+    if "--prev-bench" in argv:
+        i = argv.index("--prev-bench")
+        prev_bench = argv[i + 1]
+        del argv[i:i + 2]
+    n = int(argv[0]) if argv else 10
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     with open(os.path.join(REPO, "BENCH_LOCAL.json")) as fh:
         bl = json.load(fh)
     slowest = sorted(
         bl["queries"], key=lambda k: bl["queries"][k], reverse=True
     )[:n]
+    movers: dict[str, dict] = {}
+    if prev_bench:
+        with open(prev_bench) as fh:
+            prev = json.load(fh)
+        if abs(prev.get("sf", -1) - bl.get("sf", -2)) > 1e-9:
+            raise SystemExit(
+                f"bench_solo: --prev-bench sf={prev.get('sf')} does "
+                f"not match BENCH_LOCAL sf={bl.get('sf')} — the mover "
+                "ratio would compare different scales"
+            )
+        movers = find_movers(bl["queries"], prev["queries"])
+        for name, m in movers.items():
+            print(f"mover {name}: in-run {m['in_run']} vs prev close "
+                  f"{m['prev_close']} = {m['ratio']}x — solo re-time")
+
+    targets = slowest + [q for q in sorted(movers) if q not in slowest]
     out: dict[str, float] = {}
-    for name in slowest:
+    for name in targets:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--one", name,
              sf_dir],
@@ -74,6 +129,20 @@ def main() -> None:
         out.update(json.loads(line[len("SOLO_RESULT "):]))
         print(f"solo {name}: {out[name]} s (in-run {bl['queries'][name]})")
 
+    for name in movers:
+        movers[name]["solo"] = out[name]
+        # the arbitration verdict, in the ledger: a mover whose solo
+        # time sits back near (or under) the previous close is
+        # ambient in-run noise; one that stays slow solo is a REAL
+        # regression the round must explain
+        movers[name]["solo_vs_prev"] = round(
+            out[name] / movers[name]["prev_close"], 3
+        )
+        movers[name]["verdict"] = (
+            "noise" if movers[name]["solo_vs_prev"] < MOVER_RATIO
+            else "regression"
+        )
+
     from tools.treehash import engine_tree_hash
 
     record = {
@@ -83,6 +152,8 @@ def main() -> None:
                     "noop write",
         "queries": out,
         "in_run_reference": {k: bl["queries"][k] for k in out},
+        "movers": movers,
+        "mover_ratio": MOVER_RATIO,
         "engine_tree": engine_tree_hash(),
     }
     with open(os.path.join(REPO, "BENCH_SOLO.json"), "w") as fh:

@@ -112,9 +112,25 @@ def main() -> None:
     run([py, "tools/bench_sf1_report.py"],
         os.path.join(TMP, "bench_sf1_close.log"))
 
-    # 4. solo ledger (writes BENCH_SOLO.json itself)
-    run([py, "tools/bench_solo.py", "10"],
-        os.path.join(TMP, "solo_close.log"))
+    # 4. solo ledger (writes BENCH_SOLO.json itself). The previous
+    # close's BENCH_LOCAL.json is extracted from git so any shared
+    # query that regressed ≥1.25× in-run is AUTO re-timed solo and
+    # adjudicated in the ledger's `movers` section (VERDICT r11 #5 —
+    # no more by-judgment noise calls)
+    solo_cmd = [py, "tools/bench_solo.py", "10"]
+    prev_bl = subprocess.run(
+        ["git", "show", f"{args.prev}:BENCH_LOCAL.json"],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    if prev_bl.returncode == 0 and prev_bl.stdout.strip():
+        prev_path = os.path.join(TMP, "prev_bench_local.json")
+        with open(prev_path, "w") as fh:
+            fh.write(prev_bl.stdout)
+        solo_cmd += ["--prev-bench", prev_path]
+    else:
+        print("close: WARN no BENCH_LOCAL.json at --prev rev — solo "
+              "ledger runs without mover arbitration", flush=True)
+    run(solo_cmd, os.path.join(TMP, "solo_close.log"))
 
     # 5. plan audit
     run([py, "tools/explain_audit.py"],
