@@ -2835,7 +2835,9 @@ def ivf_assign_apply_delta(
 
     cent = ivf_centroids(spark, sf_dir)
     base_assign = ivf_assign_index(spark, sf_dir)
-    delta_assign = _assign_cells(d, cent)
+    # pinned: delta-sized, consumed by the occupancy collect AND the
+    # merged frame (and the merged frame again at publish time)
+    delta_assign = _assign_cells(d, cent).localCheckpoint(eager=True)
     merged = base_assign.unionByName(delta_assign)
 
     # occupancy drift: per-cell counts are ≤ ncells rows — bounded

@@ -189,10 +189,98 @@ def _run_solo_recheck(names: list[str]) -> dict:
     return json.loads(line)
 
 
+def _ingest_replay(sf_src: str) -> dict:
+    """Time the COMPOSED two-phase ingest loop (documents +
+    embeddings micro-batches, all artifacts maintained) at ``sf_src``
+    (VERDICT r11 #4 — the loop's pieces have two-scale DELTA_BENCH
+    numbers, the composition only had fixture-scale pytest). Deltas
+    are fixed ABSOLUTE sizes (same row counts at every scale), so
+    the steady-state batch-2 cost staying flat across the decade IS
+    the claim: batch cost scales with the delta, not the corpus.
+    Batch 1 lands on a cold store and pays the founding base-artifact
+    builds; batch 2 is the steady state a daily loop actually runs."""
+    import shutil
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from dbt_eamples_spark.catalog import load_table, table_path
+    from dbt_eamples_spark.session import get_spark
+    from dbt_eamples_spark.streaming import ingest as I
+
+    N_DOC, N_VEC = 250, 100
+    spark = get_spark("bench-sf1-ingest-replay")
+    tag = os.path.basename(sf_src.rstrip("/"))
+    cdir = os.path.join(REPO, ".tmp", f"ingest_replay_{tag}")
+    shutil.rmtree(cdir, ignore_errors=True)
+    os.makedirs(cdir)
+    docs = load_table(spark, sf_src, "documents")
+    emb = load_table(spark, sf_src, "embeddings")
+    doc_ids = [
+        r.doc_id
+        for r in docs.select("doc_id")
+        .orderBy(F.desc("doc_id"))
+        .limit(2 * N_DOC)
+        .collect()
+    ]
+    d_b2, d_b1 = doc_ids[:N_DOC], doc_ids[N_DOC:]
+    vec_ids = [
+        r.vec_id
+        for r in emb.select("vec_id")
+        .orderBy(F.desc("vec_id"))
+        .limit(2 * N_VEC)
+        .collect()
+    ]
+    v_b2, v_b1 = vec_ids[:N_VEC], vec_ids[N_VEC:]
+    docs.filter(~F.col("doc_id").isin(d_b1 + d_b2)).write.parquet(
+        table_path(cdir, "documents")
+    )
+    emb.filter(~F.col("vec_id").isin(v_b1 + v_b2)).write.parquet(
+        table_path(cdir, "embeddings")
+    )
+    old_store = os.environ.get("SPARK_GRAFT_ARTIFACTS")
+    os.environ["SPARK_GRAFT_ARTIFACTS"] = os.path.join(cdir, "_arts")
+    out = {"sf_dir": sf_src, "n_doc": N_DOC, "n_vec": N_VEC,
+           "batches": []}
+    try:
+        for bi, (dset, vset) in enumerate(
+            [(d_b1, v_b1), (d_b2, v_b2)], 1
+        ):
+            db = docs.filter(F.col("doc_id").isin(dset))
+            vb = emb.filter(F.col("vec_id").isin(vset))
+            t0 = _t.perf_counter()
+            rd = I.ingest_documents_batch(
+                spark, db, cdir, maintain_artifacts=True
+            )
+            t_docs = _t.perf_counter() - t0
+            t0 = _t.perf_counter()
+            rv = I.ingest_embeddings_batch(
+                spark, vb, cdir, maintain_artifacts=True
+            )
+            t_emb = _t.perf_counter() - t0
+            out["batches"].append({
+                "batch": bi,
+                "doc_rows": rd["rows_appended"],
+                "docs_sec": round(t_docs, 3),
+                "doc_pairs": rd["near_dup_pairs"],
+                "vec_rows": rv["rows_appended"],
+                "emb_sec": round(t_emb, 3),
+                "vec_pairs": rv["near_dup_pairs"],
+                "ivf_retrained": rv.get("ivf_retrained"),
+            })
+    finally:
+        if old_store is None:
+            os.environ.pop("SPARK_GRAFT_ARTIFACTS", None)
+        else:
+            os.environ["SPARK_GRAFT_ARTIFACTS"] = old_store
+    return out
+
+
 def render(
     sf1: dict, sf01: dict, profs: list[dict], tree: str,
     solo: dict | None = None, phash_lock: dict | None = None,
     delta_bench: list[dict] | None = None,
+    ingest: list[dict] | None = None,
 ) -> str:
     q1, q01 = sf1["queries"], sf01["queries"]
     man = _synth(SF1)
@@ -395,6 +483,45 @@ def render(
           "DELTA_BENCH.json), so no crossover-policy change: the "
           "delta-vs-rebuild policy constants in DELTA_BENCH.json "
           "stand.")
+    # ---- composed ingest loop (VERDICT r11 #4) ----
+    if ingest:
+        w("")
+        w("## Composed ingest loop — two-batch replay "
+          "(documents + embeddings, all artifacts maintained)")
+        w("")
+        rep0 = ingest[0]
+        w(f"Fixed-ABSOLUTE deltas ({rep0['n_doc']} docs / "
+          f"{rep0['n_vec']} vectors per batch at EVERY scale), cold "
+          "artifact store: batch 1 pays the founding base-artifact "
+          "builds, batch 2 is the steady state a daily loop runs. "
+          "The claim under test: steady-state batch cost scales "
+          "with the DELTA, not the corpus — so the batch-2 row "
+          "should stay ~flat across the 10× corpus step while the "
+          "founding batch-1 row grows with the corpus.")
+        w("")
+        w("| corpus | batch | doc rows | docs s | doc pairs | "
+          "vec rows | emb s | vec pairs | ivf retrained |")
+        w("|---|---|---|---|---|---|---|---|---|")
+        for rep in ingest:
+            ctag = (
+                "sf0.1" if "testdata" in rep["sf_dir"] else "sf1.0"
+            )
+            for b in rep["batches"]:
+                w(f"| {ctag} | {b['batch']} | {b['doc_rows']} | "
+                  f"{b['docs_sec']} | {b['doc_pairs']} | "
+                  f"{b['vec_rows']} | {b['emb_sec']} | "
+                  f"{b['vec_pairs']} | {b['ivf_retrained']} |")
+        if len(ingest) == 2:
+            b2a = ingest[0]["batches"][1]
+            b2b = ingest[1]["batches"][1]
+            rd = b2b["docs_sec"] / b2a["docs_sec"]
+            re_ = b2b["emb_sec"] / b2a["emb_sec"]
+            w("")
+            w(f"Steady-state decade ratio (batch 2, sf1/sf0.1): "
+              f"documents {rd:.2f}×, embeddings {re_:.2f}× for a "
+              "10× corpus — delta-sized cost, derived from this "
+              "run's rows above.")
+
     w("")
     w(f"Engine tree: `{tree}`")
     w("")
@@ -429,9 +556,18 @@ def main() -> None:
             delta_bench = json.load(fh)
     except (OSError, ValueError):
         delta_bench = []
+    ingest = (
+        None
+        if "--no-ingest" in sys.argv
+        else [
+            _ingest_replay("/root/testdata/sf0.1"),
+            _ingest_replay(SF1),
+        ]
+    )
     text = render(
         sf1, sf01, profs, engine_tree_hash(), solo,
         phash_lock=phash_lock, delta_bench=delta_bench,
+        ingest=ingest,
     )
     if "--dry-run" in sys.argv:
         print(text)

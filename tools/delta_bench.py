@@ -190,6 +190,43 @@ def main() -> None:
         tri_pcts, times, t_rebuild, [d.count() for d in tri_deltas]
     )
 
+    # ---- IVF assignments (round 12): base = 92% of vectors;
+    # deltas 2%/8%. Rebuild = raw train+assign over the standing
+    # corpus (what a non-incremental pipeline pays per fingerprint);
+    # delta = ivf_assign_apply_delta's append path incl. its PSI
+    # occupancy collects — the REAL batch cost, not just the plan ----
+    from dbt_eamples_spark.operators import similarity as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    eb = os.path.join(work, "emb_base")
+    os.makedirs(eb)
+    emb.filter(F.col("vec_id") % 100 >= 8).write.parquet(
+        os.path.join(eb, "embeddings.parquet")
+    )
+    ivf_deltas = [
+        emb.filter(F.col("vec_id") % 100 < p).localCheckpoint()
+        for p in pcts
+    ]
+    emb_vec = load_table(
+        spark, sf_dir, "embeddings", parallelize=True
+    ).select("vec_id", V._as_double_vec(F.col("embedding")).alias("vec"))
+    standing = emb_vec.filter(F.col("vec_id") % 10 != 0)
+    t_rebuild = _t(
+        lambda: V._assign_cells(
+            standing, V._kmeans_centroids(standing, V.NCENTROIDS)
+        )
+    )
+    # warm the base quantizer + assignment artifacts outside the
+    # timed region (amortized across every batch of the daily loop)
+    V.ivf_assign_apply_delta(spark, eb, ivf_deltas[0].limit(1))[1].collect()
+    times = [
+        _t(lambda d=d: V.ivf_assign_apply_delta(spark, eb, d)[1])
+        for d in ivf_deltas
+    ]
+    out["families"]["ivf_assign_index"] = _family_row(
+        pcts, times, t_rebuild, [d.count() for d in ivf_deltas]
+    )
+
     print(json.dumps(out))
 
 

@@ -44,6 +44,11 @@ def measure(spark, sf_dir: str) -> list[tuple[str, str, float]]:
         ("similarity_ivf_pq_topk", V.similarity_ivf_pq_topk),
         ("similarity_ivf_pq_residual_topk",
          V.similarity_ivf_pq_residual_topk),
+        # round 12: the INCREMENTALLY-maintained IVF index (frozen
+        # quantizer trained on the standing corpus, delta class
+        # assigned to existing cells) — recall must hold on the
+        # index the ingest loop maintains, not just a fresh train
+        ("_ivf_delta_topk (incremental index)", V._ivf_delta_topk),
     ):
         got = _pairs(fn(spark, sf_dir))
         rows.append((name, f"top-{V.TOP_K} of {len(exact)} true pairs",
@@ -221,13 +226,15 @@ def main() -> None:
         "embedding corpora see. Both are measured, test-locked numbers",
         "(tests/test_clustered_recall.py).",
         "",
-        "Since round 8/9/10, the per-query recall@k of four of these rows",
+        "Since round 8/9/10, the per-query recall@k of five of these rows",
         "is ALSO a hash-checked registry query — `similarity_ivf_recall_eval`",
         "(IVF, r8), `similarity_lsh_recall_eval` (LSH, r9),",
-        "`similarity_ivfpq_recall_eval` (residual IVF-PQ, r9), and",
-        "`similarity_rerank_recall_eval` (trained ADC + exact refine, r10) —",
-        "so every deployable shortlist shape below is a driver/oracle-gated",
-        "deploy-gate query, not just tool output.",
+        "`similarity_ivfpq_recall_eval` (residual IVF-PQ, r9),",
+        "`similarity_rerank_recall_eval` (trained ADC + exact refine, r10),",
+        "and `similarity_ivf_delta_recall_eval` (the INCREMENTALLY-maintained",
+        "IVF index of `ivf_assign_apply_delta`, r12) — so every deployable",
+        "shortlist shape below is a driver/oracle-gated deploy-gate query,",
+        "not just tool output.",
         "",
         "| operator | ground truth (near-uniform) |"
         " near-uniform | clustered |",
