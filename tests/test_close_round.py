@@ -66,3 +66,29 @@ def test_find_movers_flags_regressions_only():
     assert got["slow_regressed"]["ratio"] == 1.3
     assert got["at_threshold"]["prev_close"] == 1.0
     assert MOVER_RATIO == 1.25
+
+
+def test_mover_arbitration_floor_and_ambient():
+    """The arbitration must discount ambient machine drift and not
+    solo-adjudicate sub-second queries whose solo time measures the
+    fresh-JVM floor (the first r12 ledger run mislabeled ~30 tiny
+    queries 'regression' on exactly those two artifacts)."""
+    from tools.bench_solo import (
+        SOLO_FLOOR_SEC,
+        ambient_drift,
+        mover_verdict,
+    )
+
+    # median over shared queries isolates the machine-state factor
+    cur = {"a": 1.1, "b": 2.2, "c": 3.3, "d": 0.11, "e": 8.0}
+    prev = {"a": 1.0, "b": 2.0, "c": 3.0, "d": 0.1, "e": 2.0}
+    amb = ambient_drift(cur, prev)
+    assert amb == 1.1  # the e outlier does not drag the median
+
+    # 1.4x solo-vs-prev under 1.15x ambient = 1.22x attributable ->
+    # noise; the same 1.4x under no drift -> regression
+    assert mover_verdict(1.4, 1.0, 1.15) == "noise"
+    assert mover_verdict(1.4, 1.0, 1.0) == "regression"
+    # a genuine 2x survives any plausible ambient discount
+    assert mover_verdict(2.0, 1.0, 1.15) == "regression"
+    assert SOLO_FLOOR_SEC == 0.5

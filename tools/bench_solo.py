@@ -58,6 +58,14 @@ def _run_one(name: str, sf_dir: str) -> None:
 # automatic solo re-time when --prev-bench is given
 MOVER_RATIO = 1.25
 
+# fresh-JVM floor: a solo child pays ~0.15-0.3 s of code-cache /
+# session residue that the in-run pass amortizes, so for queries
+# whose previous close was below this, solo-vs-prev measures the
+# floor, not the query (the first ledger run mislabeled ~30
+# sub-second queries "regression" on exactly this artifact).
+# Below-floor movers are LISTED (no silent drop) but not solo-run.
+SOLO_FLOOR_SEC = 0.5
+
 
 def find_movers(cur: dict, prev: dict) -> dict[str, dict]:
     """Shared-set queries whose in-run time regressed ≥ MOVER_RATIO
@@ -75,6 +83,29 @@ def find_movers(cur: dict, prev: dict) -> dict[str, dict]:
                 "ratio": round(ratio, 3),
             }
     return out
+
+
+def ambient_drift(cur: dict, prev: dict) -> float:
+    """Median in-run ratio across ALL shared queries — with ~260
+    queries of which ≥99% are untouched in any round, the median
+    isolates machine-state drift (page cache, thermal, co-tenant
+    load) from per-query change. The two closes being compared ran
+    on different days of the same box; the r11 driver rerun of the
+    IDENTICAL tree measured 1.066× on exactly this effect. Pure
+    function for pytest."""
+    ratios = sorted(
+        cur[q] / prev[q] for q in cur if prev.get(q)
+    )
+    return round(ratios[len(ratios) // 2], 3) if ratios else 1.0
+
+
+def mover_verdict(solo: float, prev_close: float, ambient: float) -> str:
+    """Arbitrate one solo-re-timed mover: its solo-vs-prev ratio is
+    discounted by the ambient machine drift; what remains past
+    MOVER_RATIO is attributable to the query itself. Pure function
+    for pytest."""
+    excess = (solo / prev_close) / max(ambient, 1e-9)
+    return "noise" if excess < MOVER_RATIO else "regression"
 
 
 def main() -> None:
@@ -95,6 +126,7 @@ def main() -> None:
         bl["queries"], key=lambda k: bl["queries"][k], reverse=True
     )[:n]
     movers: dict[str, dict] = {}
+    ambient = None
     if prev_bench:
         with open(prev_bench) as fh:
             prev = json.load(fh)
@@ -105,11 +137,23 @@ def main() -> None:
                 "ratio would compare different scales"
             )
         movers = find_movers(bl["queries"], prev["queries"])
+        ambient = ambient_drift(bl["queries"], prev["queries"])
+        print(f"ambient drift (median shared in-run ratio): {ambient}x")
         for name, m in movers.items():
-            print(f"mover {name}: in-run {m['in_run']} vs prev close "
-                  f"{m['prev_close']} = {m['ratio']}x — solo re-time")
+            if m["prev_close"] < SOLO_FLOOR_SEC:
+                m["verdict"] = "below_floor"
+                print(f"mover {name}: {m['ratio']}x but prev close "
+                      f"{m['prev_close']} s < {SOLO_FLOOR_SEC} s floor "
+                      "— listed, not solo-run")
+            else:
+                print(f"mover {name}: in-run {m['in_run']} vs prev "
+                      f"close {m['prev_close']} = {m['ratio']}x — "
+                      "solo re-time")
 
-    targets = slowest + [q for q in sorted(movers) if q not in slowest]
+    solo_movers = sorted(
+        q for q, m in movers.items() if m.get("verdict") != "below_floor"
+    )
+    targets = slowest + [q for q in solo_movers if q not in slowest]
     out: dict[str, float] = {}
     for name in targets:
         r = subprocess.run(
@@ -129,18 +173,17 @@ def main() -> None:
         out.update(json.loads(line[len("SOLO_RESULT "):]))
         print(f"solo {name}: {out[name]} s (in-run {bl['queries'][name]})")
 
-    for name in movers:
+    for name in solo_movers:
         movers[name]["solo"] = out[name]
-        # the arbitration verdict, in the ledger: a mover whose solo
-        # time sits back near (or under) the previous close is
-        # ambient in-run noise; one that stays slow solo is a REAL
-        # regression the round must explain
+        # the arbitration verdict, in the ledger: solo-vs-prev
+        # discounted by the ambient machine drift — what survives
+        # the discount past MOVER_RATIO is attributable to the
+        # query; the rest is the box, not the code
         movers[name]["solo_vs_prev"] = round(
             out[name] / movers[name]["prev_close"], 3
         )
-        movers[name]["verdict"] = (
-            "noise" if movers[name]["solo_vs_prev"] < MOVER_RATIO
-            else "regression"
+        movers[name]["verdict"] = mover_verdict(
+            out[name], movers[name]["prev_close"], ambient
         )
 
     from tools.treehash import engine_tree_hash
@@ -154,6 +197,8 @@ def main() -> None:
         "in_run_reference": {k: bl["queries"][k] for k in out},
         "movers": movers,
         "mover_ratio": MOVER_RATIO,
+        "solo_floor_sec": SOLO_FLOOR_SEC,
+        "ambient_drift": ambient,
         "engine_tree": engine_tree_hash(),
     }
     with open(os.path.join(REPO, "BENCH_SOLO.json"), "w") as fh:
