@@ -65,3 +65,20 @@ def test_missing_files_are_safe(tmp_path):
     assert not is_driver_bench_local(
         str(tmp_path / "nope.json"), str(tmp_path)
     )
+
+
+def test_bench_sf1_reference_line_regex_matches_generator_output():
+    """The 3d-bis coherence gate and the generator must agree on the
+    reference-line format — a silent format drift would disable the
+    check exactly like the r9 serialization-drift carve-out bug."""
+    import re
+
+    line = ("sf0.1 reference column: BENCH_LOCAL.json total "
+            "226.907 s, tree `8968152c33bda57a`.")
+    m = re.search(
+        r"sf0\.1 reference column: BENCH_LOCAL\.json total "
+        r"([0-9.]+) s, tree `([0-9a-f]+)`",
+        line,
+    )
+    assert m and m.group(1) == "226.907"
+    assert m.group(2) == "8968152c33bda57a"

@@ -523,6 +523,14 @@ def render(
               "run's rows above.")
 
     w("")
+    # provenance of the sf0.1 reference column (round 12: the close
+    # once nearly committed a BENCH_LOCAL.json regenerated AFTER
+    # this report's column was rendered — coherent only because the
+    # close-run file was restored by hand). preflight compares this
+    # stamp against the committed BENCH_LOCAL.json when present.
+    w(f"sf0.1 reference column: BENCH_LOCAL.json total "
+      f"{sf01['value']} s, tree `{sf01.get('engine_tree')}`.")
+    w("")
     w(f"Engine tree: `{tree}`")
     w("")
     return "\n".join(out)

@@ -268,6 +268,39 @@ def main() -> None:
                 f"{tree_now} — re-run tools/bench_sf1_report.py "
                 "before snapshotting"
             )
+        # 3d-bis (round 12): the report's sf0.1 reference column must
+        # be the COMMITTED BENCH_LOCAL.json — the r12 close regenerated
+        # BENCH_LOCAL after the report rendered its column, which would
+        # have silently decoupled the two artifacts. The generator now
+        # stamps the reference's total+tree; enforce when present
+        # (older reports without the line pass — they predate it).
+        with open(sf1_md) as fh:
+            ref = re.search(
+                r"sf0\.1 reference column: BENCH_LOCAL\.json total "
+                r"([0-9.]+) s, tree `([0-9a-f]+)`",
+                fh.read(),
+            )
+        if ref:
+            try:
+                import json as _json
+
+                with open(os.path.join(REPO, "BENCH_LOCAL.json")) as fh:
+                    bl_now = _json.load(fh)
+            except (OSError, ValueError):
+                bl_now = {}
+            if (
+                abs(bl_now.get("value", -1) - float(ref.group(1))) > 1e-6
+                or bl_now.get("engine_tree") != ref.group(2)
+            ):
+                errs.append(
+                    "BENCH_SF1.md's sf0.1 reference column was rendered "
+                    f"from BENCH_LOCAL total {ref.group(1)} s (tree "
+                    f"{ref.group(2)}), but the committed BENCH_LOCAL.json "
+                    f"reads {bl_now.get('value')} s (tree "
+                    f"{bl_now.get('engine_tree')}) — the two artifacts "
+                    "decoupled; regenerate BENCH_SF1.md against the "
+                    "final BENCH_LOCAL"
+                )
 
     # 4. evidence files committed (the r6 BENCH_LOCAL.json slip) —
     # EXCEPT driver-written artifacts (VERDICT r8 #6): the driver's
