@@ -157,8 +157,11 @@ def main() -> None:
     with open(notes_path, "w") as fh:
         fh.write(replace_evidence_block(prior, block, args.round))
 
-    # 8. coherence gate (suite already ran as step 6)
-    run([py, "tools/preflight.py", "--fast"])
+    # 8. coherence gate (suite already ran as step 6).
+    # --fresh-evidence: the BENCH_LOCAL.json this close just wrote is
+    # expected-dirty (it is the thing to commit next) — without the
+    # flag every close ended on a false red here (r10–r12)
+    run([py, "tools/preflight.py", "--fast", "--fresh-evidence"])
     print("close: ALL STEPS GREEN — commit the evidence files now")
 
 
