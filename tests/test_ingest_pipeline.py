@@ -519,3 +519,98 @@ class TestHousekeeping:
             spark.read.parquet(docs_path).select("doc_id").collect()
         )
         assert got_rows == expect_rows
+
+
+class TestIngestIvfRetrain:
+    """Round 12: the occupancy-drift retrain must fire THROUGH the
+    composed loop, not only via direct ivf_assign_apply_delta calls —
+    a batch that collapses cell occupancy retrains the quantizer, the
+    loop publishes the NEW quantizer + full reassignment under the
+    union fingerprint, and the loop invariant (index == assignment of
+    the post-append standing corpus against the published quantizer)
+    holds on the retrain path too."""
+
+    def test_drifting_batch_retrains_in_loop(
+        self, spark, tmp_path, art_dir
+    ):
+        from dbt_eamples_spark.operators import similarity as S
+
+        def spread(lo, hi):
+            return [
+                (
+                    i,
+                    [
+                        float(((i * 37 + j * 11) % 97) - 48) / 48.0
+                        for j in range(8)
+                    ],
+                    0,
+                )
+                for i in range(lo, hi)
+            ]
+
+        def clustered(lo, hi):
+            return [
+                (i, [1.0 + 0.001 * float(i % 7)] + [0.01] * 7, 0)
+                for i in range(lo, hi)
+            ]
+
+        schema = "vec_id long, embedding array<float>, label int"
+        cdir = str(tmp_path / "rt_loop")
+        os.makedirs(cdir, exist_ok=True)
+        spark.createDataFrame(spread(0, 200), schema).write.parquet(
+            os.path.join(cdir, "embeddings.parquet")
+        )
+        batch = spark.createDataFrame(clustered(200, 600), schema)
+        r = I.ingest_embeddings_batch(
+            spark, batch, cdir, maintain_artifacts=True
+        )
+        assert r["ivf_retrained"] is True
+        assert r["occupancy_psi"] > S.IVF_RETRAIN_PSI
+        assert r["rows_appended"] == 400
+        assert set(r["artifacts_published"]) == set(
+            I.EMBEDDING_ARTIFACT_KINDS
+        )
+
+        fp = A.corpus_fingerprint(cdir, "embeddings")
+        cent_pub = spark.read.parquet(
+            A.artifact_path("ivf_centroids", fp)
+        )
+        got = _ctr(
+            spark.read.parquet(
+                A.artifact_path("ivf_assign_index", fp)
+            ).collect()
+        )
+        standing = (
+            spark.read.parquet(os.path.join(cdir, "embeddings.parquet"))
+            .filter(F.col("vec_id") % 10 != 0)
+            .select(
+                "vec_id",
+                S._as_double_vec(F.col("embedding")).alias("vec"),
+            )
+        )
+        want = _ctr(S._assign_cells(standing, cent_pub).collect())
+        assert got == want and len(want) > 0
+        # the retrained quantizer differs from the founding one (the
+        # batch moved the distribution — carrying it forward would
+        # have been the silent-degradation failure the trigger exists
+        # to prevent). Compare against a scratch-store cold build on
+        # the PRE-append corpus.
+        os.environ["SPARK_GRAFT_ARTIFACTS"] = str(
+            tmp_path / "rt_loop_scratch"
+        )
+        try:
+            base_dir = str(tmp_path / "rt_loop_base")
+            os.makedirs(base_dir, exist_ok=True)
+            spark.createDataFrame(spread(0, 200), schema).write.parquet(
+                os.path.join(base_dir, "embeddings.parquet")
+            )
+            founding = {
+                (r2.cent_id, tuple(r2.cvec))
+                for r2 in S.ivf_centroids(spark, base_dir).collect()
+            }
+        finally:
+            os.environ["SPARK_GRAFT_ARTIFACTS"] = art_dir
+        retrained = {
+            (r2.cent_id, tuple(r2.cvec)) for r2 in cent_pub.collect()
+        }
+        assert retrained != founding
