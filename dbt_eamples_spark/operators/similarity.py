@@ -2769,6 +2769,39 @@ def ivf_assign_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_occupancy_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FOUNDING per-cell occupancy distribution (cell, n):
+    the assignment index's cell counts recorded at quantizer-TRAIN
+    time, persisted alongside ``ivf_centroids`` and — unlike the
+    live index — carried forward UNCHANGED across appends until the
+    next retrain (ADVICE r12 medium: comparing each batch against
+    the post-append union re-anchors the drift baseline every
+    append, so gradual distribution drift never exceeds the PSI
+    trigger in any single batch and the quantizer could stay frozen
+    forever under exactly the slow-staleness scenario the trigger
+    exists to detect; the reference must be PINNED at train time so
+    drift ACCUMULATES against it). ≤ ncells rows — bounded model
+    state, same class as the centroid frame."""
+    from dbt_eamples_spark.artifacts import (
+        corpus_fingerprint,
+        load_or_build,
+    )
+
+    def build() -> DataFrame:
+        return (
+            ivf_assign_index(spark, sf_dir)
+            .groupBy("cell")
+            .agg(F.count("*").alias("n"))
+        )
+
+    return load_or_build(
+        spark,
+        "ivf_occupancy_ref",
+        corpus_fingerprint(sf_dir, "embeddings"),
+        build,
+    )
+
+
 def _occupancy_psi(base_counts: dict, union_counts: dict) -> float:
     """PSI between two per-cell occupancy distributions (the
     dq_distribution_drift recipe applied to IVF cell counts):
@@ -2794,26 +2827,32 @@ def ivf_assign_apply_delta(
     sf_dir: str,
     delta_embeddings: DataFrame,
     publish_fingerprint: str | None = None,
-) -> tuple[DataFrame, DataFrame, dict]:
+) -> tuple[DataFrame, DataFrame, DataFrame, dict]:
     """Delta-maintain the persisted IVF index (VERDICT r11 #3 — the
     last rebuild-on-change family): assign the delta vectors to the
     EXISTING cells of the persisted quantizer and append to the
     persisted assignment index; the quantizer itself is carried
-    forward unchanged. Returns ``(centroids, assignments, report)``
-    with ``report = {"occupancy_psi", "retrained",
-    "convention_excluded"}``.
+    forward unchanged. Returns ``(centroids, assignments,
+    occupancy_ref, report)`` with ``report = {"occupancy_psi",
+    "retrained", "convention_excluded"}``.
 
     RETRAIN RULE (the lsh_planes resize-rule analogue, but
     data-driven rather than size-driven): frozen centroids slowly
     go stale as the corpus distribution moves — detected here as
-    PSI occupancy drift between the persisted index's per-cell
-    counts and the post-append union's. Past ``IVF_RETRAIN_PSI``
-    the quantizer is RETRAINED on the union standing corpus and
-    every vector reassigned (eagerly checkpointed: the rebuild
-    scans the live embeddings table, and the two-phase ingest shape
-    publishes after appending to it — the cosine_base_index resize
-    discipline). Below the trigger, the append path touches only
-    the delta: O(|delta|·ncells) dots, no corpus rescan.
+    PSI occupancy drift between the FOUNDING per-cell distribution
+    (:func:`ivf_occupancy_ref`, pinned at quantizer-train time and
+    re-anchored only by a retrain) and the post-append union's
+    (ADVICE r12: anchoring on the per-append index instead lets
+    gradual drift slip under the trigger batch by batch forever —
+    drift must ACCUMULATE against the train-time reference). Past
+    ``IVF_RETRAIN_PSI`` the quantizer is RETRAINED on the union
+    standing corpus and every vector reassigned (eagerly
+    checkpointed: the rebuild scans the live embeddings table, and
+    the two-phase ingest shape publishes after appending to it —
+    the cosine_base_index resize discipline), and the occupancy
+    reference re-anchors to the retrained assignment. Below the
+    trigger, the append path touches only the delta:
+    O(|delta|·ncells) dots, no corpus rescan.
 
     Both paths are pytest-locked: append == re-adding the union
     against the SAME quantizer (FAISS add() semantics — a quantizer
@@ -2835,13 +2874,17 @@ def ivf_assign_apply_delta(
 
     cent = ivf_centroids(spark, sf_dir)
     base_assign = ivf_assign_index(spark, sf_dir)
+    occ_ref = ivf_occupancy_ref(spark, sf_dir)
     # pinned: delta-sized, consumed by the occupancy collect AND the
     # merged frame (and the merged frame again at publish time)
     delta_assign = _assign_cells(d, cent).localCheckpoint(eager=True)
     merged = base_assign.unionByName(delta_assign)
 
     # occupancy drift: per-cell counts are ≤ ncells rows — bounded
-    # model-state collects, the dq_distribution_drift PSI recipe
+    # model-state collects, the dq_distribution_drift PSI recipe.
+    # The reference side is the TRAIN-TIME distribution, not the
+    # per-append index (ADVICE r12 — see docstring).
+    ref_counts = {r.cell: r.n for r in occ_ref.collect()}
     base_counts = {
         r.cell: r.n
         for r in base_assign.groupBy("cell")
@@ -2858,7 +2901,7 @@ def ivf_assign_apply_delta(
         c: base_counts.get(c, 0) + delta_counts.get(c, 0)
         for c in set(base_counts) | set(delta_counts)
     }
-    psi = _occupancy_psi(base_counts, union_counts)
+    psi = _occupancy_psi(ref_counts, union_counts)
     report["occupancy_psi"] = round(psi, 6)
     report["retrained"] = psi > IVF_RETRAIN_PSI
 
@@ -2879,6 +2922,13 @@ def ivf_assign_apply_delta(
         merged = _assign_cells(union_base, cent).localCheckpoint(
             eager=True
         )
+        # re-anchor the drift reference at the retrained assignment
+        # — the next append's PSI measures drift since THIS retrain
+        occ_ref = (
+            merged.groupBy("cell")
+            .agg(F.count("*").alias("n"))
+            .localCheckpoint(eager=True)
+        )
 
     if publish_fingerprint is not None:
         cent = load_or_build(
@@ -2888,7 +2938,11 @@ def ivf_assign_apply_delta(
             spark, "ivf_assign_index", publish_fingerprint,
             lambda: merged,
         )
-    return cent, merged, report
+        occ_ref = load_or_build(
+            spark, "ivf_occupancy_ref", publish_fingerprint,
+            lambda: occ_ref,
+        )
+    return cent, merged, occ_ref, report
 
 
 def _ivf_delta_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -290,7 +290,9 @@ def stream_document_ingest(
 
 # the embedding-family artifact kinds the composer maintains: the
 # cosine LSH bucket index plus (round 12, VERDICT r11 #3) the IVF
-# quantizer and its assignment index. tests/test_ingest_pipeline.py
+# quantizer and its assignment index, and (round 13, ADVICE r12)
+# the train-time occupancy reference the retrain trigger
+# accumulates drift against. tests/test_ingest_pipeline.py
 # asserts every kind listed here is published under the union
 # fingerprint by the loop — registering a kind without wiring it
 # into plan_embedding_artifact_deltas fails the suite.
@@ -298,6 +300,7 @@ EMBEDDING_ARTIFACT_KINDS = [
     "cosine_base_index",
     "ivf_centroids",
     "ivf_assign_index",
+    "ivf_occupancy_ref",
 ]
 
 
@@ -325,11 +328,12 @@ def plan_embedding_artifact_deltas(
             spark, corpus_dir, fresh_vecs
         )
     }
-    cent, assign, ivf_report = ivf_assign_apply_delta(
+    cent, assign, occ_ref, ivf_report = ivf_assign_apply_delta(
         spark, corpus_dir, fresh_vecs
     )
     frames["ivf_centroids"] = cent
     frames["ivf_assign_index"] = assign
+    frames["ivf_occupancy_ref"] = occ_ref
     info = {
         "occupancy_psi": ivf_report["occupancy_psi"],
         "ivf_retrained": ivf_report["retrained"],

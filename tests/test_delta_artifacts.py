@@ -704,7 +704,7 @@ class TestIvfAssignDelta:
         base.write.parquet(os.path.join(base_dir, "embeddings.parquet"))
 
         cent_before = self._cctr(S.ivf_centroids(spark, base_dir).collect())
-        cent, merged, report = S.ivf_assign_apply_delta(
+        cent, merged, occ_ref, report = S.ivf_assign_apply_delta(
             spark, base_dir, delta
         )
         assert report["retrained"] is False
@@ -775,7 +775,7 @@ class TestIvfAssignDelta:
         spark.createDataFrame(base_rows + delta_rows, schema).write.parquet(
             os.path.join(union_dir, "embeddings.parquet")
         )
-        cent, merged, report = S.ivf_assign_apply_delta(
+        cent, merged, occ_ref, report = S.ivf_assign_apply_delta(
             spark, base_dir,
             spark.createDataFrame(delta_rows, schema),
         )
@@ -799,7 +799,7 @@ class TestIvfAssignDelta:
         from dbt_eamples_spark.operators import similarity as S
 
         emb = load_table(spark, sf_dir, "embeddings")
-        cent, merged, report = S.ivf_assign_apply_delta(
+        cent, merged, occ_ref, report = S.ivf_assign_apply_delta(
             spark, sf_dir, emb.limit(0)
         )
         assert report["retrained"] is False

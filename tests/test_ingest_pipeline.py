@@ -614,3 +614,96 @@ class TestIngestIvfRetrain:
             (r2.cent_id, tuple(r2.cvec)) for r2 in cent_pub.collect()
         }
         assert retrained != founding
+
+
+class TestIngestIvfGradualDrift:
+    """Round 13 (ADVICE r12 medium): the retrain trigger must catch
+    GRADUAL distribution drift, not only single-batch shocks. Before
+    the founding-occupancy reference, each append re-anchored the PSI
+    baseline at the just-published index, so a slow shift — every
+    individual batch below IVF_RETRAIN_PSI — kept the quantizer
+    frozen forever. With ivf_occupancy_ref pinned at train time,
+    drift ACCUMULATES: the same sub-threshold batches eventually
+    cross the trigger and retrain."""
+
+    def test_sub_threshold_batches_accumulate_to_retrain(
+        self, spark, tmp_path, art_dir
+    ):
+        from dbt_eamples_spark.operators import similarity as S
+
+        def spread(lo, hi):
+            return [
+                (
+                    i,
+                    [
+                        float(((i * 37 + j * 11) % 97) - 48) / 48.0
+                        for j in range(8)
+                    ],
+                    0,
+                )
+                for i in range(lo, hi)
+            ]
+
+        def clustered(ids):
+            return [
+                (i, [1.0 + 0.001 * float(i % 7)] + [0.01] * 7, 0)
+                for i in ids
+            ]
+
+        schema = "vec_id long, embedding array<float>, label int"
+        cdir = str(tmp_path / "drift_loop")
+        os.makedirs(cdir, exist_ok=True)
+        spark.createDataFrame(spread(0, 200), schema).write.parquet(
+            os.path.join(cdir, "embeddings.parquet")
+        )
+        # six 20-row batches, ids chosen off the %10 convention class
+        # so every row lands in the standing corpus; each batch alone
+        # shifts occupancy well under the trigger
+        nxt = 201
+        batches = []
+        for _ in range(6):
+            ids = []
+            while len(ids) < 20:
+                if nxt % 10 != 0:
+                    ids.append(nxt)
+                nxt += 1
+            batches.append(ids)
+
+        psis, retrains = [], []
+        for ids in batches:
+            r = I.ingest_embeddings_batch(
+                spark,
+                spark.createDataFrame(clustered(ids), schema),
+                cdir,
+                maintain_artifacts=True,
+            )
+            psis.append(r["occupancy_psi"])
+            retrains.append(r["ivf_retrained"])
+            if r["ivf_retrained"]:
+                break
+
+        # no single early batch fires; drift accumulates monotonically
+        # against the train-time reference until one does
+        assert retrains[0] is False, psis
+        assert retrains[-1] is True, psis
+        assert len(retrains) >= 3, psis  # gradual, not a one-batch shock
+        pre = psis[:-1]
+        assert all(b > a for a, b in zip(pre, pre[1:])), psis
+        assert all(p <= S.IVF_RETRAIN_PSI for p in pre), psis
+        assert psis[-1] > S.IVF_RETRAIN_PSI, psis
+
+        # the retrain re-anchored the reference: the published
+        # occupancy_ref equals the published index's cell counts
+        fp = A.corpus_fingerprint(cdir, "embeddings")
+        ref = _ctr(
+            spark.read.parquet(
+                A.artifact_path("ivf_occupancy_ref", fp)
+            ).collect()
+        )
+        want = _ctr(
+            spark.read.parquet(A.artifact_path("ivf_assign_index", fp))
+            .groupBy("cell")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        assert ref == want and len(want) > 0
