@@ -475,11 +475,137 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     a shuffle-able key domain. No DuckDB oracle on purpose: DuckDB's
     approx_count_distinct uses a different sketch, so values differ
     by design (driver records the weaker rows-only check; the exact
-    twin `agg_count_distinct` carries the value correctness)."""
+    twin `agg_count_distinct` carries the value correctness, and
+    ``agg_approx_distinct_audit`` hash-gates the sketch's error
+    bound inside the engine — VERDICT r12 #5)."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
         F.count("*").alias("n_orders"),
+    )
+
+
+# documented relative-error bound for the HLL audit: the sketch runs
+# at rsd=0.02 (one standard error); 0.05 = 2.5σ — a deterministic
+# pass on any fixed corpus unless the sketch itself drifts (Spark
+# version change, rsd change), which is exactly what should fail the
+# gate loudly rather than shift rows-only output silently.
+HLL_AUDIT_REL_ERR = 0.05
+
+
+def agg_approx_distinct_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bounded-error hash-gate for the HLL sketch twin (VERDICT r12
+    #5 — the ``agg_trend_slope_audit`` pattern): per o_orderstatus
+    group, |approx_count_distinct − exact countDistinct| / exact
+    must sit within ``HLL_AUDIT_REL_ERR``. Emits the bit alongside
+    SQL-exact aggregates of the EXACT side (group count, exact
+    distinct total, order total) so the DuckDB oracle recomputes the
+    values and expects ``hll_within_bounds`` TRUE — upgrading
+    ``agg_approx_distinct`` from rows-only to value-gated. One
+    3-row broadcast join; nothing but the final row leaves the
+    executors."""
+    o = load_table(spark, sf_dir, "orders")
+    exact = o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.count("*").alias("n_orders"),
+    )
+    appr = agg_approx_distinct(spark, sf_dir).select(
+        "o_orderstatus", "approx_customers"
+    )
+    j = exact.join(F.broadcast(appr), "o_orderstatus")
+    return j.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("exact_customers").cast("long").alias(
+            "exact_distinct_total"
+        ),
+        F.sum("n_orders").cast("long").alias("n_orders_total"),
+        F.min(
+            (
+                F.abs(
+                    F.col("approx_customers") - F.col("exact_customers")
+                )
+                / F.col("exact_customers")
+            )
+            <= F.lit(HLL_AUDIT_REL_ERR)
+        ).alias("hll_within_bounds"),
+    )
+
+
+def agg_approx_percentiles_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bounded-error hash-gate for the KLL-style sketch twin
+    (VERDICT r12 #5): for every (o_orderstatus, q) pair the RANK of
+    the ``percentile_approx`` value in the group's exact
+    distribution must sit within the documented rank error —
+    accuracy=10000 → ε ≈ 1e-4 — plus a per-group discreteness
+    allowance (the exact quantile interpolates between order
+    statistics while the sketch returns an element, so the
+    empirical CDF at the sketch's value can sit a few rows off
+    target; 5 rows covers it with the fixture's near-unique
+    o_totalprice). Emits the bit alongside SQL-exact aggregates of
+    the exact twin (group count, row total, a 1e4 fixed-point
+    checksum of ``agg_percentiles``'s rounded values) — the oracle
+    recomputes those and expects ``kll_within_bounds`` TRUE. The
+    rank measurement is one broadcast join + one aggregate; only
+    the final row reaches the driver."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    )
+    appr = agg_approx_percentiles(spark, sf_dir)
+    ranks = (
+        o.join(F.broadcast(appr), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_g"),
+            *[
+                F.avg(
+                    F.when(
+                        F.col("o_totalprice") <= F.col(c), 1.0
+                    ).otherwise(0.0)
+                ).alias(f"r{c[1:]}")
+                for c in ("p50", "p90", "p99")
+            ],
+        )
+        .select(
+            "o_orderstatus",
+            "n_g",
+            *[
+                (
+                    F.abs(F.col(f"r{q}") - F.lit(int(q) / 100.0))
+                    <= F.lit(1e-4) + F.lit(5.0) / F.col("n_g")
+                ).alias(f"ok{q}")
+                for q in ("50", "90", "99")
+            ],
+        )
+    )
+    bounds_row = ranks.agg(
+        F.min(
+            F.col("ok50") & F.col("ok90") & F.col("ok99")
+        ).alias("ok")
+    ).collect()[0]
+    within = bool(bounds_row["ok"])
+    exact = agg_percentiles(spark, sf_dir)
+    return exact.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum(
+            F.round(
+                (F.col("p50") + F.col("p90") + F.col("p99")) * 1e4
+            ).cast("long")
+        ).cast("long").alias("pct_checksum_fp"),
+    ).crossJoin(
+        F.broadcast(
+            load_table(spark, sf_dir, "orders").agg(
+                F.count("*").cast("long").alias("n_orders_total")
+            )
+        )
+    ).select(
+        "n_groups",
+        "pct_checksum_fp",
+        "n_orders_total",
+        F.lit(within).alias("kll_within_bounds"),
     )
 
 

@@ -357,6 +357,72 @@ def similarity_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def similarity_topk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gate for the Arrow top-k path (VERDICT r12 #4 — the
+    ``agg_trend_slope_audit`` pattern applied to its last
+    similarity-family holdout): ``similarity_topk_pandas`` is
+    rows-only at the driver by policy (no SQL oracle can run
+    mapInPandas), but its equality to the JVM twin is checkable
+    inside the engine. Both shortlists round cosine to 6 dp before
+    the shared (cosine DESC, neighbor_id ASC) total-order window, so
+    the (query_id, neighbor_id, cosine, rk) sets are engine-exact
+    comparable. This one-row companion full-outer-joins the two
+    paths on (query_id, neighbor_id), counts null-safe (cosine, rk)
+    mismatches plus one-sided rows, and emits the match bit
+    alongside SQL-expressible aggregates of the JVM side (query
+    count, pair count, neighbor-id checksum, a 1e6 fixed-point
+    cosine checksum — exact, the cosines are pre-rounded). The
+    oracle recomputes the aggregates from its own similarity_topk
+    recipe and expects ``pandas_matches_jvm`` TRUE — an Arrow drift
+    (dtype change, BLAS summation divergence crossing a 6 dp
+    boundary, top-k cut disagreement) flips the bit and fails the
+    value hash, upgrading the Python path from rows-only to
+    value-gated. The comparison is distributed (one count
+    aggregate); only one scalar reaches the driver."""
+    jvm = similarity_topk(spark, sf_dir).localCheckpoint(eager=True)
+    pdf = similarity_topk_pandas(spark, sf_dir)
+    j = jvm.select(
+        "query_id",
+        "neighbor_id",
+        F.col("cosine").alias("c_j"),
+        F.col("rk").alias("r_j"),
+    )
+    p = pdf.select(
+        "query_id",
+        "neighbor_id",
+        F.col("cosine").alias("c_p"),
+        F.col("rk").alias("r_p"),
+    )
+    cmp_row = (
+        j.join(p, ["query_id", "neighbor_id"], "full_outer")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("c_j").eqNullSafe(F.col("c_p"))
+                    & F.col("r_j").eqNullSafe(F.col("r_p")),
+                    0,
+                ).otherwise(1)
+            ).alias("n_mismatch")
+        )
+        .collect()[0]
+    )
+    matches = bool(cmp_row["n_mismatch"] == 0)
+    return jvm.agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("neighbor_id").cast("long").alias("neighbor_checksum"),
+        F.sum(
+            F.round(F.col("cosine") * 1e6).cast("long")
+        ).cast("long").alias("cosine_checksum_fp"),
+    ).select(
+        "n_queries",
+        "n_pairs",
+        "neighbor_checksum",
+        "cosine_checksum_fp",
+        F.lit(matches).alias("pandas_matches_jvm"),
+    )
+
+
 # --- random-hyperplane LSH (the second ANN scale path) ---------------------
 # L hash tables × NPLANES sign bits each. Planes are deterministic
 # pseudo-random weights derived from md5("t:p:d") — generated here as

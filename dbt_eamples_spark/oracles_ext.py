@@ -6867,6 +6867,22 @@ EXT_ORACLES["similarity_rerank_recall_eval"] = _recall_oracle_sql(
     "similarity_pq_rerank_topk"
 )
 
+# similarity_topk_audit (round 13, VERDICT r12 #4): SQL-exact
+# aggregates of the brute-force shortlist plus the expected TRUE
+# match bit for the Arrow-vs-JVM comparison the engine performs
+# internally — an Arrow drift flips the engine's bit and fails the
+# value hash against this recipe.
+EXT_ORACLES["similarity_topk_audit"] = f"""
+    WITH topk AS ({EXT_ORACLES['similarity_topk']})
+    SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(neighbor_id) AS BIGINT) AS neighbor_checksum,
+           CAST(SUM(CAST(ROUND(cosine * 1000000.0) AS BIGINT))
+                AS BIGINT) AS cosine_checksum_fp,
+           TRUE AS pandas_matches_jvm
+    FROM topk
+"""
+
 # dedup_incremental_ngram: the full blk-blocked pair statement
 # restricted to (new x corpus) pairs under the %INCR_MOD convention,
 # reoriented to the incremental (new_doc, corpus_doc) schema — the
