@@ -66,6 +66,19 @@ MOVER_RATIO = 1.25
 # Below-floor movers are LISTED (no silent drop) but not solo-run.
 SOLO_FLOOR_SEC = 0.5
 
+# per-spawn overhead estimate subtracted from a solo time before the
+# ambient discount (round 13, VERDICT r12 #1): the r12 idle-box
+# calibration (ROUND12_NOTES "Floor calibration data") measured
+# queries with in-run costs 0.016-0.122 s reading 0.087-0.396 s
+# solo — a ~0.1-0.3 s fresh-JVM tax the in-run prev_close side never
+# pays. Without the subtraction, untouched 0.5-1.7 s queries cleared
+# the effective threshold by 0.01-0.10 while the tax was 20-40% of
+# the measurement (the five false r12 "regression" survivors, all
+# at their r11 values on idle-box re-times). 0.2 s is the band's
+# midpoint — conservative for big queries (where the tax is a
+# rounding error) and calibrated for the borderline band.
+JVM_SPAWN_OVERHEAD_SEC = 0.2
+
 
 def find_movers(cur: dict, prev: dict) -> dict[str, dict]:
     """Shared-set queries whose in-run time regressed ≥ MOVER_RATIO
@@ -100,11 +113,13 @@ def ambient_drift(cur: dict, prev: dict) -> float:
 
 
 def mover_verdict(solo: float, prev_close: float, ambient: float) -> str:
-    """Arbitrate one solo-re-timed mover: its solo-vs-prev ratio is
-    discounted by the ambient machine drift; what remains past
-    MOVER_RATIO is attributable to the query itself. Pure function
-    for pytest."""
-    excess = (solo / prev_close) / max(ambient, 1e-9)
+    """Arbitrate one solo-re-timed mover: the fresh-JVM spawn tax is
+    subtracted from the solo time (prev_close is an IN-RUN figure
+    that never paid it), the ratio is discounted by the ambient
+    machine drift, and what remains past MOVER_RATIO is attributable
+    to the query itself. Pure function for pytest."""
+    adj = max(solo - JVM_SPAWN_OVERHEAD_SEC, 1e-9)
+    excess = (adj / prev_close) / max(ambient, 1e-9)
     return "noise" if excess < MOVER_RATIO else "regression"
 
 
