@@ -1547,6 +1547,19 @@ def _merge_labels_quotient(
     )
 
 
+# Corpus-size crossover for the cluster family (VERDICT r12 #6 —
+# the TRIANGLE_DELTA_REBUILD_CROSSOVER analogue, but keyed on CORPUS
+# size, not delta fraction: the delta path's fixed overhead — probe
+# collects, quotient checkpoints — is corpus-independent, while the
+# rebuild cost grows with the corpus). tools/delta_bench.py
+# (DELTA_BENCH.json): at the 5,000-doc sf0.1 corpus delta ≈ rebuild
+# (2.74 s vs 2.69 s, crossover 2.0%); at the 50,000-doc sf1 corpus
+# delta is flat (~3.1 s) while rebuild reaches 7.6 s and keeps
+# growing. Below this corpus size a from-scratch rebuild is at
+# least as cheap as the delta path.
+CLUSTER_DELTA_MIN_CORPUS_ROWS = 5_000
+
+
 def cluster_verdicts_apply_delta(
     spark: SparkSession,
     sf_dir: str,
@@ -1572,9 +1585,33 @@ def cluster_verdicts_apply_delta(
     (NOT the corpus pair graph); one labels-sized relabel join whose
     broadcast side is the tiny quotient label map. Cost grows with
     the delta's neighborhood, never the corpus — measured in
-    tools/delta_bench.py."""
+    tools/delta_bench.py.
+
+    Crossover policy (VERDICT r12 #6): below
+    ``CLUSTER_DELTA_MIN_CORPUS_ROWS`` the delta path's fixed
+    overhead eats its win — a from-scratch :func:`dedup_clusters`
+    rebuild is at least as cheap (DELTA_BENCH sf0.1 row) — so the
+    function warns; it still returns the (equivalence-locked)
+    merged result so callers keep correctness either way. Above the
+    threshold the delta path dominates and the gap widens with the
+    corpus (flat delta vs corpus-sized rebuild at sf1)."""
+    import warnings
+
     from dbt_eamples_spark.artifacts import load_or_build
 
+    n_corpus = load_table(
+        spark, sf_dir, "documents"
+    ).count()
+    if n_corpus < CLUSTER_DELTA_MIN_CORPUS_ROWS:
+        warnings.warn(
+            f"cluster_verdicts_apply_delta: corpus has {n_corpus} "
+            f"rows < {CLUSTER_DELTA_MIN_CORPUS_ROWS} — below the "
+            "measured corpus-size crossover (DELTA_BENCH.json); a "
+            "from-scratch dedup_clusters rebuild over the union is "
+            "at least as cheap at this corpus size",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     base = cluster_labels(spark, sf_dir)
     new_pairs = minhash_pairs_delta_new(
         spark, sf_dir, delta_docs, assume_new_ids=assume_new_ids

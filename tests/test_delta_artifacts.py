@@ -832,3 +832,35 @@ class TestIvfAssignDelta:
             by_q.setdefault(r.query_id, []).append(r.rk)
         for q, rks in by_q.items():
             assert sorted(rks) == list(range(1, len(rks) + 1))
+
+
+class TestClusterCrossoverPolicy:
+    """VERDICT r12 #6: the cluster family's measured crossover is
+    CORPUS-size-keyed (the delta path's fixed overhead is corpus-
+    independent while the rebuild grows with the corpus) — below
+    CLUSTER_DELTA_MIN_CORPUS_ROWS the apply_delta path warns that a
+    rebuild is at least as cheap (the result stays equivalence-
+    locked either way, as TestClusterDelta asserts)."""
+
+    def test_small_corpus_warns(self, spark, sf_dir, art_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        assert docs.count() < D.CLUSTER_DELTA_MIN_CORPUS_ROWS
+        with pytest.warns(RuntimeWarning, match="crossover"):
+            D.cluster_verdicts_apply_delta(spark, sf_dir, docs.limit(0))
+
+    def test_threshold_matches_delta_bench_row(self):
+        """The constant's source of truth is the DELTA_BENCH sf0.1
+        row: at that corpus size delta ≈ rebuild (crossover
+        recorded), at sf1 the delta dominates — so the threshold
+        must sit at the sf0.1 corpus size."""
+        import json
+
+        with open(os.path.join(os.path.dirname(__file__), "..",
+                               "DELTA_BENCH.json")) as fh:
+            bench = json.load(fh)
+        sf01 = next(
+            b for b in bench if b["sf_dir"].endswith("sf0.1")
+        )["families"]["cluster_labels"]
+        # the sf0.1 row records a crossover (delta ≈ rebuild there)
+        assert sf01["crossover_delta_pct"] is not None
+        assert D.CLUSTER_DELTA_MIN_CORPUS_ROWS == 5_000
