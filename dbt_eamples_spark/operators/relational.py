@@ -1192,7 +1192,9 @@ def agg_trend_slope_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 # full twin computation. The standalone twin queries deliberately do
 # NOT read this cache: their bench lines must stay fresh
 # measurements of the paths they name.
-_TREND_AUDIT_LEGS: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+_TREND_AUDIT_LEGS: dict[
+    tuple[str, str, str], tuple[DataFrame, DataFrame]
+] = {}
 
 
 def agg_trend_slope_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1215,8 +1217,20 @@ def agg_trend_slope_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pinned: |users|-bounded (one row per user), consumed by both
     # the comparison join and the aggregate pass — without it the
     # events-table OLS aggregation would evaluate twice. Both legs
-    # session-cached (see _TREND_AUDIT_LEGS above).
-    key = (spark.sparkContext.applicationId, sf_dir)
+    # session-cached (see _TREND_AUDIT_LEGS above); keyed on the
+    # events-table fingerprint (ADVICE r12: a raw-path key would
+    # silently serve stale legs if a same-path corpus mutated
+    # in-session while the oracle read the new table), with stale
+    # same-(app, dir) entries evicted by session_cache_key.
+    from dbt_eamples_spark.artifacts import (
+        corpus_fingerprint,
+        session_cache_key,
+    )
+
+    key = session_cache_key(
+        _TREND_AUDIT_LEGS, spark, sf_dir,
+        corpus_fingerprint(sf_dir, "events"),
+    )
     legs = _TREND_AUDIT_LEGS.get(key)
     if legs is None:
         legs = (

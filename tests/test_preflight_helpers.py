@@ -70,15 +70,22 @@ def test_missing_files_are_safe(tmp_path):
 def test_bench_sf1_reference_line_regex_matches_generator_output():
     """The 3d-bis coherence gate and the generator must agree on the
     reference-line format — a silent format drift would disable the
-    check exactly like the r9 serialization-drift carve-out bug."""
+    check exactly like the r9 serialization-drift carve-out bug.
+    ADVICE r12: the line is rendered through the generator's OWN
+    format string and parsed with preflight's OWN regex (both
+    imported from tools/bench_sf1_report.py, the single source of
+    truth) — not hand-copied twins that could drift apart from the
+    code they claim to test."""
     import re
 
-    line = ("sf0.1 reference column: BENCH_LOCAL.json total "
-            "226.907 s, tree `8968152c33bda57a`.")
-    m = re.search(
-        r"sf0\.1 reference column: BENCH_LOCAL\.json total "
-        r"([0-9.]+) s, tree `([0-9a-f]+)`",
-        line,
+    from tools.bench_sf1_report import (
+        SF01_REF_STAMP_FMT,
+        SF01_REF_STAMP_RE,
     )
+
+    line = SF01_REF_STAMP_FMT.format(
+        total=226.907, tree="8968152c33bda57a"
+    )
+    m = re.search(SF01_REF_STAMP_RE, line)
     assert m and m.group(1) == "226.907"
     assert m.group(2) == "8968152c33bda57a"

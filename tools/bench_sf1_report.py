@@ -38,6 +38,21 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF1 = os.path.join(REPO, ".tmp", "sf1.0")
 SF1_FP = os.path.join(REPO, ".tmp", "sf1.0-fp")
 
+# sf0.1 reference-column stamp: ONE source of truth for the format
+# string and its parsing regex (ADVICE r12 — preflight's 3d-bis
+# decoupling gate and this generator each carried their own copy,
+# and the pytest screen tested a third hand-copied pair, so a format
+# drift would have silently disabled the gate; preflight.py and
+# tests/test_preflight_helpers.py import these).
+SF01_REF_STAMP_FMT = (
+    "sf0.1 reference column: BENCH_LOCAL.json total "
+    "{total} s, tree `{tree}`."
+)
+SF01_REF_STAMP_RE = (
+    r"sf0\.1 reference column: BENCH_LOCAL\.json total "
+    r"([0-9.]+) s, tree `([0-9a-f]+)`"
+)
+
 # the historical sweep set (r1-shared + slowest tail + round-8/9/10
 # spot-check families) + the image family, benchable at sf1 since
 # the r11 three-modulus horizon extension
@@ -446,6 +461,13 @@ def render(
     rate_fp = _rate(SF1_FP)
     rate01 = _rate("/root/testdata/sf0.1")
     dd1, dd_fp = _dd(SF1), _dd(SF1_FP)
+
+    def _fmt(v: float | None) -> str:
+        # ADVICE r12: a missing/partial profile row makes _rate()
+        # return None — fall back to '—' like the other derived
+        # figures instead of crashing the report at the end of a
+        # ~15-minute close run
+        return f"{v:.1f}" if v is not None else "—"
     w("")
     w("**Attribution** (control experiment, the r10 minhash "
       "method): the decade-over-decade exponent step is two "
@@ -462,8 +484,8 @@ def render(
         w(f"2. **The planted cross-copy dup tail inflates the "
           f"verify load**: with the default vowel permutation, "
           f"probe candidates per delta doc run "
-          f"{rate1:.1f} vs {rate_fp:.1f} on the full-permute "
-          f"control (sf0.1's own rate: {rate01:.1f}) and "
+          f"{_fmt(rate1)} vs {_fmt(rate_fp)} on the full-permute "
+          f"control (sf0.1's own rate: {_fmt(rate01)}) and "
           f"delta×delta true pairs appear ({dd1} vs {dd_fp} at "
           "8%) — all four figures from THIS run's profile rows. "
           "Cost stays proportional to TRUE candidate/pair output "
@@ -472,7 +494,7 @@ def render(
     else:
         w(f"2. **The planted cross-copy dup tail inflates the "
           f"verify load**: vowel-permutation candidates/delta-doc "
-          f"{rate1:.1f} vs sf0.1's {rate01:.1f} "
+          f"{_fmt(rate1)} vs sf0.1's {_fmt(rate01)} "
           "(full-permute control corpus absent in this run — "
           "synthesize .tmp/sf1.0-fp for the controlled figure).")
     if db1.get("delta_8pct_sec") and db1.get("full_rebuild_sec"):
@@ -528,8 +550,9 @@ def render(
     # this report's column was rendered — coherent only because the
     # close-run file was restored by hand). preflight compares this
     # stamp against the committed BENCH_LOCAL.json when present.
-    w(f"sf0.1 reference column: BENCH_LOCAL.json total "
-      f"{sf01['value']} s, tree `{sf01.get('engine_tree')}`.")
+    w(SF01_REF_STAMP_FMT.format(
+        total=sf01["value"], tree=sf01.get("engine_tree")
+    ))
     w("")
     w(f"Engine tree: `{tree}`")
     w("")

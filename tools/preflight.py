@@ -271,14 +271,22 @@ def main() -> None:
         # 3d-bis (round 12): the report's sf0.1 reference column must
         # be the COMMITTED BENCH_LOCAL.json — the r12 close regenerated
         # BENCH_LOCAL after the report rendered its column, which would
-        # have silently decoupled the two artifacts. The generator now
-        # stamps the reference's total+tree; enforce when present
-        # (older reports without the line pass — they predate it).
+        # have silently decoupled the two artifacts. The generator
+        # stamps the reference's total+tree; the regex is the
+        # generator's own (ADVICE r12 — one source of truth). A
+        # current-tree report WITHOUT the stamp fails closed (ADVICE
+        # r12: treating it as legacy-pass left the gate inert on the
+        # very round it shipped).
+        from tools.bench_sf1_report import SF01_REF_STAMP_RE
+
         with open(sf1_md) as fh:
-            ref = re.search(
-                r"sf0\.1 reference column: BENCH_LOCAL\.json total "
-                r"([0-9.]+) s, tree `([0-9a-f]+)`",
-                fh.read(),
+            ref = re.search(SF01_REF_STAMP_RE, fh.read())
+        if ref is None and m and m.group(1) == tree_now:
+            errs.append(
+                "BENCH_SF1.md's footer matches the current tree but "
+                "the sf0.1 reference-column stamp line is absent — "
+                "regenerate it whole with tools/bench_sf1_report.py "
+                "so the 3d-bis decoupling gate is live"
             )
         if ref:
             try:
