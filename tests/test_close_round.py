@@ -137,3 +137,26 @@ def test_mover_verdict_subtracts_spawn_overhead():
     # and the subtraction must NOT absolve a genuine regression: a
     # 3 s solo against a 1 s prev close is 2.4x after tax+ambient
     assert mover_verdict(3.0, 1.0, 1.146) == "regression"
+
+
+def test_mover_verdict_prefers_solo_basis_when_history_exists():
+    """Round 13: a mover with a prior-close SOLO figure is arbitrated
+    solo-vs-solo (both spawns paid the same cold-start costs — no
+    overhead subtraction), which settles cases the in-run basis
+    structurally cannot (a fresh JVM exceeds an in-run figure by
+    cold codebook loads and worker warmup beyond the flat tax)."""
+    from tools.bench_solo import (
+        MOVER_RATIO,
+        mover_verdict_solo_basis,
+    )
+
+    # flat solo-vs-solo across closes -> noise even when the in-run
+    # basis would have accused (the similarity_pq_topk shape: solo
+    # 2.68 vs a 1.85 in-run prev reads 1.45x, but vs a prior solo of
+    # 2.6 it reads 1.03x)
+    assert mover_verdict_solo_basis(2.68, 2.60, 1.0) == "noise"
+    # a genuine solo-vs-solo regression still fires
+    assert mover_verdict_solo_basis(4.0, 2.6, 1.0) == "regression"
+    # ambient discount applies on this basis too
+    assert mover_verdict_solo_basis(3.2, 2.6, 1.15) == "noise"
+    assert MOVER_RATIO == 1.25

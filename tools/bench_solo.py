@@ -123,6 +123,22 @@ def mover_verdict(solo: float, prev_close: float, ambient: float) -> str:
     return "noise" if excess < MOVER_RATIO else "regression"
 
 
+def mover_verdict_solo_basis(
+    solo: float, prev_solo: float, ambient: float
+) -> str:
+    """Apples-to-apples arbitration when the PREVIOUS close
+    solo-timed the same query (round 13: the r13 ledger's one
+    surviving accusation, similarity_pq_topk, could not be settled
+    because its only baseline was an in-run figure that a fresh JVM
+    structurally exceeds — cold codebook loads, Python worker
+    warmup — beyond the flat spawn tax). Both sides paid the same
+    per-spawn costs, so no overhead subtraction: just the ambient
+    discount. Preferred over :func:`mover_verdict` whenever a prior
+    solo figure exists. Pure function for pytest."""
+    excess = (solo / prev_solo) / max(ambient, 1e-9)
+    return "noise" if excess < MOVER_RATIO else "regression"
+
+
 def main() -> None:
     if len(sys.argv) >= 2 and sys.argv[1] == "--one":
         _run_one(sys.argv[2], sys.argv[3])
@@ -132,6 +148,15 @@ def main() -> None:
     if "--prev-bench" in argv:
         i = argv.index("--prev-bench")
         prev_bench = argv[i + 1]
+        del argv[i:i + 2]
+    prev_solo: dict[str, float] = {}
+    if "--prev-solo" in argv:
+        i = argv.index("--prev-solo")
+        try:
+            with open(argv[i + 1]) as fh:
+                prev_solo = json.load(fh).get("queries", {}) or {}
+        except (OSError, ValueError):
+            prev_solo = {}  # no prior ledger — in-run basis only
         del argv[i:i + 2]
     n = int(argv[0]) if argv else 10
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -188,18 +213,32 @@ def main() -> None:
         out.update(json.loads(line[len("SOLO_RESULT "):]))
         print(f"solo {name}: {out[name]} s (in-run {bl['queries'][name]})")
 
+    def _adjudicate(name: str, solo_t: float) -> None:
+        """Verdict one mover: solo-vs-prior-SOLO when the previous
+        close's ledger carries the query (apples-to-apples — both
+        spawns paid the same cold-start costs), else the
+        overhead-subtracted solo-vs-in-run rule."""
+        m = movers[name]
+        m["solo"] = solo_t
+        m["solo_vs_prev"] = round(solo_t / m["prev_close"], 3)
+        ps = prev_solo.get(name)
+        if ps:
+            m["prev_solo"] = ps
+            m["solo_vs_prev_solo"] = round(solo_t / ps, 3)
+            m["basis"] = "solo_vs_solo"
+            m["verdict"] = mover_verdict_solo_basis(solo_t, ps, ambient)
+        else:
+            m["basis"] = "solo_vs_inrun"
+            m["verdict"] = mover_verdict(
+                solo_t, m["prev_close"], ambient
+            )
+
     for name in solo_movers:
-        movers[name]["solo"] = out[name]
         # the arbitration verdict, in the ledger: solo-vs-prev
         # discounted by the ambient machine drift — what survives
         # the discount past MOVER_RATIO is attributable to the
         # query; the rest is the box, not the code
-        movers[name]["solo_vs_prev"] = round(
-            out[name] / movers[name]["prev_close"], 3
-        )
-        movers[name]["verdict"] = mover_verdict(
-            out[name], movers[name]["prev_close"], ambient
-        )
+        _adjudicate(name, out[name])
 
     # CONFIRM pass (r12: two consecutive ledger runs on the same
     # tree disagreed by up to 1.45x on the same queries — children
@@ -233,11 +272,9 @@ def main() -> None:
         m["solo_confirm"] = solo2
         best = min(m["solo"], solo2)
         out[name] = best
-        m["solo"] = best
-        m["solo_vs_prev"] = round(best / m["prev_close"], 3)
-        m["verdict"] = mover_verdict(best, m["prev_close"], ambient)
+        _adjudicate(name, best)
         print(f"confirm {name}: second spawn {solo2} s, "
-              f"min {best} s -> {m['verdict']}")
+              f"min {best} s -> {m['verdict']} ({m['basis']})")
 
     from tools.treehash import engine_tree_hash
 

@@ -130,6 +130,18 @@ def main() -> None:
     else:
         print("close: WARN no BENCH_LOCAL.json at --prev rev — solo "
               "ledger runs without mover arbitration", flush=True)
+    # the previous close's SOLO ledger too (round 13): a mover with a
+    # prior solo figure is adjudicated solo-vs-solo — apples-to-apples
+    # across spawns — instead of solo-vs-in-run
+    prev_solo = subprocess.run(
+        ["git", "show", f"{args.prev}:BENCH_SOLO.json"],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    if prev_solo.returncode == 0 and prev_solo.stdout.strip():
+        prev_solo_path = os.path.join(TMP, "prev_bench_solo.json")
+        with open(prev_solo_path, "w") as fh:
+            fh.write(prev_solo.stdout)
+        solo_cmd += ["--prev-solo", prev_solo_path]
     run(solo_cmd, os.path.join(TMP, "solo_close.log"))
 
     # 5. plan audit
