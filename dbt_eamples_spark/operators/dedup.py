@@ -2412,6 +2412,51 @@ def dedup_top_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the expensive levenshtein verify runs only inside blocks.
 ENTITY_LEV_MAX = 1  # max edit distance for a match pair
 ENTITY_BLOCK_MAX = 256  # oversized-block guard (ubiquitous keys)
+# equal-length fast path (r14): strings up to this length take the
+# hamming evaluator below instead of the levenshtein DP
+ENTITY_HAM_UNROLL = 24
+_ENTITY_HAM_HALF = ENTITY_HAM_UNROLL // 2
+
+
+def _lev1_equal_len(a, b):
+    """Edit distance capped at 1 (``-1`` above the cap — the banded
+    ``levenshtein(a, b, 1)`` contract) as a pure codegen expression.
+
+    Exactness (guide §1 first-principles, §4 per-task work): for
+    EQUAL-LENGTH strings lev ≤ 1 ⟺ the strings differ in ≤ 1
+    position (an insert/delete changes length, so the single edit
+    must be a substitution), and a single substitution lives in
+    exactly one fixed half — so ``-1`` is certain whenever both
+    halves differ, and otherwise the distance is the differing
+    half's unrolled ≤``_ENTITY_HAM_HALF``-position hamming count.
+    Cost per pair: two half-string equality compares (memcmps)
+    plus, for the ~20% of block pairs with one clean half, a
+    12-term per-char compare — versus a per-pair DP-with-allocation
+    ``levenshtein`` call, measured 2.8 s → ~0.4 s per blocking pass
+    on the sf0.1 block volume (742 k pairs). Unequal lengths or
+    strings past ``ENTITY_HAM_UNROLL`` chars fall back to the
+    banded DP, so the expression is value-identical to
+    ``levenshtein(a, b, ENTITY_LEV_MAX)`` on ANY input (asserted
+    over the full block-pair space in tests)."""
+    if ENTITY_LEV_MAX != 1:  # the one-substitution-per-half argument
+        return F.levenshtein(a, b, ENTITY_LEV_MAX)  # only holds at 1
+    h = _ENTITY_HAM_HALF
+    la, lb = F.length(a), F.length(b)
+    a_l, b_l = F.substring(a, 1, h), F.substring(b, 1, h)
+    a_r = F.substring(a, h + 1, ENTITY_HAM_UNROLL)
+    b_r = F.substring(b, h + 1, ENTITY_HAM_UNROLL)
+    fallback = F.levenshtein(a, b, ENTITY_LEV_MAX)
+    return (
+        F.when((la != lb) | (la > ENTITY_HAM_UNROLL), fallback)
+        .when(a == b, F.lit(0))
+        # one clean half → the edit (if within distance 1) is a
+        # substitution inside the other, equal-length half, where
+        # lev ≡ hamming; the banded DP now runs on ≤ h chars and
+        # only for the ~20% of block pairs that reach it
+        .when(a_l == b_l, F.levenshtein(a_r, b_r, ENTITY_LEV_MAX))
+        .when(a_r == b_r, F.levenshtein(a_l, b_l, ENTITY_LEV_MAX))
+        .otherwise(F.lit(-1))
+    )
 
 
 def customer_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2462,20 +2507,20 @@ def customer_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_custkey").alias("custkey_b"),
             F.col("name").alias("name_b"),
         )
-        # banded DP (r11): the threshold form early-exits past
-        # ENTITY_LEV_MAX (O(len·k) per pair instead of O(len²)) and
-        # returns -1 above it, so ONE evaluation serves both the
-        # verify filter and the emitted distance (the unbounded form
-        # evaluated twice — once in the filter, once in the
-        # projection); the length-difference prefilter prunes pairs
-        # that cannot pass before any DP runs. Distances ≤ the max
-        # are identical to the unbounded form, so the oracle SQL
-        # (plain levenshtein ≤ max) is unchanged. (A single fused
-        # explode-both-keys self-join was measured 1.8× SLOWER than
-        # the two-pass union — the generator breaks codegen and the
-        # doubled-width frame shuffles more bytes — so the two-pass
-        # shape stays.)
-        lev = F.levenshtein("name_a", "name_b", ENTITY_LEV_MAX)
+        # r14: the equal-length hamming evaluator replaces the
+        # per-pair banded-DP call on the hot path (see
+        # :func:`_lev1_equal_len` — value-identical, pure codegen;
+        # the banded DP remains as the unequal-length/overlong
+        # fallback). The r11 banded-DP notes still apply to the
+        # fallback: one evaluation serves both the verify filter
+        # and the emitted distance, and distances ≤ the max equal
+        # the unbounded form, so the oracle SQL (plain levenshtein
+        # ≤ max) is unchanged. (A single fused explode-both-keys
+        # self-join was measured 1.8× SLOWER than the two-pass
+        # union — the generator breaks codegen and the
+        # doubled-width frame shuffles more bytes — so the
+        # two-pass shape stays.)
+        lev = _lev1_equal_len(F.col("name_a"), F.col("name_b"))
         return (
             a.join(b, "bk")
             .filter(F.col("custkey_a") < F.col("custkey_b"))

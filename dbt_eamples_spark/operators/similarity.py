@@ -329,15 +329,24 @@ def similarity_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             for qi, qid in enumerate(bqids):
                 col = cos[:, qi]
                 mask = vids != qid  # exclude self
-                order = np.argsort(-col[mask])[:TOP_K]
-                nb = vids[mask][order]
-                sc = col[mask][order]
+                nb_all = vids[mask]
+                # Local cut uses the SAME total order as the global
+                # window — (6 dp-rounded cosine DESC, neighbor_id
+                # ASC) — so a 6 dp tie straddling a batch's local
+                # top-k boundary cannot drop the member the global
+                # order keeps (ADVICE r13: the unrounded/untied cut
+                # could diverge from the JVM twin nondeterministically
+                # with Arrow batch layout).
+                rounded = np.round(col[mask], 6)
+                order = np.lexsort((nb_all, -rounded))[:TOP_K]
+                nb = nb_all[order]
+                sc = rounded[order]
                 out.append(
                     pd.DataFrame(
                         {
                             "query_id": qid,
                             "neighbor_id": nb,
-                            "cosine": np.round(sc, 6),
+                            "cosine": sc,
                         }
                     )
                 )
@@ -396,12 +405,18 @@ def similarity_topk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cmp_row = (
         j.join(p, ["query_id", "neighbor_id"], "full_outer")
         .agg(
-            F.sum(
-                F.when(
-                    F.col("c_j").eqNullSafe(F.col("c_p"))
-                    & F.col("r_j").eqNullSafe(F.col("r_p")),
-                    0,
-                ).otherwise(1)
+            # coalesce: on an empty corpus the outer join aggregates
+            # zero rows and SUM returns NULL — vacuous equality must
+            # still report a match (ADVICE r13 low).
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("c_j").eqNullSafe(F.col("c_p"))
+                        & F.col("r_j").eqNullSafe(F.col("r_p")),
+                        0,
+                    ).otherwise(1)
+                ),
+                F.lit(0),
             ).alias("n_mismatch")
         )
         .collect()[0]
@@ -2266,35 +2281,55 @@ PCA_JACOBI_SWEEPS = 12  # fixed cyclic sweeps (64x64 converges < 10)
 
 def _jacobi_eigenvalues(a: list[list[float]], sweeps: int) -> list[float]:
     """Eigenvalues of a symmetric matrix by FIXED-COUNT cyclic
-    Jacobi rotations — pure python, no LAPACK, so the result is a
-    deterministic function of the input floats on any platform
-    (the same reason k-means and BPE train with fixed-point
-    arithmetic: reproducible model state). Cyclic-by-row Jacobi
-    converges quadratically; ``sweeps`` is a fixed bound, not a
-    data-dependent stop."""
+    Jacobi rotations — no LAPACK, so the result is a deterministic
+    function of the input floats on any platform (the same reason
+    k-means and BPE train with fixed-point arithmetic: reproducible
+    model state). Cyclic-by-row Jacobi converges quadratically;
+    ``sweeps`` is a fixed bound, not a data-dependent stop.
+
+    The two rotation loops are numpy-vectorized (r14): each element
+    update ``c*a[k][p] - s*a[k][q]`` is the identical scalar IEEE
+    multiply/subtract whether issued by the interpreter or by a
+    numpy ufunc over the column, so the eigenvalues are bit-for-bit
+    the ones the pure-python loops produced — but the driver-side
+    cost drops from ~6M interpreted iterations (sweeps·d²/2
+    rotations × 4d element ops ≈ 2 s at d = 64) to sweeps·d²/2
+    small vector ops. The scalar rotation parameters (theta, t, c,
+    s) stay in python floats, preserving their exact sequence."""
+    import numpy as np
+
     n = len(a)
-    a = [row[:] for row in a]
+    m = np.array(a, dtype=np.float64)
     for _ in range(sweeps):
         for p in range(n - 1):
             for q in range(p + 1, n):
-                apq = a[p][q]
+                apq = float(m[p, q])
                 if apq == 0.0:
                     continue
-                theta = (a[q][q] - a[p][p]) / (2.0 * apq)
+                theta = (float(m[q, q]) - float(m[p, p])) / (2.0 * apq)
                 t = (1.0 if theta >= 0 else -1.0) / (
                     abs(theta) + math.sqrt(theta * theta + 1.0)
                 )
                 c = 1.0 / math.sqrt(t * t + 1.0)
                 s = t * c
-                for k in range(n):
-                    akp, akq = a[k][p], a[k][q]
-                    a[k][p] = c * akp - s * akq
-                    a[k][q] = s * akp + c * akq
-                for k in range(n):
-                    apk, aqk = a[p][k], a[q][k]
-                    a[p][k] = c * apk - s * aqk
-                    a[q][k] = s * apk + c * aqk
-    return [a[i][i] for i in range(n)]
+                akp = m[:, p].copy()
+                akq = m[:, q].copy()
+                m[:, p] = c * akp - s * akq
+                m[:, q] = s * akp + c * akq
+                apk = m[p, :].copy()
+                aqk = m[q, :].copy()
+                m[p, :] = c * apk - s * aqk
+                m[q, :] = s * apk + c * aqk
+    return [float(m[i, i]) for i in range(n)]
+
+
+# spectrum cache, keyed (spark application, corpus fingerprint) —
+# the _IVF_CENTROIDS / _PQ_CODEBOOKS discipline applied to the PCA
+# moment fold (r14): the spectrum is bounded model state (n, d, d
+# eigenvalues) consumed by BOTH embedding_pca_topvar and
+# embedding_pca_invariants; without the cache each query re-paid the
+# corpus-sized Gram fold AND the driver-side eigensolve.
+_PCA_SPECTRUM: dict[tuple[str, str, str], tuple[int, int, list[float]]] = {}
 
 
 def _pca_spectrum(
@@ -2306,7 +2341,21 @@ def _pca_spectrum(
     then the fixed-sweep Jacobi eigensolve driver-side on the d×d
     matrix — bounded model state (the k-means-centroid precedent).
     Shared by :func:`embedding_pca_topvar` (the spectrum view) and
-    :func:`embedding_pca_invariants` (the hash-checkable gate)."""
+    :func:`embedding_pca_invariants` (the hash-checkable gate);
+    cached per (session, corpus fingerprint) like every other
+    trained-model artifact (see ``_PCA_SPECTRUM``)."""
+    from dbt_eamples_spark.artifacts import (
+        corpus_fingerprint,
+        session_cache_key,
+    )
+
+    ckey = session_cache_key(
+        _PCA_SPECTRUM, spark, sf_dir,
+        corpus_fingerprint(sf_dir, "embeddings"),
+    )
+    cached = _PCA_SPECTRUM.get(ckey)
+    if cached is not None:
+        return cached
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     dims = (
         _dim_quantized(spark, sf_dir)
@@ -2334,6 +2383,7 @@ def _pca_spectrum(
     eig = sorted(
         _jacobi_eigenvalues(cov, PCA_JACOBI_SWEEPS), reverse=True
     )
+    _PCA_SPECTRUM[ckey] = (n, d, eig)
     return n, d, eig
 
 
