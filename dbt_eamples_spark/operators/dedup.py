@@ -669,58 +669,90 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _min_label_propagation(pairs: DataFrame, a: str, b: str) -> DataFrame:
     """Connected components over an undirected pair list via
-    iterative min-label propagation -> (node, comp). One shuffle per
-    iteration (groupBy on node) + a broadcast-size convergence
-    count; the symmetric edge list is localCheckpoint'ed once so no
-    iteration replays the upstream candidate pipeline, and each new
-    labeling is checkpointed so lineage stays flat (the classic
-    iterative-algorithm trap: without it, iteration k re-executes
-    all k-1 predecessors). Raises after 20 rounds: a component with
-    diameter > 20 would otherwise silently emit split clusters
-    (multiple keep=true canonicals); min-label propagation converges
-    in O(diameter) rounds, so 20 covers any realistic near-dup graph
-    (longer chains mean the blocking threshold is wrong, not the
-    loop)."""
+    min-label propagation WITH pointer jumping -> (node, comp).
+
+    Round structure (r14 — the O(diameter) pure neighbor-min loop
+    made chain-shaped near-dup graphs pay ~17 checkpointed rounds on
+    the semantic pair graph; guide §1.2: fix the distributed
+    algorithm first):
+
+     - seed: each node starts at min(self, direct neighbors) — the
+       old loop's first round folded into one aggregate over the
+       checkpointed edge list, no node⋈label join;
+     - per round: neighbor-min (edges ⋈ labels, one groupBy) THEN a
+       pointer jump (labels ⋈ labels: v adopts its label's label).
+       Labels only ever decrease and never leave the component, so
+       the fixpoint — every node at its component MINIMUM — is
+       IDENTICAL to the pure neighbor-min loop's; the jump merely
+       doubles how far a small label travels per round, turning
+       convergence from O(diameter) into O(log diameter) rounds
+       (hash-to-min, Rastogi et al. 2013). Each round is
+       checkpointed so lineage stays flat (the classic iterative-
+       algorithm trap), and the convergence count is a narrow scan
+       of the materialized frame.
+
+    Raises after 20 rounds exactly as before — with the jump that
+    now covers component diameters ~2^20 rather than 20, so the
+    guard is strictly safer at the same cap."""
     base = pairs.select(F.col(a).alias("doc_a"), F.col(b).alias("doc_b"))
     edges = base.union(
         base.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint(eager=True)
 
+    # seed = identity labels after one neighbor-min step: min(self,
+    # neighbors) straight off the edge list (every node of the
+    # symmetric edge list appears as doc_a)
     comp = (
-        edges.select(F.col("doc_a").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("comp"))
+        edges.groupBy("doc_a")
+        .agg(F.min("doc_b").alias("mn"))
+        .select(
+            F.col("doc_a").alias("node"),
+            F.least(F.col("doc_a"), F.col("mn")).alias("comp"),
+        )
         .localCheckpoint(eager=True)
     )
-    changed = 0
-    for _ in range(20):
+    changed = 1
+    for it in range(20):
         nbr_min = (
             edges.join(comp, edges.doc_b == comp.node)
             .groupBy("doc_a")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        # old label rides along into the checkpoint so the
-        # convergence count is a narrow scan of the materialized
-        # frame — not the extra (node ⋈ node) join per round the
-        # round-5 shape paid (the count was one of two joins per
-        # iteration; now each round is exactly one)
+        m = comp.join(nbr_min, comp.node == nbr_min.doc_a, "left").select(
+            "node",
+            F.col("comp").alias("old_comp"),
+            F.least(
+                F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+            ).alias("m"),
+        )
+        # pointer jump: v adopts its label's label (labels are node
+        # ids of the same component, so the lookup side is m itself;
+        # the left join tolerates a label whose node row is absent,
+        # which cannot happen for min-ids but costs nothing to allow)
+        lbl = m.select(F.col("node").alias("lnode"), F.col("m").alias("lm"))
         stepped = (
-            comp.join(nbr_min, comp.node == nbr_min.doc_a, "left")
+            m.join(lbl, m.m == lbl.lnode, "left")
             .select(
                 "node",
-                F.col("comp").alias("old_comp"),
-                F.least(
-                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
-                ).alias("comp"),
+                "old_comp",
+                F.least(F.col("m"), F.coalesce("lm", F.col("m"))).alias(
+                    "comp"
+                ),
             )
             .localCheckpoint(eager=True)
         )
-        changed = stepped.filter(
-            F.col("comp") != F.col("old_comp")
-        ).count()
         comp = stepped.select("node", "comp")
-        if changed == 0:
-            break
+        # convergence check every SECOND round (each check is its
+        # own job; a converged labeling is a fixpoint, so one
+        # unchecked extra round cannot change values — it only
+        # defers detection by one cheap pass) and always on the
+        # cap round so the non-convergence guard still fires.
+        if it % 2 == 1 or it == 19:
+            changed = stepped.filter(
+                F.col("comp") != F.col("old_comp")
+            ).count()
+            if changed == 0:
+                break
     if changed != 0:
         raise RuntimeError(
             "label propagation did not converge in 20 iterations "

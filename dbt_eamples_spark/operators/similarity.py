@@ -1752,7 +1752,7 @@ def similarity_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sl.select(
             "query_id", F.col("neighbor_id").alias("a"), "vec"
         )
-        .join(s2, "query_id")
+        .join(F.broadcast(s2), "query_id")  # |Q|·SHORTLIST rows
         .filter(F.col("a") != F.col("b"))
         .select(
             "query_id",
@@ -1760,54 +1760,128 @@ def similarity_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b",
             F.round(_cosine(F.col("vec"), F.col("bvec")), 6).alias("sim"),
         )
-        .localCheckpoint(eager=True)  # |Q| x SHORTLIST^2 rows
     )
-    result = sl.filter(F.col("rk") == 1).select(
+    # r14: the K-1 selection rounds ran as separate checkpointed
+    # join+window pipelines (~57 AQE jobs for K = 5); the state they
+    # iterate over is |Q|·SHORTLIST(²)-bounded BY CONSTRUCTION, so
+    # the whole greedy program runs in-row per query instead — one
+    # groupBy packs (rk, neighbor_id, rel) and the pair sims into
+    # arrays, and ONE aggregate over sequence(2, K) replays the
+    # exact selection recurrence. Per step, each unselected
+    # candidate's ms is max sim against the selected set and the
+    # pick is the (score DESC, neighbor_id ASC) argmin of the
+    # negated-score struct — array_min's double ordering is the
+    # same total order the old window's SortOrder used (negation
+    # reverses it exactly, ±0.0 included), so every pick — hence
+    # every emitted row — is identical to the loop's. The corpus-
+    # sized work (the scorer + local top-k) is untouched.
+    cands_arr = sl.groupBy("query_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("rk", "neighbor_id", "rel"))
+        ).alias("cands")
+    )
+    sims_arr = sims.groupBy("query_id").agg(
+        F.collect_list(F.struct("a", "b", "sim")).alias("sims")
+    )
+    packed = cands_arr.join(F.broadcast(sims_arr), "query_id")
+
+    def _step(acc, i):
+        open_c = F.filter(
+            F.col("cands"),
+            lambda c: ~F.array_contains(acc["sel"], c["neighbor_id"]),
+        )
+        scored_c = F.transform(
+            open_c,
+            lambda c: F.struct(
+                (
+                    -(
+                        F.lit(0.5) * c["rel"]
+                        - F.lit(0.5)
+                        * F.array_max(
+                            F.transform(
+                                F.filter(
+                                    F.col("sims"),
+                                    lambda s: (s["a"] == c["neighbor_id"])
+                                    & F.array_contains(acc["sel"], s["b"]),
+                                ),
+                                lambda s: s["sim"],
+                            )
+                        )
+                    )
+                ).alias("neg_score"),
+                c["neighbor_id"].alias("neighbor_id"),
+                c["rel"].alias("rel"),
+            ),
+        )
+        best = F.array_min(scored_c)
+        # the accumulator carries (rank, id, rel, score, sel-at-pick):
+        # score = -neg_score is the identical double negated back;
+        # ms is re-derived at emit time from sel_at so the argmax
+        # state stays narrow
+        new_sel = F.concat(acc["sel"], F.array(best["neighbor_id"]))
+        new_out = F.concat(
+            acc["out"],
+            F.array(
+                F.struct(
+                    i.cast("int").alias("rank"),
+                    best["neighbor_id"].alias("neighbor_id"),
+                    best["rel"].alias("rel"),
+                    (-best["neg_score"]).alias("score"),
+                    acc["sel"].alias("sel_at"),
+                )
+            ),
+        )
+        return F.when(
+            F.size(open_c) > 0,
+            F.struct(new_sel.alias("sel"), new_out.alias("out")),
+        ).otherwise(acc)
+
+    first = F.element_at(F.col("cands"), 1)
+    acc0 = F.struct(
+        F.array(first["neighbor_id"]).alias("sel"),
+        F.array()
+        .cast(
+            "array<struct<rank:int,neighbor_id:bigint,rel:double,"
+            "score:double,sel_at:array<bigint>>>"
+        )
+        .alias("out"),
+    )
+    prog = packed.select(
+        "query_id",
+        "cands",
+        "sims",
+        F.aggregate(
+            F.sequence(F.lit(2), F.lit(MMR_K)), acc0, _step
+        ).alias("fin"),
+    )
+    rank1 = prog.select(
         "query_id",
         F.lit(1).alias("rank"),
-        "neighbor_id",
-        "rel",
+        first["neighbor_id"].alias("neighbor_id"),
+        first["rel"].alias("rel"),
         F.lit(None).cast("double").alias("max_sim_selected"),
         F.lit(None).cast("double").alias("mmr_score"),
     )
-    selected = result.select("query_id", "neighbor_id")
-    for i in range(2, MMR_K + 1):
-        cands = sl.join(
-            selected, ["query_id", "neighbor_id"], "left_anti"
-        ).select("query_id", "neighbor_id", "rel")
-        ms = (
-            sims.join(
-                selected.select(
-                    "query_id", F.col("neighbor_id").alias("b")
+    rest = prog.select(
+        "query_id", "sims", F.explode(F.col("fin")["out"]).alias("o")
+    ).select(
+        "query_id",
+        F.col("o.rank").alias("rank"),
+        F.col("o.neighbor_id").alias("neighbor_id"),
+        F.col("o.rel").alias("rel"),
+        F.array_max(
+            F.transform(
+                F.filter(
+                    F.col("sims"),
+                    lambda s: (s["a"] == F.col("o.neighbor_id"))
+                    & F.array_contains(F.col("o.sel_at"), s["b"]),
                 ),
-                ["query_id", "b"],
+                lambda s: s["sim"],
             )
-            .groupBy("query_id", F.col("a").alias("neighbor_id"))
-            .agg(F.max("sim").alias("ms"))
-        )
-        score = F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.col("ms")
-        w = Window.partitionBy("query_id").orderBy(
-            score.desc(), F.asc("neighbor_id")
-        )
-        pick = (
-            cands.join(ms, ["query_id", "neighbor_id"])
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(
-                "query_id",
-                F.lit(i).alias("rank"),
-                "neighbor_id",
-                "rel",
-                F.col("ms").alias("max_sim_selected"),
-                F.round(score, 6).alias("mmr_score"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        result = result.unionByName(pick)
-        selected = selected.unionByName(
-            pick.select("query_id", "neighbor_id")
-        ).localCheckpoint(eager=True)
-    return result
+        ).alias("max_sim_selected"),
+        F.round(F.col("o.score"), 6).alias("mmr_score"),
+    )
+    return rank1.unionByName(rest)
 
 
 # ---- contrastive hard-negative mining ---------------------------------------
@@ -2002,19 +2076,32 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         lit = _dlit_array(tuple(center_vec))
         return F.round(F.lit(1.0) - _cosine(F.col("vec"), lit), 6)
 
+    # r14: persist() instead of per-round eager localCheckpoint —
+    # the round's argmax action is what materializes the cache, so
+    # each round costs ONE job instead of two (the lineage is a
+    # single-reference chain of narrow projections, so persist's
+    # logical-plan nesting stays linear — unlike the CC kernel's
+    # self-joining rounds, which must keep truncating checkpoints).
+    # The update after the LAST argmax was never consumed and is
+    # gone. Same expressions per round, identical values.
     mind = emb.select(
         "vec_id", "vec", dist_to(seed["vec"]).alias("mind")
-    ).localCheckpoint(eager=True)
+    ).persist()
+    stale = None
     for rnd in range(1, CORESET_K):
         nxt = (
             mind.orderBy(F.desc("mind"), F.asc("vec_id")).limit(1).collect()
         )[0]
+        if stale is not None:
+            stale.unpersist()
         chosen.append((rnd, int(nxt["vec_id"]), float(nxt["mind"])))
-        mind = mind.select(
-            "vec_id",
-            "vec",
-            F.least(F.col("mind"), dist_to(nxt["vec"])).alias("mind"),
-        ).localCheckpoint(eager=True)
+        if rnd < CORESET_K - 1:
+            stale, mind = mind, mind.select(
+                "vec_id",
+                "vec",
+                F.least(F.col("mind"), dist_to(nxt["vec"])).alias("mind"),
+            ).persist()
+    mind.unpersist()
     return spark.createDataFrame(
         chosen, "sel_round int, vec_id long, coverage_radius double"
     ).orderBy("sel_round")
@@ -2528,53 +2615,112 @@ def embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
         "vec_id", _as_double_vec(F.col("embedding")).alias("vec")
     )
+    # ONE scored pass for every prefix level (r14 — the per-level
+    # loop ran (1 + |dims|) separate scan→local-topk→window
+    # pipelines, ~27 AQE jobs): each (query, neighbor) pair row
+    # emits one (dims, cosine) struct per level using the IDENTICAL
+    # slice-fold expressions the per-level passes ran — same
+    # left-fold, same round(6) — then a single local-topk + window
+    # partitioned by (dims, query_id) ranks all levels at once.
+    # Values are unchanged by construction; only the pipeline count
+    # drops (one scan, two exchanges total).
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    levels = list(MATRYOSHKA_DIMS) + [EMBED_DIM]
 
-    def _topk_at(d: int | None) -> DataFrame:
-        v = (
-            emb.select("vec_id", F.slice("vec", 1, d).alias("vec"))
-            if d is not None
-            else emb
+    def _cos_at(d: int):
+        return F.round(
+            _cosine(
+                F.slice(F.col("qvec"), 1, d), F.slice(F.col("vec"), 1, d)
+            ),
+            6,
         )
-        q = v.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
-        )
-        scored = v.join(
-            F.broadcast(q), F.col("vec_id") != F.col("query_id")
-        ).select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(_cosine(F.col("qvec"), F.col("vec")), 6).alias("cosine"),
-        )
-        return _topk(scored, TOP_K).select("query_id", "neighbor_id")
 
-    full = _topk_at(None).localCheckpoint(eager=True)
+    lv = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).cast("int").alias("dims"),
+                    _cos_at(d).alias("cosine"),
+                )
+                for d in levels
+            ]
+        )
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), lv.alias("l")
+        )
+        .select("query_id", "neighbor_id", "l.dims", "l.cosine")
+    )
+    local = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .groupBy("dims", "query_id", "_pid")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("cosine"), F.col("neighbor_id"))
+                    ),
+                    lambda a, b: F.when(a.cosine > b.cosine, -1)
+                    .when(a.cosine < b.cosine, 1)
+                    .when(a.neighbor_id < b.neighbor_id, -1)
+                    .when(a.neighbor_id > b.neighbor_id, 1)
+                    .otherwise(0),
+                ),
+                1,
+                TOP_K,
+            ).alias("top")
+        )
+        .select("dims", "query_id", F.explode_outer("top").alias("t"))
+        .select("dims", "query_id", F.col("t.neighbor_id").alias("neighbor_id"),
+                F.col("t.cosine").alias("cosine"))
+    )
+    w = Window.partitionBy("dims", "query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    topk_all = (
+        local.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("dims", "query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    full = topk_all.filter(F.col("dims") == EMBED_DIM).select(
+        "query_id", "neighbor_id"
+    )
     queries = full.select("query_id").distinct()
-    parts = []
-    for d in MATRYOSHKA_DIMS:
-        hits = (
-            _topk_at(d)
-            .join(full, ["query_id", "neighbor_id"])
-            .groupBy("query_id")
-            .agg(F.count("*").cast("long").alias("n_overlap"))
-        )
-        parts.append(
-            queries.join(F.broadcast(hits), "query_id", "left").select(
-                F.lit(d).cast("int").alias("dims"),
-                "query_id",
-                F.coalesce("n_overlap", F.lit(0))
-                .cast("long")
-                .alias("n_overlap"),
+    hits = (
+        topk_all.filter(F.col("dims") != EMBED_DIM)
+        .join(F.broadcast(full), ["query_id", "neighbor_id"])
+        .groupBy("dims", "query_id")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    spine = queries.crossJoin(
+        F.broadcast(
+            spark.createDataFrame(
+                [(int(d),) for d in MATRYOSHKA_DIMS], "dims int"
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.select(
-        "dims",
-        "query_id",
-        "n_overlap",
-        F.round(F.col("n_overlap") / F.lit(float(TOP_K)), 6).alias("overlap"),
-    ).orderBy("dims", "query_id")
+    )
+    return (
+        spine.join(F.broadcast(hits), ["dims", "query_id"], "left")
+        .select(
+            "dims",
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+        )
+        .select(
+            "dims",
+            "query_id",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.lit(float(TOP_K)), 6).alias(
+                "overlap"
+            ),
+        )
+        .orderBy("dims", "query_id")
+    )
 
 
 # ---- hybrid retrieval: reciprocal-rank fusion (VERDICT r7 #3) ---------------

@@ -186,10 +186,14 @@ class TestShuffleBudgets:
         # collect); asserting 0 locks that no post-hoc shuffle crept
         # onto the bounded frame
         "events_survival_km": 0,
-        # post-checkpoint: shortlist and pair-sim frames are
-        # materialized; each selection step's argmax is a bounded
-        # window over them
-        "similarity_mmr_topk": 0,
+        # post-checkpoint (r14 in-row selection program): the
+        # shortlist is materialized; the final plan packs it into
+        # per-query arrays (two |Q|-bounded groupBy exchanges, the
+        # second reused by the rank-1 branch) plus the pair-sim
+        # broadcast build — every exchange is |Q|·SHORTLIST-bounded,
+        # never corpus-sized; the K-1 selection rounds are one
+        # in-row fold, zero exchanges
+        "similarity_mmr_topk": 3,
         # checkpointed scored pass fans into: negative local-topk
         # (groupBy + rank window = 2) + best-positive agg + the
         # qlabel distinct; label attach joins broadcast
