@@ -29,6 +29,8 @@ the DuckDB oracle exact.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -693,11 +695,34 @@ def _min_label_propagation(pairs: DataFrame, a: str, b: str) -> DataFrame:
 
     Raises after 20 rounds exactly as before — with the jump that
     now covers component diameters ~2^20 rather than 20, so the
-    guard is strictly safer at the same cap."""
+    guard is strictly safer at the same cap.
+
+    ``SPARK_GRAFT_CC_KERNEL`` selects the round structure; all
+    variants reach the identical fixpoint (component minimum):
+
+     - ``seeded`` (DEFAULT, r15): the r14 seed + every-2nd-round
+       convergence count WITHOUT the pointer jump. The r15 fresh-JVM
+       interleaved solo A/B (tools/ab_kernel.py, VERDICT r14 #1)
+       measured the jump a net LOSS on every pair graph (its
+       labels⋈labels self-join re-executes the un-persisted
+       neighbor-min subtree on both sides — ADVICE r14 — so each
+       round costs ~2× for <2× fewer rounds): jump/plain/seeded
+       solo mins — dedup_clusters 2.44/2.00/1.82 s, phash
+       3.10/2.46/2.28 s, semantic 3.14/3.03–3.25/3.03 s.
+     - ``plain``: the r13 O(diameter) loop (identity seed, count
+       every round) — the adjudication baseline.
+     - ``jump``: the r14 kernel, kept selectable for
+       re-adjudication."""
+    kernel = os.environ.get("SPARK_GRAFT_CC_KERNEL", "seeded")
     base = pairs.select(F.col(a).alias("doc_a"), F.col(b).alias("doc_b"))
     edges = base.union(
         base.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint(eager=True)
+
+    if kernel == "plain":
+        return _mlp_plain(edges)
+    if kernel == "seeded":
+        return _mlp_seeded(edges)
 
     # seed = identity labels after one neighbor-min step: min(self,
     # neighbors) straight off the edge list (every node of the
@@ -753,6 +778,107 @@ def _min_label_propagation(pairs: DataFrame, a: str, b: str) -> DataFrame:
             ).count()
             if changed == 0:
                 break
+    if changed != 0:
+        raise RuntimeError(
+            "label propagation did not converge in 20 iterations "
+            f"({changed} labels still moving) -- graph has a component "
+            "with diameter > 20; raise the iteration cap or tighten "
+            "the pair threshold"
+        )
+    return comp
+
+
+def _mlp_seeded(edges: DataFrame) -> DataFrame:
+    """r14's seed + sparse-convergence-count WITHOUT the pointer
+    jump: the seed (min of self and direct neighbors, one aggregate
+    straight off the checkpointed edge list) replaces both the
+    identity-label build and the first neighbor-min round; rounds
+    are the plain single-join neighbor-min (the jump's second join
+    per round is what the r15 solo A/B measured as a net loss —
+    each jump round re-executes the un-persisted neighbor-min
+    subtree on both sides of the self-join); the convergence count
+    runs every SECOND round and always on the cap round (a
+    converged labeling is a fixpoint, so one unchecked extra round
+    cannot change values). Same fixpoint as the other kernels: the
+    component minimum."""
+    comp = (
+        edges.groupBy("doc_a")
+        .agg(F.min("doc_b").alias("mn"))
+        .select(
+            F.col("doc_a").alias("node"),
+            F.least(F.col("doc_a"), F.col("mn")).alias("comp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    changed = 1
+    for it in range(20):
+        nbr_min = (
+            edges.join(comp, edges.doc_b == comp.node)
+            .groupBy("doc_a")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        stepped = (
+            comp.join(nbr_min, comp.node == nbr_min.doc_a, "left")
+            .select(
+                "node",
+                F.col("comp").alias("old_comp"),
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        comp = stepped.select("node", "comp")
+        if it % 2 == 1 or it == 19:
+            changed = stepped.filter(
+                F.col("comp") != F.col("old_comp")
+            ).count()
+            if changed == 0:
+                break
+    if changed != 0:
+        raise RuntimeError(
+            "label propagation did not converge in 20 iterations "
+            f"({changed} labels still moving) -- graph has a component "
+            "with diameter > 20; raise the iteration cap or tighten "
+            "the pair threshold"
+        )
+    return comp
+
+
+def _mlp_plain(edges: DataFrame) -> DataFrame:
+    """The r13 kernel, verbatim: identity seed + pure neighbor-min
+    rounds, convergence count every round. O(diameter) rounds; kept
+    selectable for the solo A/B adjudication."""
+    comp = (
+        edges.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    changed = 0
+    for _ in range(20):
+        nbr_min = (
+            edges.join(comp, edges.doc_b == comp.node)
+            .groupBy("doc_a")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        stepped = (
+            comp.join(nbr_min, comp.node == nbr_min.doc_a, "left")
+            .select(
+                "node",
+                F.col("comp").alias("old_comp"),
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.filter(
+            F.col("comp") != F.col("old_comp")
+        ).count()
+        comp = stepped.select("node", "comp")
+        if changed == 0:
+            break
     if changed != 0:
         raise RuntimeError(
             "label propagation did not converge in 20 iterations "
@@ -2479,7 +2605,11 @@ def _lev1_equal_len(a, b):
     b_r = F.substring(b, h + 1, ENTITY_HAM_UNROLL)
     fallback = F.levenshtein(a, b, ENTITY_LEV_MAX)
     return (
-        F.when((la != lb) | (la > ENTITY_HAM_UNROLL), fallback)
+        # NULL in → NULL out, the levenshtein contract (ADVICE r14:
+        # without the guard every when-condition evaluates NULL and
+        # falls through to the -1 otherwise)
+        F.when(a.isNull() | b.isNull(), F.lit(None).cast("int"))
+        .when((la != lb) | (la > ENTITY_HAM_UNROLL), fallback)
         .when(a == b, F.lit(0))
         # one clean half → the edit (if within distance 1) is a
         # substitution inside the other, equal-length half, where

@@ -1063,13 +1063,16 @@ def lpa_labels(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
             .groupBy(F.col("src").alias("node"), "lbl")
             .agg(F.count("*").alias("c"))
         )
-        w = Window.partitionBy("node").orderBy(
-            F.col("c").desc(), F.col("lbl").asc()
-        )
+        # mode via MAX of struct(c, −lbl) — the identical
+        # (count DESC, label ASC) total order the r1–r14 row_number
+        # window ranked by (negating a BIGINT reverses its order
+        # exactly), as a hash AGGREGATE instead of a sort window:
+        # the node-keyed exchange stays, the per-partition sort goes,
+        # and per-key state is one struct (r15, guide §2.4)
         labels = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "lbl")
+            votes.groupBy("node")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias("m"))
+            .select("node", (-F.col("m.nl")).alias("lbl"))
             .localCheckpoint(eager=True)
         )
     return labels

@@ -555,16 +555,33 @@ def agg_approx_percentiles_audit(
         "o_orderstatus", "o_totalprice"
     )
     appr = agg_approx_percentiles(spark, sf_dir)
+    # ADVICE r13 (deferred to this round): the old bound
+    # 1e-4 + 5/n_g left zero margin past percentile_approx's
+    # documented guarantee and assumed near-unique prices (a >5-row
+    # duplicate mass at the returned element would falsely flip the
+    # bit on a CORRECT engine). The rank check now folds over the
+    # DISTINCT-price histogram (map-side combinable; the broadcast
+    # join then touches distinct prices, not rows) so the
+    # discreteness allowance is the group's MEASURED max duplicate
+    # mass, and epsilon carries a 2x guarantee margin.
+    dup = o.groupBy("o_orderstatus", "o_totalprice").agg(
+        F.count("*").alias("cnt")
+    )
     ranks = (
-        o.join(F.broadcast(appr), "o_orderstatus")
+        dup.join(F.broadcast(appr), "o_orderstatus")
         .groupBy("o_orderstatus")
         .agg(
-            F.count("*").alias("n_g"),
+            F.sum("cnt").alias("n_g"),
+            F.max("cnt").alias("max_dup"),
             *[
-                F.avg(
-                    F.when(
-                        F.col("o_totalprice") <= F.col(c), 1.0
-                    ).otherwise(0.0)
+                (
+                    F.sum(
+                        F.when(
+                            F.col("o_totalprice") <= F.col(c),
+                            F.col("cnt"),
+                        ).otherwise(F.lit(0))
+                    )
+                    / F.sum("cnt")
                 ).alias(f"r{c[1:]}")
                 for c in ("p50", "p90", "p99")
             ],
@@ -575,7 +592,8 @@ def agg_approx_percentiles_audit(
             *[
                 (
                     F.abs(F.col(f"r{q}") - F.lit(int(q) / 100.0))
-                    <= F.lit(1e-4) + F.lit(5.0) / F.col("n_g")
+                    <= F.lit(2e-4)
+                    + (F.lit(1.0) + F.col("max_dup")) / F.col("n_g")
                 ).alias(f"ok{q}")
                 for q in ("50", "90", "99")
             ],

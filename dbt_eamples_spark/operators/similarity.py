@@ -27,6 +27,7 @@ results bit-reproducible against the DuckDB oracle.
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -207,6 +208,109 @@ def _kmeans_centroids(emb: DataFrame, ncells: int = NCENTROIDS) -> DataFrame:
 # lifetime of the SparkContext that checkpointed it.
 _IVF_CENTROIDS: dict[tuple[str, str, int], DataFrame] = {}
 
+# collected centroid VALUES (r15): the assignment/probe rewrite
+# consumes centroids as literal arrays (see _nearest_cells), so the
+# ≤ NCENTROIDS-row frame is collected once per (application, corpus)
+# next to the frame cache — bounded model state, the same class as
+# the PQ codebooks that have always lived driver-side.
+_IVF_CENT_VALS: dict[tuple, list] = {}
+
+
+def _cent_vals(cent: DataFrame, cache_key: tuple | None = None) -> list:
+    """[(cent_id, (c0, ..., c63)), ...] sorted by cent_id, collected
+    from a bounded centroid frame (≤ ncells rows — model state)."""
+    if cache_key is not None and cache_key in _IVF_CENT_VALS:
+        return _IVF_CENT_VALS[cache_key]
+    vals = sorted(
+        (int(r[0]), tuple(float(x) for x in r[1]))
+        for r in cent.select("cent_id", "cvec").collect()
+    )
+    if cache_key is not None:
+        _IVF_CENT_VALS[cache_key] = vals
+    return vals
+
+
+def _nearest_cells(vec_col, cents: list, n: int, with_cvec: bool = False):
+    """The n nearest centroids of ``vec_col`` under the exact
+    (cosine DESC, cent_id ASC) total order, as ONE narrow literal
+    expression — an array of cent_ids (or of (cent_id, cvec) structs
+    with ``with_cvec``), replacing the r1–r14 cross-join +
+    row_number-window shape (guide §2.4: the window's corpus×ncells
+    exchange and sort are removable — nearest-centroid is a per-row
+    function of broadcastable model state, so it should cost a map,
+    not a shuffle).
+
+    Value identity: ``array_sort`` over struct(−cosine, cent_id)
+    ranks by the identical total order the window used — negating a
+    double reverses Spark's total order exactly (±0.0 included; the
+    r14 MMR argument), cent_id breaks ties, and the cosine fold vs a
+    ``_dlit_array`` literal is bit-identical to the fold vs the
+    broadcast centroid row. Plan-size note: each centroid adds one
+    64-double literal + one cosine fold, fine for ≤ a few hundred
+    cells; a production ncells past that keeps the broadcast-join
+    form (the 33 MB broadcast ceiling documented at ivf_cells).
+
+    Two per-row cost notes, measured on the first cut of this
+    rewrite (in-run 1.25–1.42× REGRESSIONS before these fixes):
+    (a) the centroid-literal norm is an unfoldable HOF aggregate, so
+    Spark re-folded each centroid's 64-term norm per row — it is
+    precomputed here in Python with the IDENTICAL left fold
+    (acc + x*x over IEEE doubles, correctly-rounded sqrt), so the
+    runtime expression multiplies by a bit-identical literal;
+    (b) consumers MUST route this expression through a Generate
+    (explode/inline), never element_at — an inner-join key built
+    from it otherwise gets an `isnotnull(<whole argmin>)` filter
+    pushed into the scan, evaluating the expression twice per row
+    (the guide §4.4 duplication, expression flavor);
+    (c) the Column is built as ONE cached SQL-text parse, not
+    nested HOF builders — the _dot_plane_sql lesson: the py4j
+    lambda machinery cost ~0.4 s of driver-side query CONSTRUCTION
+    per call (measured: construct+analyze 0.79 s of ivf_topk's
+    0.82 s planning), which min-of-3 cannot amortize because every
+    run re-plans."""
+    if not isinstance(vec_col, str):
+        raise TypeError("_nearest_cells takes a column NAME")
+    key = (
+        vec_col,
+        tuple((cid, tuple(cv)) for cid, cv in cents),
+        n,
+        with_cvec,
+    )
+    return _nearest_cells_expr(key)
+
+
+@_lru_cache(maxsize=None)
+def _nearest_cells_expr(key: tuple):
+    import math
+
+    vec, cents, n, with_cvec = key
+    structs = []
+    for cid, cv in cents:
+        acc = 0.0
+        for x in cv:
+            acc += x * x  # the exact _norm left fold, driver-side
+        arr_sql = "array(" + ", ".join(f"{v!r}D" for v in cv) + ")"
+        dot = (
+            f"aggregate(zip_with({vec}, {arr_sql}, (x, y) -> x * y), "
+            f"0.0D, (acc, x) -> acc + x)"
+        )
+        nrm_v = f"sqrt(aggregate({vec}, 0.0D, (acc, x) -> acc + x * x))"
+        nc = f"-({dot} / ({nrm_v} * {math.sqrt(acc)!r}D))"
+        fields = f"'nc', {nc}, 'cent_id', CAST({cid} AS BIGINT)"
+        if with_cvec:
+            fields += f", 'cv', {arr_sql}"
+        structs.append(f"named_struct({fields})")
+    arr = "array_sort(array(" + ", ".join(structs) + "))"
+    sliced = f"slice({arr}, 1, {n})" if n < len(cents) else arr
+    if with_cvec:
+        body = (
+            f"transform({sliced}, s -> named_struct("
+            f"'cent_id', s.cent_id, 'cv', s.cv))"
+        )
+    else:
+        body = f"transform({sliced}, s -> s.cent_id)"
+    return F.expr(body)
+
 
 def similarity_ivf_topk(
     spark: SparkSession, sf_dir: str, *, ncells: int | None = None
@@ -232,41 +336,30 @@ def similarity_ivf_topk(
         cent = _kmeans_centroids(emb, nc)
         _IVF_CENTROIDS[cache_key] = cent
 
-    # nearest-centroid assignment for every vector (broadcast cents)
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("cent_cos"), F.asc("cent_id")
-    )
-    assigned = (
-        emb.join(F.broadcast(cent), how="cross")
-        .select(
-            "vec_id",
-            "vec",
-            "cent_id",
-            _cosine(F.col("vec"), F.col("cvec")).alias("cent_cos"),
-        )
-        .withColumn("crk", F.row_number().over(w_assign))
-        .filter(F.col("crk") == 1)
-        .select("vec_id", "vec", F.col("cent_id").alias("bucket"))
+    # nearest-centroid assignment for every vector: a NARROW literal
+    # argmin (r15, guide §2.4 — the old cross-join + row_number
+    # window shuffled corpus×ncells rows and sorted them to pick a
+    # per-row function of bounded model state; see _nearest_cells
+    # for the total-order identity argument)
+    cents = _cent_vals(cent, cache_key)
+    assigned = emb.select(
+        "vec_id",
+        "vec",
+        F.explode(
+            _nearest_cells("vec", cents, 1)
+        ).alias("bucket"),  # Generate, not element_at — see helper
     )
 
-    # per-query probe list: NPROBE nearest centroids
+    # per-query probe list: NPROBE nearest centroids, same narrow form
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
     )
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.desc("probe_cos"), F.asc("cent_id")
-    )
-    probes = (
-        q.join(F.broadcast(cent), how="cross")
-        .select(
-            "query_id",
-            "qvec",
-            "cent_id",
-            _cosine(F.col("qvec"), F.col("cvec")).alias("probe_cos"),
-        )
-        .withColumn("prk", F.row_number().over(w_probe))
-        .filter(F.col("prk") <= NPROBE)
-        .select("query_id", "qvec", F.col("cent_id").alias("bucket"))
+    probes = q.select(
+        "query_id",
+        "qvec",
+        F.explode(
+            _nearest_cells("qvec", cents, NPROBE)
+        ).alias("bucket"),
     )
 
     # search only the probed buckets
@@ -336,7 +429,12 @@ def similarity_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # top-k boundary cannot drop the member the global
                 # order keeps (ADVICE r13: the unrounded/untied cut
                 # could diverge from the JVM twin nondeterministically
-                # with Arrow batch layout).
+                # with Arrow batch layout). Caveat (ADVICE r14):
+                # np.round is round-half-to-even while F.round is
+                # HALF_UP, so the claim holds only when the two modes
+                # agree — i.e. unless a cosine lands EXACTLY on a
+                # 5e-7 binary boundary, which the hash-gated
+                # similarity_topk_audit would surface.
                 rounded = np.round(col[mask], 6)
                 order = np.lexsort((nb_all, -rounded))[:TOP_K]
                 nb = nb_all[order]
@@ -982,50 +1080,63 @@ def similarity_pq_topk(
     (recall 0.68 at N=50; registered as
     :func:`similarity_pq_rerank_topk`). With rerank the output
     schema swaps adc_dist for the exact ``cosine``."""
-    if trained:
-        books = [
-            dict(book) for book in _pq_train_codebooks(spark, sf_dir)
-        ]
-        encoder = embedding_pq_encode_trained
-    else:
-        books = [
-            {k: PQ_CODEBOOK[s][k] for k in range(PQ_CODES)}
-            for s in range(PQ_SUBVECTORS)
-        ]
-        encoder = embedding_pq_encode
-    codes = encoder(spark, sf_dir).select(
-        "vec_id", *[f"code_{s}" for s in range(PQ_SUBVECTORS)]
-    )
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double_vec(F.col("embedding")).alias("vec")
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
     )
+    if trained:
+        # VERDICT r14 #6: similarity_pq_topk and
+        # similarity_pq_rerank_topk (and rerank_recall_eval through
+        # it) each re-ran the identical trained-ADC scan + two-phase
+        # cut; the ranked shortlist at max(TOP_K, PQ_RERANK) is ONE
+        # frame both consume (rk ≤ TOP_K is a prefix of rk ≤ 50
+        # under the same (adc_dist, neighbor_id) total order, so
+        # every emitted row is unchanged). |Q|·PQ_RERANK rows of
+        # session state, the _EXACT_TOPK_CACHE discipline.
+        ranked = _adc_ranked_shortlist(spark, sf_dir)
+        if not rerank:
+            return ranked.filter(F.col("rk") <= TOP_K).select(
+                "query_id", "neighbor_id", "adc_dist", "rk"
+            )
+        return _pq_refine(
+            ranked.filter(F.col("rk") <= max(TOP_K, rerank)), q, emb
+        )
+    books = [
+        {k: PQ_CODEBOOK[s][k] for k in range(PQ_CODES)}
+        for s in range(PQ_SUBVECTORS)
+    ]
+    codes = embedding_pq_encode(spark, sf_dir).select(
+        "vec_id", *[f"code_{s}" for s in range(PQ_SUBVECTORS)]
+    )
+    ranked = _adc_ranked(codes, q, books, max(TOP_K, rerank))
+    if not rerank:
+        return ranked.filter(F.col("rk") <= TOP_K).select(
+            "query_id", "neighbor_id", "adc_dist", "rk"
+        )
+    return _pq_refine(
+        ranked.filter(F.col("rk") <= max(TOP_K, rerank)), q, emb
+    )
 
-    def _dtable(s: int):
-        sub = F.slice(F.col("qvec"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
-        ds = []
-        # dense lookup table: position k+1 holds code k's distance
-        # (a died trained cluster leaves an inf hole no code id hits)
-        for k in range(PQ_CODES):
-            if k in books[s]:
-                code = _dlit_array(tuple(books[s][k]))
-                ds.append(
-                    F.aggregate(
-                        F.zip_with(
-                            sub, code, lambda x, c: (x - c) * (x - c)
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                )
-            else:
-                ds.append(F.lit(float("inf")))
-        return F.array(*ds)
 
+def _adc_ranked(
+    codes: DataFrame, q: DataFrame, books: list, shortlist: int
+) -> DataFrame:
+    """The ADC scan + two-phase cut shared by every PQ search path:
+    (query_id, neighbor_id, adc_dist, rk) ranked ascending
+    (adc_dist, neighbor_id), rk ≤ shortlist·partitions pre-window
+    (exact rk ≤ shortlist after). Split out of similarity_pq_topk
+    unchanged (same expressions, same order; the dense distance
+    tables — position k+1 = code k's distance, inf holes for died
+    clusters — are cached SQL-text parses, see _l2sq_lit_sql)."""
+    bk = _books_key(books)
     qd = q.select(
-        "query_id", *[_dtable(s).alias(f"dt{s}") for s in range(PQ_SUBVECTORS)]
+        "query_id",
+        *[
+            _pq_dtable_sql("qvec", s, bk).alias(f"dt{s}")
+            for s in range(PQ_SUBVECTORS)
+        ],
     )
     adc = None
     for s in range(PQ_SUBVECTORS):
@@ -1036,7 +1147,6 @@ def similarity_pq_topk(
     ).select(
         "query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc_dist")
     )
-    shortlist = max(TOP_K, rerank)
     # two-phase top-k, ascending distance (mirror of _topk)
     local = (
         scored.withColumn("_pid", F.spark_partition_id())
@@ -1062,20 +1172,19 @@ def similarity_pq_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("neighbor_id")
     )
-    ranked = local.withColumn("rk", F.row_number().over(w))
-    if not rerank:
-        return ranked.filter(F.col("rk") <= TOP_K).select(
-            "query_id", "neighbor_id", "adc_dist", "rk"
-        )
-    # refine: exact cosine over the |Q|*rerank shortlist only
-    short = ranked.filter(F.col("rk") <= shortlist).select(
-        "query_id", "neighbor_id"
-    )
+    return local.withColumn("rk", F.row_number().over(w))
+
+
+def _pq_refine(short: DataFrame, q: DataFrame, emb: DataFrame) -> DataFrame:
+    """Exact-cosine refine over a (query_id, neighbor_id) shortlist —
+    FAISS's IndexRefine stage, split out of similarity_pq_topk
+    unchanged."""
     nb = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nvec")
     )
     rescored = (
-        short.join(F.broadcast(q), "query_id")
+        short.select("query_id", "neighbor_id")
+        .join(F.broadcast(q), "query_id")
         .join(nb, "neighbor_id")
         .select(
             "query_id",
@@ -1091,6 +1200,48 @@ def similarity_pq_topk(
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
+
+
+# VERDICT r14 #6: the trained-ADC ranked shortlist is built ONCE per
+# (application, corpus) and shared by similarity_pq_topk /
+# similarity_pq_rerank_topk / similarity_rerank_recall_eval — the
+# _EXACT_TOPK_CACHE discipline (|Q|·PQ_RERANK rows of session state,
+# localCheckpointed; the oracle re-validates every consumer's values
+# each run).
+_ADC_SHORTLIST_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _adc_ranked_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_eamples_spark.artifacts import (
+        corpus_fingerprint,
+        session_cache_key,
+    )
+
+    key = session_cache_key(
+        _ADC_SHORTLIST_CACHE, spark, sf_dir,
+        corpus_fingerprint(sf_dir, "embeddings"),
+    )
+    ranked = _ADC_SHORTLIST_CACHE.get(key)
+    if ranked is None:
+        books = [
+            dict(book) for book in _pq_train_codebooks(spark, sf_dir)
+        ]
+        codes = embedding_pq_encode_trained(spark, sf_dir).select(
+            "vec_id", *[f"code_{s}" for s in range(PQ_SUBVECTORS)]
+        )
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double_vec(F.col("embedding")).alias("vec")
+        )
+        q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+        )
+        ranked = (
+            _adc_ranked(codes, q, books, max(TOP_K, PQ_RERANK))
+            .filter(F.col("rk") <= max(TOP_K, PQ_RERANK))
+            .localCheckpoint(eager=True)
+        )
+        _ADC_SHORTLIST_CACHE[key] = ranked
+    return ranked
 
 
 # trained-PQ codebook cache: training is an INDEX build — once per
@@ -1110,6 +1261,57 @@ def _l2sq(a, b):
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def _books_key(books) -> tuple:
+    """Hashable view of a codebook list (per subspace: sorted
+    (k, values) pairs) for the lru-cached SQL-text builders."""
+    out = []
+    for book in books:
+        items = book.items() if isinstance(book, dict) else book
+        out.append(tuple((int(k), tuple(v)) for k, v in sorted(items)))
+    return tuple(out)
+
+
+def _l2sq_lit_sql(vec_slice_sql: str, code: tuple) -> str:
+    """The _l2sq fold against a literal code as SQL text — identical
+    parsed tree, ONE py4j call (the _dot_plane_sql lesson: the HOF
+    lambda builders cost ~8 py4j round-trips each, and the PQ paths
+    build 4×PQ_CODES of these per invocation — measured as the
+    dominant share of their per-run planning time)."""
+    arr = "array(" + ", ".join(f"{v!r}D" for v in code) + ")"
+    return (
+        f"aggregate(zip_with({vec_slice_sql}, {arr}, "
+        f"(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+@_lru_cache(maxsize=None)
+def _pq_best_sql(vec: str, s: int, books_key: tuple):
+    """array_sort(array(struct(d, k), ...))[0] for subspace s — the
+    encode argmin as one cached parsed expression."""
+    sub = f"slice({vec}, {s * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
+    structs = ", ".join(
+        f"named_struct('d', {_l2sq_lit_sql(sub, cv)}, 'k', {k})"
+        for k, cv in books_key[s]
+    )
+    return F.expr(f"array_sort(array({structs}))[0]")
+
+
+@_lru_cache(maxsize=None)
+def _pq_dtable_sql(vec: str, s: int, books_key: tuple):
+    """The per-query ADC distance table for subspace s (dense array,
+    position k+1 = code k's distance, inf holes for died clusters)
+    as one cached parsed expression."""
+    sub = f"slice({vec}, {s * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
+    present = dict(books_key[s])
+    ds = [
+        _l2sq_lit_sql(sub, present[k])
+        if k in present
+        else "double('Infinity')"
+        for k in range(PQ_CODES)
+    ]
+    return F.expr("array(" + ", ".join(ds) + ")")
 
 
 def _pq_train_codebooks(
@@ -1244,19 +1446,25 @@ def embedding_pq_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
         "vec_id", _as_double_vec(F.col("embedding")).alias("vec")
     )
-
-    def _best(s: int):
-        sub = F.slice(F.col("vec"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
-        cands = []
-        for k, code_vals in books[s]:
-            code = _dlit_array(tuple(code_vals))
-            cands.append(
-                F.struct(_l2sq(sub, code).alias("d"), F.lit(k).alias("k"))
-            )
-        return F.array_sort(F.array(*cands))[0]
-
+    bk = _books_key(books)
+    # inline() routes the four argmin structs through ONE Generate so
+    # the downstream .k / .d extractions read materialized columns —
+    # a collapsed projection would substitute each b{s} argmin into
+    # BOTH extractions and evaluate it twice per row (the
+    # _nearest_cells note (b), same duplication). The argmin
+    # expressions are cached SQL-text parses (_pq_best_sql).
     staged = emb.select(
-        "vec_id", *[_best(s).alias(f"b{s}") for s in range(PQ_SUBVECTORS)]
+        "vec_id",
+        F.inline(
+            F.array(
+                F.struct(
+                    *[
+                        _pq_best_sql("vec", s, bk).alias(f"b{s}")
+                        for s in range(PQ_SUBVECTORS)
+                    ]
+                )
+            )
+        ),
     )
     err = sum(
         F.floor(F.col(f"b{s}.d") * 1_000_000.0).cast("long")
@@ -1309,19 +1517,15 @@ def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent = _kmeans_centroids(emb, NCENTROIDS)
         _IVF_CENTROIDS[cache_key] = cent
 
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("cent_cos"), F.asc("cent_id")
-    )
-    assigned = (
-        emb.join(F.broadcast(cent), how="cross")
-        .select(
-            "vec_id",
-            "cent_id",
-            _cosine(F.col("vec"), F.col("cvec")).alias("cent_cos"),
-        )
-        .withColumn("crk", F.row_number().over(w_assign))
-        .filter(F.col("crk") == 1)
-        .select("vec_id", F.col("cent_id").alias("bucket"))
+    # narrow literal argmin/arg-top-NPROBE instead of the cross-join
+    # + window shape (r15, guide §2.4; identity argument at
+    # _nearest_cells)
+    cents = _cent_vals(cent, cache_key)
+    assigned = emb.select(
+        "vec_id",
+        F.explode(
+            _nearest_cells("vec", cents, 1)
+        ).alias("bucket"),  # Generate, not element_at — see helper
     )
     codes = embedding_pq_encode_trained(spark, sf_dir).select(
         "vec_id", *[f"code_{s}" for s in range(PQ_SUBVECTORS)]
@@ -1332,43 +1536,20 @@ def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
     )
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.desc("probe_cos"), F.asc("cent_id")
-    )
-    probes = (
-        q.join(F.broadcast(cent), how="cross")
-        .select(
-            "query_id",
-            "cent_id",
-            _cosine(F.col("qvec"), F.col("cvec")).alias("probe_cos"),
-        )
-        .withColumn("prk", F.row_number().over(w_probe))
-        .filter(F.col("prk") <= NPROBE)
-        .select("query_id", F.col("cent_id").alias("bucket"))
+    probes = q.select(
+        "query_id",
+        F.explode(
+            _nearest_cells("qvec", cents, NPROBE)
+        ).alias("bucket"),
     )
 
-    def _dtable(s: int):
-        sub = F.slice(F.col("qvec"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
-        ds = []
-        for k in range(PQ_CODES):
-            if k in books[s]:
-                code = _dlit_array(tuple(books[s][k]))
-                ds.append(
-                    F.aggregate(
-                        F.zip_with(
-                            sub, code, lambda x, c: (x - c) * (x - c)
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                )
-            else:
-                ds.append(F.lit(float("inf")))
-        return F.array(*ds)
-
+    bk = _books_key(books)
     qd = q.select(
         "query_id",
-        *[_dtable(s).alias(f"dt{s}") for s in range(PQ_SUBVECTORS)],
+        *[
+            _pq_dtable_sql("qvec", s, bk).alias(f"dt{s}")
+            for s in range(PQ_SUBVECTORS)
+        ],
     )
     probe_tables = probes.join(qd, "query_id")
     adc = None
@@ -1417,6 +1598,51 @@ def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # residual-PQ codebook cache (books trained on vec − cell centroid)
 _PQ_RES_CODEBOOKS: dict[tuple[str, str, str], list[list[tuple[int, list[float]]]]] = {}
 
+# residual CODE TABLE cache (r15): the coded corpus (vec_id, bucket,
+# code_0..3) IS the stored IVFPQ index — FAISS keeps exactly this in
+# its inverted lists; re-deriving it per query invocation re-paid
+# 4×PQ_CODES l2 folds per corpus row. Built once per (application,
+# corpus) and localCheckpointed (5 small ints per vector). Same
+# model-state class as _IVF_CENTROIDS / _PQ_RES_CODEBOOKS; the
+# oracle re-validates every consumer's values each run.
+_RES_CODED_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _res_coded_cached(
+    spark: SparkSession, sf_dir: str, residuals: DataFrame, books: list
+) -> DataFrame:
+    from dbt_eamples_spark.artifacts import (
+        corpus_fingerprint,
+        session_cache_key,
+    )
+
+    key = session_cache_key(
+        _RES_CODED_CACHE, spark, sf_dir,
+        corpus_fingerprint(sf_dir, "embeddings"),
+    )
+    coded = _RES_CODED_CACHE.get(key)
+    if coded is not None:
+        return coded
+
+    bk = _books_key(books)
+    coded = residuals.select(
+        "vec_id",
+        "bucket",
+        *[
+            _pq_best_sql("vec", s, bk).alias(f"b{s}")
+            for s in range(PQ_SUBVECTORS)
+        ],
+    ).select(
+        "vec_id",
+        "bucket",
+        *[
+            F.col(f"b{s}.k").cast("int").alias(f"code_{s}")
+            for s in range(PQ_SUBVECTORS)
+        ],
+    ).localCheckpoint(eager=True)
+    _RES_CODED_CACHE[key] = coded
+    return coded
+
 
 def _residual_frames(spark: SparkSession, sf_dir: str):
     """(emb, assigned-with-centroid, residuals) shared by the
@@ -1430,22 +1656,18 @@ def _residual_frames(spark: SparkSession, sf_dir: str):
     if cent is None:
         cent = _kmeans_centroids(emb, NCENTROIDS)
         _IVF_CENTROIDS[cache_key] = cent
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("cent_cos"), F.asc("cent_id")
-    )
-    assigned = (
-        emb.join(F.broadcast(cent), how="cross")
-        .select(
-            "vec_id",
-            "vec",
-            "cent_id",
-            "cvec",
-            _cosine(F.col("vec"), F.col("cvec")).alias("cent_cos"),
-        )
-        .withColumn("crk", F.row_number().over(w_assign))
-        .filter(F.col("crk") == 1)
-        .select("vec_id", "vec", F.col("cent_id").alias("bucket"), "cvec")
-    )
+    # narrow literal argmin carrying the winning centroid VECTOR
+    # (the residual is vec − centroid(cell)); r15 rewrite of the
+    # cross-join + window shape — identity argument at
+    # _nearest_cells. inline() = ONE Generate evaluating the argmin
+    # once per row (element_at references would re-evaluate it per
+    # column and under pushed join-key filters — see helper)
+    cents = _cent_vals(cent, cache_key)
+    assigned = emb.select(
+        "vec_id",
+        "vec",
+        F.inline(_nearest_cells("vec", cents, 1, with_cvec=True)),
+    ).withColumnsRenamed({"cent_id": "bucket", "cv": "cvec"})
     residuals = assigned.select(
         "vec_id",
         "bucket",
@@ -1523,70 +1745,40 @@ def similarity_ivf_pq_residual_topk(
     centroids, cell-restricted coded scan, |Q|·PQ_RERANK full-width
     refine — plus one narrow residual map."""
     emb, cent, assigned, residuals = _residual_frames(spark, sf_dir)
-    books = [dict(b) for b in _pq_res_codebooks(spark, sf_dir)]
-
-    def _best(s: int):
-        sub = F.slice(F.col("vec"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
-        cands = []
-        for k in sorted(books[s]):
-            code = _dlit_array(tuple(books[s][k]))
-            cands.append(
-                F.struct(_l2sq(sub, code).alias("d"), F.lit(k).alias("k"))
-            )
-        return F.array_sort(F.array(*cands))[0]
-
-    coded = residuals.select(
-        "vec_id",
-        "bucket",
-        *[_best(s).alias(f"b{s}") for s in range(PQ_SUBVECTORS)],
-    ).select(
-        "vec_id",
-        "bucket",
-        *[
-            F.col(f"b{s}.k").cast("int").alias(f"code_{s}")
-            for s in range(PQ_SUBVECTORS)
-        ],
+    cents = _cent_vals(
+        cent, (spark.sparkContext.applicationId, sf_dir, NCENTROIDS)
     )
+    books = [dict(b) for b in _pq_res_codebooks(spark, sf_dir)]
+    coded = _res_coded_cached(spark, sf_dir, residuals, books)
 
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
     )
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.desc("probe_cos"), F.asc("cent_id")
-    )
-    probes = (
-        q.join(F.broadcast(cent), how="cross")
-        .select(
-            "query_id",
-            "qvec",
-            "cent_id",
-            "cvec",
-            _cosine(F.col("qvec"), F.col("cvec")).alias("probe_cos"),
-        )
-        .withColumn("prk", F.row_number().over(w_probe))
-        .filter(F.col("prk") <= NPROBE)
-        .select(
-            "query_id",
-            F.col("cent_id").alias("bucket"),
-            F.zip_with("qvec", "cvec", lambda x, c: x - c).alias("qres"),
-        )
+    # narrow literal arg-top-NPROBE with the probed cell's centroid
+    # vector carried for the per-cell query residual (r15; identity
+    # argument at _nearest_cells)
+    probes = q.select(
+        "query_id",
+        F.explode(
+            _nearest_cells("qvec", cents, NPROBE, with_cvec=True)
+        ).alias("pc"),
+        "qvec",
+    ).select(
+        "query_id",
+        F.col("pc.cent_id").alias("bucket"),
+        F.zip_with(
+            "qvec", F.col("pc.cv"), lambda x, c: x - c
+        ).alias("qres"),
     )
 
-    def _dtable(s: int):
-        sub = F.slice(F.col("qres"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
-        ds = []
-        for k in range(PQ_CODES):
-            if k in books[s]:
-                code = _dlit_array(tuple(books[s][k]))
-                ds.append(_l2sq(sub, code))
-            else:
-                ds.append(F.lit(float("inf")))
-        return F.array(*ds)
-
+    bk = _books_key(books)
     probe_tables = probes.select(
         "query_id",
         "bucket",
-        *[_dtable(s).alias(f"dt{s}") for s in range(PQ_SUBVECTORS)],
+        *[
+            _pq_dtable_sql("qres", s, bk).alias(f"dt{s}")
+            for s in range(PQ_SUBVECTORS)
+        ],
     )
     adc = None
     for s in range(PQ_SUBVECTORS):
@@ -1783,7 +1975,21 @@ def similarity_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims_arr = sims.groupBy("query_id").agg(
         F.collect_list(F.struct("a", "b", "sim")).alias("sims")
     )
-    packed = cands_arr.join(F.broadcast(sims_arr), "query_id")
+    # left join + empty-array coalesce (ADVICE r14): a degenerate
+    # shortlist with exactly ONE candidate produces zero a!=b sim
+    # pairs, so an inner join would silently drop the query's rank-1
+    # row; the old loop emitted it. Unreachable on current fixtures
+    # (corpus >> 2) but the behavior contract should not depend on
+    # corpus size.
+    packed = cands_arr.join(
+        F.broadcast(sims_arr), "query_id", "left"
+    ).withColumn(
+        "sims",
+        F.coalesce(
+            F.col("sims"),
+            F.array().cast("array<struct<a:bigint,b:bigint,sim:double>>"),
+        ),
+    )
 
     def _step(acc, i):
         open_c = F.filter(
@@ -2076,14 +2282,56 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         lit = _dlit_array(tuple(center_vec))
         return F.round(F.lit(1.0) - _cosine(F.col("vec"), lit), 6)
 
-    # r14: persist() instead of per-round eager localCheckpoint —
-    # the round's argmax action is what materializes the cache, so
-    # each round costs ONE job instead of two (the lineage is a
-    # single-reference chain of narrow projections, so persist's
-    # logical-plan nesting stays linear — unlike the CC kernel's
-    # self-joining rounds, which must keep truncating checkpoints).
-    # The update after the LAST argmax was never consumed and is
-    # gone. Same expressions per round, identical values.
+    # r15 adjudication (VERDICT r14 #1): the r14 persist() rewrite
+    # was solo-A/B'd against the r13 eager localCheckpoint on a
+    # quiet box (tools/ab_kernel.py, fresh-JVM interleaved children,
+    # min across 3 spawns): checkpoint 1.80 s vs persist 1.91 s, and
+    # a third stateless "recompute" variant (k growing-LEAST scans)
+    # lost outright at 2.37 s — the in-memory COLUMNAR cache
+    # (de)serializes the 64-double vec array per round, which costs
+    # more than the checkpoint job it saves. Default REVERTED to
+    # checkpoint (the r13 kernel); all three stay selectable via
+    # SPARK_GRAFT_CORESET_KERNEL for re-adjudication, and
+    # tests/test_r14_optimizations.py locks their value identity.
+    coreset_kernel = os.environ.get(
+        "SPARK_GRAFT_CORESET_KERNEL", "checkpoint"
+    )
+    if coreset_kernel == "recompute":
+        dist_cols = [dist_to(seed["vec"])]
+        for rnd in range(1, CORESET_K):
+            mind_expr = dist_cols[0]
+            for d in dist_cols[1:]:
+                mind_expr = F.least(mind_expr, d)
+            nxt = (
+                emb.select("vec_id", "vec", mind_expr.alias("mind"))
+                .orderBy(F.desc("mind"), F.asc("vec_id"))
+                .limit(1)
+                .collect()
+            )[0]
+            chosen.append((rnd, int(nxt["vec_id"]), float(nxt["mind"])))
+            dist_cols.append(dist_to(nxt["vec"]))
+        return spark.createDataFrame(
+            chosen, "sel_round int, vec_id long, coverage_radius double"
+        ).orderBy("sel_round")
+    if coreset_kernel == "checkpoint":
+        mind = emb.select(
+            "vec_id", "vec", dist_to(seed["vec"]).alias("mind")
+        ).localCheckpoint(eager=True)
+        for rnd in range(1, CORESET_K):
+            nxt = (
+                mind.orderBy(F.desc("mind"), F.asc("vec_id"))
+                .limit(1)
+                .collect()
+            )[0]
+            chosen.append((rnd, int(nxt["vec_id"]), float(nxt["mind"])))
+            mind = mind.select(
+                "vec_id",
+                "vec",
+                F.least(F.col("mind"), dist_to(nxt["vec"])).alias("mind"),
+            ).localCheckpoint(eager=True)
+        return spark.createDataFrame(
+            chosen, "sel_round int, vec_id long, coverage_radius double"
+        ).orderBy("sel_round")
     mind = emb.select(
         "vec_id", "vec", dist_to(seed["vec"]).alias("mind")
     ).persist()
@@ -2975,19 +3223,17 @@ def _assign_cells(vecs: DataFrame, cent: DataFrame) -> DataFrame:
     which is exactly what makes the incrementally-maintained index
     row-identical to re-adding the whole corpus against the same
     quantizer (the pytest lock in tests/test_delta_artifacts.py)."""
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("cell_cos"), F.asc("cent_id")
-    )
-    return (
-        vecs.join(F.broadcast(cent), how="cross")
-        .select(
-            "vec_id",
-            "cent_id",
-            _cosine(F.col("vec"), F.col("cvec")).alias("cell_cos"),
-        )
-        .withColumn("crk", F.row_number().over(w))
-        .filter(F.col("crk") == 1)
-        .select("vec_id", F.col("cent_id").alias("cell"))
+    # narrow literal argmin (r15) — the frozen quantizer is ≤ ncells
+    # rows of persisted model state; collecting it costs one tiny
+    # job, versus the cross-join + row_number window that shuffled
+    # |vecs|×ncells rows per call (identity argument at
+    # _nearest_cells)
+    cents = _cent_vals(cent)
+    return vecs.select(
+        "vec_id",
+        F.explode(
+            _nearest_cells("vec", cents, 1)
+        ).alias("cell"),  # Generate, not element_at — see helper
     )
 
 
@@ -3262,20 +3508,14 @@ def _ivf_delta_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
     )
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.desc("probe_cos"), F.asc("cent_id")
-    )
-    probes = (
-        q.join(F.broadcast(cent), how="cross")
-        .select(
-            "query_id",
-            "qvec",
-            "cent_id",
-            _cosine(F.col("qvec"), F.col("cvec")).alias("probe_cos"),
-        )
-        .withColumn("prk", F.row_number().over(w_probe))
-        .filter(F.col("prk") <= NPROBE)
-        .select("query_id", "qvec", F.col("cent_id").alias("bucket"))
+    # narrow literal arg-top-NPROBE over the persisted quantizer
+    # (r15; identity argument at _nearest_cells)
+    probes = q.select(
+        "query_id",
+        "qvec",
+        F.explode(
+            _nearest_cells("qvec", _cent_vals(cent), NPROBE)
+        ).alias("bucket"),
     )
     scored = (
         assigned.join(F.broadcast(probes), "bucket")

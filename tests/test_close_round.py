@@ -139,6 +139,22 @@ def test_mover_verdict_subtracts_spawn_overhead():
     assert mover_verdict(3.0, 1.0, 1.146) == "regression"
 
 
+def test_mover_verdict_live_tax_parameter():
+    """ADVICE r13 (deferred to r15): the spawn-tax subtraction must
+    track the MEASURED per-run figure, not the r12 midpoint — a box
+    whose actual tax is ~0.05 s should flag a 1.4x regression in a
+    1 s query that the flat 0.2 s constant would absolve."""
+    from tools.bench_solo import mover_verdict
+
+    # 1.4 s solo / 1.0 s prev, no drift: flat 0.2 tax -> 1.2x = noise
+    assert mover_verdict(1.4, 1.0, 1.0) == "noise"
+    # the same numbers under a measured 0.05 s tax -> 1.35x... still
+    # under 1.25? no: (1.4-0.05)/1.0 = 1.35 >= 1.25 -> regression
+    assert mover_verdict(1.4, 1.0, 1.0, tax=0.05) == "regression"
+    # and a generously measured tax keeps absolving floor noise
+    assert mover_verdict(0.7, 0.55, 1.0, tax=0.35) == "noise"
+
+
 def test_mover_verdict_prefers_solo_basis_when_history_exists():
     """Round 13: a mover with a prior-close SOLO figure is arbitrated
     solo-vs-solo (both spawns paid the same cold-start costs — no

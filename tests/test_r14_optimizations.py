@@ -61,6 +61,11 @@ LEV_CASES = [
     ("héllo-wörld", "héllo-wörld"),
     ("héllo-wörld", "héllo-wörlé"),
     ("héllo-wörld", "hallo-wörld"),
+    # NULLs (ADVICE r14): levenshtein yields NULL, so must the fast
+    # path — the eqNullSafe comparison below exercises these
+    (None, "abc"),
+    ("abc", None),
+    (None, None),
 ]
 
 
@@ -92,7 +97,7 @@ def test_lev1_equal_len_matches_banded_levenshtein(spark):
             "a",
             "b",
         )
-        .filter(F.col("fast") != F.col("ref"))
+        .filter(~F.col("fast").eqNullSafe(F.col("ref")))
         .collect()
     )
     assert bad == [], f"fast-path divergence: {bad[:5]}"
@@ -185,6 +190,50 @@ def test_min_label_propagation_matches_union_find(spark, name, pairs):
         for r in _min_label_propagation(df, "x", "y").collect()
     }
     assert got == _uf_components(pairs), name
+
+
+@pytest.mark.parametrize("kernel", ["seeded", "plain", "jump"])
+def test_min_label_propagation_kernels_equivalent(
+    spark, kernel, monkeypatch
+):
+    """Every SPARK_GRAFT_CC_KERNEL variant reaches the identical
+    fixpoint (component minimum) — the r15 adjudication keeps all
+    three selectable, so each stays correctness-locked on the
+    adversarial shapes."""
+    monkeypatch.setenv("SPARK_GRAFT_CC_KERNEL", kernel)
+    for name, pairs in [
+        ("descending_chain", [(i, i - 1) for i in range(19, 1, -1)]),
+        ("clique", [(i, j) for i in range(6) for j in range(i + 1, 6)]),
+        (
+            "disjoint",
+            [(0, 1), (1, 2), (10, 11), (20, 21), (21, 22), (22, 20)],
+        ),
+    ]:
+        df = spark.createDataFrame(pairs, "x long, y long")
+        got = {
+            r["node"]: r["comp"]
+            for r in _min_label_propagation(df, "x", "y").collect()
+        }
+        assert got == _uf_components(pairs), f"{kernel}:{name}"
+
+
+def test_coreset_kernels_value_identical(spark, sf_dir, monkeypatch):
+    """The three SPARK_GRAFT_CORESET_KERNEL materializations
+    (persist / checkpoint / recompute) must pick the identical
+    centers with identical radii: same expressions, same left-fold
+    LEAST order — the r15 adjudication keeps all three selectable."""
+    from dbt_eamples_spark.operators.similarity import (
+        sample_coreset_kcenter,
+    )
+
+    rows = {}
+    for kernel in ("persist", "checkpoint", "recompute"):
+        monkeypatch.setenv("SPARK_GRAFT_CORESET_KERNEL", kernel)
+        rows[kernel] = [
+            (r.sel_round, r.vec_id, repr(r.coverage_radius))
+            for r in sample_coreset_kcenter(spark, sf_dir).collect()
+        ]
+    assert rows["persist"] == rows["checkpoint"] == rows["recompute"]
 
 
 def test_min_label_propagation_random_graphs(spark):

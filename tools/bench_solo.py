@@ -112,15 +112,57 @@ def ambient_drift(cur: dict, prev: dict) -> float:
     return round(ratios[len(ratios) // 2], 3) if ratios else 1.0
 
 
-def mover_verdict(solo: float, prev_close: float, ambient: float) -> str:
+def mover_verdict(
+    solo: float,
+    prev_close: float,
+    ambient: float,
+    tax: float = JVM_SPAWN_OVERHEAD_SEC,
+) -> str:
     """Arbitrate one solo-re-timed mover: the fresh-JVM spawn tax is
     subtracted from the solo time (prev_close is an IN-RUN figure
     that never paid it), the ratio is discounted by the ambient
     machine drift, and what remains past MOVER_RATIO is attributable
-    to the query itself. Pure function for pytest."""
-    adj = max(solo - JVM_SPAWN_OVERHEAD_SEC, 1e-9)
+    to the query itself. Pure function for pytest.
+
+    ``tax`` defaults to the r12 calibration midpoint; main() passes
+    the LIVE figure measured this ledger run (ADVICE r13: a flat
+    0.2 s desensitizes the detector for floor-adjacent queries when
+    the box's actual tax is lower — measure it, don't assume it)."""
+    adj = max(solo - tax, 1e-9)
     excess = (adj / prev_close) / max(ambient, 1e-9)
     return "noise" if excess < MOVER_RATIO else "regression"
+
+
+def measure_spawn_tax(sf_dir: str) -> float | None:
+    """Live fresh-JVM spawn tax: solo-time the cheapest in-run query
+    (scan_table, a 5-row bounded scan whose in-run cost is ~0.1 s)
+    in one child and subtract its in-run figure; what remains is the
+    per-spawn residue (code cache, session bring-up) that every solo
+    child of THIS run pays and no in-run figure does. Clamped to
+    [0, 0.5] — a tax reading past the calibration band's ceiling
+    means the probe hit ambient load, and overstating the tax
+    under-detects regressions."""
+    import json as _json
+
+    with open(os.path.join(REPO, "BENCH_LOCAL.json")) as fh:
+        bl = _json.load(fh)
+    probe = "scan_table"
+    if probe not in bl["queries"]:
+        return None
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--one", probe,
+         sf_dir],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    line = next(
+        (ln for ln in r.stdout.splitlines()
+         if ln.startswith("SOLO_RESULT ")),
+        None,
+    )
+    if line is None:
+        return None
+    solo = _json.loads(line[len("SOLO_RESULT "):])[probe]
+    return round(min(max(solo - bl["queries"][probe], 0.0), 0.5), 4)
 
 
 def mover_verdict_solo_basis(
@@ -193,6 +235,16 @@ def main() -> None:
     solo_movers = sorted(
         q for q, m in movers.items() if m.get("verdict") != "below_floor"
     )
+    # live spawn tax (ADVICE r13): measured once per ledger run, used
+    # for every in-run-basis arbitration below; falls back to the r12
+    # calibration constant if the probe fails
+    spawn_tax = None
+    if any(q not in prev_solo for q in solo_movers):
+        spawn_tax = measure_spawn_tax(sf_dir)
+        print(f"live spawn tax: {spawn_tax} s"
+              + ("" if spawn_tax is not None
+                 else f" (probe failed; using {JVM_SPAWN_OVERHEAD_SEC})"))
+    tax = spawn_tax if spawn_tax is not None else JVM_SPAWN_OVERHEAD_SEC
     targets = slowest + [q for q in solo_movers if q not in slowest]
     out: dict[str, float] = {}
     for name in targets:
@@ -230,7 +282,7 @@ def main() -> None:
         else:
             m["basis"] = "solo_vs_inrun"
             m["verdict"] = mover_verdict(
-                solo_t, m["prev_close"], ambient
+                solo_t, m["prev_close"], ambient, tax
             )
 
     for name in solo_movers:
@@ -288,6 +340,7 @@ def main() -> None:
         "movers": movers,
         "mover_ratio": MOVER_RATIO,
         "solo_floor_sec": SOLO_FLOOR_SEC,
+        "spawn_tax_sec": spawn_tax,
         "ambient_drift": ambient,
         "engine_tree": engine_tree_hash(),
     }

@@ -144,6 +144,18 @@ def main() -> None:
         solo_cmd += ["--prev-solo", prev_solo_path]
     run(solo_cmd, os.path.join(TMP, "solo_close.log"))
 
+    # 4b. committed round-over-round delta (VERDICT r14 #7): the
+    # driver's PERF comparison keeps dying to one-line tail
+    # truncation, so the close itself now commits the per-query
+    # prev/now table, ambient-corrected, with the solo-adjudicated
+    # movers folded in. Reader-only: touches no timed protocol.
+    if prev_bl.returncode == 0 and prev_bl.stdout.strip():
+        run([py, "tools/bench_delta.py", "--prev", args.prev],
+            os.path.join(TMP, "bench_delta_close.log"))
+    else:
+        print("close: WARN no prev BENCH_LOCAL — skipping BENCH_DELTA",
+              flush=True)
+
     # 5. plan audit
     run([py, "tools/explain_audit.py"],
         os.path.join(TMP, "explains_close.log"))
@@ -151,7 +163,11 @@ def main() -> None:
     # 6. full suite
     count = args.pytest_count
     if not args.skip_pytest:
-        out = run([py, "-m", "pytest", "tests/", "-q"],
+        # --runslow: the close runs the FULL suite including the
+        # slow-lane equivalence suites the default run skips so the
+        # driver's `pytest tests/ -x -q` completes in budget
+        # (VERDICT r14 #2)
+        out = run([py, "-m", "pytest", "tests/", "-q", "--runslow"],
                   os.path.join(TMP, "pytest_close.log"))
         m = re.search(r"(\d+) passed", open(
             os.path.join(TMP, "pytest_close.log")).read())
