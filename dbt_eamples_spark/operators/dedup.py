@@ -715,6 +715,24 @@ def _min_label_propagation(pairs: DataFrame, a: str, b: str) -> DataFrame:
        re-adjudication."""
     kernel = os.environ.get("SPARK_GRAFT_CC_KERNEL", "seeded")
     base = pairs.select(F.col(a).alias("doc_a"), F.col(b).alias("doc_b"))
+
+    # r15 (VERDICT r14 #3, by the simpler blessed route): below
+    # QUOTIENT_DRIVER_CC_MAX edges the components are solved with the
+    # SAME driver union-find `_quotient_components` has used since
+    # r9 — the size probe IS the collect (one LIMIT-bounded job,
+    # ~10 MB driver ceiling), versus O(rounds) checkpointed joins
+    # whose per-round AQE job latency dominates at fixture scale
+    # (dedup_semantic_clusters: ~89 jobs → ~5). Past the bound — a
+    # real corpus's near-dup graph — the distributed kernel below
+    # takes over unchanged. The historical baselines stay pure for
+    # A/B comparability (plain/jump never take the fast path).
+    if kernel not in ("plain", "jump"):
+        rows = base.limit(QUOTIENT_DRIVER_CC_MAX + 1).collect()
+        if len(rows) <= QUOTIENT_DRIVER_CC_MAX:
+            return _driver_union_find_df(
+                pairs.sparkSession, [(r[0], r[1]) for r in rows]
+            )
+
     edges = base.union(
         base.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint(eager=True)
@@ -1004,7 +1022,12 @@ def dedup_embedding_cosine(
     # oracle replicates the same integer ladder from count(*), so
     # both engines pick identical planes at every corpus size.
     if nplanes is None:
-        nplanes = lsh_planes(emb.count())  # scalar: index-build param
+        # count on the RAW scan (not the parallelized frame): the
+        # round-robin repartition would turn a metadata-served
+        # parquet count into a full shuffle pass (r15)
+        nplanes = lsh_planes(
+            load_table(spark, sf_dir, "embeddings").count()
+        )  # scalar: index-build param
     pairs = lsh_candidate_pairs(
         v,
         tables=DEDUP_LSH_TABLES,
@@ -1611,7 +1634,18 @@ def _quotient_components(qe: DataFrame) -> DataFrame:
     rows = qe.limit(QUOTIENT_DRIVER_CC_MAX + 1).collect()
     if len(rows) > QUOTIENT_DRIVER_CC_MAX:
         return _min_label_propagation(qe, "sa", "sb")
-    edges = [(r.sa, r.sb) for r in rows]
+    return _driver_union_find_df(
+        qe.sparkSession, [(r.sa, r.sb) for r in rows]
+    )
+
+
+def _driver_union_find_df(spark: SparkSession, edges: list) -> DataFrame:
+    """(node, comp) via driver union-find over a BOUNDED edge list
+    (≤ QUOTIENT_DRIVER_CC_MAX pairs — the caller's collect enforces
+    it). Union by MIN so the root IS the component label — the same
+    fixpoint every distributed kernel reaches. Shared by
+    :func:`_quotient_components` (since r9) and, from r15, the
+    below-bound fast path of :func:`_min_label_propagation`."""
     parent: dict = {}
 
     def find(x):
@@ -1625,12 +1659,10 @@ def _quotient_components(qe: DataFrame) -> DataFrame:
     for a, b in edges:
         ra, rb = find(a), find(b)
         if ra != rb:
-            # union by MIN so the root IS the component label
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
     nodes = {n for e in edges for n in e}
     rows = [(n, find(n)) for n in sorted(nodes)]
-    spark = qe.sparkSession
     if not rows:
         return spark.createDataFrame([], "node long, comp long")
     return spark.createDataFrame(rows, "node long, comp long")
@@ -3000,7 +3032,13 @@ def dedup_incremental_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(
         spark, sf_dir, "embeddings", parallelize=True
     ).select("vec_id", _as_double_vec(F.col("embedding")).alias("vec"))
-    corpus_n = emb.filter(F.col("vec_id") % INCR_MOD != 0).count()
+    # count on the RAW scan — no repartition shuffle for a scalar
+    # (r15; same value, the filter is the only non-metadata part)
+    corpus_n = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % INCR_MOD != 0)
+        .count()
+    )
     np_ = lsh_planes(corpus_n)  # scalar: index-build param
     delta = emb.filter(F.col("vec_id") % INCR_MOD == 0)
     return _cosine_delta_vs_base(spark, sf_dir, delta, np_)

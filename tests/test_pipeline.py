@@ -14,6 +14,7 @@ from dbt_eamples_spark.catalog import load_table
 from dbt_eamples_spark.plans.splitter import run_script, split_statements
 from dbt_eamples_spark.streaming.incremental import run_increment
 from dbt_eamples_spark.streaming.streams import (
+
     stateful_user_totals_streaming,
     stream_session_agg,
     stream_session_agg_streaming,
@@ -21,6 +22,13 @@ from dbt_eamples_spark.streaming.streams import (
     stream_tumbling_count_streaming,
     user_totals_batch,
 )
+
+import pytest
+
+# slow lane (VERDICT r14 #2): end-to-end pipeline + streaming replays —
+# excluded from the default run so `pytest tests/ -x -q` fits the
+# driver's verify budget; the close ritual runs it via --runslow.
+pytestmark = pytest.mark.slow
 
 
 class TestSplitter:

@@ -192,14 +192,24 @@ def test_min_label_propagation_matches_union_find(spark, name, pairs):
     assert got == _uf_components(pairs), name
 
 
-@pytest.mark.parametrize("kernel", ["seeded", "plain", "jump"])
+@pytest.mark.parametrize(
+    "kernel", ["seeded", "seeded-distributed", "plain", "jump"]
+)
 def test_min_label_propagation_kernels_equivalent(
     spark, kernel, monkeypatch
 ):
     """Every SPARK_GRAFT_CC_KERNEL variant reaches the identical
     fixpoint (component minimum) — the r15 adjudication keeps all
     three selectable, so each stays correctness-locked on the
-    adversarial shapes."""
+    adversarial shapes. "seeded-distributed" pins the driver-CC
+    bound to 0 so the distributed seeded loop is exercised even on
+    these tiny graphs (the default seeded path solves them with the
+    r9 driver union-find)."""
+    import dbt_eamples_spark.operators.dedup as D
+
+    if kernel == "seeded-distributed":
+        monkeypatch.setattr(D, "QUOTIENT_DRIVER_CC_MAX", 0)
+        kernel = "seeded"
     monkeypatch.setenv("SPARK_GRAFT_CC_KERNEL", kernel)
     for name, pairs in [
         ("descending_chain", [(i, i - 1) for i in range(19, 1, -1)]),

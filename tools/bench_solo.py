@@ -330,6 +330,21 @@ def main() -> None:
 
     from tools.treehash import engine_tree_hash
 
+    # VERDICT r14 #1: the round's explicit kernel A/B adjudication
+    # (tools/ab_kernel.py output, committed as AB_KERNEL_r*.json)
+    # rides in the solo ledger so mover arbitration and the kernel
+    # verdicts live in one artifact
+    kernel_ab = None
+    try:
+        import glob as _glob
+
+        abs_ = sorted(_glob.glob(os.path.join(REPO, "AB_KERNEL_r*.json")))
+        if abs_:
+            with open(abs_[-1]) as fh:
+                kernel_ab = json.load(fh)
+    except (OSError, ValueError):
+        kernel_ab = None
+
     record = {
         "metric": "solo_best_of_3_sec",
         "sf": bl.get("sf"),
@@ -338,6 +353,7 @@ def main() -> None:
         "queries": out,
         "in_run_reference": {k: bl["queries"][k] for k in out},
         "movers": movers,
+        "kernel_adjudication": kernel_ab,
         "mover_ratio": MOVER_RATIO,
         "solo_floor_sec": SOLO_FLOOR_SEC,
         "spawn_tax_sec": spawn_tax,
