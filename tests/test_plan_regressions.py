@@ -50,9 +50,10 @@ class TestShuffleBudgets:
         "dedup_exact": 1,  # md5-keyed groupBy
         "table_profile": 1,  # one Expand aggregation exchange
         "metric_compiled_growth": 2,  # hash agg + window over aggregate
-        # parallelize repartition + local-topk groupBy + rank window;
-        # the refine joins broadcast (shortlist and query sides tiny)
-        "similarity_pq_rerank_topk": 3,
+        # r15: the trained-ADC ranked shortlist is session-shared
+        # (built+checkpointed at query-construction time), so the
+        # plan is ONE refine window over the checkpointed shortlist
+        "similarity_pq_rerank_topk": 1,
         "text_pii_scan": 0,  # pure narrow map: regex scan + redact
         "corpus_quality_filter": 0,  # pure narrow map: rule verdict
         # parallelize repartition + hourly hash-agg + type window
@@ -147,14 +148,13 @@ class TestShuffleBudgets:
         # one source exchange feeding the rank window
         "sample_fixed_size_per_group": 1,
         # composed index path: encode repartition + assignment/probe
-        # windows over the broadcast-centroid crosses + ADC local
-        # top-k + shortlist/refine windows — cell restriction and
-        # coded scan add NO corpus-sized exchange beyond the PQ
-        # rerank pipeline's own
-        "similarity_ivf_pq_topk": 9,
-        # residual variant: one extra narrow residual map, same
-        # exchange skeleton as the raw-code composition
-        "similarity_ivf_pq_residual_topk": 9,
+        # r15: assignment/probes are narrow literal argmins through
+        # a Generate (no cross-join, no windows) and the code table
+        # is session-checkpointed — ADC local top-k agg + shortlist
+        # + refine windows are all that remain
+        "similarity_ivf_pq_topk": 3,
+        # residual variant: same skeleton, code table checkpointed
+        "similarity_ivf_pq_residual_topk": 3,
         # post-checkpoint (edges + oriented list + deg
         # materialized): sized apex repartition (its self-join twin
         # is a ReusedExchange) + sized (b,c) wedge repartition +
@@ -474,11 +474,12 @@ class TestShuffleBudgets:
         # rides the two shortlist plans (their exchanges, incl. the
         # IVF assign/probe passes); the intersection, per-query
         # fold, and spine join are |Q|-bounded broadcasts
-        "similarity_ivf_recall_eval": 9,
+        # (r15: assign/probe windows gone — see the ivf_pq budgets)
+        "similarity_ivf_recall_eval": 7,
         # same recall fold over the LSH / residual-IVF-PQ shortlist
         # plans — every added exchange is |Q|-bounded
         "similarity_lsh_recall_eval": 8,
-        "similarity_ivfpq_recall_eval": 8,
+        "similarity_ivfpq_recall_eval": 6,  # r15: see ivf_pq budgets
         # asymmetric probe of the persisted phash band index: ONE
         # (new_doc, corpus_doc) candidate agg exchange; the delta
         # band frame and index attach broadcast at fixture scale
@@ -497,7 +498,7 @@ class TestShuffleBudgets:
         # quotient-edge distinct, relabel union legs, and the
         # cluster_size window — each delta- or labels-sized, never
         # a corpus pair-graph exchange
-        "dedup_incremental_clusters": 6,
+        "dedup_incremental_clusters": 5,  # r15: driver-CC fast path
     }
 
     @pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))
